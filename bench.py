@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query materializes fully via the no-op sink (no driver collect, no disk
+write — pure engine throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline mix: scan+agg, joins, windows, explode, and the llmops suite
+HEADLINE = [
+    "agg_groupby_multi",
+    "join_inner",
+    "join_asof",
+    "win_rank",
+    "topk_per_group",
+    "explode_split",
+    "stream_window_tumbling",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_topk",
+    "text_tokens",
+]
+
+
+def main() -> None:
+    from dynamic_spark_spark.registry import load_all_queries
+    from dynamic_spark_spark.session import get_spark
+
+    spark = get_spark("dss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

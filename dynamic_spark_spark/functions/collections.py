@@ -1,0 +1,97 @@
+"""Array / map functions, incl. higher-order lambdas (SURVEY.md §2.B B18,
+§2.C Scalar functions / Array / Map).
+
+Reference evidence: nested-array ops ``t.map(x => x*x)`` over ``Array(1,2)``
+values (``ScalaSparkTest.java:233-239``) — mapped to Spark's higher-order
+``transform`` so the lambda runs JVM-side inside codegen, not in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+
+@query(
+    "fn_array_transform",
+    "SELECT l_orderkey, l_linenumber,"
+    " list_transform([l_quantity, l_tax, l_discount], x -> x * 2) AS doubled,"
+    " CAST(len([l_quantity, l_tax, l_discount]) AS INT) AS arr_len,"
+    " list_contains([l_returnflag, l_linestatus], 'N') AS has_n,"
+    " list_sort([l_returnflag, l_linestatus]) AS flags_sorted,"
+    " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    "   [l_quantity, l_tax, l_discount]), (acc, x) -> acc + x) AS arr_sum,"
+    " [l_quantity + l_tax, l_tax + l_discount] AS pair_sums"
+    " FROM lineitem",
+    tag="function",
+)
+def fn_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / size / contains / sort /
+    aggregate (left fold — sequential in both engines) / zip_with."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nums = F.array("l_quantity", "l_tax", "l_discount")
+    flags = F.array("l_returnflag", "l_linestatus")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(nums, lambda x: x * 2).alias("doubled"),
+        F.size(nums).alias("arr_len"),
+        F.array_contains(flags, "N").alias("has_n"),
+        F.sort_array(flags).alias("flags_sorted"),
+        F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x).alias("arr_sum"),
+        F.zip_with(
+            F.array("l_quantity", "l_tax"),
+            F.array("l_tax", "l_discount"),
+            lambda a, b: a + b,
+        ).alias("pair_sums"),
+    )
+
+
+@query(
+    "fn_array_embedding",
+    "SELECT vec_id,"
+    " CAST(len(embedding) AS INT) AS dim,"
+    " CAST(embedding[1] AS DOUBLE) AS first_elem,"
+    " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    "   list_transform(embedding, x -> CAST(x AS DOUBLE))),"
+    "   (acc, x) -> acc + x) AS vec_sum"
+    " FROM embeddings",
+    tag="function",
+)
+def fn_array_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over the real float-vector column: length, indexing, and a
+    sequential left-fold sum (float→double per element first, so both engines
+    add the identical doubles in the identical order)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("first_elem"),
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+    )
+
+
+@query(
+    "fn_map",
+    "SELECT p_partkey,"
+    " MAP {'brand': p_brand, 'type': p_type}['brand'][1] AS brand_val,"
+    " CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INT) AS n_keys,"
+    " list_sort(map_keys(MAP {'brand': p_brand, 'type': p_type})) AS keys_sorted"
+    " FROM part",
+    tag="function",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + extraction + keys (scalar/array outputs only, so the
+    comparison never depends on engine map-encoding order)."""
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.size(m).alias("n_keys"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+    )

@@ -1,0 +1,70 @@
+"""Date/time functions (SURVEY.md §2.C Scalar functions / Date-time).
+
+All sessions run UTC (session.py) so Spark's TZ-aware TIMESTAMP renders
+identically to DuckDB's naive timestamps. Cross-engine type traps: DuckDB
+``year()``/``datediff`` return BIGINT where Spark returns INT — the oracle
+casts to match Spark's types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+
+@query(
+    "fn_date",
+    "SELECT o_orderkey,"
+    " CAST(year(o_orderdate) AS INT) AS yr,"
+    " CAST(month(o_orderdate) AS INT) AS mo,"
+    " CAST(dayofmonth(o_orderdate) AS INT) AS dom,"
+    " CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,"
+    " CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,"
+    " CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)"
+    "   AS days_to_eoy,"
+    " CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s"
+    " FROM orders",
+    tag="function",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        # date-typed results rendered ISO: pandas/Arrow represent DATE as
+        # midnight timestamps on one engine and datetime.date on the other,
+        # so a string projection is the only hash-stable cross-engine shape
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_eoy"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "fn_date_events",
+    "SELECT event_id,"
+    " CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,"
+    " CAST(hour(ts) AS INT) AS hr,"
+    " CAST(minute(ts) AS INT) AS mi,"
+    " strftime(ts, '%Y-%m-%d') AS day_str"
+    " FROM events",
+    tag="function",
+)
+def fn_date_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-day extraction + formatting on the microsecond event timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.hour("ts").alias("hr"),
+        F.minute("ts").alias("mi"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )

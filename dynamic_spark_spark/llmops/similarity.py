@@ -1,0 +1,178 @@
+"""Similarity search over embedding vectors (SURVEY.md §2.D).
+
+Two paths:
+
+- ``sim_topk`` — brute-force cosine top-k: exact baseline. Queries are a
+  small broadcast side; scores fold JVM-side via higher-order array
+  functions (zip_with dot product); top-k via per-query window. At 100 TB
+  the corpus side stays partition-parallel and nothing ever collects.
+- ``sim_topk_lsh`` — random-hyperplane LSH: sign-bit signatures bucket the
+  corpus so each query only scores its colliding bucket. The hyperplanes are
+  generated deterministically from hashes (no RNG, no driver state).
+- ``dedup_embedding`` — cosine near-dup pairs with label blocking (the oracle
+  -checkable stand-in for an ANN-bucketed pair search).
+
+Cosines are computed float→double elementwise then sequentially folded, the
+same order DuckDB's list functions use — keeping both engines bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+LSH_PLANES = 12
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two float arrays, in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# The oracle's equivalent sequential fold over the same doubles.
+_O_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+_O_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+    " (acc, x) -> acc + x))"
+)
+
+
+def _o_cosine(a: str, b: str) -> str:
+    return (
+        f"({_O_DOT.format(a=a, b=b)} / ({_O_NORM.format(a=a)} * {_O_NORM.format(a=b)}))"
+    )
+
+
+_SIM_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_o_cosine('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_topk", _SIM_TOPK_ORACLE, tag="llm-similarity")
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the corpus,
+    score JVM-side, take per-query top-k via window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+@query("sim_topk_lsh", tag="llm-similarity")  # rows-only: LSH recall is probabilistic
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: random-hyperplane LSH. Each vector gets a sign-bit
+    signature from ``LSH_PLANES`` pseudo-random hyperplanes (deterministic,
+    hash-generated per (plane, dim) — no RNG state, reproducible on any
+    cluster). Queries only score their own bucket: the corpus-side scan
+    partitions by signature instead of exploding into all pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def signature(emb: Column) -> Column:
+        # plane weight for (p, d) = deterministic hash in [-0.5, 0.5)
+        def proj(p: int) -> Column:
+            weighted = F.transform(
+                emb,
+                lambda x, i: x.cast("double")
+                * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(1000)) / 1000.0) - 0.5),
+            )
+            return F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+
+        return sum(
+            [
+                F.when(proj(p) > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+                for p in range(LSH_PLANES)
+            ],
+            F.lit(0).cast("long"),
+        )
+
+    signed = e.withColumn("sig", signature(F.col("embedding")))
+    q = signed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("sig")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(signed, "sig")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+_DEDUP_EMB_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_o_cosine('a.embedding', 'b.embedding')} >= 0.99
+"""
+
+
+@query("dedup_embedding", _DEDUP_EMB_ORACLE, tag="llm-dedup")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the blocking
+    key stands in for an LSH bucket so the oracle can express the same join;
+    production path swaps the label for ``sim_topk_lsh`` signatures)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label")
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.99)
+        .select("vec_a", "vec_b")
+    )

@@ -1,0 +1,162 @@
+"""Text analysis operators (SURVEY.md §2.D): language ID, quality scoring,
+token counting, fingerprinting, corpus stats — all built-in expressions over
+``documents`` (no Python in the hot path; everything vectorizes in codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+#: tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "por"],
+}
+
+_TOKEN_RE = r"\s+"
+#: BPE-ish word/number/punct splitter (public GPT-2-style pattern family)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def _lang_scores(text: Column) -> dict[str, Column]:
+    lower = F.lower(text)
+    return {
+        lang: F.regexp_count(lower, F.lit(_marker_pattern(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+@query(
+    "text_stats",
+    "SELECT lang, COUNT(*) AS n_docs,"
+    " CAST(SUM(n_chars) AS BIGINT) AS total_chars,"
+    " CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+    "   w -> w <> ''))) AS BIGINT) AS total_tokens"
+    " FROM documents GROUP BY lang",
+    tag="llm-text",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, characters, tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.size(F.filter(F.split("text", _TOKEN_RE), lambda w: w != ""))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(tokens.cast("bigint")).alias("total_tokens"),
+    )
+
+
+@query(
+    "text_tokens",
+    "SELECT doc_id,"
+    " CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))"
+    "   AS INT) AS ws_tokens,"
+    " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    "   AS INT) AS bpe_ish_tokens,"
+    " CAST(length(text) AS BIGINT) AS n_chars_computed"
+    " FROM documents",
+    tag="llm-text",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", _TOKEN_RE), lambda w: w != "")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("int").alias("bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "text_quality",
+    "SELECT doc_id,"
+    " CAST(length(text) AS BIGINT) AS n_chars_q,"
+    " ROUND(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)"
+    "   / GREATEST(length(text), 1), 6) AS punct_ratio,"
+    " ROUND(CAST(len(regexp_extract_all(lower(text),"
+    "   '\\b(the|and|of|to|is|in|that|it)\\b')) AS DOUBLE)"
+    "   / GREATEST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+    "       w -> w <> '')), 1), 6) AS stopword_ratio,"
+    " ROUND(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)"
+    "   / GREATEST(length(text), 1), 6) AS upper_ratio"
+    " FROM documents",
+    tag="llm-text",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: punctuation / stopword / uppercase ratios. The ratio
+    formula (count / max(denom, 1)) is identical on both sides; per-row
+    division is IEEE-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    ws_tokens = F.size(F.filter(F.split("text", _TOKEN_RE), lambda w: w != ""))
+    stop_hits = F.regexp_count(F.lower("text"), F.lit(_marker_pattern(LANG_MARKERS["en"])))
+    return d.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_q"),
+        F.round(
+            F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(stop_hits.cast("double") / F.greatest(ws_tokens, F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            F.regexp_count("text", F.lit("[A-Z]")).cast("double") / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("upper_ratio"),
+    )
+
+
+@query(
+    "text_langid",
+    None,
+    tag="llm-text",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    (ties → 'und'; zero hits → 'und'). Pure codegen expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = _lang_scores(F.col("text"))
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so earlier languages win ties deterministically
+    for lang in reversed(list(scores)):
+        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in scores],
+        pred.alias("lang_pred"),
+    )
+
+
+@query("text_fingerprint", tag="llm-text")  # rows-only: engine-hash-based
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-style): hash rolling character
+     8-grams, keep hashes ≡ 0 (mod 8) as the fingerprint set — a deterministic
+    ~1/8 content-defined sample, robust to small edits, joinable for overlap
+    detection at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    k = 8
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k))),
+    )
+    return d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(8)) == 0))
+        ).alias("fingerprints"),
+    )

@@ -1,0 +1,232 @@
+"""Aggregation operators (SURVEY.md §2.B B8-B9, §2.C "Aggregations").
+
+The reference demonstrates group-by aggregation via SQL
+(``SELECT word, count(*) FROM splitted GROUP BY word``,
+``ScalaSparkTest.java:280``) and RDD ``reduceByKey`` (``:126,297``), and
+declares the full Spark agg surface (``docs/ScalaSparkCompute-sparkcompute.md:5-6``).
+Here each form is a native ``groupBy().agg()`` — Tungsten hash aggregation with
+automatic partial (map-side) aggregation, the scalable replacement for
+``reduceByKey``. At 100 TB the partial-agg + AQE-coalesced exchange is the
+right shape: one shuffle keyed by the group columns, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.functions.deterministic import davg, dsum, o_davg, o_dsum
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan → filter → hash-agg → sort).
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {o_dsum('l_quantity')} AS sum_qty,
+  {o_dsum('l_extendedprice')} AS sum_base_price,
+  {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {o_davg('l_quantity')} AS avg_qty,
+  {o_davg('l_extendedprice')} AS avg_price,
+  {o_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query: filter → groupBy → multi-agg over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+query("agg_groupby_multi", _FLAGSHIP_ORACLE, tag="aggregate")(pricing_summary)
+
+
+@query(
+    "agg_groupby_count",
+    "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority",
+    tag="aggregate",
+)
+def agg_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash group-by count (reference SQL GROUP BY, ``ScalaSparkTest.java:280``)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "agg_global",
+    f"SELECT COUNT(*) AS n, {o_dsum('o_totalprice')} AS total,"
+    " MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM orders",
+    tag="aggregate",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) reduce — analog of RDD ``.reduce(_ + _)``
+    (``ScalaSparkTest.java:190``) as a declarative aggregate."""
+    return load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "agg_distinct",
+    "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,"
+    " COUNT(DISTINCT o_orderpriority) AS n_prio FROM orders GROUP BY o_orderstatus",
+    tag="aggregate",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+        )
+    )
+
+
+@query("agg_approx_distinct", tag="aggregate")  # rows-only: HLL++ is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++). No oracle: sketch estimates
+    are engine-specific; the driver records a rows-only check."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+    )
+
+
+@query(
+    "agg_rollup",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n,"
+    f" {o_dsum('l_quantity')} AS sum_qty"
+    " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    tag="aggregate",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "agg_cube",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n"
+    " FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+    tag="aggregate",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_stats",
+    "SELECT l_returnflag,"
+    " ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,"
+    " ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,"
+    " ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,"
+    " ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price"
+    " FROM lineitem GROUP BY l_returnflag",
+    tag="aggregate",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Rounded: streaming-moment accumulation order
+    differs across engines, so agreement is only to ~1e-10 relative."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    "SELECT l_linestatus,"
+    " ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,"
+    " ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90"
+    " FROM lineitem GROUP BY l_linestatus",
+    tag="aggregate",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). ``percentile_approx`` stays available for the 100 TB
+    path where a single-pass sketch is preferable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+@query(
+    "agg_collect",
+    "SELECT n_regionkey, list_sort(list(n_name)) AS names"
+    " FROM nation GROUP BY n_regionkey",
+    tag="aggregate",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set; sorted for order-determinism."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+    )
+
+
+@query(
+    "agg_pivot",
+    "SELECT o_orderpriority,"
+    " COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,"
+    " COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,"
+    " COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p"
+    " FROM orders GROUP BY o_orderpriority",
+    tag="aggregate",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — the explicit list avoids the extra
+    distinct-values job, which matters at scale. Missing cells filled with 0
+    to match relational COUNT FILTER semantics."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "f", "O": "o", "P": "p"})
+        .na.fill(0, ["f", "o", "p"])
+    )

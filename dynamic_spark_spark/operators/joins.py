@@ -1,0 +1,181 @@
+"""Join operators (SURVEY.md §2.B B12, §2.C "Joins").
+
+The reference's declared join use case: "join the input RDD with another
+Dataset and select a subset of the join result using Spark SQL"
+(``docs/ScalaSparkCompute-sparkcompute.md:10-12``). Here every join type is a
+native ``df.join`` with explicit scale posture:
+
+- dimension tables (region/nation/supplier) get ``broadcast()`` hints — no
+  shuffle of the fact side;
+- fact-fact joins shuffle on the join key and rely on AQE for skew splitting;
+- the as-of join avoids the pair-explosion of a naive range join by using the
+  union + last-observation-carried-forward window trick: one shuffle, linear
+  state, survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+
+@query(
+    "join_inner",
+    "SELECT o.o_orderkey, c.c_name, n.n_name AS nation, o.o_totalprice"
+    " FROM orders o"
+    " JOIN customer c ON o.o_custkey = c.c_custkey"
+    " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " WHERE o.o_totalprice > 100000",
+    tag="join",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain fact→dim→dim; dims broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.filter(F.col("o_totalprice") > 100000)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "c_name", F.col("n_name").alias("nation"), "o_totalprice")
+    )
+
+
+@query(
+    "join_left",
+    "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice"
+    " FROM customer c"
+    " LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000",
+    tag="join",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a pushed join-side predicate (kept in the ON
+    clause so non-matching customers survive)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_full",
+    "SELECT c.c_custkey, o.o_orderkey"
+    " FROM (SELECT * FROM customer WHERE c_acctbal > 0) c"
+    " FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o"
+    " ON o.o_custkey = c.c_custkey",
+    tag="join",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (pre-filtered sides so both produce unmatched rows)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, o.o_custkey == c.c_custkey, "full").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_semi",
+    "SELECT c_custkey, c_name FROM customer c"
+    " WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "               AND o.o_orderpriority = '1-URGENT')",
+    tag="join",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — EXISTS semantics, no row duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    "SELECT c_custkey, c_name FROM customer c"
+    " WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    tag="join",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — NOT EXISTS semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+    tag="join",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane on bounded inputs; the engine keeps
+    it legal but every scale-path operator avoids it (see llmops)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_range",
+    "SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal"
+    " FROM supplier s JOIN customer c"
+    " ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal <= s.s_acctbal + 50",
+    tag="join",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range (non-equi) join. Physically a BroadcastNestedLoopJoin with
+    the small side broadcast; at 100 TB the same semantics would be produced
+    by bucketing ``c_acctbal`` into bands and equi-joining on band (see
+    llmops.similarity for the banding pattern)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (c.c_acctbal >= s.s_acctbal - 50) & (c.c_acctbal <= s.s_acctbal + 50)
+    return F.broadcast(s).join(c, cond).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "join_asof",
+    "SELECT p.event_id, p.user_id, p.ts, c.ts AS prev_click_ts"
+    " FROM (SELECT * FROM events WHERE event_type = 'purchase') p"
+    " ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+    " ON p.user_id = c.user_id AND p.ts >= c.ts",
+    tag="join",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest earlier event per key): for each purchase, the most
+    recent click by the same user at-or-before its timestamp.
+
+    Implementation is the scalable union + last-value trick — tag both sides,
+    union, and carry the last click timestamp forward within each user's
+    timeline. One shuffle on ``user_id``, linear per-partition state; no
+    pair explosion, unlike the naive ``p×c`` range join. The oracle uses
+    DuckDB's native ASOF JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("side"),
+    )
+    # side=0 sorts clicks before a purchase at the identical timestamp,
+    # matching ASOF's inclusive `p.ts >= c.ts` bound.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionAll(purchases)
+        .withColumn("prev_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "prev_click_ts")
+    )

@@ -1,0 +1,146 @@
+"""Scan / source / sink operators (SURVEY.md §2.B B1-B4, B13-B16, §2.C scans).
+
+Reference evidence: text scan ``sc.textFile`` (``docs/PySparkProgram-sparkprogram.md:32``),
+dataset scan ``sc.fromDataset`` (``ScalaSparkTest.java:121``), literal source
+``sc.parallelize`` (``ScalaSparkTest.java:190``), SQL-on-view
+``registerTempTable`` + ``sqlContext.sql`` (``ScalaSparkTest.java:279-280``),
+writer sinks (``ScalaSparkTest.java:384,403``), random split
+(``docs/PySparkProgram-sparkprogram.md:35``).
+
+Scale notes: the parquet scan is Spark's vectorized columnar reader with
+predicate pushdown + column pruning (verified in tests via the formatted plan);
+sinks write partitioned parquet so downstream reads get partition pruning.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table, register_views
+
+
+@query(
+    "scan_parquet",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem"
+    " WHERE l_quantity > 45.0",
+    tag="scan",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected, filtered parquet scan — filter and column list both push into
+    the vectorized reader (PushedFilters / ReadSchema in the plan)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    )
+
+
+@query(
+    "scan_table",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tag="scan",
+)
+def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/temp-view scan via ``spark.table`` (analog of
+    ``sc.fromDataset``, ``ScalaSparkTest.java:121``)."""
+    register_views(spark, sf_dir, ("nation",))
+    return spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "values_source",
+    "SELECT * FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma'))"
+    " AS t(id, name)",
+    tag="scan",
+)
+def values_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal in-memory rows (analog of ``sc.parallelize``,
+    ``ScalaSparkTest.java:190,233``)."""
+    schema = StructType(
+        [
+            StructField("id", IntegerType(), True),
+            StructField("name", StringType(), True),
+        ]
+    )
+    return spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "gamma")], schema)
+
+
+_SQL_VIEW_QUERY = """
+SELECT n.n_name AS nation, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("sql_view_query", _SQL_VIEW_QUERY, tag="scan")
+def sql_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point over registered views (``registerTempTable`` +
+    ``sqlContext.sql``, ``ScalaSparkTest.java:279-280,400-402``) — same ANSI
+    text runs on Spark and the oracle."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(_SQL_VIEW_QUERY)
+
+
+@query(
+    "sink_parquet_roundtrip",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders"
+    " GROUP BY o_orderstatus, o_orderpriority",
+    tag="sink",
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write then read-back (writer sink,
+    ``ScalaSparkTest.java:403``; parquet use-case
+    ``docs/ScalaSparkSink-sparksink.md:12``). The partition column round-trips
+    through the directory layout — downstream scans get partition pruning."""
+    out = tempfile.mkdtemp(prefix="dss_sink_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # partition columns come back typed-as-written only with schema
+        # inference; normalize to string to match the source table
+        .withColumn("o_orderstatus", F.col("o_orderstatus").cast("string"))
+    )
+
+
+@query("sample_split", tag="scan")  # rows-only: RNG is engine-specific
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random split (``data.randomSplit([0.6, 0.4], seed=0)``,
+    ``docs/PySparkProgram-sparkprogram.md:35``). Split sizes are checked by the
+    rows-only gate; exact membership is engine-specific RNG."""
+    orders = load_table(spark, sf_dir, "orders")
+    train, test = orders.randomSplit([0.6, 0.4], seed=0)
+    return train.select(F.lit("train").alias("split"), "o_orderkey").unionAll(
+        test.select(F.lit("test").alias("split"), "o_orderkey")
+    )
+
+
+@query("scan_csv_roundtrip", tag="scan")  # rows-only: exercises csv writer+reader
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → schema-full read-back (``spark.read.csv``)."""
+    out = tempfile.mkdtemp(prefix="dss_csv_")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.option("header", True).schema(nation.schema).csv(out)
+
+
+@query("scan_json_roundtrip", tag="scan")  # rows-only: exercises json lines IO
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → read-back (``spark.read.json``)."""
+    out = tempfile.mkdtemp(prefix="dss_json_")
+    region = load_table(spark, sf_dir, "region")
+    region.write.mode("overwrite").json(out)
+    return spark.read.schema(region.schema).json(out)

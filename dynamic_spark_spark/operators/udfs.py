@@ -1,0 +1,103 @@
+"""User-defined function surface (SURVEY.md §2 "UDF / UDAF / UDTF").
+
+The reference's entire raison d'être is user code per stage (A1-A4:
+``ScalaSparkCompute.java:99-124``, ``ScalaSparkSink.java:89-99``,
+``ScalaSparkProgram.java:108-141``, ``PySparkProgram.java:56``). The native
+mapping keeps three tiers, slowest to fastest:
+
+1. row-at-a-time Python UDF (``F.udf``) — the per-record analog of
+   ``RecordToRow`` bridging (``RecordToRow.java:28-39``); kept for parity,
+   never used in the engine's own hot paths;
+2. Arrow-vectorized pandas UDF (``@pandas_udf``) — the sanctioned Python
+   escape hatch (~10-100× the row path);
+3. grouped pandas (``applyInPandas``) — the UDAF/partial-aggregation analog.
+
+Each is oracle-checked by choosing user functions whose semantics are also
+ANSI-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+
+@query(
+    "udf_python",
+    "SELECT c_custkey,"
+    " CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'mid'"
+    " ELSE 'high' END AS tier FROM customer",
+    tag="udf",
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (slow path, kept for reference parity)."""
+
+    @F.udf(returnType=StringType())
+    def tier(bal: float | None) -> str | None:
+        if bal is None:
+            return None
+        if bal < 0:
+            return "debt"
+        return "mid" if bal < 5000 else "high"
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", tier("c_acctbal").alias("tier"))
+
+
+@query(
+    "udf_pandas",
+    "SELECT l_orderkey, l_linenumber,"
+    " l_extendedprice * (1 - l_discount) AS disc_price FROM lineitem",
+    tag="udf",
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF — per-row double arithmetic is IEEE-
+    deterministic, so it hash-matches the SQL oracle exactly."""
+
+    @F.pandas_udf(DoubleType())
+    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@query(
+    "udaf_grouped",
+    "SELECT c_nationkey, COUNT(*) AS n_cust,"
+    " MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal"
+    " FROM customer GROUP BY c_nationkey",
+    tag="udf",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via ``applyInPandas`` (UDAF analog).
+    Emits only order-insensitive exact stats (count/min/max) so the result is
+    engine-independent. Scale note: ``applyInPandas`` materializes each group
+    in one Python worker — fine for bounded groups; unbounded groups should
+    pre-aggregate with built-ins first."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": [pdf["c_nationkey"].iloc[0]],
+                "n_cust": [len(pdf)],
+                "min_bal": [pdf["c_acctbal"].min()],
+                "max_bal": [pdf["c_acctbal"].max()],
+            }
+        )
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        stats,
+        schema="c_nationkey int, n_cust bigint, min_bal double, max_bal double",
+    )

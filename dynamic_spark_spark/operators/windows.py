@@ -1,0 +1,125 @@
+"""Window functions (SURVEY.md §2.C "Window functions").
+
+Granted to user code by the reference's full-Spark surface
+(``ScalaSparkCodeExecutor.java:216-224`` auto-imports; declared capability
+``docs/ScalaSparkCompute-sparkcompute.md:5-6``). Each window below carries a
+unique tiebreak column so rankings are deterministic across engines.
+
+Scale note: a window spec is one shuffle on its partition keys; chained
+windows that share partitioning reuse the exchange. Running sums cast to
+DECIMAL inside the frame so segment-tree (DuckDB) vs streaming (Spark)
+accumulation orders cannot produce last-ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+
+@query(
+    "win_rank",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice,"
+    " ROW_NUMBER() OVER w AS rn,"
+    " RANK() OVER w AS rnk,"
+    " DENSE_RANK() OVER w AS drnk,"
+    " NTILE(4) OVER w AS quartile"
+    " FROM orders"
+    " WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)",
+    tag="window",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    "SELECT event_id, user_id, ts, value,"
+    " LAG(value) OVER w AS prev_value,"
+    " LEAD(value) OVER w AS next_value,"
+    " FIRST_VALUE(value) OVER w AS first_value"
+    " FROM events"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+    tag="window",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+    )
+
+
+@query(
+    "win_running_sum",
+    "SELECT event_id, user_id, ts,"
+    " CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER"
+    "   (PARTITION BY user_id ORDER BY ts, event_id"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    "   AS running_value,"
+    " CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER"
+    "   (PARTITION BY user_id ORDER BY ts, event_id"
+    "    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    "   AS sliding_value_3"
+    " FROM events",
+    tag="window",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running + sliding frame aggregates (``rowsBetween``)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(28,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.sum(dec)
+        .over(base.rowsBetween(-2, Window.currentRow))
+        .cast("double")
+        .alias("sliding_value_3"),
+    )
+
+
+@query(
+    "topk_per_group",
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+    "  SELECT o_custkey, o_orderkey, o_totalprice,"
+    "  ROW_NUMBER() OVER (PARTITION BY o_custkey"
+    "                     ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+    "  FROM orders) WHERE rn <= 3",
+    tag="sort",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: window rank + filter. At scale this is the right
+    pattern (per-partition partial top-k under the window sort) vs. a
+    groupBy+collect_list which materializes whole groups."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

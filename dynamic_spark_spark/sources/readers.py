@@ -1,0 +1,66 @@
+"""Sources: table loading and format readers.
+
+Replaces the reference's CDAP dataset sources (``sc.fromDataset``,
+``ScalaSparkTest.java:121``; ``FileSet`` + ``TextInputFormat``,
+``ScalaSparkTest.java:149``) with Spark's native readers. The primary format is
+parquet (vectorized scan, predicate pushdown, column pruning all free).
+
+``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
+rejects ([PARQUET_TYPE_ILLEGAL]); with ``spark.sql.legacy.parquet.nanosAsLong``
+we read it as long nanoseconds and convert to a microsecond TIMESTAMP —
+truncation semantics identical to DuckDB's ns→µs read of the same file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table, normalizing nanosecond timestamps."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        # long nanos → microsecond timestamp; integer `div` (not fp division,
+        # which rounds at 1e18 magnitudes) matches DuckDB's ns→µs truncation
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Create temp views for all tables (analog of the reference's
+    ``registerTempTable`` SQL entry point, ``ScalaSparkTest.java:279``)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Generic format reader: parquet/csv/json/orc/text/binaryFile."""
+    tune(spark)
+    return spark.read.format(fmt).options(**options).load(path)
+
+
+def values_source(spark: SparkSession, rows, schema) -> DataFrame:
+    """Literal rows → DataFrame (analog of ``sc.parallelize``,
+    ``ScalaSparkTest.java:190,233``)."""
+    return spark.createDataFrame(rows, schema)

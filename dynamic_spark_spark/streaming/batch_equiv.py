@@ -1,0 +1,106 @@
+"""Time-window aggregations — batch-mode equivalents of the streaming surface
+(SURVEY.md §2.C Streaming).
+
+The reference participates in micro-batch streaming pipelines via the
+``cdap-data-streams`` parent (``pom.xml:30``): the same transform contract per
+micro-batch. Structured Streaming is the native analog (streaming/core.py);
+these batch-mode queries prove the *window semantics* against the oracle,
+which a live stream can't be (driver contract: streaming is rows-only).
+
+Tumbling windows align to the Unix epoch in Spark; the oracle reproduces that
+with epoch arithmetic rather than relying on DuckDB ``time_bucket`` origins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.functions.deterministic import dsum, o_dsum
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+
+@query(
+    "stream_window_tumbling",
+    "SELECT TIMESTAMP '1970-01-01 00:00:00'"
+    "   + to_seconds(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600)"
+    "   AS window_start,"
+    " event_type, COUNT(*) AS n_events,"
+    f" {o_dsum('value')} AS sum_value"
+    " FROM events GROUP BY 1, 2",
+    tag="streaming",
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregation (``groupBy(window(ts, ...))``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_window_sliding",
+    "SELECT TIMESTAMP '1970-01-01 00:00:00' + to_seconds(ws) AS window_start,"
+    " COUNT(*) AS n_events FROM ("
+    "   SELECT unnest([CAST(floor(epoch(ts) / 300) AS BIGINT) * 300,"
+    "                  CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS ws"
+    "   FROM events)"
+    " GROUP BY 1",
+    tag="streaming",
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 minutes. Spark assigns each event to
+    its 2 covering windows; the oracle unnests the same 2 window starts per
+    event. Only non-empty windows appear in both."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "stream_window_session",
+    "WITH flagged AS ("
+    "  SELECT user_id, ts,"
+    "    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "              >= INTERVAL 30 MINUTE OR"
+    "         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+    "         THEN 1 ELSE 0 END AS new_session"
+    "  FROM events),"
+    " sessions AS ("
+    "  SELECT user_id, ts,"
+    "    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts"
+    "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id"
+    "  FROM flagged)"
+    " SELECT user_id, MIN(ts) AS session_start,"
+    "   MAX(ts) + INTERVAL 30 MINUTE AS session_end,"
+    "   COUNT(*) AS n_events"
+    " FROM sessions GROUP BY user_id, session_id",
+    tag="streaming",
+)
+def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) via ``session_window`` — the stateful
+    merge Spark runs incrementally under streaming. The oracle rebuilds the
+    same sessions with the gaps-and-islands idiom: an event at exactly
+    ``prev + gap`` starts a new session (Spark session end is exclusive)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
