@@ -1,0 +1,104 @@
+"""Structured Streaming parity (SURVEY.md §2.C Streaming; M4).
+
+The reference registers its plugins into the ``cdap-data-streams`` parent
+(``pom.xml:30``): the same ``transform(df)`` contract applied per micro-batch.
+Native analog: a streaming source + the SAME user/transform callable applied
+either directly on the unbounded DataFrame (fully incremental when the ops
+are streaming-compatible) or per micro-batch via ``foreachBatch`` (exact
+batch semantics, the closest match to the reference's model).
+
+Helpers cover the declared streaming surface: tumbling/sliding/session
+window aggs, watermark + late-data policy, stateful dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Built-in rate source — the test stream (timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet") -> DataFrame:
+    """File-arrival streaming source (the analog of ``sc.fromStream``,
+    ``docs/ScalaSparkProgram-sparkprogram.md:32``)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def micro_batch_transform(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    *,
+    sink: Callable[[DataFrame, int], None],
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Apply a batch transform per micro-batch (``foreachBatch``) — the exact
+    semantics of the reference's micro-batch compute stage: each batch is a
+    bounded DataFrame, the user callable runs unmodified."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(transform(batch_df), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str = "timestamp",
+    window: str = "10 seconds",
+    slide: str | None = None,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Tumbling/sliding window count with watermark-bounded state."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+def sessionized(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str = "timestamp",
+    gap: str = "30 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Session windows with watermark — state is bounded by the watermark:
+    sessions older than (max event time - watermark) finalize and evict."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stateful_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the key within the watermark
+    horizon (``dropDuplicates`` + watermark ⇒ bounded state)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
