@@ -41,6 +41,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all_queries()
 
+    # JIT/classload warmup so the first timed query isn't charged for JVM
+    # startup (touches the scan + shuffle + noop-sink code paths once)
+    warm = spark.read.parquet(f"{SF_DIR.rstrip('/')}/region.parquet")
+    warm.groupBy("r_name").count().write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, SF_DIR)

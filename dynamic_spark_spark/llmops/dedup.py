@@ -129,7 +129,7 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (doc_a < doc_b)."""
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(minhash_signatures(docs)).orderBy("doc_a", "doc_b")
+    return lsh_candidate_pairs(minhash_signatures(docs))
 
 
 @query("dedup_simhash", tag="llm-dedup")  # rows-only: signature is engine-hash-based
@@ -166,7 +166,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("simhash48"), 12 * i).bitwiseAND(F.lit(0xFFF)).alias(f"band{i}")
             for i in range(4)
         ],
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -177,9 +177,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity on candidate pairs from an inverted
     shingle index. Scale controls: distinct shingles per doc, document-
     frequency cap on shingles (stopword-shingle hot buckets), and the pair
-    count accumulates via one groupBy — never an all-pairs cross join."""
+    count accumulates via one groupBy — never an all-pairs cross join.
+
+    The shingle set feeds three consumers (sizes, df-cap, self-join), so it
+    is persisted once instead of re-exploding the corpus three times; at
+    cluster scale this would be a checkpoint to durable storage."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh = _shingles(docs).persist()
     doc_sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.join(
         sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= MAX_SHINGLE_DF),
@@ -204,5 +208,4 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )

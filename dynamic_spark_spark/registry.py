@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.sorts",
     "dynamic_spark_spark.operators.setops",
     "dynamic_spark_spark.operators.udfs",
+    "dynamic_spark_spark.operators.ml",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
