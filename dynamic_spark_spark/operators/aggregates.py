@@ -209,6 +209,20 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = (
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem"
+    " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+)
+
+
+@query("agg_grouping_sets", _GROUPING_SETS_SQL, tag="aggregate")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (same ANSI text both
+    engines)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 @query(
     "agg_pivot",
     "SELECT o_orderpriority,"

@@ -1,0 +1,90 @@
+"""Unit tests for surface not covered by the oracle corpus: set-op variants,
+catalog tables (the KV-dataset sink analog, ``ScalaSparkTest.java:127-128``),
+binaryFile ingestion, multimodal decode plumbing, and the SURVEY §7
+scale-invariance checklist (results identical across shuffle-partition
+settings — no operator may depend on physical partitioning).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.llmops.multimodal import decode_features, with_media_columns
+from dynamic_spark_spark.registry import load_all_queries
+from dynamic_spark_spark.sources.readers import load_table, read_format
+
+
+def test_union_by_name(spark, sf_dir):
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    b = spark.createDataFrame([("y", 2)], "s string, id int")
+    out = a.unionByName(b)
+    assert out.count() == 2
+    assert out.columns == ["id", "s"]
+    # missing-column variant fills nulls
+    c = spark.createDataFrame([(3,)], "id int")
+    out2 = a.unionByName(c, allowMissingColumns=True)
+    assert out2.where(F.col("s").isNull()).count() == 1
+
+
+def test_bag_setops(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], "v int")
+    b = spark.createDataFrame([(1,), (3,)], "v int")
+    assert sorted(r.v for r in a.exceptAll(b).collect()) == [1, 2]
+    assert sorted(r.v for r in a.intersectAll(b).collect()) == [1]
+
+
+def test_save_as_table_catalog(spark, sf_dir):
+    """saveAsTable + spark.table round trip (B15 KV-sink / B2 dataset-scan
+    analog) through the session catalog."""
+    nation = load_table(spark, sf_dir, "nation")
+    spark.sql("DROP TABLE IF EXISTS nation_cat")
+    nation.write.mode("overwrite").saveAsTable("nation_cat")
+    back = spark.table("nation_cat")
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+    spark.sql("DROP TABLE IF EXISTS nation_cat")
+
+
+def test_binary_file_reader(spark):
+    """binaryFile format — the real-media ingestion path for multimodal."""
+    d = tempfile.mkdtemp(prefix="dss_bin_")
+    for i in range(3):
+        with open(os.path.join(d, f"f{i}.bin"), "wb") as f:
+            f.write(bytes([i]) * (i + 1))
+    df = read_format(spark, d, "binaryFile")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3
+    assert sorted(r["length"] for r in rows) == [1, 2, 3]
+
+
+def test_multimodal_decode_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = decode_features(with_media_columns(docs))
+    pdf = out.toPandas()
+    assert list(pdf.columns) == ["doc_id", "features"]
+    assert all(len(f) == 8 for f in pdf["features"])
+    # histogram features are normalized frequencies
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in pdf["features"] if sum(f) > 0)
+
+
+def test_scale_invariance_shuffle_partitions(spark, sf_dir):
+    """SURVEY §7: operators must produce identical results under different
+    shuffle-partition settings (4 vs 32) — catches any accidental dependence
+    on physical partitioning. Uses the flagship agg + a join + a window."""
+    qs = load_all_queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("4", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in ("agg_groupby_multi", "join_inner", "topk_per_group"):
+                df = qs[name](spark, sf_dir)
+                key = tuple(sorted(map(tuple, df.collect())))
+                results.setdefault(name, []).append(key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for name, (r4, r32) in results.items():
+        assert r4 == r32, f"{name}: results differ across shuffle partitioning"
