@@ -37,6 +37,8 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.udfs",
     "dynamic_spark_spark.operators.ml",
     "dynamic_spark_spark.operators.composite",
+    "dynamic_spark_spark.operators.subqueries",
+    "dynamic_spark_spark.operators.skew",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",

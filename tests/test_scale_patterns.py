@@ -1,0 +1,63 @@
+"""Scale-pattern tests: salting equivalence, two-phase skewed aggregation,
+and bucketed co-located joins (shuffle-free fact⋈fact — the pre-partitioning
+story for repeated 100 TB joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.operators.skew import salted_group_count, salted_join
+from dynamic_spark_spark.sources.readers import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "nk", (F.col("user_id") % 25).cast("int")
+    )
+    n = load_table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nk")
+    plain = ev.join(n, "nk").select("event_id", "n_name")
+    salted = salted_join(ev, n, "nk", salt_factor=4).select("event_id", "n_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_group_count_equals_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy(F.col("event_type")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {r["key"]: r["n"] for r in salted_group_count(ev, "event_type").collect()}
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key → SortMergeJoin without an
+    Exchange on either side (co-located partitioning reused)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+    )
+    try:
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_quantity"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
