@@ -17,9 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 28 integer+fraction digits / 6 fraction digits: ample headroom for sf0.1
-# (~600k rows × prices ~1e5 → sums ~1e11) and for a 100 TB run (sum < 1e22).
-_DEC = "decimal(28,6)"
+# decimal(18,6) keeps the compact 64-bit decimal representation (the per-ROW
+# cast only needs each value < 1e12; both engines widen the SUM accumulator
+# past 18 digits, so overflow cannot occur at any corpus scale).
+_DEC = "decimal(18,6)"
 
 
 def dsum(col: Column | str, alias: str) -> Column:
@@ -38,12 +39,12 @@ def davg(col: Column | str, alias: str) -> Column:
 
 def o_dsum(expr: str) -> str:
     """DuckDB fragment matching :func:`dsum` for the same inner expression."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def o_davg(expr: str) -> str:
     """DuckDB fragment matching :func:`davg`."""
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE)"
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE)"
     )

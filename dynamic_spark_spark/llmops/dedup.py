@@ -34,13 +34,24 @@ MAX_SHINGLE_DF = 100
 
 
 def _normalized(df: DataFrame) -> DataFrame:
+    """Normalize + rebalance. The repartition matters: a compact source file
+    arrives in few input splits, but shingle explode fans each row out ~300×,
+    so the pre-explode row count must be spread across the cluster first —
+    otherwise one task owns the whole fan-out."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df.withColumn("norm_text", F.lower(F.trim(F.col("text"))))
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id → distinct hashed character shingles (JVM-side, no UDF)."""
+def _shingles(df: DataFrame, *, distinct: bool = True) -> DataFrame:
+    """doc_id → hashed character shingles (JVM-side, no UDF).
+
+    ``distinct=True`` gives set semantics (required for Jaccard counting) at
+    the cost of a shuffle over the full shingle stream. MinHash skips it:
+    MIN over a multiset equals MIN over its set, so the distinct shuffle is
+    pure waste there.
+    """
     n = SHINGLE_N
-    return (
+    out = (
         _normalized(df)
         .select(
             "doc_id",
@@ -53,8 +64,8 @@ def _shingles(df: DataFrame) -> DataFrame:
         )
         .where(F.length("shingle") == n)
         .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 @query(
@@ -67,7 +78,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized content hash: keep the lowest doc_id per
     digest. One hash-shuffle over a 128-bit key; at 100 TB the digest (not the
     text) is the shuffle payload."""
-    d = _normalized(load_table(spark, sf_dir, "documents"))
+    # no fan-out here, so no rebalance: one hash-shuffle is the whole cost
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "norm_text", F.lower(F.trim(F.col("text")))
+    )
     return (
         d.groupBy(F.md5("norm_text").alias("digest"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -79,9 +93,11 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """doc_id → k minhash values: min over shingles of k seeded xxhash64s.
 
     One explode + one groupBy; the k hashes are computed per shingle row
-    inside codegen (no k-way shuffle fan-out).
+    inside codegen (no k-way shuffle fan-out), and map-side partial MIN
+    aggregation collapses the shingle stream to one row per doc per
+    partition before the only shuffle.
     """
-    sh = _shingles(docs)
+    sh = _shingles(docs, distinct=False)
     aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(k)]
     return sh.groupBy("doc_id").agg(*aggs)
 

@@ -33,6 +33,10 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF / toPandas interchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Smaller scan splits: the test tables are compact single files and the
+    # default 128 MB split gives a near-sequential scan; 8 MB spreads the
+    # scan across cores. At cluster scale AQE coalesces any over-split reads.
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
 }
 
 
