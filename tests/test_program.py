@@ -1,0 +1,62 @@
+"""Whole-program execution (A3) + pyFiles dependency injection (A9/A4):
+the analog of ``testScalaProgram`` / ``testScalaProgramDependency``
+(``ScalaSparkTest.java:105-215``) — a program that uses a shipped dependency
+module inside an executor-side UDF.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from dynamic_spark_spark.plans.program import add_py_files, run_program
+from dynamic_spark_spark.plans.usercode import UserCodeError
+
+
+def test_program_entry_priority_and_args(spark):
+    # main(spark, args) wins and receives POSIX-ish args
+    out = run_program(
+        spark,
+        "def main(spark, args):\n"
+        "    return spark.range(int(args[0])).count()\n",
+        args=["7"],
+    )
+    assert out == 7
+    # main(spark) accepted
+    assert run_program(spark, "def main(spark):\n    return 1\n") == 1
+    # main() accepted
+    assert run_program(spark, "def main():\n    return 'ok'\n") == "ok"
+
+
+def test_program_missing_main(spark):
+    with pytest.raises(UserCodeError, match="must define main"):
+        run_program(spark, "x = 3\n")
+
+
+def test_program_with_dependency_pyfile(spark):
+    """Dependency module shipped via addPyFile and imported inside a UDF that
+    runs on executors (the jar-dependency test's analog,
+    ``ScalaSparkTest.java:174-215``)."""
+    d = tempfile.mkdtemp(prefix="dss_dep_")
+    dep = os.path.join(d, "dss_test_dep.py")
+    with open(dep, "w") as f:
+        f.write("def triple(x):\n    return 3 * x\n")
+    resolved = add_py_files(spark, [os.path.join(d, "*.py")])
+    assert resolved == [dep]
+    out = run_program(
+        spark,
+        "def main(spark):\n"
+        "    from pyspark.sql.types import LongType\n"
+        "    import dss_test_dep\n"
+        "    triple_udf = F.udf(dss_test_dep.triple, LongType())\n"
+        "    df = spark.range(5).select(triple_udf('id').alias('t'))\n"
+        "    return sorted(r['t'] for r in df.collect())\n",
+    )
+    assert out == [0, 3, 6, 9, 12]
+
+
+def test_add_py_files_missing(spark):
+    with pytest.raises(FileNotFoundError):
+        add_py_files(spark, ["/nonexistent/thing.py"])
