@@ -154,6 +154,89 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF index geometry: C coarse cells, NPROBE probed per query.
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+@query("sim_topk_ivf", tag="llm-similarity")  # rows-only: ANN recall is probabilistic
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor — the classic
+    cluster-then-probe ANN layout, built with DataFrame ops only:
+
+    1. **Seed centroids**: the ``IVF_CELLS`` vectors with the smallest
+       ``xxhash64(vec_id)`` — a deterministic uniform sample, no RNG state.
+    2. **One Lloyd refinement**: assign every vector to its max-cosine seed
+       (broadcast the tiny centroid side; per-vector argmax via ``max_by``
+       collapses map-side before the one corpus shuffle), then recompute each
+       cell's centroid as the elementwise mean via ``posexplode`` →
+       ``groupBy(cid, pos)`` → re-assembled with ``array_sort(collect_list)``.
+    3. **Probe**: each query scores the refined centroids and keeps its
+       ``IVF_NPROBE`` best cells; candidates come from an equi-join on the
+       cell id — the all-pairs comparison never happens, and at 100 TB the
+       corpus side stays partitioned by cell while queries broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+
+    seeds = (
+        e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(IVF_CELLS)
+        .select(
+            F.row_number().over(Window.orderBy("h")).alias("cid"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+
+    def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+        """vec_id → best cell by cosine (broadcast fan-out, map-side argmax)."""
+        scored = corpus.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("cos"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by("cid", "cos").alias("cid"), F.first("embedding").alias("embedding")
+        )
+
+    refined = (
+        assign(e, seeds)
+        .select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"].cast("float")).alias("c_emb"))
+    )
+    cells = assign(e, refined)
+
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(refined))
+        .select("q_id", "q_emb", "cid", cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cos"))
+        .withColumn(
+            "pr", F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("c_cos").desc()))
+        )
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "cid")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 _DEDUP_EMB_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b

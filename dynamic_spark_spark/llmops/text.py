@@ -160,3 +160,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(8)) == 0))
         ).alias("fingerprints"),
     )
+
+
+_PII_DIGITS = "[0-9]{2,}"
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+_PII_ORACLE = f"""
+SELECT event_id,
+  regexp_replace(regexp_replace(props, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_DIGITS}', '<NUM>', 'g') AS scrubbed,
+  len(regexp_extract_all(props, '{_PII_DIGITS}')) AS n_nums
+FROM events
+"""
+
+
+@query("text_pii_scrub", _PII_ORACLE, tag="llm-text")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training-data hygiene: replace email addresses and
+    multi-digit runs with typed placeholder tokens, and count redactions.
+    Pure ``regexp_replace``/``regexp_count`` — JVM-side, whole-stage codegen,
+    embarrassingly parallel (no shuffle at any scale). Patterns stay in the
+    RE2/Java-regex common subset so the oracle runs them verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace("props", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_DIGITS),
+            F.lit("<NUM>"),
+        ).alias("scrubbed"),
+        F.regexp_count("props", F.lit(_PII_DIGITS)).cast("long").alias("n_nums"),
+    )

@@ -144,3 +144,41 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     region.write.mode("overwrite").json(out)
     return spark.read.schema(region.schema).json(out)
+
+
+@query("sample_stratified", tag="scan")  # rows-only: RNG is engine-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``df.sampleBy``) — per-stratum Bernoulli fractions,
+    the balancing primitive for training-data mixes (e.g. downsample the
+    dominant language). Seeded; membership is engine RNG, so rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "fr": 1.0, "de": 1.0, "es": 1.0, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query("scan_orc_roundtrip", tag="scan")  # rows-only: exercises ORC writer+reader
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read-back (``spark.read.orc``): the second columnar format
+    (vectorized reader + pushdown, same as parquet)."""
+    out = tempfile.mkdtemp(prefix="dss_orc_")
+    supplier = load_table(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query("scan_text_roundtrip", tag="scan")  # rows-only: exercises text line IO
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-line write → read-back → re-parse: the ``sc.textFile`` /
+    ``saveAsTextFile`` analog (``docs/PySparkProgram-sparkprogram.md:32``,
+    ``ScalaSparkTest.java:384``) expressed as one-string-column DataFrame IO."""
+    out = tempfile.mkdtemp(prefix="dss_text_")
+    region = load_table(spark, sf_dir, "region")
+    region.select(
+        F.concat_ws("|", F.col("r_regionkey").cast("string"), "r_name")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split("value", r"\|", 2)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("r_regionkey"),
+        parts.getItem(1).alias("r_name"),
+    )
