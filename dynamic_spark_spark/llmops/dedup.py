@@ -92,14 +92,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """doc_id → k minhash values: min over shingles of k seeded xxhash64s.
 
-    One explode + one groupBy; the k hashes are computed per shingle row
-    inside codegen (no k-way shuffle fan-out), and map-side partial MIN
-    aggregation collapses the shingle stream to one row per doc per
-    partition before the only shuffle.
+    Entirely per-row — the shingle set of a document is a local array, so
+    MIN over it is ``array_min(transform(...))`` inside whole-stage codegen:
+    **zero shuffles and zero row fan-out** at any scale (the explode →
+    groupBy formulation shuffles |doc|×|shingles| rows to reassemble what was
+    never apart). Embarrassingly parallel over document partitions; the only
+    shuffle left in the whole MinHash-LSH pipeline is the band-bucket join.
     """
-    sh = _shingles(docs, distinct=False)
-    aggs = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}") for i in range(k)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    n = SHINGLE_N
+    shs = F.transform(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("norm_text") - (n - 1), F.lit(1))),
+                lambda i: F.col("norm_text").substr(i, F.lit(n)),
+            ),
+            lambda s: F.length(s) == n,
+        ),
+        lambda s: F.xxhash64(s),
+    )
+    d = _normalized(docs).withColumn("shs", shs)
+    mins = [
+        F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i)))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return d.select("doc_id", *mins)
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
@@ -127,16 +143,27 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    left = buckets.alias("a")
-    right = buckets.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Gather each bucket's members and emit the pairs array-side: one shuffle
+    # keyed by (band, bucket) and the signature pipeline evaluates ONCE — a
+    # bucket self-join would re-run it for each side and shuffle twice.
+    # Bucket width is inherently bounded (full-band agreement ⇒ genuine
+    # near-dups), so the within-array pair expansion stays small; grouped as
+    # a set, a hot-bucket cap is one `slice` away at 100 TB.
+    pairs_in_bucket = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pairs_in_bucket).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
