@@ -104,3 +104,33 @@ def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query("stream_stateful_totals", tag="streaming")  # rows-only: live stream
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming (``applyInPandasWithState``) driven live: the
+    events table arrives as a bounded file stream (availableNow), per-key
+    running totals accumulate in engine-managed state, and the final update
+    per key is returned. Proves the general stateful operator end-to-end —
+    the strongest analog of the reference's per-micro-batch compute stage."""
+    import tempfile
+
+    from dynamic_spark_spark.streaming.core import file_stream, stateful_running_totals
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="dss_state_src_")
+    ev.write.mode("overwrite").parquet(src)
+    name = "dss_stateful_totals"
+    q = (
+        stateful_running_totals(file_stream(spark, src, ev.schema))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dss_state_ckpt_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT key AS event_type, MAX(n) AS n_events FROM {name} GROUP BY key"
+    )

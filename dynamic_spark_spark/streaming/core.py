@@ -29,10 +29,16 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
-def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet") -> DataFrame:
+def file_stream(
+    spark: SparkSession, path: str, schema, fmt: str = "parquet", **options: str
+) -> DataFrame:
     """File-arrival streaming source (the analog of ``sc.fromStream``,
-    ``docs/ScalaSparkProgram-sparkprogram.md:32``)."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    ``docs/ScalaSparkProgram-sparkprogram.md:32``). ``options`` pass through
+    to the reader (e.g. ``maxFilesPerTrigger`` to bound batch size)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
 
 
 def micro_batch_transform(
@@ -102,3 +108,34 @@ def stateful_dedup(
     """Streaming exact dedup: drop repeats of the key within the watermark
     horizon (``dropDuplicates`` + watermark ⇒ bounded state)."""
     return stream_df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def stateful_running_totals(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Arbitrary custom state (``applyInPandasWithState``): a per-key running
+    (count, total) maintained across micro-batches in engine-managed state —
+    the fully general stateful operator beyond what windows/dedup express.
+    State is per-key and partition-local (keys hash across the cluster), so
+    it scales with distinct keys, not event volume; Arrow moves each batch
+    group to Python in one vectorized block, never row-at-a-time."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key: tuple, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf[val_col].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update_totals,
+        outputStructType="key string, n long, total double",
+        stateStructType="total double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

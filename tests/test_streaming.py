@@ -93,3 +93,43 @@ def test_sessionized_stream_runs(spark, sf_dir):
     )
     q.awaitTermination(120)
     assert spark.table("sessions_out").columns == ["user_id", "session_start", "n_events"]
+
+
+def test_stateful_running_totals_stream(spark, sf_dir, tmp_path):
+    """applyInPandasWithState accumulates per-key state across micro-batches:
+    two input files arrive as separate batches; the final update per key must
+    equal the full-batch aggregate."""
+    from dynamic_spark_spark.streaming.core import file_stream, stateful_running_totals
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").limit(2000)
+    src = str(tmp_path / "src")
+    ev.limit(1000).write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # second file → second micro-batch
+
+    stream = file_stream(spark, src, ev.schema, maxFilesPerTrigger="1")
+    out = stateful_running_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # last update per key holds the cumulative state
+    final = {
+        r["key"]: r["n"]
+        for r in spark.sql(
+            "SELECT key, MAX(n) AS n FROM running_totals GROUP BY key"
+        ).collect()
+    }
+    assert final == batch
