@@ -181,22 +181,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled JVM-side (explode tokens → 48 conditional sums → bit pack).
     Emits signature + 4×12-bit band keys for Hamming-bucket joins."""
     d = _normalized(load_table(spark, sf_dir, "documents"))
-    tokens = d.select(
-        "doc_id", F.explode(F.split("norm_text", r"\W+")).alias("tok")
-    ).where(F.col("tok") != "")
-    h = F.xxhash64("tok")
-    bit_votes = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"v{b}"
-        )
+    # Token hashes stay a per-document array, so the whole signature is
+    # per-row inside codegen: zero shuffles, zero fan-out (the explode →
+    # 48-column groupBy alternative shuffles every token row). Bit b is set
+    # when set-votes outnumber unset-votes: 2·|set| > |tokens|.
+    hs = F.transform(
+        F.filter(F.split("norm_text", r"\W+"), lambda t: t != ""),
+        lambda t: F.xxhash64(t),
+    )
+    set_bits = [
+        F.size(F.filter("hs", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
         for b in range(48)
     ]
-    votes = tokens.groupBy("doc_id").agg(*bit_votes)
-    sig = votes.select(
+    sig = d.withColumn("hs", hs).select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+                F.when(F.lit(2) * set_bits[b] > F.size("hs"), F.lit(2**b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
                 for b in range(48)
             ],
             F.lit(0).cast("long"),

@@ -244,3 +244,24 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"F": "f", "O": "o", "P": "p"})
         .na.fill(0, ["f", "o", "p"])
     )
+
+
+@query(
+    "agg_mode_median",
+    "SELECT m.med_qty, mo.mode_prio FROM"
+    " (SELECT median(l_quantity) AS med_qty FROM lineitem) m CROSS JOIN"
+    " (SELECT o_orderpriority AS mode_prio FROM"
+    "   (SELECT o_orderpriority, COUNT(*) AS c FROM orders"
+    "    GROUP BY 1 ORDER BY c DESC, o_orderpriority LIMIT 1)) mo",
+    tag="aggregate",
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and deterministic mode (``F.median``; ``F.mode`` with
+    ``deterministic=True`` breaks ties toward the lowest value, which the
+    oracle reproduces with an explicit count-then-order form since DuckDB's
+    ``mode()`` tie-break is unspecified)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    med = li.agg(F.median("l_quantity").alias("med_qty"))
+    mode = orders.agg(F.mode("o_orderpriority", True).alias("mode_prio"))
+    return med.crossJoin(mode)

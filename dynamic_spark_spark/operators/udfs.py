@@ -101,3 +101,35 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="c_nationkey int, n_cust bigint, min_bal double, max_bal double",
     )
+
+
+_UDTF_ORACLE = """
+SELECT doc_id, word, COUNT(*) AS n
+FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents)
+WHERE word <> '' GROUP BY doc_id, word
+"""
+
+
+@query("udtf_split", _UDTF_ORACLE, tag="udf")
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → many output rows, the
+    modern native form of the reference's explode-style user code
+    (``df.explode(...){line => line.split("\\\\s+")}``,
+    ``ScalaSparkTest.java:276-278``). Registered and applied with LATERAL —
+    the planner keeps it partition-parallel; per-doc word counts follow."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, text: str):  # noqa: ANN001
+            for w in (text or "").split():
+                yield (w,)
+
+    spark.udtf.register("dss_split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("dss_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, COUNT(*) AS n"
+        " FROM dss_udtf_docs d, LATERAL dss_split_words(d.text) s"
+        " GROUP BY d.doc_id, s.word"
+    )
