@@ -105,3 +105,61 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → feature vector via the Arrow-batched decode stub."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(with_media_columns(docs))
+
+
+RESIZE_DIM = 16
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def resize_stub(payload: bytes, dim: int = RESIZE_DIM) -> bytes:
+    """Deterministic fake resize (REAL resize needs an image library): nearest-
+    neighbor sample of the payload bytes down/up to ``dim × dim``. Swapping in
+    a real codec keeps the same bytes→bytes contract."""
+    if not payload:
+        return bytes(dim * dim)
+    n = len(payload)
+    return bytes(payload[(i * n) // (dim * dim)] for i in range(dim * dim))
+
+
+@query("multimodal_resize", tag="llm-multimodal")  # rows-only: stubbed codec
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: binary → fixed-size binary via Arrow-batched
+    ``mapInPandas``. The output width is schema-constant (dim²), so downstream
+    feature extractors get fixed-shape tensors regardless of input size."""
+    mdf = with_media_columns(load_table(spark, sf_dir, "documents"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": pdf["media"].map(resize_stub),
+                    "n_bytes": pdf["media"].map(lambda p: len(p or b"")),
+                }
+            )
+
+    mdf = mdf.repartition(max(mdf.sparkSession.sparkContext.defaultParallelism, 4))
+    return mdf.mapInPandas(resize, schema="doc_id long, thumb binary, n_bytes long")
+
+
+@query("multimodal_frame_sample", tag="llm-multimodal")  # rows-only: binary payload
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, entirely JVM-side: treat the payload as
+    fixed-width frames and keep every ``FRAME_STRIDE``-th via binary
+    ``substring`` over a ``sequence`` — no Python, no fan-out shuffle; each
+    row yields its sampled-frame array in codegen. (A real container format
+    would swap the fixed stride for codec keyframe offsets produced by a
+    mapInPandas demuxer, same shape as :func:`decode_features`.)"""
+    m = with_media_columns(load_table(spark, sf_dir, "documents"))
+    n_frames = (F.octet_length("media") / FRAME_BYTES).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(FRAME_STRIDE)),
+        lambda i: F.substring("media", i * FRAME_BYTES + 1, FRAME_BYTES),
+    )
+    return m.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        frames.alias("sampled_frames"),
+        F.transform(frames, lambda fr: F.xxhash64(fr)).alias("frame_hashes"),
+    )

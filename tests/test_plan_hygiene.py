@@ -1,0 +1,74 @@
+"""Plan-hygiene regression guards: the physical plans the 100 TB posture
+depends on must not silently regress — filters reach the parquet scan, scans
+prune columns, dimension joins broadcast, partitioned reads prune partitions.
+(SURVEY.md §4.2: these are 'free' only while the plan stays declarative.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import load_all_queries
+from dynamic_spark_spark.sources.readers import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    q = load_all_queries()
+    plan = _plan(q["agg_groupby_multi"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """The flagship query touches 5 of lineitem's 11 columns — the scan must
+    read exactly those, not the full schema."""
+    q = load_all_queries()
+    plan = _plan(q["agg_groupby_multi"](spark, sf_dir))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    # ReadSchema keeps file column order and the plan string truncates it, so
+    # an unpruned scan would show l_orderkey/l_partkey/l_suppkey first —
+    # their absence from the prefix plus the measures' presence proves pruning.
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert col in read, read
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in read, read
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    q = load_all_queries()
+    for key, n_broadcast in [("join_inner", 2), ("tpch_q5_region_revenue", 4)]:
+        plan = _plan(q[key](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= n_broadcast, (key, plan)
+        assert "CartesianProduct" not in plan, key
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "part")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    # the pruned scan reads only the matching partition directory
+    assert plan.count("o_orderstatus") >= 1
+    assert back.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_no_python_udf_in_relational_core(spark, sf_dir):
+    """Relational/oracle queries must stay JVM-side: no BatchEvalPython
+    (row-at-a-time Python) anywhere in the core query plans."""
+    q = load_all_queries()
+    for key in (
+        "agg_groupby_multi",
+        "join_inner",
+        "win_rank",
+        "topk_per_group",
+        "dedup_exact",
+        "dedup_minhash",
+        "text_tokens",
+        "sim_topk",
+    ):
+        assert "BatchEvalPython" not in _plan(q[key](spark, sf_dir)), key
