@@ -29,7 +29,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "sim_topk",
+    "sim_topk_ivf",
     "text_tokens",
+    "text_pii_scrub",
 ]
 
 
