@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.functions.collections",
     "dynamic_spark_spark.functions.json_fns",
     "dynamic_spark_spark.functions.hashes",
+    "dynamic_spark_spark.plans.pipeline_queries",
     "dynamic_spark_spark.streaming.batch_equiv",
     "dynamic_spark_spark.llmops.dedup",
     "dynamic_spark_spark.llmops.similarity",
