@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Scale-up probe: replicate the sf0.1 tables N× with key-shifted replicas
+(join cardinalities preserved — every replica is a disjoint key-space copy,
+so joins stay 1:N like the source, never N-replica fan-out) and run the
+headline query mix. Evidence that plans hold as data grows: steady-state
+times should scale ~linearly with rows while plan shapes stay constant.
+
+Usage: PYTHONPATH=. python scripts/scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+SHIFT = 1_000_000_000  # key offset per replica — far above any source key
+
+#: table -> columns to shift per replica (keys that participate in joins)
+KEYED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SMALL = ["region", "nation", "supplier", "part"]
+
+HEADLINE = [
+    "agg_groupby_multi",
+    "join_inner",
+    "join_asof",
+    "win_rank",
+    "topk_per_group",
+    "explode_split",
+    "stream_window_tumbling",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_topk",
+    "text_tokens",
+]
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from dynamic_spark_spark.registry import load_all_queries
+    from dynamic_spark_spark.session import get_spark
+
+    spark = get_spark("dss-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all_queries()
+    out = tempfile.mkdtemp(prefix="dss_scale_")
+
+    for name in SMALL:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    for name, keys in KEYED.items():
+        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        scaled = base.crossJoin(
+            spark.range(replicas).select(F.col("id").alias("__rep"))
+        )
+        for k in keys:
+            scaled = scaled.withColumn(k, F.col(k) + F.col("__rep") * SHIFT)
+        scaled.drop("__rep").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    # warm fact scan, then steady-state timings
+    spark.read.parquet(f"{out}/lineitem.parquet").groupBy("l_returnflag").count().write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        queries[name](spark, out).write.mode("overwrite").format("noop").save()
+        df = queries[name](spark, out)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_scaled",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "replicas_of_sf0.1": replicas,
+                "lineitem_rows": 600_000 * replicas,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
