@@ -118,12 +118,23 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return d.select("doc_id", *mins)
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
-    """Band the signature matrix and equi-join on (band, bucket).
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    *,
+    pairs: str = "star",
+) -> DataFrame:
+    """Band the signature matrix and group colliding documents per (band,
+    bucket). Documents agreeing on all ``rows`` minhashes of any band collide.
 
-    Documents agreeing on all ``rows`` minhashes of any band collide. The
-    bucket join replaces the all-pairs comparison: cost is Σ bucket² over
-    buckets, bounded because identical-signature groups are genuine near-dups.
+    ``pairs='star'`` (default, the scale path): each bucket emits
+    (bucket-min doc, member) — **linear** in bucket size. Duplicate groups
+    stay connected (same connected components as all-pairs within a bucket),
+    which is what dedup consumes; a corpus with large true-duplicate groups
+    otherwise pays Σ|bucket|² — quadratic in group size, the classic LSH
+    blow-up. ``pairs='all'`` emits every in-bucket pair for workloads that
+    verify each candidate edge independently (e.g. exact-Jaccard filtering).
     """
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
@@ -149,20 +160,26 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_
     # Bucket width is inherently bounded (full-band agreement ⇒ genuine
     # near-dups), so the within-array pair expansion stays small; grouped as
     # a set, a hot-bucket cap is one `slice` away at 100 TB.
-    pairs_in_bucket = F.flatten(
-        F.transform(
-            "ids",
-            lambda a: F.transform(
-                F.filter("ids", lambda b: b > a),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
+    if pairs == "star":
+        pair_expr = F.transform(
+            F.slice("ids", 2, F.size("ids") - 1),
+            lambda b: F.struct(F.element_at("ids", 1).alias("doc_a"), b.alias("doc_b")),
         )
-    )
+    else:
+        pair_expr = F.flatten(
+            F.transform(
+                "ids",
+                lambda a: F.transform(
+                    F.filter("ids", lambda b: b > a),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        )
     return (
         buckets.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
-        .select(F.explode(pairs_in_bucket).alias("p"))
+        .select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
