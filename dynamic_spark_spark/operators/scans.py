@@ -182,3 +182,19 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(0).cast("long").alias("r_regionkey"),
         parts.getItem(1).alias("r_name"),
     )
+
+
+@query("scan_jdbc_roundtrip", tag="scan")  # rows-only: exercises JDBC IO
+def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC write → read-back (``spark.read.jdbc``) against an embedded
+    in-memory Derby database (the JDBC driver bundled with Spark). At cluster
+    scale the same reader parallelizes with ``partitionColumn``/``numPartitions``
+    range predicates; Derby here just proves the engine's JDBC surface without
+    an external server."""
+    url = "jdbc:derby:memory:dss_jdbc;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").cast("string").alias("n_name")
+    )
+    nation.write.mode("overwrite").jdbc(url, "nation_jdbc", properties=props)
+    return spark.read.jdbc(url, "nation_jdbc", properties=props)
