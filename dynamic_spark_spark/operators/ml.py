@@ -40,3 +40,29 @@ def ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n"), 4))
     )
+
+
+@query("ml_kmeans_cluster", tag="ml")  # rows-only: iterative fit
+def ml_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding vectors (seeded, k=10) —
+    the MLlib counterpart of the declarative IVF coarse quantizer in
+    ``llmops.similarity.sim_topk_ivf``; at 100 TB this is the trainer that
+    produces the cell centroids (fit on a sample, assign map-only)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    data = e.select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=10, seed=42, maxIter=10).fit(data)
+    return (
+        model.transform(data)
+        .groupBy("prediction")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
