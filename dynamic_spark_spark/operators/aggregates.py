@@ -265,3 +265,27 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = li.agg(F.median("l_quantity").alias("med_qty"))
     mode = orders.agg(F.mode("o_orderpriority", True).alias("mode_prio"))
     return med.crossJoin(mode)
+
+
+@query("agg_hll_sketch", tag="aggregate")  # rows-only: sketch bytes are engine-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built in
+    as ``hll_sketch_agg``/``hll_union_agg``): per-group sketches merge into a
+    global estimate WITHOUT rescanning — the re-aggregatable form that makes
+    distinct counts work in rollups and streaming at 100 TB (exact distinct
+    cannot merge). Emits per-status estimates plus the union estimate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_group.agg(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_distinct_est"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return per_group.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sk").alias("n_distinct_est"),
+        "n_rows",
+    ).unionByName(merged)

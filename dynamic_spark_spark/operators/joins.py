@@ -179,3 +179,41 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "prev_click_ts")
     )
+
+
+@query(
+    "join_range_banded",
+    "SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal"
+    " FROM supplier s JOIN customer c"
+    " ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal <= s.s_acctbal + 50",
+    tag="join",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same range join as ``join_range``, in its 100 TB form: band the
+    join value into width-100 buckets (≥ 2× the range radius, so each probe
+    row overlaps at most 2 bands), explode the probe side to its covering
+    bands, **equi-join on the band**, and post-filter the exact range. The
+    nested-loop pair scan becomes a hash/sort-merge join keyed by band —
+    shuffle-partitioned and skew-splittable like any equi-join. The oracle is
+    the plain range join, proving band+filter ≡ the original predicate."""
+    band_w = F.lit(100.0)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s_b = s.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_acctbal") - 50) / band_w),
+                F.floor((F.col("s_acctbal") + 50) / band_w),
+            )
+        ),
+    )
+    c_b = c.withColumn("band", F.floor(F.col("c_acctbal") / band_w))
+    return (
+        s_b.join(c_b, "band")
+        .where(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - 50)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + 50)
+        )
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    )

@@ -134,3 +134,42 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT key AS event_type, MAX(n) AS n_events FROM {name} GROUP BY key"
     )
+
+
+_HYPERTABLE_ORACLE = """
+WITH minutely AS (
+  SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS m_bucket,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + to_seconds(CAST(floor(m_bucket / 3600) AS BIGINT) * 3600) AS hour_start,
+       event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_minutes
+FROM minutely GROUP BY 1, 2
+"""
+
+
+@query("rollup_hypertable", _HYPERTABLE_ORACLE, tag="streaming")
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the hourly rollup is computed
+    FROM the minutely rollup, never from raw events — the multi-resolution
+    pattern where each coarser grain re-aggregates ~60x fewer rows than the
+    fact stream. At 100 TB the minutely layer is a materialized partitioned
+    table maintained incrementally by the streaming path (same groupBy(window)
+    plan); the re-aggregation shape is identical either way, which is what
+    the oracle proves here."""
+    ev = load_table(spark, sf_dir, "events")
+    minutely = ev.groupBy(F.window("ts", "1 minute"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        minutely.groupBy(F.window(F.col("window.start"), "1 hour"), "event_type")
+        .agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_minutes"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_minutes",
+        )
+    )
