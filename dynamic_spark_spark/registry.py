@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.dedup",
     "dynamic_spark_spark.llmops.similarity",
     "dynamic_spark_spark.llmops.text",
+    "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
 ]
 
