@@ -44,3 +44,32 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(bal, 2), 6).alias("bal_sq"),
         (F.col("s_suppkey") % 7).alias("key_mod"),
     )
+
+
+@query(
+    "fn_bitwise",
+    "SELECT o_orderkey,"
+    " o_orderkey & 255 AS k_and,"
+    " o_orderkey | 15 AS k_or,"
+    " xor(o_orderkey, 85) AS k_xor,"
+    " o_orderkey << 2 AS k_shl,"
+    " o_orderkey >> 3 AS k_shr,"
+    " bit_count(o_orderkey) AS k_bits"
+    " FROM orders WHERE o_orderkey < 1000",
+    tag="function",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (&, |, xor, shifts, bit_count) — the primitive
+    layer under the engine's banding/bucketing tricks (SimHash bands, LSH
+    signatures)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(15)).alias("k_or"),
+        k.bitwiseXOR(F.lit(85)).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+        F.bit_count(k).cast("bigint").alias("k_bits"),
+    )

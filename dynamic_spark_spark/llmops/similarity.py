@@ -211,8 +211,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("cid", "cos").alias("cid"), F.first("embedding").alias("embedding")
         )
 
+    # Train the quantizer on a deterministic ~25% sample (standard IVF
+    # practice: centroid quality needs a sample, not the corpus; saves a full
+    # corpus×cells scoring pass at any scale). Full corpus still assigns.
+    train = e.where(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
     refined = (
-        assign(e, seeds)
+        assign(train, seeds)
         .select("cid", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cid", "pos")
         .agg(F.avg("v").alias("m"))
