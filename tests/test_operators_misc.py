@@ -80,7 +80,15 @@ def test_scale_invariance_shuffle_partitions(spark, sf_dir):
     try:
         for parts in ("4", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", parts)
-            for name in ("agg_groupby_multi", "join_inner", "topk_per_group"):
+            for name in (
+                "agg_groupby_multi",
+                "join_inner",
+                "topk_per_group",
+                # engine-hash / llmops paths must also be partition-invariant
+                "dedup_minhash",
+                "llm_data_prep",
+                "text_fingerprint",
+            ):
                 df = qs[name](spark, sf_dir)
                 key = tuple(sorted(map(tuple, df.collect())))
                 results.setdefault(name, []).append(key)
