@@ -191,3 +191,58 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scrubbed"),
         F.regexp_count("props", F.lit(_PII_DIGITS)).cast("long").alias("n_nums"),
     )
+
+
+_UNIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                    t -> t <> '')) AS tok
+  FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS n_total FROM toks),
+scored AS (
+  SELECT t.doc_id,
+         CAST(FLOOR((ln(v.cnt) - ln(total.n_total)) * 1000000 + 0.5) AS BIGINT)
+           AS lp
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN total)
+SELECT doc_id,
+       ROUND((CAST(SUM(lp) AS DOUBLE) / 1000000.0)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS avg_logprob,
+       COUNT(*) AS n_tokens
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_unigram_logprob", _UNIGRAM_ORACLE, tag="llm-text")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: mean log-probability of a
+    document's tokens under the corpus unigram distribution — the classic
+    cheap fluency/outlier signal for training-data filtering (gibberish and
+    boilerplate both score low). Two-pass corpus-statistics shape: build the
+    vocabulary (one groupBy), broadcast-join it back onto the token stream,
+    aggregate per document. Per-token log-probs are fixed-point-quantized so
+    the per-document mean is order-independent (same scheme as
+    ``functions.deterministic``)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = F.floor((F.log("cnt") - F.log("n_total")) * 1_000_000 + F.lit(0.5))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            (F.sum("lp").cast("double") / F.lit(1_000_000.0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
