@@ -32,6 +32,7 @@ HEADLINE = [
     "sim_topk_ivf",
     "text_tokens",
     "text_pii_scrub",
+    "llm_data_prep",
 ]
 
 
