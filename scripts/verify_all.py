@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Driver-style verification CLI: run EVERY registered query at sf0.01,
+compare oracle-backed keys against DuckDB (exact, order-insensitive), and
+print one JSON summary line. Mirrors the per-round correctness gate.
+
+Usage: PYTHONPATH=. python scripts/verify_all.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    from dynamic_spark_spark.registry import ORACLE, load_all_queries
+    from dynamic_spark_spark.session import get_spark
+    from tests.oracle_harness import compare, duckdb_connection
+
+    spark = get_spark("dss-verify-all")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = load_all_queries()
+    con = duckdb_connection(SF_DIR)
+
+    passed, rows_only, failed = [], [], {}
+    for name, fn in sorted(queries.items()):
+        try:
+            df = fn(spark, SF_DIR)
+            if name in ORACLE:
+                compare(name, df, con.execute(ORACLE[name]).df())
+                passed.append(name)
+            else:
+                n = df.count()
+                assert n >= 0
+                rows_only.append(name)
+        except Exception:
+            failed[name] = traceback.format_exc(limit=2).splitlines()[-1]
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": SF_DIR,
+                "oracle_passed": len(passed),
+                "rows_only_passed": len(rows_only),
+                "failed": failed,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
