@@ -95,3 +95,19 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.sort_array(F.map_keys(m)).alias("keys_sorted"),
     )
+
+
+@query(
+    "fn_posexplode",
+    "SELECT vec_id, CAST(g.i - 1 AS INT) AS pos, embedding[g.i] AS v"
+    " FROM embeddings,"
+    " LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g"
+    " WHERE vec_id < 20",
+    tag="function",
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (``posexplode``): one row per array element with its
+    position — the UDTF-style fan-out that keeps element order addressable
+    (the oracle's ``unnest WITH ORDINALITY``)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))

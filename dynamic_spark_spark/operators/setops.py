@@ -59,3 +59,36 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "set_except_all",
+    "SELECT o_orderpriority FROM orders WHERE o_orderstatus <> 'F'"
+    " EXCEPT ALL"
+    " SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'",
+    tag="setop",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (``exceptAll``): multiset difference keeps
+    surplus multiplicity — the form that survives re-aggregation, unlike
+    distinct EXCEPT."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.where(F.col("o_orderstatus") != "F").select("o_orderpriority")
+    right = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return left.exceptAll(right)
+
+
+@query(
+    "set_intersect_all",
+    "SELECT o_orderpriority FROM orders WHERE o_orderstatus <> 'F'"
+    " INTERSECT ALL"
+    " SELECT o_orderpriority FROM orders WHERE o_orderstatus <> 'O'",
+    tag="setop",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (``intersectAll``): min-multiplicity
+    intersection."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.where(F.col("o_orderstatus") != "F").select("o_orderpriority")
+    right = o.where(F.col("o_orderstatus") != "O").select("o_orderpriority")
+    return left.intersectAll(right)
