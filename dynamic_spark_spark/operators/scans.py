@@ -198,3 +198,25 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation.write.mode("overwrite").jdbc(url, "nation_jdbc", properties=props)
     return spark.read.jdbc(url, "nation_jdbc", properties=props)
+
+
+@query(
+    "scan_partition_pruned",
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders"
+    " WHERE o_orderstatus = 'F' GROUP BY o_orderpriority",
+    tag="scan",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: write orders partitioned by status, read back
+    with a partition predicate — the layout that turns a 100 TB scan into a
+    directory lookup (plan shows PartitionFilters, no data filter needed;
+    asserted in tests/test_plan_hygiene.py)."""
+    out = tempfile.mkdtemp(prefix="dss_prune_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -123,3 +123,31 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "win_distribution",
+    "SELECT c_custkey, c_nationkey,"
+    " ROUND(PERCENT_RANK() OVER w, 6) AS pr,"
+    " ROUND(CUME_DIST() OVER w, 6) AS cd,"
+    " NTH_VALUE(c_acctbal, 2) OVER"
+    "   (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_bal"
+    " FROM customer"
+    " WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)",
+    tag="window",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist, nth_value
+    (full-frame). Deterministic ordering via the (c_acctbal, c_custkey)
+    tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("c_acctbal", 2).over(wf).alias("second_bal"),
+    )
