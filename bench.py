@@ -52,18 +52,22 @@ def main() -> None:
 
     # Methodology: per query, one untimed warmup execution (absorbs Catalyst
     # planning + whole-stage-codegen JIT, which are one-time costs amortized
-    # away in any real deployment), then one timed execution = steady-state
-    # engine throughput. Cold first-run totals are reported alongside.
+    # away in any real deployment), then the MEDIAN of 3 timed executions =
+    # steady-state engine throughput, robust to machine noise. Cold first-run
+    # totals are reported alongside.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        df = queries[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            df = queries[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -75,7 +79,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "methodology": "per-query: 1 untimed warmup run, then 1 timed run (steady-state)",
+                "methodology": "per-query: 1 untimed warmup run, then median of 3 timed runs (steady-state)",
                 "cold_total_sec": round(sum(cold.values()), 3),
             }
         )
