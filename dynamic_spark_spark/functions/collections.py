@@ -111,3 +111,57 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle's ``unnest WITH ORDINALITY``)."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
     return e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+
+
+@query(
+    "fn_struct",
+    "SELECT p_partkey,"
+    " struct_pack(brand := p_brand, sz := p_size).brand AS brand2,"
+    " struct_pack(brand := p_brand, sz := p_size).sz + 1 AS size_plus"
+    " FROM part",
+    tag="function",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + field access (``F.struct`` / dotted path) — nested
+    records are first-class columns; output is flattened to scalars so both
+    engines' struct representations compare exactly."""
+    p = load_table(spark, sf_dir, "part")
+    s = F.struct(F.col("p_brand").alias("brand"), F.col("p_size").alias("sz"))
+    return p.select(
+        "p_partkey",
+        s.getField("brand").alias("brand2"),
+        (s.getField("sz") + 1).alias("size_plus"),
+    )
+
+
+@query(
+    "fn_array_setops",
+    "SELECT vec_id,"
+    " list_sort(list_distinct(l)) AS dedup_sorted,"
+    " len(list_intersect(l, [1, 2, 3])) AS n_common,"
+    " list_contains(l, 2) AS has_two,"
+    " l[2:3] AS middle"
+    " FROM (SELECT vec_id,"
+    "   [CAST(vec_id % 5 AS BIGINT), CAST(vec_id % 3 AS BIGINT),"
+    "    CAST(vec_id % 5 AS BIGINT), 2] AS l"
+    "   FROM embeddings WHERE vec_id < 50)",
+    tag="function",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (distinct/sort/intersect/contains/slice) over a
+    synthesized per-row array — all JVM-side higher-order functions."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    l = F.array(
+        F.pmod("vec_id", F.lit(5)),
+        F.pmod("vec_id", F.lit(3)),
+        F.pmod("vec_id", F.lit(5)),
+        F.lit(2).cast("long"),
+    )
+    d = e.select("vec_id", l.alias("l"))
+    return d.select(
+        "vec_id",
+        F.array_sort(F.array_distinct("l")).alias("dedup_sorted"),
+        F.size(F.array_intersect("l", F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<bigint>"))).alias("n_common"),
+        F.array_contains("l", F.lit(2)).alias("has_two"),
+        F.slice("l", 2, 2).alias("middle"),
+    )

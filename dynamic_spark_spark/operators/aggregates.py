@@ -289,3 +289,23 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("n_distinct_est"),
         "n_rows",
     ).unionByName(merged)
+
+
+@query(
+    "agg_bool",
+    "SELECT o_orderpriority,"
+    " bool_and(o_totalprice > 1000) AS all_over_1k,"
+    " bool_or(o_orderstatus = 'F') AS any_f,"
+    " CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT)"
+    "   AS n_big"
+    " FROM orders GROUP BY o_orderpriority",
+    tag="aggregate",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (``bool_and``/``bool_or``) + conditional count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+    )
