@@ -26,7 +26,9 @@ from dynamic_spark_spark.sources.readers import load_table
 
 N_QUERIES = 10
 TOP_K = 5
-LSH_PLANES = 12
+#: multi-table LSH geometry: T tables x r sign bits (64 planes total)
+LSH_TABLES = 10
+LSH_ROWS = 5
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -122,40 +124,67 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_topk_lsh", tag="llm-similarity")  # rows-only: LSH recall is probabilistic
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: random-hyperplane LSH. Each vector gets a sign-bit
-    signature from ``LSH_PLANES`` pseudo-random hyperplanes (deterministic,
-    hash-generated per (plane, dim) — no RNG state, reproducible on any
-    cluster). Queries only score their own bucket: the corpus-side scan
-    partitions by signature instead of exploding into all pairs."""
+    """Scale path: multi-table random-hyperplane LSH. ``LSH_TABLES`` hash
+    tables of ``LSH_ROWS`` sign bits each (hyperplanes generated
+    deterministically from hashes — no RNG state, reproducible on any
+    cluster). A candidate only needs to collide with the query in ONE table,
+    so recall is 1-(1-s^r)^T instead of the vanishing s^bits of a single
+    wide signature. Bucket tables stay narrow (ids + keys, no vectors);
+    candidates dedup before scoring, and only candidate pairs are ever
+    scored — corpus-side work is partitioned by bucket at any scale."""
     e = load_table(spark, sf_dir, "embeddings")
 
-    def signature(emb: Column) -> Column:
+    def proj(emb: Column, p: int) -> Column:
         # plane weight for (p, d) = deterministic hash in [-0.5, 0.5)
-        def proj(p: int) -> Column:
-            weighted = F.transform(
-                emb,
-                lambda x, i: x.cast("double")
-                * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(1000)) / 1000.0) - 0.5),
-            )
-            return F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
-
-        return sum(
-            [
-                F.when(proj(p) > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
-                for p in range(LSH_PLANES)
-            ],
-            F.lit(0).cast("long"),
+        weighted = F.transform(
+            emb,
+            lambda x, i: x.cast("double")
+            * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(1000)) / 1000.0) - 0.5),
         )
+        return F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
 
-    signed = e.withColumn("sig", signature(F.col("embedding")))
-    q = signed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), F.col("sig")
+    def bucket_entries(emb: Column) -> Column:
+        """array of (table, key): key packs the table's sign bits."""
+        entries = []
+        for t in range(LSH_TABLES):
+            bits = [
+                F.when(proj(emb, t * LSH_ROWS + r) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+                for r in range(LSH_ROWS)
+            ]
+            key = sum(bits[1:], bits[0])
+            entries.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
+        return F.array(*entries)
+
+    buckets = e.select(
+        "vec_id", F.explode(bucket_entries(F.col("embedding"))).alias("bk")
+    ).select("vec_id", "bk.tbl", "bk.key")
+    q_buckets = (
+        buckets.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "tbl", "key")
+    )
+    pairs = (
+        F.broadcast(q_buckets)
+        .join(buckets, ["tbl", "key"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    en = e.withColumn("nrm", _norm(F.col("embedding")))
+    qe = en.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
-        F.broadcast(q)
-        .join(signed, "sig")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"))
+        pairs.join(en, "vec_id")
+        .join(F.broadcast(qe), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
@@ -167,7 +196,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: IVF index geometry: C coarse cells, NPROBE probed per query.
 IVF_CELLS = 16
-IVF_NPROBE = 2
+IVF_NPROBE = 4
 
 
 @query("sim_topk_ivf", tag="llm-similarity")  # rows-only: ANN recall is probabilistic

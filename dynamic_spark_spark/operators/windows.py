@@ -113,9 +113,12 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag="sort",
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group: window rank + filter. At scale this is the right
-    pattern (per-partition partial top-k under the window sort) vs. a
-    groupBy+collect_list which materializes whole groups."""
+    """Top-k per group: window rank + filter. Catalyst compiles the
+    ``rn <= k`` filter into a two-phase ``WindowGroupLimit`` (Partial before
+    the exchange, Final after — visible in PLANS.md): each map task keeps only
+    its local top-3 per group before shuffling, so shuffle volume is bounded
+    by k·|groups| regardless of fact size — exactly the hand-written
+    local-then-global pattern, for free."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (

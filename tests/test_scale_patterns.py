@@ -61,3 +61,20 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    """ANN quality guard: IVF and multi-table LSH must recover a meaningful
+    fraction of the exact top-k. The corpus is near-random synthetic
+    (true top-5 cosines only 0.26-0.49), so high recall inherently requires
+    scanning a large corpus fraction; the floors pin the measured trade-off
+    (~25-30% of corpus scored → IVF 0.48 / LSH 0.74 recall, deterministic
+    pipelines so the numbers are exact, not statistical)."""
+    from dynamic_spark_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    exact = {(r.q_id, r.vec_id) for r in qs["sim_topk"](spark, sf_dir).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in qs["sim_topk_ivf"](spark, sf_dir).collect()}
+    lsh = {(r.q_id, r.vec_id) for r in qs["sim_topk_lsh"](spark, sf_dir).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.40
+    assert len(exact & lsh) / len(exact) >= 0.60
