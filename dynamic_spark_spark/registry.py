@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.udfs",
     "dynamic_spark_spark.operators.ml",
     "dynamic_spark_spark.operators.composite",
+    "dynamic_spark_spark.operators.composite2",
     "dynamic_spark_spark.operators.subqueries",
     "dynamic_spark_spark.operators.skew",
     "dynamic_spark_spark.functions.strings",
