@@ -206,15 +206,21 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. **Seed centroids**: the ``IVF_CELLS`` vectors with the smallest
        ``xxhash64(vec_id)`` — a deterministic uniform sample, no RNG state.
-    2. **One Lloyd refinement**: assign every vector to its max-cosine seed
-       (broadcast the tiny centroid side; per-vector argmax via ``max_by``
-       collapses map-side before the one corpus shuffle), then recompute each
-       cell's centroid as the elementwise mean via ``posexplode`` →
-       ``groupBy(cid, pos)`` → re-assembled with ``array_sort(collect_list)``.
+    2. **One Lloyd refinement**: assign every vector to its max-cosine seed,
+       then recompute each cell's centroid as the elementwise mean via
+       ``posexplode`` → ``groupBy(cid, pos)`` (map-side combined) →
+       re-assembled with ``array_sort(collect_list)``.
     3. **Probe**: each query scores the refined centroids and keeps its
        ``IVF_NPROBE`` best cells; candidates come from an equi-join on the
        cell id — the all-pairs comparison never happens, and at 100 TB the
        corpus side stays partitioned by cell while queries broadcast.
+
+    The centroid set is carried everywhere as ONE broadcast row holding an
+    array of (c_nrm, c_emb, cid) structs, so cell assignment and query
+    probing are pure map-side passes (higher-order ``transform`` +
+    ``array_max``/``slice`` — no fan-out, no shuffle, no window). The only
+    corpus shuffles left are the 16×64-group centroid mean and the final
+    per-query top-k.
     """
     e = load_table(spark, sf_dir, "embeddings")
 
@@ -228,16 +234,43 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-        """vec_id → best cell by cosine (broadcast fan-out, map-side argmax)."""
-        scored = corpus.crossJoin(F.broadcast(centroids)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            cosine(F.col("embedding"), F.col("c_emb")).alias("cos"),
+    def to_model(centroids: DataFrame) -> DataFrame:
+        """Collapse a (cid, c_emb) table to one broadcastable model row."""
+        return centroids.agg(
+            F.collect_list(
+                F.struct(
+                    _norm(F.col("c_emb")).alias("c_nrm"),
+                    F.col("c_emb").alias("c_emb"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("cents")
         )
-        return scored.groupBy("vec_id").agg(
-            F.max_by("cid", "cos").alias("cid"), F.first("embedding").alias("embedding")
+
+    def cell_scores(emb: Column, nrm: Column) -> Column:
+        """(cos, cid) struct per centroid, against the broadcast model row.
+        ``nrm`` is the vector's precomputed norm — computed once per row,
+        not once per centroid inside the lambda."""
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (_dot(emb, c["c_emb"]) / (nrm * c["c_nrm"])).alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    def assign(corpus: DataFrame, model: DataFrame) -> DataFrame:
+        """vec_id → best cell, entirely map-side: argmax via ``array_max``
+        on (cos, cid) structs. At 100 TB this is a single codegen pass over
+        the corpus, versus the naive crossJoin+groupBy which fans every
+        vector out |cells|× and re-shuffles it back."""
+        return (
+            corpus.withColumn("nrm", _norm(F.col("embedding")))
+            .crossJoin(F.broadcast(model))
+            .select(
+                "vec_id",
+                "embedding",
+                F.array_max(cell_scores(F.col("embedding"), F.col("nrm")))["cid"].alias("cid"),
+            )
         )
 
     # Train the quantizer on a deterministic ~25% sample (standard IVF
@@ -245,30 +278,37 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus×cells scoring pass at any scale). Full corpus still assigns.
     train = e.where(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
     refined = (
-        assign(train, seeds)
+        assign(train, to_model(seeds))
         .select("cid", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cid", "pos")
         .agg(F.avg("v").alias("m"))
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: s["m"].cast("float")).alias("c_emb"))
-        # IVF_CELLS rows feeding three consumers (cell assignment, query
-        # probes); persist the model instead of re-running the k-means lineage
-        .persist()
     )
-    cells = assign(e, refined)
+    # one-row model feeding two consumers (assignment, probing): persist the
+    # row, not the table, so the k-means lineage runs once
+    model = to_model(refined).persist()
+    cells = assign(e, model)
 
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     probes = (
-        q.crossJoin(F.broadcast(refined))
-        .select("q_id", "q_emb", "cid", cosine(F.col("q_emb"), F.col("c_emb")).alias("c_cos"))
-        .withColumn(
-            "pr", F.row_number().over(Window.partitionBy("q_id").orderBy(F.col("c_cos").desc()))
+        q.withColumn("q_nrm", _norm(F.col("q_emb")))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(
+                F.slice(
+                    F.sort_array(cell_scores(F.col("q_emb"), F.col("q_nrm")), asc=False),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("probe"),
         )
-        .where(F.col("pr") <= IVF_NPROBE)
-        .select("q_id", "q_emb", "cid")
+        .select("q_id", "q_emb", F.col("probe")["cid"].alias("cid"))
     )
     scored = (
         F.broadcast(probes)
