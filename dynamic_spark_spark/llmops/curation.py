@@ -1,0 +1,120 @@
+"""Corpus curation operators for training-data pipelines (SURVEY.md §2.D).
+
+Two standard curation passes large-scale LLM data prep runs after dedup:
+
+- **Benchmark decontamination** (``text_decontaminate``): flag corpus
+  documents sharing any word n-gram with a held-out benchmark set, the
+  overlap check used to keep eval sets out of training data. The benchmark
+  side here is a stand-in slice of the corpus (doc_id < ``BENCH_DOCS``);
+  production swaps in the real eval suite. n-gram generation is pure
+  higher-order array ops (no UDF): tokenize → ``sequence``/``slice``
+  windows → ``explode``; the benchmark gram set is DISTINCT'd and
+  broadcast, so the corpus side is one map pass + one semi-ish join with
+  no corpus shuffle. N=4 is calibrated to the synthetic corpus's tiny
+  vocabulary; real pipelines use 8-13 (one constant).
+- **Domain capping** (``cap_per_source``): keep at most ``CAP_PER_SOURCE``
+  documents per source/domain, preferring the longest — the per-domain
+  quota that stops any single crawl domain from dominating a mixture.
+  Window rank + filter compiles to Spark's two-phase ``WindowGroupLimit``,
+  so each map task keeps only its local top-K per domain before the
+  shuffle: shuffle volume is bounded by K·|domains| at any corpus size.
+
+Both are exact relational plans, so both are DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+#: word n-gram width for overlap detection (real pipelines: 8-13).
+NGRAM = 4
+#: doc_id < BENCH_DOCS plays the held-out benchmark set.
+BENCH_DOCS = 10
+#: max documents retained per source/domain.
+CAP_PER_SOURCE = 20
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words) - {NGRAM - 1}, 0)),
+                i -> array_to_string(words[i:i+{NGRAM - 1}], ' '))) AS gram
+  FROM toks
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < {BENCH_DOCS}
+)
+SELECT c.doc_id, COUNT(DISTINCT c.gram) AS n_hits
+FROM grams c JOIN bench b USING (gram)
+WHERE c.doc_id >= {BENCH_DOCS}
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@query("text_decontaminate", _DECON_ORACLE, tag="llm-text")
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: corpus documents that share at
+    least one word {NGRAM}-gram with the benchmark slice, with the count of
+    distinct overlapping grams. The benchmark gram set DISTINCTs down to a
+    broadcastable dictionary; corpus grams stream past it map-side, and the
+    only corpus-sized shuffle is the final per-doc count."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+
+    def grams(df: DataFrame) -> DataFrame:
+        # sequence(1, 0) would generate a DESCENDING [1,0] — guard short docs
+        idx = F.when(
+            F.size("words") >= NGRAM,
+            F.sequence(F.lit(1), F.size("words") - (NGRAM - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        gram_arr = F.transform(
+            idx, lambda i: F.array_join(F.slice("words", i, NGRAM), " ")
+        )
+        return df.select("doc_id", F.explode(gram_arr).alias("gram"))
+
+    toks = d.select("doc_id", words.alias("words"))
+    bench = (
+        grams(toks.where(F.col("doc_id") < BENCH_DOCS)).select("gram").distinct()
+    )
+    corp = grams(toks.where(F.col("doc_id") >= BENCH_DOCS))
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+_CAP_ORACLE = f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) ranked
+WHERE rn <= {CAP_PER_SOURCE}
+ORDER BY source, doc_id
+"""
+
+
+@query("cap_per_source", _CAP_ORACLE, tag="llm-text")
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep the {CAP_PER_SOURCE} longest documents per
+    source. ``rn <= K`` over a window compiles to two-phase
+    WindowGroupLimit (local top-K before the exchange), so the shuffle
+    carries at most K rows per domain per map task."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CAP_PER_SOURCE)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    )

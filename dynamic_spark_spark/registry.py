@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.text",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
+    "dynamic_spark_spark.llmops.curation",
 ]
 
 
