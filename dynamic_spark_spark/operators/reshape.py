@@ -1,0 +1,78 @@
+"""Reshaping + record-compaction operators.
+
+- ``reshape_unpivot`` — wide→long melt, the inverse of ``agg_pivot``
+  (reference grants the full DataFrame surface, `docs/ScalaSparkCompute-
+  sparkcompute.md:5-6`; unpivot is the one reshape Spark 2.1 user code had
+  to hand-roll with union-all that Spark 3.4+ exposes natively).
+- ``cdc_latest_by_key`` — latest-record compaction per key, the standard
+  CDC/changelog → snapshot step in incremental pipelines. Implemented as a
+  single ``max(struct(ts, ...))`` aggregate — lexicographic struct max is an
+  order-independent, map-side-combinable argmax, so the changelog shuffles
+  ONCE with partial aggregation (vs. a window rank which must sort every
+  partition). Tie-broken by unique event_id, so it's exact and
+  oracle-checkable (DuckDB's struct max compares the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_UNPIVOT_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, measure, val
+FROM (UNPIVOT lineitem ON {', '.join(_MEASURES)}
+      INTO NAME measure VALUE val)
+"""
+
+
+@query("reshape_unpivot", _UNPIVOT_ORACLE, tag="reshape")
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the four lineitem measures. ``unpivot`` is a pure
+    narrow map (each row fans out to |measures| rows with no shuffle), so
+    the 4× row growth never leaves the scan stage's pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+_LATEST_STRUCT = "struct_pack(ts := ts, event_id := event_id, value := value)"
+
+_LATEST_ORACLE = f"""
+SELECT user_id, event_type,
+       (max({_LATEST_STRUCT})).ts AS last_ts,
+       (max({_LATEST_STRUCT})).event_id AS last_event_id,
+       (max({_LATEST_STRUCT})).value AS last_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@query("cdc_latest_by_key", _LATEST_ORACLE, tag="cdc")
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot: the latest event per (user_id, event_type).
+    ``max(struct(ts, event_id, value))`` is a commutative aggregate, so each
+    map task pre-compacts its partition before the single shuffle — at 100 TB
+    the exchange carries one row per (key, map task), not the changelog.
+    A window-rank formulation would instead sort whole partitions."""
+    e = load_table(spark, sf_dir, "events")
+    last = F.max(F.struct("ts", "event_id", "value")).alias("s")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(last)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s")["ts"].alias("last_ts"),
+            F.col("s")["event_id"].alias("last_event_id"),
+            F.col("s")["value"].alias("last_value"),
+        )
+    )

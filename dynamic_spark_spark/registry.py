@@ -40,6 +40,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.composite2",
     "dynamic_spark_spark.operators.subqueries",
     "dynamic_spark_spark.operators.skew",
+    "dynamic_spark_spark.operators.reshape",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
