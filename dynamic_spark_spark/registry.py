@@ -41,6 +41,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.subqueries",
     "dynamic_spark_spark.operators.skew",
     "dynamic_spark_spark.operators.reshape",
+    "dynamic_spark_spark.operators.behavior",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
