@@ -33,6 +33,8 @@ HEADLINE = [
     "text_tokens",
     "text_pii_scrub",
     "llm_data_prep",
+    "tpch_q9_product_profit",
+    "text_decontaminate",
 ]
 
 
