@@ -1,0 +1,103 @@
+"""Training-mixture construction: weighted sampling + context packing.
+
+Two more steps a large-scale LLM data pipeline runs between curation and
+tokenization (SURVEY.md §2.D posture):
+
+- ``sample_mixture`` — per-source mixture sampling at declared rates
+  ("upsample wiki, downsample crawl"). The keep/drop decision is a
+  **deterministic hash gate**: ``(doc_id * KNUTH) % 1000 < rate‰`` — pure
+  int64 arithmetic, identical in any engine, needs no RNG state, and is
+  reproducible row-locally at 100 TB (a map-only pass, no shuffle, no
+  seed-distribution problem). The same idiom DuckDB evaluates bit-identically,
+  so the sample is oracle-checked exactly — unlike ``rand(seed)`` whose
+  sequence is engine-private (cf. the rows-only ``sample_split``).
+- ``pack_token_budget`` — greedy sequence packing: stream documents per
+  language in doc_id order, cut a new context chunk whenever the running
+  token count would cross ``PACK_BUDGET``. chunk_id falls out of a window
+  cumulative sum: ``floor((cumsum - tok)/budget)`` assigns each doc to the
+  chunk where it starts. One shuffle (the per-lang window sort); at scale
+  the partition key would widen to (lang, shard) to bound sort size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+#: Knuth multiplicative-hash constant (public domain folklore).
+_KNUTH = 2654435761
+#: per-source keep rates in permil: wiki-ish sources kept whole, the rest cut.
+MIX_RATES = {"src0": 1000, "src1": 750, "src2": 500, "src3": 250}
+DEFAULT_RATE = 100
+#: context window budget in whitespace tokens.
+PACK_BUDGET = 2048
+
+_RATE_CASE_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in MIX_RATES.items())
+    + f" ELSE {DEFAULT_RATE} END"
+)
+
+_MIXTURE_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE (doc_id * {_KNUTH}) % 1000 < ({_RATE_CASE_SQL})
+"""
+
+
+@query("sample_mixture", _MIXTURE_ORACLE, tag="llm-text")
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling. The hash gate is a single
+    codegen'd integer expression per row: map-only, shuffle-free, and the
+    keep decision for any doc is reproducible on any executor — the property
+    that makes 100 TB sampling restartable."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = None
+    for s, r in MIX_RATES.items():
+        cond = F.col("source") == s
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(DEFAULT_RATE))
+    gate = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(1000)) < rate
+    return d.where(gate).select("doc_id", "source")
+
+
+_TOK_SQL = "len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))"
+
+_PACK_ORACLE = f"""
+SELECT doc_id, lang, n_tok,
+       CAST(FLOOR(CAST(cum_tok - n_tok AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS chunk_id
+FROM (
+  SELECT doc_id, lang, {_TOK_SQL} AS n_tok,
+         SUM({_TOK_SQL}) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM documents
+) t
+"""
+
+
+@query("pack_token_budget", _PACK_ORACLE, tag="llm-text")
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context packing: per-language running token sum; a document
+    lands in the chunk where its first token falls. The window is the only
+    shuffle, and the arithmetic (int64 sums, one float division at the end)
+    is engine-exact for the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.floor((F.col("cum_tok") - F.col("n_tok")).cast("double") / PACK_BUDGET)
+            .cast("long")
+            .alias("chunk_id"),
+        )
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
     "dynamic_spark_spark.llmops.curation",
+    "dynamic_spark_spark.llmops.mixture",
 ]
 
 

@@ -31,19 +31,8 @@ KEYED = {
 }
 SMALL = ["region", "nation", "supplier", "part"]
 
-HEADLINE = [
-    "agg_groupby_multi",
-    "join_inner",
-    "join_asof",
-    "win_rank",
-    "topk_per_group",
-    "explode_split",
-    "stream_window_tumbling",
-    "dedup_exact",
-    "dedup_minhash",
-    "sim_topk",
-    "text_tokens",
-]
+# probe the same mix bench.py reports, so 1× vs N× is apples-to-apples
+from bench import HEADLINE  # noqa: E402
 
 
 def main() -> None:
