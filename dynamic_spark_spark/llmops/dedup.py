@@ -272,3 +272,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+#: label-propagation rounds for cluster formation; star-shaped LSH pair
+#: output keeps component diameter tiny, so this is a safety bound, not a
+#: typical iteration count (convergence is detected and exits early).
+CC_MAX_ITERS = 10
+
+
+@query("dedup_clusters", tag="llm-dedup")  # rows-only: LSH is engine-specific
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the MinHash-LSH
+    candidate-pair graph, by iterative min-label propagation. Each round,
+    every node adopts the smallest component id among itself and its
+    neighbors; the loop exits when a round changes nothing. Output is
+    (doc_id, component, is_canonical) — keep ``is_canonical`` rows and the
+    corpus is deduplicated group-wise, not just pair-wise (A~B, B~C ⇒ one
+    survivor of {A,B,C}, which pairwise dropping gets wrong).
+
+    Scale posture: the driver loop only ever reads a per-round *changed
+    count* (a scalar), never data; each round is one equi-join + min-agg
+    keyed by node, so the work is proportional to the candidate-edge set,
+    not the corpus. Per-round results persist (at cluster scale:
+    ``localCheckpoint`` to truncate lineage); star-pair buckets bound the
+    component diameter so rounds stay in the low single digits."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("comp"))
+        .persist()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "comp",
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    ).orderBy("doc_id")

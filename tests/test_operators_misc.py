@@ -96,3 +96,24 @@ def test_scale_invariance_shuffle_partitions(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     for name, (r4, r32) in results.items():
         assert r4 == r32, f"{name}: results differ across shuffle partitioning"
+
+
+def test_dedup_clusters_transitive(spark, sf_dir):
+    """Connected components must agree with the candidate-pair graph: both
+    endpoints of every LSH pair share a component, and each component id is
+    the minimum doc_id of its members (min-label convergence)."""
+    from dynamic_spark_spark.llmops.dedup import lsh_candidate_pairs, minhash_signatures
+    from dynamic_spark_spark.registry import load_all_queries
+    from dynamic_spark_spark.sources.readers import load_table
+
+    qs = load_all_queries()
+    comp = {r.doc_id: r.comp for r in qs["dedup_clusters"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    assert pairs, "fixture should produce candidate pairs"
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b], (p.doc_a, p.doc_b)
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    assert all(c == min(v) for c, v in members.items())
