@@ -65,3 +65,22 @@ def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("^[a-m]").alias("starts_early"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_token"),
     )
+
+
+_LEV_ORACLE = """
+SELECT p_partkey, p_name,
+       CAST(levenshtein(p_name, 'red widget') AS INT) AS lev_dist
+FROM part
+WHERE levenshtein(p_name, 'red widget') <= 6
+"""
+
+
+@query("fn_string_distance", _LEV_ORACLE, tag="function")
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance filtering (fuzzy match): ``levenshtein`` is a built-in
+    JVM expression in Spark and a native function in DuckDB — identical
+    distances, so the fuzzy-match set is oracle-exact. The filter stays in
+    codegen; no UDF fuzzy matching."""
+    p = load_table(spark, sf_dir, "part")
+    lev = F.levenshtein("p_name", F.lit("red widget"))
+    return p.where(lev <= 6).select("p_partkey", "p_name", lev.cast("int").alias("lev_dist"))

@@ -309,3 +309,29 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
         F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
     )
+
+
+_HIST_ORACLE = f"""
+SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       {o_dsum('l_extendedprice')} AS total
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("agg_histogram", _HIST_ORACLE, tag="aggregate")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by arithmetic bucketing (no ``width_bucket``
+    dependency — ``floor(x/step)`` is engine-portable and codegen-friendly).
+    The bucket key is computed map-side, so the histogram is one partial+final
+    hash agg at any scale; bucket count is bounded by the value range, not
+    the row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "total"))
+        .orderBy("bucket")
+    )
