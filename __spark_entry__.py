@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-comparable query key."""
+    """DuckDB-equivalent SQL for every oracle-comparable query key, in the
+    same verification-priority order as ``queries()``."""
     registry.load_all_queries()
-    return dict(registry.ORACLE)
+    order = registry.verification_order(list(registry.ORACLE))
+    return {k: registry.ORACLE[k] for k in order}

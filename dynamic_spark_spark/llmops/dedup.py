@@ -17,6 +17,8 @@ in the hot path.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -247,11 +249,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale this would be a checkpoint to durable storage."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).persist()
-    doc_sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.join(
         sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= MAX_SHINGLE_DF),
         "sh",
-    )
+    ).persist()
+    # Doc sizes come from the SAME df-capped universe as the intersection —
+    # numerator and denominator must agree or Jaccard is systematically
+    # underestimated for documents rich in common (capped-out) shingles and
+    # true near-dups silently miss the >=0.5 cutoff. This is "capped
+    # Jaccard": similarity over rare shingles only, consistent on both sides.
+    doc_sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = rare.alias("a"), rare.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -308,6 +315,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("node"), F.col("src").alias("comp"))
         .persist()
     )
+    changed = 0
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -334,6 +342,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Chain-shaped candidate graphs (stars linked across band buckets)
+        # can exceed the iteration bound; a silent exit would return split
+        # components — one true duplicate group labeled as several. Surface
+        # it. (The O(log n)-round fix, if ever hit in practice, is
+        # large-star/small-star hashing per Kiveris et al.)
+        warnings.warn(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{CC_MAX_ITERS} rounds ({changed} labels still changing); "
+            f"components may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),

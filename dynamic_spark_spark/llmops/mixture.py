@@ -41,10 +41,21 @@ _RATE_CASE_SQL = (
     + f" ELSE {DEFAULT_RATE} END"
 )
 
+# Gate arithmetic reduces doc_id mod 1000 BEFORE multiplying: the naive
+# ``doc_id * KNUTH`` overflows int64 for doc_id >= ~3.5e9 (real at 100 TB row
+# counts) — Spark would silently wrap while DuckDB raises, breaking both the
+# sample and oracle parity. ``((doc_id % 1000) * (KNUTH % 1000)) % 1000`` is
+# bit-identical to the full product's residue with no overflow. Note the gate
+# uses only the low decimal digits of doc_id — a fixed bijection of
+# ``doc_id % 1000``, i.e. *stratified* deterministic sampling, which is the
+# intent (reproducible, restartable); swap in a xor-shift mix of the full id
+# if pseudorandomness across the id space ever matters.
+_KNUTH_RED = _KNUTH % 1000
+
 _MIXTURE_ORACLE = f"""
 SELECT doc_id, source
 FROM documents
-WHERE (doc_id * {_KNUTH}) % 1000 < ({_RATE_CASE_SQL})
+WHERE ((doc_id % 1000) * {_KNUTH_RED}) % 1000 < ({_RATE_CASE_SQL})
 """
 
 
@@ -53,14 +64,18 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source mixture sampling. The hash gate is a single
     codegen'd integer expression per row: map-only, shuffle-free, and the
     keep decision for any doc is reproducible on any executor — the property
-    that makes 100 TB sampling restartable."""
+    that makes 100 TB sampling restartable. Overflow-safe modular form (see
+    module comment)."""
     d = load_table(spark, sf_dir, "documents")
     rate = None
     for s, r in MIX_RATES.items():
         cond = F.col("source") == s
         rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
     rate = rate.otherwise(F.lit(DEFAULT_RATE))
-    gate = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(1000)) < rate
+    gate = (
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(_KNUTH_RED), F.lit(1000))
+        < rate
+    )
     return d.where(gate).select("doc_id", "source")
 
 

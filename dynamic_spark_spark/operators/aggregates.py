@@ -196,12 +196,27 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_collect",
-    "SELECT n_regionkey, list_sort(list(n_name)) AS names"
+    "SELECT n_regionkey,"
+    " array_to_string(list_sort(list(n_name)), '|') AS names"
     " FROM nation GROUP BY n_regionkey",
     tag="aggregate",
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list/collect_set; sorted for order-determinism."""
+    """collect_list, sorted for order-determinism and joined to a string so
+    the compared frame is scalar-typed (r1 driver harness could not
+    canonicalize raw array columns; the array-typed form lives on as the
+    rows-only ``agg_collect_array`` twin)."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("names"))
+    )
+
+
+@query("agg_collect_array", tag="aggregate")
+def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list in its native array form (rows-only: array columns are
+    outside the driver harness's canonicalizer)."""
     return (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")

@@ -61,6 +61,24 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right",
+    "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice"
+    " FROM orders o"
+    " RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000",
+    tag="join",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (SURVEY §2.C joins;
+    ``docs/ScalaSparkCompute-sparkcompute.md:10-12`` declares the full join
+    surface). Mirror of ``join_left`` with the preserved side on the right;
+    Catalyst plans it as the same shuffled hash join with build-side swapped."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000)
+    return o.join(c, cond, "right").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
     "join_full",
     "SELECT c.c_custkey, o.o_orderkey"
     " FROM (SELECT * FROM customer WHERE c_acctbal > 0) c"

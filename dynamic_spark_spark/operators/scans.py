@@ -14,6 +14,8 @@ sinks write partitioned parquet so downstream reads get partition pruning.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,6 +115,35 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partition columns come back typed-as-written only with schema
         # inference; normalize to string to match the source table
         .withColumn("o_orderstatus", F.col("o_orderstatus").cast("string"))
+    )
+
+
+@query(
+    "sink_table_roundtrip",
+    "SELECT n_regionkey, COUNT(*) AS n_nations,"
+    " CAST(SUM(n_nationkey) AS BIGINT) AS key_sum"
+    " FROM nation GROUP BY n_regionkey",
+    tag="sink",
+)
+def sink_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-table sink: ``df.write.saveAsTable`` into the session catalog
+    (embedded Derby metastore + spark-warehouse locally; any HMS-compatible
+    catalog on a cluster) then ``spark.table`` read-back. This is the KV
+    dataset sink of the reference (``ScalaSparkTest.java:127-128``
+    ``.saveAsDataset("kvTable")`` → SURVEY §2.B B15)."""
+    nation = load_table(spark, sf_dir, "nation")
+    # Idempotent re-create: a prior session's crash can leave the managed
+    # location on disk with no catalog entry, which fails CREATE with
+    # LOCATION_ALREADY_EXISTS even in overwrite mode.
+    spark.sql("DROP TABLE IF EXISTS dss_sink_nation")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    leftover = os.path.join(warehouse.removeprefix("file:"), "dss_sink_nation")
+    shutil.rmtree(leftover, ignore_errors=True)
+    nation.write.mode("overwrite").format("parquet").saveAsTable("dss_sink_nation")
+    back = spark.table("dss_sink_nation")
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
     )
 
 

@@ -113,27 +113,40 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     running totals accumulate in engine-managed state, and the final update
     per key is returned. Proves the general stateful operator end-to-end —
     the strongest analog of the reference's per-micro-batch compute stage."""
+    import shutil
     import tempfile
 
     from dynamic_spark_spark.streaming.core import file_stream, stateful_running_totals
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # The query drains fully (availableNow) into the in-memory sink before we
+    # return, so the staged source + checkpoint dirs are removed here — left
+    # behind they leak disk without bound under bench.py's warmup +
+    # median-of-3 protocol and repeated verify runs.
     src = tempfile.mkdtemp(prefix="dss_state_src_")
-    ev.write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="dss_state_ckpt_")
     name = "dss_stateful_totals"
-    q = (
-        stateful_running_totals(file_stream(spark, src, ev.schema))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dss_state_ckpt_"))
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.sql(
-        f"SELECT key AS event_type, MAX(n) AS n_events FROM {name} GROUP BY key"
-    )
+    try:
+        ev.write.mode("overwrite").parquet(src)
+        q = (
+            stateful_running_totals(file_stream(spark, src, ev.schema))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        # The memory sink holds its batches in driver memory — it stays
+        # queryable after the staging dirs are gone.
+        return spark.sql(
+            f"SELECT key AS event_type, MAX(n) AS n_events FROM {name} GROUP BY key"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 _HYPERTABLE_ORACLE = """
