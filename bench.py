@@ -17,6 +17,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Round-1 recorded headline total at sf0.1, local[32] (BENCH_r01.json) — the
+#: regression anchor. A refactor that pushes the steady-state total past 2×
+#: this number fails the guard (stderr warning always; non-zero exit when
+#: SPARK_GRAFT_BENCH_GUARD=1, which scripts/verify_all.py sets).
+R1_ANCHOR_SEC = 8.525
+ANCHOR_SF = 0.1
+
 #: headline mix: scan+agg, joins, windows, explode, and the llmops suite
 HEADLINE = [
     "agg_groupby_multi",
@@ -87,6 +94,16 @@ def main() -> None:
         )
     )
     spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    if sf == ANCHOR_SF and total > 2 * R1_ANCHOR_SEC:
+        print(
+            f"BENCH REGRESSION: headline total {total}s exceeds 2x the round-1 "
+            f"anchor ({R1_ANCHOR_SEC}s at sf{ANCHOR_SF})",
+            file=sys.stderr,
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_GUARD"):
+            sys.exit(1)
 
 
 if __name__ == "__main__":

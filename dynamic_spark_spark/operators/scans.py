@@ -159,7 +159,11 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_csv_roundtrip", tag="scan")  # rows-only: exercises csv writer+reader
+@query(
+    "scan_csv_roundtrip",
+    "SELECT * FROM nation",
+    tag="scan",
+)  # oracle: csv write+read must round-trip values exactly
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write → schema-full read-back (``spark.read.csv``)."""
     out = tempfile.mkdtemp(prefix="dss_csv_")
@@ -168,7 +172,11 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("header", True).schema(nation.schema).csv(out)
 
 
-@query("scan_json_roundtrip", tag="scan")  # rows-only: exercises json lines IO
+@query(
+    "scan_json_roundtrip",
+    "SELECT * FROM region",
+    tag="scan",
+)  # oracle: json-lines write+read must round-trip values exactly
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write → read-back (``spark.read.json``)."""
     out = tempfile.mkdtemp(prefix="dss_json_")
@@ -187,7 +195,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
 
 
-@query("scan_orc_roundtrip", tag="scan")  # rows-only: exercises ORC writer+reader
+@query(
+    "scan_orc_roundtrip",
+    "SELECT * FROM supplier",
+    tag="scan",
+)  # oracle: ORC write+read must round-trip values exactly
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write → read-back (``spark.read.orc``): the second columnar format
     (vectorized reader + pushdown, same as parquet)."""
@@ -197,7 +209,11 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
-@query("scan_text_roundtrip", tag="scan")  # rows-only: exercises text line IO
+@query(
+    "scan_text_roundtrip",
+    "SELECT r_regionkey, r_name FROM region",
+    tag="scan",
+)  # oracle: text write+read+re-parse must round-trip values exactly
 def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-line write → read-back → re-parse: the ``sc.textFile`` /
     ``saveAsTextFile`` analog (``docs/PySparkProgram-sparkprogram.md:32``,
@@ -215,7 +231,11 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_jdbc_roundtrip", tag="scan")  # rows-only: exercises JDBC IO
+@query(
+    "scan_jdbc_roundtrip",
+    "SELECT n_nationkey, n_regionkey, n_name FROM nation",
+    tag="scan",
+)  # oracle: JDBC write+read must round-trip values exactly
 def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JDBC write → read-back (``spark.read.jdbc``) against an embedded
     in-memory Derby database (the JDBC driver bundled with Spark). At cluster

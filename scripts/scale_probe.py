@@ -5,7 +5,11 @@ so joins stay 1:N like the source, never N-replica fan-out) and run the
 headline query mix. Evidence that plans hold as data grows: steady-state
 times should scale ~linearly with rows while plan shapes stay constant.
 
-Usage: PYTHONPATH=. python scripts/scale_probe.py [replicas]
+Usage: PYTHONPATH=. python scripts/scale_probe.py [replicas] [q1,q2,...]
+
+With an explicit query list only the LLM-ops tables (documents, embeddings,
+events) are replicated — the TPC-H facts are skipped, so 100× probes of the
+dedup/ANN/curation paths stay cheap to stage.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ from bench import HEADLINE  # noqa: E402
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probe_queries = sys.argv[2].split(",") if len(sys.argv) > 2 else list(HEADLINE)
     from dynamic_spark_spark.registry import load_all_queries
     from dynamic_spark_spark.session import get_spark
 
@@ -45,11 +50,15 @@ def main() -> None:
     queries = load_all_queries()
     out = tempfile.mkdtemp(prefix="dss_scale_")
 
+    keyed = KEYED
+    if len(sys.argv) > 2:
+        keyed = {k: v for k, v in KEYED.items() if k in ("documents", "embeddings", "events")}
+
     for name in SMALL:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
-    for name, keys in KEYED.items():
+    for name, keys in keyed.items():
         base = spark.read.parquet(f"{SRC}/{name}.parquet")
         scaled = base.crossJoin(
             spark.range(replicas).select(F.col("id").alias("__rep"))
@@ -58,12 +67,13 @@ def main() -> None:
             scaled = scaled.withColumn(k, F.col(k) + F.col("__rep") * SHIFT)
         scaled.drop("__rep").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
-    # warm fact scan, then steady-state timings
-    spark.read.parquet(f"{out}/lineitem.parquet").groupBy("l_returnflag").count().write.mode(
+    # warm scan, then steady-state timings
+    warm_table = "lineitem" if "lineitem" in keyed else "documents"
+    spark.read.parquet(f"{out}/{warm_table}.parquet").groupBy(F.lit(1)).count().write.mode(
         "overwrite"
     ).format("noop").save()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in probe_queries:
         queries[name](spark, out).write.mode("overwrite").format("noop").save()
         df = queries[name](spark, out)
         t0 = time.perf_counter()
