@@ -38,6 +38,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.ml",
     "dynamic_spark_spark.operators.composite",
     "dynamic_spark_spark.operators.composite2",
+    "dynamic_spark_spark.operators.composite3",
     "dynamic_spark_spark.operators.subqueries",
     "dynamic_spark_spark.operators.skew",
     "dynamic_spark_spark.operators.reshape",
@@ -134,6 +135,9 @@ _PRIORITY = [
     "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume", "tpch_q19_disjunctive",
     "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
+    "tpch_q12_ship_latency", "tpch_q16_supplier_count",
+    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_orders",
 ]
 
 
