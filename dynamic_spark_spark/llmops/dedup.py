@@ -361,3 +361,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comp",
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+_INCREMENTAL_ORACLE = r"""
+WITH pref AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(list_filter(regexp_split_to_array(text, '\s+'),
+                                  w -> w <> ''), 1, 10), ' ')) AS digest
+  FROM documents
+)
+SELECT doc_id, digest FROM pref
+WHERE doc_id % 2 = 1
+  AND digest NOT IN (SELECT digest FROM pref WHERE doc_id % 2 = 0)
+"""
+
+
+@query("dedup_incremental", _INCREMENTAL_ORACLE, tag="llm-dedup")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-run) dedup: a new batch of documents is admitted
+    only if its content digest is absent from the already-ingested corpus —
+    the production pattern where yesterday's 100 TB is a digest-only table
+    and today's delta anti-joins against it. Modeled here by parity-splitting
+    ``documents`` (even doc_id = existing corpus, odd = incoming batch) and
+    keying on the first-10-words digest, a deliberately weak key so prefix
+    near-dupes actually collide.
+
+    Scale posture: only digests shuffle (16 bytes/row, never text); the anti
+    join is a plain hash join on the digest, AQE-skew-splittable. At cluster
+    scale, front it with a bloom filter built from the corpus digest table to
+    skip the shuffle for the (vast) non-colliding majority."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    digest = F.md5(F.array_join(F.slice(words, 1, 10), " "))
+    keyed = d.select("doc_id", digest.alias("digest"))
+    existing = keyed.where(F.col("doc_id") % 2 == 0).select("digest").distinct()
+    batch = keyed.where(F.col("doc_id") % 2 == 1)
+    return batch.join(existing, "digest", "left_anti").select("doc_id", "digest")

@@ -246,3 +246,87 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+_REPETITION_ORACLE = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+  FROM documents
+), wrd AS (
+  SELECT doc_id, unnest(arr) AS w FROM arrs
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM wrd GROUP BY doc_id, w
+), topw AS (
+  SELECT doc_id,
+         ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_word_frac
+  FROM wc GROUP BY doc_id
+), bi AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(arr) - 1),
+                        i -> arr[i] || ' ' || arr[i + 1]) AS bigrams
+  FROM arrs
+)
+SELECT a.doc_id,
+       CAST(len(a.arr) AS INT) AS n_words,
+       t.top_word_frac,
+       CASE WHEN len(b.bigrams) > 0
+            THEN ROUND(1 - CAST(len(list_distinct(b.bigrams)) AS DOUBLE)
+                         / CAST(len(b.bigrams) AS DOUBLE), 6)
+       END AS dup_bigram_frac
+FROM arrs a
+JOIN bi b USING (doc_id)
+JOIN topw t USING (doc_id)
+"""
+
+
+@query("text_repetition", _REPETITION_ORACLE, tag="llm-text")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters):
+    most-frequent-word mass fraction and duplicate-bigram fraction. Boilerplate
+    and degenerate generations score high on both; real prose stays low.
+
+    Scale posture: the bigram metric never leaves codegen — the bigram list
+    is a per-row array expression (``transform(sequence(...))`` guarded for
+    <2-word docs, since Spark's ``sequence(1, 0)`` descends), so it costs
+    zero shuffles. The top-word metric is the standard explode → two-level
+    agg: one shuffle keyed (doc_id, word), then a per-doc reduce that reuses
+    the same hash partitioning prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(
+            F.size(bigrams) > 0,
+            F.round(
+                1
+                - F.size(F.array_distinct(bigrams)).cast("double")
+                / F.size(bigrams).cast("double"),
+                6,
+            ),
+        ).alias("dup_bigram_frac"),
+    )
+    wc = (
+        d.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topw = wc.groupBy("doc_id").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_word_frac")
+    )
+    return per_doc.join(topw, "doc_id").select(
+        "doc_id", "n_words", "top_word_frac", "dup_bigram_frac"
+    )

@@ -120,6 +120,7 @@ _PRIORITY = [
     "text_stats", "text_tokens", "text_quality", "text_langid",
     # -- entries past the r1 window size; covered if the cap is time-based --
     "text_fingerprint", "text_pii_scrub", "text_unigram_logprob",
+    "text_repetition", "dedup_incremental",
     "llm_data_prep", "text_decontaminate", "cap_per_source",
     "sample_mixture", "pack_token_budget",
     "multimodal_image_meta", "multimodal_meta", "multimodal_decode",
