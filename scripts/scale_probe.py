@@ -75,9 +75,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in probe_queries:
         queries[name](spark, out).write.mode("overwrite").format("noop").save()
-        df = queries[name](spark, out)
+        # timer wraps construction + materialization: iterative operators
+        # (e.g. dedup_clusters) run driver-coordinated actions during
+        # construction, which a save-only timer would miss
         t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
+        queries[name](spark, out).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     print(

