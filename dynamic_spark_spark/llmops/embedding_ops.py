@@ -1,0 +1,116 @@
+"""Embedding-column utility operators (SURVEY.md §2.D posture).
+
+Vector hygiene steps a training-data pipeline runs between embedding
+generation and ANN indexing / model ingest:
+
+- ``embed_normalize`` — L2 unit-normalization (cosine becomes dot product
+  downstream, the precondition most ANN indexes assume);
+- ``embed_quantize_int8`` — max-abs symmetric int8 quantization (4× smaller
+  vectors for the ANN index / feature store; the standard serving format).
+
+Both are **pure per-row array expressions** — zero shuffles, a single
+codegen map pass over the corpus at any scale. Oracle parity strategy: the
+driver's comparator can't canonicalize array columns, so vector outputs are
+emitted as fixed-point integers joined to a ``|``-string (integers are
+engine-exact; the fold/round idioms match ``llmops.similarity`` /
+``functions.deterministic``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+#: fixed-point scale for normalized-component output (6 fractional digits).
+_UNIT_SCALE = 1_000_000
+
+_NORMALIZE_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+)
+SELECT vec_id, ROUND(nrm, 6) AS norm,
+       CASE WHEN nrm > 0 THEN array_to_string(
+         list_transform(embedding,
+           x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) / nrm * {_UNIT_SCALE} + 0.5) AS BIGINT) AS VARCHAR)),
+         '|')
+       END AS unit_fp
+FROM n
+"""
+
+
+@query("embed_normalize", _NORMALIZE_ORACLE, tag="llm-similarity")
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding: one sequential-fold norm per row (same
+    fold order as the oracle's ``list_reduce``, so the doubles are
+    bit-identical), components emitted fixed-point. Zero-norm vectors yield a
+    null unit vector instead of NaNs."""
+    from dynamic_spark_spark.llmops.similarity import _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.col("nrm")
+    unit_fp = F.array_join(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / nrm * _UNIT_SCALE + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+        ),
+        "|",
+    )
+    return e.withColumn("nrm", _norm(F.col("embedding"))).select(
+        "vec_id",
+        F.round("nrm", 6).alias("norm"),
+        F.when(nrm > 0, unit_fp).alias("unit_fp"),
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+)
+SELECT vec_id, ROUND(amax, 6) AS amax,
+       CASE WHEN amax > 0 THEN array_to_string(
+         list_transform(embedding,
+           x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT) AS VARCHAR)),
+         '|')
+       END AS q8
+FROM m
+"""
+
+
+@query("embed_quantize_int8", _QUANTIZE_ORACLE, tag="llm-similarity")
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization: q = floor(x·127/amax + 0.5),
+    which lands exactly in [-127, 127] with no clamp (|x| ≤ amax). The
+    (amax, q8) pair is the lossless-dequantizable wire format; ``floor(+0.5)``
+    is the same IEEE round-half-up both engines compute bit-identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # internal name distinct from the output alias: if the rounded output
+    # were also called "amax", projection collapse could rebind the lambda's
+    # reference to the ROUNDED value and shift .5-boundary components by one
+    amax = F.col("_amax")
+    q8 = F.array_join(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 127.0 / amax + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+        ),
+        "|",
+    )
+    return e.withColumn(
+        "_amax", F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    ).select(
+        "vec_id",
+        F.round("_amax", 6).alias("amax"),
+        F.when(amax > 0, q8).alias("q8"),
+    )

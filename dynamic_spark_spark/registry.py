@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.streaming.batch_equiv",
     "dynamic_spark_spark.llmops.dedup",
     "dynamic_spark_spark.llmops.similarity",
+    "dynamic_spark_spark.llmops.embedding_ops",
     "dynamic_spark_spark.llmops.text",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
@@ -121,6 +122,7 @@ _PRIORITY = [
     # -- entries past the r1 window size; covered if the cap is time-based --
     "text_fingerprint", "text_pii_scrub", "text_unigram_logprob",
     "text_repetition", "dedup_incremental",
+    "embed_normalize", "embed_quantize_int8",
     "llm_data_prep", "text_decontaminate", "cap_per_source",
     "sample_mixture", "pack_token_budget",
     "multimodal_image_meta", "multimodal_meta", "multimodal_decode",
