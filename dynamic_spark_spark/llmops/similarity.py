@@ -122,6 +122,31 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_proj(emb: Column, p: int) -> Column:
+    """Projection of ``emb`` onto deterministic hyperplane ``p`` — the plane
+    weight for (p, dim) is a hash mapped to [-0.5, 0.5), so every executor
+    regenerates identical planes with no RNG or driver state."""
+    weighted = F.transform(
+        emb,
+        lambda x, i: x.cast("double")
+        * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(1000)) / 1000.0) - 0.5),
+    )
+    return F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+
+
+def lsh_bucket_entries(emb: Column) -> Column:
+    """array of (table, key) structs: each table's key packs its sign bits."""
+    entries = []
+    for t in range(LSH_TABLES):
+        bits = [
+            F.when(_plane_proj(emb, t * LSH_ROWS + r) > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            for r in range(LSH_ROWS)
+        ]
+        key = sum(bits[1:], bits[0])
+        entries.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
+    return F.array(*entries)
+
+
 @query("sim_topk_lsh", tag="llm-similarity")  # rows-only: LSH recall is probabilistic
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: multi-table random-hyperplane LSH. ``LSH_TABLES`` hash
@@ -133,27 +158,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates dedup before scoring, and only candidate pairs are ever
     scored — corpus-side work is partitioned by bucket at any scale."""
     e = load_table(spark, sf_dir, "embeddings")
-
-    def proj(emb: Column, p: int) -> Column:
-        # plane weight for (p, d) = deterministic hash in [-0.5, 0.5)
-        weighted = F.transform(
-            emb,
-            lambda x, i: x.cast("double")
-            * ((F.pmod(F.xxhash64(F.lit(p), i), F.lit(1000)) / 1000.0) - 0.5),
-        )
-        return F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
-
-    def bucket_entries(emb: Column) -> Column:
-        """array of (table, key): key packs the table's sign bits."""
-        entries = []
-        for t in range(LSH_TABLES):
-            bits = [
-                F.when(proj(emb, t * LSH_ROWS + r) > 0, F.lit(1 << r)).otherwise(F.lit(0))
-                for r in range(LSH_ROWS)
-            ]
-            key = sum(bits[1:], bits[0])
-            entries.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
-        return F.array(*entries)
+    bucket_entries = lsh_bucket_entries
 
     buckets = e.select(
         "vec_id", F.explode(bucket_entries(F.col("embedding"))).alias("bk")
@@ -328,7 +333,7 @@ _DEDUP_EMB_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_o_cosine('a.embedding', 'b.embedding')} >= 0.99
+WHERE {_o_cosine('a.embedding', 'b.embedding')} >= 0.40
 """
 
 
@@ -336,13 +341,76 @@ WHERE {_o_cosine('a.embedding', 'b.embedding')} >= 0.99
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the blocking
     key stands in for an LSH bucket so the oracle can express the same join;
-    production path swaps the label for ``sim_topk_lsh`` signatures)."""
+    the production unblocked path is ``sim_join_lsh``). The 0.40 threshold is
+    calibrated to the synthetic corpus (max within-label cosine ≈ 0.47, so a
+    "near-dup" here is the top ~0.04% of pairs) — a 0.99 threshold would be
+    vacuously empty on this data and prove nothing."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label")
     return (
         a.join(b, "label")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.99)
+        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.40)
+        .select("vec_a", "vec_b")
+    )
+
+
+#: near-dup pair similarity threshold and hot-bucket cap for sim_join_lsh.
+SIM_JOIN_THRESHOLD = 0.40
+SIM_JOIN_MAX_BUCKET = 64
+
+
+@query("sim_join_lsh", tag="llm-dedup")  # rows-only: LSH recall is probabilistic
+def sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pair join in its PRODUCTION form — the
+    unblocked variant of ``dedup_embedding`` (whose label blocking exists so
+    an oracle can express the same join): LSH buckets generate candidate
+    pairs, exact cosine verifies them, no all-pairs comparison anywhere.
+
+    Pipeline: sign-bit bucket entries per vector (``LSH_TABLES`` × pure
+    codegen, no shuffle) → explode to (tbl, key) bucket rows → per-bucket
+    member sets via one groupBy → in-bucket pair expansion **capped at
+    ``SIM_JOIN_MAX_BUCKET`` members** (the quadratic guard: an adversarial
+    hot bucket degrades recall, never cost) → distinct pairs → exact-cosine
+    filter at ``SIM_JOIN_THRESHOLD``. Recall vs the brute-force join is
+    floor-tested in tests/test_scale_patterns.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = e.select(
+        "vec_id", F.explode(lsh_bucket_entries(F.col("embedding"))).alias("bk")
+    ).select("vec_id", "bk.tbl", "bk.key")
+    members = (
+        buckets.groupBy("tbl", "key")
+        .agg(F.slice(F.array_sort(F.collect_set("vec_id")), 1, SIM_JOIN_MAX_BUCKET).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("vec_a"), b.alias("vec_b")),
+            ),
+        )
+    )
+    pairs = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    en = e.withColumn("nrm", _norm(F.col("embedding")))
+    ea = en.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    eb = en.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(
+            _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+            >= SIM_JOIN_THRESHOLD
+        )
         .select("vec_a", "vec_b")
     )

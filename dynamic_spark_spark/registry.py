@@ -122,7 +122,7 @@ _PRIORITY = [
     # -- entries past the r1 window size; covered if the cap is time-based --
     "text_fingerprint", "text_pii_scrub", "text_unigram_logprob",
     "text_repetition", "dedup_incremental",
-    "embed_normalize", "embed_quantize_int8",
+    "embed_normalize", "embed_quantize_int8", "sim_join_lsh",
     "llm_data_prep", "text_decontaminate", "cap_per_source",
     "sample_mixture", "pack_token_budget",
     "multimodal_image_meta", "multimodal_meta", "multimodal_decode",

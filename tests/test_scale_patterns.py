@@ -78,3 +78,17 @@ def test_ann_recall_floor(spark, sf_dir):
     lsh = {(r.q_id, r.vec_id) for r in qs["sim_topk_lsh"](spark, sf_dir).collect()}
     assert len(exact & ivf) / len(exact) >= 0.40
     assert len(exact & lsh) / len(exact) >= 0.60
+
+
+def test_sim_join_recall_floor(spark, sf_dir):
+    """The production unblocked near-dup pair join must recover most of the
+    label-blocked truth set (every blocked pair IS a true pair; the LSH path
+    may legitimately add cross-label pairs above the threshold). Deterministic
+    pipeline → exact measured floor, not statistical."""
+    from dynamic_spark_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    truth = {(r.vec_a, r.vec_b) for r in qs["dedup_embedding"](spark, sf_dir).collect()}
+    got = {(r.vec_a, r.vec_b) for r in qs["sim_join_lsh"](spark, sf_dir).collect()}
+    assert truth, "calibrated threshold must make the truth set non-empty"
+    assert len(truth & got) / len(truth) >= 0.6
