@@ -49,17 +49,22 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN argmin,
     re-keyed from partsupp to observed lineitem unit prices. Spark form: one
     groupBy to per-(part,supplier) cost, then a window MIN over partkey and
-    an equality filter — the window reuses the groupBy's hash partitioning
-    on l_partkey (no extra shuffle), where the oracle's self-join form would
-    shuffle twice. The double equality is engine-safe: both sides compute
-    identical IEEE division and MIN is order-independent."""
+    an equality filter. The fact table is explicitly repartitioned on
+    ``l_partkey`` FIRST: hash partitioning on a subset of the grouping keys
+    satisfies both the (partkey, suppkey) aggregate and the window's
+    partitionBy(partkey), so the whole argmin costs ONE shuffle (verified in
+    tests/test_plan_hygiene.py) — the oracle's self-join form would shuffle
+    the aggregate twice more. The double equality is engine-safe: both sides
+    compute identical IEEE division and MIN is order-independent."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_type") == "SMALL") & (F.col("p_size") <= 15)
     )
     s = load_table(spark, sf_dir, "supplier")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    cost = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     w = Window.partitionBy("l_partkey")
     return (

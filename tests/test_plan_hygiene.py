@@ -72,3 +72,38 @@ def test_no_python_udf_in_relational_core(spark, sf_dir):
         "sim_topk",
     ):
         assert "BatchEvalPython" not in _plan(q[key](spark, sf_dir)), key
+
+
+def test_q2_argmin_single_shuffle(spark, sf_dir):
+    """TPC-H Q2 shape: the per-(part,supplier) aggregate AND the per-part
+    window must share ONE exchange — repartitioning on the subset key
+    (l_partkey) satisfies both distributions. A second hash exchange means
+    the subset-partitioning trick regressed."""
+    from dynamic_spark_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    plan = (
+        qs["tpch_q2_min_cost_supplier"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_q21_decorrelated_broadcasts(spark, sf_dir):
+    """TPC-H Q21 shape: the supplier dim rides a broadcast join (never a
+    fact-side shuffle), and the EXISTS/NOT-EXISTS pair is decorrelated into
+    aggregates — no nested-loop join may appear."""
+    from dynamic_spark_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    plan = (
+        qs["tpch_q21_waiting_orders"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
