@@ -15,37 +15,64 @@ from dynamic_spark_spark.registry import query
 from dynamic_spark_spark.sources.readers import load_table
 
 
+# Array-valued outputs are emitted as fixed-point (numeric) or plain (string)
+# '|'-joined strings: the driver's compare harness cannot canonicalize raw
+# array columns (r1 agg_collect lesson), and float→string formatting differs
+# between engines, so numeric elements go through the floor(x*1e6+0.5) int
+# path before joining.
+_FP = 1_000_000
+
+
+def _fp_join(arr):
+    """Spark: numeric array → fixed-point ints → '|' string."""
+    return F.array_join(
+        F.transform(arr, lambda x: F.floor(x * _FP + F.lit(0.5)).cast("long").cast("string")),
+        "|",
+    )
+
+
+def _o_fp_join(arr_sql: str) -> str:
+    """DuckDB fragment matching :func:`_fp_join`."""
+    return (
+        f"array_to_string(list_transform({arr_sql},"
+        f" x -> CAST(CAST(FLOOR(x * {_FP} + 0.5) AS BIGINT) AS VARCHAR)), '|')"
+    )
+
+
 @query(
     "fn_array_transform",
     "SELECT l_orderkey, l_linenumber,"
-    " list_transform([l_quantity, l_tax, l_discount], x -> x * 2) AS doubled,"
+    f" {_o_fp_join('list_transform([l_quantity, l_tax, l_discount], x -> x * 2)')} AS doubled,"
     " CAST(len([l_quantity, l_tax, l_discount]) AS INT) AS arr_len,"
     " list_contains([l_returnflag, l_linestatus], 'N') AS has_n,"
-    " list_sort([l_returnflag, l_linestatus]) AS flags_sorted,"
+    " array_to_string(list_sort([l_returnflag, l_linestatus]), '|') AS flags_sorted,"
     " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
     "   [l_quantity, l_tax, l_discount]), (acc, x) -> acc + x) AS arr_sum,"
-    " [l_quantity + l_tax, l_tax + l_discount] AS pair_sums"
+    f" {_o_fp_join('[l_quantity + l_tax, l_tax + l_discount]')} AS pair_sums"
     " FROM lineitem",
     tag="function",
 )
 def fn_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: transform / size / contains / sort /
-    aggregate (left fold — sequential in both engines) / zip_with."""
+    aggregate (left fold — sequential in both engines) / zip_with. Array
+    outputs stringified (see module comment)."""
     li = load_table(spark, sf_dir, "lineitem")
     nums = F.array("l_quantity", "l_tax", "l_discount")
     flags = F.array("l_returnflag", "l_linestatus")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(nums, lambda x: x * 2).alias("doubled"),
+        _fp_join(F.transform(nums, lambda x: x * 2)).alias("doubled"),
         F.size(nums).alias("arr_len"),
         F.array_contains(flags, "N").alias("has_n"),
-        F.sort_array(flags).alias("flags_sorted"),
+        F.array_join(F.sort_array(flags), "|").alias("flags_sorted"),
         F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x).alias("arr_sum"),
-        F.zip_with(
-            F.array("l_quantity", "l_tax"),
-            F.array("l_tax", "l_discount"),
-            lambda a, b: a + b,
+        _fp_join(
+            F.zip_with(
+                F.array("l_quantity", "l_tax"),
+                F.array("l_tax", "l_discount"),
+                lambda a, b: a + b,
+            )
         ).alias("pair_sums"),
     )
 
@@ -80,20 +107,22 @@ def fn_array_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT p_partkey,"
     " MAP {'brand': p_brand, 'type': p_type}['brand'][1] AS brand_val,"
     " CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INT) AS n_keys,"
-    " list_sort(map_keys(MAP {'brand': p_brand, 'type': p_type})) AS keys_sorted"
+    " array_to_string(list_sort(map_keys(MAP {'brand': p_brand, 'type': p_type})), '|')"
+    "   AS keys_sorted"
     " FROM part",
     tag="function",
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + extraction + keys (scalar/array outputs only, so the
-    comparison never depends on engine map-encoding order)."""
+    """Map construction + extraction + keys (scalar outputs only — sorted
+    keys joined to a string — so the comparison depends on neither engine
+    map-encoding order nor array canonicalization)."""
     p = load_table(spark, sf_dir, "part")
     m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
     return p.select(
         "p_partkey",
         F.element_at(m, "brand").alias("brand_val"),
         F.size(m).alias("n_keys"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("keys_sorted"),
     )
 
 
@@ -137,10 +166,11 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_array_setops",
     "SELECT vec_id,"
-    " list_sort(list_distinct(l)) AS dedup_sorted,"
+    " array_to_string(list_transform(list_sort(list_distinct(l)),"
+    "   x -> CAST(x AS VARCHAR)), '|') AS dedup_sorted,"
     " len(list_intersect(l, [1, 2, 3])) AS n_common,"
     " list_contains(l, 2) AS has_two,"
-    " l[2:3] AS middle"
+    " array_to_string(list_transform(l[2:3], x -> CAST(x AS VARCHAR)), '|') AS middle"
     " FROM (SELECT vec_id,"
     "   [CAST(vec_id % 5 AS BIGINT), CAST(vec_id % 3 AS BIGINT),"
     "    CAST(vec_id % 5 AS BIGINT), 2] AS l"
@@ -149,7 +179,8 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra (distinct/sort/intersect/contains/slice) over a
-    synthesized per-row array — all JVM-side higher-order functions."""
+    synthesized per-row array — all JVM-side higher-order functions; integer
+    array outputs joined to strings (see module comment)."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
     l = F.array(
         F.pmod("vec_id", F.lit(5)),
@@ -157,11 +188,15 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("vec_id", F.lit(5)),
         F.lit(2).cast("long"),
     )
+
+    def s_join(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), "|")
+
     d = e.select("vec_id", l.alias("l"))
     return d.select(
         "vec_id",
-        F.array_sort(F.array_distinct("l")).alias("dedup_sorted"),
+        s_join(F.array_sort(F.array_distinct("l"))).alias("dedup_sorted"),
         F.size(F.array_intersect("l", F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<bigint>"))).alias("n_common"),
         F.array_contains("l", F.lit(2)).alias("has_two"),
-        F.slice("l", 2, 2).alias("middle"),
+        s_join(F.slice("l", 2, 2)).alias("middle"),
     )
