@@ -76,3 +76,39 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s")["value"].alias("last_value"),
         )
     )
+
+
+_SCD2_ORACLE = """
+SELECT user_id, event_type, event_id, value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
+@query("cdc_scd2", _SCD2_ORACLE, tag="cdc")
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → slowly-changing-dimension type 2: every change event
+    becomes a versioned row with a [valid_from, valid_to) interval, the open
+    interval marking the current version — the standard warehouse history
+    table build. One window (a single shuffle on the key) assigns intervals
+    via LEAD; ordering is made total with the unique event_id tiebreaker so
+    the result is engine-exact. At 100 TB the partition key is the entity
+    key, so interval assignment never sees more than one entity's history
+    per task."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

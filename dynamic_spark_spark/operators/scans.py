@@ -271,3 +271,34 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "scan_merge_schema",
+    "SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority"
+    " FROM orders WHERE o_orderkey % 2 = 0"
+    " UNION ALL"
+    " SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority"
+    " FROM orders WHERE o_orderkey % 2 = 1",
+    tag="scan",
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet file sets with different column
+    subsets (the before/after of an added column) read back as ONE table via
+    ``mergeSchema`` — missing columns null-fill per file. This is how a
+    100 TB lake absorbs schema drift without rewriting history; the merge
+    happens at footer level (per-file schemas union), not by scanning data."""
+    out = tempfile.mkdtemp(prefix="dss_merge_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{out}/v1")
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{out}/v2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(out)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )

@@ -229,3 +229,47 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_minutes",
         )
     )
+
+
+@query("stream_rollup_live", tag="streaming")  # rows-only: live stream
+def stream_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable minutely layer maintained by a REAL stream: events
+    arrive as an availableNow file stream, the same groupBy(window) plan as
+    ``rollup_hypertable``'s batch form aggregates them incrementally
+    (complete mode into a memory sink), and the returned frame re-aggregates
+    to hourly — proving the continuous-aggregate maintenance path live, not
+    just its batch equivalence."""
+    import shutil
+    import tempfile
+
+    from dynamic_spark_spark.streaming.core import file_stream
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src = tempfile.mkdtemp(prefix="dss_rollup_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_rollup_ckpt_")
+    name = "dss_rollup_minutely"
+    try:
+        ev.write.mode("overwrite").parquet(src)
+        minutely = (
+            file_stream(spark, src, ev.schema)
+            .groupBy(F.window("ts", "1 minute"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            minutely.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.sql(
+            f"SELECT date_trunc('hour', window.start) AS hour_start, event_type,"
+            f" CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_minutes"
+            f" FROM {name} GROUP BY 1, 2"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -4,11 +4,17 @@ compare oracle-backed keys against DuckDB (exact, order-insensitive), and
 print one JSON summary line. Mirrors the per-round correctness gate.
 
 Usage: PYTHONPATH=. python scripts/verify_all.py [sf_dir]
+
+With BENCH_GUARD=1 in the environment, bench.py runs afterwards at sf0.1
+with the regression anchor enforced (exit non-zero past 2x the round-1
+headline total) — the refactor-safety combo: correctness + throughput.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import traceback
 
@@ -50,7 +56,15 @@ def main() -> int:
         )
     )
     spark.stop()
-    return 1 if failed else 0
+    if failed:
+        return 1
+    if os.environ.get("BENCH_GUARD"):
+        # throughput leg: rerun the headline bench at sf0.1 with the round-1
+        # anchor enforced (bench.py exits non-zero past 2x the anchor)
+        env = dict(os.environ, SPARK_GRAFT_BENCH_GUARD="1")
+        env.pop("SPARK_GRAFT_SF_DIR", None)
+        return subprocess.call([sys.executable, "bench.py"], env=env)
+    return 0
 
 
 if __name__ == "__main__":
