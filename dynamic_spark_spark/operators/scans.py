@@ -302,3 +302,52 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
+
+
+@query(
+    "join_bucketed",
+    "SELECT o.o_orderkey, o.o_totalprice,"
+    " CAST(COUNT(*) AS BIGINT) AS n_lines,"
+    " CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty"
+    " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+    " WHERE o.o_totalprice > 300000"
+    " GROUP BY o.o_orderkey, o.o_totalprice",
+    tag="join",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join: both sides written ``bucketBy`` on
+    the join key into catalog tables, so the join (and the downstream groupBy
+    on the same key) reuses the bucket partitioning with NO exchange on
+    either side — the layout that turns a repeated 100 TB fact join from a
+    per-query shuffle into a one-time write cost. Shuffle-freedom is pinned
+    by tests/test_scale_patterns.py; this key proves the result also matches
+    the plain-join oracle. l_quantity sums as integers (values are whole) so
+    the aggregate is engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for tbl in ("dss_orders_bkt", "dss_lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse.removeprefix("file:"), tbl), ignore_errors=True)
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("dss_orders_bkt")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("dss_lineitem_bkt")
+    )
+    ob, lb = spark.table("dss_orders_bkt"), spark.table("dss_lineitem_bkt")
+    return (
+        ob.where(F.col("o_totalprice") > 300000)
+        .join(lb, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )
