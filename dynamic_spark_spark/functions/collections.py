@@ -200,3 +200,29 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("l", F.lit(2)).alias("has_two"),
         s_join(F.slice("l", 2, 2)).alias("middle"),
     )
+
+
+@query(
+    "fn_array_predicates",
+    "SELECT l_orderkey, l_linenumber,"
+    " len(list_filter([l_quantity, l_tax, l_discount], x -> x > 0.05)) > 0 AS any_big,"
+    " len(list_filter([l_quantity, l_tax, l_discount], x -> x >= 0)) = 3 AS all_nonneg,"
+    " CAST(len(list_filter([l_quantity, l_tax, l_discount], x -> x < 0.1)) AS INT)"
+    "   AS n_small"
+    " FROM lineitem",
+    tag="function",
+)
+def fn_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order predicate functions — ``exists`` / ``forall`` / counted
+    ``filter`` — all scalar outputs. The oracle re-expresses exists/forall as
+    filtered-length comparisons (DuckDB has no direct equivalents), which is
+    semantically identical on non-null elements."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nums = F.array("l_quantity", "l_tax", "l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.exists(nums, lambda x: x > 0.05).alias("any_big"),
+        F.forall(nums, lambda x: x >= 0).alias("all_nonneg"),
+        F.size(F.filter(nums, lambda x: x < 0.1)).alias("n_small"),
+    )
