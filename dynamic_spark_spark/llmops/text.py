@@ -5,7 +5,7 @@ token counting, fingerprinting, corpus stats — all built-in expressions over
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
@@ -329,4 +329,111 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.join(topw, "doc_id").select(
         "doc_id", "n_words", "top_word_frac", "dup_bigram_frac"
+    )
+
+
+_VOCAB_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                t -> t <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS vocab_id
+FROM counts
+QUALIFY vocab_id <= 100
+"""
+
+
+@query("text_vocab_topk", _VOCAB_ORACLE, tag="llm-text")
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus token counts → deterministic id
+    assignment for the top-100 tokens (count desc, token asc tiebreak) — the
+    id-assignment step every tokenizer build runs. One explode + one count
+    shuffle; the ranking window runs on the already-tiny counts table. At
+    100 TB the counts table is the only thing that leaves the map side
+    (partial aggregation), and the top-K cut bounds the window input."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    return (
+        counts.withColumn("vocab_id", F.row_number().over(w))
+        .where(F.col("vocab_id") <= 100)
+        .select("tok", "cnt", "vocab_id")
+    )
+
+
+_NGRAM_ORACLE = r"""
+WITH arrs AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '') AS arr
+  FROM documents
+), grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i] || ' ' || arr[i + 1])) AS gram
+  FROM arrs
+), counts AS (
+  SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram
+)
+SELECT gram, CAST(cnt AS BIGINT) AS cnt
+FROM counts
+QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) <= 50
+"""
+
+
+@query("text_ngram_counts", _NGRAM_ORACLE, tag="llm-text")
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (n-gram LM counts): per-row bigram arrays in
+    pure codegen (no shuffle until the count), one count shuffle, top-50 cut
+    with a deterministic tiebreak. The bigram construction guard matters:
+    Spark's ``sequence(1, 0)`` DESCENDS, so sub-2-token docs must emit an
+    empty array explicitly."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select(F.explode(bigrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "gram")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("gram", "cnt")
+    )
+
+
+_HOLDOUT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN ((doc_id % 1000) * 761) % 1000 < 950 THEN 'train' ELSE 'val' END
+         AS split
+FROM documents
+"""
+
+
+@query("sample_holdout_split", _HOLDOUT_ORACLE, tag="llm-text")
+def sample_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95/5 train/validation split via the overflow-safe
+    multiplicative hash gate (same arithmetic as ``sample_mixture``): the
+    split of any document is a pure function of its id — reproducible on any
+    engine, restartable at 100 TB, no RNG state to distribute. Map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    gate = F.pmod(F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(761), F.lit(1000))
+    return d.select(
+        "doc_id",
+        F.when(gate < 950, "train").otherwise("val").alias("split"),
     )
