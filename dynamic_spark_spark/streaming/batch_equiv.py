@@ -273,3 +273,72 @@ def stream_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_GAPFILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT user_id,
+         TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS h,
+         COUNT(*) AS n, {o_dsum('value')} AS sum_value
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT s.user_id, s.h AS hour_start,
+       CAST(COALESCE(hy.n, 0) AS BIGINT) AS n_events,
+       last_value(hy.sum_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM spine s LEFT JOIN hourly hy ON hy.user_id = s.user_id AND hy.h = s.h
+"""
+
+
+@query("ts_gapfill_locf", _GAPFILL_ORACLE, tag="streaming")
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: generate the dense hourly spine per entity
+    (``sequence`` between its min and max bucket, exploded), left-join the
+    sparse hourly aggregate onto it, and carry the last observation forward
+    across the gaps (``last(..., ignorenulls)`` window). This is the
+    gap-fill + LOCF primitive every monitoring/feature pipeline needs before
+    resampling or model ingest.
+
+    Scale posture: the spine explode is linear in (entities × time range),
+    generated bucket-side with no shuffle; the join and the LOCF window both
+    key on user_id, so one shuffle serves both. Restricted to user_id < 5
+    so the differential gate compares a bounded frame."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select("user_id", F.col("window.start").alias("h"), "n", "sum_value")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(
+                w
+            ).alias("locf_value"),
+        )
+    )
