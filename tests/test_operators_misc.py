@@ -196,3 +196,20 @@ def test_text_repetition_crafted(spark):
     assert out[1]["dup_bigram_frac"] == 1.0 - round(1 / 3, 6)  # 3 bigrams, 1 distinct
     assert out[2]["dup_bigram_frac"] == 0.0
     assert out[3]["dup_bigram_frac"] is None
+
+
+def test_verification_order_integrity():
+    """The driver's correctness gate samples a PREFIX of queries(), so the
+    priority machinery is load-bearing: every _PRIORITY name must be a real
+    registered key (a typo silently wastes a verification slot), and the
+    first 50 entries must contain no already-driver-verified keys."""
+    from dynamic_spark_spark import registry
+
+    qs = registry.load_all_queries()
+    missing = [k for k in registry._PRIORITY if k not in qs]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    first50 = list(qs)[:50]
+    stale = [k for k in first50 if k in registry._R1_VERIFIED]
+    assert not stale, f"r1-verified keys wasting the driver window: {stale}"
+    # every registered key must be orderable without KeyError
+    assert len(registry.verification_order(list(qs))) == len(qs)
