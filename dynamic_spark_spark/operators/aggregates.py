@@ -350,3 +350,61 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "total"))
         .orderBy("bucket")
     )
+
+
+# Regression aggregates from EXACT sums: engine-native corr()/regr_slope()
+# accumulate floats in engine-specific order (hash-mismatch), so the five
+# sufficient statistics are taken as exact DECIMAL sums and the identical
+# rational expressions are evaluated on both engines — bit-equal doubles.
+_REGR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
+FROM s
+"""
+
+
+@query("agg_regression", _REGR_ORACLE, tag="aggregate")
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope/intercept and Pearson correlation per group,
+    computed from the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    taken as EXACT decimal sums — one shuffle with full map-side partial
+    aggregation, and unlike the engine-native ``corr``/``regr_*`` the result
+    is order-independent, so it oracle-checks exactly. This is also the
+    100 TB form: sums compose across partitions, where a per-partition
+    Pearson would not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_xy"),
+    )
