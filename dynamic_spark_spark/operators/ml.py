@@ -66,3 +66,51 @@ def ml_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_labels"),
         )
     )
+
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       ROUND((l.l_quantity - s.sx / s.n)
+             / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))), 6) AS z_qty
+FROM lineitem l JOIN s USING (l_returnflag)
+WHERE l.l_orderkey % 20 = 0
+"""
+
+
+@query("ml_zscore_standardize", _ZSCORE_ORACLE, tag="ml")
+def ml_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization (StandardScaler semantics) done relationally:
+    per-group mean/stddev from EXACT decimal sums, broadcast back onto the
+    rows, z = (x - μ)/σ. Two passes over the fact but only the tiny stats
+    table crosses the shuffle — the scalable form of fit-then-transform
+    (MLlib's StandardScaler does the same two-pass dance with a driver-side
+    model; here the "model" is a broadcast relation and composes with any
+    downstream relational op). Compared on a 1-in-20 orderkey slice to bound
+    the differential gate's materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    x = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sd = F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+    return (
+        li.where(F.col("l_orderkey") % 20 == 0)
+        .join(F.broadcast(s), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round((x - sx / n) / sd, 6).alias("z_qty"),
+        )
+    )

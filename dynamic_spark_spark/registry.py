@@ -126,7 +126,7 @@ _PRIORITY = [
     "cdc_scd2", "scan_merge_schema", "stream_rollup_live", "join_bucketed",
     "fn_array_predicates",
     "text_vocab_topk", "text_ngram_counts", "sample_holdout_split",
-    "ts_gapfill_locf", "agg_regression",
+    "ts_gapfill_locf", "agg_regression", "ml_zscore_standardize",
     "llm_data_prep", "text_decontaminate", "cap_per_source",
     "sample_mixture", "pack_token_budget",
     "multimodal_image_meta", "multimodal_meta", "multimodal_decode",
