@@ -1,0 +1,209 @@
+"""Event-stream time-series operators: gap-based sessionization, rolling
+statistics, fixed-grid resampling, and robust (median/MAD) anomaly flagging —
+the batch analytics counterpart of the streaming windows in
+``streaming/batch_equiv.py``, over the ``events`` fixture.
+
+Extends the reference's event-pipeline surface (time-windowed aggregation,
+``docs/ScalaSparkProgram-sparkprogram.md:32``) with the session/rolling/
+anomaly shapes every product-analytics and telemetry pipeline runs.
+
+All timestamp arithmetic is integer microseconds (``unix_micros`` /
+``epoch_us``) on both engines — never float epoch seconds, whose rounding
+diverges between Spark (truncating ``unix_timestamp``) and DuckDB
+(fractional ``epoch``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+#: session gap threshold (30 minutes, in microseconds)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dur_us
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize_gap", _SESSION_ORACLE, tag="timeseries")
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity splits a session):
+    lag + running-sum window assigns per-user session numbers, then one
+    aggregate rolls sessions up to (start, end, duration, event count).
+
+    Scale shape: a single shuffle on ``user_id`` serves both windows AND the
+    final group-by (same partitioning, Catalyst reuses the exchange); state
+    per key is one row of lag carry — the streaming analog maps to
+    ``session_window``/``applyInPandasWithState``, proven separately in
+    streaming keys. Tie-break on ``event_id`` makes session numbering
+    deterministic under equal timestamps — at 100 TB, ties WILL happen."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    numbered = (
+        e.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        .withColumn(
+            "session_id",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("int"),
+        )
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+
+
+_MAVG_ORACLE = """
+SELECT event_id, user_id, ts,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS mavg4,
+       ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cummax
+FROM events
+"""
+
+
+@query("ts_moving_avg", _MAVG_ORACLE, tag="timeseries")
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling statistics: 4-row moving average and running maximum per
+    user, ordered by time with an id tie-break. One shuffle on ``user_id``;
+    both frames evaluate in a single Window physical operator (same
+    partitioning + ordering), streaming through each partition once with
+    O(frame) memory."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 6).alias("mavg4"),
+        F.round(
+            F.max("value").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            6,
+        ).alias("cummax"),
+    )
+
+
+#: resampling grid (5 minutes, in seconds / microseconds)
+RESAMPLE_S = 300
+_RESAMPLE_US = RESAMPLE_S * 1_000_000
+
+_RESAMPLE_ORACLE = f"""
+SELECT make_timestamp((epoch_us(ts) // {_RESAMPLE_US}) * {_RESAMPLE_US})
+         AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("ts_resample_5min", _RESAMPLE_ORACLE, tag="timeseries")
+def ts_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid downsampling (hypertable rollup shape): events bucketed to
+    a 5-minute grid by integer microsecond division — no calendar functions,
+    so the bucket edge is engine-exact — with count/sum/min/max per
+    (bucket, type). Map-side partial aggregation means the shuffle carries
+    one row per (bucket, type) per task regardless of input volume: the
+    canonical 100 TB telemetry rollup."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_micros(F.col("ts")) / _RESAMPLE_US).cast("long") * RESAMPLE_S
+    )
+    return e.groupBy(
+        bucket.alias("bucket_start"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+#: robust-outlier multiplier: |x - median| > K * MAD
+MAD_K = 3.0
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, median(abs(e.value - med.med)) AS mad
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) AS value,
+       ROUND(med.med, 6) AS med,
+       ROUND(mad.mad, 6) AS mad
+FROM events e
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+WHERE abs(e.value - med.med) > {MAD_K} * mad.mad
+"""
+
+
+@query("ts_anomaly_mad", _MAD_ORACLE, tag="timeseries")
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging: events whose value deviates from the
+    per-type median by more than 3× the median absolute deviation. Median
+    and MAD are exact (``median``), not approximate, so the flag set is
+    reproducible — the property an audit pipeline needs.
+
+    Scale shape: two grouped exact medians over the corpus (sort-based
+    aggregate; at extreme scale swap for ``approx_percentile`` with a
+    documented tolerance), each producing an event_type-sized table that is
+    broadcast back — the corpus itself is never shuffled, only scanned."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )

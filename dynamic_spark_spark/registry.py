@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.skew",
     "dynamic_spark_spark.operators.reshape",
     "dynamic_spark_spark.operators.behavior",
+    "dynamic_spark_spark.operators.timeseries",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
@@ -59,6 +60,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.multimodal",
     "dynamic_spark_spark.llmops.curation",
     "dynamic_spark_spark.llmops.mixture",
+    "dynamic_spark_spark.llmops.retrieval",
 ]
 
 
@@ -145,6 +147,10 @@ _PRIORITY = [
     "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
     "tpch_q12_ship_latency", "tpch_q16_supplier_count",
     "tpch_q20_promotion_suppliers", "tpch_q21_waiting_orders",
+    # -- round-2 additions (never driver-verified) --
+    "text_tfidf_topk", "text_bm25_search", "text_chunk_overlap",
+    "text_pmi_bigrams",
+    "sessionize_gap", "ts_moving_avg", "ts_resample_5min", "ts_anomaly_mad",
 ]
 
 
