@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.reshape",
     "dynamic_spark_spark.operators.behavior",
     "dynamic_spark_spark.operators.timeseries",
+    "dynamic_spark_spark.operators.graph",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
@@ -151,6 +152,8 @@ _PRIORITY = [
     "text_tfidf_topk", "text_bm25_search", "text_chunk_overlap",
     "text_pmi_bigrams",
     "sessionize_gap", "ts_moving_avg", "ts_resample_5min", "ts_anomaly_mad",
+    "graph_trade_edges", "graph_degree_stats", "graph_triangle_count",
+    "graph_pagerank",
 ]
 
 

@@ -213,3 +213,18 @@ def test_verification_order_integrity():
     assert not stale, f"r1-verified keys wasting the driver window: {stale}"
     # every registered key must be orderable without KeyError
     assert len(registry.verification_order(list(qs))) == len(qs)
+
+
+def test_pagerank_mass_and_convergence(spark, sf_dir):
+    """PageRank invariants the rows-only key can't oracle-check: total rank
+    mass equals |V| (the dangling correction conserves mass exactly), every
+    rank is positive, and the ranking is deterministic across two runs."""
+    from dynamic_spark_spark.operators.graph import graph_pagerank
+
+    rows = {r["node"]: r["rank_fp"] for r in graph_pagerank(spark, sf_dir).collect()}
+    n = len(rows)
+    total = sum(rows.values()) / 1_000_000
+    assert abs(total - n) < 1e-3 * n, f"rank mass {total} != |V|={n}"
+    assert all(v > 0 for v in rows.values())
+    rows2 = {r["node"]: r["rank_fp"] for r in graph_pagerank(spark, sf_dir).collect()}
+    assert rows == rows2
