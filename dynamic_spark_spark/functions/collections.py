@@ -226,3 +226,55 @@ def fn_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(nums, lambda x: x >= 0).alias("all_nonneg"),
         F.size(F.filter(nums, lambda x: x < 0.1)).alias("n_small"),
     )
+
+
+@query(
+    "fn_map_higher_order",
+    "WITH t AS (SELECT doc_id,"
+    "  list_distinct(list_slice(list_filter("
+    "    regexp_split_to_array(lower(text), '\\W+'), w -> w <> ''), 1, 6)) AS arr"
+    "  FROM documents)"
+    " SELECT doc_id,"
+    "  array_to_string(list_sort(list_transform("
+    "    list_filter(arr, w -> len(w) >= 4), w -> w || ':' || len(w))), '|')"
+    "    AS long_toks,"
+    "  array_to_string(list_sort(list_transform(arr,"
+    "    w -> w || ':' || 2 * len(w))), '|') AS doubled,"
+    "  array_to_string(list_sort(list_transform(arr,"
+    "    w -> w || ':' || 3 * len(w))), '|') AS zipped"
+    " FROM t",
+    tag="function",
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions: ``map_from_arrays`` construction, then
+    ``map_filter`` / ``transform_values`` / ``map_zip_with`` — all running
+    JVM-side in codegen. Each result map is scalarized to a sorted
+    'key:value|…' string (see module comment), which the oracle reproduces
+    with plain list lambdas — the point being the Spark side exercises the
+    real map kernels while the comparison stays representation-neutral."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.array_distinct(
+        F.slice(F.filter(F.split(F.lower("text"), r"\W+"), lambda w: w != ""), 1, 6)
+    )
+    t = d.select("doc_id", arr.alias("arr"))
+    m = F.map_from_arrays("arr", F.transform("arr", lambda w: F.length(w)))
+
+    def _entries_str(mcol):
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(mcol)),
+                lambda e: F.concat_ws(":", e.getField("key"),
+                                      e.getField("value").cast("string")),
+            ),
+            "|",
+        )
+
+    mf = F.map_filter(m, lambda k, v: v >= 4)
+    tv = F.transform_values(m, lambda k, v: v * 2)
+    mz = F.map_zip_with(m, tv, lambda k, v1, v2: v1 + v2)
+    return t.select(
+        "doc_id",
+        _entries_str(mf).alias("long_toks"),
+        _entries_str(tv).alias("doubled"),
+        _entries_str(mz).alias("zipped"),
+    )

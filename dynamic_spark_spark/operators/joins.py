@@ -235,3 +235,36 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
     )
+
+
+@query(
+    "join_null_safe",
+    "WITH l AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg"
+    "           FROM customer),"
+    " r AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,"
+    "       coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS label"
+    "       FROM customer)"
+    " SELECT r.label, CAST(COUNT(*) AS BIGINT) AS n_cust"
+    " FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg"
+    " GROUP BY r.label",
+    tag="join",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of being dropped — the semantics dimension-lookup
+    pipelines need when the key is legitimately absent. A plain equi-join
+    would silently lose every NULL-key row; here they map to the '(none)'
+    dimension row. ``<=>`` is still hashable, so Catalyst plans the same
+    broadcast/shuffled hash join as ``=`` (no nested-loop penalty)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    left = c.select("c_custkey", seg.alias("seg"))
+    right = (
+        c.select(seg.alias("r_seg"), F.coalesce(seg, F.lit("(none)")).alias("label"))
+        .distinct()
+    )
+    return (
+        left.join(F.broadcast(right), left.seg.eqNullSafe(F.col("r_seg")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )

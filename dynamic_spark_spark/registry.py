@@ -153,7 +153,7 @@ _PRIORITY = [
     "text_pmi_bigrams",
     "sessionize_gap", "ts_moving_avg", "ts_resample_5min", "ts_anomaly_mad",
     "graph_trade_edges", "graph_degree_stats", "graph_triangle_count",
-    "graph_pagerank",
+    "graph_pagerank", "join_null_safe", "fn_map_higher_order",
 ]
 
 
