@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.behavior",
     "dynamic_spark_spark.operators.timeseries",
     "dynamic_spark_spark.operators.graph",
+    "dynamic_spark_spark.operators.profiling",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
@@ -154,6 +155,8 @@ _PRIORITY = [
     "sessionize_gap", "ts_moving_avg", "ts_resample_5min", "ts_anomaly_mad",
     "graph_trade_edges", "graph_degree_stats", "graph_triangle_count",
     "graph_pagerank", "join_null_safe", "fn_map_higher_order",
+    "profile_columns", "quality_range_checks", "quality_fk_orphans",
+    "ml_confusion_matrix",
 ]
 
 

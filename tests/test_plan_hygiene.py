@@ -107,3 +107,48 @@ def test_q21_decorrelated_broadcasts(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-doc top-5 rank filter must compile to WindowGroupLimit
+    (two-phase partial limit), not a full sort of the scored table."""
+    q = load_all_queries()
+    plan = _plan(q["text_tfidf_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_graph_edges_broadcast_dims(spark, sf_dir):
+    """The relational→graph star join must broadcast every dimension —
+    customer, supplier, and both nation aliases — never shuffle the fact
+    against a dim, and never degrade to a cartesian."""
+    q = load_all_queries()
+    plan = _plan(q["graph_trade_edges"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_resample_partial_aggregation(spark, sf_dir):
+    """The 5-minute rollup must partially aggregate map-side (the shuffle
+    carries one row per bucket/type per task, not per event)."""
+    q = load_all_queries()
+    plan = _plan(q["ts_resample_5min"](spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Sessionization's window and its follow-up group-by must share ONE
+    user_id shuffle: hash(user_id) clusters (user_id, session_id) groups, so
+    Catalyst should not re-exchange between the window and the aggregate."""
+    q = load_all_queries()
+    plan = _plan(q["sessionize_gap"](spark, sf_dir))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 1, f"{n_exchange} exchanges:\n{plan}"
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe must stay a hash-joinable key (<=> is hashable) — a
+    regression to BroadcastNestedLoopJoin would be quadratic at scale."""
+    q = load_all_queries()
+    plan = _plan(q["join_null_safe"](spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
