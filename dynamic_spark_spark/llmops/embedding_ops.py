@@ -114,3 +114,82 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_amax", 6).alias("amax"),
         F.when(amax > 0, q8).alias("q8"),
     )
+
+
+#: PCA output dimensionality
+PCA_K = 2
+
+
+@query("embed_pca_project", tag="llm-similarity")  # rows-only: eigensolve
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding column to its top-2 principal
+    components — the dimensionality-reduction / visualization step of every
+    embedding-QA pipeline. Rows-only: the eigendecomposition has no SQL
+    oracle (pytest pins variance ordering, centering, and determinism).
+
+    Scale shape — the canonical two-pass distributed PCA:
+
+    1. **Sufficient statistics** via Arrow-batched ``mapInPandas``: each
+       batch emits ONE row (n, Σx, flat Σxxᵀ) — a d²-sized partial, so the
+       shuffle-to-driver is |batches|·d² regardless of corpus size (the
+       treeAggregate pattern). numpy does the per-batch outer-product sum
+       at BLAS speed.
+    2. The d×d Gram matrix is assembled and eigensolved on the DRIVER
+       (d=64 → trivial); components are **sign-normalized** (largest-|w|
+       coordinate forced positive) so the output is deterministic across
+       eigensolver implementations.
+    3. **Projection** is a broadcast of the (mean, W) pair into a second
+       vectorized ``mapInPandas`` map pass — zero shuffles.
+
+    The only corpus-sized traffic is the two scans; nothing quadratic in n
+    anywhere. (Covariance, not Gram-of-raw: vectors are centered with the
+    exact global mean from pass 1.)"""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = len(e.select("embedding").first()["embedding"])
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    stats = e.mapInPandas(
+        partials, schema="n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in stats)
+    s = np.sum([r["s"] for r in stats], axis=0)
+    ss = np.sum([r["ss"] for r in stats], axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :PCA_K]  # top-K columns
+    for j in range(PCA_K):  # sign-normalize for determinism
+        i = int(np.abs(comps[:, j]).argmax())
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    b = spark.sparkContext.broadcast((mean, comps))
+
+    def project(batches):
+        m, w = b.value
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = (x - m) @ w
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(PCA_K):
+                out[f"pc{j + 1}_fp"] = np.floor(
+                    p[:, j] * _UNIT_SCALE + 0.5
+                ).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"pc{j + 1}_fp long" for j in range(PCA_K)
+    )
+    return e.mapInPandas(project, schema=schema)

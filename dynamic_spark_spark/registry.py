@@ -156,7 +156,7 @@ _PRIORITY = [
     "graph_trade_edges", "graph_degree_stats", "graph_triangle_count",
     "graph_pagerank", "join_null_safe", "fn_map_higher_order",
     "profile_columns", "quality_range_checks", "quality_fk_orphans",
-    "ml_confusion_matrix",
+    "ml_confusion_matrix", "embed_pca_project",
 ]
 
 

@@ -228,3 +228,21 @@ def test_pagerank_mass_and_convergence(spark, sf_dir):
     assert all(v > 0 for v in rows.values())
     rows2 = {r["node"]: r["rank_fp"] for r in graph_pagerank(spark, sf_dir).collect()}
     assert rows == rows2
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """embed_pca_project has no SQL oracle; pin the linear-algebra facts:
+    PC1 captures at least as much variance as PC2, projections are centered
+    (mean ≈ 0), and two runs are bit-identical (sign normalization works)."""
+    from dynamic_spark_spark.llmops.embedding_ops import embed_pca_project
+
+    rows = embed_pca_project(spark, sf_dir).collect()
+    import statistics
+
+    pc1 = [r["pc1_fp"] for r in rows]
+    pc2 = [r["pc2_fp"] for r in rows]
+    assert abs(statistics.mean(pc1)) < 2e4  # centered (fp units: 0.02)
+    assert abs(statistics.mean(pc2)) < 2e4
+    assert statistics.pvariance(pc1) >= statistics.pvariance(pc2)
+    rows2 = embed_pca_project(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
