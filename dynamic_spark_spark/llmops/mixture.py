@@ -116,3 +116,39 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_id"),
         )
     )
+
+
+#: per-group deterministic sample size
+RESERVOIR_K = 5
+
+_RESERVOIR_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id, h FROM ranked WHERE rn <= {RESERVOIR_K}
+"""
+
+
+@query("sample_reservoir_per_group", _RESERVOIR_ORACLE, tag="llm-text")
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sampling via hash ranking: exactly K docs per
+    source, chosen by ordering on ``md5(doc_id)`` — a content-addressed
+    stand-in for reservoir sampling that is deterministic, restartable, and
+    oracle-checkable (classic RNG reservoirs are none of the three).
+
+    Scale shape: rank-then-filter compiles to WindowGroupLimit (each map
+    task forwards at most K rows per group before the shuffle), so the
+    exchange carries ~K·|groups| rows — not the corpus. Same device as
+    ``topk_per_group``, keyed by hash instead of a metric."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.select("source", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RESERVOIR_K)
+        .select("source", "doc_id", "h")
+    )

@@ -8,7 +8,7 @@ table. Rows-only check (iterative optimizers are not SQL-expressible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
@@ -112,5 +112,41 @@ def ml_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "l_returnflag",
             F.round((x - sx / n) / sd, 6).alias("z_qty"),
+        )
+    )
+
+
+_BUCKETIZE_ORACLE = """
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM b GROUP BY bucket
+"""
+
+
+@query("ml_quantile_bucketize", _BUCKETIZE_ORACLE, tag="ml")
+def ml_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature bucketization (decile binning): ``ntile(10)``
+    assigns rank-balanced buckets, then per-bucket row counts and value
+    ranges — the discretization step before categorical encoders.
+
+    The unpartitioned ntile is a global sort: fine here (the aggregate
+    output is 10 rows), but at 100 TB the scalable variant computes the 9
+    cut points with ``approx_percentile`` and buckets by comparison —
+    ``ml_zscore_standardize`` shows that broadcast-stats shape. Tie-break on
+    the key makes bucket assignment deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )

@@ -14,6 +14,7 @@ sinks write partitioned parquet so downstream reads get partition pruning.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -29,6 +30,17 @@ from pyspark.sql.types import (
 
 from dynamic_spark_spark.registry import query
 from dynamic_spark_spark.sources.readers import load_table, register_views
+
+
+def _tmpdir(prefix: str) -> str:
+    """Roundtrip sink dirs must outlive the returned (lazy) DataFrame, so
+    they can't be removed inside the query function; register them for
+    end-of-process cleanup instead (bench's warmup+median protocol would
+    otherwise leak a dir per timed run)."""
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
 
 
 @query(
@@ -105,7 +117,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ScalaSparkTest.java:403``; parquet use-case
     ``docs/ScalaSparkSink-sparksink.md:12``). The partition column round-trips
     through the directory layout — downstream scans get partition pruning."""
-    out = tempfile.mkdtemp(prefix="dss_sink_")
+    out = _tmpdir(prefix="dss_sink_")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
@@ -166,7 +178,7 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )  # oracle: csv write+read must round-trip values exactly
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write → schema-full read-back (``spark.read.csv``)."""
-    out = tempfile.mkdtemp(prefix="dss_csv_")
+    out = _tmpdir(prefix="dss_csv_")
     nation = load_table(spark, sf_dir, "nation")
     nation.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.option("header", True).schema(nation.schema).csv(out)
@@ -179,7 +191,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )  # oracle: json-lines write+read must round-trip values exactly
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write → read-back (``spark.read.json``)."""
-    out = tempfile.mkdtemp(prefix="dss_json_")
+    out = _tmpdir(prefix="dss_json_")
     region = load_table(spark, sf_dir, "region")
     region.write.mode("overwrite").json(out)
     return spark.read.schema(region.schema).json(out)
@@ -203,7 +215,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write → read-back (``spark.read.orc``): the second columnar format
     (vectorized reader + pushdown, same as parquet)."""
-    out = tempfile.mkdtemp(prefix="dss_orc_")
+    out = _tmpdir(prefix="dss_orc_")
     supplier = load_table(spark, sf_dir, "supplier")
     supplier.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
@@ -218,7 +230,7 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-line write → read-back → re-parse: the ``sc.textFile`` /
     ``saveAsTextFile`` analog (``docs/PySparkProgram-sparkprogram.md:32``,
     ``ScalaSparkTest.java:384``) expressed as one-string-column DataFrame IO."""
-    out = tempfile.mkdtemp(prefix="dss_text_")
+    out = _tmpdir(prefix="dss_text_")
     region = load_table(spark, sf_dir, "region")
     region.select(
         F.concat_ws("|", F.col("r_regionkey").cast("string"), "r_name")
@@ -262,7 +274,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a partition predicate — the layout that turns a 100 TB scan into a
     directory lookup (plan shows PartitionFilters, no data filter needed;
     asserted in tests/test_plan_hygiene.py)."""
-    out = tempfile.mkdtemp(prefix="dss_prune_")
+    out = _tmpdir(prefix="dss_prune_")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     return (
@@ -288,7 +300,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mergeSchema`` — missing columns null-fill per file. This is how a
     100 TB lake absorbs schema drift without rewriting history; the merge
     happens at footer level (per-file schemas union), not by scanning data."""
-    out = tempfile.mkdtemp(prefix="dss_merge_")
+    out = _tmpdir(prefix="dss_merge_")
     orders = load_table(spark, sf_dir, "orders")
     orders.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
@@ -350,4 +362,35 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
+    )
+
+
+@query(
+    "sink_jsonl_sharded",
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,"
+    " CAST(SUM(n_chars) AS BIGINT) AS total_chars"
+    " FROM documents GROUP BY lang",
+    tag="sink",
+)
+def sink_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export: documents written as lang-partitioned JSONL
+    shards capped at 200 records per file (the layout data loaders expect —
+    many small sequential files per language), then read back and
+    re-aggregated; the oracle checks the roundtrip against the source table.
+
+    ``maxRecordsPerFile`` bounds shard size without an extra repartition
+    shuffle; at 100 TB the writer parallelism is the upstream partitioning
+    and each task rolls files at the cap."""
+    out = _tmpdir(prefix="dss_jsonl_")
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.write.mode("overwrite")
+        .option("maxRecordsPerFile", 200)
+        .partitionBy("lang")
+        .json(out)
+    )
+    back = spark.read.json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
     )

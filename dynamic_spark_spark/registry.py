@@ -157,6 +157,7 @@ _PRIORITY = [
     "graph_pagerank", "join_null_safe", "fn_map_higher_order",
     "profile_columns", "quality_range_checks", "quality_fk_orphans",
     "ml_confusion_matrix", "embed_pca_project",
+    "sink_jsonl_sharded", "ml_quantile_bucketize", "sample_reservoir_per_group",
 ]
 
 
