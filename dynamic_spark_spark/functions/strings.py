@@ -84,3 +84,41 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     lev = F.levenshtein("p_name", F.lit("red widget"))
     return p.where(lev <= 6).select("p_partkey", "p_name", lev.cast("int").alias("lev_dist"))
+
+
+@query(
+    "fn_url_parse",
+    "WITH u AS (SELECT doc_id,"
+    "  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)"
+    "  || '?lang=' || lang AS url FROM documents)"
+    " SELECT doc_id, url,"
+    "  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,"
+    "  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,"
+    "  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,"
+    "  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),"
+    "    '([^.]+\\.[^.]+)$', 1) AS domain"
+    " FROM u",
+    tag="function",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL componentization with plain regex (host / path / query param /
+    registrable domain) — the normalization pass of every web-corpus
+    pipeline (source attribution, per-domain capping feeds on `domain`).
+    Regex extraction keeps the whole thing in codegen and gives the oracle
+    identical semantics (Spark's ``parse_url`` has engine-specific edge
+    cases; regex is portable by construction). URLs are synthesized from
+    table columns so the key is self-contained on the fixture."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    host = F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)
+    return d.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?&]lang=([^&#]*)", 1).alias("lang_param"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    )

@@ -408,3 +408,32 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
         ).alias("corr_xy"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    "SELECT l_returnflag,"
+    " ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)"
+    "   AS qty_weighted_price,"
+    " ROUND(SUM(l_extendedprice * (1 - l_discount)) /"
+    "       SUM(CAST(1 - l_discount AS DOUBLE)), 6) AS disc_weighted_price"
+    " FROM lineitem GROUP BY l_returnflag",
+    tag="aggregate",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted means as ratio-of-sums aggregates — both numerator and
+    denominator are map-side-combinable SUMs, so the weighted average costs
+    exactly one shuffle (no second pass, no window)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("qty_weighted_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            / F.sum((1 - F.col("l_discount")).cast("double")),
+            6,
+        ).alias("disc_weighted_price"),
+    )

@@ -207,3 +207,59 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 6).alias("mad"),
         )
     )
+
+
+#: EWMA smoothing factor and truncation window (rows)
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 20
+
+_EWMA_ORACLE = f"""
+WITH arr AS (
+  SELECT event_id, user_id, ts,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                           AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(FLOOR(list_reduce(vals,
+         (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)
+         * 1000000 + 0.5) AS BIGINT) AS ewma_fp
+FROM arr
+"""
+
+
+@query("ts_ewma_window", _EWMA_ORACLE, tag="timeseries")
+def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average: the classic
+    monitoring smoother, computed as a sequential fold over the trailing
+    20-row window (`acc -> α·x + (1-α)·acc`, seeded with the oldest value —
+    identical fold order in both engines, so the doubles are bit-identical
+    before fixed-pointing).
+
+    Why truncated: the closed-form weighted-sum EWMA needs `(1-α)^{{-i}}`
+    terms that overflow doubles beyond ~700 rows, and the exact recursive
+    form isn't expressible as a distributive aggregate. A 20-row tail
+    carries `(1-α)^20 ≈ 0.0008` of stale mass — numerically equal to the
+    infinite-history EWMA while keeping state bounded, which is also
+    exactly the state bound a streaming/stateful port would keep per key."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc,
+    )
+    return (
+        e.select("event_id", "user_id", "ts", vals.alias("vals"))
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(ewma * 1_000_000 + F.lit(0.5)).cast("long").alias("ewma_fp"),
+        )
+    )

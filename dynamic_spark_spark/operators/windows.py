@@ -154,3 +154,35 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("c_acctbal", 2).over(wf).alias("second_bal"),
     )
+
+
+@query(
+    "win_first_last_ignore_nulls",
+    "SELECT event_id, user_id,"
+    " first_value(v IGNORE NULLS) OVER w AS first_big,"
+    " last_value(v IGNORE NULLS) OVER w AS last_big_so_far"
+    " FROM (SELECT event_id, user_id, ts,"
+    "       CASE WHEN value >= 50 THEN value END AS v FROM events)"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+    "              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    tag="window",
+)
+def win_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``first_value``/``last_value`` with IGNORE NULLS over a running
+    frame — the 'carry the last known good reading' idiom (sibling of
+    ts_gapfill_locf, here as plain window functions on a derived nullable
+    measure). One shuffle on user_id, running-frame evaluation is O(1) per
+    row."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 50, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", "user_id", "ts", v.alias("v")).select(
+        "event_id",
+        "user_id",
+        F.first("v", ignorenulls=True).over(w).alias("first_big"),
+        F.last("v", ignorenulls=True).over(w).alias("last_big_so_far"),
+    )

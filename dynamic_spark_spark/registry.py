@@ -158,6 +158,8 @@ _PRIORITY = [
     "profile_columns", "quality_range_checks", "quality_fk_orphans",
     "ml_confusion_matrix", "embed_pca_project",
     "sink_jsonl_sharded", "ml_quantile_bucketize", "sample_reservoir_per_group",
+    "win_first_last_ignore_nulls", "agg_weighted_avg", "fn_url_parse",
+    "ts_ewma_window",
 ]
 
 
