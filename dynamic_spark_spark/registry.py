@@ -159,7 +159,7 @@ _PRIORITY = [
     "ml_confusion_matrix", "embed_pca_project",
     "sink_jsonl_sharded", "ml_quantile_bucketize", "sample_reservoir_per_group",
     "win_first_last_ignore_nulls", "agg_weighted_avg", "fn_url_parse",
-    "ts_ewma_window",
+    "ts_ewma_window", "stream_stream_join_live", "stream_foreachbatch_upsert",
 ]
 
 

@@ -342,3 +342,133 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("locf_value"),
         )
     )
+
+
+@query("stream_stream_join_live", tag="streaming")  # rows-only: live stream
+def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join, driven live: clicks and
+    purchases arrive as two independent file streams, both watermarked, and
+    purchases join clicks for the same user within 30 minutes AFTER the
+    click. The time bound plus both watermarks is what lets the engine
+    EXPIRE join state — without them stream-stream join state grows forever;
+    with them state per key is bounded by the interval, which is the whole
+    100 TB story for streaming joins. Output: matched pair counts per user
+    (aggregated in the driver-memory sink query, not the stream)."""
+    import shutil
+    import tempfile
+
+    from dynamic_spark_spark.streaming.core import file_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="dss_ssj_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_ssj_ckpt_")
+    name = "dss_stream_stream_join"
+    try:
+        ev.select("user_id", "event_type", "ts").write.mode("overwrite").parquet(src)
+        schema = ev.select("user_id", "event_type", "ts").schema
+        s1 = file_stream(spark, src, schema)
+        s2 = file_stream(spark, src, schema)
+        clicks = (
+            s1.where(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            s2.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND "
+                "p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.sql(
+            f"SELECT user_id, COUNT(*) AS n_pairs FROM {name} GROUP BY user_id"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_UPSERT_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+"""
+
+
+@query("stream_foreachbatch_upsert", _UPSERT_ORACLE, tag="streaming")
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` idempotent upsert sink: each micro-batch anti-joins
+    the target on the primary key before appending, so replayed batches
+    (the at-least-once delivery Structured Streaming guarantees after
+    failure) insert nothing twice — exactly-once *effect* from
+    at-least-once delivery. The final table equals the batch ground truth,
+    so this is the rare streaming key the DuckDB oracle can hash-check.
+
+    Scale notes: the anti-join probes only the key column of the target
+    (column-pruned parquet scan); in production the target would be an
+    ACID table format and the anti-join a MERGE, but the idempotency
+    pattern is identical. Multiple micro-batches are forced with
+    maxFilesPerTrigger=1 over a multi-file source."""
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    src = tempfile.mkdtemp(prefix="dss_upsert_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_upsert_ckpt_")
+    target = tempfile.mkdtemp(prefix="dss_upsert_tgt_") + "/t"
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            try:
+                existing = batch_df.sparkSession.read.parquet(target).select(
+                    "event_id"
+                )
+                fresh = batch_df.join(existing, "event_id", "left_anti")
+            except AnalysisException:  # first batch: target doesn't exist yet
+                fresh = batch_df
+            fresh.write.mode("append").parquet(target)
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        final = (
+            spark.read.parquet(target)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").alias("id_sum"),
+            )
+        )
+        # the target dir is removed in finally, so materialize the (tiny,
+        # |event_type|-bounded) aggregate before returning
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(target.rsplit("/", 1)[0], ignore_errors=True)
