@@ -92,3 +92,44 @@ def test_sim_join_recall_floor(spark, sf_dir):
     got = {(r.vec_a, r.vec_b) for r in qs["sim_join_lsh"](spark, sf_dir).collect()}
     assert truth, "calibrated threshold must make the truth set non-empty"
     assert len(truth & got) / len(truth) >= 0.6
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter injection: when a selective filtered side joins
+    a large fact over a shuffle, Spark can build a bloom filter from the
+    filtered side and apply it to the fact scan — rows that can't join are
+    dropped BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice; the
+    defaults (10 GB application-side threshold) enable it exactly there, so
+    this test lowers the threshold to demonstrate the same plan at test
+    scale — and pins that the rewrite (a) injects and (b) preserves results."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized
+        got = {r["o_orderstatus"]: r["count"] for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert got == {r["o_orderstatus"]: r["count"] for r in plain.collect()}
