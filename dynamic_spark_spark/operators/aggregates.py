@@ -413,27 +413,29 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_weighted_avg",
     "SELECT l_returnflag,"
-    " ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)"
+    f" ROUND({o_dsum('l_extendedprice * l_quantity')} / SUM(l_quantity), 6)"
     "   AS qty_weighted_price,"
-    " ROUND(SUM(l_extendedprice * (1 - l_discount)) /"
-    "       SUM(CAST(1 - l_discount AS DOUBLE)), 6) AS disc_weighted_price"
+    f" ROUND({o_dsum('l_extendedprice * (1 - l_discount)')} /"
+    f"       {o_dsum('1 - l_discount')}, 6) AS disc_weighted_price"
     " FROM lineitem GROUP BY l_returnflag",
     tag="aggregate",
 )
 def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted means as ratio-of-sums aggregates — both numerator and
     denominator are map-side-combinable SUMs, so the weighted average costs
-    exactly one shuffle (no second pass, no window)."""
+    exactly one shuffle (no second pass, no window). Sums accumulate via the
+    order-independent scaled-int path (`dsum`) so the 6-dp rounding of the
+    ratio can't straddle a tie against the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            dsum(F.col("l_extendedprice") * F.col("l_quantity"), "_num_q")
             / F.sum("l_quantity"),
             6,
         ).alias("qty_weighted_price"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            / F.sum((1 - F.col("l_discount")).cast("double")),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_num_d")
+            / dsum(1 - F.col("l_discount"), "_den_d"),
             6,
         ).alias("disc_weighted_price"),
     )

@@ -27,7 +27,9 @@ from dynamic_spark_spark.sources.readers import load_table
 
 _EDGES_SQL = """
 SELECT cn.n_name AS src, sn.n_name AS dst,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS weight,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS weight,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -62,9 +64,20 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy("src", "dst")
         .agg(
+            # Exact decimal accumulation: double sums are order-dependent and
+            # Spark's partial aggregation vs DuckDB's single pass can land on
+            # opposite sides of a .005 rounding boundary. Decimal sums are
+            # associative/exact, so ROUND then is deterministic on both
+            # engines; cast back to double for a stable compared dtype.
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("weight"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("weight"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -83,12 +96,14 @@ WITH edges AS ({_EDGES_SQL})
 SELECT n_name AS node,
        CAST(COALESCE(o.out_deg, 0) AS INT) AS out_deg,
        CAST(COALESCE(i.in_deg, 0) AS INT) AS in_deg,
-       ROUND(COALESCE(o.out_w, 0), 2) AS out_weight,
-       ROUND(COALESCE(i.in_w, 0), 2) AS in_weight
+       CAST(ROUND(COALESCE(o.out_w, 0), 2) AS DOUBLE) AS out_weight,
+       CAST(ROUND(COALESCE(i.in_w, 0), 2) AS DOUBLE) AS in_weight
 FROM nation
-LEFT JOIN (SELECT src, COUNT(*) AS out_deg, SUM(weight) AS out_w
+LEFT JOIN (SELECT src, COUNT(*) AS out_deg,
+                  SUM(CAST(weight AS DECIMAL(18,2))) AS out_w
            FROM edges GROUP BY src) o ON n_name = o.src
-LEFT JOIN (SELECT dst, COUNT(*) AS in_deg, SUM(weight) AS in_w
+LEFT JOIN (SELECT dst, COUNT(*) AS in_deg,
+                  SUM(CAST(weight AS DECIMAL(18,2))) AS in_w
            FROM edges GROUP BY dst) i ON n_name = i.dst
 """
 
@@ -102,13 +117,16 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_name").alias("node")
     )
+    # Strength sums accumulate in decimal (weights are exact 2-dp values) so
+    # Spark's shuffle-order-dependent double addition can't drift across a
+    # rounding boundary relative to the oracle.
     out_d = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("int").alias("out_deg"),
-        F.sum("weight").alias("out_w"),
+        F.sum(F.col("weight").cast("decimal(18,2)")).alias("out_w"),
     )
     in_d = edges.groupBy("dst").agg(
         F.count(F.lit(1)).cast("int").alias("in_deg"),
-        F.sum("weight").alias("in_w"),
+        F.sum(F.col("weight").cast("decimal(18,2)")).alias("in_w"),
     )
     return (
         nodes.join(out_d, nodes.node == out_d.src, "left")
@@ -117,8 +135,8 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-            F.round(F.coalesce("out_w", F.lit(0.0)), 2).alias("out_weight"),
-            F.round(F.coalesce("in_w", F.lit(0.0)), 2).alias("in_weight"),
+            F.round(F.coalesce("out_w", F.lit(0.0)), 2).cast("double").alias("out_weight"),
+            F.round(F.coalesce("in_w", F.lit(0.0)), 2).cast("double").alias("in_weight"),
         )
     )
 

@@ -18,8 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dynamic_spark_spark.functions.deterministic import dsum, o_dsum
 from dynamic_spark_spark.registry import query
 from dynamic_spark_spark.sources.readers import load_table
+
+#: DuckDB fragment for the order-independent SUM(value) used in resampling.
+_O_DSUM_VALUE = o_dsum("value")
 
 #: session gap threshold (30 minutes, in microseconds)
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -127,7 +131,7 @@ SELECT make_timestamp((epoch_us(ts) // {_RESAMPLE_US}) * {_RESAMPLE_US})
          AS bucket_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 4) AS sum_value,
+       ROUND({_O_DSUM_VALUE}, 4) AS sum_value,
        ROUND(MIN(value), 6) AS min_value,
        ROUND(MAX(value), 6) AS max_value
 FROM events GROUP BY 1, 2
@@ -150,7 +154,10 @@ def ts_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket_start"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        # order-independent accumulation: double SUM order differs between
+        # Spark partials and the oracle's single pass; dsum makes the 4-dp
+        # rounding tie-proof.
+        F.round(dsum("value", "_sv"), 4).alias("sum_value"),
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
