@@ -41,9 +41,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # long nanos → microsecond timestamp; integer `div` (not fp division,
-        # which rounds at 1e18 magnitudes) matches DuckDB's ns→µs truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            # TIMESTAMP(NANOS) parquet read as long nanos (legacy nanosAsLong)
+            # → microsecond timestamp; integer `div` (not fp division, which
+            # rounds at 1e18 magnitudes) matches DuckDB's ns→µs truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-native parquet arrives as TIMESTAMP_NTZ; normalize to the
+            # session-TZ TIMESTAMP type every downstream op (and DuckDB's
+            # read of the same file) expects.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
