@@ -68,3 +68,30 @@ def fn_date_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.minute("ts").alias("mi"),
         F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
     )
+
+
+@query(
+    "fn_sequence_dates",
+    "SELECT o_orderkey,"
+    " CAST(CAST(unnest(generate_series(CAST(o_orderdate AS DATE),"
+    "   CAST(o_orderdate AS DATE) + 6, INTERVAL 1 DAY)) AS DATE) AS VARCHAR)"
+    "   AS service_day"
+    " FROM orders WHERE o_orderkey % 97 = 0",
+    tag="function",
+)
+def fn_sequence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-series densification: ``F.sequence`` + ``explode`` turns each
+    order row into its 7-day service calendar — the standard idiom for
+    joining sparse facts against a dense calendar without a calendar table.
+    Map-side only (generator, no shuffle); output size is a static 7× of the
+    filtered input, so the fan-out is bounded and predictable at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    start = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.explode(F.sequence(start, F.date_add(start, 6))).alias("d"),
+    ).select(
+        "o_orderkey",
+        # string projection: the only hash-stable cross-engine date shape
+        F.col("d").cast("string").alias("service_day"),
+    )

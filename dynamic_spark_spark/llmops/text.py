@@ -437,3 +437,58 @@ def sample_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(gate < 950, "train").otherwise("val").alias("split"),
     )
+
+
+#: stopword list for the Gopher-style "natural language" signal
+_GOPHER_STOPS = ("the", "and", "of", "to", "a", "in", "is", "that", "it")
+
+_GOPHER_ORACLE = """
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS word_count,
+       ROUND(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w), 6)
+         AS mean_word_len,
+       ROUND(CAST(len(list_filter(w, x -> x IN ({stops}))) AS DOUBLE) / len(w), 6)
+         AS stop_ratio,
+       (len(w) BETWEEN 50 AND 100000
+        AND CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+              BETWEEN 2.0 AND 10.0
+        AND len(list_filter(w, x -> x IN ({stops}))) >= 2) AS passes
+FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents)
+""".format(stops=", ".join(f"'{s}'" for s in _GOPHER_STOPS))
+
+
+@query("text_gopher_quality", _GOPHER_ORACLE, tag="llm-text")
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (public heuristics from the Gopher
+    / MassiveText data pipeline papers): word-count bounds, mean word length
+    band, and a minimum stopword count as a natural-language signal. Every
+    rule is a codegen array expression over one ``split`` — map-only, no
+    Python, no shuffle; at 100 TB this is a pure scan-side filter that
+    composes with any downstream sampling or dedup stage. The boolean verdict
+    is computed from the *raw* ratios (rounding only in the displayed
+    columns) so the pass/fail set is bit-identical across engines — integer
+    numerators and denominators make the IEEE division deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    wc = F.size(words)
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_GOPHER_STOPS)))
+    mean_wl = char_sum.cast("double") / wc
+    passes = (
+        (wc >= 50)
+        & (wc <= 100000)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 10.0)
+        & (stop_hits >= 2)
+    )
+    return d.select(
+        "doc_id",
+        wc.cast("bigint").alias("word_count"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_hits.cast("double") / wc, 6).alias("stop_ratio"),
+        passes.alias("passes"),
+    )

@@ -1,0 +1,118 @@
+"""Frequency-sketch operators built as pure DataFrame aggregations.
+
+The count-min sketch here is *not* Spark's opaque ``count_min_sketch`` binary
+(which can't be probed cross-engine): the d×w counter matrix is materialized
+as ordinary (depth, bucket, count) rows, so building it is one map-side
+array expansion plus a single groupBy shuffle of at most d·w rows, and
+probing is a broadcast join — every step stays in codegen and is
+oracle-checkable in ANSI SQL. This is the standard distributed-CMS
+construction: merge of per-partition sketches is exactly the partial
+aggregation Catalyst already does.
+
+Reference parity: aggregation surface of the delegated Spark compute
+(docs/ScalaSparkCompute-sparkcompute.md:10-12); sketching itself is a
+training-data-pipeline extension (SURVEY.md §2.D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+#: universal-hash family h_i(k) = ((a_i·k + b_i) mod P) mod W over Z_P
+_CMS_P = 1_000_003  # prime > any key after `k mod P` reduction
+_CMS_W = 512  # buckets per row
+_CMS_ROWS = [(131, 7), (1031, 101), (8191, 359), (524287, 911)]  # (a_i, b_i)
+_CMS_PROBES = [1, 3, 7, 42, 99]
+
+
+def _cms_bucket_sql(expr: str, a: int, b: int) -> str:
+    return f"(({a} * ({expr} % {_CMS_P}) + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+def _cms_bucket_col(key, a: int, b: int):
+    reduced = F.pmod(key, F.lit(_CMS_P))
+    return F.pmod(F.pmod(F.lit(a) * reduced + F.lit(b), F.lit(_CMS_P)), F.lit(_CMS_W))
+
+
+def _cms_oracle() -> str:
+    pair_selects = " UNION ALL ".join(
+        f"SELECT {i} AS depth, {_cms_bucket_sql('l_suppkey', a, b)} AS bucket"
+        " FROM lineitem"
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT probe_key, {i} AS depth,"
+        f" {_cms_bucket_sql('probe_key', a, b)} AS bucket FROM probes"
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    )
+    probe_values = ", ".join(f"({k})" for k in _CMS_PROBES)
+    return (
+        f"WITH pairs AS ({pair_selects}),"
+        " counters AS (SELECT depth, bucket, COUNT(*) AS c"
+        "   FROM pairs GROUP BY depth, bucket),"
+        f" probes AS (SELECT CAST(probe_key AS BIGINT) AS probe_key"
+        f"   FROM (VALUES {probe_values}) AS t(probe_key)),"
+        f" probe_pairs AS ({probe_selects}),"
+        " est AS (SELECT probe_key, MIN(COALESCE(c, 0)) AS est_count"
+        "   FROM probe_pairs LEFT JOIN counters USING (depth, bucket)"
+        "   GROUP BY probe_key),"
+        " truth AS (SELECT l_suppkey AS probe_key, COUNT(*) AS true_count"
+        "   FROM lineitem GROUP BY l_suppkey)"
+        " SELECT probe_key, CAST(est_count AS BIGINT) AS est_count,"
+        " CAST(COALESCE(true_count, 0) AS BIGINT) AS true_count"
+        " FROM est LEFT JOIN truth USING (probe_key)"
+    )
+
+
+@query("agg_countmin_estimate", _cms_oracle(), tag="sketch")
+def agg_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over ``l_suppkey``.
+
+    Build: each fact row expands to d=4 (depth, bucket) pairs
+    (``posexplode`` of a 4-element array — map-side, ×4 fan-out of a
+    2-column projection), then ONE groupBy shuffle whose output is bounded
+    by d·w = 2048 rows regardless of fact size — the partial aggregation
+    does the classic per-partition-sketch merge for free. Probe: the 5-key
+    probe set broadcast-joins the 2048-row counter table; the estimate is
+    the min over depths (CMS guarantee: est ≥ true, overestimates only from
+    hash collisions). True counts joined alongside so the error is visible
+    in the result itself."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    key = F.col("l_suppkey")
+    buckets = F.array(*[_cms_bucket_col(key, a, b) for a, b in _CMS_ROWS])
+    counters = (
+        l.select(F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = spark.createDataFrame(
+        [(k,) for k in _CMS_PROBES], "probe_key bigint"
+    )
+    pkey = F.col("probe_key")
+    probe_buckets = F.array(*[_cms_bucket_col(pkey, a, b) for a, b in _CMS_ROWS])
+    probe_pairs = probes.select(
+        "probe_key", F.posexplode(probe_buckets).alias("depth", "bucket")
+    )
+    est = (
+        F.broadcast(probe_pairs)
+        .join(counters, ["depth", "bucket"], "left")
+        .groupBy("probe_key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+    truth = (
+        l.filter(key.isin(_CMS_PROBES))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(truth, est.probe_key == truth.l_suppkey, "left")
+        .select(
+            "probe_key",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.coalesce(F.col("true_count"), F.lit(0)).cast("bigint").alias("true_count"),
+        )
+    )

@@ -186,3 +186,42 @@ def win_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(w).alias("first_big"),
         F.last("v", ignorenulls=True).over(w).alias("last_big_so_far"),
     )
+
+
+@query(
+    "win_range_interval",
+    "SELECT o_orderkey, o_custkey,"
+    " CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER w AS DOUBLE) AS rev_7d,"
+    " COUNT(*) OVER w AS n_7d"
+    " FROM orders"
+    " WINDOW w AS (PARTITION BY o_custkey"
+    "   ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    "   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)",
+    tag="window",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (``rangeBetween`` on a day number): trailing
+    7-day revenue per customer. RANGE frames bound by *value distance*, not
+    row count — same-day peer rows all enter the frame, and gaps in the
+    calendar shrink it — which ROWS frames cannot express. One shuffle on
+    o_custkey; the frame is evaluated with a sliding two-pointer pass per
+    partition, O(1) amortized per row, no per-row rescans. Decimal
+    accumulation keeps the sum order-independent (fp addition is not
+    associative); cast back to double only for the final projection.
+    Reference parity: windowed aggs are part of the delegated Spark surface
+    (docs/ScalaSparkCompute-sparkcompute.md:10-12)."""
+    o = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(day_no).rangeBetween(-6, 0)
+    dec = F.col("o_totalprice").cast("decimal(28,2)")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        # string projection: the only hash-stable cross-engine date shape
+        F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
+        F.sum(dec).over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )

@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.timeseries",
     "dynamic_spark_spark.operators.graph",
     "dynamic_spark_spark.operators.profiling",
+    "dynamic_spark_spark.operators.sketches",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
@@ -160,6 +161,8 @@ _PRIORITY = [
     "sink_jsonl_sharded", "ml_quantile_bucketize", "sample_reservoir_per_group",
     "win_first_last_ignore_nulls", "agg_weighted_avg", "fn_url_parse",
     "ts_ewma_window", "stream_stream_join_live", "stream_foreachbatch_upsert",
+    "win_range_interval", "fn_sequence_dates", "text_gopher_quality",
+    "agg_countmin_estimate",
 ]
 
 
