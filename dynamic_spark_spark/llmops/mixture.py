@@ -21,6 +21,8 @@ tokenization (SURVEY.md §2.D posture):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -151,4 +153,56 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= RESERVOIR_K)
         .select("source", "doc_id", "h")
+    )
+
+
+#: FFD bin capacity in tokens (context-window budget per packed sequence)
+FFD_CAPACITY = 256
+#: deterministic shard fan-out — bounds the per-group state any one Python
+#: worker materializes, independent of corpus size
+FFD_SHARDS = 8
+
+
+@query("pack_sequences_ffd", tag="llm-text")  # rows-only: FFD is not SQL-expressible
+def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing via ``applyInPandas``: pack
+    documents into fixed-capacity token bins (the training-data step that
+    turns a shuffled corpus into dense context windows with minimal padding).
+
+    FFD needs sequential bin state, so it runs as a grouped-map Pandas UDF —
+    but the group key is (lang, shard) with shard = doc_id mod FFD_SHARDS,
+    so no worker ever materializes more than 1/shards of a language: the
+    packing is embarrassingly parallel across shards and the token counting
+    stays JVM-side codegen. Classic first-fit guarantee (at most one bin
+    ≤ half-full per group) is pinned by a property test. Deterministic:
+    sort by (n_tokens desc, doc_id) — no RNG, restartable at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).cast("long")
+    base = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(FFD_SHARDS)).cast("int").alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        loads: list[int] = []
+        assign: list[int] = []
+        for t in pdf["n_tokens"]:
+            for i, load in enumerate(loads):
+                if load + t <= FFD_CAPACITY:
+                    loads[i] += t
+                    assign.append(i)
+                    break
+            else:
+                loads.append(int(t))
+                assign.append(len(loads) - 1)
+        out = pdf.copy()
+        out["bin_id"] = assign
+        return out
+
+    return base.groupBy("lang", "shard").applyInPandas(
+        pack,
+        schema="doc_id long, lang string, n_tokens long, shard int, bin_id int",
     )

@@ -162,7 +162,7 @@ _PRIORITY = [
     "win_first_last_ignore_nulls", "agg_weighted_avg", "fn_url_parse",
     "ts_ewma_window", "stream_stream_join_live", "stream_foreachbatch_upsert",
     "win_range_interval", "fn_sequence_dates", "text_gopher_quality",
-    "agg_countmin_estimate",
+    "agg_countmin_estimate", "multimodal_audio_meta", "pack_sequences_ffd",
 ]
 
 

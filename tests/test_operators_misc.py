@@ -246,3 +246,61 @@ def test_pca_projection_invariants(spark, sf_dir):
     assert statistics.pvariance(pc1) >= statistics.pvariance(pc2)
     rows2 = embed_pca_project(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ffd_packing_invariants(spark, sf_dir):
+    """pack_sequences_ffd has no SQL oracle; pin the bin-packing facts:
+    every doc appears exactly once, no bin exceeds capacity (unless a single
+    oversize doc owns it), the first-fit guarantee holds (at most one bin
+    ≤ half-full per group), and the packing is deterministic."""
+    from dynamic_spark_spark.llmops.mixture import FFD_CAPACITY, pack_sequences_ffd
+
+    rows = pack_sequences_ffd(spark, sf_dir).collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+    bins: dict[tuple, list] = {}
+    for r in rows:
+        bins.setdefault((r["lang"], r["shard"], r["bin_id"]), []).append(r["n_tokens"])
+    for members in bins.values():
+        if len(members) > 1:
+            assert sum(members) <= FFD_CAPACITY
+    groups: dict[tuple, list] = {}
+    for (lang, shard, _), members in bins.items():
+        groups.setdefault((lang, shard), []).append(sum(members))
+    for loads in groups.values():
+        half_empty = sum(1 for load in loads if load <= FFD_CAPACITY / 2)
+        assert half_empty <= 1, f"first-fit violated: {loads}"
+    rows2 = pack_sequences_ffd(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_media_header_parsers_roundtrip():
+    """Every synthetic encoder round-trips through its parser bit-exactly,
+    and malformed payloads degrade to nulls instead of raising."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        bmp_bytes,
+        gif_bytes,
+        jpeg_bytes,
+        parse_image_header,
+        parse_wav_header,
+        png_bytes,
+        wav_bytes,
+    )
+
+    cases = [
+        (png_bytes, "image/png"),
+        (jpeg_bytes, "image/jpeg"),
+        (gif_bytes, "image/gif"),
+        (bmp_bytes, "image/bmp"),
+    ]
+    for enc, mime in cases:
+        for w, h in [(1, 1), (16, 89), (640, 480), (65535, 1)]:
+            assert parse_image_header(enc(w, h)) == (mime, w, h), (mime, w, h)
+    for rate, ch, bits, n in [(8000, 1, 16, 1000), (44100, 2, 16, 44100), (22050, 2, 8, 7)]:
+        assert parse_wav_header(wav_bytes(rate, ch, bits, n)) == (
+            rate, ch, bits, n, n * 1000 // rate,
+        )
+    assert parse_image_header(b"") == ("application/octet-stream", None, None)
+    assert parse_image_header(None) == ("application/octet-stream", None, None)
+    assert parse_wav_header(b"RIFFxxxx") == (None, None, None, None, None)
+    assert parse_wav_header(None) == (None, None, None, None, None)
