@@ -116,3 +116,90 @@ def agg_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("true_count"), F.lit(0)).cast("bigint").alias("true_count"),
         )
     )
+
+
+#: Bloom parameters: m bits, k hash functions (reusing the CMS hash family)
+_BLOOM_M = 4096
+_BLOOM_K = 4
+#: probe mix: present keys + absent keys far outside the domain
+_BLOOM_PROBES = [1, 2, 777, 19_999, 10_000_000_000, 424_242_424_242]
+
+
+def _bloom_bit_sql(expr: str, i: int) -> str:
+    a, b = _CMS_ROWS[i]
+    return f"(({a} * ({expr} % {_CMS_P}) + {b}) % {_CMS_P}) % {_BLOOM_M}"
+
+
+def _bloom_bit_col(key, i: int):
+    a, b = _CMS_ROWS[i]
+    reduced = F.pmod(key, F.lit(_CMS_P))
+    return F.pmod(F.pmod(F.lit(a) * reduced + F.lit(b), F.lit(_CMS_P)), F.lit(_BLOOM_M))
+
+
+def _bloom_oracle() -> str:
+    bit_selects = " UNION ALL ".join(
+        f"SELECT {_bloom_bit_sql('l_partkey', i)} AS pos FROM lineitem"
+        for i in range(_BLOOM_K)
+    )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT probe_key, {_bloom_bit_sql('probe_key', i)} AS pos FROM probes"
+        for i in range(_BLOOM_K)
+    )
+    probe_values = ", ".join(f"({k})" for k in _BLOOM_PROBES)
+    return (
+        f"WITH bits AS (SELECT DISTINCT pos, 1 AS set_bit FROM ({bit_selects})),"
+        f" probes AS (SELECT CAST(probe_key AS BIGINT) AS probe_key"
+        f"   FROM (VALUES {probe_values}) AS t(probe_key)),"
+        f" probe_bits AS ({probe_selects}),"
+        " hits AS (SELECT probe_key, COUNT(set_bit) AS n_set"
+        "   FROM probe_bits LEFT JOIN bits USING (pos) GROUP BY probe_key),"
+        " truth AS (SELECT DISTINCT l_partkey FROM lineitem)"
+        f" SELECT probe_key, (n_set = {_BLOOM_K}) AS bloom_member,"
+        " (l_partkey IS NOT NULL) AS actually_present"
+        " FROM hits LEFT JOIN truth ON probe_key = l_partkey"
+    )
+
+
+@query("agg_bloom_membership", _bloom_oracle(), tag="sketch")
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over ``l_partkey``, materialized as a bit-
+    position table instead of an opaque bitset so the sketch is probe-able
+    cross-engine. Build: k=4 positions per row (map-side array expansion),
+    then DISTINCT — the shuffle output is bounded by m=4096 rows regardless
+    of fact size; the per-partition partial-distinct is the classic
+    per-partition-bloom OR-merge. Probe: broadcast the probe set against the
+    bit table; a key is reported present iff all k bits are set — zero false
+    negatives by construction (pinned against the exact truth column in the
+    result), false positives possible and visible. This bit-table shape is
+    exactly what Spark's runtime-filter bloom pushdown builds internally
+    (see tests/test_scale_patterns.py)."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    key = F.col("l_partkey")
+    bits = (
+        l.select(
+            F.explode(F.array(*[_bloom_bit_col(key, i) for i in range(_BLOOM_K)]))
+            .alias("pos")
+        )
+        .distinct()
+    )
+    probes = spark.createDataFrame(
+        [(k,) for k in _BLOOM_PROBES], "probe_key bigint"
+    )
+    pkey = F.col("probe_key")
+    probe_bits = probes.select(
+        "probe_key",
+        F.explode(F.array(*[_bloom_bit_col(pkey, i) for i in range(_BLOOM_K)]))
+        .alias("pos"),
+    )
+    hits = (
+        F.broadcast(probe_bits)
+        .join(bits.withColumn("set_bit", F.lit(1)), "pos", "left")
+        .groupBy("probe_key")
+        .agg(F.count("set_bit").alias("n_set"))
+    )
+    truth = l.filter(key.isin(_BLOOM_PROBES)).select("l_partkey").distinct()
+    return hits.join(truth, hits.probe_key == truth.l_partkey, "left").select(
+        "probe_key",
+        (F.col("n_set") == _BLOOM_K).alias("bloom_member"),
+        F.col("l_partkey").isNotNull().alias("actually_present"),
+    )

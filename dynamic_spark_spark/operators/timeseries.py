@@ -270,3 +270,68 @@ def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(ewma * 1_000_000 + F.lit(0.5)).cast("long").alias("ewma_fp"),
         )
     )
+
+
+_MERGE_IV_WIN = (
+    "PARTITION BY o_custkey ORDER BY s, o_orderkey"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+)
+
+_MERGE_IV_ORACLE = f"""
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 7 AS e
+  FROM orders),
+flag AS (
+  SELECT *, CASE WHEN MAX(e) OVER ({_MERGE_IV_WIN}) IS NULL
+                   OR s > MAX(e) OVER ({_MERGE_IV_WIN})
+                 THEN 1 ELSE 0 END AS ni
+  FROM iv),
+isl AS (
+  SELECT *, SUM(ni) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS island
+  FROM flag)
+SELECT o_custkey, CAST(island AS BIGINT) AS island_id,
+       CAST(MIN(s) AS VARCHAR) AS island_start,
+       CAST(MAX(e) AS VARCHAR) AS island_end,
+       COUNT(*) AS n_orders
+FROM isl GROUP BY o_custkey, island
+"""
+
+
+@query("ts_merge_intervals", _MERGE_IV_ORACLE, tag="timeseries")
+def ts_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands by *interval overlap* (not inactivity gap — that's
+    ``sessionize_gap``): each order opens a 7-day service window; overlapping
+    windows per customer merge into islands. The classic cummax idiom: a new
+    island starts where this interval's start exceeds the running max end of
+    all previous intervals — ``max().over(rowsBetween(unboundedPreceding,
+    -1))`` — then a running sum of the flags numbers islands. One shuffle on
+    o_custkey serves both windows and the final rollup (same partitioning;
+    Catalyst reuses the exchange). Deterministic via the o_orderkey
+    tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.col("o_orderdate").cast("date")
+    iv = o.select(
+        "o_custkey", "o_orderkey", s.alias("s"), F.date_add(s, 7).alias("e")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "o_orderkey")
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ni = F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0)
+    isl = iv.withColumn("ni", ni).withColumn(
+        "island",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return isl.groupBy("o_custkey", "island").agg(
+        F.min("s").cast("string").alias("island_start"),
+        F.max("e").cast("string").alias("island_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        "o_custkey",
+        F.col("island").cast("bigint").alias("island_id"),
+        "island_start",
+        "island_end",
+        "n_orders",
+    )
