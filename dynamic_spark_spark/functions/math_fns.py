@@ -73,3 +73,51 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("k_shr"),
         F.bit_count(k).cast("bigint").alias("k_bits"),
     )
+
+
+_Z_BITS = 16
+
+_Z_TERMS_SQL = " | ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i})"
+    f" | (((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+def _z_terms_col():
+    from functools import reduce
+
+    x, y = F.col("l_partkey"), F.col("l_suppkey")
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+@query(
+    "fn_zorder_curve",
+    "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+    f" CAST({_Z_TERMS_SQL} AS BIGINT) AS zval"
+    " FROM lineitem",
+    tag="function",
+)
+def fn_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve index over (l_partkey, l_suppkey): interleave
+    the low 16 bits of each key so rows close in BOTH dimensions get close
+    z-values. Pure codegen bit arithmetic (32 shift/mask terms OR-ed, no UDF).
+
+    Why it matters at 100 TB: sorting a table by ``zval`` before writing
+    parquet clusters the row groups in both dimensions at once, so min/max
+    data skipping prunes scans filtered on either key (or both) — the
+    standard multi-dimensional layout trick (Delta/Iceberg OPTIMIZE ZORDER)
+    expressed as a plain projection any writer can apply via
+    ``df.repartitionByRange(zval).sortWithinPartitions(zval)``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        _z_terms_col().cast("bigint").alias("zval"),
+    )

@@ -163,7 +163,7 @@ _PRIORITY = [
     "ts_ewma_window", "stream_stream_join_live", "stream_foreachbatch_upsert",
     "win_range_interval", "fn_sequence_dates", "text_gopher_quality",
     "agg_countmin_estimate", "multimodal_audio_meta", "pack_sequences_ffd",
-    "ts_merge_intervals", "agg_bloom_membership",
+    "ts_merge_intervals", "agg_bloom_membership", "fn_zorder_curve",
 ]
 
 

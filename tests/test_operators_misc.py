@@ -96,9 +96,9 @@ def test_multimodal_image_meta_dims(spark, sf_dir):
     pdf = qs["multimodal_image_meta"](spark, sf_dir).toPandas()
     assert (pdf["width"] == 16 + pdf["doc_id"] % 97).all()
     assert (pdf["height"] == 16 + pdf["doc_id"] % 89).all()
-    even = pdf["doc_id"] % 2 == 0
-    assert (pdf.loc[even, "mime"] == "image/png").all()
-    assert (pdf.loc[~even, "mime"] == "image/jpeg").all()
+    mimes = ("image/png", "image/jpeg", "image/gif", "image/bmp")
+    for rem, mime in enumerate(mimes):
+        assert (pdf.loc[pdf["doc_id"] % 4 == rem, "mime"] == mime).all()
 
 
 def test_scale_invariance_shuffle_partitions(spark, sf_dir):
