@@ -56,3 +56,26 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery — planned as a left semi join."""
     register_views(spark, sf_dir, ("part", "lineitem"))
     return spark.sql(_IN_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@query("join_lateral", _LATERAL_SQL, tag="subquery")
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (SQL:1999 / Spark 4 LATERAL
+    subquery): top-2 customers per nation, expressed as a per-row dependent
+    subquery. Catalyst decorrelates the LIMIT-per-group into a window
+    rank + filter (DomainJoin rewrite) — no nested-loop re-execution per
+    nation row; identical oracle text runs on DuckDB's LATERAL."""
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
