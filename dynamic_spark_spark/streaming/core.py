@@ -181,3 +181,48 @@ def stateful_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transform_with_state_totals(stream_df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key running counts via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state v2 API (typed state handles, timers, TTL)
+    superseding ``applyInPandasWithState`` above. Requires the RocksDB state
+    store provider and the ``google.protobuf`` wheel for the streaming
+    Python runner; the wheel is absent in this container, so the operator is
+    import-gated (the pytest exercising it skips with the dependency named)
+    — same closure pattern as :func:`kafka_stream` for absent
+    infrastructure. Semantics are pinned by the applyInPandasWithState twin
+    (``stream_stateful_totals``), which runs live in this environment."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (not bundled "
+            "in this container); use stateful_running_totals instead"
+        ) from exc
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n LONG")
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            n = self._state.get()[0] if self._state.exists() else 0
+            for pdf in rows:
+                n += int(len(pdf))
+            self._state.update((n,))
+            yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningCounts(),
+        outputStructType="key string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )

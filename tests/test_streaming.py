@@ -185,3 +185,58 @@ def test_stream_dedup_live_key(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_transform_with_state_totals(spark, sf_dir):
+    """Arbitrary-state v2 (transformWithStateInPandas): runs live when the
+    protobuf wheel is present, else skips naming the missing dependency —
+    the declared-surface closure test, like the Kafka wrapper's."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    import shutil
+    import tempfile
+
+    from dynamic_spark_spark.sources.readers import load_table
+    from dynamic_spark_spark.streaming.core import (
+        file_stream,
+        transform_with_state_totals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="dss_tws_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_tws_ckpt_")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev.write.mode("overwrite").parquet(src)
+        q = (
+            transform_with_state_totals(file_stream(spark, src, ev.schema))
+            .writeStream.format("memory")
+            .queryName("dss_tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        got = {
+            r["key"]: r["n"]
+            for r in spark.sql(
+                "SELECT key, MAX(n) AS n FROM dss_tws_totals GROUP BY key"
+            ).collect()
+        }
+        want = {
+            r["event_type"]: r["count"]
+            for r in ev.groupBy("event_type").count().collect()
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
