@@ -415,3 +415,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = keyed.where(F.col("doc_id") % 2 == 0).select("digest").distinct()
     batch = keyed.where(F.col("doc_id") % 2 == 1)
     return batch.join(existing, "digest", "left_anti").select("doc_id", "digest")
+
+
+#: tokens per passage chunk for exact passage-level dedup
+CHUNK_TOKENS = 10
+
+_PASSAGE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(w[(i*{CHUNK_TOKENS}+1):((i+1)*{CHUNK_TOKENS})], ' ') AS chunk
+  FROM words,
+       UNNEST(generate_series(0, CAST(len(w) // {CHUNK_TOKENS} AS INT) - 1)) AS t(i)),
+freq AS (
+  SELECT chunk, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, chunk FROM chunks) GROUP BY chunk)
+SELECT c.doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM chunks c JOIN freq f USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
+@query("dedup_passage_chunks", _PASSAGE_ORACLE, tag="llm-dedup")
+def dedup_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact passage-level duplication audit (the sub-document granularity
+    between whole-doc ``dedup_exact`` and n-gram Jaccard): split each doc
+    into consecutive CHUNK_TOKENS-token passages, build the passage inverted
+    index, and report per-doc how many of its passages also occur in other
+    docs — the signal used to strip boilerplate/templated passages from
+    training corpora.
+
+    Scale shape: chunking is per-row codegen (sequence + slice + array_join,
+    no Python); the only shuffles are the passage groupBy and the join back,
+    both keyed by passage — an inverted index, never pairwise. At 100 TB,
+    swap the passage string for ``xxhash64(chunk)`` before the shuffle so
+    only 8-byte keys move (kept as the string here for cross-engine oracle
+    parity). Within-doc repeats are not self-matches: frequency counts
+    distinct docs per passage."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    n_full = F.floor(F.size(w) / CHUNK_TOKENS).cast("int")
+    idx = F.when(n_full > 0, F.sequence(F.lit(0), n_full - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx, lambda i: F.array_join(F.slice(w, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ")
+    )
+    ch = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    freq = ch.distinct().groupBy("chunk").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )

@@ -164,7 +164,7 @@ _PRIORITY = [
     "win_range_interval", "fn_sequence_dates", "text_gopher_quality",
     "agg_countmin_estimate", "multimodal_audio_meta", "pack_sequences_ffd",
     "ts_merge_intervals", "agg_bloom_membership", "fn_zorder_curve",
-    "fn_variant", "join_lateral",
+    "fn_variant", "join_lateral", "dedup_passage_chunks",
 ]
 
 
