@@ -152,3 +152,68 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     plan = _plan(q["join_null_safe"](spark, sf_dir))
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_countmin_bounded_shuffle_and_broadcast_probe(spark, sf_dir):
+    """agg_countmin_estimate: the counter build must partial-aggregate
+    map-side (shuffle input bounded by d*w per task, not fact size), the
+    fact scan must read only the sketch key, and the probe side must
+    broadcast — the bounded-sketch contract."""
+    q = load_all_queries()
+    plan = _plan(q["agg_countmin_estimate"](spark, sf_dir))
+    assert "partial_count" in plan, plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read.strip().startswith("struct<l_suppkey"), read
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_bounded_distinct(spark, sf_dir):
+    """agg_bloom_membership: bit-position build partial-aggregates before
+    the exchange (per-partition bloom OR-merge), single-column scan."""
+    q = load_all_queries()
+    plan = _plan(q["agg_bloom_membership"](spark, sf_dir))
+    assert "HashAggregate" in plan and "Exchange" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read.strip().startswith("struct<l_partkey"), read
+    assert "BroadcastExchange" in plan
+
+
+def test_zorder_pure_codegen(spark, sf_dir):
+    """fn_zorder_curve: 32-term bit interleave stays entirely in whole-stage
+    codegen — no Python evaluation, no shuffle (map-only projection)."""
+    q = load_all_queries()
+    plan = _plan(q["fn_zorder_curve"](spark, sf_dir))
+    # toString() marks whole-stage-codegen stages with the `*(n)` prefix
+    assert "*(1) Project" in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert bad not in plan, bad
+
+
+def test_range_frame_single_exchange(spark, sf_dir):
+    """win_range_interval: the RANGE-frame window needs exactly one shuffle
+    (hashpartitioning on o_custkey) — specified-window-frame evaluation must
+    not introduce extra exchanges."""
+    q = load_all_queries()
+    plan = _plan(q["win_range_interval"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+
+
+def test_merge_intervals_reuses_exchange(spark, sf_dir):
+    """ts_merge_intervals: both window passes and the island rollup share
+    the o_custkey partitioning — one hash exchange total."""
+    q = load_all_queries()
+    plan = _plan(q["ts_merge_intervals"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_passage_dedup_no_python_pruned_scan(spark, sf_dir):
+    """dedup_passage_chunks: chunking is codegen (no Python eval anywhere)
+    and the documents scan reads only (doc_id, text)."""
+    q = load_all_queries()
+    plan = _plan(q["dedup_passage_chunks"](spark, sf_dir))
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read and "source" not in read, read
