@@ -278,3 +278,28 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         _entries_str(tv).alias("doubled"),
         _entries_str(mz).alias("zipped"),
     )
+
+
+@query(
+    "fn_explode_outer",
+    # DuckDB has no OUTER unnest; [NULL]-substitution on empty lists is the
+    # standard emulation and proves the null-row-preserving semantics
+    "SELECT vec_id, CAST(unnest(CASE WHEN len(small) = 0 THEN [NULL]"
+    "   ELSE small END) AS DOUBLE) AS v"
+    " FROM (SELECT vec_id,"
+    "   list_filter(embedding, x -> x > 0.18) AS small"
+    "   FROM embeddings WHERE vec_id < 200)",
+    tag="function",
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving fan-out (``explode_outer``): rows whose array filters
+    to empty still emit one NULL row — the LEFT-JOIN-shaped explode. Without
+    _outer, rows vanish (inner-join semantics); at 100 TB that silently
+    drops every entity with no matching elements, which downstream
+    aggregates then miscount. Map-side generator, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    small = F.filter(F.col("embedding"), lambda x: x > 0.18)
+    return e.select(
+        "vec_id",
+        F.explode_outer(small).alias("v0"),
+    ).select("vec_id", F.col("v0").cast("double").alias("v"))

@@ -121,3 +121,30 @@ def fn_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         _z_terms_col().cast("bigint").alias("zval"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    "SELECT o_orderkey,"
+    " o_totalprice / NULLIF(CAST(o_orderkey % 7 AS DOUBLE), 0) AS per_slot,"
+    " TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_num,"
+    " CAST(o_orderkey AS BIGINT) + 1 AS next_key"
+    " FROM orders",
+    tag="function",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic (``try_divide`` / ``try_cast`` / ``try_add``):
+    under Spark 4's default ANSI mode, a single divide-by-zero or bad cast
+    FAILS the whole job — on 100 TB that's hours lost to one malformed row.
+    The try_ family yields NULL instead, per-row, while keeping ANSI's
+    overflow protection everywhere else. Oracle maps to NULLIF-guarded
+    division and TRY_CAST."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 7).cast("double")
+        ).alias("per_slot"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pri_num"),
+        F.try_add(F.col("o_orderkey"), F.lit(1)).alias("next_key"),
+    )

@@ -165,6 +165,7 @@ _PRIORITY = [
     "agg_countmin_estimate", "multimodal_audio_meta", "pack_sequences_ffd",
     "ts_merge_intervals", "agg_bloom_membership", "fn_zorder_curve",
     "fn_variant", "join_lateral", "dedup_passage_chunks",
+    "fn_explode_outer", "fn_try_arithmetic", "udf_arrow",
 ]
 
 
