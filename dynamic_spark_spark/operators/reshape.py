@@ -115,3 +115,58 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+_MERGE_ORACLE = """
+WITH delta AS (
+  SELECT o_orderkey, o_totalprice * 1.10 AS new_price, 'updated' AS op
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT 9000000000 + r AS o_orderkey, 100.0 + r AS new_price, 'inserted' AS op
+  FROM (SELECT unnest(generate_series(1, 5)) AS r)
+)
+SELECT COALESCE(o.o_orderkey, d.o_orderkey) AS o_orderkey,
+       CASE WHEN d.o_orderkey IS NOT NULL THEN d.new_price
+            ELSE o.o_totalprice END AS o_totalprice,
+       CASE WHEN d.o_orderkey IS NULL THEN 'kept' ELSE d.op END AS merge_op
+FROM orders o FULL OUTER JOIN delta d ON o.o_orderkey = d.o_orderkey
+"""
+
+
+@query("merge_upsert_batch", _MERGE_ORACLE, tag="cdc")
+def merge_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (Delta-style ``MERGE INTO`` semantics) as a full-outer
+    join + conditional projection: WHEN MATCHED update, WHEN NOT MATCHED
+    insert, else keep — the upsert compaction every CDC snapshot needs
+    without a table format. The delta side is derived deterministically
+    (every 100th order re-priced + 5 synthetic inserts above the key
+    space). Scale shape: one shuffle on the merge key; with the target
+    bucketed by key (see ``join_bucketed``) even that shuffle disappears on
+    the target side. The streaming twin is ``stream_foreachbatch_upsert``."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.10).alias("new_price"),
+            F.lit("updated").alias("op"),
+        )
+    )
+    inserts = spark.range(1, 6).select(
+        (F.lit(9_000_000_000) + F.col("id")).alias("o_orderkey"),
+        (F.lit(100.0) + F.col("id")).alias("new_price"),
+        F.lit("inserted").alias("op"),
+    )
+    delta = updates.unionByName(inserts)
+    d = delta.alias("d")
+    t = o.alias("t")
+    joined = t.join(d, F.col("t.o_orderkey") == F.col("d.o_orderkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("t.o_orderkey"), F.col("d.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("d.o_orderkey").isNotNull(), F.col("d.new_price"))
+        .otherwise(F.col("t.o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("d.o_orderkey").isNull(), F.lit("kept"))
+        .otherwise(F.col("d.op"))
+        .alias("merge_op"),
+    )

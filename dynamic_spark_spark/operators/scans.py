@@ -394,3 +394,52 @@ def sink_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_DYN_OVERWRITE_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2
+                     ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("sink_dynamic_overwrite", _DYN_OVERWRITE_ORACLE, tag="sink")
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (``partitionOverwriteMode=dynamic``):
+    write the full partitioned table, then overwrite ONLY the partitions
+    present in the incoming frame (status 'F', re-priced at 50%) — static
+    mode would wipe the other partitions; dynamic replaces just the touched
+    directories. This is the idempotent daily-backfill idiom at 100 TB: a
+    re-run of one day's job rewrites one day's partitions, never the table.
+    The read-back aggregate proves untouched partitions survived and the
+    overwritten one carries the new values. Prices travel as integer cents
+    (``round(x*100) div 2``) so the 50% reprice and the sums are engine-
+    exact — halving a 2-decimal double creates half-cents whose rounding
+    mode differs across engines."""
+    out = _tmpdir(prefix="dss_dynow_")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("total_cents"), "o_orderstatus"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        repriced = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+            "total_cents", F.expr("total_cents div 2")
+        )
+        repriced.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+        )
+        .withColumn("o_orderstatus", F.col("o_orderstatus").cast("string"))
+    )

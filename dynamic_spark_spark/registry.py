@@ -166,6 +166,7 @@ _PRIORITY = [
     "ts_merge_intervals", "agg_bloom_membership", "fn_zorder_curve",
     "fn_variant", "join_lateral", "dedup_passage_chunks",
     "fn_explode_outer", "fn_try_arithmetic", "udf_arrow",
+    "merge_upsert_batch", "sink_dynamic_overwrite",
 ]
 
 
