@@ -186,18 +186,42 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # First-fit via a segment tree over per-bin remaining capacity:
+        # leftmost-bin-with-room lookup is O(log n) instead of the naive
+        # linear scan, which measured quadratic (21× time for 10× rows at
+        # the 100× probe) once groups hold >10k docs. Same assignment as
+        # the linear scan — first-fit is defined by bin index order, which
+        # the leftmost-descent preserves.
         pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-        loads: list[int] = []
+        n = len(pdf)
+        size = 1
+        while size < max(n, 1):
+            size *= 2
+        tree = [0] * (2 * size)  # max remaining capacity per subtree; 0 = unopened
+        n_bins = 0
+
+        def update(leaf: int, value: int) -> None:
+            i = size + leaf
+            tree[i] = value
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
+
         assign: list[int] = []
         for t in pdf["n_tokens"]:
-            for i, load in enumerate(loads):
-                if load + t <= FFD_CAPACITY:
-                    loads[i] += t
-                    assign.append(i)
-                    break
+            t = int(t)
+            if tree[1] >= t:  # leftmost bin with remaining >= t
+                i = 1
+                while i < size:
+                    i = 2 * i if tree[2 * i] >= t else 2 * i + 1
+                b = i - size
+                update(b, tree[i] - t)
             else:
-                loads.append(int(t))
-                assign.append(len(loads) - 1)
+                b = n_bins
+                n_bins += 1
+                update(b, max(FFD_CAPACITY - t, 0))
+            assign.append(b)
         out = pdf.copy()
         out["bin_id"] = assign
         return out

@@ -67,6 +67,8 @@ class Pipeline:
         self.spec = spec
         self.deploy_compile = deploy_compile
         self.lineage: list[LineageRecord] = []
+        #: stage name -> Observation (single-pass metrics, see metrics())
+        self._observations: dict = {}
         shape_errors = spec.validate_shape()
         if shape_errors:
             raise PipelineValidationError(shape_errors)
@@ -131,6 +133,7 @@ class Pipeline:
                 self._record(stage, "source", [], df.columns)
             elif stage.type == "transform":
                 df = self._apply_transform(spark, stage, df, ctx)
+                df = self._attach_observation(stage, df)
                 self._record(stage, self._op_name(stage, "transform"), in_fields, df.columns)
             elif stage.type == "sink":
                 result = self._apply_sink(stage, df, ctx)
@@ -203,6 +206,42 @@ class Pipeline:
             p["path"]
         )
         return df
+
+    # -- observed metrics -------------------------------------------------
+
+    def _attach_observation(self, stage: StageSpec, df: DataFrame) -> DataFrame:
+        """Stage-level metrics via ``df.observe`` (``observe: true`` or a
+        list of ``'null:<col>'``/``'sum:<col>'`` specs in stage params):
+        accumulator-style counters evaluated DURING the sink action — zero
+        extra passes over the data, which at 100 TB is the difference
+        between monitoring and doubling the bill. The analog of the
+        reference's stage metrics (CDAP StageMetrics recorded per plugin);
+        here they ride the same job instead of a second count()."""
+        spec = stage.params.get("observe")
+        if not spec:
+            return df
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        metrics = [F.count(F.lit(1)).alias("rows")]
+        if isinstance(spec, list):
+            for m in spec:
+                kind, _, col = m.partition(":")
+                if kind == "null":
+                    metrics.append(
+                        F.count_if(F.col(col).isNull()).alias(f"null_{col}")
+                    )
+                elif kind == "sum":
+                    metrics.append(
+                        F.sum(F.col(col).cast("double")).alias(f"sum_{col}")
+                    )
+        obs = Observation(stage.name)
+        self._observations[stage.name] = obs
+        return df.observe(obs, *metrics)
+
+    def metrics(self) -> dict[str, dict[str, float]]:
+        """Observed per-stage metrics; available after a sink action ran."""
+        return {name: dict(obs.get) for name, obs in self._observations.items()}
 
     # -- lineage ----------------------------------------------------------
 

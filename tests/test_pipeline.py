@@ -131,3 +131,35 @@ def test_pipeline_user_sink_and_context_args(spark, sf_dir):
     pipe = Pipeline(spec, runtime_args={"out": out_dir})
     pipe.run(spark)
     assert spark.read.parquet(out_dir).count() == 25 or os.path.exists(out_dir)
+
+
+def test_observed_stage_metrics(spark, sf_dir, tmp_path):
+    """`observe:` stage params ride the sink action as accumulator metrics —
+    no second pass: row count, null count, and a sum arrive per stage."""
+    from dynamic_spark_spark.plans.pipeline import Pipeline
+
+    spec = {
+        "name": "obs-pipe",
+        "stages": [
+            {"name": "src", "type": "source", "params": {"table": "orders", "sf_dir": sf_dir}},
+            {
+                "name": "xform",
+                "type": "transform",
+                "params": {
+                    "sql": "SELECT o_orderkey, o_totalprice FROM input WHERE o_orderkey % 2 = 0",
+                    "observe": ["null:o_totalprice", "sum:o_totalprice"],
+                },
+            },
+            {"name": "out", "type": "sink", "params": {"path": str(tmp_path / "obs_out")}},
+        ],
+    }
+    p = Pipeline(spec)
+    p.run(spark)
+    m = p.metrics()["xform"]
+    from dynamic_spark_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0)
+    assert m["rows"] == o.count()
+    assert m["null_o_totalprice"] == 0
+    assert abs(m["sum_o_totalprice"] - o.agg(F.sum("o_totalprice")).first()[0]) < 1e-6
