@@ -443,3 +443,54 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("o_orderstatus", F.col("o_orderstatus").cast("string"))
     )
+
+
+_SERIES_ROWS = 1000
+_SERIES_PARTS = 4
+
+
+@query(
+    "scan_python_datasource",
+    f"SELECT CAST(unnest(generate_series(0, {_SERIES_ROWS - 1})) AS BIGINT) AS id,"
+    f" CAST((unnest(generate_series(0, {_SERIES_ROWS - 1}))"
+    f"   * unnest(generate_series(0, {_SERIES_ROWS - 1}))) % 97 AS BIGINT) AS h",
+    tag="scan",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API):
+    a from-scratch connector — schema declaration, partition planning
+    (4 input partitions read in parallel), per-partition generator — the
+    modern extension point replacing Java DataSource V2 for Python-first
+    connectors (the reference's plugin-style source surface, re-expressed).
+    Deterministic integer series so the DuckDB oracle reproduces it with
+    generate_series arithmetic."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    rows, parts = _SERIES_ROWS, _SERIES_PARTS
+
+    class _Slice(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SeriesReader(DataSourceReader):
+        def partitions(self):
+            step = rows // parts
+            return [_Slice(i * step, (i + 1) * step) for i in range(parts)]
+
+        def read(self, p):
+            for i in range(p.start, p.end):
+                yield (i, (i * i) % 97)
+
+    class _SeriesSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dss_series"
+
+        def schema(self) -> str:
+            return "id bigint, h bigint"
+
+        def reader(self, schema):
+            return _SeriesReader()
+
+    spark.dataSource.register(_SeriesSource)
+    return spark.read.format("dss_series").load()

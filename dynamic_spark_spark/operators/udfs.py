@@ -161,3 +161,41 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    "SELECT l_orderkey, l_linenumber,"
+    " l_extendedprice * (1.0 - l_discount) AS net_price"
+    " FROM lineitem",
+    tag="udf",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python boundary — user code sees
+    raw ``pyarrow.RecordBatch``es (no pandas conversion at all) and computes
+    with Arrow compute kernels, which are C++ SIMD under the hood. The tier
+    below ``mapInPandas`` when the logic is expressible in Arrow kernels;
+    IEEE-exact vs the SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    b.column("l_linenumber"),
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    ),
+                ],
+                names=["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        net, schema="l_orderkey long, l_linenumber int, net_price double"
+    )
