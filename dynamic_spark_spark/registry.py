@@ -167,6 +167,7 @@ _PRIORITY = [
     "fn_variant", "join_lateral", "dedup_passage_chunks",
     "fn_explode_outer", "fn_try_arithmetic", "udf_arrow",
     "merge_upsert_batch", "sink_dynamic_overwrite",
+    "udf_map_in_arrow", "scan_python_datasource",
 ]
 
 
