@@ -304,3 +304,21 @@ def test_media_header_parsers_roundtrip():
     assert parse_image_header(None) == ("application/octet-stream", None, None)
     assert parse_wav_header(b"RIFFxxxx") == (None, None, None, None, None)
     assert parse_wav_header(None) == (None, None, None, None, None)
+
+
+def test_sketch_guarantees(spark, sf_dir):
+    """The sketch contracts beyond what the oracle equality shows:
+    count-min never underestimates (est >= true for every probe, including
+    absent keys), and the Bloom filter has zero false negatives
+    (actually_present implies bloom_member)."""
+    qs = load_all_queries()
+    cms = qs["agg_countmin_estimate"](spark, sf_dir).collect()
+    assert cms, "no CMS probes returned"
+    for r in cms:
+        assert r["est_count"] >= r["true_count"], dict(r.asDict())
+    bloom = qs["agg_bloom_membership"](spark, sf_dir).collect()
+    assert any(r["actually_present"] for r in bloom)
+    assert any(not r["actually_present"] for r in bloom)
+    for r in bloom:
+        if r["actually_present"]:
+            assert r["bloom_member"], dict(r.asDict())
