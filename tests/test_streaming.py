@@ -240,3 +240,52 @@ def test_transform_with_state_totals(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart from the same checkpoint must not double-count:
+    batch 1 streams through a windowed aggregate, the query stops, MORE
+    files land in the source, and a NEW query object resumes from the same
+    checkpoint — final per-type counts equal the batch ground truth over
+    both file sets (no reprocessing of batch 1, no loss of batch 2). This is
+    the recovery contract a 1000-executor job relies on after any failure."""
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.sources.readers import load_table
+    from dynamic_spark_spark.streaming.core import file_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    first = ev.filter(F.col("value") < 50)
+    second = ev.filter(F.col("value") >= 50)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first.write.mode("overwrite").parquet(src)
+
+    def run_round() -> None:
+        q = (
+            file_stream(spark, src, ev.schema)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName("dss_restart_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    run_round()
+    # more data lands after the first query is gone; resume from checkpoint
+    second.write.mode("append").parquet(src)
+    run_round()
+
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.sql("SELECT event_type, n FROM dss_restart_counts").collect()
+    }
+    want = {
+        r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()
+    }
+    assert got == want
