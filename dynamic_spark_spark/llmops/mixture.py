@@ -230,3 +230,107 @@ def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         schema="doc_id long, lang string, n_tokens long, shard int, bin_id int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling + mixture QC (round-2 second wave)
+# ---------------------------------------------------------------------------
+
+#: MINSTD LCG over the Mersenne prime — deterministic per-doc uniform.
+_WP = 2147483647
+_WA = 48271
+_WB = 11
+#: weighted-sample size.
+WEIGHTED_K = 200
+
+_WEIGHTED_ORACLE = f"""
+SELECT doc_id, source, n_chars, priority
+FROM (
+  SELECT doc_id, source, n_chars,
+         (((doc_id % {_WP}) * {_WA} + {_WB}) % {_WP}) * 1000000 // n_chars
+           AS priority
+  FROM documents
+) t
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
+@query("sample_weighted", _WEIGHTED_ORACLE, tag="llm-text")
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (sequential Poisson / priority
+    sampling, Ohlsson): each doc draws a deterministic uniform
+    ``u = LCG(doc_id)`` and is ranked by ``u / weight`` — here weight =
+    ``n_chars``, so long documents are proportionally more likely to make the
+    cut. The priority is pure int64 arithmetic (no float, no RNG state):
+    ``(u * 1e6) // n_chars`` with ``u < 2^31`` never overflows, and DuckDB
+    computes it bit-identically, which makes a *weighted random sample*
+    oracle-checkable exactly. Map-only scoring; the global top-K is a
+    TakeOrdered (per-partition heap + driver merge of K rows), not a full
+    sort — the same plan at 100 TB moves only K rows per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.pmod(F.pmod(F.col("doc_id"), F.lit(_WP)) * _WA + _WB, F.lit(_WP))
+    priority = F.floor(u * F.lit(1000000) / F.col("n_chars")).cast("long")
+    return (
+        d.select("doc_id", "source", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_K)
+    )
+
+
+_KL_ORACLE = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), src_counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+), src_totals AS (
+  SELECT source, SUM(c) AS n FROM src_counts GROUP BY source
+), corpus AS (
+  SELECT tok, SUM(c) AS cc FROM src_counts GROUP BY tok
+), corpus_total AS (
+  SELECT SUM(cc) AS nn FROM corpus
+)
+SELECT s.source,
+       ROUND(SUM((s.c / t.n) * LN((s.c / t.n) / (g.cc / ct.nn))), 6) AS kl_bits
+FROM src_counts s
+JOIN src_totals t USING (source)
+JOIN corpus g USING (tok)
+CROSS JOIN corpus_total ct
+GROUP BY s.source
+"""
+
+
+@query("mix_kl_divergence", _KL_ORACLE, tag="llm-text")
+def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture QC: KL(P_source || P_corpus) over unigram distributions — the
+    standard "how far does each source drift from the blend" diagnostic run
+    before fixing mixture weights (the quantity LLM data ablations report).
+    Plan shape: one explode + one (source, tok) count shuffle; everything
+    after operates on the counts table (vocab-sized, not corpus-sized), and
+    the corpus marginal is derived from the same counts — the raw text is
+    read exactly once. KL >= 0 with equality iff the source matches the
+    corpus blend; no smoothing needed because every source term appears in
+    the corpus marginal by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = sc.groupBy("tok").agg(F.sum("c").alias("cc"))
+    nn = corpus.agg(F.sum("cc").alias("nn"))
+    p = F.col("c") / F.col("n")
+    q = F.col("cc") / F.col("nn")
+    return (
+        sc.join(st, "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_bits"))
+    )

@@ -492,3 +492,48 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_hits.cast("double") / wc, 6).alias("stop_ratio"),
         passes.alias("passes"),
     )
+
+
+_UTF8_ORACLE = r"""
+SELECT doc_id,
+       CAST(length(text) - length(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))
+            AS BIGINT) AS n_nonprint_ascii,
+       CAST(length(regexp_replace(text, '[^\x{FFFD}]', '', 'g')) AS BIGINT)
+         AS n_replacement,
+       ROUND(CAST(length(regexp_replace(text, '[\x00-\x1F]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS printable_frac,
+       length(regexp_replace(text, '[^\x{FFFD}]', '', 'g')) = 0
+         AND length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '',
+                                   'g')) = length(text) AS clean
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+@query("text_utf8_quality", _UTF8_ORACLE, tag="llm-text")
+def text_utf8_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health screen: counts of non-printable/non-ASCII code
+    points, U+FFFD replacement characters (the classic mojibake tracer
+    left by a lossy decode), the fraction of text that is not a C0 control
+    character, and a single ``clean`` verdict (no U+FFFD, no control chars
+    other than tab/newline/CR). Every measure is a codegen
+    length/regexp_replace delta — a pure map pass, no shuffle at any
+    scale, and each regex is anchored to a fixed character class so the
+    scan cost is linear with no backtracking."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ln = F.length("text")
+
+    n_nonprint = ln - F.length(F.regexp_replace("text", r"[^\x20-\x7E]", ""))
+    # keep-only form: strip every char that is NOT U+FFFD, count the rest
+    n_repl = F.length(F.regexp_replace("text", "[^�]", ""))
+    printable = F.length(F.regexp_replace("text", r"[\x00-\x1F]", ""))
+    n_bad_ctrl = ln - F.length(
+        F.regexp_replace("text", r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    return d.select(
+        "doc_id",
+        n_nonprint.cast("bigint").alias("n_nonprint_ascii"),
+        n_repl.cast("bigint").alias("n_replacement"),
+        F.round(printable.cast("double") / ln, 6).alias("printable_frac"),
+        ((n_repl == 0) & (n_bad_ctrl == 0)).alias("clean"),
+    )

@@ -184,3 +184,52 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label", pred.alias("pred")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_WINSOR_ORACLE = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 4) AS winsor_mean
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+@query("agg_winsorize", _WINSOR_ORACLE, tag="profiling")
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-capped) group statistics: clamp each price to its
+    group's [p05, p95] band, then aggregate — the robust-mean preprocessing
+    step feature pipelines run before standardization. Two passes over the
+    fact: one to reduce exact percentiles per group (tiny bounds table,
+    broadcast back), one to clamp + aggregate — at 100 TB both are
+    map-partial aggregations with a |groups|-sized shuffle, and the join is
+    a broadcast, so no fact-sized exchange exists. Bounds are rounded to
+    cents BEFORE clamping so both engines clamp against bit-identical
+    thresholds (exact interpolated percentiles agree to the ulp; the cent
+    rounding removes even that)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 2).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out_of_band.cast("bigint")).alias("n_clamped"),
+            F.round(F.avg(clamped), 4).alias("winsor_mean"),
+        )
+    )

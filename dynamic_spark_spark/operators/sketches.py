@@ -203,3 +203,90 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_set") == _BLOOM_K).alias("bloom_member"),
         F.col("l_partkey").isNotNull().alias("actually_present"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: distributed Misra-Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+#: Misra-Gries capacity. Guarantee: any token with global frequency
+#: > N/HH_K survives *some* partition's summary (averaging argument:
+#: if count_p <= n_p/K for every partition p, then summing gives
+#: count <= N/K). The candidate union is therefore a superset of the true
+#: heavy hitters, and the exact recount removes false positives — so the
+#: final answer is EXACT, which is what makes the key oracle-checkable.
+HH_K = 50
+
+_HH_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+), total AS (
+  SELECT SUM(cnt) AS n FROM counts
+)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt
+FROM counts, total
+WHERE cnt > n / {HH_K}
+"""
+
+
+@query("agg_heavy_hitters", _HH_ORACLE, tag="sketch")
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters) over corpus tokens: tokens with
+    frequency > N/K (K = ``HH_K``).
+
+    Two-phase plan built for 100 TB: (1) per-partition Misra-Gries with K
+    counters inside ``mapInPandas`` — each task emits at most K candidate
+    rows no matter how many tokens it saw, so the candidate shuffle is
+    #partitions x K rows, not vocabulary-sized; (2) exact recount of the
+    (tiny, broadcast) candidate set over the token stream plus one scalar
+    total, then the > N/K threshold cut. The MG averaging argument makes
+    phase 1 lossless for true heavy hitters, so unlike a sketch estimate the
+    output is exact — no approximation leaves the operator.
+
+    Reference parity: arbitrary aggregation surface
+    (docs/ScalaSparkCompute-sparkcompute.md:10-12); the sketch tier itself is
+    a training-data extension (SURVEY.md §2.D frequency analysis).
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+        ).alias("tok")
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["tok"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < HH_K:
+                    counters[t] = 1
+                else:  # decrement-all step, drop zeros
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg_partition, schema="tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    recount = (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        recount.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.col("n") / HH_K)
+        .select("tok", "cnt")
+    )

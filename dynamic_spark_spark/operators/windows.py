@@ -131,8 +131,8 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_distribution",
     "SELECT c_custkey, c_nationkey,"
-    " ROUND(PERCENT_RANK() OVER w, 6) AS pr,"
-    " ROUND(CUME_DIST() OVER w, 6) AS cd,"
+    " CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pr_micro,"
+    " CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cd_micro,"
     " NTH_VALUE(c_acctbal, 2) OVER"
     "   (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey"
     "    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_bal"
@@ -143,15 +143,19 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank, cume_dist, nth_value
     (full-frame). Deterministic ordering via the (c_acctbal, c_custkey)
-    tie-break."""
+    tie-break. The distribution values are emitted as FLOOR fixed-point
+    micros, not decimal ROUND: ``k/n`` can land exactly on a
+    ``x.xxxxxx5`` boundary (e.g. 333/640) where Spark rounds half-up and
+    DuckDB half-even — FLOOR over the identical IEEE quotient is
+    engine-exact."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.floor(F.percent_rank().over(w) * 1000000).alias("pr_micro"),
+        F.floor(F.cume_dist().over(w) * 1000000).alias("cd_micro"),
         F.nth_value("c_acctbal", 2).over(wf).alias("second_bal"),
     )
 

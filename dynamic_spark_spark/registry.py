@@ -168,6 +168,9 @@ _PRIORITY = [
     "fn_explode_outer", "fn_try_arithmetic", "udf_arrow",
     "merge_upsert_batch", "sink_dynamic_overwrite",
     "udf_map_in_arrow", "scan_python_datasource",
+    # -- round-2 third wave --
+    "sample_weighted", "mix_kl_divergence", "agg_heavy_hitters",
+    "text_utf8_quality", "agg_winsorize", "win_distribution",
 ]
 
 
