@@ -170,3 +170,62 @@ def merge_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("d.op"))
         .alias("merge_op"),
     )
+
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 17 <> 0
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS digest
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.digest <> v2.digest
+"""
+
+
+@query("diff_snapshots", _SNAPDIFF_ORACLE, tag="cdc")
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: compare two corpus snapshots by content digest
+    and emit added / removed / changed doc ids — the audit a training-data
+    pipeline runs between crawl refreshes before re-tokenizing ("what
+    actually changed?"). The two versions are carved deterministically from
+    the corpus (v1 drops doc_id%17==0, v2 drops %13==0 and rewrites %11==0)
+    so the key is self-contained and oracle-exact.
+
+    Scale shape: rows are reduced to (id, 128-bit digest) BEFORE the join —
+    at 100 TB the full-outer join shuffles ~40 bytes/row, not documents —
+    and unchanged rows (the overwhelming majority between refreshes) are
+    filtered by digest equality so the diff result stays small. Digest
+    computation is codegen ``md5``; one shuffle total."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id", F.md5("text").alias("digest_1")
+    )
+    v2 = d.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("digest_2"),
+    )
+    joined = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("digest_1").isNull(), F.lit("added"))
+        .when(F.col("digest_2").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.where(
+            F.col("digest_1").isNull()
+            | F.col("digest_2").isNull()
+            | (F.col("digest_1") != F.col("digest_2"))
+        )
+        .select("doc_id", status.alias("status"))
+    )

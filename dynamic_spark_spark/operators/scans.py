@@ -494,3 +494,32 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(_SeriesSource)
     return spark.read.format("dss_series").load()
+
+
+@query(
+    "sink_compaction",
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+    " CAST(SUM(n_chars) AS BIGINT) AS chars"
+    " FROM documents GROUP BY source",
+    tag="sink",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    lake table needs: a fragmented write (64 shards of a small table, the
+    'too many tiny files' state that kills NameNode/listing and scan
+    throughput at scale) is rewritten via ``coalesce`` into a handful of
+    right-sized files, then read back and aggregated to prove content
+    parity. ``coalesce(4)`` narrows partitions WITHOUT a shuffle (unlike
+    ``repartition``) — the rewrite is a read+write pass whose cost is the
+    data size, which is what makes scheduled compaction affordable at
+    100 TB. File-count reduction is pinned in tests/test_operators_misc."""
+    frag = _tmpdir(prefix="dss_frag_")
+    compact = _tmpdir(prefix="dss_compact_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )

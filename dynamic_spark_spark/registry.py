@@ -171,6 +171,7 @@ _PRIORITY = [
     # -- round-2 third wave --
     "sample_weighted", "mix_kl_divergence", "agg_heavy_hitters",
     "text_utf8_quality", "agg_winsorize", "win_distribution",
+    "join_fuzzy", "diff_snapshots", "sink_compaction",
 ]
 
 

@@ -322,3 +322,49 @@ def test_sketch_guarantees(spark, sf_dir):
     for r in bloom:
         if r["actually_present"]:
             assert r["bloom_member"], dict(r.asDict())
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """sink_compaction's whole point: the fragmented write has ~64 parquet
+    parts, the compacted rewrite has <= 4 — and content survives (the oracle
+    equality covers values; this pins the file-count mechanics)."""
+    import glob
+
+    from dynamic_spark_spark.operators import scans
+
+    made = []
+    orig = scans._tmpdir
+
+    def capture(prefix="dss_"):
+        d = orig(prefix=prefix)
+        made.append((prefix, d))
+        return d
+
+    scans._tmpdir = capture
+    try:
+        qs = load_all_queries()
+        qs["sink_compaction"](spark, sf_dir).collect()
+    finally:
+        scans._tmpdir = orig
+    frag = [d for p, d in made if p.startswith("dss_frag_")]
+    compact = [d for p, d in made if p.startswith("dss_compact_")]
+    assert frag and compact, made
+    n_frag = len(glob.glob(os.path.join(frag[-1], "part-*")))
+    n_compact = len(glob.glob(os.path.join(compact[-1], "part-*")))
+    assert n_frag >= 32, n_frag
+    assert 1 <= n_compact <= 4, n_compact
+
+
+def test_fuzzy_join_is_hash_not_nested_loop(spark, sf_dir):
+    """join_fuzzy's banded-length block must plan as an equi (hash) join;
+    a regression to BroadcastNestedLoopJoin/CartesianProduct would make the
+    dictionary self-join quadratic at scale."""
+    qs = load_all_queries()
+    plan = (
+        qs["join_fuzzy"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
