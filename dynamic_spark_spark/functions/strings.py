@@ -122,3 +122,33 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"[?&]lang=([^&#]*)", 1).alias("lang_param"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
     )
+
+
+_EXTRACT_ALL_ORACLE = r"""
+SELECT doc_id,
+       COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '')
+         AS numbers,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+       COALESCE(array_to_string(list_sort(list_distinct(
+         regexp_extract_all(lower(text), '[a-z]{7,}'))), ','), '') AS long_words
+FROM documents
+WHERE doc_id % 25 = 0
+"""
+
+
+@query("fn_regexp_extract_all", _EXTRACT_ALL_ORACLE, tag="function")
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction (``regexp_extract_all``) — every number
+    and every 7+-letter word per document, the workhorse for structured
+    scraping out of raw text. Arrays are joined/sorted to strings so the
+    compared frame stays scalar-typed for the driver harness. Pure codegen
+    map pass, no shuffle; the doc_id%25 slice bounds compared rows."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    numbers = F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+    longw = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{7,}"), 0)
+    return d.select(
+        "doc_id",
+        F.array_join(numbers, ",").alias("numbers"),
+        F.size(numbers).alias("n_numbers"),
+        F.array_join(F.array_sort(F.array_distinct(longw)), ",").alias("long_words"),
+    )

@@ -172,6 +172,7 @@ _PRIORITY = [
     "sample_weighted", "mix_kl_divergence", "agg_heavy_hitters",
     "text_utf8_quality", "agg_winsorize", "win_distribution",
     "join_fuzzy", "diff_snapshots", "sink_compaction",
+    "fn_regexp_extract_all",
 ]
 
 

@@ -423,7 +423,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (column-pruned parquet scan); in production the target would be an
     ACID table format and the anti-join a MERGE, but the idempotency
     pattern is identical. Multiple micro-batches are forced with
-    maxFilesPerTrigger=1 over a multi-file source."""
+    maxFilesPerTrigger=1 over a 2-file source (2 batches demonstrate the
+    replay boundary at half the wall-clock of more)."""
     import shutil
     import tempfile
 
@@ -434,7 +435,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="dss_upsert_ckpt_")
     target = tempfile.mkdtemp(prefix="dss_upsert_tgt_") + "/t"
     try:
-        ev.repartition(4).write.mode("overwrite").parquet(src)
+        ev.repartition(2).write.mode("overwrite").parquet(src)
 
         def upsert(batch_df: DataFrame, batch_id: int) -> None:
             try:
