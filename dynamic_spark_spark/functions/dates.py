@@ -95,3 +95,31 @@ def fn_sequence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # string projection: the only hash-stable cross-engine date shape
         F.col("d").cast("string").alias("service_day"),
     )
+
+
+_TZ_ORACLE = """
+SELECT event_id,
+       CAST(ts + INTERVAL 5 HOUR + INTERVAL 30 MINUTE AS VARCHAR) AS ist,
+       CAST(ts - INTERVAL 8 HOUR AS VARCHAR) AS pst_fixed,
+       CAST(ts AS VARCHAR) AS utc
+FROM events WHERE event_id % 50 = 0
+"""
+
+
+@query("fn_timezone_offset", _TZ_ORACLE, tag="function")
+def fn_timezone_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-zone conversion via ``from_utc_timestamp`` with fixed-offset
+    zones (+05:30 IST, -08:00 PST-without-DST). Fixed offsets make the
+    conversion pure timestamp arithmetic, so the oracle is plain INTERVAL
+    addition — engine-exact — while the Spark side still exercises the real
+    timezone API (the same code path named zones take; named-zone DST
+    rules live in the JVM's tzdb and are deliberately not oracle-compared).
+    String-cast output is the only hash-stable cross-engine timestamp
+    shape. Map-only; the %50 slice bounds compared rows."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 50 == 0)
+    return e.select(
+        "event_id",
+        F.from_utc_timestamp("ts", "+05:30").cast("string").alias("ist"),
+        F.from_utc_timestamp("ts", "-08:00").cast("string").alias("pst_fixed"),
+        F.col("ts").cast("string").alias("utc"),
+    )

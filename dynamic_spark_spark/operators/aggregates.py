@@ -439,3 +439,21 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("disc_weighted_price"),
     )
+
+
+@query("agg_percentile_approx", tag="aggregate")  # rows-only: sketch estimate
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via ``percentile_approx`` (KLL-style
+    mergeable quantile sketch, accuracy=1000 → rank error <= 1/1000 of the
+    group) — the sketch tier of ``agg_percentile``: at 100 TB the exact
+    interpolated percentile needs a per-group sort, while the sketch is a
+    bounded-size mergeable summary that rides normal partial aggregation.
+    Rows-only by contract (a sketch estimate has no SQL-exact oracle);
+    tests/test_operators_misc pins the rank-error contract against the
+    exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
+    )

@@ -523,3 +523,79 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
+
+
+#: One SQL text, two engines: Spark 4's recursive CTE support means the
+#: identical ANSI string runs unmodified on both sides of the differential
+#: oracle — the strongest possible parity statement for the SQL entry
+#: surface. The recursive member generates the 80-month calendar spanning
+#: the corpus (1995-01 .. 2001-08); the outer query left-joins order counts
+#: so empty months appear as zeros (calendar densification, the batch twin
+#: of a gap-filling stream).
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(n) AS (
+  SELECT 0
+  UNION ALL
+  SELECT n + 1 FROM months WHERE n < 79
+)
+SELECT 1995 + CAST(FLOOR(n / 12.0) AS INT) AS yr,
+       1 + n % 12 AS mon,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN orders
+  ON year(o_orderdate) = 1995 + CAST(FLOOR(n / 12.0) AS INT)
+ AND month(o_orderdate) = 1 + n % 12
+GROUP BY 1, 2
+"""
+
+
+@query("sql_recursive_cte", _RECURSIVE_SQL, tag="scan")
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4) driving calendar densification: the month
+    series is generated by the recursion (bounded, 80 rows — the planner
+    unions micro-iterations driver-side, no data-sized recursion), then a
+    LEFT JOIN brings in per-month order counts with empty months preserved.
+    The 80-row series side broadcasts; the orders scan reads only
+    (o_orderkey, o_orderdate). Identical SQL text runs on the oracle."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_SQL)
+
+
+#: deterministic payloads for the binaryFile scan (name -> bytes).
+_BINFILES = {
+    "a.bin": b"\x89PNG\r\n\x1a\n" + bytes(range(16)),
+    "b.bin": b"RIFF\x10\x00\x00\x00WAVE",
+    "c.bin": bytes(200),
+    "d.dat": b"not-matched-by-glob",
+}
+
+_BINFILE_ORACLE = """
+SELECT * FROM (VALUES
+  ('a.bin', 24, '89504e47'),
+  ('b.bin', 12, '52494646'),
+  ('c.bin', 200, '00000000')
+) AS t(fname, length, head_hex)
+"""
+
+
+@query("scan_binaryfile", _BINFILE_ORACLE, tag="scan")
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the scan multimodal pipelines start from
+    (SURVEY §2.D: image/audio payloads as opaque binary columns): write
+    deterministic files, read them back with ``pathGlobFilter`` narrowing
+    to ``*.bin`` (the non-matching ``d.dat`` must not appear), and emit
+    name / size / leading-bytes-hex. The binaryFile relation carries
+    (path, modificationTime, length, content) with content loaded lazily
+    per file — at scale each task reads only its files, and the glob prunes
+    at listing time, before any byte is fetched. Oracle is the literal
+    expected manifest."""
+    d = _tmpdir(prefix="dss_binfiles_")
+    for name, payload in _BINFILES.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(payload)
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.length("content").cast("int").alias("length"),
+        F.lower(F.hex(F.substring("content", 1, 4))).alias("head_hex"),
+    )

@@ -172,7 +172,8 @@ _PRIORITY = [
     "sample_weighted", "mix_kl_divergence", "agg_heavy_hitters",
     "text_utf8_quality", "agg_winsorize", "win_distribution",
     "join_fuzzy", "diff_snapshots", "sink_compaction",
-    "fn_regexp_extract_all",
+    "fn_regexp_extract_all", "sql_recursive_cte", "fn_timezone_offset",
+    "scan_binaryfile", "agg_percentile_approx",
 ]
 
 

@@ -368,3 +368,32 @@ def test_fuzzy_join_is_hash_not_nested_loop(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_percentile_approx_rank_error(spark, sf_dir):
+    """The quantile-sketch contract: a percentile_approx(accuracy=1000)
+    estimate must be an actual element of the group whose rank is within
+    n/1000 (+slack) of the target rank — the KLL/GK guarantee that makes
+    the sketch usable in place of an exact sort at scale."""
+    qs = load_all_queries()
+    approx = {
+        r["l_linestatus"]: r
+        for r in qs["agg_percentile_approx"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for status, row in approx.items():
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.where(F.col("l_linestatus") == status)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        tol = max(2, n // 500)  # 2x the 1/1000 rank guarantee as slack
+        import bisect
+
+        for p, col in [(0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")]:
+            est = row[col]
+            rank = bisect.bisect_left(vals, est)
+            target = p * n
+            assert abs(rank - target) <= tol, (status, col, rank, target, tol)
