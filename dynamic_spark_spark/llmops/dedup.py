@@ -22,7 +22,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.registry import QUERIES, query
 from dynamic_spark_spark.sources.readers import load_table
 
 #: minhash permutations and LSH banding (b bands × r rows = k hashes).
@@ -482,3 +482,38 @@ def dedup_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_chunks"),
         )
     )
+
+
+@query("dedup_apply_canonical", tag="llm-dedup")  # rows-only: LSH-derived
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step that closes the near-dup loop (detect → cluster →
+    **materialize the survivors**): within each duplicate cluster keep the
+    highest-quality member — here quality = document length, the common
+    "keep the longest variant" rule; production swaps in any score column —
+    with doc_id as the deterministic tie-break. Docs in no cluster pass
+    through untouched.
+
+    Plan: one window (rank within comp by score desc) over the cluster
+    table — which is candidate-graph-sized, NOT corpus-sized — plus a
+    broadcast-able semi/anti join against the corpus. ``rn = 1`` compiles
+    to the two-phase WindowGroupLimit cut like ``topk_per_group``. Output
+    is every surviving doc with its cluster id (null comp = was never a
+    duplicate). Invariants pinned in tests/test_operators_misc: exactly one
+    survivor per cluster, and it is a max-length member."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir).select("doc_id", "comp")
+    scored = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    cluster_keep = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "comp", "n_chars")
+    )
+    untouched = docs.join(clusters, "doc_id", "left_anti").select(
+        "doc_id", F.lit(None).cast("long").alias("comp"), "n_chars"
+    )
+    return cluster_keep.unionByName(untouched)

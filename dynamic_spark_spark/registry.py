@@ -173,7 +173,7 @@ _PRIORITY = [
     "text_utf8_quality", "agg_winsorize", "win_distribution",
     "join_fuzzy", "diff_snapshots", "sink_compaction",
     "fn_regexp_extract_all", "sql_recursive_cte", "fn_timezone_offset",
-    "scan_binaryfile", "agg_percentile_approx",
+    "scan_binaryfile", "agg_percentile_approx", "dedup_apply_canonical",
 ]
 
 

@@ -397,3 +397,35 @@ def test_percentile_approx_rank_error(spark, sf_dir):
             rank = bisect.bisect_left(vals, est)
             target = p * n
             assert abs(rank - target) <= tol, (status, col, rank, target, tol)
+
+
+def test_dedup_apply_canonical_invariants(spark, sf_dir):
+    """One survivor per duplicate cluster; the survivor is a maximum-length
+    member (doc_id tie-break); never-clustered docs all pass through."""
+    qs = load_all_queries()
+    kept = qs["dedup_apply_canonical"](spark, sf_dir).collect()
+    clusters = qs["dedup_clusters"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    comp_members: dict[int, list[int]] = {}
+    for r in clusters:
+        comp_members.setdefault(r["comp"], []).append(r["doc_id"])
+    survivors_by_comp: dict[int, list[int]] = {}
+    clustered_docs = {r["doc_id"] for r in clusters}
+    for r in kept:
+        if r["comp"] is not None:
+            survivors_by_comp.setdefault(r["comp"], []).append(r["doc_id"])
+        else:
+            assert r["doc_id"] not in clustered_docs
+    assert set(survivors_by_comp) == set(comp_members)
+    for comp, surv in survivors_by_comp.items():
+        assert len(surv) == 1, (comp, surv)
+        max_len = max(docs[d] for d in comp_members[comp])
+        assert docs[surv[0]] == max_len, (comp, surv)
+    # full coverage: survivors + dropped == corpus
+    n_dropped = sum(len(v) - 1 for v in comp_members.values())
+    assert len(kept) + n_dropped == len(docs)
