@@ -290,3 +290,35 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") > F.col("n") / HH_K)
         .select("tok", "cnt")
     )
+
+
+@query("agg_hll_union", tag="sketch")  # rows-only: sketch estimates
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup — the answer to "you cannot sum
+    distinct counts": build one HLL sketch of customers per nation
+    (``hll_sketch_agg``), then UNION the nation sketches up to region level
+    (``hll_union_agg``) and estimate. This is the pre-aggregation pattern
+    that makes distinct-count dashboards affordable at 100 TB: the fact
+    table is touched once to build |nations| fixed-size sketches; every
+    rollup after that merges kilobyte summaries, never re-scans. Rows-only
+    (HLL estimates are engine-specific); the <5% relative-error contract vs
+    exact distinct counts is pinned in tests/test_operators_misc."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_regionkey")
+    )
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk")
+    )
+    return (
+        per_nation.join(
+            F.broadcast(n), per_nation.c_nationkey == n.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_customers"
+            )
+        )
+        .select("n_regionkey", F.col("approx_customers").cast("long").alias("approx_customers"))
+    )

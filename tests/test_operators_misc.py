@@ -429,3 +429,26 @@ def test_dedup_apply_canonical_invariants(spark, sf_dir):
     # full coverage: survivors + dropped == corpus
     n_dropped = sum(len(v) - 1 for v in comp_members.values())
     assert len(kept) + n_dropped == len(docs)
+
+
+def test_hll_union_error_bound(spark, sf_dir):
+    """Region-level estimates from unioned per-nation sketches must land
+    within 5% of the exact distinct counts — the mergeability contract that
+    lets rollups combine sketches instead of re-scanning facts."""
+    qs = load_all_queries()
+    approx = {
+        r["n_regionkey"]: r["approx_customers"]
+        for r in qs["agg_hll_union"](spark, sf_dir).collect()
+    }
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    exact = {
+        r["n_regionkey"]: r["x"]
+        for r in c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("x"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / max(exact[k], 1) < 0.05, (k, est, exact[k])
