@@ -247,8 +247,8 @@ _WEIGHTED_ORACLE = f"""
 SELECT doc_id, source, n_chars, priority
 FROM (
   SELECT doc_id, source, n_chars,
-         (((doc_id % {_WP}) * {_WA} + {_WB}) % {_WP}) * 1000000 // n_chars
-           AS priority
+         (((doc_id % {_WP}) * {_WA} + {_WB}) % {_WP}) * 1000000
+           // GREATEST(n_chars, 1) AS priority
   FROM documents
 ) t
 ORDER BY priority, doc_id
@@ -270,7 +270,11 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort — the same plan at 100 TB moves only K rows per partition."""
     d = load_table(spark, sf_dir, "documents")
     u = F.pmod(F.pmod(F.col("doc_id"), F.lit(_WP)) * _WA + _WB, F.lit(_WP))
-    priority = F.floor(u * F.lit(1000000) / F.col("n_chars")).cast("long")
+    # GREATEST guard: a zero-length doc must not fault the whole job
+    # (Spark yields NULL on x/0 while ANSI engines raise — both wrong here)
+    priority = F.floor(
+        u * F.lit(1000000) / F.greatest(F.col("n_chars"), F.lit(1))
+    ).cast("long")
     return (
         d.select("doc_id", "source", "n_chars", priority.alias("priority"))
         .orderBy("priority", "doc_id")

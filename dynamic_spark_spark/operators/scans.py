@@ -599,3 +599,55 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("int").alias("length"),
         F.lower(F.hex(F.substring("content", 1, 4))).alias("head_hex"),
     )
+
+
+#: deterministic CSV with deliberate damage: rows 2 (too few fields after
+#: type coercion fails on "oops") and 4 (malformed quoting) are corrupt.
+_BAD_CSV = """id,name,score
+1,alpha,10
+2,oops,not_a_number
+3,gamma,30
+4,"unterminated,40
+5,epsilon,50
+"""
+
+_BAD_CSV_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'alpha', 10, FALSE),
+  (2, 'oops', NULL, TRUE),
+  (3, 'gamma', 30, FALSE),
+  (4, 'unterminated,40', NULL, TRUE),
+  (5, 'epsilon', 50, FALSE)
+) AS t(id, name, score, is_corrupt)
+"""
+
+
+@query("scan_csv_malformed", _BAD_CSV_ORACLE, tag="scan")
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record handling — the operational reality of
+    ingesting third-party CSV at scale: bad rows must neither kill the job
+    (FAILFAST) nor vanish silently (DROPMALFORMED), but surface in a
+    ``_corrupt_record`` column for quarantine. A type-coerce failure
+    (``not_a_number``) and a quoting failure both land with the raw line
+    captured; PERMISSIVE salvages what it can (row 4 keeps the
+    quote-stripped name, only the unparseable score is nulled) and clean
+    rows parse normally. The
+    oracle pins the exact quarantine verdict per row. Per-row salvage is
+    map-only at any scale — the parser never needs a second pass."""
+    d = _tmpdir(prefix="dss_badcsv_")
+    path = os.path.join(d, "input.csv")
+    with open(path, "w") as f:
+        f.write(_BAD_CSV)
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id int, name string, score int, _corrupt_record string")
+        .csv(path)
+    )
+    return df.select(
+        "id",
+        "name",
+        "score",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
