@@ -128,7 +128,8 @@ _EXTRACT_ALL_ORACLE = r"""
 SELECT doc_id,
        COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '')
          AS numbers,
-       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+       CAST(COALESCE(len(regexp_extract_all(text, '[0-9]+')), 0) AS INT)
+         AS n_numbers,
        COALESCE(array_to_string(list_sort(list_distinct(
          regexp_extract_all(lower(text), '[a-z]{7,}'))), ','), '') AS long_words
 FROM documents
@@ -146,9 +147,14 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     numbers = F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
     longw = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{7,}"), 0)
+    # NULL text must yield the same shape on both sides: the oracle
+    # coalesces to ''/0, so the Spark side does too (array_join/size of a
+    # NULL array are NULL, not empty)
     return d.select(
         "doc_id",
-        F.array_join(numbers, ",").alias("numbers"),
-        F.size(numbers).alias("n_numbers"),
-        F.array_join(F.array_sort(F.array_distinct(longw)), ",").alias("long_words"),
+        F.coalesce(F.array_join(numbers, ","), F.lit("")).alias("numbers"),
+        F.coalesce(F.size(numbers), F.lit(0)).alias("n_numbers"),
+        F.coalesce(
+            F.array_join(F.array_sort(F.array_distinct(longw)), ","), F.lit("")
+        ).alias("long_words"),
     )

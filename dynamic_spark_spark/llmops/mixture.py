@@ -247,7 +247,8 @@ _WEIGHTED_ORACLE = f"""
 SELECT doc_id, source, n_chars, priority
 FROM (
   SELECT doc_id, source, n_chars,
-         (((doc_id % {_WP}) * {_WA} + {_WB}) % {_WP}) * 1000000
+         (((((doc_id % {_WP}) * {_WA} + {_WB}) % {_WP}) * {_WA} + {_WB})
+            % {_WP}) * 1000000
            // GREATEST(n_chars, 1) AS priority
   FROM documents
 ) t
@@ -259,17 +260,23 @@ LIMIT {WEIGHTED_K}
 @query("sample_weighted", _WEIGHTED_ORACLE, tag="llm-text")
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (sequential Poisson / priority
-    sampling, Ohlsson): each doc draws a deterministic uniform
-    ``u = LCG(doc_id)`` and is ranked by ``u / weight`` — here weight =
-    ``n_chars``, so long documents are proportionally more likely to make the
-    cut. The priority is pure int64 arithmetic (no float, no RNG state):
-    ``(u * 1e6) // n_chars`` with ``u < 2^31`` never overflows, and DuckDB
-    computes it bit-identically, which makes a *weighted random sample*
-    oracle-checkable exactly. Map-only scoring; the global top-K is a
-    TakeOrdered (per-partition heap + driver merge of K rows), not a full
-    sort — the same plan at 100 TB moves only K rows per partition."""
+    sampling, Ohlsson): each doc draws a deterministic uniform ``u`` —
+    MINSTD seeded with doc_id and advanced TWICE; a single step is monotone
+    in doc_id for small ids (no modular wrap before doc_id ≈ 44k), which
+    would degenerate the sample to "lowest doc_ids win"; the second step
+    wraps thousands of times, scattering consecutive ids across the full
+    range — and is ranked by ``u / weight``, weight = ``n_chars``, so long
+    documents are proportionally more likely to make the cut. The priority
+    is pure int64 arithmetic (no float RNG state): ``u < 2^31`` keeps every
+    intermediate below 2^47 and the ``u*1e6`` numerator below 2^53 (float
+    floor-division exact), and DuckDB computes it bit-identically, which
+    makes a *weighted random sample* oracle-checkable exactly. Map-only
+    scoring; the global top-K is a TakeOrdered (per-partition heap + driver
+    merge of K rows), not a full sort — the same plan at 100 TB moves only
+    K rows per partition."""
     d = load_table(spark, sf_dir, "documents")
-    u = F.pmod(F.pmod(F.col("doc_id"), F.lit(_WP)) * _WA + _WB, F.lit(_WP))
+    u1 = F.pmod(F.pmod(F.col("doc_id"), F.lit(_WP)) * _WA + _WB, F.lit(_WP))
+    u = F.pmod(u1 * _WA + _WB, F.lit(_WP))
     # GREATEST guard: a zero-length doc must not fault the whole job
     # (Spark yields NULL on x/0 while ANSI engines raise — both wrong here)
     priority = F.floor(
@@ -298,7 +305,7 @@ WITH tok AS (
   SELECT SUM(cc) AS nn FROM corpus
 )
 SELECT s.source,
-       ROUND(SUM((s.c / t.n) * LN((s.c / t.n) / (g.cc / ct.nn))), 6) AS kl_bits
+       ROUND(SUM((s.c / t.n) * LN((s.c / t.n) / (g.cc / ct.nn))), 6) AS kl_nats
 FROM src_counts s
 JOIN src_totals t USING (source)
 JOIN corpus g USING (tok)
@@ -316,7 +323,7 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     after operates on the counts table (vocab-sized, not corpus-sized), and
     the corpus marginal is derived from the same counts — the raw text is
     read exactly once. KL >= 0 with equality iff the source matches the
-    corpus blend; no smoothing needed because every source term appears in
+    corpus blend (value in NATS — natural log on both sides); no smoothing needed because every source term appears in
     the corpus marginal by construction."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -336,5 +343,5 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus, "tok")
         .crossJoin(F.broadcast(nn))
         .groupBy("source")
-        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_bits"))
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
     )

@@ -187,11 +187,19 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINSOR_ORACLE = """
-WITH bounds AS (
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), bounds AS (
   SELECT l_returnflag,
-         ROUND(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
-         ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS hi
-  FROM lineitem GROUP BY l_returnflag
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.05) AS BIGINT)
+                  THEN l_extendedprice END) AS lo,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT)
+                  THEN l_extendedprice END) AS hi
+  FROM ranked GROUP BY l_returnflag
 )
 SELECT l.l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -208,17 +216,42 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (outlier-capped) group statistics: clamp each price to its
     group's [p05, p95] band, then aggregate — the robust-mean preprocessing
     step feature pipelines run before standardization. Two passes over the
-    fact: one to reduce exact percentiles per group (tiny bounds table,
-    broadcast back), one to clamp + aggregate — at 100 TB both are
-    map-partial aggregations with a |groups|-sized shuffle, and the join is
-    a broadcast, so no fact-sized exchange exists. Bounds are rounded to
-    cents BEFORE clamping so both engines clamp against bit-identical
-    thresholds (exact interpolated percentiles agree to the ulp; the cent
-    rounding removes even that)."""
+    fact: a per-group window sort to rank-select the bounds (tiny result,
+    broadcast back), then a clamp + map-partial aggregate — the bounds pass
+    costs one sort shuffle, the price of engine-exact discrete quantiles;
+    a production run trading exactness for speed would swap in
+    ``percentile_approx`` (see ``agg_percentile_approx``) and skip the
+    sort. The bounds are DISCRETE (type-1) quantiles
+    — the actual element at rank ceil(p*n) — not interpolated ones: Spark
+    interpolates percentiles as (1-f)*a + f*b while DuckDB computes
+    a + f*(b-a), formulas that disagree by 1 ulp on real data, and a
+    1-ulp gap survives any decimal rounding when it straddles the rounding
+    boundary. A rank-selected element is a value read from parquet —
+    bit-identical in both engines by construction."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 2).alias("lo"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("hi"),
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.05).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.95).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("hi"),
     )
     clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
     out_of_band = (F.col("l_extendedprice") < F.col("lo")) | (

@@ -185,7 +185,8 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
             WHEN v2.doc_id IS NULL THEN 'removed'
             ELSE 'changed' END AS status
 FROM v1 FULL OUTER JOIN v2 USING (doc_id)
-WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.digest <> v2.digest
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+   OR v1.digest IS DISTINCT FROM v2.digest
 """
 
 
@@ -204,8 +205,11 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered by digest equality so the diff result stays small. Digest
     computation is codegen ``md5``; one shuffle total."""
     d = load_table(spark, sf_dir, "documents")
+    # presence is tracked by explicit flags, NOT digest nullness: md5(NULL
+    # text) is NULL even though the row exists, and conflating the two would
+    # misreport a NULL-text doc present in both snapshots as 'added'
     v1 = d.where(F.col("doc_id") % 17 != 0).select(
-        "doc_id", F.md5("text").alias("digest_1")
+        "doc_id", F.md5("text").alias("digest_1"), F.lit(True).alias("in_v1")
     )
     v2 = d.where(F.col("doc_id") % 13 != 0).select(
         "doc_id",
@@ -214,18 +218,19 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text")
             )
         ).alias("digest_2"),
+        F.lit(True).alias("in_v2"),
     )
     joined = v1.join(v2, "doc_id", "full_outer")
     status = (
-        F.when(F.col("digest_1").isNull(), F.lit("added"))
-        .when(F.col("digest_2").isNull(), F.lit("removed"))
+        F.when(F.col("in_v1").isNull(), F.lit("added"))
+        .when(F.col("in_v2").isNull(), F.lit("removed"))
         .otherwise(F.lit("changed"))
     )
     return (
         joined.where(
-            F.col("digest_1").isNull()
-            | F.col("digest_2").isNull()
-            | (F.col("digest_1") != F.col("digest_2"))
+            F.col("in_v1").isNull()
+            | F.col("in_v2").isNull()
+            | ~F.col("digest_1").eqNullSafe(F.col("digest_2"))
         )
         .select("doc_id", status.alias("status"))
     )
