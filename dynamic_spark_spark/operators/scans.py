@@ -651,3 +651,83 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+_STREAM_SERIES_ROWS = 1000
+_STREAM_SERIES_CHUNK = 250
+
+
+@query(
+    "stream_python_datasource",
+    f"SELECT CAST(unnest(generate_series(0, {_STREAM_SERIES_ROWS - 1})) AS BIGINT)"
+    f" AS id,"
+    f" CAST((unnest(generate_series(0, {_STREAM_SERIES_ROWS - 1}))"
+    f"   * 31) % 101 AS BIGINT) AS h",
+    tag="streaming",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING Data Source (Spark 4
+    ``SimpleDataSourceStreamReader``): the micro-batch twin of
+    ``scan_python_datasource`` — offset management (``initialOffset`` /
+    ``read(start) -> (rows, next_offset)`` / ``readBetweenOffsets`` replay
+    for recovery) implemented from scratch. The source serves a fixed
+    deterministic series in 250-row micro-batches and then idles, so the
+    fully-drained memory sink equals a generate_series oracle — an
+    exactly-once claim checked by value, not asserted. At scale the same
+    contract backs any cursor-paginated external feed (the offset dict is
+    the cursor); per-batch work is bounded by the chunk size."""
+    import time as _time
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    rows, chunk = _STREAM_SERIES_ROWS, _STREAM_SERIES_CHUNK
+
+    class _SeriesStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= rows:
+                return iter([]), {"pos": pos}
+            end = min(pos + chunk, rows)
+            return iter([(i, (i * 31) % 101) for i in range(pos, end)]), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, (i * 31) % 101) for i in range(start["pos"], end["pos"])]
+            )
+
+    class _SeriesStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dss_series_stream"
+
+        def schema(self) -> str:
+            return "id bigint, h bigint"
+
+        def simpleStreamReader(self, schema):
+            return _SeriesStreamReader()
+
+    spark.dataSource.register(_SeriesStreamSource)
+    name = "dss_series_stream_sink"
+    ckpt = _tmpdir(prefix="dss_pyds_ckpt_")
+    q = (
+        spark.readStream.format("dss_series_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= rows:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(name)

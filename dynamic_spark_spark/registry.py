@@ -174,7 +174,7 @@ _PRIORITY = [
     "join_fuzzy", "diff_snapshots", "sink_compaction",
     "fn_regexp_extract_all", "sql_recursive_cte", "fn_timezone_offset",
     "scan_binaryfile", "agg_percentile_approx", "dedup_apply_canonical",
-    "agg_hll_union", "scan_csv_malformed",
+    "agg_hll_union", "scan_csv_malformed", "stream_python_datasource",
 ]
 
 
