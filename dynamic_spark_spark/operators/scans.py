@@ -711,6 +711,11 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(_SeriesStreamSource)
     name = "dss_series_stream_sink"
+    # re-invocation safety: a prior run's memory-sink table would otherwise
+    # accumulate a second full series (fresh checkpoint ⇒ offsets restart)
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
     ckpt = _tmpdir(prefix="dss_pyds_ckpt_")
     q = (
         spark.readStream.format("dss_series_stream")
