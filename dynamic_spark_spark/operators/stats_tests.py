@@ -1,0 +1,332 @@
+"""Statistical tests & distribution-drift diagnostics (data-quality tier).
+
+The reference's surface stops at descriptive aggregates
+(``docs/ScalaSparkCompute-sparkcompute.md:16`` declares the full
+``groupBy().agg`` summary-statistics path); a production analytics engine
+also runs *inferential* checks — is this column correlated with that one,
+did the distribution drift between snapshots, do the digits look fabricated,
+is the A/B difference significant. These four keys add that tier:
+
+- ``stat_corr_matrix``   — pairwise Pearson correlations, one pass.
+- ``stat_ttest_welch``   — Welch two-sample t statistic between groups.
+- ``quality_benford``    — first-significant-digit distribution vs Benford's
+  law with per-digit chi-square contributions (fraud/synthetic-data screen).
+- ``quality_psi_drift``  — Population Stability Index between two time
+  windows (the standard ML-monitoring drift score).
+
+Engine-exactness design (shared with ``agg_regression``,
+``operators/aggregates.py:355``): float aggregates accumulate in
+engine-specific order, so every statistic here is derived from **exact
+sufficient statistics** — DECIMAL sums and BIGINT counts that any engine
+computes bit-identically — and only the final scalar expressions run in
+double, rounded to 6 places. That is what makes a *statistical test*
+hash-checkable against DuckDB.
+
+Scale notes: every key is a single scan + one reduce (the corr matrix takes
+all 15 sufficient statistics in ONE aggregate — no per-pair passes); the
+drift/Benford keys shuffle at most |bins| or 9 rows after the map-side
+partial aggregation. Nothing here grows with corpus size past the first
+combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# stat_corr_matrix
+# ---------------------------------------------------------------------------
+
+#: numeric lineitem columns entering the correlation matrix.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_DEC = "DECIMAL(18,6)"
+
+
+def _corr_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS {_DEC})) AS DOUBLE) AS s_{c}")
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} * {b} AS {_DEC})) AS DOUBLE) AS s_{a}_{b}"
+            )
+            if a != b:
+                pairs.append((a, b))
+    rows = [
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+        f" ROUND((n * s_{a}_{b} - s_{a} * s_{b})"
+        f" / sqrt((n * s_{a}_{a} - s_{a} * s_{a})"
+        f" * (n * s_{b}_{b} - s_{b} * s_{b})), 6) AS corr_xy FROM s"
+        for a, b in pairs
+    ]
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("stat_corr_matrix", _corr_oracle(), tag="stats")
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (long form) over the lineitem
+    numeric columns, computed from exact DECIMAL sufficient statistics in a
+    **single aggregate** — k columns need k sums + k(k+1)/2 product sums in
+    one reduce, not k²/2 separate ``corr()`` passes over the data. The
+    per-pair correlations are then map-side scalar expressions ``stack``-ed
+    into rows; the whole key moves one combine's worth of data regardless of
+    table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast(_DEC.lower())).cast("double").alias(f"s_{c}")
+        )
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(_DEC.lower()))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+            if a != b:
+                pairs.append((a, b))
+    s = li.agg(*aggs)
+    for a, b in pairs:
+        num = F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        s = s.withColumn(f"corr_{a}_{b}", F.round(num / den, 6))
+    stack_args = ", ".join(f"'{a}', '{b}', corr_{a}_{b}" for a, b in pairs)
+    return s.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr_xy)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_ttest_welch
+# ---------------------------------------------------------------------------
+
+_TT_ORACLE = f"""
+WITH s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS n1,
+    CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS n2,
+    CAST(SUM(CAST(l_extendedprice AS {_DEC}))
+         FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS sx1,
+    CAST(SUM(CAST(l_extendedprice AS {_DEC}))
+         FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS {_DEC}))
+         FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS sxx1,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS {_DEC}))
+         FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS sxx2
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+), d AS (
+  SELECT CAST(n1 AS BIGINT) AS n_r, CAST(n2 AS BIGINT) AS n_a,
+         sx1 / n1 AS m1, sx2 / n2 AS m2,
+         (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 AS se1,
+         (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2 AS se2
+  FROM s
+)
+SELECT n_r, n_a, ROUND(m1 - m2, 6) AS mean_diff,
+       ROUND((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+       ROUND((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n_r - 1) + se2 * se2 / (n_a - 1)), 6) AS df_welch
+FROM d
+"""
+
+
+@query("stat_ttest_welch", _TT_ORACLE, tag="stats")
+def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic ('R' vs 'A' returned
+    lineitems on extended price) with the Welch–Satterthwaite degrees of
+    freedom. One filtered scan, one global reduce of six conditional DECIMAL
+    sums (map-side combine makes the shuffle six numbers per task); the t
+    and df formulas are driver-free scalar arithmetic on the single stats
+    row. The A/B-test primitive at any scale."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    x = F.col("l_extendedprice")
+    xdec = x.cast(_DEC.lower())
+    xxdec = (x * x).cast(_DEC.lower())
+    r = F.col("l_returnflag") == "R"
+    a = F.col("l_returnflag") == "A"
+    s = li.agg(
+        F.count(F.when(r, 1)).cast("double").alias("n1"),
+        F.count(F.when(a, 1)).cast("double").alias("n2"),
+        F.sum(F.when(r, xdec)).cast("double").alias("sx1"),
+        F.sum(F.when(a, xdec)).cast("double").alias("sx2"),
+        F.sum(F.when(r, xxdec)).cast("double").alias("sxx1"),
+        F.sum(F.when(a, xxdec)).cast("double").alias("sxx2"),
+    )
+    m1 = F.col("sx1") / F.col("n1")
+    m2 = F.col("sx2") / F.col("n2")
+    se1 = (
+        (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    se2 = (
+        (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    return (
+        s.withColumn("se1", se1)
+        .withColumn("se2", se2)
+        .select(
+            F.col("n1").cast("long").alias("n_r"),
+            F.col("n2").cast("long").alias("n_a"),
+            F.round(m1 - m2, 6).alias("mean_diff"),
+            F.round((m1 - m2) / F.sqrt(F.col("se1") + F.col("se2")), 6).alias(
+                "t_stat"
+            ),
+            F.round(
+                (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
+                / (
+                    F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                    + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+                ),
+                6,
+            ).alias("df_welch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_benford
+# ---------------------------------------------------------------------------
+
+# First significant digit comes from the *integer cents* rendered as a
+# string — BIGINT→VARCHAR is canonical in every engine, whereas
+# floor(x / 10^floor(log10 x)) risks an off-by-one when x sits within an
+# ulp of a power of ten.
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), c AS (
+  SELECT digit, COUNT(*) AS obs FROM d GROUP BY digit
+), t AS (
+  SELECT digit, obs, SUM(obs) OVER () AS n FROM c
+)
+SELECT digit, obs,
+       ROUND(n * log10(1.0 + 1.0 / digit), 6) AS expected,
+       ROUND((obs - n * log10(1.0 + 1.0 / digit))
+             * (obs - n * log10(1.0 + 1.0 / digit))
+             / (n * log10(1.0 + 1.0 / digit)), 6) AS chi2_contrib
+FROM t
+"""
+
+
+@query("quality_benford", _BENFORD_ORACLE, tag="stats")
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed count per
+    leading digit vs the expected ``N·log10(1+1/d)`` and the per-digit
+    chi-square contribution (Σ over the 9 rows is the test statistic). A
+    synthetic-or-tampered-data tripwire that costs one map pass + a 9-group
+    count; the window total runs over 9 rows, not the table."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    n = F.sum("obs").over(Window.partitionBy())
+    exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.withColumn("n", n)
+        .select(
+            "digit",
+            "obs",
+            F.round(exp, 6).alias("expected"),
+            F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_psi_drift
+# ---------------------------------------------------------------------------
+
+#: fixed bin width in cents (50 000.00 currency units) — production would
+#: freeze baseline-quantile edges instead; fixed edges keep the key
+#: deterministic without a second pass.
+_PSI_BIN_CENTS = 5_000_000
+_PSI_BINS = 10
+_PSI_SPLIT = "1998-01-01"
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT LEAST({_PSI_BINS - 1},
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               // {_PSI_BIN_CENTS}) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}'
+              THEN 'base' ELSE 'curr' END AS era
+  FROM orders
+), c AS (
+  SELECT bin,
+         COUNT(*) FILTER (WHERE era = 'base') AS c_base,
+         COUNT(*) FILTER (WHERE era = 'curr') AS c_curr
+  FROM b GROUP BY bin
+), t AS (
+  SELECT bin, c_base, c_curr,
+         SUM(c_base) OVER () AS n_base, SUM(c_curr) OVER () AS n_curr
+  FROM c
+)
+SELECT bin, c_base, c_curr,
+       ROUND((
+         (c_base + 1.0) / (n_base + {_PSI_BINS})
+         - (c_curr + 1.0) / (n_curr + {_PSI_BINS})
+       ) * LN(((c_base + 1.0) / (n_base + {_PSI_BINS}))
+              / ((c_curr + 1.0) / (n_curr + {_PSI_BINS}))), 6) AS psi_contrib
+FROM t
+"""
+
+
+@query("quality_psi_drift", _PSI_ORACLE, tag="stats")
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre/post-1998 order cohorts
+    over fixed-width total-price bins: per-bin ``(p_base - p_curr) ·
+    ln(p_base/p_curr)`` with Laplace ``+1`` smoothing so an empty bin on one
+    side contributes a finite score instead of ±inf. Σ(psi_contrib) < 0.1 is
+    the conventional "no drift" threshold. Plan: one scan, one |bins|-group
+    conditional count, windows over ≤10 rows — the monitoring query you can
+    afford to run on every snapshot at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    bin_ = F.least(F.lit(_PSI_BINS - 1), F.floor(cents / _PSI_BIN_CENTS)).alias(
+        "bin"
+    )
+    era_base = F.col("o_orderdate") < _PSI_SPLIT
+    c = (
+        o.select(bin_, era_base.alias("is_base"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("is_base"), 1)).alias("c_base"),
+            F.count(F.when(~F.col("is_base"), 1)).alias("c_curr"),
+        )
+    )
+    w = Window.partitionBy()
+    p_base = (F.col("c_base") + 1.0) / (F.sum("c_base").over(w) + _PSI_BINS)
+    p_curr = (F.col("c_curr") + 1.0) / (F.sum("c_curr").over(w) + _PSI_BINS)
+    return c.select(
+        "bin",
+        "c_base",
+        "c_curr",
+        F.round((p_base - p_curr) * F.log(p_base / p_curr), 6).alias(
+            "psi_contrib"
+        ),
+    )

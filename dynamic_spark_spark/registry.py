@@ -47,6 +47,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.graph",
     "dynamic_spark_spark.operators.profiling",
     "dynamic_spark_spark.operators.sketches",
+    "dynamic_spark_spark.operators.stats_tests",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
@@ -175,6 +176,11 @@ _PRIORITY = [
     "fn_regexp_extract_all", "sql_recursive_cte", "fn_timezone_offset",
     "scan_binaryfile", "agg_percentile_approx", "dedup_apply_canonical",
     "agg_hll_union", "scan_csv_malformed", "stream_python_datasource",
+    # -- round-2 fourth wave --
+    "stat_corr_matrix", "stat_ttest_welch", "quality_benford",
+    "quality_psi_drift", "mix_temperature_weights", "curriculum_quality_budget",
+    "text_oov_rate", "text_char_entropy", "scan_xml_roundtrip",
+    "agg_approx_top_k", "agg_collect_array",
 ]
 
 
