@@ -118,3 +118,72 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-ordered token-budget curriculum (round-2 fourth wave)
+# ---------------------------------------------------------------------------
+
+#: per-source token budget for the curriculum cut.
+CURRICULUM_BUDGET = 700
+
+_CURRICULUM_ORACLE = rf"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         t -> t <> '')) AS n_tok,
+         len(list_distinct(list_filter(regexp_split_to_array(lower(text),
+                                                             '\W+'),
+                                       t -> t <> ''))) AS n_uniq
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_tok,
+         n_uniq * 1000000 // GREATEST(n_tok, 1) AS score,
+         SUM(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY n_uniq * 1000000 // GREATEST(n_tok, 1) DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM scored
+)
+SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+       CAST(n_tok AS BIGINT) AS n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM ranked WHERE cum_tok - n_tok < {CURRICULUM_BUDGET}
+"""
+
+
+@query("curriculum_quality_budget", _CURRICULUM_ORACLE, tag="llm-text")
+def curriculum_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first curriculum cut: rank each source's documents by lexical
+    diversity (distinct/total token ratio in integer micro-units — exact, no
+    float ordering) and keep documents until the running token count crosses
+    the per-source budget; a document is kept iff it *starts* inside the
+    budget, mirroring ``pack_token_budget``'s chunk rule. This is the
+    "spend the token budget on the highest-quality slice of each domain"
+    selection step of data curation. One window shuffle partitioned by
+    source; at 100 TB the partition key widens to (source, shard) with
+    per-shard budgets, same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor(
+            F.col("n_uniq") * 1000000 / F.greatest(F.col("n_tok"), F.lit(1))
+        ).cast("long").alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .where(F.col("cum_tok") - F.col("n_tok") < CURRICULUM_BUDGET)
+        .select("doc_id", "source", "score", "n_tok", "cum_tok")
+    )

@@ -345,3 +345,56 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (round-2 fourth wave)
+# ---------------------------------------------------------------------------
+
+_TEMP_ORACLE = f"""
+WITH n AS (
+  SELECT source,
+         SUM({_TOK_SQL}) AS n_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS sqrt_micro
+  FROM n
+)
+SELECT source, n_tokens,
+       ROUND(CAST(sqrt_micro AS DOUBLE) / SUM(sqrt_micro) OVER (), 6)
+         AS weight_temp
+FROM s
+"""
+
+
+@query("mix_temperature_weights", _TEMP_ORACLE, tag="llm-text")
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights, ``w_i ∝ n_i^(1/T)`` with
+    T = 2 (α = 0.5) — the multilingual/multi-source rebalancing rule
+    (upweight small sources, damp the crawl) every LLM mixture spec applies
+    before sampling. Determinism device: each source's ``sqrt(n_tokens)`` is
+    **floored to integer micro-units before normalizing**, so the
+    denominator is an exact integer sum (float Σ over sources would be
+    order-dependent and break the oracle hash). One token-count reduce per
+    source; the normalization window runs over |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).cast(
+        "long"
+    )
+    n = d.select("source", n_tok.alias("t")).groupBy("source").agg(
+        F.sum("t").alias("n_tokens")
+    )
+    s = n.withColumn(
+        "sqrt_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast("long"),
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("sqrt_micro").cast("double") / F.sum("sqrt_micro").over(w), 6
+        ).alias("weight_temp"),
+    )

@@ -537,3 +537,127 @@ def text_utf8_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(printable.cast("double") / ln, 6).alias("printable_frac"),
         ((n_repl == 0) & (n_bad_ctrl == 0)).alias("clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs a frozen vocabulary (round-2 fourth wave)
+# ---------------------------------------------------------------------------
+
+#: frozen-vocabulary size for the OOV screen.
+OOV_VOCAB_K = 200
+
+_OOV_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                t -> t <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+), vocab AS (
+  SELECT tok FROM counts
+  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) <= {OOV_VOCAB_K}
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tok,
+       COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+@query("text_oov_rate", _OOV_ORACLE, tag="llm-text")
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-K
+    vocabulary — the coverage metric that decides whether a tokenizer's
+    vocab (or a frozen embedding table) fits a new data source. Two passes
+    over the token stream: (1) corpus counts → deterministic top-K cut
+    (count desc, token tiebreak; TakeOrdered moves K rows per partition),
+    (2) per-doc counts with the K-row vocab **broadcast** to the probe side
+    — the join never shuffles the corpus. Counts are exact ints; the rate is
+    one rounded division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(OOV_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tok"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document character-distribution entropy
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), c AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+), t AS (
+  SELECT doc_id, ch, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM c
+)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS INT) AS n_distinct_chars,
+       CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / n)
+                           * LN(CAST(c AS DOUBLE) / n) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS entropy_micro_nats
+FROM t GROUP BY doc_id
+"""
+
+
+@query("text_char_entropy", _ENTROPY_ORACLE, tag="llm-text")
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    gibberish/compression screen (too-low entropy = repeated padding,
+    too-high = random bytes; natural text sits in a narrow band). Per-term
+    contributions ``-(c/n)·ln(c/n)`` are computed from exact counts and
+    **floored to integer micro-nats before the sum**, so the per-doc total
+    is an order-independent integer — a float Σ would accumulate in
+    engine-specific order and break the oracle hash. One (doc_id, char)
+    count shuffle bounded by |doc|·|alphabet|, then a per-doc window on the
+    counts table."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != "")).alias("ch"),
+    )
+    c = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        c.withColumn("n", F.sum("c").over(w))
+        .withColumn("term", F.floor(-p * F.log(p) * 1000000).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+            F.sum("term").cast("long").alias("entropy_micro_nats"),
+        )
+    )
