@@ -457,3 +457,27 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_approx"),
     )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderpriority AS item, COUNT(*) AS est_count
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("agg_approx_top_k", _TOPK_ORACLE, tag="aggregate")
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based frequent-items top-K (``approx_top_k``, Spark 4): one
+    pass, mergeable per-partition sketches, no exact group-by shuffle — the
+    heavy-hitter primitive for high-cardinality columns where an exact count
+    would shuffle the world (the exact twin is ``agg_heavy_hitters``).
+    Oracle-checkable because K (5) covers the column's full cardinality and
+    the default 10k tracked items exceed it, making the sketch counts exact
+    here; at real cardinality the key's contract degrades to the sketch's
+    frequency guarantee (pinned in tests for CMS, same family)."""
+    o = load_table(spark, sf_dir, "orders")
+    topk = o.agg(F.expr("approx_top_k(o_orderpriority, 5)").alias("tk"))
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("long").alias("est_count"),
+    )

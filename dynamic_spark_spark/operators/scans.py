@@ -736,3 +736,26 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@query(
+    "scan_xml_roundtrip",
+    "SELECT * FROM nation",
+    tag="scan",
+)  # oracle: XML write+read must round-trip values exactly
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write → schema-full read-back (Spark 4's built-in ``xml`` source,
+    the ``spark-xml`` package folded into core). Read passes the writer's
+    schema explicitly — XML carries no types, and letting inference guess
+    (int vs bigint, empty string vs null) is the classic roundtrip trap.
+    Row-per-``rowTag`` layout splits by file like json-lines; fine for
+    config/feed-sized data, wrong format for the 100 TB fact tables."""
+    out = _tmpdir(prefix="dss_xml_")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").format("xml").option("rowTag", "row").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(nation.schema)
+        .load(out)
+    )
