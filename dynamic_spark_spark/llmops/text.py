@@ -5,6 +5,8 @@ token counting, fingerprinting, corpus stats — all built-in expressions over
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -660,4 +662,44 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
             F.sum("term").cast("long").alias("entropy_micro_nats"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+@query("text_compression_ratio", tag="llm-text")  # rows-only: zlib output is not SQL-expressible
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compression ratio per document — the Gopher-family quality
+    signal that catches boilerplate and template spam (highly repetitive
+    text compresses far below natural prose; random bytes barely compress).
+    zlib runs in an **Arrow-batched pandas UDF** — the sanctioned Python
+    tier for byte-level work no SQL function expresses — so text crosses
+    the JVM/Python boundary once per column batch, not per row; the ratio
+    arithmetic stays JVM-side codegen. Deterministic (zlib level 6, no RNG),
+    pinned against direct zlib calls in pytest; rows-only here because the
+    oracle engine has no deflate."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def z_bytes(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    raw = F.octet_length("text").cast("long")
+    return d.select(
+        "doc_id",
+        raw.alias("raw_bytes"),
+        z_bytes(F.col("text")).alias("zlib_bytes"),
+    ).select(
+        "doc_id",
+        "raw_bytes",
+        "zlib_bytes",
+        F.round(F.col("zlib_bytes").cast("double") / F.col("raw_bytes"), 6).alias(
+            "compression_ratio"
+        ),
     )

@@ -181,6 +181,7 @@ _PRIORITY = [
     "quality_psi_drift", "mix_temperature_weights", "curriculum_quality_budget",
     "text_oov_rate", "text_char_entropy", "scan_xml_roundtrip",
     "agg_approx_top_k", "agg_collect_array",
+    "stream_static_join_live", "text_compression_ratio",
 ]
 
 

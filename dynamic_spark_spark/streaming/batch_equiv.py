@@ -473,3 +473,63 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(target.rsplit("/", 1)[0], ignore_errors=True)
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_nationkey, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@query("stream_static_join_live", _STREAM_STATIC_ORACLE, tag="streaming")
+def stream_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join driven as a REAL stream: events arrive
+    via an availableNow file source and each micro-batch hash-joins the
+    **static** customer dimension — Spark broadcasts the dim per batch, no
+    streaming state at all (the stateless little sibling of
+    ``stream_stream_join_live``). This is the canonical "enrich the event
+    firehose with a slowly-changing dim" topology; at scale the dim stays
+    broadcast-sized or the join key pre-partitions both sides. The drained
+    sink is aggregated per nation, and — because enrichment is stateless and
+    deterministic — the whole live path is oracle-checked exactly, cents as
+    integers."""
+    import shutil
+    import tempfile
+
+    from dynamic_spark_spark.streaming.core import file_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    src = tempfile.mkdtemp(prefix="dss_sstat_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_sstat_ckpt_")
+    name = "dss_stream_static"
+    try:
+        ev.write.mode("overwrite").parquet(src)
+        enriched = (
+            file_stream(spark, src, ev.schema)
+            .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+            .select(
+                "c_nationkey",
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            )
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.sql(
+            f"SELECT c_nationkey, COUNT(*) AS n_events,"
+            f" SUM(cents) AS value_cents FROM {name} GROUP BY c_nationkey"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
