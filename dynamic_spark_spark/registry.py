@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.operators.profiling",
     "dynamic_spark_spark.operators.sketches",
     "dynamic_spark_spark.operators.stats_tests",
+    "dynamic_spark_spark.operators.sql_surface",
     "dynamic_spark_spark.functions.strings",
     "dynamic_spark_spark.functions.dates",
     "dynamic_spark_spark.functions.math_fns",
@@ -182,6 +183,8 @@ _PRIORITY = [
     "text_oov_rate", "text_char_entropy", "scan_xml_roundtrip",
     "agg_approx_top_k", "agg_collect_array",
     "stream_static_join_live", "text_compression_ratio",
+    "sql_parameterized", "sql_tvf_range", "sql_group_by_all",
+    "set_union_by_name",
 ]
 
 
