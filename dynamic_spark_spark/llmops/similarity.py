@@ -414,3 +414,68 @@ def sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round-2 fourth wave)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         {_o_cosine('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.q_id AND e.label <> q.q_label
+)
+SELECT q_id, vec_id, label, ROUND(cos_sim, 6) AS cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= {TOP_K}
+"""
+
+
+@query("sim_hard_negatives", _HARDNEG_ORACLE, tag="llm-embedding")
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training: for each query
+    vector, the top-K most-similar corpus vectors with a DIFFERENT label —
+    the near-miss negatives contrastive losses need (random negatives are
+    too easy; same-label hits would be false negatives). Same plan shape as
+    ``sim_topk``: broadcast query side, label-mismatch predicate applied
+    BEFORE scoring (it rides the join condition, so same-label pairs are
+    discarded before ever paying a dot product), window top-K with
+    WindowGroupLimit. At corpus scale the candidate generation
+    swaps to the LSH/IVF keys; the mining predicate is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"))
+    )

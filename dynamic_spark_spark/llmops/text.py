@@ -703,3 +703,62 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transformation
+# ---------------------------------------------------------------------------
+
+#: split fractions in percent: prefix 40%, middle 30%, suffix rest.
+_FIM_PREFIX_PCT = 40
+_FIM_MIDDLE_PCT = 30
+
+_FIM_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) * {_FIM_PREFIX_PCT} // 100 AS p_len,
+         length(text) * {_FIM_MIDDLE_PCT} // 100 AS m_len
+  FROM documents WHERE length(text) >= 10
+)
+SELECT doc_id,
+       substr(text, 1, p_len) AS fim_prefix,
+       substr(text, p_len + 1, m_len) AS fim_middle,
+       substr(text, p_len + m_len + 1) AS fim_suffix,
+       CAST(p_len AS INT) AS prefix_len,
+       CAST(m_len AS INT) AS middle_len,
+       CAST(n - p_len - m_len AS INT) AS suffix_len
+FROM s
+"""
+
+
+@query("text_fim_split", _FIM_ORACLE, tag="llm-text")
+def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) splitting: carve each document into
+    prefix/middle/suffix spans so training can present
+    ``<pre>prefix<suf>suffix<mid>middle`` sequences — the infilling
+    objective code models train with. Deterministic character-fraction split
+    points (40/30/30 via integer arithmetic) keep the transform
+    oracle-exact and restartable; production swaps in a seeded per-doc hash
+    for the split point, same map-only plan. Pure ``substring`` codegen —
+    no shuffle, no Python, embarrassingly parallel at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 10)
+    n = F.length("text")
+    p_len = F.floor(n * _FIM_PREFIX_PCT / 100).cast("int")
+    m_len = F.floor(n * _FIM_MIDDLE_PCT / 100).cast("int")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"substring(text, 1, length(text) * {_FIM_PREFIX_PCT} div 100)"
+        ).alias("fim_prefix"),
+        F.expr(
+            f"substring(text, length(text) * {_FIM_PREFIX_PCT} div 100 + 1,"
+            f" length(text) * {_FIM_MIDDLE_PCT} div 100)"
+        ).alias("fim_middle"),
+        F.expr(
+            f"substring(text, length(text) * {_FIM_PREFIX_PCT} div 100"
+            f" + length(text) * {_FIM_MIDDLE_PCT} div 100 + 1)"
+        ).alias("fim_suffix"),
+        p_len.alias("prefix_len"),
+        m_len.alias("middle_len"),
+        (n - p_len - m_len).cast("int").alias("suffix_len"),
+    )

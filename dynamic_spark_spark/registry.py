@@ -184,7 +184,7 @@ _PRIORITY = [
     "agg_approx_top_k", "agg_collect_array",
     "stream_static_join_live", "text_compression_ratio",
     "sql_parameterized", "sql_tvf_range", "sql_group_by_all",
-    "set_union_by_name",
+    "set_union_by_name", "sim_hard_negatives", "text_fim_split",
 ]
 
 

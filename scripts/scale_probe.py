@@ -51,7 +51,9 @@ def main() -> None:
     out = tempfile.mkdtemp(prefix="dss_scale_")
 
     keyed = KEYED
-    if len(sys.argv) > 2:
+    if len(sys.argv) > 2 and not (len(sys.argv) > 3 and sys.argv[3] == "all"):
+        # explicit query list defaults to LLM-ops tables only (cheap staging);
+        # pass a third arg "all" to replicate the TPC-H facts too
         keyed = {k: v for k, v in KEYED.items() if k in ("documents", "embeddings", "events")}
 
     for name in SMALL:

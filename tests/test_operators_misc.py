@@ -452,3 +452,31 @@ def test_hll_union_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / max(exact[k], 1) < 0.05, (k, est, exact[k])
+
+
+def test_stats_tier_mathematical_contracts(spark, sf_dir):
+    """The inferential-stats tier must satisfy its closed-form invariants:
+    corr ∈ [-1, 1]; total PSI ≥ 0 (Gibbs' inequality on the smoothed
+    distributions); Benford expected counts sum to N; Welch df between
+    min(n)-1 and n1+n2-2; char entropy within [0, ln(alphabet)]·1e6."""
+    import math
+
+    qs = load_all_queries()
+    corr = qs["stat_corr_matrix"](spark, sf_dir).toPandas()
+    assert len(corr) == 6
+    assert ((corr.corr_xy >= -1) & (corr.corr_xy <= 1)).all()
+
+    psi = qs["quality_psi_drift"](spark, sf_dir).toPandas()
+    assert psi.psi_contrib.sum() >= -1e-9  # KL-symmetrized form is >= 0
+
+    ben = qs["quality_benford"](spark, sf_dir).toPandas()
+    n = ben.obs.sum()
+    assert abs(ben.expected.sum() - n) < 1.0  # Σ log10(1+1/d) = 1 exactly
+
+    tt = qs["stat_ttest_welch"](spark, sf_dir).toPandas().iloc[0]
+    assert min(tt.n_r, tt.n_a) - 1 <= tt.df_welch <= tt.n_r + tt.n_a - 2
+
+    ent = qs["text_char_entropy"](spark, sf_dir).toPandas()
+    assert (ent.entropy_micro_nats >= 0).all()
+    max_nats = ent.n_distinct_chars.map(lambda k: math.log(max(k, 1)))
+    assert (ent.entropy_micro_nats <= max_nats * 1e6 + len(ent)).all()
