@@ -44,3 +44,30 @@ def fn_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
         F.monotonically_increasing_id().alias("row_id"),
     )
+
+
+#: 128-bit demo key (NOT a secret — parity/roundtrip demonstration only).
+_AES_KEY = "0123456789abcdef"
+
+
+@query(
+    "fn_aes_roundtrip",
+    "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 1000",
+    tag="function",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: ``aes_encrypt`` → ``aes_decrypt``
+    must reproduce the plaintext byte-for-byte (the oracle compares against
+    the untouched source rows). ECB mode keeps the ciphertext deterministic
+    for the roundtrip demo; production uses GCM (random IV, AEAD) where
+    only the roundtrip — never the ciphertext — is comparable. Both
+    directions are JVM codegen expressions: encrypt-at-rest projections add
+    no shuffle at any scale."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            f"cast(aes_decrypt(aes_encrypt(o_orderpriority, '{_AES_KEY}', 'ECB'),"
+            f" '{_AES_KEY}', 'ECB') as string)"
+        ).alias("o_orderpriority"),
+    )

@@ -481,3 +481,31 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("long").alias("est_count"),
     )
+
+
+_LISTAGG_ORACLE = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+         AS priorities,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("agg_listagg", _LISTAGG_ORACLE, tag="aggregate")
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``LISTAGG(DISTINCT ... ) WITHIN GROUP (ORDER BY ...)`` (Spark
+    4): ordered string aggregation — the standard's spelling of the
+    collect-and-join idiom ``agg_collect`` builds by hand. DISTINCT + the
+    WITHIN GROUP order make the concatenation deterministic, so the key is
+    hash-checked (a bare LISTAGG would concatenate in partition arrival
+    order — never oracle-safe distributed)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_la")
+    return spark.sql(
+        "SELECT o_orderstatus,"
+        " listagg(DISTINCT o_orderpriority, '|')"
+        "   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,"
+        " COUNT(*) AS n"
+        " FROM orders_la GROUP BY o_orderstatus"
+    )

@@ -310,3 +310,63 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("name_a") < F.col("name_b")) & (dist <= 2))
         .select("name_a", "name_b", dist.cast("int").alias("dist"))
     )
+
+
+#: as-of match tolerance — matches staler than this are dropped to NULL.
+ASOF_TOLERANCE_MIN = 30
+
+
+@query(
+    "join_asof_tolerance",
+    "SELECT event_id, user_id, ts,"
+    " CASE WHEN prev_click_ts >= ts - INTERVAL 30 MINUTE"
+    "      THEN prev_click_ts END AS prev_click_ts"
+    " FROM ("
+    "   SELECT p.event_id, p.user_id, p.ts, c.ts AS prev_click_ts"
+    "   FROM (SELECT * FROM events WHERE event_type = 'purchase') p"
+    "   ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c"
+    "   ON p.user_id = c.user_id AND p.ts >= c.ts)",
+    tag="join",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the nearest earlier click per
+    user, but only if it happened within the last 30 minutes — the form
+    time-series tooling (pandas ``merge_asof(tolerance=...)``, kdb ``wj``)
+    exposes, and the right default for sensor/attribution joins where an
+    hours-old match is noise. Same single-shuffle union + LOCF carry as
+    ``join_asof``; the tolerance is one extra codegen comparison at the end,
+    so the 100 TB story is unchanged (no pair fan-out, linear state)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        clicks.unionAll(purchases)
+        .withColumn("prev_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    fresh = F.col("prev_click_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTE"
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("prev_click_ts")).alias("prev_click_ts"),
+    )

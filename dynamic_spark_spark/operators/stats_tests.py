@@ -355,3 +355,77 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_moments — exact skewness / kurtosis
+# ---------------------------------------------------------------------------
+
+# l_quantity is integer-valued and <= 50, so its power sums stay comfortably
+# inside int64 (q^4 <= 6.25e6; x 60M rows ~ 4e14): skewness and excess
+# kurtosis derive from four EXACT integer sums — engine-native skewness()/
+# kurtosis() accumulate central moments in float, engine-specific order.
+_MOM_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+           AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT l_returnflag, n_rows, ROUND(mu, 6) AS mean_qty,
+       ROUND(sqrt(m2), 6) AS stddev_pop,
+       ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+FROM m
+"""
+
+
+@query("stat_moments", _MOM_ORACLE, tag="stats")
+def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population skewness and excess kurtosis per group from four
+    integer power sums in one reduce — distribution-shape diagnostics
+    (asymmetry, tail weight) without the engine-specific float accumulation
+    of native ``skewness()``/``kurtosis()``. Same one-scan/one-combine plan
+    as the rest of the stats tier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(F.sqrt(m2), 6).alias("stddev_pop"),
+        F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
+    )

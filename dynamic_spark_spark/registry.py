@@ -185,6 +185,7 @@ _PRIORITY = [
     "stream_static_join_live", "text_compression_ratio",
     "sql_parameterized", "sql_tvf_range", "sql_group_by_all",
     "set_union_by_name", "sim_hard_negatives", "text_fim_split",
+    "join_asof_tolerance", "agg_listagg", "stat_moments", "fn_aes_roundtrip",
 ]
 
 
