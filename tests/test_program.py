@@ -60,3 +60,51 @@ def test_program_with_dependency_pyfile(spark):
 def test_add_py_files_missing(spark):
     with pytest.raises(FileNotFoundError):
         add_py_files(spark, ["/nonexistent/thing.py"])
+
+
+def test_cli_validate_and_run(sf_dir, tmp_path):
+    """python -m dynamic_spark_spark validate/run on the example spec: the
+    deploy-then-run lifecycle as a user-facing command line."""
+    import json as _json
+    import subprocess
+    import sys
+
+    spec = "examples/wordcount_pipeline.json"
+    out_dir = str(tmp_path / "wc_out")
+    args = ["--arg", f"sf_dir={sf_dir}", "--arg", f"out_dir={out_dir}"]
+    for cmd in ("validate", "run"):
+        r = subprocess.run(
+            [sys.executable, "-m", "dynamic_spark_spark", cmd, spec, *args],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd="/root/repo",
+        )
+        payload = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert payload["ok"] is True
+    assert payload["metrics"]["count"]["rows"] > 0
+    assert any(l.startswith("sink:parquet") for l in payload["lineage"])
+
+
+def test_cli_validate_rejects_bad_spec(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(
+        _json.dumps(
+            {"stages": [{"name": "t", "type": "transform", "code": "pass"}]}
+        )
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "dynamic_spark_spark", "validate", str(bad)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 1
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["ok"] is False and payload["errors"]
