@@ -193,3 +193,53 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pc{j + 1}_fp long" for j in range(PCA_K)
     )
     return e.mapInPandas(project, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid vectors (round-2 fourth wave)
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH comp AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+                i -> struct_pack(dim := i,
+                                 micro := CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                                     * 1000000) AS BIGINT)))) AS c
+  FROM embeddings
+)
+SELECT label, CAST(c.dim AS INT) AS dim, COUNT(*) AS n,
+       CAST(FLOOR(CAST(SUM(c.micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS mean_micro
+FROM comp GROUP BY label, c.dim
+"""
+
+
+@query("embed_label_centroids", _CENTROID_ORACLE, tag="llm-embedding")
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid vectors in long form (label, dim, mean component)
+    — the embedding-space summary behind class-prototype classifiers,
+    drift monitoring (compare centroids across snapshots), and diversity
+    audits. Components are fixed-point-quantized per value BEFORE the sum
+    (floor to micro), so the per-cell totals are exact integers and the
+    floor-divided mean is order-independent — the float alternative
+    accumulates in engine order and can't be hash-checked. Plan: posexplode
+    fan-out (rows × dims — map-side, no state) into one (label, dim)
+    aggregation; the result is |labels|·|dims| rows at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("val").cast("double") * 1_000_000).cast("long").alias(
+            "micro"
+        ),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("micro").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_micro"),
+    )

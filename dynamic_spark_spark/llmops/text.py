@@ -762,3 +762,185 @@ def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_len.alias("middle_len"),
         (n - p_len - m_len).cast("int").alias("suffix_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity band filter
+# ---------------------------------------------------------------------------
+
+_PPL_BAND_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS n_total FROM toks),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         CAST(FLOOR(CAST(SUM(CAST(FLOOR((ln(v.cnt) - ln(total.n_total))
+                                        * 1000000 + 0.5) AS BIGINT))
+                         AS DOUBLE) / COUNT(*)) AS BIGINT) AS score_micro
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+  GROUP BY t.doc_id, t.lang),
+ranked AS (
+  SELECT doc_id, lang, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score_micro, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM per_doc),
+bounds AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.10) AS BIGINT)
+                  THEN score_micro END) AS lo,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.90) AS BIGINT)
+                  THEN score_micro END) AS hi
+  FROM ranked GROUP BY lang)
+SELECT p.doc_id, p.lang, p.score_micro
+FROM per_doc p JOIN bounds b USING (lang)
+WHERE p.score_micro >= b.lo AND p.score_micro <= b.hi
+"""
+
+
+@query("text_ppl_band", _PPL_BAND_ORACLE, tag="llm-text")
+def text_ppl_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-band filter: score each document by mean
+    unigram log-probability, then per language keep only the [p10, p90]
+    band — dropping both tails (too-predictable boilerplate AND
+    too-surprising gibberish), the middle-bucket selection CCNet made
+    standard for web-corpus curation. Determinism: per-token log-probs are
+    fixed-point-quantized (``text_unigram_logprob``'s scheme), the per-doc
+    mean is a floor-divided integer, and the band edges are DISCRETE
+    rank-selected scores (``agg_winsorize``'s device — interpolated
+    quantiles differ by 1 ulp across engines). Plan: two corpus passes
+    (vocab build + broadcast-join scoring), one per-lang sort for the
+    |langs|-row bounds table, broadcast filter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    lp = F.floor((F.log("cnt") - F.log("n_total")) * 1_000_000 + F.lit(0.5))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(
+                F.sum(lp.cast("long")).cast("double") / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("score_micro")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("score_micro", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = per_doc.select(
+        "lang",
+        "score_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.10).cast("long"),
+                F.col("score_micro"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.90).cast("long"),
+                F.col("score_micro"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        per_doc.join(F.broadcast(bounds), "lang")
+        .where(
+            (F.col("score_micro") >= F.col("lo"))
+            & (F.col("score_micro") <= F.col("hi"))
+        )
+        .select("doc_id", "lang", "score_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed bigram language model
+# ---------------------------------------------------------------------------
+
+#: minimum bigram count for the emitted table (keeps output model-sized).
+_BIGRAM_MIN_COUNT = 3
+
+_BIGRAM_LM_ORACLE = rf"""
+WITH arrs AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     t -> t <> '') AS words
+  FROM documents),
+bigrams AS (
+  SELECT unnest(list_transform(
+           generate_series(2, GREATEST(len(words), 1)),
+           i -> struct_pack(w1 := words[i-1], w2 := words[i]))) AS bg
+  FROM arrs),
+pairs AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM bigrams),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT unnest.t) AS vsize FROM (
+        SELECT unnest(words) AS t FROM arrs) unnest)
+SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+       ROUND(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.vsize), 6) AS p_smooth
+FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+WHERE c12.c12 >= {_BIGRAM_MIN_COUNT}
+"""
+
+
+@query("text_bigram_lm", _BIGRAM_LM_ORACLE, tag="llm-text")
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram language model estimation: conditional
+    probabilities ``P(w2|w1) = (c12+1)/(c1+|V|)`` from exact corpus counts
+    — the classical n-gram LM build (the smoothing that backs perplexity
+    filters when no external LM is available). Bigram generation is pure
+    higher-order array ops (slice windows over the token array — zero
+    Python); the counts tables are vocabulary-bounded, so everything after
+    the first (w1, w2) count shuffle is model-sized, not corpus-sized.
+    Emits bigrams seen >= 3 times."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+    arrs = d.select(words.alias("words"))
+    idx = F.when(
+        F.size("words") >= 2, F.sequence(F.lit(2), F.size("words"))
+    ).otherwise(F.array().cast("array<int>"))
+    bg = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("words", i - 1).alias("w1"),
+            F.element_at("words", i).alias("w2"),
+        ),
+    )
+    pairs = arrs.select(F.explode(bg).alias("bg")).select("bg.w1", "bg.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vsize = (
+        arrs.select(F.explode("words").alias("t"))
+        .agg(F.count_distinct("t").alias("vsize"))
+    )
+    return (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .where(F.col("c12") >= _BIGRAM_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("vsize")),
+                6,
+            ).alias("p_smooth"),
+        )
+    )

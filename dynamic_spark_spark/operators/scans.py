@@ -759,3 +759,19 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(nation.schema)
         .load(out)
     )
+
+
+@query("scan_tablesample", tag="scan")  # rows-only: sample membership is engine RNG
+def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``TABLESAMPLE (10 PERCENT) REPEATABLE(7)``: storage-level
+    Bernoulli sampling pushed into the scan — the cheap "look at a slice"
+    idiom for interactive exploration of a 100 TB table (the sample gates
+    rows before any downstream operator sees them). Seeded for
+    run-to-run reproducibility on stable file splits; membership is still
+    engine-RNG, so the key is rows-only (the deterministic alternatives are
+    ``sample_mixture``'s hash gate and ``sample_weighted``)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ts")
+    return spark.sql(
+        "SELECT o_orderkey, o_orderstatus FROM orders_ts"
+        " TABLESAMPLE (10 PERCENT) REPEATABLE (7)"
+    )

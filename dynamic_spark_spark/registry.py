@@ -186,6 +186,8 @@ _PRIORITY = [
     "sql_parameterized", "sql_tvf_range", "sql_group_by_all",
     "set_union_by_name", "sim_hard_negatives", "text_fim_split",
     "join_asof_tolerance", "agg_listagg", "stat_moments", "fn_aes_roundtrip",
+    "text_ppl_band", "text_bigram_lm", "embed_label_centroids",
+    "scan_tablesample",
 ]
 
 
