@@ -429,3 +429,168 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_chi2_independence — contingency-table test
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT a, b, obs,
+         SUM(obs) OVER (PARTITION BY a) AS row_n,
+         SUM(obs) OVER (PARTITION BY b) AS col_n,
+         SUM(obs) OVER () AS n
+  FROM c
+)
+SELECT a, b, CAST(obs AS BIGINT) AS obs,
+       ROUND(CAST(row_n AS DOUBLE) * col_n / n, 6) AS expected,
+       ROUND((obs - CAST(row_n AS DOUBLE) * col_n / n)
+             * (obs - CAST(row_n AS DOUBLE) * col_n / n)
+             / (CAST(row_n AS DOUBLE) * col_n / n), 6) AS chi2_contrib
+FROM t
+"""
+
+
+@query("stat_chi2_independence", _CHI2_ORACLE, tag="stats")
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (order status × priority): per-cell observed vs ``row·col/N`` expected
+    counts and chi-square contributions (Σ over cells is the statistic, df
+    = (r-1)(c-1)) — the categorical-association screen for feature
+    selection and A/B sanity checks. One |cells|-group count; the margin
+    windows run over the contingency table (≤ r·c rows), never the facts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    row_n = F.sum("obs").over(Window.partitionBy("a"))
+    col_n = F.sum("obs").over(Window.partitionBy("b"))
+    n = F.sum("obs").over(Window.partitionBy())
+    t = c.withColumn("row_n", row_n).withColumn("col_n", col_n).withColumn("n", n)
+    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return t.select(
+        "a",
+        "b",
+        "obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 6).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_ks_statistic — two-sample Kolmogorov–Smirnov distance
+# ---------------------------------------------------------------------------
+
+#: value-range bucket width for the distributed prefix sum (~100 buckets
+#: over the price domain; at larger domains the width scales with it).
+_KS_BUCKET_CENTS = 500_000
+
+_KS_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END
+           AS is_base
+  FROM orders
+), per_value AS (
+  SELECT cents,
+         SUM(is_base) AS a,
+         SUM(1 - is_base) AS b
+  FROM v GROUP BY cents
+), cum AS (
+  SELECT cents,
+         SUM(a) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         SUM(b) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b
+  FROM per_value
+), totals AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+  FROM per_value
+)
+SELECT t.n_a, t.n_b,
+       CAST(MAX(ABS(CAST(c.cum_a AS BIGINT) * t.n_b
+                    - CAST(c.cum_b AS BIGINT) * t.n_a)) AS BIGINT)
+         AS d_scaled,
+       ROUND(CAST(MAX(ABS(CAST(c.cum_a AS BIGINT) * t.n_b
+                          - CAST(c.cum_b AS BIGINT) * t.n_a)) AS DOUBLE)
+             / (CAST(t.n_a AS DOUBLE) * t.n_b), 6) AS d_stat
+FROM cum c CROSS JOIN totals t
+GROUP BY t.n_a, t.n_b
+"""
+
+
+@query("quality_ks_statistic", _KS_ORACLE, tag="stats")
+def quality_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the pre/post-1998
+    order-price distributions: ``D = max |F_base(x) - F_curr(x)|`` over the
+    pooled support — the nonparametric drift test that, unlike PSI, needs
+    no binning choice. Exactness: both ECDFs step only at observed values,
+    so D is maximized at a data point, and the comparison runs on the
+    integer ``|cumA·nB − cumB·nA|`` (cross-multiplied to avoid float
+    cumulative fractions) with ONE float division at the very end.
+
+    Scale design — distributed prefix sum, NOT a global-order window (which
+    Spark executes on a single reducer): distinct values hash into coarse
+    value-range buckets; per-bucket totals (a tiny table) window-cumsum into
+    broadcastable prefix offsets, and each bucket's local cumulative sum
+    runs in a PARTITIONED window. cum = offset + local. Every shuffle is
+    keyed; no operator ever sees more than one bucket's values sorted."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    v = o.select(
+        cents.alias("cents"),
+        F.when(F.col("o_orderdate") < _PSI_SPLIT, 1).otherwise(0).alias(
+            "is_base"
+        ),
+    )
+    per_value = v.groupBy("cents").agg(
+        F.sum("is_base").alias("a"), F.sum(1 - F.col("is_base")).alias("b")
+    ).withColumn("bucket", F.floor(F.col("cents") / _KS_BUCKET_CENTS))
+    bucket_totals = per_value.groupBy("bucket").agg(
+        F.sum("a").alias("ba"), F.sum("b").alias("bb")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = bucket_totals.select(
+        "bucket",
+        (F.sum("ba").over(w_off) - F.col("ba")).alias("off_a"),
+        (F.sum("bb").over(w_off) - F.col("bb")).alias("off_b"),
+    )
+    w_local = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_value.join(F.broadcast(offsets), "bucket")
+        .select(
+            (F.col("off_a") + F.sum("a").over(w_local)).alias("cum_a"),
+            (F.col("off_b") + F.sum("b").over(w_local)).alias("cum_b"),
+        )
+    )
+    totals = per_value.agg(
+        F.sum("a").cast("long").alias("n_a"), F.sum("b").cast("long").alias("n_b")
+    )
+    scaled = F.abs(
+        F.col("cum_a").cast("long") * F.col("n_b")
+        - F.col("cum_b").cast("long") * F.col("n_a")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(scaled).cast("long").alias("d_scaled"),
+            F.round(
+                F.max(scaled).cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("d_stat"),
+        )
+    )

@@ -215,7 +215,7 @@ _PRIORITY = [
     "set_union_by_name", "sim_hard_negatives", "text_fim_split",
     "join_asof_tolerance", "agg_listagg", "stat_moments", "fn_aes_roundtrip",
     "text_ppl_band", "text_bigram_lm", "embed_label_centroids",
-    "scan_tablesample",
+    "scan_tablesample", "stat_chi2_independence", "quality_ks_statistic",
 ]
 
 

@@ -106,7 +106,14 @@ def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stateful_totals", tag="streaming")  # rows-only: live stream
+@query(
+    "stream_stateful_totals",
+    # the drained update-mode sink's final per-key count is deterministic
+    # (every event is counted exactly once regardless of batch split), so
+    # the live stateful path is hash-checked against the batch aggregate
+    "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+    tag="streaming",
+)
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state streaming (``applyInPandasWithState``) driven live: the
     events table arrives as a bounded file stream (availableNow), per-key
