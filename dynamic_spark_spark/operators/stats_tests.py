@@ -594,3 +594,97 @@ def quality_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_mannwhitney_u — rank-sum test with tie-averaged ranks
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+), per_value AS (
+  SELECT cents, SUM(is_r) AS r, SUM(1 - is_r) AS a
+  FROM v GROUP BY cents
+), cum AS (
+  SELECT cents, r, a,
+         SUM(r + a) OVER (ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (r + a) AS cum_before
+  FROM per_value
+), sums AS (
+  -- rank2 = twice the tie-averaged rank of every row at this value: an
+  -- exact INTEGER (avg rank = cum_before + (cnt+1)/2 can end in .5)
+  SELECT CAST(SUM(r) AS BIGINT) AS n_r, CAST(SUM(a) AS BIGINT) AS n_a,
+         CAST(SUM(r * (2 * cum_before + (r + a) + 1)) AS BIGINT) AS r1_2
+  FROM cum
+)
+SELECT n_r, n_a,
+       -- doubled U: tie-averaged ranks make U a half-integer, and engines
+       -- disagree on CAST(x.5 AS BIGINT) (round vs truncate) — 2U is exact
+       CAST(r1_2 - n_r * (n_r + 1) AS BIGINT) AS u_stat_x2,
+       ROUND(1.0 - (r1_2 - n_r * (n_r + 1))
+             / (CAST(n_r AS DOUBLE) * n_a), 6) AS rank_biserial
+FROM sums
+"""
+
+
+@query("stat_mannwhitney_u", _MWU_ORACLE, tag="stats")
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the 'R' and 'A' cohorts
+    on price, with proper tie-averaged ranks — the nonparametric complement
+    to ``stat_ttest_welch`` when normality can't be assumed, plus the
+    rank-biserial effect size. Exactness: work on DOUBLED ranks
+    (``2·cum_before + cnt + 1``) so tie-averaged .5 ranks stay integers;
+    U derives from one exact int64 sum. Same distributed-prefix-sum shape
+    as ``quality_ks_statistic`` (bucketed local cumsums, broadcast
+    offsets); nothing global-sorts the value domain."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    v = li.select(
+        cents.alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+    )
+    per_value = v.groupBy("cents").agg(
+        F.sum("is_r").alias("r"), F.sum(1 - F.col("is_r")).alias("a")
+    ).withColumn("bucket", F.floor(F.col("cents") / _KS_BUCKET_CENTS))
+    bucket_totals = per_value.groupBy("bucket").agg(
+        F.sum(F.col("r") + F.col("a")).alias("bt")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = bucket_totals.select(
+        "bucket", (F.sum("bt").over(w_off) - F.col("bt")).alias("off")
+    )
+    w_local = Window.partitionBy("bucket").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_value.join(F.broadcast(offsets), "bucket").select(
+        "r",
+        "a",
+        (
+            F.col("off")
+            + F.sum(F.col("r") + F.col("a")).over(w_local)
+            - (F.col("r") + F.col("a"))
+        ).alias("cum_before"),
+    )
+    rank2 = 2 * F.col("cum_before") + (F.col("r") + F.col("a")) + 1
+    sums = cum.agg(
+        F.sum("r").cast("long").alias("n_r"),
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum(F.col("r") * rank2).cast("long").alias("r1_2"),
+    )
+    u2 = F.col("r1_2") - F.col("n_r") * (F.col("n_r") + 1)
+    return sums.select(
+        "n_r",
+        "n_a",
+        u2.cast("long").alias("u_stat_x2"),
+        F.round(
+            1.0 - u2 / (F.col("n_r").cast("double") * F.col("n_a")), 6
+        ).alias("rank_biserial"),
+    )

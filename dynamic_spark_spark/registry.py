@@ -216,6 +216,7 @@ _PRIORITY = [
     "join_asof_tolerance", "agg_listagg", "stat_moments", "fn_aes_roundtrip",
     "text_ppl_band", "text_bigram_lm", "embed_label_centroids",
     "scan_tablesample", "stat_chi2_independence", "quality_ks_statistic",
+    "stat_mannwhitney_u",
 ]
 
 
