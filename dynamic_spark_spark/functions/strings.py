@@ -158,3 +158,43 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.array_distinct(longw)), ","), F.lit("")
         ).alias("long_words"),
     )
+
+
+@query("fn_xpath", tag="function")  # rows-only: the oracle engine has no XPath
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction over XML payloads (``xpath_string``/``xpath_int``/
+    ``xpath``): the XML sibling of the JSON-path family (``fn_json``) for
+    feed/config columns. Payloads are synthesized from nation rows so the
+    extraction is verifiable in pytest; pure JVM expressions, map-only at
+    any scale. Rows-only here because DuckDB ships no XPath."""
+    n = load_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><key>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</key><name>"),
+        F.col("n_name"),
+        F.lit("</name><tags><t>a</t><t>b</t></tags></nation>"),
+    )
+    return n.select(
+        "n_nationkey",
+        xml.alias("payload"),
+        F.expr("xpath_string(payload, '/nation/name')").alias("x_name"),
+        F.expr("xpath_int(payload, '/nation/key')").alias("x_key"),
+        F.expr("size(xpath(payload, '/nation/tags/t/text()'))").alias("n_tags"),
+    ).drop("payload")
+
+
+@query("fn_phonetic", tag="function")  # rows-only: soundex/levenshtein mix is engine-specific
+def fn_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic encoding (``soundex``) — the classic blocking key for
+    entity resolution on names: candidate pairs only form within a soundex
+    bucket, the same cost-bounding device as ``join_fuzzy``'s length bands.
+    Deterministic (algorithmic, no RNG) and pinned against known encodings
+    in pytest; rows-only because the oracle engine has no soundex."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_name",
+        F.soundex("c_name").alias("name_soundex"),
+        F.length(F.soundex("c_name")).alias("code_len"),
+    )

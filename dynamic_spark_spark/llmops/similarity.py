@@ -479,3 +479,74 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("q_id", "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold calibration curve for near-dup dedup
+# ---------------------------------------------------------------------------
+
+#: cosine thresholds swept by the calibration curve (corpus-calibrated: the
+#: synthetic embeddings' within-label cosines top out near 0.47).
+DEDUP_CURVE_THRESHOLDS = (0.30, 0.35, 0.40, 0.45)
+
+_CURVE_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_o_cosine('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), th AS (
+  SELECT unnest([{', '.join(str(t) for t in DEDUP_CURVE_THRESHOLDS)}])
+    AS threshold
+)
+SELECT th.threshold,
+       COUNT(CASE WHEN p.cos_sim >= th.threshold THEN 1 END) AS n_pairs,
+       COUNT(DISTINCT CASE WHEN p.cos_sim >= th.threshold
+                           THEN p.vec_b END) AS n_docs_dropped
+FROM th LEFT JOIN pairs p ON p.cos_sim >= th.threshold
+GROUP BY th.threshold
+"""
+
+
+@query("dedup_threshold_curve", _CURVE_ORACLE, tag="llm-dedup")
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration: near-dup pair counts AND documents that
+    would be dropped (keep-lowest-id policy) at each candidate cosine
+    threshold, from ONE pass over the candidate pairs — the sweep every
+    dedup rollout runs before fixing its threshold ('how much does 0.95 vs
+    0.97 actually delete?'). The pair set is computed once and
+    cross-checked against each threshold (|thresholds| is a constant);
+    blocked by label like ``dedup_embedding`` so the same join is
+    oracle-expressible — the unblocked production path swaps in the LSH
+    candidate generation of ``sim_join_lsh`` with the same sweep."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label"
+    )
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= min(DEDUP_CURVE_THRESHOLDS))
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in DEDUP_CURVE_THRESHOLDS], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .join(pairs, pairs.cos_sim >= th.threshold, "left")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("cos_sim") >= F.col("threshold"), 1)).alias(
+                "n_pairs"
+            ),
+            F.count_distinct(
+                F.when(F.col("cos_sim") >= F.col("threshold"), F.col("vec_b"))
+            ).alias("n_docs_dropped"),
+        )
+    )

@@ -775,3 +775,50 @@ def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, o_orderstatus FROM orders_ts"
         " TABLESAMPLE (10 PERCENT) REPEATABLE (7)"
     )
+
+
+@query(
+    "sink_zorder_layout",
+    "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem",
+    tag="scan",
+)  # oracle: layout changes file order only; values round-trip exactly
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered parquet write: range-partition + sort by the Morton
+    curve value of (l_partkey, l_suppkey) before writing, so each file's
+    row groups are tight in BOTH key dimensions and min/max footer stats
+    prune scans filtered on either key — the Delta/Iceberg ``OPTIMIZE
+    ZORDER`` layout step expressed with stock writers. The clustering claim
+    is measured in tests/test_scale_patterns.py from the actual parquet
+    footers (per-row-group key spans shrink vs a natural-order write); this
+    key proves the values survive the rewrite byte-exactly.
+
+    Both dimensions are NORMALIZED to a common 16-bit range (multiplying by
+    65536/(max+1); maxes ride a broadcast one-row aggregate — no driver
+    collect) before interleaving: with raw keys the wider key monopolizes
+    the high z-bits and the curve degenerates to a single-key sort."""
+    from functools import reduce
+
+    out = _tmpdir(prefix="dss_zorder_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    mx = li.agg(F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms"))
+    px = F.floor(F.col("l_partkey") * 65536 / (F.col("mp") + 1)).cast("long")
+    sy = F.floor(F.col("l_suppkey") * 65536 / (F.col("ms") + 1)).cast("long")
+    terms = []
+    for i in range(16):
+        terms.append(F.shiftleft(F.shiftright(px, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(sy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    zval = reduce(lambda a, b: a.bitwiseOR(b), terms)
+    (
+        li.crossJoin(F.broadcast(mx))
+        .withColumn("zval", zval.cast("bigint"))
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .select(*li.columns)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.schema(li.schema).parquet(out)

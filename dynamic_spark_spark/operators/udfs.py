@@ -18,6 +18,8 @@ ANSI-SQL-expressible.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -198,4 +200,61 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.mapInArrow(
         net, schema="l_orderkey long, l_linenumber int, net_price double"
+    )
+
+
+@query(
+    "udf_pandas_iter",
+    "SELECT o_orderkey,"
+    " CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents"
+    " FROM orders WHERE o_orderkey < 2000",
+    tag="udf",
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (``Iterator[pd.Series] -> Iterator
+    [pd.Series]``): the tier for UDFs with expensive one-time setup (model
+    load, dictionary mmap) — the initialization runs once per PARTITION,
+    then streams Arrow batches through, instead of paying setup per batch
+    like the plain scalar form. The body here is exact integer arithmetic
+    so the key stays hash-checked; the shape is what matters."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def to_cents(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-partition setup would go here (e.g. load a model)
+        scale = 100
+        for prices in batches:
+            yield (prices * scale).round(0).astype("int64")
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select("o_orderkey", to_cents("o_totalprice").alias("cents"))
+
+
+@query(
+    "win_pandas_udf",
+    "SELECT o_custkey, o_orderkey,"
+    " CAST(MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+    "   OVER (PARTITION BY o_custkey) AS BIGINT) AS min_cents"
+    " FROM orders WHERE o_custkey < 100",
+    tag="udf",
+)
+def win_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF evaluated OVER A WINDOW — custom Python
+    aggregation logic windowed per key without collapsing rows (the
+    'attach a model-derived per-group score to every row' pattern). The
+    UDF returns an order-insensitive exact statistic (integer min) so the
+    live Arrow window path hash-checks against plain SQL MIN OVER."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def min_cents(prices: pd.Series) -> int:
+        return int((prices * 100).round(0).astype("int64").min())
+
+    w = Window.partitionBy("o_custkey")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        min_cents("o_totalprice").over(w).alias("min_cents"),
     )

@@ -216,7 +216,8 @@ _PRIORITY = [
     "join_asof_tolerance", "agg_listagg", "stat_moments", "fn_aes_roundtrip",
     "text_ppl_band", "text_bigram_lm", "embed_label_centroids",
     "scan_tablesample", "stat_chi2_independence", "quality_ks_statistic",
-    "stat_mannwhitney_u",
+    "stat_mannwhitney_u", "udf_pandas_iter", "win_pandas_udf",
+    "dedup_threshold_curve", "fn_xpath", "fn_phonetic", "sink_zorder_layout",
 ]
 
 

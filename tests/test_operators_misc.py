@@ -480,3 +480,25 @@ def test_stats_tier_mathematical_contracts(spark, sf_dir):
     assert (ent.entropy_micro_nats >= 0).all()
     max_nats = ent.n_distinct_chars.map(lambda k: math.log(max(k, 1)))
     assert (ent.entropy_micro_nats <= max_nats * 1e6 + len(ent)).all()
+
+
+def test_phonetic_and_xpath_pinned(spark, sf_dir):
+    """fn_phonetic must produce the canonical soundex encodings; fn_xpath
+    must extract the synthesized fields exactly."""
+    qs = load_all_queries()
+    sx = {
+        r["c_name"]: r["name_soundex"]
+        for r in qs["fn_phonetic"](spark, sf_dir).limit(200).collect()
+    }
+    # canonical algorithm spot-checks (public soundex test vectors)
+    row = spark.sql(
+        "SELECT soundex('Robert') a, soundex('Rupert') b, soundex('Tymczak') c"
+    ).first()
+    assert (row.a, row.b, row.c) == ("R163", "R163", "T522")
+    assert all(len(v) == 4 for v in sx.values())
+
+    xp = qs["fn_xpath"](spark, sf_dir).collect()
+    for r in xp:
+        assert r["x_key"] == r["n_nationkey"]
+        assert r["n_tags"] == 2
+        assert r["x_name"]
