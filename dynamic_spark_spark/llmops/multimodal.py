@@ -391,3 +391,137 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, mime string, sample_rate int, channels int,"
         " bits int, n_samples long, duration_ms long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real video-container metadata (ISO BMFF / MP4) — round-2 fourth wave
+# ---------------------------------------------------------------------------
+
+_MP4_TIMESCALES = (600, 1000, 24000, 90000)
+
+
+def mp4_bytes(timescale: int, dur_s: int, width: int, height: int) -> bytes:
+    """Minimal standards-shaped ISO-BMFF stream: ``ftyp`` + ``moov`` with
+    ``mvhd`` (timescale/duration) and a ``tkhd`` carrying 16.16 fixed-point
+    width/height — the boxes every real MP4 probe reads first."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, timescale * dur_s)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # predefined
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime mtime track_id reserved
+        + struct.pack(">I", timescale * dur_s)  # duration
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def parse_mp4_header(payload: bytes):
+    """Walk top-level and moov-child ISO-BMFF boxes with real byte offsets:
+    brand from ``ftyp``, timescale/duration from ``mvhd``, 16.16 dimensions
+    from ``tkhd``. Returns (brand, timescale, duration, duration_ms, w, h)."""
+    import struct
+
+    nulls = (None, None, None, None, None, None)
+    brand = timescale = duration = width = height = None
+
+    def walk(buf: bytes, start: int, end: int):
+        nonlocal brand, timescale, duration, width, height
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            if size < 8:
+                return
+            tag = buf[i + 4 : i + 8]
+            body = buf[i + 8 : i + size]
+            if tag == b"ftyp":
+                brand = body[:4].decode("ascii", "replace")
+            elif tag in (b"moov", b"trak"):
+                walk(buf, i + 8, i + size)
+            elif tag == b"mvhd" and len(body) >= 20:
+                timescale, duration = struct.unpack(">II", body[12:20])
+            elif tag == b"tkhd" and len(body) >= 84:
+                w, h = struct.unpack(">II", body[76:84])
+                width, height = w >> 16, h >> 16
+            i += size
+
+    walk(payload, 0, len(payload))
+    if brand is None or timescale is None:
+        return nulls
+    return (
+        brand,
+        timescale,
+        duration,
+        duration * 1000 // timescale,
+        width,
+        height,
+    )
+
+
+@query(
+    "multimodal_video_meta",
+    "SELECT doc_id, 'video/mp4' AS mime, 'isom' AS brand,"
+    " CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000"
+    "   WHEN 2 THEN 24000 ELSE 90000 END AS INT) AS timescale,"
+    " CAST((5 + doc_id % 26) * 1000 AS BIGINT) AS duration_ms,"
+    " CAST(320 + (doc_id % 8) * 160 AS INT) AS width,"
+    " CAST(180 + (doc_id % 8) * 90 AS INT) AS height"
+    " FROM documents",
+    tag="llm-multimodal",
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata: synthesize standards-shaped MP4
+    (ISO-BMFF) byte streams — ftyp brand, mvhd timescale/duration, tkhd
+    16.16 fixed-point dimensions — and recover every field by walking the
+    box structure at real byte offsets in an Arrow-batched ``mapInPandas``
+    pass. Completes the modality triple next to the PNG/JPEG/GIF/BMP image
+    and RIFF/WAV audio parsers; only the codec payload (which the container
+    merely wraps) stays out of scope in this environment. The oracle
+    recomputes each field arithmetically, so a hash match proves the full
+    synthesize → serialize → parse round trip."""
+
+    def synth_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                ts = _MP4_TIMESCALES[d % 4]
+                payload = mp4_bytes(
+                    ts, 5 + d % 26, 320 + (d % 8) * 160, 180 + (d % 8) * 90
+                )
+                brand, timescale, _dur, dur_ms, w, h = parse_mp4_header(payload)
+                rows.append((d, "video/mp4", brand, timescale, dur_ms, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "brand", "timescale",
+                    "duration_ms", "width", "height",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    return docs.mapInPandas(
+        synth_and_parse,
+        schema="doc_id long, mime string, brand string, timescale int,"
+        " duration_ms long, width int, height int",
+    )

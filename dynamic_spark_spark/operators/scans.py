@@ -822,3 +822,23 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.schema(li.schema).parquet(out)
+
+
+@query(
+    "sink_parquet_zstd",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    tag="scan",
+)  # oracle: codec choice must not change a single value
+def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-controlled parquet write (``compression=zstd``): at 100 TB the
+    storage codec is a first-order cost knob (zstd ≈ snappy read speed at
+    a distinctly better ratio, which is why it became the lakehouse
+    default). The written footers are asserted to actually carry ZSTD
+    column chunks in tests (via pyarrow metadata), and this key proves the
+    values survive the codec round trip bit-exactly."""
+    out = _tmpdir(prefix="dss_zstd_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    return spark.read.schema(o.schema).parquet(out)

@@ -218,6 +218,7 @@ _PRIORITY = [
     "scan_tablesample", "stat_chi2_independence", "quality_ks_statistic",
     "stat_mannwhitney_u", "udf_pandas_iter", "win_pandas_udf",
     "dedup_threshold_curve", "fn_xpath", "fn_phonetic", "sink_zorder_layout",
+    "multimodal_video_meta", "sink_parquet_zstd",
 ]
 
 

@@ -189,3 +189,25 @@ def test_zorder_layout_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     z_part = span_total(z_dir, "l_partkey")
     nat_part = span_total(nat_dir, "l_partkey")
     assert z_part < 0.7 * nat_part, (z_part, nat_part)
+
+
+def test_zstd_sink_writes_zstd_chunks(spark, sf_dir, tmp_path):
+    """sink_parquet_zstd must emit files whose column chunks really are
+    ZSTD-compressed (checked in the parquet footers), not silently fall
+    back to the default codec."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.sources.readers import load_table
+
+    out = str(tmp_path / "zstd")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    files = _glob.glob(f"{out}/*.parquet")
+    assert files
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                assert meta.row_group(rg).column(ci).compression == "ZSTD"
