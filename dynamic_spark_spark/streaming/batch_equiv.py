@@ -540,3 +540,61 @@ def stream_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_STREAM_DEDUP_GROUPS_ORACLE = """
+SELECT md5(text) AS digest,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("stream_dedup_groups_live", _STREAM_DEDUP_GROUPS_ORACLE, tag="streaming")
+def stream_dedup_groups_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup bookkeeping driven live: documents arrive as
+    an availableNow stream, and a streaming aggregation maintains per-digest
+    (keeper = min doc_id, copy count) state — the ingest-time dedup ledger
+    a continuous corpus pipeline keeps (batch twin: ``dedup_exact``).
+    Unlike streaming ``dropDuplicates`` — where WHICH duplicate survives
+    depends on arrival order — the final min/count state is independent of
+    batch splits, so the live path is hash-checked exactly against the
+    batch GROUP BY. Update-mode memory sink; the post-drain MAX picks each
+    key's final state row."""
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="dss_dgroups_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_dgroups_ckpt_")
+    name = "dss_dedup_groups"
+    try:
+        d.write.mode("overwrite").parquet(src)
+        from dynamic_spark_spark.streaming.core import file_stream
+
+        agg = (
+            file_stream(spark, src, d.schema)
+            .select(F.md5("text").alias("digest"), "doc_id")
+            .groupBy("digest")
+            .agg(
+                F.min("doc_id").alias("keeper_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.sql(
+            f"SELECT digest, MIN(keeper_doc_id) AS keeper_doc_id,"
+            f" MAX(n_copies) AS n_copies FROM {name} GROUP BY digest"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
