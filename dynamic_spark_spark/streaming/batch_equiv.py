@@ -238,7 +238,15 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_rollup_live", tag="streaming")  # rows-only: live stream
+@query(
+    "stream_rollup_live",
+    # complete-mode snapshot with no watermark: the drained final state
+    # holds every window with its full count regardless of micro-batch
+    # splits, so the live continuous aggregate hash-checks against the
+    # identical batch rollup oracle
+    _HYPERTABLE_ORACLE,
+    tag="streaming",
+)
 def stream_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hypertable minutely layer maintained by a REAL stream: events
     arrive as an availableNow file stream, the same groupBy(window) plan as
