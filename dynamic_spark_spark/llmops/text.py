@@ -121,14 +121,42 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_oracle() -> str:
+    scores = {
+        lang: (
+            f"CAST(len(regexp_extract_all(lower(text),"
+            f" '{_marker_pattern(words)}')) AS INT)"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lang} = {best} AND {best} > 0 THEN '{lang}'"
+            for lang in scores
+        )
+        + " ELSE 'und' END"
+    )
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    outer = ", ".join(f"s_{lang} AS score_{lang}" for lang in scores)
+    return (
+        f"SELECT doc_id, lang, {outer}, {pred} AS lang_pred"
+        f" FROM (SELECT doc_id, lang, text, {inner} FROM documents)"
+    )
+
+
 @query(
     "text_langid",
-    None,
+    _langid_oracle(),
     tag="llm-text",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts
-    (ties → 'und'; zero hits → 'und'). Pure codegen expressions."""
+    (zero hits → 'und'; ties break to the earlier language in LANG_MARKERS
+    order, deterministically). Pure codegen regexp counts — the same
+    marker patterns the oracle engine runs verbatim, so even the
+    classifier's decisions hash-match."""
     d = load_table(spark, sf_dir, "documents")
     scores = _lang_scores(F.col("text"))
     best = F.greatest(*scores.values())
