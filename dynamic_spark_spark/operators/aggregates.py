@@ -509,3 +509,59 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         " COUNT(*) AS n"
         " FROM orders_la GROUP BY o_orderstatus"
     )
+
+
+_PCT_EXACT_POINTS = (25, 50, 75, 95)
+
+_PCT_EXACT_ORACLE = f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       {", ".join(
+         f"MAX(CASE WHEN rn = CAST(CEIL(n * 0.{p:02d}) AS BIGINT)"
+         f" THEN l_extendedprice END) AS p{p}"
+         for p in _PCT_EXACT_POINTS)}
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentile_exact", _PCT_EXACT_ORACLE, tag="aggregate")
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete (type-1) quantiles per group — the element at rank
+    ``ceil(p·n)`` — complementing the sketch tier (``agg_percentile``,
+    ``agg_percentile_approx``) when the report must be reproducible to the
+    bit: a rank-selected value is read from storage, so any engine returns
+    the identical number, while interpolated percentiles differ by an ulp
+    across engines and approx sketches by design. Cost is one per-group
+    sort (the window), the price ``agg_winsorize`` documents; the sketch
+    tier is the 100 TB default, this is the audited-report path."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * (p / 100.0)).cast("long"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias(f"p{p}")
+            for p in _PCT_EXACT_POINTS
+        ]
+    )

@@ -47,7 +47,13 @@ def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sort_within_partitions", tag="sort")  # rows-only: layout, not values
+@query(
+    "sort_within_partitions",
+    # the operator changes physical layout, never the row multiset — the
+    # order-insensitive hash compare proves values survive the reshuffle
+    "SELECT * FROM orders",
+    tag="sort",
+)
 def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local sort — no global exchange; the write-side pattern for
     producing clustered parquet files."""

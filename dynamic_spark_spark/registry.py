@@ -219,7 +219,7 @@ _PRIORITY = [
     "stat_mannwhitney_u", "udf_pandas_iter", "win_pandas_udf",
     "dedup_threshold_curve", "fn_xpath", "fn_phonetic", "sink_zorder_layout",
     "multimodal_video_meta", "sink_parquet_zstd",
-    "stream_dedup_groups_live",
+    "stream_dedup_groups_live", "agg_percentile_exact",
 ]
 
 
