@@ -266,3 +266,227 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clamped), 4).alias("winsor_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation family: exact ROC / AUC / calibration (round-2 fourth wave)
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-ins so the metrics are oracle-checkable: the "score"
+# is the first embedding component (fixed data, no model RNG) and the
+# "positive" class is odd labels. Swap in a real model-score column and the
+# plans are unchanged.
+_ROC_BUCKET = 250_000  # score_micro bucket width for the distributed prefix sum
+
+_ROC_ORACLE = """
+WITH s AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS score_micro,
+         CAST(label % 2 AS INT) AS pos
+  FROM embeddings
+), per_score AS (
+  SELECT score_micro, SUM(pos) AS p, SUM(1 - pos) AS q
+  FROM s GROUP BY score_micro
+), cum AS (
+  SELECT score_micro,
+         SUM(p) OVER (ORDER BY score_micro DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tp,
+         SUM(q) OVER (ORDER BY score_micro DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_fp
+  FROM per_score
+), t AS (SELECT SUM(pos) AS np, SUM(1 - pos) AS nq FROM s)
+SELECT c.score_micro, CAST(c.cum_tp AS BIGINT) AS cum_tp,
+       CAST(c.cum_fp AS BIGINT) AS cum_fp,
+       ROUND(CAST(c.cum_tp AS DOUBLE) / t.np, 6) AS tpr,
+       ROUND(CAST(c.cum_fp AS DOUBLE) / t.nq, 6) AS fpr
+FROM cum c CROSS JOIN t
+"""
+
+
+@query("ml_roc_points", _ROC_ORACLE, tag="ml")
+def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC curve points — cumulative TP/FP counts at every distinct
+    score threshold (descending), the curve every classifier eval plots.
+    Counts are exact integers; TPR/FPR are single rounded divisions. The
+    threshold-ordered cumulative runs as a distributed prefix sum (bucketed
+    per-score cumsums + broadcast bucket offsets, ``quality_ks_statistic``'s
+    device) — never a single-reducer global window over the score domain."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("score_micro"),
+        (F.col("label") % 2).cast("int").alias("pos"),
+    )
+    per_score = s.groupBy("score_micro").agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("q")
+    ).withColumn(
+        # descending prefix sum: bucket ids negated so ascending bucket
+        # order == descending score order
+        "bucket", -F.floor(F.col("score_micro") / _ROC_BUCKET)
+    )
+    bt = per_score.groupBy("bucket").agg(
+        F.sum("p").alias("bp"), F.sum("q").alias("bq")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = bt.select(
+        "bucket",
+        (F.sum("bp").over(w_off) - F.col("bp")).alias("off_p"),
+        (F.sum("bq").over(w_off) - F.col("bq")).alias("off_q"),
+    )
+    w_local = Window.partitionBy("bucket").orderBy(
+        F.col("score_micro").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals = s.agg(
+        F.sum("pos").alias("np"), F.sum(1 - F.col("pos")).alias("nq")
+    )
+    return (
+        per_score.join(F.broadcast(offsets), "bucket")
+        .select(
+            "score_micro",
+            (F.col("off_p") + F.sum("p").over(w_local)).cast("long").alias("cum_tp"),
+            (F.col("off_q") + F.sum("q").over(w_local)).cast("long").alias("cum_fp"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "score_micro",
+            "cum_tp",
+            "cum_fp",
+            F.round(F.col("cum_tp").cast("double") / F.col("np"), 6).alias("tpr"),
+            F.round(F.col("cum_fp").cast("double") / F.col("nq"), 6).alias("fpr"),
+        )
+    )
+
+
+_AUC_ORACLE = """
+WITH s AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS score_micro,
+         CAST(label % 2 AS INT) AS pos
+  FROM embeddings
+), per_score AS (
+  SELECT score_micro, SUM(pos) AS p, SUM(1 - pos) AS q
+  FROM s GROUP BY score_micro
+), cum AS (
+  SELECT p, q,
+         SUM(p + q) OVER (ORDER BY score_micro
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (p + q) AS cum_before
+  FROM per_score
+), sums AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * cum_before + (p + q) + 1)) AS BIGINT) AS r1_2
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       ROUND((r1_2 - n_pos * (n_pos + 1))
+             / (2.0 * n_pos * n_neg), 6) AS auc
+FROM sums
+"""
+
+
+@query("ml_auc_exact", _AUC_ORACLE, tag="ml")
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC in one rank-sum pass: AUC equals the Mann–Whitney U
+    statistic normalized by n_pos·n_neg, so the tie-averaged doubled-rank
+    machinery of ``stat_mannwhitney_u`` computes it with integer-exact
+    arithmetic — no curve interpolation, no per-threshold loop, one
+    (score)-keyed shuffle. This is THE scalable way to evaluate a
+    classifier on 10^11 rows: the engine never materializes the curve."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("score_micro"),
+        (F.col("label") % 2).cast("int").alias("pos"),
+    )
+    per_score = s.groupBy("score_micro").agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("q")
+    ).withColumn("bucket", F.floor(F.col("score_micro") / _ROC_BUCKET))
+    bt = per_score.groupBy("bucket").agg(F.sum(F.col("p") + F.col("q")).alias("bt"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = bt.select(
+        "bucket", (F.sum("bt").over(w_off) - F.col("bt")).alias("off")
+    )
+    w_local = Window.partitionBy("bucket").orderBy("score_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.join(F.broadcast(offsets), "bucket").select(
+        "p",
+        "q",
+        (
+            F.col("off")
+            + F.sum(F.col("p") + F.col("q")).over(w_local)
+            - (F.col("p") + F.col("q"))
+        ).alias("cum_before"),
+    )
+    rank2 = 2 * F.col("cum_before") + (F.col("p") + F.col("q")) + 1
+    sums = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        F.sum(F.col("p") * rank2).cast("long").alias("r1_2"),
+    )
+    return sums.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r1_2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_CALIB_ORACLE = """
+WITH s AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(FLOOR((CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 10)
+                AS BIGINT))) AS bin,
+         CAST(FLOOR((CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 1000000)
+              AS BIGINT) AS prob_micro,
+         CAST(label % 2 AS INT) AS pos
+  FROM embeddings
+)
+SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(FLOOR(CAST(SUM(prob_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS mean_prob_micro,
+       ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS obs_rate
+FROM s GROUP BY bin
+"""
+
+
+@query("ml_calibration_bins", _CALIB_ORACLE, tag="ml")
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: decile-bucketed predicted probability vs
+    observed positive rate — the calibration table behind ECE and Platt
+    scaling decisions. Per-value probabilities quantize to integer micro
+    BEFORE the sum (order-independent mean); one |bins|-group aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    prob = (F.element_at("embedding", 1).cast("double") + 1.0) / 2.0
+    s = e.select(
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(prob * 10).cast("long"))
+        ).alias("bin"),
+        F.floor(prob * 1_000_000).cast("long").alias("prob_micro"),
+        (F.col("label") % 2).cast("int").alias("pos"),
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.floor(F.sum("prob_micro").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_prob_micro"),
+        F.round(F.sum("pos").cast("double") / F.count(F.lit(1)), 6).alias(
+            "obs_rate"
+        ),
+    )
