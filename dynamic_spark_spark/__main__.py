@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
             metavar="K=V",
             help="runtime macro value for ${K} placeholders (repeatable)",
         )
+        p.add_argument(
+            "--explain",
+            action="store_true",
+            help="print the composed plan's formatted physical explain to"
+            " stderr before executing (run) or after validating (validate)",
+        )
 
     lk = sub.add_parser("list-keys")
     lk.add_argument("--tag", default=None, help="filter by SURVEY category tag")
@@ -95,7 +101,18 @@ def main(argv: list[str] | None = None) -> int:
         if ns.cmd == "validate":
             print(json.dumps({"ok": True, "stages": len(pipe.spec.stages)}))
             return 0
-        pipe.run(spark)
+        result = pipe.run(spark)
+        if ns.explain and result is not None:
+            # debugging surface: the composed single-DataFrame plan (the
+            # design stance — stages fuse into ONE Catalyst plan)
+            print(
+                result._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                ),
+                file=sys.stderr,
+            )
         print(
             json.dumps(
                 {

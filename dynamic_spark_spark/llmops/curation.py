@@ -187,3 +187,78 @@ def curriculum_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tok") - F.col("n_tok") < CURRICULUM_BUDGET)
         .select("doc_id", "source", "score", "n_tok", "cum_tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty — per-document contribution of first-seen n-grams
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words) - {NGRAM - 1}, 0)),
+                i -> array_to_string(words[i:i+{NGRAM - 1}], ' '))) AS gram
+  FROM toks
+), per_doc_gram AS (
+  SELECT DISTINCT doc_id, gram FROM grams
+), first_seen AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM per_doc_gram GROUP BY gram
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(*) FILTER (WHERE f.first_doc = p.doc_id) AS n_novel,
+       ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = p.doc_id) AS DOUBLE)
+             / COUNT(*), 6) AS novelty_rate
+FROM per_doc_gram p JOIN first_seen f ON p.gram = f.gram
+GROUP BY p.doc_id
+"""
+
+
+@query("text_novelty", _NOVELTY_ORACLE, tag="llm-text")
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty score: the fraction of a document's distinct word
+    n-grams that it INTRODUCES to the corpus (doc_id order as ingestion
+    order) — the data-valuation signal behind "does this source add
+    anything new" pruning decisions: near-zero novelty marks templated or
+    duplicated feeds long before a full dedup pass runs. Plan: the same
+    higher-order-array gram generation as ``text_decontaminate``, one
+    (gram → min doc_id) reduce, one broadcast-free equi-join back on the
+    gram key; everything after the first shuffle is gram-table-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    idx = F.when(
+        F.size("words") >= NGRAM,
+        F.sequence(F.lit(1), F.size("words") - (NGRAM - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice("words", i, NGRAM), " ")
+    )
+    per_doc_gram = (
+        d.select("doc_id", words.alias("words"))
+        .select("doc_id", F.explode(gram_arr).alias("gram"))
+        .distinct()
+    )
+    first_seen = per_doc_gram.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        per_doc_gram.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.count(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

@@ -220,7 +220,7 @@ _PRIORITY = [
     "dedup_threshold_curve", "fn_xpath", "fn_phonetic", "sink_zorder_layout",
     "multimodal_video_meta", "sink_parquet_zstd",
     "stream_dedup_groups_live", "agg_percentile_exact",
-    "ml_roc_points", "ml_auc_exact", "ml_calibration_bins",
+    "ml_roc_points", "ml_auc_exact", "ml_calibration_bins", "text_novelty",
 ]
 
 
