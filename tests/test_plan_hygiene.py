@@ -267,3 +267,19 @@ def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
         if row["doc_id"] in docs.index:
             expect = len(zlib.compress(docs[row["doc_id"]].encode("utf-8"), 6))
             assert row["zlib_bytes"] == expect, row["doc_id"]
+
+
+def test_prefix_sum_keys_use_partitioned_windows(spark, sf_dir):
+    """The KS / Mann-Whitney / ROC keys must run their value-domain
+    cumulative sums in bucket-PARTITIONED windows; the only single-partition
+    window allowed is the tiny bucket-offset table. A regression to a
+    global-order window over the value domain would serialize the whole
+    domain through one reducer at scale."""
+    q = load_all_queries()
+    for key in ("quality_ks_statistic", "stat_mannwhitney_u", "ml_roc_points"):
+        plan = _plan(q[key](spark, sf_dir))
+        assert "hashpartitioning(bucket" in plan, (key, plan[:2000])
+        # SinglePartition exchanges may appear only for constant-size
+        # inputs: the <=100-row bucket-offset window and the one-row
+        # totals aggregate — never for the value domain itself
+        assert plan.count("Exchange SinglePartition") <= 2, key
