@@ -345,13 +345,35 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibrated to the synthetic corpus (max within-label cosine ≈ 0.47, so a
     "near-dup" here is the top ~0.04% of pairs) — a 0.99 threshold would be
     vacuously empty on this data and prove nothing."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    # norms precomputed per SIDE before the pair fan-out: bit-identical to
+    # the per-pair form (same sequential fold over the same doubles), one
+    # array fold per candidate instead of three (sim_topk's device)
+    # spread the CPU-heavy pair generation: the single-file scan would
+    # otherwise drive the broadcast join with ONE task (small-file
+    # artifact; at real scale the scan has many splits)
+    a = e.repartition(32).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "label",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "label",
+    )
     return (
         a.join(b, "label")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.40)
+        .where(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
+            >= 0.40
+        )
         .select("vec_a", "vec_b")
     )
 
@@ -519,18 +541,32 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked by label like ``dedup_embedding`` so the same join is
     oracle-expressible — the unblocked production path swaps in the LSH
     candidate generation of ``sim_join_lsh`` with the same sweep."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    # per-side norms (one fold per pair, not three — see dedup_embedding)
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "label",
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "label",
     )
     pairs = (
         a.join(b, "label")
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim")
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= min(DEDUP_CURVE_THRESHOLDS))
     )
