@@ -842,3 +842,23 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o.write.mode("overwrite").option("compression", "zstd").parquet(out)
     return spark.read.schema(o.schema).parquet(out)
+
+
+@query("scan_file_metadata", tag="scan")  # rows-only: file paths are env-specific
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` provenance columns (file path/name/size,
+    ``row_index``): the built-in lineage surface incremental pipelines use
+    to answer "which file did this row come from" without a custom reader —
+    at 100 TB this is how backfills target exactly the files that changed.
+    Rows-only (paths are environment-specific); the per-file row counts and
+    the dense row_index contract are pinned in pytest."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    return d.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("row_index").alias("min_idx"),
+        F.max("row_index").alias("max_idx"),
+    )

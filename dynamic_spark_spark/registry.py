@@ -221,6 +221,7 @@ _PRIORITY = [
     "multimodal_video_meta", "sink_parquet_zstd",
     "stream_dedup_groups_live", "agg_percentile_exact",
     "ml_roc_points", "ml_auc_exact", "ml_calibration_bins", "text_novelty",
+    "scan_file_metadata",
 ]
 
 

@@ -502,3 +502,13 @@ def test_phonetic_and_xpath_pinned(spark, sf_dir):
         assert r["x_key"] == r["n_nationkey"]
         assert r["n_tags"] == 2
         assert r["x_name"]
+
+
+def test_file_metadata_row_index_dense(spark, sf_dir):
+    """scan_file_metadata: per-file row_index must be dense 0..n-1 — the
+    contract incremental consumers rely on to address rows stably."""
+    qs = load_all_queries()
+    for r in qs["scan_file_metadata"](spark, sf_dir).collect():
+        assert r["min_idx"] == 0
+        assert r["max_idx"] == r["n_rows"] - 1
+        assert r["file_name"].endswith(".parquet")
