@@ -198,3 +198,50 @@ def fn_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.soundex("c_name").alias("name_soundex"),
         F.length(F.soundex("c_name")).alias("code_len"),
     )
+
+
+_COLLATION_ORACLE = """
+SELECT lower(name) AS name_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS n_spellings
+FROM (SELECT upper(n_name) AS name FROM nation
+      UNION ALL
+      SELECT concat(upper(substr(n_name, 1, 1)), lower(substr(n_name, 2)))
+      FROM nation)
+GROUP BY 1
+"""
+
+
+@query("fn_collation", _COLLATION_ORACLE, tag="function")
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 ``collate(..., 'UNICODE_CI')``):
+    case-insensitive GROUP BY as a COLUMN TYPE property instead of the
+    classic ``lower()`` normalization — comparisons, joins, and aggregations
+    on the collated column all inherit the collation, and (unlike
+    ``lower()``) the optimizer still prunes/pushes on the original column.
+
+    The input is a synthesized case-variant union (ALGERIA + Algeria, from
+    nation), so the collated group-by provably merges spellings: 25 groups
+    of 2 variants each. The distinct-spelling count runs on the BINARY
+    collation inside the same aggregate, showing the two collations compose.
+    Output keys are lowercased and cast back to a plain UTF8_BINARY string
+    so the result schema is engine-portable (the group representative Spark
+    retains under CI collation is otherwise nondeterministic)."""
+    n = load_table(spark, sf_dir, "nation")
+    variants = n.select(F.upper("n_name").alias("name")).unionAll(
+        n.select(F.initcap(F.lower("n_name")).alias("name"))
+    )
+    return (
+        variants.groupBy(F.collate(F.col("name"), "UNICODE_CI").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct(F.collate(F.col("name"), "UTF8_BINARY")).alias(
+                "n_spellings"
+            ),
+        )
+        .select(
+            F.lower(F.collate(F.col("k"), "UTF8_BINARY")).alias("name_ci"),
+            "n_variants",
+            "n_spellings",
+        )
+    )

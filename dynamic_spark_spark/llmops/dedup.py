@@ -517,3 +517,158 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(None).cast("long").alias("comp"), "n_chars"
     )
     return cluster_keep.unionByName(untouched)
+
+
+_REWRITE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+sized AS (
+  SELECT doc_id, w, CAST(floor(len(w) / {CHUNK_TOKENS}) AS INT) AS n_full
+  FROM base),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS idx,
+         array_to_string(list_slice(w, u.i * {CHUNK_TOKENS} + 1,
+                                    (u.i + 1) * {CHUNK_TOKENS}), ' ') AS chunk
+  FROM sized, unnest(generate_series(0, n_full - 1)) AS u(i)
+  WHERE n_full > 0),
+owners AS (SELECT chunk, MIN(doc_id) AS owner FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) FILTER (WHERE o.owner = c.doc_id) AS BIGINT) AS n_kept,
+         CAST(COUNT(*) FILTER (WHERE o.owner < c.doc_id) AS BIGINT) AS n_dropped,
+         string_agg(c.chunk, ' ' ORDER BY c.idx)
+           FILTER (WHERE o.owner = c.doc_id) AS kept_str
+  FROM chunks c JOIN owners o USING (chunk) GROUP BY c.doc_id)
+SELECT s.doc_id,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.n_dropped, 0) AS n_dropped,
+       md5(concat_ws(' ', k.kept_str,
+             nullif(array_to_string(
+               list_slice(s.w, s.n_full * {CHUNK_TOKENS} + 1, len(s.w)), ' '),
+             ''))) AS clean_md5
+FROM sized s LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@query("dedup_passage_rewrite", _REWRITE_ORACLE, tag="llm-dedup")
+def dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of passage-level dedup (``dedup_passage_chunks`` is
+    the audit): strip every {CHUNK}-token passage that some LOWER-doc_id
+    document also contains (keep-first policy — deterministic, no RNG) and
+    REASSEMBLE the surviving text in original passage order, with the
+    sub-passage tail always retained. This is the C4/RefinedWeb-style
+    boilerplate-removal rewrite, the single highest-volume transform in a
+    web-scale curation pipeline.
+
+    Scale shape: chunking is per-row codegen; ownership is one groupBy on
+    the passage key; reassembly is a per-doc sort+join of ONLY the kept
+    passages (collect_list over ≤ chunks-per-doc structs, bounded state).
+    The rewrite is compared by md5 so the driver frame stays scalar; the
+    full cleaned text is what a real pipeline would write. Passage keys here
+    are the strings themselves for oracle parity — the production path keys
+    by ``xxhash64(chunk)`` exactly as ``dedup_passage_chunks`` does."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda x: x != "")
+    sized = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.floor(F.size(w) / CHUNK_TOKENS).cast("int").alias("n_full"),
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), F.col("n_full") - 1),
+        lambda i: F.array_join(F.slice("w", i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "),
+    )
+    chunks = sized.where(F.col("n_full") > 0).select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    owners = chunks.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
+    mine = F.col("owner") == F.col("doc_id")
+    kept = (
+        chunks.join(owners, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(mine.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((F.col("owner") < F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(mine, F.struct("idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_str"),
+        )
+    )
+    tail = F.array_join(
+        F.slice(
+            "w",
+            F.col("n_full") * CHUNK_TOKENS + 1,
+            F.size("w") - F.col("n_full") * CHUNK_TOKENS,
+        ),
+        " ",
+    )
+    return (
+        sized.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.nullif("kept_str", F.lit("")), F.nullif(tail, F.lit(""))
+                )
+            ).alias("clean_md5"),
+        )
+    )
+
+
+@query("dedup_minhash_ml", tag="llm-dedup")  # rows-only: LSH is engine-specific
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via the STOCK Spark ML pipeline (SURVEY §2.D names
+    ``ml.feature.MinHashLSH + approxSimilarityJoin`` as the library path):
+    shingle array → ``HashingTF`` binary vectors → ``MinHashLSH`` →
+    ``approxSimilarityJoin`` at Jaccard distance ≤ 0.5. Registered alongside
+    the hand-built ``dedup_minhash`` so the two MinHash implementations
+    cross-check each other: the library join and the banded-LSH pipeline
+    must surface the same heavy near-dup mass.
+
+    Scale note: ``approxSimilarityJoin`` explodes each vector per hash table
+    and shuffle-joins on (table, hash) — the same band-bucket shape as the
+    hand-built path, but with vectors (not 8-byte digests) as shuffle
+    payload, which is exactly why the hand-built path is the 100 TB default
+    and this one is the library-parity tier."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = _normalized(load_table(spark, sf_dir, "documents"))
+    n = SHINGLE_N
+    sh_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("norm_text") - (n - 1), F.lit(1))),
+                lambda i: F.col("norm_text").substr(i, F.lit(n)),
+            ),
+            lambda s: F.length(s) == n,
+        )
+    )
+    sets = docs.select("doc_id", sh_arr.alias("sh")).where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sets)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=7)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+    )

@@ -490,3 +490,39 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "obs_rate"
         ),
     )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_P_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+_CROSSTAB_ORACLE = (
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE o_orderpriority = '{v}') AS BIGINT) AS {a}"
+        for v, a in zip(_PRIORITIES, _P_ALIASES)
+    )
+    + " FROM orders GROUP BY o_orderstatus"
+)
+
+
+@query("stat_crosstab", _CROSSTAB_ORACLE, tag="profiling")
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table (``df.stat.crosstab`` semantics) — pairwise
+    frequency of two categorical columns, wide-form. Built as
+    ``groupBy().pivot(values=...).count()`` with the pivot values passed
+    EXPLICITLY: without them Spark runs an extra distinct-collect job to
+    discover the domain, a hidden scan that matters at 100 TB (and makes the
+    output schema data-dependent). ``fillna(0)`` matches the crosstab
+    contract of dense zero cells. One shuffle on the row key; the pivot
+    itself is a map-side conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+    return wide.select(
+        "o_orderstatus",
+        *[F.col(f"`{v}`").alias(a) for v, a in zip(_PRIORITIES, _P_ALIASES)],
+    )

@@ -222,6 +222,9 @@ _PRIORITY = [
     "stream_dedup_groups_live", "agg_percentile_exact",
     "ml_roc_points", "ml_auc_exact", "ml_calibration_bins", "text_novelty",
     "scan_file_metadata",
+    # -- round-2 fifth wave --
+    "dedup_passage_rewrite", "sim_recall_at_k", "stream_session_live",
+    "fn_collation", "stat_crosstab", "dedup_minhash_ml",
 ]
 
 

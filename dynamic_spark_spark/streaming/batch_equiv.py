@@ -606,3 +606,81 @@ def stream_dedup_groups_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_SESSION_LIVE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL 30 MINUTE OR
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_live", _SESSION_LIVE_ORACLE, tag="streaming")
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows driven through the LIVE streaming engine:
+    ``session_window`` + watermark over an availableNow file stream, state
+    store and all — the stateful window-MERGE operator (sessions grow and
+    coalesce as events arrive), hash-checked against the gaps-and-islands
+    batch oracle.
+
+    Session-window aggregation only supports append/complete output; this
+    key drains in COMPLETE mode, so the memory sink's final table IS the
+    full final session state (append mode would hold back every session the
+    final watermark hasn't passed — at drain time, the last hour). The
+    source is written as a single file so session KEYS (user, window-start)
+    never straddle micro-batches; cross-batch merge behavior is pinned
+    separately in ``tests/test_streaming.py`` with a controlled two-file
+    arrival. At scale a real deployment uses append mode into a durable
+    sink and lets the watermark close sessions continuously."""
+    import shutil
+    import tempfile
+
+    from dynamic_spark_spark.streaming.core import file_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="dss_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_sess_ckpt_")
+    name = "dss_stream_session"
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        agg = (
+            file_stream(spark, src, ev.schema)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.table(name).select(
+            "user_id", "session_start", "session_end", "n_events"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

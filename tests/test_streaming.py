@@ -289,3 +289,71 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
         r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()
     }
     assert got == want
+
+
+def test_session_window_merges_across_batches(spark, tmp_path):
+    """Cross-batch session MERGE: two events land in batch 1, a third event
+    inside the 30-minute gap lands in batch 2 — the live engine must merge
+    the open session across micro-batches into one (3-event) session. The
+    oracle-checked key ``stream_session_live`` drains in a single batch by
+    design; this pins the multi-batch state-merge path it documents."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "user_id bigint, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    write_file("f1", [(1, t0), (1, t0 + dt.timedelta(minutes=10))])
+    write_file(
+        "f2",
+        [
+            (1, t0 + dt.timedelta(minutes=20)),  # merges into f1's session
+            (2, t0 + dt.timedelta(hours=3)),  # separate user, separate session
+        ],
+    )
+    os.utime(src / "f2")  # newer mtime => file source orders f1 before f2
+    q = (
+        file_stream(
+            spark,
+            str(src / "*"),
+            "user_id bigint, ts timestamp",
+            maxFilesPerTrigger="1",
+        )
+        .withWatermark("ts", "10 days")  # nothing is ever late in this test
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName("dss_session_merge")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    got = {
+        (r["user_id"], r["s"], r["e"]): r["n_events"]
+        for r in spark.table("dss_session_merge").collect()
+    }
+    assert n_batches >= 2, "merge must span micro-batches"
+    assert got == {
+        (1, t0, t0 + dt.timedelta(minutes=50)): 3,
+        (
+            2,
+            t0 + dt.timedelta(hours=3),
+            t0 + dt.timedelta(hours=3, minutes=30),
+        ): 1,
+    }
