@@ -672,3 +672,86 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
         )
     )
+
+
+#: containment geometry: word 5-grams, hot-gram df cap, containment cutoff
+CONTAIN_N = 5
+CONTAIN_MAX_DF = 50
+CONTAIN_CUT = 0.6
+
+_CONTAIN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+'), x -> x <> '') AS w
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, u.i, u.i + {CONTAIN_N} - 1), ' ') AS g
+  FROM tok, unnest(generate_series(1, len(w) - {CONTAIN_N} + 1)) AS u(i)
+  WHERE len(w) >= {CONTAIN_N}),
+rare AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {CONTAIN_MAX_DF}),
+rg AS (SELECT grams.doc_id, grams.g FROM grams JOIN rare USING (g)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_g FROM rg GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(shared / CAST(LEAST(sa.n_g, sb.n_g) AS DOUBLE), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared / CAST(LEAST(sa.n_g, sb.n_g) AS DOUBLE) >= {CONTAIN_CUT}
+"""
+
+
+@query("dedup_containment", _CONTAIN_ORACLE, tag="llm-dedup")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-ngram CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) over
+    distinct word 5-gram sets. Jaccard misses doc-inside-doc duplication (a
+    snippet quoted inside a much longer page scores near zero); containment
+    is the standard complement that catches it.
+
+    Same scale discipline as ``dedup_ngram_jaccard``: candidate pairs come
+    from the inverted gram index (one groupBy — never a cross join), hot
+    grams are df-capped so no stopword bucket goes quadratic, and the
+    NUMERATOR AND DENOMINATOR both use the capped gram universe so the
+    score is consistent (capped containment). Word-level grams keep keys
+    oracle-comparable; the production path would key by ``xxhash64(gram)``
+    like ``dedup_passage_chunks``."""
+    d = _normalized(load_table(spark, sf_dir, "documents"))
+    w = F.filter(F.split("norm_text", r"\s+"), lambda x: x != "")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (CONTAIN_N - 1)),
+        lambda i: F.array_join(F.slice("w", i, CONTAIN_N), " "),
+    )
+    grams = (
+        d.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= CONTAIN_N)
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+        .distinct()
+    )
+    rare = grams.join(
+        grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= CONTAIN_MAX_DF)
+        .select("g"),
+        "g",
+    ).persist()
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    a, b = rare.alias("a"), rare.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("n_b"))
+    score = F.col("shared") / F.least("n_a", "n_b").cast("double")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(score >= CONTAIN_CUT)
+        .select("doc_a", "doc_b", F.round(score, 6).alias("containment"))
+    )

@@ -370,3 +370,86 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(fresh, F.col("prev_click_ts")).alias("prev_click_ts"),
     )
+
+
+#: spatial radius-join geometry: points live in a 1°×1° micro-degree square,
+#: the grid cell edge equals the search radius, so all matches of a point lie
+#: in its 3×3 cell neighborhood.
+GEO_SPAN = 1_000_000
+GEO_RADIUS = 20_000
+_GEO_R2 = GEO_RADIUS * GEO_RADIUS
+
+_SPATIAL_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 7919) % {GEO_SPAN} AS lat_u,
+         (c_custkey * 104729) % {GEO_SPAN} AS lon_u
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+          + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS BIGINT) AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+    + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {_GEO_R2}
+"""
+
+
+@query("join_spatial_radius", _SPATIAL_ORACLE, tag="join")
+def join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via grid bucketing: all point pairs within
+    distance R, found by keying each point to a grid cell of edge R and
+    joining only the 3×3 cell neighborhood — the standard spatial-join
+    decomposition (same cost-bounding move as ``join_fuzzy``'s length bands
+    and the LSH band buckets: candidates come from an equi-join on a
+    locality key, NEVER an all-pairs cross join). The oracle IS the cross
+    join, which is exactly the plan this operator exists to avoid: O(n·k)
+    with k = neighborhood occupancy vs O(n²).
+
+    Each qualifying pair is found exactly once — the right side fans out to
+    its 9 neighbor cells and joins the left side's HOME cell, and the cell
+    offset between two fixed points is unique. Coordinates are synthesized
+    in integer micro-degrees from customer keys, and the predicate compares
+    integer squared distance, so both engines agree bit-exactly (no
+    floating-point trig on the cut boundary; a production haversine would
+    post-compute on the matched pairs)."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % GEO_SPAN).alias("lat_u"),
+        ((F.col("c_custkey") * 104729) % GEO_SPAN).alias("lon_u"),
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat_u").alias("lat_a"),
+        F.col("lon_u").alias("lon_a"),
+        F.floor(F.col("lat_u") / GEO_RADIUS).alias("cx"),
+        F.floor(F.col("lon_u") / GEO_RADIUS).alias("cy"),
+    )
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+          for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
+    b = (
+        pts.select(
+            F.col("id").alias("id_b"),
+            F.col("lat_u").alias("lat_b"),
+            F.col("lon_u").alias("lon_b"),
+            F.floor(F.col("lat_u") / GEO_RADIUS).alias("bx"),
+            F.floor(F.col("lon_u") / GEO_RADIUS).alias("by"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "id_b", "lat_b", "lon_b",
+            (F.col("bx") + F.col("o.dx")).alias("cx"),
+            (F.col("by") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    dist2 = (
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .where((F.col("id_a") < F.col("id_b")) & (dist2 <= _GEO_R2))
+        .select("id_a", "id_b", dist2.cast("bigint").alias("dist2"))
+    )

@@ -116,3 +116,67 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "o_orderkey"
     )
     return left.unionByName(right)
+
+
+_PIVOT_SQL_SPARK = """
+SELECT * FROM (SELECT o_orderstatus, o_orderpriority,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders)
+PIVOT (SUM(cents) AS s, COUNT(*) AS n
+       FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low))
+"""
+
+_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END)
+         AS BIGINT) AS urgent_s,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS urgent_n,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END)
+         AS BIGINT) AS low_s,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT)
+         AS low_n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("sql_pivot_stmt", _PIVOT_ORACLE, tag="scan")
+def sql_pivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``PIVOT`` clause (multi-aggregate, aliased pivot columns) — the
+    statement-level form of ``groupBy().pivot()`` (``agg_pivot`` /
+    ``stat_crosstab`` are the DataFrame twins). The IN list is literal, so
+    like the DataFrame path with explicit values there is NO hidden
+    domain-discovery scan and the output schema is static. Compiles to the
+    same single-shuffle conditional aggregation the oracle spells out with
+    FILTER/CASE."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_PIVOT_SQL_SPARK)
+
+
+_UNPIVOT_SQL_SPARK = """
+SELECT n_nationkey, metric, val
+FROM (SELECT n_nationkey, CAST(n_regionkey AS BIGINT) AS region_key,
+             CAST(length(n_name) AS BIGINT) AS name_len
+      FROM nation)
+UNPIVOT (val FOR metric IN (region_key, name_len))
+"""
+
+_UNPIVOT_ORACLE = """
+SELECT n_nationkey, 'region_key' AS metric, CAST(n_regionkey AS BIGINT) AS val
+FROM nation
+UNION ALL
+SELECT n_nationkey, 'name_len', CAST(length(n_name) AS BIGINT)
+FROM nation
+"""
+
+
+@query("sql_unpivot_stmt", _UNPIVOT_ORACLE, tag="reshape")
+def sql_unpivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UNPIVOT`` clause — wide-to-long at the statement level
+    (``reshape_unpivot`` is the DataFrame ``melt`` twin). Pure map-side
+    fan-out (k output rows per input row, no shuffle); the oracle spells the
+    same reshape as a UNION ALL of per-metric projections."""
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(_UNPIVOT_SQL_SPARK)

@@ -225,6 +225,8 @@ _PRIORITY = [
     # -- round-2 fifth wave --
     "dedup_passage_rewrite", "sim_recall_at_k", "stream_session_live",
     "fn_collation", "stat_crosstab", "dedup_minhash_ml",
+    "join_spatial_radius", "dedup_containment", "sql_pivot_stmt",
+    "sql_unpivot_stmt",
 ]
 
 
