@@ -262,3 +262,93 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+_URL_CANON_ORACLE = """
+WITH variants AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM/docs/'
+           || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&lang=' || lang
+           || '&utm_medium=rss#frag' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         replace(lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]+)', 1)),
+                 '://www.', '://') AS sh,
+         regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS path,
+         array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
+  FROM variants)
+SELECT sh || path || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+         AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM parts GROUP BY 1
+"""
+
+
+@query("text_url_canonicalize", _URL_CANON_ORACLE, tag="llm-text")
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the step BEFORE any content dedup in a
+    web-crawl pipeline (most crawl duplicates are the same page under
+    cosmetic URL variants). Canonical form: lowercase scheme+host, leading
+    ``www.`` stripped, fragment dropped, query parsed into params with
+    ``utm_*`` tracking removed and the survivors SORTED (param order is not
+    identity), trailing slash normalized — then group by canonical URL with
+    keep-first.
+
+    The fixture synthesizes two provably-different spellings per document
+    (uppercase host + tracking params + fragment + trailing slash vs the
+    clean form), so every canonical group must collapse to exactly 2
+    variants. Pure codegen regex/array chain (one map pass, one groupBy on
+    the canonical key) — at crawl scale this is the cheapest dedup tier and
+    runs first precisely because it needs no content reads."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".Example.COM/docs/"),
+            F.col("doc_id").cast("string"), F.lit("/?utm_source=feed&lang="),
+            F.col("lang"), F.lit("&utm_medium=rss#frag"),
+        ).alias("url"),
+    )
+    v2 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        ).alias("url"),
+    )
+    sh = F.replace(
+        F.lower(F.regexp_extract("url", r"^([a-zA-Z]+://[^/?#]+)", 1)),
+        F.lit("://www."), F.lit("://"),
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    q = F.array_join(params, "&")
+    canonical = F.concat(
+        sh, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )
+    return (
+        v1.unionAll(v2)
+        .select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+    )

@@ -654,3 +654,113 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.lit(float(TOP_K)), 6).alias("prec_at_k"),
         )
     )
+
+
+_NDCG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         {_o_cosine('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {TOP_K}),
+rel_total AS (
+  SELECT q.q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM q JOIN embeddings e
+    ON e.label = q.q_label AND e.vec_id <> q.q_id
+  GROUP BY q.q_id),
+dcg AS (
+  SELECT q_id, q_label,
+         CAST(SUM(CASE WHEN label = q_label
+              THEN CAST(floor(1000000.0 / log2(rn + 1)) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS dcg_micro
+  FROM topk GROUP BY q_id, q_label),
+idcg AS (
+  SELECT r.q_id,
+         CAST(SUM(CAST(floor(1000000.0 / log2(u.i + 1)) AS BIGINT)) AS BIGINT)
+           AS idcg_micro
+  FROM rel_total r,
+       unnest(generate_series(1, LEAST(CAST({TOP_K} AS BIGINT), r.n_rel)))
+         AS u(i)
+  GROUP BY r.q_id)
+SELECT d.q_id, d.q_label, d.dcg_micro,
+       ROUND(d.dcg_micro / CAST(i.idcg_micro AS DOUBLE), 6) AS ndcg_at_k
+FROM dcg d JOIN idcg i USING (q_id)
+"""
+
+
+@query("ml_ndcg_at_k", _NDCG_ORACLE, tag="ml")
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@K of exact cosine retrieval with binary same-label relevance —
+    the rank-AWARE retrieval metric next to ``sim_recall_at_k``'s
+    precision (a relevant hit at rank 1 is worth more than at rank K).
+    Discount terms 1/log2(rank+1) are floored to integer micro-units BEFORE
+    summing, so DCG and ideal-DCG are order-independent exact integers on
+    both engines and only the final ratio is floating point — the same
+    fixed-point discipline as the entropy/centroid keys.
+
+    The ideal DCG ranks min(K, #relevant-in-corpus) hits first, with the
+    relevant-count per query computed relationally (one broadcastable
+    label-count join — no collect)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            (_dot(F.col("q_emb"), F.col("embedding"))
+             / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    term = F.floor(F.lit(1_000_000.0) / F.log2(F.col("rn") + 1)).cast("bigint")
+    dcg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.sum(F.when(F.col("label") == F.col("q_label"), term).otherwise(0))
+            .cast("bigint")
+            .alias("dcg_micro")
+        )
+    )
+    rel_total = (
+        F.broadcast(q.select("q_id", "q_label"))
+        .join(e, (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    ideal_term = F.floor(F.lit(1_000_000.0) / F.log2(F.col("i") + 1)).cast("bigint")
+    idcg = (
+        rel_total.select(
+            "q_id",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.least(F.lit(TOP_K).cast("bigint"), F.col("n_rel")))
+            ).alias("i"),
+        )
+        .groupBy("q_id")
+        .agg(F.sum(ideal_term).cast("bigint").alias("idcg_micro"))
+    )
+    return dcg.join(idcg, "q_id").select(
+        "q_id",
+        "q_label",
+        "dcg_micro",
+        F.round(F.col("dcg_micro") / F.col("idcg_micro").cast("double"), 6).alias(
+            "ndcg_at_k"
+        ),
+    )

@@ -565,3 +565,50 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in _PCT_EXACT_POINTS
         ]
     )
+
+
+_BITMAP_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT) AS grp,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+FROM customer GROUP BY c_nationkey
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+FROM customer
+"""
+
+
+@query("agg_bitmap_distinct", _BITMAP_ORACLE, tag="aggregate")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4 bitmap aggregates
+    (``bitmap_bucket_number`` / ``bitmap_construct_agg`` / ``bitmap_count``
+    / ``bitmap_or_agg``): keys are partitioned into 32768-bit buckets, each
+    bucket aggregates to one bitmap BLOB, and counts come from popcount.
+
+    This is the mergeable-exact tier between plain ``COUNT(DISTINCT)``
+    (exact, but re-shuffles raw keys on every query) and HLL sketches
+    (mergeable, but approximate — ``agg_hll_union``): bitmap state is
+    ~4 KiB per bucket regardless of row count, and the SAME per-group
+    bitmaps roll up to the global count via ``bitmap_or_agg`` without
+    touching raw keys again — demonstrated here by computing the global row
+    FROM the per-nation bucket bitmaps, exactly how a 100 TB pipeline
+    maintains pre-aggregated distinct-count cubes."""
+    c = load_table(spark, sf_dir, "customer")
+    buckets = (
+        c.select(
+            F.col("c_nationkey").cast("bigint").alias("grp"),
+            F.expr("bitmap_bucket_number(c_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(c_custkey)").alias("pos"),
+        )
+        .groupBy("grp", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    per_group = buckets.groupBy("grp").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_distinct")
+    )
+    merged = (
+        buckets.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct"))
+        .select(F.lit(-1).cast("bigint").alias("grp"), "n_distinct")
+    )
+    return per_group.unionByName(merged)

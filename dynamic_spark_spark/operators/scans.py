@@ -862,3 +862,80 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_index").alias("min_idx"),
         F.max("row_index").alias("max_idx"),
     )
+
+
+@query(
+    "sink_python_datasource",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+    tag="sink",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source WRITER (Spark 4 ``pyspark.sql.datasource``):
+    the write half of the connector surface ``scan_python_datasource`` opens
+    — per-partition ``write(iterator)`` emitting one JSONL shard each,
+    commit messages carried back to the driver, and a ``commit()`` that
+    publishes a manifest only after every task reported success (the
+    all-or-nothing visibility contract a custom sink must implement; an
+    ``abort()`` path discards partials). Executors write in parallel with
+    no driver funnel; the read-back through ``spark.read.json`` proves
+    content parity against the source table."""
+    import json as _json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = _tmpdir(prefix="dss_pysink_")
+
+    class _ShardDone(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path, self.n = path, n
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, rows):
+            shard = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(shard, "w") as f:
+                for row in rows:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _ShardDone(shard, n)
+
+        def commit(self, messages):
+            manifest = {
+                "shards": sorted(m.path for m in messages),
+                "rows": sum(m.n for m in messages),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "dss_jsonl_sink"
+
+        def writer(self, schema, overwrite: bool):
+            return _JsonlWriter(self.options["path"])
+
+    spark.dataSource.register(_JsonlSink)
+    n = load_table(spark, sf_dir, "nation")
+    n.write.format("dss_jsonl_sink").mode("append").option("path", out_dir).save()
+    back = spark.read.json(f"{out_dir}/part-*.jsonl")
+    return back.select(
+        F.col("n_nationkey").cast("bigint"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint"),
+    )

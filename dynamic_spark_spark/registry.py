@@ -226,7 +226,8 @@ _PRIORITY = [
     "dedup_passage_rewrite", "sim_recall_at_k", "stream_session_live",
     "fn_collation", "stat_crosstab", "dedup_minhash_ml",
     "join_spatial_radius", "dedup_containment", "sql_pivot_stmt",
-    "sql_unpivot_stmt",
+    "sql_unpivot_stmt", "agg_bitmap_distinct", "stream_dedup_within_watermark",
+    "text_url_canonicalize", "sink_python_datasource", "ml_ndcg_at_k",
 ]
 
 

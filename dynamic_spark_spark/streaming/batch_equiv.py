@@ -684,3 +684,55 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_DEDUP_WW_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("stream_dedup_within_watermark", _DEDUP_WW_ORACLE, tag="streaming")
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` driven live — the Spark 3.5+
+    dedup operator whose state expires per-KEY a watermark-delay after the
+    key's FIRST sighting, instead of keeping every key forever
+    (``dropDuplicates``, key `stream_dedup_live`) or requiring the event
+    time inside the key. This is the right ingest-dedup shape when
+    duplicates are retries/replays that arrive close together: state size
+    is bounded by the duplicate horizon, not corpus cardinality — the only
+    sustainable variant at 100 TB/day ingest.
+
+    Drained availableNow from a single-file source, every key's duplicates
+    fall inside one horizon, so the emitted set is exactly DISTINCT
+    (user_id, event_type) — hash-checked against that oracle."""
+    import shutil
+    import tempfile
+
+    from dynamic_spark_spark.streaming.core import file_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    src = tempfile.mkdtemp(prefix="dss_dww_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_dww_ckpt_")
+    name = "dss_dedup_ww"
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        deduped = (
+            file_stream(spark, src, ev.schema)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -283,3 +283,29 @@ def test_prefix_sum_keys_use_partitioned_windows(spark, sf_dir):
         # inputs: the <=100-row bucket-offset window and the one-row
         # totals aggregate — never for the value domain itself
         assert plan.count("Exchange SinglePartition") <= 2, key
+
+
+def test_spatial_radius_is_equi_join(spark, sf_dir):
+    """The grid-bucketed radius join must compile to a HASH/SORT-MERGE join
+    on the cell key — never a nested-loop/cartesian plan. This is the whole
+    point of the operator: if the (cx, cy) equi-keys ever stop reaching the
+    join, the O(n²) fallback would still pass correctness at test scale and
+    silently melt at 100 TB."""
+    q = load_all_queries()
+    plan = _plan(q["join_spatial_radius"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan
+
+
+def test_bitmap_distinct_two_level_rollup(spark, sf_dir):
+    """The bitmap distinct cube must aggregate bitmaps, not raw keys: the
+    global row's plan re-aggregates the per-group bucket BITMAPS (bitmap_or,
+    popcount) with partial map-side aggregation, and no second scan of the
+    customer table feeds the global branch."""
+    q = load_all_queries()
+    plan = _plan(q["agg_bitmap_distinct"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2  # one per union branch, same file
+    # popcount renders as BitmapExpressionUtils.bitmapCount in the plan
+    assert "bitmapCount" in plan and "bitmap_or_agg" in plan
+    assert "partial_bitmap_construct_agg" in plan  # map-side bitmap partials
