@@ -764,3 +764,97 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_at_k"
         ),
     )
+
+
+#: SemDeDup geometry: coarse cells + in-cell cosine cutoff. The fixture's
+#: synthetic embeddings top out near cos 0.51, so the cutoff sits at the
+#: 0.40 the other embedding-dedup keys calibrate to (dedup_embedding,
+#: SIM_JOIN_THRESHOLD); a real text-embedding corpus would run 0.9+.
+SEM_CELLS = 16
+SEM_TAU = 0.40
+
+
+@query("dedup_semantic", tag="llm-dedup")  # rows-only: cell seeds are engine-hash-based
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication: cluster the embedding space
+    into coarse cells, then inside each cell drop every vector that has an
+    earlier (lower vec_id) cell-mate with cosine ≥ τ — duplicates in
+    MEANING (paraphrases, re-encodings, boilerplate variants) that no
+    lexical dedup tier can see. This is the embedding-space complement of
+    MinHash/containment, run after them in a real curation stack.
+
+    Clustering reuses the IVF discipline (deterministic hash-sampled seeds,
+    one broadcast model row, map-side argmax assignment — no RNG, no
+    crossJoin fan-out); pair scoring happens ONLY within a cell, so cost is
+    Σ|cell|² with |cell| ≈ n/C and C scaled with the corpus — never global
+    all-pairs. Drop policy is "any earlier similar cell-mate", which is
+    deterministic and embarrassingly parallel (the sequential greedy scan
+    SemDeDup describes is order-dependent and unparallelizable; this is the
+    standard relaxation, slightly more aggressive). Per-vector verdicts are
+    pytest-pinned: every dropped vector names a kept-or-dropped earlier
+    neighbor with cos ≥ τ."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(SEM_CELLS)
+        .select(
+            F.row_number().over(Window.orderBy("h")).alias("cid"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    model = seeds.agg(
+        F.collect_list(
+            F.struct(
+                _norm(F.col("c_emb")).alias("c_nrm"),
+                F.col("c_emb").alias("c_emb"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("cents")
+    )
+    cells = (
+        e.withColumn("nrm", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.array_max(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        (_dot(F.col("embedding"), c["c_emb"]) / (F.col("nrm") * c["c_nrm"])).alias("cos"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["cid"].alias("cid"),
+        )
+        .persist()
+    )
+    a = cells.select(
+        F.col("cid"), F.col("vec_id").alias("earlier"),
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = cells.select(
+        F.col("cid"), F.col("vec_id").alias("later"),
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("earlier") < F.col("later"))
+        .where(
+            _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+            >= SEM_TAU
+        )
+        .groupBy(F.col("later").alias("vec_id"))
+        .agg(F.min("earlier").alias("dup_of"))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

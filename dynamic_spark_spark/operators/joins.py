@@ -453,3 +453,84 @@ def join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("id_a") < F.col("id_b")) & (dist2 <= _GEO_R2))
         .select("id_a", "id_b", dist2.cast("bigint").alias("dist2"))
     )
+
+
+#: interval-overlap join bucketing: bucket width in seconds
+IVL_BUCKET = 3600
+
+_IVL_ORACLE = f"""
+WITH iv AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + (CAST(floor(value * 10) AS BIGINT) % 60 + 1) * 60 AS e
+  FROM events WHERE event_type IN ('click', 'purchase')),
+a AS (SELECT * FROM iv WHERE event_type = 'click'),
+b AS (SELECT * FROM iv WHERE event_type = 'purchase')
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_s
+FROM a JOIN b ON a.user_id = b.user_id
+           AND a.s < b.e AND b.s < a.e
+"""
+
+
+@query("join_interval_overlap", _IVL_ORACLE, tag="join")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: all pairs of time intervals that overlap
+    (click activity windows × purchase windows per user), found by
+    exploding each interval to the time buckets it covers and equi-joining
+    on (user, bucket) — the interval-interval sibling of
+    ``join_range_banded``'s point-in-range. The inequality join the oracle
+    writes becomes a nested-loop at scale; bucketing makes it a hash join
+    whose cost is occupancy, like every banding in this repo.
+
+    A pair overlapping many shared buckets must not duplicate: each pair is
+    kept only in the bucket where its overlap BEGINS
+    (``floor(max(s_a, s_b) / W)``) — an exact dedup with no distinct
+    shuffle, the same first-bucket trick spatial/fuzzy joins use. Interval
+    arithmetic stays in integer epoch seconds so both engines agree
+    bit-exactly."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + (F.floor(F.col("value") * 10).cast("bigint") % 60 + 1) * 60
+        ).alias("e"),
+    )
+    buckets = F.sequence(
+        F.floor(F.col("s") / IVL_BUCKET), F.floor(F.col("e") / IVL_BUCKET)
+    )
+    a = iv.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        F.explode(buckets).alias("bkt"),
+    )
+    b = iv.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        F.explode(buckets).alias("bkt"),
+    )
+    overlap_start = F.greatest("s_a", "s_b")
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .where(
+            (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+            & (F.floor(overlap_start / IVL_BUCKET) == F.col("bkt"))
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            (F.least("e_a", "e_b") - overlap_start).cast("bigint").alias("overlap_s"),
+        )
+    )

@@ -228,6 +228,7 @@ _PRIORITY = [
     "join_spatial_radius", "dedup_containment", "sql_pivot_stmt",
     "sql_unpivot_stmt", "agg_bitmap_distinct", "stream_dedup_within_watermark",
     "text_url_canonicalize", "sink_python_datasource", "ml_ndcg_at_k",
+    "join_interval_overlap", "dedup_semantic",
 ]
 
 

@@ -512,3 +512,28 @@ def test_file_metadata_row_index_dense(spark, sf_dir):
         assert r["min_idx"] == 0
         assert r["max_idx"] == r["n_rows"] - 1
         assert r["file_name"].endswith(".parquet")
+
+
+def test_dedup_semantic_verdicts_are_sound(spark, sf_dir):
+    """Every vector dedup_semantic drops must name an earlier vector whose
+    cosine really is >= SEM_TAU — the verdict column is checked against
+    independently recomputed cosines, not trusted."""
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.similarity import SEM_TAU, dedup_semantic
+    from dynamic_spark_spark.sources.readers import load_table
+
+    out = {r["vec_id"]: r for r in dedup_semantic(spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert set(out) == set(emb)
+    dropped = [r for r in out.values() if not r["kept"]]
+    for r in dropped:
+        v, d = emb[r["vec_id"]], emb[r["dup_of"]]
+        cos = float(v @ d / (np.linalg.norm(v) * np.linalg.norm(d)))
+        assert r["dup_of"] < r["vec_id"]
+        assert cos >= SEM_TAU - 1e-9, (r, cos)
+        # the named duplicate must share the dropped vector's cell
+        assert out[r["dup_of"]]["cid"] == r["cid"]
