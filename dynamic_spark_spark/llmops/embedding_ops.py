@@ -18,7 +18,7 @@ engine-exact; the fold/round idioms match ``llmops.similarity`` /
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
@@ -243,3 +243,95 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_micro"),
     )
+
+
+#: truncation sweep dims (full fixture dim is 64)
+TRUNC_DIMS = [32, 16, 8]
+TRUNC_K = 5
+TRUNC_NQ = 10
+
+
+def _trunc_topk_sql(d: int | None) -> str:
+    emb = f"list_slice(e.embedding, 1, {d})" if d else "e.embedding"
+    qemb = f"list_slice(q.q_emb, 1, {d})" if d else "q.q_emb"
+    from dynamic_spark_spark.llmops.similarity import _o_cosine
+
+    return f"""
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY {_o_cosine(qemb, emb)} DESC, e.vec_id) AS rn
+    FROM (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {TRUNC_NQ}) q
+    JOIN embeddings e ON e.vec_id <> q.q_id) WHERE rn <= {TRUNC_K}"""
+
+
+_TRUNC_ORACLE = (
+    "WITH full_k AS (" + _trunc_topk_sql(None) + ")\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT {d} AS dim, t.q_id,
+       CAST(COUNT(f.vec_id) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(f.vec_id) / CAST({TRUNC_K} AS DOUBLE), 6) AS recall
+FROM ({_trunc_topk_sql(d)}) t
+LEFT JOIN full_k f ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+GROUP BY t.q_id"""
+        for d in TRUNC_DIMS
+    )
+)
+
+
+@query("embed_truncate_recall", _TRUNC_ORACLE, tag="llm-embedding")
+def embed_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation sweep: retrieval recall@K when scoring
+    on only the first d dimensions (d = 32/16/8) versus full-dimension
+    ground truth — the measurement behind dimension-adaptive retrieval
+    (truncated prefixes are cheap first-pass scorers; full vectors rescore
+    survivors). Emits (dim, query, overlap, recall) so the cost/quality
+    frontier is a table, not a guess.
+
+    One broadcast query set scores the corpus once PER dim on a sliced
+    array — each sweep point costs one map pass + one top-K window, linear
+    in the corpus, and the slices never materialize as new columns."""
+    from dynamic_spark_spark.llmops.similarity import _dot, _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < TRUNC_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def topk(d: int | None) -> DataFrame:
+        emb = F.slice("embedding", 1, d) if d else F.col("embedding")
+        qemb = F.slice("q_emb", 1, d) if d else F.col("q_emb")
+        scored = (
+            F.broadcast(q)
+            .join(e, F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                (_dot(qemb, emb) / (_norm(qemb) * _norm(emb))).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= TRUNC_K)
+            .select("q_id", "vec_id")
+        )
+
+    full = topk(None).persist()
+    out = None
+    for d in TRUNC_DIMS:
+        hit = (
+            topk(d)
+            .join(full.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_overlap"))
+            .select(
+                F.lit(d).alias("dim"),
+                "q_id",
+                "n_overlap",
+                F.round(F.col("n_overlap") / F.lit(float(TRUNC_K)), 6).alias("recall"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

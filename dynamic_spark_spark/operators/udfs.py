@@ -258,3 +258,64 @@ def win_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         min_cents("o_totalprice").over(w).alias("min_cents"),
     )
+
+
+_COGROUP_ORACLE = """
+SELECT n.n_nationkey AS nation_key,
+       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_suppliers,
+       CAST(COALESCE(c.n_cust, 0) - COALESCE(s.n_supp, 0) AS BIGINT) AS cust_minus_supp
+FROM nation n
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+  ON c.c_nationkey = n.n_nationkey
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+  ON s.s_nationkey = n.n_nationkey
+WHERE COALESCE(c.n_cust, 0) + COALESCE(s.n_supp, 0) > 0
+"""
+
+
+@query("udf_cogroup", _COGROUP_ORACLE, tag="udf")
+def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas transform (``groupBy().cogroup().applyInPandas``):
+    TWO tables grouped on the same key arrive as a pandas frame PAIR per
+    key — the arbitrary-Python analog of a join+aggregate, for logic that
+    genuinely needs both sides materialized together (custom reconciliation,
+    panel alignment). Completes the pandas-UDF family next to scalar
+    (``udf_pandas``), grouped-agg (``udaf_grouped``), iterator
+    (``udf_pandas_iter``) and window (``win_pandas_udf``).
+
+    Scale note: both sides shuffle on the key and each KEY's pair of frames
+    must fit one worker — the same bounded-group contract as
+    ``applyInPandas``, fine for dimension-keyed cogroups (25 nations),
+    wrong for skewed keys, which is why the relational twin (the oracle's
+    join+agg) remains the default plan. Keys present on either side appear
+    (cogroup is full-outer); the empty-side frame has 0 rows."""
+    import pandas as pd
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_suppkey")
+
+    def reconcile(key, cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nation_key": [int(key[0])],
+                "n_customers": [len(cust)],
+                "n_suppliers": [len(supp)],
+                "cust_minus_supp": [len(cust) - len(supp)],
+            }
+        )
+
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(
+            reconcile,
+            "nation_key int, n_customers long, n_suppliers long, cust_minus_supp long",
+        )
+        .select(
+            F.col("nation_key").cast("int"),
+            "n_customers",
+            "n_suppliers",
+            "cust_minus_supp",
+        )
+    )

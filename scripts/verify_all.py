@@ -31,8 +31,11 @@ def main() -> int:
     queries = load_all_queries()
     con = duckdb_connection(SF_DIR)
 
-    passed, rows_only, failed = [], [], {}
+    import time
+
+    passed, rows_only, failed, elapsed = [], [], {}, {}
     for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
             if name in ORACLE:
@@ -44,7 +47,12 @@ def main() -> int:
                 rows_only.append(name)
         except Exception:
             failed[name] = traceback.format_exc(limit=2).splitlines()[-1]
+        elapsed[name] = round(time.perf_counter() - t0, 2)
 
+    # slowest keys to stderr: if the driver's correctness window is
+    # time-bounded rather than count-bounded, these are the budget hogs
+    slowest = sorted(elapsed.items(), key=lambda kv: -kv[1])[:10]
+    print(f"slowest keys: {slowest}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -52,6 +60,7 @@ def main() -> int:
                 "oracle_passed": len(passed),
                 "rows_only_passed": len(rows_only),
                 "failed": failed,
+                "total_sec": round(sum(elapsed.values()), 1),
             }
         )
     )
