@@ -44,6 +44,16 @@ HEADLINE = [
     "text_decontaminate",
 ]
 
+#: round-2 marquee ops, timed alongside but excluded from the anchor total
+EXTENDED = [
+    "dedup_passage_rewrite",
+    "dedup_containment",
+    "join_spatial_radius",
+    "dedup_semantic",
+    "text_url_canonicalize",
+    "agg_bitmap_distinct",
+]
+
 
 def main() -> None:
     from dynamic_spark_spark.registry import load_all_queries
@@ -78,6 +88,19 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
+    # round-2 marquee additions, timed identically but reported OUTSIDE the
+    # headline total so the anchor comparison stays apples-to-apples with r1
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        runs = []
+        for _ in range(3):
+            df = queries[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        extended[name] = round(sorted(runs)[1], 3)
+
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -90,6 +113,8 @@ def main() -> None:
                 "sf": sf,
                 "methodology": "per-query: 1 untimed warmup run, then median of 3 timed runs (steady-state)",
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "extended_queries": extended,
+                "extended_total_sec": round(sum(extended.values()), 3),
             }
         )
     )
