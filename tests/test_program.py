@@ -108,3 +108,43 @@ def test_cli_validate_rejects_bad_spec(tmp_path):
     assert r.returncode == 1
     payload = _json.loads(r.stdout.strip().splitlines()[-1])
     assert payload["ok"] is False and payload["errors"]
+
+
+def test_cli_curation_pipeline_example(sf_dir, tmp_path):
+    """The LLM-curation example spec end-to-end through the CLI: quality
+    filter (user code) → exact dedup keep-first (user code, window) →
+    per-source cap (SQL stage with a ${cap} macro) → parquet sink. Ties the
+    reference-parity pipeline framework (Tier A) to the curation operator
+    tier (Tier D) in one runnable artifact."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "curated")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dynamic_spark_spark", "run",
+            "examples/curation_pipeline.json",
+            "--arg", f"sf_dir={sf_dir}", "--arg", f"out_dir={out_dir}",
+            "--arg", "cap=20",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["ok"] is True
+    m = payload["metrics"]
+    # each stage must not grow the row count, and the cap binds per source
+    assert m["dedup_exact"]["rows"] <= m["quality"]["rows"]
+    assert m["cap_per_source"]["rows"] <= m["dedup_exact"]["rows"]
+    import duckdb
+
+    con = duckdb.connect()
+    capped = con.execute(
+        f"SELECT source, COUNT(*) n FROM read_parquet('{out_dir}/*.parquet')"
+        " GROUP BY source ORDER BY n DESC"
+    ).fetchall()
+    assert capped and all(n <= 20 for _, n in capped)
