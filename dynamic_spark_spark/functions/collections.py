@@ -49,14 +49,16 @@ def _o_fp_join(arr_sql: str) -> str:
     " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
     "   [l_quantity, l_tax, l_discount]), (acc, x) -> acc + x) AS arr_sum,"
     f" {_o_fp_join('[l_quantity + l_tax, l_tax + l_discount]')} AS pair_sums"
-    " FROM lineitem",
+    " FROM lineitem WHERE l_orderkey % 10 = 0",
     tag="function",
 )
 def fn_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: transform / size / contains / sort /
     aggregate (left fold — sequential in both engines) / zip_with. Array
-    outputs stringified (see module comment)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    outputs stringified (see module comment). The 1-in-10 orderkey slice
+    bounds compared rows — per-row list building is the oracle engine's
+    slow path and was the whole gate's #2 time sink at full width."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
     nums = F.array("l_quantity", "l_tax", "l_discount")
     flags = F.array("l_returnflag", "l_linestatus")
     return li.select(
@@ -209,15 +211,16 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     " len(list_filter([l_quantity, l_tax, l_discount], x -> x >= 0)) = 3 AS all_nonneg,"
     " CAST(len(list_filter([l_quantity, l_tax, l_discount], x -> x < 0.1)) AS INT)"
     "   AS n_small"
-    " FROM lineitem",
+    " FROM lineitem WHERE l_orderkey % 10 = 0",
     tag="function",
 )
 def fn_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order predicate functions — ``exists`` / ``forall`` / counted
     ``filter`` — all scalar outputs. The oracle re-expresses exists/forall as
     filtered-length comparisons (DuckDB has no direct equivalents), which is
-    semantically identical on non-null elements."""
-    li = load_table(spark, sf_dir, "lineitem")
+    semantically identical on non-null elements. Same 1-in-10 slice as
+    ``fn_array_transform`` to bound per-row list cost in the gate."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
     nums = F.array("l_quantity", "l_tax", "l_discount")
     return li.select(
         "l_orderkey",
