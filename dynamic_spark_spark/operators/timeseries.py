@@ -335,3 +335,80 @@ def ts_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "island_end",
         "n_orders",
     )
+
+
+#: capped sessionization: inactivity gap + hard session-length ceiling.
+#: The ceiling is set BELOW the fixture's longest gap-session (~57 min) so
+#: the cap rule provably fires — production trackers run e.g. 30 min/4 h.
+CAP_GAP_MIN = 30
+CAP_MAX_MIN = 20
+
+_CAPPED_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, ts, event_id, rn, ts AS sess_start FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.ts, s.event_id, s.rn,
+         CASE WHEN s.ts - r.ts >= INTERVAL {CAP_GAP_MIN} MINUTE
+                OR s.ts - r.sess_start >= INTERVAL {CAP_MAX_MIN} MINUTE
+              THEN s.ts ELSE r.sess_start END
+  FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT user_id, sess_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ts) AS last_ts
+FROM rec GROUP BY user_id, sess_start
+"""
+
+
+@query("sessionize_capped", _CAPPED_ORACLE, tag="timeseries")
+def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH break rules production trackers use: a
+    30-minute inactivity gap AND a hard session-length ceiling. The
+    ceiling makes this fundamentally different from ``sessionize_gap``:
+    whether an event starts a new session depends on the RUNNING session
+    start — sequential state no window frame or prefix-sum can express
+    (the gap rule alone is gaps-and-islands; the cap rule is an iterated
+    fold). This is exactly the case SURVEY §2's custom-operator ladder
+    reserves for ``applyInPandas``: per-user Arrow batches, a linear scan
+    with one scalar of carried state, output bounded by input.
+
+    Scale shape: one shuffle on ``user_id``; per-group memory is that
+    user's events (the same bounded-group contract as every grouped-map
+    op; a per-user-day pre-split caps group size if a key is pathological).
+    The oracle replays the identical fold as a recursive CTE — per-user
+    linear recursion, exact timestamp arithmetic, tie-broken on event_id
+    on both engines."""
+    import pandas as pd
+
+    gap = pd.Timedelta(minutes=CAP_GAP_MIN)
+    cap = pd.Timedelta(minutes=CAP_MAX_MIN)
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        starts = []
+        sess_start = prev = None
+        for t in pdf["ts"]:
+            if sess_start is None or t - prev >= gap or t - sess_start >= cap:
+                sess_start = t
+            starts.append(sess_start)
+            prev = t
+        pdf["sess_start"] = starts
+        out = (
+            pdf.groupby("sess_start", as_index=False)
+            .agg(n_events=("ts", "size"), last_ts=("ts", "max"))
+        )
+        out.insert(0, "user_id", key[0])
+        return out
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "user_id bigint, sess_start timestamp, n_events bigint, last_ts timestamp",
+        )
+        .select("user_id", "sess_start", "n_events", "last_ts")
+    )

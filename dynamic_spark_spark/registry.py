@@ -229,7 +229,7 @@ _PRIORITY = [
     "sql_unpivot_stmt", "agg_bitmap_distinct", "stream_dedup_within_watermark",
     "text_url_canonicalize", "sink_python_datasource", "ml_ndcg_at_k",
     "join_interval_overlap", "dedup_semantic",
-    "udf_cogroup", "embed_truncate_recall",
+    "udf_cogroup", "embed_truncate_recall", "sessionize_capped",
 ]
 
 
