@@ -766,11 +766,15 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SemDeDup geometry: coarse cells + in-cell cosine cutoff. The fixture's
-#: synthetic embeddings top out near cos 0.51, so the cutoff sits at the
-#: 0.40 the other embedding-dedup keys calibrate to (dedup_embedding,
-#: SIM_JOIN_THRESHOLD); a real text-embedding corpus would run 0.9+.
-SEM_CELLS = 16
+#: SemDeDup geometry: in-cell cosine cutoff and TARGET cell occupancy. The
+#: fixture's synthetic embeddings top out near cos 0.51, so the cutoff sits
+#: at the 0.40 the other embedding-dedup keys calibrate to (dedup_embedding,
+#: SIM_JOIN_THRESHOLD); a real text-embedding corpus would run 0.9+. The
+#: cell COUNT is derived from the corpus size so occupancy stays ~SEM_OCC:
+#: with fixed cells, in-cell pairs grow quadratically in the corpus; with
+#: occupancy fixed, pair work is ~n·SEM_OCC — linear.
+SEM_OCC = 64
+SEM_MIN_CELLS = 8
 SEM_TAU = 0.40
 
 
@@ -794,10 +798,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned: every dropped vector names a kept-or-dropped earlier
     neighbor with cos ≥ τ."""
     e = load_table(spark, sf_dir, "embeddings")
+    # one scalar to the driver (like dedup_clusters' round counter): the
+    # cell count must track the corpus so occupancy — and therefore pair
+    # cost per cell — stays constant as data grows
+    n_cells = max(SEM_MIN_CELLS, e.count() // SEM_OCC)
     seeds = (
         e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
         .orderBy("h")
-        .limit(SEM_CELLS)
+        .limit(n_cells)
         .select(
             F.row_number().over(Window.orderBy("h")).alias("cid"),
             F.col("embedding").alias("c_emb"),

@@ -65,3 +65,92 @@ def pipeline_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     problems = pipe.validate(spark)
     assert not problems, problems
     return pipe.run(spark)
+
+
+_CURATION_ORACLE = """
+WITH q AS (
+  SELECT doc_id, text, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS n_words
+  FROM documents),
+quality AS (
+  SELECT * FROM q
+  WHERE n_words >= 5
+    AND length(text) / CAST(GREATEST(n_words, 1) AS DOUBLE) <= 15),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality) WHERE rn = 1),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, source, n_words,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_words DESC, doc_id) AS rk
+    FROM dedup) WHERE rk <= 20)
+SELECT doc_id, source, CAST(n_words AS INT) AS n_words FROM capped
+"""
+
+
+@query("pipeline_curation", _CURATION_ORACLE, tag="pipeline")
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-curation pipeline (examples/curation_pipeline.json's stage
+    graph) run through the spec framework AND hash-checked like any other
+    operator: quality filter (dynamic user-code stage), exact dedup
+    keep-first (user-code window), per-source cap (SQL stage with a
+    ``${cap}`` macro). ``pipeline_wordcount`` proves the framework on the
+    reference's own flagship shape; this key proves it composing the
+    curation tier — source→code→code→SQL collapsing into ONE Catalyst plan,
+    with deploy-time validation run first."""
+    from dynamic_spark_spark.plans.pipeline import Pipeline
+
+    spec = {
+        "name": "curation",
+        "stages": [
+            {
+                "name": "docs",
+                "type": "source",
+                "table": "documents",
+                "sf_dir": "${sf_dir}",
+            },
+            {
+                "name": "quality",
+                "type": "transform",
+                "code": (
+                    "def transform(df, ctx):\n"
+                    "    words = F.filter(F.split('text', r'\\s+'),"
+                    " lambda x: x != '')\n"
+                    "    n_words = F.size(words)\n"
+                    "    mean_len = F.length(F.col('text'))"
+                    " / F.greatest(n_words, F.lit(1))\n"
+                    "    return (df.withColumn('n_words', n_words)\n"
+                    "              .where((n_words >= 5) & (mean_len <= 15)))\n"
+                ),
+            },
+            {
+                "name": "dedup",
+                "type": "transform",
+                "code": (
+                    "def transform(df, ctx):\n"
+                    "    w = Window.partitionBy(F.md5('text')).orderBy('doc_id')\n"
+                    "    return (df.withColumn('rn', F.row_number().over(w))\n"
+                    "              .where(F.col('rn') == 1).drop('rn'))\n"
+                ),
+            },
+            {
+                "name": "cap",
+                "type": "transform",
+                "sql": (
+                    "SELECT doc_id, source, CAST(n_words AS INT) AS n_words"
+                    " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source"
+                    " ORDER BY n_words DESC, doc_id) AS rk FROM survivors)"
+                    " WHERE rk <= ${cap}"
+                ),
+                "view": "survivors",
+                "output_schema": "doc_id BIGINT, source STRING, n_words INT",
+            },
+        ],
+    }
+    pipe = Pipeline(spec, runtime_args={"sf_dir": sf_dir, "cap": "20"})
+    problems = pipe.validate(spark)
+    assert not problems, problems
+    return pipe.run(spark)

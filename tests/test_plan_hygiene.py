@@ -309,3 +309,30 @@ def test_bitmap_distinct_two_level_rollup(spark, sf_dir):
     # popcount renders as BitmapExpressionUtils.bitmapCount in the plan
     assert "bitmapCount" in plan and "bitmap_or_agg" in plan
     assert "partial_bitmap_construct_agg" in plan  # map-side bitmap partials
+
+
+def test_interval_overlap_is_hash_join(spark, sf_dir):
+    """The interval-overlap join must stay an equi-join on (user, bucket)
+    with the inequalities as residual conditions — the O(n²) nested-loop
+    fallback would pass at test scale and melt at 100 TB. The
+    first-overlap-bucket dedup means no distinct/aggregate appears either."""
+    q = load_all_queries()
+    plan = _plan(q["join_interval_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert "HashAggregate" not in plan  # pair dedup is free, not a shuffle
+
+
+def test_sessionize_capped_single_exchange(spark, sf_dir):
+    """The capped-session fold is ONE shuffle on user_id + a partition-local
+    sort feeding one Arrow-batched partition-STREAM pass (mapInPandas with
+    explicit batch-boundary carry — per-batch overhead, not per-group; the
+    grouped-map form measured 9× slower on these many-small-user groups).
+    No second exchange, no row-at-a-time Python."""
+    q = load_all_queries()
+    plan = _plan(q["sessionize_capped"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "Sort" in plan  # partition-local order the fold depends on
+    assert "BatchEvalPython" not in plan  # Arrow path, not pickled rows
