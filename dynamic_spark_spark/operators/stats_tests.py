@@ -688,3 +688,79 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - u2 / (F.col("n_r").cast("double") * F.col("n_a")), 6
         ).alias("rank_biserial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_anova_f — one-way ANOVA across the three return-flag groups
+# ---------------------------------------------------------------------------
+
+_AN_CENTS = _cents("l_extendedprice")
+_AN_GROUPS = ["A", "N", "R"]
+
+_ANOVA_ORACLE = f"""
+WITH s AS (
+  SELECT
+    {", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE l_returnflag = '{g}') AS DOUBLE) AS n_{g},"
+        f" CAST(SUM(CAST({_AN_CENTS} AS {_DEC38}))"
+        f"   FILTER (WHERE l_returnflag = '{g}') AS DOUBLE) AS sx_{g},"
+        f" CAST(SUM(CAST({_AN_CENTS} * {_AN_CENTS} AS {_DEC38}))"
+        f"   FILTER (WHERE l_returnflag = '{g}') AS DOUBLE) AS sxx_{g}"
+        for g in _AN_GROUPS
+    )}
+  FROM lineitem)
+SELECT CAST(n_A + n_N + n_R AS BIGINT) AS n_total,
+       ROUND(
+         ((sx_A*sx_A/n_A + sx_N*sx_N/n_N + sx_R*sx_R/n_R)
+          - (sx_A+sx_N+sx_R)*(sx_A+sx_N+sx_R)/(n_A+n_N+n_R)) / 2
+         / (((sxx_A - sx_A*sx_A/n_A) + (sxx_N - sx_N*sx_N/n_N)
+             + (sxx_R - sx_R*sx_R/n_R)) / (n_A+n_N+n_R - 3)),
+         6) AS f_stat,
+       ROUND(
+         ((sx_A*sx_A/n_A + sx_N*sx_N/n_N + sx_R*sx_R/n_R)
+          - (sx_A+sx_N+sx_R)*(sx_A+sx_N+sx_R)/(n_A+n_N+n_R))
+         / ((sxx_A + sxx_N + sxx_R)
+            - (sx_A+sx_N+sx_R)*(sx_A+sx_N+sx_R)/(n_A+n_N+n_R)),
+         6) AS eta_sq
+FROM s
+"""
+
+
+@query("stat_anova_f", _ANOVA_ORACLE, tag="stats")
+def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic (k=3 return-flag groups on price cents) +
+    eta² effect size — the k-group generalization of ``stat_ttest_welch``,
+    closing the classical-inference set (t, U, χ², KS, F). Same exact
+    sufficient-statistics discipline: per-group count/sum/sum-of-squares as
+    int64-cent products through DECIMAL(38,0), ONE aggregate pass, then the
+    F ratio as scalar arithmetic — the shuffle carries 9 numbers total
+    regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dec = _DEC38.lower()
+    aggs = []
+    for g in _AN_GROUPS:
+        mask = F.col("l_returnflag") == g
+        aggs += [
+            F.count(F.when(mask, 1)).cast("double").alias(f"n_{g}"),
+            F.sum(F.when(mask, cents.cast(dec))).cast("double").alias(f"sx_{g}"),
+            F.sum(F.when(mask, (cents * cents).cast(dec)))
+            .cast("double")
+            .alias(f"sxx_{g}"),
+        ]
+    s = li.agg(*aggs)
+    n = sum(F.col(f"n_{g}") for g in _AN_GROUPS)
+    sx = sum(F.col(f"sx_{g}") for g in _AN_GROUPS)
+    sxx = sum(F.col(f"sxx_{g}") for g in _AN_GROUPS)
+    group_sq = sum(
+        F.col(f"sx_{g}") * F.col(f"sx_{g}") / F.col(f"n_{g}") for g in _AN_GROUPS
+    )
+    ssb = group_sq - sx * sx / n
+    ssw = sxx - group_sq
+    sst = sxx - sx * sx / n
+    k = len(_AN_GROUPS)
+    return s.select(
+        n.cast("bigint").alias("n_total"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
