@@ -244,3 +244,67 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.floor(F.col("rank") * 1_000_000 + 0.5).cast("long").alias("rank_fp")
     ).orderBy("node")
+
+
+#: BFS geometry: per-node out-degree cap (scale-free sparsifier), source,
+#: and a hop ceiling bounding both the Spark loop and the oracle recursion
+BFS_TOP_OUT = 3
+BFS_SOURCE = "NATION_2"
+BFS_MAX_HOPS = 6
+
+_BFS_SPARSE = f"""SELECT src, dst FROM (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY n_lines DESC, dst) AS rk
+  FROM ({_EDGES_SQL}) WHERE src <> dst) WHERE rk <= {BFS_TOP_OUT}"""
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE e AS ({_BFS_SPARSE}),
+walk AS (
+  SELECT '{BFS_SOURCE}' AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < {BFS_MAX_HOPS})
+SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
+@query("graph_bfs_hops", _BFS_ORACLE, tag="graph")
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest-hop counts over the sparsified trade
+    graph (each node keeps its top-{BFS_TOP_OUT} outgoing edges by volume —
+    a SCALE-FREE sparsifier, unlike a fixed weight threshold whose meaning
+    changes with the data volume). Frontier-expansion BFS: each round joins
+    the current frontier to the edge table, anti-joins already-visited
+    nodes, and ``localCheckpoint``s the visited set to truncate lineage —
+    the same iterative discipline as PageRank and the dedup connected
+    components; the driver reads only the per-round frontier SIZE.
+
+    The oracle replays it as a recursive CTE with the same hop ceiling
+    (path enumeration bounded by out-degree^hops on the sparsified graph;
+    MIN(hops) collapses cycles). At 100 TB scale the edge table is still
+    domain²-bounded, so every BFS round is a small-table join."""
+    edges = _trade_edges(spark, sf_dir).where(F.col("src") != F.col("dst"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("n_lines").desc(), "dst")
+    e = (
+        edges.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BFS_TOP_OUT)
+        .select("src", "dst")
+        .persist()
+    )
+    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops int")
+    frontier = dist
+    for k in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).cast("int").alias("hops"))
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist

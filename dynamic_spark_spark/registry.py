@@ -230,7 +230,7 @@ _PRIORITY = [
     "text_url_canonicalize", "sink_python_datasource", "ml_ndcg_at_k",
     "join_interval_overlap", "dedup_semantic",
     "udf_cogroup", "embed_truncate_recall", "sessionize_capped",
-    "pipeline_curation", "stat_anova_f",
+    "pipeline_curation", "stat_anova_f", "graph_bfs_hops",
 ]
 
 
