@@ -18,6 +18,9 @@ same order DuckDB's list functions use — keeping both engines bit-identical.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -766,16 +769,20 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SemDeDup geometry: in-cell cosine cutoff and TARGET cell occupancy. The
+#: SemDeDup geometry: in-cell cosine cutoff and cell-count policy. The
 #: fixture's synthetic embeddings top out near cos 0.51, so the cutoff sits
 #: at the 0.40 the other embedding-dedup keys calibrate to (dedup_embedding,
-#: SIM_JOIN_THRESHOLD); a real text-embedding corpus would run 0.9+. The
-#: cell COUNT is derived from the corpus size so occupancy stays ~SEM_OCC:
-#: with fixed cells, in-cell pairs grow quadratically in the corpus; with
-#: occupancy fixed, pair work is ~n·SEM_OCC — linear.
-SEM_OCC = 64
+#: SIM_JOIN_THRESHOLD); a real text-embedding corpus would run 0.9+. Cell
+#: count scales as c ≈ 3√n — balancing n·c assignment flops against
+#: n·occupancy pair flops (both numpy GEMM/row-dot tiers, see the
+#: docstring); fixed-c makes pairs quadratic, fixed-occupancy makes
+#: assignment quadratic. Past ~10⁸ vectors a production stack moves to
+#: hierarchical assignment (coarse cells then sub-cells), composable from
+#: the same batched-argmax building block.
 SEM_MIN_CELLS = 8
 SEM_TAU = 0.40
+#: per-cell cap on the "earlier" comparison side (hot-cell guard)
+SEM_MAX_ANCHORS = 64
 
 
 @query("dedup_semantic", tag="llm-dedup")  # rows-only: cell seeds are engine-hash-based
@@ -787,73 +794,90 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical dedup tier can see. This is the embedding-space complement of
     MinHash/containment, run after them in a real curation stack.
 
-    Clustering reuses the IVF discipline (deterministic hash-sampled seeds,
-    one broadcast model row, map-side argmax assignment — no RNG, no
-    crossJoin fan-out); pair scoring happens ONLY within a cell, so cost is
-    Σ|cell|² with |cell| ≈ n/C and C scaled with the corpus — never global
-    all-pairs. Drop policy is "any earlier similar cell-mate", which is
-    deterministic and embarrassingly parallel (the sequential greedy scan
-    SemDeDup describes is order-dependent and unparallelizable; this is the
-    standard relaxation, slightly more aggressive). Per-vector verdicts are
+    Drop policy is "any earlier similar cell-mate", which is deterministic
+    and embarrassingly parallel (the sequential greedy scan SemDeDup
+    describes is order-dependent and unparallelizable; this is the standard
+    relaxation, slightly more aggressive). Per-vector verdicts are
     pytest-pinned: every dropped vector names a kept-or-dropped earlier
-    neighbor with cos ≥ τ."""
+    neighbor with cos ≥ τ.
+
+    SCALE LESSON (measured, not theorized): the repo's higher-order-fn dot
+    product (`_dot`) is the right tool for per-PAIR scoring at modest
+    candidate counts, but assignment here is a DENSE n×c GEMM — at the
+    100× probe that is ~10¹⁰ lambda evaluations through the interpreter,
+    which ran for 10+ minutes. Dense math goes to Arrow-batched numpy
+    instead: centroids (a c×64 model, ~0.5 MB) collect to the driver like
+    any ML model, broadcast into a vectorized pandas UDF, and each Arrow
+    batch does one BLAS matmul + argmax. Pair verification is likewise a
+    row-wise numpy dot. Everything sparse/relational (anchor capping,
+    joins, keep-first aggregation) stays DataFrame ops."""
+    from pyspark.sql.functions import pandas_udf
+
     e = load_table(spark, sf_dir, "embeddings")
     # one scalar to the driver (like dedup_clusters' round counter): the
-    # cell count must track the corpus so occupancy — and therefore pair
-    # cost per cell — stays constant as data grows
-    n_cells = max(SEM_MIN_CELLS, e.count() // SEM_OCC)
-    seeds = (
+    # cell count must track the corpus (≈3√n, see geometry note) or one
+    # side of the work goes quadratic
+    n_cells = max(SEM_MIN_CELLS, 3 * int(e.count() ** 0.5))
+    seed_rows = (
         e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
         .orderBy("h")
         .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy("h")).alias("cid"),
-            F.col("embedding").alias("c_emb"),
+        .select("embedding")
+        .collect()
+    )
+    cmat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    cnrm = np.linalg.norm(cmat, axis=1)
+    bc = spark.sparkContext.broadcast((cmat, cnrm))
+
+    @pandas_udf("int")
+    def best_cell(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # batch × dim
+        c, cn = bc.value
+        sims = (mat @ c.T) / (
+            np.linalg.norm(mat, axis=1, keepdims=True) * cn[None, :]
         )
-    )
-    model = seeds.agg(
-        F.collect_list(
-            F.struct(
-                _norm(F.col("c_emb")).alias("c_nrm"),
-                F.col("c_emb").alias("c_emb"),
-                F.col("cid").alias("cid"),
-            )
-        ).alias("cents")
-    )
-    cells = (
-        e.withColumn("nrm", _norm(F.col("embedding")))
-        .crossJoin(F.broadcast(model))
-        .select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            F.array_max(
-                F.transform(
-                    F.col("cents"),
-                    lambda c: F.struct(
-                        (_dot(F.col("embedding"), c["c_emb"]) / (F.col("nrm") * c["c_nrm"])).alias("cos"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            )["cid"].alias("cid"),
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    @pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = np.stack(a.to_numpy()), np.stack(b.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    cells = e.select("vec_id", "embedding", best_cell("embedding").alias("cid")).persist()
+    # Hot-cell guard (the discipline every candidate generator in this repo
+    # applies — SIM_JOIN_MAX_BUCKET, MAX_SHINGLE_DF, CONTAIN_MAX_DF): the
+    # "earlier" comparison side is each cell's first SEM_MAX_ANCHORS members
+    # by vec_id, so pair cost is n·K even when argmax assignment piles a
+    # skewed mass of vectors into one cell (observed: the uncapped self-join
+    # ran 10+ min at the 100× probe on one hot cell). Vectors similar only
+    # to a later non-anchor member survive — a bounded, documented recall
+    # cap, not a cost risk.
+    anchors = (
+        cells.groupBy("cid")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("vec_id")), 1, SEM_MAX_ANCHORS)
+            .alias("anchor_ids")
         )
-        .persist()
-    )
-    a = cells.select(
-        F.col("cid"), F.col("vec_id").alias("earlier"),
-        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+        .select("cid", F.explode("anchor_ids").alias("earlier"))
+        .join(
+            cells.select(
+                F.col("cid"),
+                F.col("vec_id").alias("earlier"),
+                F.col("embedding").alias("emb_a"),
+            ),
+            ["cid", "earlier"],
+        )
     )
     b = cells.select(
         F.col("cid"), F.col("vec_id").alias("later"),
-        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+        F.col("embedding").alias("emb_b"),
     )
     dropped = (
-        a.join(b, "cid")
+        anchors.join(b, "cid")
         .where(F.col("earlier") < F.col("later"))
-        .where(
-            _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-            >= SEM_TAU
-        )
+        .where(pair_cos(F.col("emb_a"), F.col("emb_b")) >= SEM_TAU)
         .groupBy(F.col("later").alias("vec_id"))
         .agg(F.min("earlier").alias("dup_of"))
     )

@@ -213,6 +213,13 @@ def test_verification_order_integrity():
     assert not stale, f"r1-verified keys wasting the driver window: {stale}"
     # every registered key must be orderable without KeyError
     assert len(registry.verification_order(list(qs))) == len(qs)
+    # and every key must hold an explicit rank: an unlisted key falls to the
+    # back of the unverified block, quietly starving it of a driver slot
+    unlisted = [
+        k for k in qs
+        if k not in registry._PRIORITY and k not in registry._R1_VERIFIED
+    ]
+    assert not unlisted, f"registered keys missing from _PRIORITY: {unlisted}"
 
 
 def test_pagerank_mass_and_convergence(spark, sf_dir):
