@@ -319,3 +319,44 @@ def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_minus_supp",
         )
     )
+
+
+_UDTF_DYN_ORACLE = """
+SELECT n_nationkey,
+       CAST(split_part(n_name, '_', 1) AS VARCHAR) AS part_1,
+       CAST(split_part(n_name, '_', 2) AS VARCHAR) AS part_2
+FROM nation
+"""
+
+
+@query("udtf_dynamic_schema", _UDTF_DYN_ORACLE, tag="udf")
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static ``analyze()`` method (Spark 4): the OUTPUT
+    SCHEMA is computed at plan time from the call's literal arguments — here
+    a requested column count widens the table function to ``part_1..part_N``
+    — the polymorphic-table-function contract (one UDTF, many shapes) that a
+    fixed ``returnType`` (``udtf_split``) cannot express. The planner sees
+    concrete columns, so pruning/codegen work as if the schema were static."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitParts:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"part_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):  # noqa: ANN001
+            parts = (text or "").split("_")
+            yield tuple((parts[i] if i < len(parts) else "") for i in range(n))
+
+    spark.udtf.register("dss_split_parts", SplitParts)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("dss_udtf_nation")
+    return spark.sql(
+        "SELECT d.n_nationkey, s.* FROM dss_udtf_nation d,"
+        " LATERAL dss_split_parts(d.n_name, 2) s"
+    )
