@@ -283,7 +283,7 @@ parts AS (
          regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
                         '/$', '') AS path,
          array_to_string(list_sort(list_filter(
-           string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+           string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
            p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS q
   FROM variants)
 SELECT sh || path || CASE WHEN q <> '' THEN '?' || q ELSE '' END

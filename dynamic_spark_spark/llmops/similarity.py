@@ -591,8 +591,10 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECALL_ORACLE = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+# One shared labeled top-K block — the CTE prefix and the DataFrame plan —
+# feeds BOTH retrieval metrics (precision@K, NDCG@K). A tie-break or
+# norm-precompute change edits exactly one place.
+_O_LABELED_TOPK_CTE = f"""q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
            FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.q_id, q.q_label, e.vec_id, e.label,
@@ -602,29 +604,14 @@ topk AS (
   SELECT * FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY cos_sim DESC, vec_id) AS rn
-    FROM scored) WHERE rn <= {TOP_K})
-SELECT q_id, q_label,
-       CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       ROUND(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
-             / CAST({TOP_K} AS DOUBLE), 6) AS prec_at_k
-FROM topk GROUP BY q_id, q_label
-"""
+    FROM scored) WHERE rn <= {TOP_K})"""
 
 
-@query("sim_recall_at_k", _RECALL_ORACLE, tag="ml")
-def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-quality evaluation: label precision@K of exact cosine
-    search — for each query vector, what fraction of its top-K neighbors
-    (self excluded) carry the query's own label. This is the metric loop
-    that grades every ANN variant here (``sim_topk_lsh`` / ``sim_topk_ivf``
-    recall floors are pytest-pinned against the same ground truth), run as a
-    first-class distributed query: evaluation must scale with the corpus
-    just like search itself.
-
-    Same plan shape as ``sim_topk`` (broadcast query side, per-side
-    precomputed norms, one window top-K) plus a per-query aggregate —
-    nothing collects, and at 100 TB the corpus side stays the only big
-    operand."""
+def _labeled_topk(spark: SparkSession, sf_dir: str):
+    """(topk_frame, queries, corpus): the broadcast-query exact-cosine
+    labeled top-K — per-side precomputed norms, one window, rn ≤ TOP_K —
+    shared by ``sim_recall_at_k`` and ``ml_ndcg_at_k`` (same plan shape as
+    ``sim_topk``)."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", _norm(F.col("embedding"))
     )
@@ -647,30 +634,44 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+    return topk, q, e
+
+
+_RECALL_ORACLE = f"""
+WITH {_O_LABELED_TOPK_CTE}
+SELECT q_id, q_label,
+       CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+             / CAST({TOP_K} AS DOUBLE), 6) AS prec_at_k
+FROM topk GROUP BY q_id, q_label
+"""
+
+
+@query("sim_recall_at_k", _RECALL_ORACLE, tag="ml")
+def sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: label precision@K of exact cosine
+    search — for each query vector, what fraction of its top-K neighbors
+    (self excluded) carry the query's own label. This is the metric loop
+    that grades every ANN variant here (``sim_topk_lsh`` / ``sim_topk_ivf``
+    recall floors are pytest-pinned against the same ground truth), run as a
+    first-class distributed query: evaluation must scale with the corpus
+    just like search itself.
+
+    Same plan shape as ``sim_topk`` (broadcast query side, per-side
+    precomputed norms, one window top-K — the shared ``_labeled_topk``
+    block) plus a per-query aggregate — nothing collects, and at 100 TB the
+    corpus side stays the only big operand."""
+    topk, _, _ = _labeled_topk(spark, sf_dir)
     hit = F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .groupBy("q_id", "q_label")
-        .agg(
-            F.sum(hit).cast("bigint").alias("n_hits"),
-            F.round(F.sum(hit) / F.lit(float(TOP_K)), 6).alias("prec_at_k"),
-        )
+    return topk.groupBy("q_id", "q_label").agg(
+        F.sum(hit).cast("bigint").alias("n_hits"),
+        F.round(F.sum(hit) / F.lit(float(TOP_K)), 6).alias("prec_at_k"),
     )
 
 
 _NDCG_ORACLE = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-           FROM embeddings WHERE vec_id < {N_QUERIES}),
-scored AS (
-  SELECT q.q_id, q.q_label, e.vec_id, e.label,
-         {_o_cosine('q.q_emb', 'e.embedding')} AS cos_sim
-  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
-topk AS (
-  SELECT * FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-              ORDER BY cos_sim DESC, vec_id) AS rn
-    FROM scored) WHERE rn <= {TOP_K}),
+WITH {_O_LABELED_TOPK_CTE},
 rel_total AS (
   SELECT q.q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
   FROM q JOIN embeddings e
@@ -709,38 +710,12 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ideal DCG ranks min(K, #relevant-in-corpus) hits first, with the
     relevant-count per query computed relationally (one broadcastable
     label-count join — no collect)."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        F.col("label").alias("q_label"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "q_label",
-            "vec_id",
-            "label",
-            (_dot(F.col("q_emb"), F.col("embedding"))
-             / (F.col("q_nrm") * F.col("nrm"))).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    topk, q, e = _labeled_topk(spark, sf_dir)
     term = F.floor(F.lit(1_000_000.0) / F.log2(F.col("rn") + 1)).cast("bigint")
-    dcg = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .groupBy("q_id", "q_label")
-        .agg(
-            F.sum(F.when(F.col("label") == F.col("q_label"), term).otherwise(0))
-            .cast("bigint")
-            .alias("dcg_micro")
-        )
+    dcg = topk.groupBy("q_id", "q_label").agg(
+        F.sum(F.when(F.col("label") == F.col("q_label"), term).otherwise(0))
+        .cast("bigint")
+        .alias("dcg_micro")
     )
     rel_total = (
         F.broadcast(q.select("q_id", "q_label"))

@@ -296,12 +296,17 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops int")
     frontier = dist
     for k in range(1, BFS_MAX_HOPS + 1):
+        # materialize the frontier ONCE per round: it feeds the emptiness
+        # probe, the visited-set union, and the next round's join — left
+        # lazy, the same join+distinct+anti-join plan would execute three
+        # times per hop
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(dist, "node", "left_anti")
             .select("node", F.lit(k).cast("int").alias("hops"))
+            .localCheckpoint()
         )
         if not nxt.take(1):
             break

@@ -713,8 +713,9 @@ SELECT CAST(n_A + n_N + n_R AS BIGINT) AS n_total,
        ROUND(
          ((sx_A*sx_A/n_A + sx_N*sx_N/n_N + sx_R*sx_R/n_R)
           - (sx_A+sx_N+sx_R)*(sx_A+sx_N+sx_R)/(n_A+n_N+n_R)) / 2
-         / (((sxx_A - sx_A*sx_A/n_A) + (sxx_N - sx_N*sx_N/n_N)
-             + (sxx_R - sx_R*sx_R/n_R)) / (n_A+n_N+n_R - 3)),
+         / (((sxx_A + sxx_N + sxx_R)
+             - (sx_A*sx_A/n_A + sx_N*sx_N/n_N + sx_R*sx_R/n_R))
+            / (n_A+n_N+n_R - 3)),
          6) AS f_stat,
        ROUND(
          ((sx_A*sx_A/n_A + sx_N*sx_N/n_N + sx_R*sx_R/n_R)
