@@ -939,3 +939,48 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint"),
     )
+
+
+_BAD_JSONL = """\
+{"id": 1, "name": "alpha", "score": 10}
+{"id": 2, "name": "beta", "score": "not_a_number"}
+{"id": 3, "name": "gamma" BROKEN
+{"id": 4, "name": "delta", "score": 40}
+"""
+
+_BAD_JSON_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'alpha', 10, FALSE),
+  (2, 'beta', CAST(NULL AS INT), TRUE),
+  (NULL, NULL, NULL, TRUE),
+  (4, 'delta', 40, FALSE)
+) t(id, name, score, is_corrupt)
+"""
+
+
+@query("scan_json_malformed", _BAD_JSON_ORACLE, tag="scan")
+def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record handling for JSON lines — the sibling of
+    ``scan_csv_malformed`` for the other dominant third-party feed format.
+    A syntactically broken line and a type-mismatched field both land in
+    ``_corrupt_record`` with the raw line preserved for quarantine. The
+    oracle pins the per-field salvage semantics: a type mismatch nulls ONLY
+    the offending field (row 2 keeps id/name, loses score) while still
+    flagging the row corrupt; only a syntactically broken line nulls the
+    whole row. Map-only at any scale."""
+    d = _tmpdir(prefix="dss_badjson_")
+    path = os.path.join(d, "input.jsonl")
+    with open(path, "w") as f:
+        f.write(_BAD_JSONL)
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id int, name string, score int, _corrupt_record string")
+        .json(path)
+    )
+    return df.select(
+        "id",
+        "name",
+        "score",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
