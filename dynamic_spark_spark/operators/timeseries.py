@@ -363,6 +363,58 @@ FROM rec GROUP BY user_id, sess_start
 """
 
 
+def _fold_sessions(pdf, gap_ns: int, cap_ns: int):
+    """Vectorized multi-user session fold of a SORTED (user_id, ts, event_id)
+    frame: session bounds from gap breaks (vectorized) + cap breaks
+    (searchsorted jumps within each gap segment). Pure pandas/numpy — unit-
+    and property-tested without Spark (tests/test_properties.py)."""
+    import numpy as np
+    import pandas as pd
+
+    t = pdf["ts"].values.astype("datetime64[ns]").astype("int64")
+    uid = pdf["user_id"].values
+    new_seg = np.concatenate(
+        ([True], (np.diff(t) >= gap_ns) | (uid[1:] != uid[:-1]))
+    )
+    bounds = np.append(np.flatnonzero(new_seg), len(t))
+    sess_bounds = []
+    for i0, i1 in zip(bounds[:-1], bounds[1:]):
+        j = i0
+        while j < i1:
+            sess_bounds.append(j)
+            j = i0 + np.searchsorted(t[i0:i1], t[j] + cap_ns, side="left")
+    sb = np.append(np.asarray(sess_bounds, dtype="int64"), len(t))
+    return pd.DataFrame(
+        {
+            "user_id": uid[sb[:-1]],
+            "sess_start": pdf["ts"].iloc[sb[:-1]].values,
+            "n_events": np.diff(sb),
+            "last_ts": pdf["ts"].iloc[sb[1:] - 1].values,
+        }
+    )
+
+
+def _fold_session_stream(batches, gap_ns: int, cap_ns: int):
+    """Partition-stream fold with an explicit carry of the split user across
+    Arrow batch boundaries (a user's rows may straddle batches WITHIN the
+    sorted partition; they never straddle partitions)."""
+    import pandas as pd
+
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        last_uid = pdf["user_id"].iloc[-1]
+        done = pdf[pdf["user_id"] != last_uid]
+        carry = pdf[pdf["user_id"] == last_uid]
+        if len(done):
+            yield _fold_sessions(done, gap_ns, cap_ns)
+    if carry is not None and len(carry):
+        yield _fold_sessions(carry, gap_ns, cap_ns)
+
+
 @query("sessionize_capped", _CAPPED_ORACLE, tag="timeseries")
 def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with BOTH break rules production trackers use: a
@@ -384,52 +436,11 @@ def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks vectorize; only CAP breaks walk sequentially, and they jump
     break-to-break via searchsorted on int64 nanoseconds. One shuffle on
     user_id; the oracle replays the identical fold as a recursive CTE."""
-    import numpy as np
-    import pandas as pd
-
     gap_ns = CAP_GAP_MIN * 60 * 1_000_000_000
     cap_ns = CAP_MAX_MIN * 60 * 1_000_000_000
 
-    def process(pdf: pd.DataFrame):
-        """Vectorized multi-user fold of a sorted (user_id, ts, event_id)
-        frame: session bounds from gap breaks (vectorized) + cap breaks
-        (searchsorted jumps within each gap segment)."""
-        t = pdf["ts"].values.astype("datetime64[ns]").astype("int64")
-        uid = pdf["user_id"].values
-        new_seg = np.concatenate(
-            ([True], (np.diff(t) >= gap_ns) | (uid[1:] != uid[:-1]))
-        )
-        bounds = np.append(np.flatnonzero(new_seg), len(t))
-        sess_bounds = []
-        for i0, i1 in zip(bounds[:-1], bounds[1:]):
-            j = i0
-            while j < i1:
-                sess_bounds.append(j)
-                j = i0 + np.searchsorted(t[i0:i1], t[j] + cap_ns, side="left")
-        sb = np.append(np.asarray(sess_bounds, dtype="int64"), len(t))
-        return pd.DataFrame(
-            {
-                "user_id": uid[sb[:-1]],
-                "sess_start": pdf["ts"].iloc[sb[:-1]].values,
-                "n_events": np.diff(sb),
-                "last_ts": pdf["ts"].iloc[sb[1:] - 1].values,
-            }
-        )
-
     def fold_stream(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last_uid = pdf["user_id"].iloc[-1]
-            done = pdf[pdf["user_id"] != last_uid]
-            carry = pdf[pdf["user_id"] == last_uid]
-            if len(done):
-                yield process(done)
-        if carry is not None and len(carry):
-            yield process(carry)
+        yield from _fold_session_stream(batches, gap_ns, cap_ns)
 
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     n_parts = spark.sparkContext.defaultParallelism

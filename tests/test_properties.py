@@ -136,3 +136,98 @@ def test_any_perturbation_is_flagged(fields, data):
     assert problems, (kind, fields)
     flagged = {p.field for p in problems}
     assert (name in flagged) or ("zz_extra" in flagged)
+
+
+# ---------------------------------------------------------------------------
+# capped sessionization: the vectorized fold must equal a brute-force
+# sequential reference for ANY event layout, and the partition-stream form
+# must be invariant to WHERE Arrow batch boundaries fall.
+# ---------------------------------------------------------------------------
+
+_GAP_NS = 5 * 1_000_000_000
+_CAP_NS = 12 * 1_000_000_000
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=60),  # seconds offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _reference_fold(rows):
+    """O(n) sequential definition: new session on first event, gap >= GAP,
+    or ts - session_start >= CAP."""
+    out = {}
+    last = {}
+    start = {}
+    for uid, t in rows:
+        if uid not in last or t - last[uid] >= _GAP_NS or t - start[uid] >= _CAP_NS:
+            start[uid] = t
+        key = (uid, start[uid])
+        n, _ = out.get(key, (0, t))
+        out[key] = (n + 1, t)
+        last[uid] = t
+    return {k: v for k, v in out.items()}
+
+
+def _sorted_frame(events):
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        ((uid, sec * 1_000_000_000) for uid, sec in events),
+        key=lambda r: (r[0], r[1]),
+    )
+    return rows, pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in rows], dtype="int64"),
+            "ts": pd.to_datetime([r[1] for r in rows], unit="ns"),
+            "event_id": np.arange(len(rows), dtype="int64"),
+        }
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(_EVENTS)
+def test_capped_session_fold_matches_sequential_reference(events):
+    from dynamic_spark_spark.operators.timeseries import _fold_sessions
+
+    rows, pdf = _sorted_frame(events)
+    got = {
+        (r["user_id"], int(r["sess_start"].value)): (
+            int(r["n_events"]),
+            int(r["last_ts"].value),
+        )
+        for _, r in _fold_sessions(pdf, _GAP_NS, _CAP_NS).iterrows()
+    }
+    assert got == _reference_fold(rows)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_EVENTS, st.integers(min_value=1, max_value=7))
+def test_capped_session_stream_invariant_to_batch_splits(events, chunk):
+    """Chopping the sorted partition into arbitrary Arrow-batch-sized pieces
+    (the mapInPandas reality) must not change a single session: the carry
+    logic re-joins users split across batch boundaries."""
+    from dynamic_spark_spark.operators.timeseries import (
+        _fold_session_stream,
+        _fold_sessions,
+    )
+
+    _, pdf = _sorted_frame(events)
+    batches = [pdf.iloc[i : i + chunk] for i in range(0, len(pdf), chunk)]
+    import pandas as pd
+
+    streamed = pd.concat(
+        list(_fold_session_stream(iter(batches), _GAP_NS, _CAP_NS)),
+        ignore_index=True,
+    )
+    whole = _fold_sessions(pdf, _GAP_NS, _CAP_NS)
+    key = ["user_id", "sess_start"]
+    assert (
+        streamed.sort_values(key).reset_index(drop=True).to_dict("records")
+        == whole.sort_values(key).reset_index(drop=True).to_dict("records")
+    )
