@@ -398,3 +398,113 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sqrt_micro").cast("double") / F.sum("sqrt_micro").over(w), 6
         ).alias("weight_temp"),
     )
+
+
+#: shuffle geometry: output shards and the run's shuffle seed (a new seed
+#: is a new deterministic permutation; same seed reproduces bit-exactly)
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = 42
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)
+              || ':{SHUFFLE_SEED}'), doc_id) - 1 AS BIGINT) AS position,
+       CAST((ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)
+              || ':{SHUFFLE_SEED}'), doc_id) - 1) % {SHUFFLE_SHARDS} AS BIGINT)
+         AS shard
+FROM documents
+"""
+
+
+@query("corpus_shuffle", _SHUFFLE_ORACLE, tag="llm-text")
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order permutation
+    every pretraining run needs, WITHOUT RNG state: order by a salted
+    content hash (md5 of doc_id + seed, portable to the oracle engine),
+    assign a dense position and a round-robin shard. Same seed → identical
+    permutation on any cluster; new seed → fresh permutation. Positions are
+    a global sort (one range-partitioned total order — the same machinery
+    as ``sort_multi``); at 100 TB the permutation usually stops at the
+    SHARD level (hash to shard, shuffle within shard) and this plan's
+    ORDER BY simply drops the dense rank, same shape."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")))
+    w = Window.orderBy(h, "doc_id")
+    pos = F.row_number().over(w) - 1
+    return d.select(
+        "doc_id",
+        pos.cast("bigint").alias("position"),
+        (pos % SHUFFLE_SHARDS).cast("bigint").alias("shard"),
+    )
+
+
+#: epoch solver: target mixture weights per source and the repeat ceiling
+#: (LLaMA-style data recipes upsample small high-quality sources a bounded
+#: number of epochs rather than matching weights exactly)
+EPOCH_TARGETS = {"src0": 0.40, "src1": 0.30, "src2": 0.20, "src3": 0.10}
+MAX_EPOCHS = 4
+
+_EPOCH_TARGET_SQL = " UNION ALL ".join(
+    f"SELECT '{s}' AS source, {w} AS target_w" for s, w in EPOCH_TARGETS.items()
+)
+
+_EPOCHS_ORACLE = f"""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM tok),
+t AS ({_EPOCH_TARGET_SQL})
+SELECT k.source, k.n_tokens, t.target_w,
+       ROUND(k.n_tokens / tot.total, 6) AS natural_w,
+       LEAST(CAST({MAX_EPOCHS} AS DOUBLE),
+             ROUND(t.target_w * tot.total / k.n_tokens, 6)) AS epochs,
+       CAST(FLOOR(LEAST(CAST({MAX_EPOCHS} AS DOUBLE),
+             ROUND(t.target_w * tot.total / k.n_tokens, 6))
+             * k.n_tokens) AS BIGINT) AS effective_tokens
+FROM tok k JOIN t ON t.source = k.source CROSS JOIN tot
+"""
+
+
+@query("mix_upsample_epochs", _EPOCHS_ORACLE, tag="llm-text")
+def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repeat-factor solver for a target data mixture: given desired
+    per-source weights, compute how many EPOCHS of each source the training
+    run should see (`target_share · total / source_tokens`), clamped at
+    ``MAX_EPOCHS`` — the bounded-upsampling recipe (small high-quality
+    sources repeat a few epochs; nothing repeats unboundedly). Emits the
+    natural share, the solved epoch factor, and the effective token count
+    the clamp actually yields, so the gap between asked-for and achievable
+    mixture is explicit. One aggregate over the corpus + a 4-row broadcast
+    of targets."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    tok = d.select("source", n_tok.alias("t")).groupBy("source").agg(
+        F.sum("t").cast("bigint").alias("n_tokens")
+    )
+    targets = d.sparkSession.createDataFrame(
+        [(s, w) for s, w in EPOCH_TARGETS.items()], "source string, target_w double"
+    )
+    epochs = F.least(
+        F.lit(float(MAX_EPOCHS)),
+        F.round(F.col("target_w") * F.col("total") / F.col("n_tokens"), 6),
+    )
+    # the denominator is the WHOLE corpus — materialize it before the
+    # target join narrows the frame to the 4 targeted sources
+    tok = tok.withColumn(
+        "total", F.sum("n_tokens").over(Window.partitionBy()).cast("double")
+    )
+    return (
+        tok.join(F.broadcast(targets), "source")
+        .select(
+            "source",
+            "n_tokens",
+            "target_w",
+            F.round(F.col("n_tokens") / F.col("total"), 6).alias("natural_w"),
+            epochs.alias("epochs"),
+            F.floor(epochs * F.col("n_tokens")).cast("bigint").alias(
+                "effective_tokens"
+            ),
+        )
+    )

@@ -231,7 +231,8 @@ _PRIORITY = [
     "join_interval_overlap", "dedup_semantic",
     "udf_cogroup", "embed_truncate_recall", "sessionize_capped",
     "pipeline_curation", "stat_anova_f", "graph_bfs_hops",
-    "udtf_dynamic_schema", "scan_json_malformed",
+    "udtf_dynamic_schema", "scan_json_malformed", "corpus_shuffle",
+    "mix_upsample_epochs",
 ]
 
 
