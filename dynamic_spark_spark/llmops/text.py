@@ -972,3 +972,58 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_smooth"),
         )
     )
+
+
+#: fixed BPE merge table, applied IN ORDER — each entry merges one adjacent
+#: symbol pair corpus-wide before the next rule runs (the BPE-apply
+#: contract). A production tokenizer learns thousands of ranked merges; the
+#: mechanics per merge are exactly this.
+BPE_MERGES = [
+    ("t h", "th"), ("th e", "the"), ("i n", "in"), ("a n", "an"),
+    ("an d", "and"), ("e r", "er"), ("o n", "on"), ("r e", "re"),
+]
+
+
+def _o_bpe_chain() -> str:
+    expr = "array_to_string(regexp_split_to_array(regexp_replace(lower(text), '[^a-z]', '', 'g'), ''), ' ')"
+    for pat, rep in BPE_MERGES:
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array({_o_bpe_chain()}, ' '),
+                            s -> s <> '')) AS BIGINT) AS n_symbols,
+       md5({_o_bpe_chain()}) AS bpe_md5
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@query("text_bpe_apply", _BPE_ORACLE, tag="llm-text")
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION as pure relational string ops: text lowers to
+    its alphabetic symbol stream (one char per symbol, space-separated),
+    then each ranked merge rule rewrites every occurrence corpus-wide
+    before the next rule applies — ``replace`` chains reproduce the
+    tokenizer's greedy merge order exactly, so the resulting symbol
+    sequence and count are oracle-checked by md5, not approximated.
+
+    The whole chain is ONE codegen projection per row (no UDF, no shuffle);
+    a real vocabulary's thousands of merges would move the table into a
+    broadcast loop or a pandas UDF, but the per-merge semantics pinned here
+    are the contract either implementation must meet. n_symbols/doc is the
+    compression diagnostic (symbols-per-char falls as merges bite)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    sym = F.array_join(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z]", ""), ""), " "
+    )
+    for pat, rep in BPE_MERGES:
+        sym = F.replace(sym, F.lit(pat), F.lit(rep))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split(sym, " "), lambda s: s != "")).cast("bigint").alias(
+            "n_symbols"
+        ),
+        F.md5(sym).alias("bpe_md5"),
+    )

@@ -232,7 +232,7 @@ _PRIORITY = [
     "udf_cogroup", "embed_truncate_recall", "sessionize_capped",
     "pipeline_curation", "stat_anova_f", "graph_bfs_hops",
     "udtf_dynamic_schema", "scan_json_malformed", "corpus_shuffle",
-    "mix_upsample_epochs",
+    "mix_upsample_epochs", "text_bpe_apply",
 ]
 
 
