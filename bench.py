@@ -52,6 +52,9 @@ EXTENDED = [
     "dedup_semantic",
     "text_url_canonicalize",
     "agg_bitmap_distinct",
+    "sessionize_capped",
+    "join_interval_overlap",
+    "corpus_shuffle",
 ]
 
 
