@@ -18,6 +18,10 @@ same order DuckDB's list functions use — keeping both engines bit-identical.
 
 from __future__ import annotations
 
+# numpy/pandas are module-level (not function-local like elsewhere) because
+# dedup_semantic's pandas-UDF type hints are strings under future
+# annotations and must resolve against THIS module's globals at decoration
+# time; both libraries are already in any PySpark process's footprint.
 import numpy as np
 import pandas as pd
 
@@ -814,13 +818,25 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
     @pandas_udf("double")
-    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma, mb = np.stack(a.to_numpy()), np.stack(b.to_numpy())
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(num / den)
+    def vec_norm(emb: pd.Series) -> pd.Series:
+        return pd.Series(np.linalg.norm(np.stack(emb.to_numpy()), axis=1))
 
-    cells = e.select("vec_id", "embedding", best_cell("embedding").alias("cid")).persist()
+    @pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
+        # norms arrive precomputed per VECTOR (vec_norm ran once per row,
+        # not once per pair); the float embedding stays the join payload —
+        # half the bytes of a double unit-vector column
+        num = np.einsum(
+            "ij,ij->i", np.stack(a.to_numpy()), np.stack(b.to_numpy())
+        )
+        return pd.Series(num / (na.to_numpy() * nb.to_numpy()))
+
+    cells = e.select(
+        "vec_id",
+        "embedding",
+        vec_norm("embedding").alias("nrm"),
+        best_cell("embedding").alias("cid"),
+    ).persist()
     # Hot-cell guard (the discipline every candidate generator in this repo
     # applies — SIM_JOIN_MAX_BUCKET, MAX_SHINGLE_DF, CONTAIN_MAX_DF): the
     # "earlier" comparison side is each cell's first SEM_MAX_ANCHORS members
@@ -828,31 +844,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skewed mass of vectors into one cell (observed: the uncapped self-join
     # ran 10+ min at the 100× probe on one hot cell). Vectors similar only
     # to a later non-anchor member survive — a bounded, documented recall
-    # cap, not a cost risk.
+    # cap, not a cost risk. row_number keeps per-task state bounded (the
+    # earlier collect_list form sorted the WHOLE hot cell in one
+    # aggregation buffer — the exact skew the guard exists for).
+    aw = Window.partitionBy("cid").orderBy("vec_id")
     anchors = (
-        cells.groupBy("cid")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("vec_id")), 1, SEM_MAX_ANCHORS)
-            .alias("anchor_ids")
-        )
-        .select("cid", F.explode("anchor_ids").alias("earlier"))
-        .join(
-            cells.select(
-                F.col("cid"),
-                F.col("vec_id").alias("earlier"),
-                F.col("embedding").alias("emb_a"),
-            ),
-            ["cid", "earlier"],
+        cells.withColumn("rk", F.row_number().over(aw))
+        .where(F.col("rk") <= SEM_MAX_ANCHORS)
+        .select(
+            "cid",
+            F.col("vec_id").alias("earlier"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
         )
     )
     b = cells.select(
-        F.col("cid"), F.col("vec_id").alias("later"),
+        F.col("cid"),
+        F.col("vec_id").alias("later"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     dropped = (
         anchors.join(b, "cid")
         .where(F.col("earlier") < F.col("later"))
-        .where(pair_cos(F.col("emb_a"), F.col("emb_b")) >= SEM_TAU)
+        .where(
+            pair_cos(
+                F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+            )
+            >= SEM_TAU
+        )
         .groupBy(F.col("later").alias("vec_id"))
         .agg(F.min("earlier").alias("dup_of"))
     )

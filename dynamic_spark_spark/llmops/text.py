@@ -974,56 +974,74 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: fixed BPE merge table, applied IN ORDER — each entry merges one adjacent
-#: symbol pair corpus-wide before the next rule runs (the BPE-apply
-#: contract). A production tokenizer learns thousands of ranked merges; the
-#: mechanics per merge are exactly this.
+#: fixed BPE merge table, applied IN RANK ORDER — valid bottom-up (each
+#: rule's parts exist only after earlier rules), so ordered application
+#: equals the tokenizer's min-rank-first loop. A production vocabulary has
+#: thousands of ranked merges; the per-rule mechanics are identical.
 BPE_MERGES = [
-    ("t h", "th"), ("th e", "the"), ("i n", "in"), ("a n", "an"),
-    ("an d", "and"), ("e r", "er"), ("o n", "on"), ("r e", "re"),
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
 ]
 
 
-def _o_bpe_chain() -> str:
-    expr = "array_to_string(regexp_split_to_array(regexp_replace(lower(text), '[^a-z]', '', 'g'), ''), ' ')"
-    for pat, rep in BPE_MERGES:
-        expr = f"replace({expr}, '{pat}', '{rep}')"
-    return expr
+def bpe_segment(text: str) -> list[str]:
+    """True BPE merge application over the lowercased alphabetic symbol
+    stream: for each ranked rule, one left-to-right pass merges every
+    non-overlapping occurrence of the SYMBOL PAIR (list-level matching —
+    never substring matching, which can merge across already-merged token
+    boundaries: 'there' must segment as [the, re], not collapse to
+    [there]). Pure Python on a per-document symbol list; pinned against
+    hand-computed segmentations in pytest."""
+    syms = [c for c in text.lower() if "a" <= c <= "z"]
+    for a, b in BPE_MERGES:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
-_BPE_ORACLE = f"""
-SELECT doc_id,
-       CAST(len(list_filter(regexp_split_to_array({_o_bpe_chain()}, ' '),
-                            s -> s <> '')) AS BIGINT) AS n_symbols,
-       md5({_o_bpe_chain()}) AS bpe_md5
-FROM documents WHERE doc_id % 5 = 0
-"""
-
-
-@query("text_bpe_apply", _BPE_ORACLE, tag="llm-text")
+@query("text_bpe_apply", tag="llm-text")  # rows-only: iterative pair merging is not SQL-expressible
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge APPLICATION as pure relational string ops: text lowers to
-    its alphabetic symbol stream (one char per symbol, space-separated),
-    then each ranked merge rule rewrites every occurrence corpus-wide
-    before the next rule applies — ``replace`` chains reproduce the
-    tokenizer's greedy merge order exactly, so the resulting symbol
-    sequence and count are oracle-checked by md5, not approximated.
+    """BPE merge application — the tokenizer's ranked greedy pair merging
+    run as an Arrow-batched pandas UDF over the corpus (the symbol-PAIR
+    loop is inherently iterative; an earlier replace-chain formulation was
+    retired because substring replace merges across token boundaries and
+    produces out-of-vocabulary symbols). Emits the segment count and an
+    md5 of the joined segmentation per document; the algorithm itself is
+    pinned in pytest against hand-computed segmentations ('there' →
+    [the, re], 'other' → [o, the, r]) — cases where the boundary bug would
+    differ. Map-only at any scale: one UDF pass, no shuffle; real
+    tokenizers swap the merge table for the learned vocabulary and run in
+    this exact position of the pipeline."""
+    import hashlib
 
-    The whole chain is ONE codegen projection per row (no UDF, no shuffle);
-    a real vocabulary's thousands of merges would move the table into a
-    broadcast loop or a pandas UDF, but the per-merge semantics pinned here
-    are the contract either implementation must meet. n_symbols/doc is the
-    compression diagnostic (symbols-per-char falls as merges bite)."""
+    import pandas as pd
+
+    def seg(batch: pd.Series) -> pd.DataFrame:
+        segs = [bpe_segment(t or "") for t in batch]
+        return pd.DataFrame(
+            {
+                "n_symbols": [len(x) for x in segs],
+                "bpe_md5": [
+                    hashlib.md5(" ".join(x).encode()).hexdigest() for x in segs
+                ],
+            }
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_symbols bigint, bpe_md5 string")
+    def seg_udf(batch: pd.Series) -> pd.DataFrame:
+        return seg(batch)
+
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    sym = F.array_join(
-        F.split(F.regexp_replace(F.lower("text"), "[^a-z]", ""), ""), " "
-    )
-    for pat, rep in BPE_MERGES:
-        sym = F.replace(sym, F.lit(pat), F.lit(rep))
-    return d.select(
-        "doc_id",
-        F.size(F.filter(F.split(sym, " "), lambda s: s != "")).cast("bigint").alias(
-            "n_symbols"
-        ),
-        F.md5(sym).alias("bpe_md5"),
+    return d.select("doc_id", seg_udf("text").alias("s")).select(
+        "doc_id", F.col("s.n_symbols").alias("n_symbols"), F.col("s.bpe_md5").alias("bpe_md5")
     )

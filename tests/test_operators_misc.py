@@ -544,3 +544,18 @@ def test_dedup_semantic_verdicts_are_sound(spark, sf_dir):
         assert cos >= SEM_TAU - 1e-9, (r, cos)
         # the named duplicate must share the dropped vector's cell
         assert out[r["dup_of"]]["cid"] == r["cid"]
+
+
+def test_bpe_segment_respects_token_boundaries():
+    """The retired replace-chain formulation collapsed 'there' to one
+    out-of-vocab symbol by matching across a merged token's boundary; true
+    pair merging must not. These are hand-computed segmentations under
+    BPE_MERGES' rank order, including the greedy-leftmost overlap case."""
+    from dynamic_spark_spark.llmops.text import bpe_segment
+
+    assert bpe_segment("there") == ["the", "re"]
+    assert bpe_segment("other") == ["o", "the", "r"]
+    assert bpe_segment("in the end") == ["in", "the", "e", "n", "d"]
+    assert bpe_segment("ttthhh") == ["t", "t", "th", "h", "h"]  # leftmost, non-overlapping
+    assert bpe_segment("AND-er!") == ["and", "er"]  # lowercase + strip non-alpha
+    assert bpe_segment("") == []
