@@ -134,6 +134,33 @@ _R1_VERIFIED = frozenset({
     "win_distribution",
 })
 
+# Round-3 driver window: the 50 never-driver-verified keys the round-2 judge
+# named as the top backlog to drain (VERDICT.md "Next round" #1) — SURVEY-core
+# stragglers (multimodal meta, win_range_interval, the six remaining TPC-H
+# composites), the llm-text oracle block, then core oracle stragglers in
+# registration-family order. All oracle-checkable (rows-only keys yield their
+# slots to hash-checkable ones and queue immediately after the window).
+_R3_WINDOW = [
+    "multimodal_image_meta", "multimodal_meta", "win_range_interval",
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
+    "tpch_q12_ship_latency", "tpch_q16_supplier_count",
+    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_orders",
+    "text_langid", "text_pii_scrub", "text_unigram_logprob",
+    "text_repetition", "text_vocab_topk", "text_ngram_counts",
+    "text_decontaminate", "text_tfidf_topk", "text_bm25_search",
+    "text_chunk_overlap", "text_pmi_bigrams", "text_gopher_quality",
+    "text_utf8_quality", "text_oov_rate", "text_char_entropy",
+    "text_fim_split", "text_ppl_band", "text_bigram_lm", "text_novelty",
+    "text_url_canonicalize",
+    "dedup_incremental", "embed_normalize", "embed_quantize_int8",
+    "cdc_scd2", "scan_merge_schema", "stream_rollup_live", "join_bucketed",
+    "fn_array_predicates", "sample_holdout_split", "ts_gapfill_locf",
+    "agg_regression", "ml_zscore_standardize", "llm_data_prep",
+    "cap_per_source", "sample_mixture", "pack_token_budget",
+    "pipeline_wordcount", "subquery_scalar", "subquery_in",
+    "subquery_correlated", "join_salted",
+]
+
 # Explicit driver-verification priority for round 2+. Front of the list =
 # first keys the driver's prefix-limited gate will check: the r1 red row
 # (agg_collect), the new r2 keys, then one SURVEY §2 family after another of
@@ -234,6 +261,10 @@ _PRIORITY = [
     "udtf_dynamic_schema", "scan_json_malformed", "corpus_shuffle",
     "mix_upsample_epochs", "text_bpe_apply",
 ]
+
+# Final priority: the explicit round-3 window first, then everything else in
+# the long-standing family order (minus window members, so ranks stay unique).
+_PRIORITY = _R3_WINDOW + [k for k in _PRIORITY if k not in set(_R3_WINDOW)]
 
 
 def verification_order(keys) -> list[str]:

@@ -3,7 +3,10 @@
 compare oracle-backed keys against DuckDB (exact, order-insensitive), and
 print one JSON summary line. Mirrors the per-round correctness gate.
 
-Usage: PYTHONPATH=. python scripts/verify_all.py [sf_dir]
+Usage: PYTHONPATH=. python scripts/verify_all.py [sf_dir] [--prefix N]
+
+--prefix N checks only the first N keys in driver verification order — the
+exact window the per-round gate will sample — for a fast pre-flight.
 
 With BENCH_GUARD=1 in the environment, bench.py runs afterwards at sf0.1
 with the regression anchor enforced (exit non-zero past 2x the round-1
@@ -18,7 +21,13 @@ import subprocess
 import sys
 import traceback
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+PREFIX = None
+_args = sys.argv[1:]
+if "--prefix" in _args:
+    i = _args.index("--prefix")
+    PREFIX = int(_args[i + 1])
+    _args = _args[:i] + _args[i + 2:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 
 
 def main() -> int:
@@ -33,8 +42,11 @@ def main() -> int:
 
     import time
 
+    items = list(queries.items())  # already in driver verification order
+    if PREFIX is not None:
+        items = items[:PREFIX]
     passed, rows_only, failed, elapsed = [], [], {}, {}
-    for name, fn in sorted(queries.items()):
+    for name, fn in items:
         t0 = time.perf_counter()
         try:
             df = fn(spark, SF_DIR)
