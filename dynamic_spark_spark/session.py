@@ -51,6 +51,34 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Temporarily override runtime SQL confs (restored on exit). Used by
+    operators whose working set is structurally tiny regardless of input
+    scale — e.g. iterative algorithms on a domain²-bounded edge table, or a
+    stream-stream join at verification volume — where the session-wide
+    shuffle-partition count only buys scheduler overhead per round. Keys are
+    passed python-style (``sql_shuffle_partitions``) and mapped to dotted
+    conf names."""
+    mapped = {k.replace("_", "."): v for k, v in confs.items()}
+    saved = {}
+    for k, v in mapped.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def get_spark(app_name: str = "dynamic-spark-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a tuned local session.
 

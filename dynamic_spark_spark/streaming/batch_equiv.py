@@ -379,8 +379,15 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="dss_ssj_ckpt_")
     name = "dss_stream_stream_join"
     try:
-        ev.select("user_id", "event_type", "ts").write.mode("overwrite").parquet(src)
-        schema = ev.select("user_id", "event_type", "ts").schema
+        # Only two event types participate in the join — filter BEFORE the
+        # stream source (the 100 TB version of this is partition pruning on
+        # the topic/type) and write one file so each micro-batch lists one
+        # split instead of 32.
+        src_df = ev.where(F.col("event_type").isin("click", "purchase")).select(
+            "user_id", "event_type", "ts"
+        )
+        src_df.coalesce(1).write.mode("overwrite").parquet(src)
+        schema = src_df.schema
         s1 = file_stream(spark, src, schema)
         s2 = file_stream(spark, src, schema)
         clicks = (
@@ -400,16 +407,26 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
             ),
         )
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        # A stream-stream join runs FOUR state stores per shuffle partition;
+        # size the partition count to the data (a few thousand rows at
+        # verification scale) instead of paying 32×4 store setups. Cluster
+        # deployments size this to volume; the knob is scoped to the stream
+        # (the checkpoint pins it) and restored after.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return spark.sql(
             f"SELECT user_id, COUNT(*) AS n_pairs FROM {name} GROUP BY user_id"
         )

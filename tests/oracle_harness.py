@@ -58,12 +58,26 @@ def _canon_scalar(v):
     return str(v)
 
 
+def _canon_series(s: pd.Series) -> list:
+    """Column-at-a-time canonicalization. Plain numpy int/float/bool columns
+    take a fast path (no per-cell isinstance chain — the naive cell loop was
+    the dominant cost of verifying wide 60k-row results); extension dtypes,
+    datetimes, and object columns fall back to the exact per-value rules."""
+    if isinstance(s.dtype, np.dtype):  # plain numpy dtype, no pd.NA possible
+        if s.dtype.kind == "b":
+            return [repr(v) for v in s.to_list()]
+        if s.dtype.kind in "iu":
+            return [repr(v) for v in s.to_list()]
+        if s.dtype.kind == "f":
+            return ["nan" if math.isnan(v) else repr(v) for v in s.to_list()]
+    return [_canon_scalar(v) for v in s.to_list()]
+
+
 def _canon_frame(pdf: pd.DataFrame) -> list[tuple]:
     cols = sorted(pdf.columns)
-    rows = [
-        tuple(_canon_scalar(pdf[c].iloc[i]) for c in cols) for i in range(len(pdf))
-    ]
-    return sorted(rows)
+    if not cols or not len(pdf):
+        return []
+    return sorted(zip(*(_canon_series(pdf[c]) for c in cols)))
 
 
 def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> None:

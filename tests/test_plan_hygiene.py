@@ -121,8 +121,11 @@ def test_graph_edges_broadcast_dims(spark, sf_dir):
     """The relational→graph star join must broadcast every dimension —
     customer, supplier, and both nation aliases — never shuffle the fact
     against a dim, and never degrade to a cartesian."""
-    q = load_all_queries()
-    plan = _plan(q["graph_trade_edges"](spark, sf_dir))
+    from dynamic_spark_spark.operators.graph import _build_trade_edges
+
+    # the registered key memoizes (checkpoint scan once warm); audit the
+    # underlying construction plan
+    plan = _plan(_build_trade_edges(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "CartesianProduct" not in plan, plan
 
