@@ -293,9 +293,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair graph, by iterative min-label propagation. Each round,
     every node adopts the smallest component id among itself and its
     neighbors; the loop exits when a round changes nothing. Output is
-    (doc_id, component, is_canonical) — keep ``is_canonical`` rows and the
-    corpus is deduplicated group-wise, not just pair-wise (A~B, B~C ⇒ one
-    survivor of {A,B,C}, which pairwise dropping gets wrong).
+    (doc_id, component, is_canonical) and covers only docs that appear in
+    candidate pairs: DROP rows where ``is_canonical`` is false; documents
+    absent from this table were never dup candidates and pass through
+    untouched (``dedup_apply_canonical`` applies exactly that contract via
+    its anti-join). Grouping is transitive, not just pair-wise (A~B, B~C ⇒
+    one survivor of {A,B,C}, which pairwise dropping gets wrong).
 
     Scale posture — two hard-won iterative-algorithm rules:
 
@@ -384,7 +387,7 @@ _INCREMENTAL_ORACLE = r"""
 WITH pref AS (
   SELECT doc_id,
          md5(array_to_string(
-           list_slice(list_filter(regexp_split_to_array(text, '\s+'),
+           list_slice(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
                                   w -> w <> ''), 1, 10), ' ')) AS digest
   FROM documents
 )
@@ -407,9 +410,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: only digests shuffle (16 bytes/row, never text); the anti
     join is a plain hash join on the digest, AQE-skew-splittable. At cluster
     scale, front it with a bloom filter built from the corpus digest table to
-    skip the shuffle for the (vast) non-colliding majority."""
+    skip the shuffle for the (vast) non-colliding majority.
+
+    ``coalesce(text, '')`` on BOTH sides: a NULL text would otherwise yield a
+    NULL digest, which ``left_anti`` keeps but SQL ``NOT IN`` silently drops
+    — the classic three-valued-logic divergence (latent here, fixtures have
+    no NULLs, but the guard keeps engine and oracle agreeing if they ever
+    do)."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda w: w != ""
+    )
     digest = F.md5(F.array_join(F.slice(words, 1, 10), " "))
     keyed = d.select("doc_id", digest.alias("digest"))
     existing = keyed.where(F.col("doc_id") % 2 == 0).select("digest").distinct()

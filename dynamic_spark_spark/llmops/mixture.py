@@ -416,22 +416,58 @@ FROM documents
 """
 
 
+#: parallelism of the global-rank assignment (range partitions over the
+#: salted hash; each holds a contiguous slice of the permutation)
+SHUFFLE_RANK_PARTS = 16
+
+
 @query("corpus_shuffle", _SHUFFLE_ORACLE, tag="llm-text")
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle — the training-order permutation
     every pretraining run needs, WITHOUT RNG state: order by a salted
     content hash (md5 of doc_id + seed, portable to the oracle engine),
     assign a dense position and a round-robin shard. Same seed → identical
-    permutation on any cluster; new seed → fresh permutation. Positions are
-    a global sort (one range-partitioned total order — the same machinery
-    as ``sort_multi``); at 100 TB the permutation usually stops at the
-    SHARD level (hash to shard, shuffle within shard) and this plan's
-    ORDER BY simply drops the dense rank, same shape."""
+    permutation on any cluster; new seed → fresh permutation.
+
+    The dense global rank is assigned DISTRIBUTED, zipWithIndex-style:
+    range-partition on (hash, doc_id) so partition i holds a contiguous
+    slice of the total order, rank locally per partition, then add each
+    partition's starting offset. The offsets come from one
+    partition-count-sized collect (a model-sized scalar list, like the PCA
+    sufficient stats) turned into a literal lookup map — so no row ever
+    funnels through a single task, unlike a naive
+    ``row_number() OVER (ORDER BY ...)``. Positions are exact and
+    boundary-independent: whatever range boundaries the sampler picks, the
+    concatenation of sorted slices IS the global order. At 100 TB the
+    permutation usually stops at the shard level (hash to shard, shuffle
+    within shard), dropping the dense rank — same plan minus the offsets."""
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")))
-    w = Window.orderBy(h, "doc_id")
-    pos = F.row_number().over(w) - 1
-    return d.select(
+    ranked = (
+        d.select("doc_id", h.alias("h"))
+        .repartitionByRange(SHUFFLE_RANK_PARTS, "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # pin partition membership: the size job and the rank job must see
+        # the SAME partitions (zipWithIndex's contract; at 100 TB this is a
+        # persist(DISK_ONLY) of (doc_id, hash) — two narrow columns, not the
+        # corpus text)
+        .localCheckpoint()
+    )
+    # partition sizes -> starting offsets (one tiny job; |result| = #partitions)
+    sizes = {
+        r["pid"]: r["n"]
+        for r in ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    local = Window.partitionBy("pid").orderBy("h", "doc_id")
+    pos = F.row_number().over(local) - 1 + off_map[F.col("pid")]
+    return ranked.select(
         "doc_id",
         pos.cast("bigint").alias("position"),
         (pos % SHUFFLE_SHARDS).cast("bigint").alias("shard"),

@@ -288,6 +288,18 @@ def test_prefix_sum_keys_use_partitioned_windows(spark, sf_dir):
         assert plan.count("Exchange SinglePartition") <= 2, key
 
 
+def test_corpus_shuffle_no_single_partition(spark, sf_dir):
+    """corpus_shuffle's dense global rank must be assigned distributed
+    (range partition on the salted hash + per-partition rank + literal
+    offset map) — ZERO single-partition exchanges. A regression to
+    ``row_number() OVER (ORDER BY hash)`` funnels the whole corpus through
+    one task at scale."""
+    q = load_all_queries()
+    plan = _plan(q["corpus_shuffle"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(pid" in plan, plan[:2000]
+
+
 def test_spatial_radius_is_equi_join(spark, sf_dir):
     """The grid-bucketed radius join must compile to a HASH/SORT-MERGE join
     on the cell key — never a nested-loop/cartesian plan. This is the whole
