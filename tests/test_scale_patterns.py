@@ -80,6 +80,36 @@ def test_ann_recall_floor(spark, sf_dir):
     assert len(exact & lsh) / len(exact) >= 0.60
 
 
+def test_lsh_batched_buckets_match_jvm_path(spark, sf_dir):
+    """The Arrow-batched bucketing (broadcast plane matrix + one GEMM per
+    batch) must assign the SAME (vec_id, tbl, key) rows as the pure-JVM
+    higher-order-fn reference path — same hash-derived planes, so the only
+    possible divergence is a sign flip on a numerically-zero projection,
+    which the fixture must not exhibit."""
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.llmops.similarity import (
+        lsh_bucket_entries,
+        lsh_buckets_batched,
+    )
+    from dynamic_spark_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    jvm = {
+        (r.vec_id, r.tbl, r.key)
+        for r in e.select(
+            "vec_id", F.explode(lsh_bucket_entries(F.col("embedding"))).alias("bk")
+        )
+        .select("vec_id", "bk.tbl", "bk.key")
+        .collect()
+    }
+    batched = {
+        (r.vec_id, r.tbl, r.key)
+        for r in lsh_buckets_batched(spark, e).collect()
+    }
+    assert jvm == batched
+
+
 def test_sim_join_recall_floor(spark, sf_dir):
     """The production unblocked near-dup pair join must recover most of the
     label-blocked truth set (every blocked pair IS a true pair; the LSH path
