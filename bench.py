@@ -22,6 +22,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: this number fails the guard (stderr warning always; non-zero exit when
 #: SPARK_GRAFT_BENCH_GUARD=1, which scripts/verify_all.py sets).
 R1_ANCHOR_SEC = 8.525
+#: Round-2 recorded extended-set total (BENCH_r02.json) — same 2× guard for
+#: the marquee ops that report outside the headline total.
+R2_EXTENDED_ANCHOR_SEC = 3.955
 ANCHOR_SF = 0.1
 
 #: headline mix: scan+agg, joins, windows, explode, and the llmops suite
@@ -124,14 +127,24 @@ def main() -> None:
     spark.stop()
 
     total = round(sum(timings.values()), 3)
+    ext_total = round(sum(extended.values()), 3)
+    regressed = False
     if sf == ANCHOR_SF and total > 2 * R1_ANCHOR_SEC:
+        regressed = True
         print(
             f"BENCH REGRESSION: headline total {total}s exceeds 2x the round-1 "
             f"anchor ({R1_ANCHOR_SEC}s at sf{ANCHOR_SF})",
             file=sys.stderr,
         )
-        if os.environ.get("SPARK_GRAFT_BENCH_GUARD"):
-            sys.exit(1)
+    if sf == ANCHOR_SF and ext_total > 2 * R2_EXTENDED_ANCHOR_SEC:
+        regressed = True
+        print(
+            f"BENCH REGRESSION: extended total {ext_total}s exceeds 2x the "
+            f"round-2 anchor ({R2_EXTENDED_ANCHOR_SEC}s at sf{ANCHOR_SF})",
+            file=sys.stderr,
+        )
+    if regressed and os.environ.get("SPARK_GRAFT_BENCH_GUARD"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
