@@ -89,6 +89,73 @@ def test_image_header_parse_roundtrip():
     assert parse_image_header(jpeg_bytes(10, 10)[:6]) == ("image/jpeg", None, None)
 
 
+def test_png_pixel_decode_roundtrip():
+    """REAL PNG decode: encode the deterministic pattern through the full
+    pipeline (filter rows, zlib deflate, chunk/CRC framing), decode with
+    decode_png_rgb (inflate + per-row unfiltering), and require every pixel
+    byte-exact against the generator. Heights > 4 force all five PNG filter
+    types through both encoder and decoder; odd widths exercise the
+    left-neighbor edge cases."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_png_rgb,
+        png_pixel,
+        png_rgb_bytes,
+    )
+
+    for w, h, seed in [(1, 1, 0), (3, 7, 5), (8, 6, 42), (17, 11, 9)]:
+        px = decode_png_rgb(png_rgb_bytes(w, h, seed))
+        assert px is not None and len(px) == h and len(px[0]) == w
+        for y in range(h):
+            for x in range(w):
+                assert px[y][x] == [png_pixel(x, y, c, seed) for c in range(3)], (
+                    w, h, seed, x, y,
+                )
+    # malformed inputs degrade to None, never raise
+    assert decode_png_rgb(b"junk") is None
+    assert decode_png_rgb(png_rgb_bytes(4, 4, 1)[:30]) is None
+    assert decode_png_rgb(None) is None
+
+
+def test_png_real_resize_roundtrip():
+    """REAL resize: thumb is itself a valid PNG whose decoded pixels equal
+    nearest-neighbor sampling of the source pattern."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        RESIZE_DIM,
+        decode_png_rgb,
+        png_pixel,
+        png_rgb_bytes,
+        resize_png_real,
+    )
+
+    w, h, seed = 11, 7, 3
+    thumb = resize_png_real(png_rgb_bytes(w, h, seed))
+    px = decode_png_rgb(thumb)
+    assert px is not None and len(px) == RESIZE_DIM and len(px[0]) == RESIZE_DIM
+    for ty in range(RESIZE_DIM):
+        for tx in range(RESIZE_DIM):
+            sx, sy = (tx * w) // RESIZE_DIM, (ty * h) // RESIZE_DIM
+            assert px[ty][tx] == [png_pixel(sx, sy, c, seed) for c in range(3)]
+    assert resize_png_real(b"not a png") is None
+
+
+def test_multimodal_decode_mixed_paths(spark, sf_dir):
+    """The registered key runs BOTH decoders: even doc_ids through the real
+    PNG pixel decode (feature = [w, h, 3 channel means, 3 channel spreads]),
+    odd through the histogram stub (8 normalized buckets)."""
+    qs = load_all_queries()
+    pdf = qs["multimodal_decode"](spark, sf_dir).toPandas()
+    real = pdf[pdf["decoder"] == "png-real"]
+    stub = pdf[pdf["decoder"] == "histogram-stub"]
+    assert (real["doc_id"] % 2 == 0).all() and (stub["doc_id"] % 2 == 1).all()
+    assert len(real) and len(stub)
+    for _, r in real.head(20).iterrows():
+        f = r["features"]
+        assert len(f) == 8
+        assert f[0] == 8 + r["doc_id"] % 9 and f[1] == 5 + r["doc_id"] % 7
+        assert all(0 <= v <= 255 for v in f[2:5])  # channel means
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in stub["features"].head(20))
+
+
 def test_multimodal_image_meta_dims(spark, sf_dir):
     """The registered key's parsed dims match the doc_id arithmetic the
     payloads were synthesized from, for both mime types."""
