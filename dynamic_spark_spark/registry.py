@@ -260,6 +260,9 @@ _PRIORITY = [
     "pipeline_curation", "stat_anova_f", "graph_bfs_hops",
     "udtf_dynamic_schema", "scan_json_malformed", "corpus_shuffle",
     "mix_upsample_epochs", "text_bpe_apply",
+    # -- round-3 additions (registry otherwise frozen per the r2 verdict;
+    # this is the verdict's own ask #5: live arbitrary-state sessions) --
+    "stream_custom_session_live",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -703,6 +703,93 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+#: custom-session geometry for the live arbitrary-state key: user slice,
+#: in-session gap, and watermark delay (seconds)
+CUSTOM_SESS_USERS = 40
+CUSTOM_SESS_GAP_S = 1800
+CUSTOM_SESS_WM_S = 1800
+
+# The emitted set after an availableNow drain is deterministic and
+# SQL-expressible: gaps-and-islands sessions, MINUS each user's trailing
+# session unless the final watermark (global max ts − delay) passed its
+# gap horizon (the event-time timer's firing condition).
+_CUSTOM_SESS_ORACLE = f"""
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < {CUSTOM_SESS_USERS}),
+flag AS (SELECT user_id, ts, value,
+  CASE WHEN LAG(ts) OVER w IS NULL
+         OR ts - LAG(ts) OVER w > INTERVAL {CUSTOM_SESS_GAP_S} SECOND THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (SELECT user_id, ts, value,
+  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM flag),
+agg AS (SELECT user_id AS key, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events, SUM(value) AS value_sum FROM sess GROUP BY user_id, sid),
+wm AS (SELECT MAX(ts) - INTERVAL {CUSTOM_SESS_WM_S} SECOND AS w FROM ev),
+umax AS (SELECT user_id AS key, MAX(ts) AS um FROM ev GROUP BY user_id)
+SELECT a.key, a.session_start, a.session_end, CAST(a.n_events AS BIGINT) AS n_events,
+       ROUND(a.value_sum, 6) AS value_sum
+FROM agg a JOIN umax u ON a.key = u.key CROSS JOIN wm
+WHERE a.session_end < u.um
+   OR epoch_ms(a.session_end + INTERVAL {CUSTOM_SESS_GAP_S} SECOND) < epoch_ms(wm.w)
+"""
+
+
+@query("stream_custom_session_live", _CUSTOM_SESS_ORACLE, tag="streaming")
+def stream_custom_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-STATE sessions driven through the LIVE streaming engine:
+    ``applyInPandasWithState`` with an EVENT-TIME TIMER
+    (:func:`dynamic_spark_spark.streaming.core.stateful_sessions`) — the
+    fully general stateful operator with custom per-session payloads
+    (first/last event time, count, value sum) that ``session_window`` can't
+    carry, protobuf-free (closes the round-2 'live arbitrary state' ask).
+    In-data session closures emit immediately; trailing sessions emit when
+    the no-data finalization batch fires their timers against the final
+    watermark. That emitted set is deterministic for a drained single-file
+    source and HASH-CHECKED against the gaps-and-islands oracle above —
+    a live custom-state operator with an exact SQL twin, not a rows-only
+    smoke check. Cross-batch state continuity is pinned separately in
+    tests/test_streaming.py with a controlled two-file arrival."""
+    import shutil
+    import tempfile
+
+    from dynamic_spark_spark.streaming.core import file_stream, stateful_sessions
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < CUSTOM_SESS_USERS)
+        .select("user_id", "ts", "value")
+    )
+    src = tempfile.mkdtemp(prefix="dss_csess_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_csess_ckpt_")
+    name = "dss_stream_custom_session"
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        out = stateful_sessions(
+            file_stream(spark, src, ev.schema),
+            gap_seconds=CUSTOM_SESS_GAP_S,
+            watermark=f"{CUSTOM_SESS_WM_S} seconds",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.table(name).select(
+            "key",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("value_sum", 6).alias("value_sum"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 _DEDUP_WW_ORACLE = """
 SELECT DISTINCT user_id, event_type FROM events
 """

@@ -183,6 +183,91 @@ def stateful_running_totals(
     )
 
 
+def stateful_sessions(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """CUSTOM session assembly via ``applyInPandasWithState`` with an
+    EVENT-TIME TIMER — the arbitrary-state shape ``session_window`` can't
+    express (per-session custom payloads, here first/last value and a
+    running sum, finalized by a timer). Completes the live arbitrary-state
+    row next to :func:`stateful_running_totals` (running totals) with the
+    timer/timeout dimension, protobuf-free.
+
+    Per key the state holds the open session (start, last event time, count,
+    value sum). A new event either extends it or — if the gap is exceeded
+    IN-DATA — closes it (emitted immediately) and opens a new one. The
+    event-time timeout closes the trailing session once the WATERMARK passes
+    its gap horizon: that's the streaming-correct contract (a session is
+    only final when late data can no longer reopen it), and it's why state
+    per key is bounded by one open session regardless of stream length."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # state keeps epoch MICROseconds — Spark timestamps are µs-precision and
+    # a ms-floored state would emit session bounds off by sub-ms
+    gap_us = gap_seconds * 1_000_000
+
+    def assemble(key: tuple, pdfs, state: GroupState):
+        def emit(sess):
+            start, last, n, vsum = sess
+            return pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                sess = state.get
+                state.remove()
+                yield emit(sess)
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        cur = state.get if state.exists else None
+        for ts, val in zip(rows[ts_col], rows["value"]):
+            t = int(pd.Timestamp(ts).value // 1000)  # epoch µs
+            if cur is None:
+                cur = (t, t, 1, float(val))
+            elif t - cur[1] <= gap_us:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(val))
+            else:
+                yield emit(cur)
+                cur = (t, t, 1, float(val))
+        if cur is not None:
+            state.update(cur)
+            # timer: finalize when the watermark passes last_ts + gap (timer
+            # API is ms; round the µs horizon UP). If other keys already
+            # pushed the watermark beyond it, the session is final NOW — the
+            # engine requires a future timestamp, so arm one tick past the
+            # watermark.
+            state.setTimeoutTimestamp(
+                max(-(-(cur[1] + gap_us) // 1000), state.getCurrentWatermarkMs() + 1)
+            )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=(
+                "key long, session_start timestamp, session_end timestamp,"
+                " n_events long, value_sum double"
+            ),
+            stateStructType="start long, last long, n long, vsum double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def transform_with_state_totals(stream_df: DataFrame, key_col: str = "event_type") -> DataFrame:
     """Per-key running counts via ``transformWithStateInPandas`` — the
     Spark 4 arbitrary-state v2 API (typed state handles, timers, TTL)

@@ -187,6 +187,84 @@ def test_stream_dedup_live_key(spark, sf_dir):
     assert got == expected
 
 
+def test_stateful_sessions_event_time_timer(spark, sf_dir, tmp_path):
+    """Arbitrary-state SESSIONS with an event-time timer, live and
+    un-skipped: two micro-batches of real events flow through
+    applyInPandasWithState (EventTimeTimeout); every emitted session must
+    exactly match batch gap-session truth, and every truth session whose
+    horizon the final watermark passed must have been emitted (the trailing
+    open session per key may legitimately still be in state — a session is
+    only final when late data can no longer reopen it)."""
+    from dynamic_spark_spark.streaming.core import file_stream, stateful_sessions
+
+    gap_s, wm_s = 1800, 1800
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 40)
+        .select("user_id", "ts", "value")
+    )
+    pdf = ev.toPandas().sort_values(["user_id", "ts"])
+    # two micro-batches split by TIME so the watermark genuinely advances
+    cut = pdf["ts"].quantile(0.5)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf[pdf["ts"] <= cut], ev.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(pdf[pdf["ts"] > cut], ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = stateful_sessions(
+        file_stream(spark, src, ev.schema, maxFilesPerTrigger="1"),
+        gap_seconds=gap_s,
+        watermark=f"{wm_s} seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dss_custom_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"], r["value_sum"])
+        for r in spark.table("dss_custom_sessions").collect()
+    }
+
+    # batch truth: pandas gap-split per user
+    truth = set()
+    for uid, g in pdf.groupby("user_id"):
+        cur = None
+        for ts, val in zip(g["ts"], g["value"]):
+            t = ts.to_pydatetime()
+            if cur is None:
+                cur = [t, t, 1, float(val)]
+            elif (t - cur[1]).total_seconds() <= gap_s:
+                cur = [cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(val)]
+            else:
+                truth.add((uid, cur[0], cur[1], cur[2], round(cur[3], 6)))
+                cur = [t, t, 1, float(val)]
+        if cur is not None:
+            truth.add((uid, cur[0], cur[1], cur[2], round(cur[3], 6)))
+
+    got_r = {(k, s, e, n, round(v, 6)) for k, s, e, n, v in got}
+    assert got_r <= truth, f"spurious sessions: {sorted(got_r - truth)[:3]}"
+    # sessions whose gap horizon the final watermark passed MUST be emitted
+    final_wm = pdf["ts"].max().to_pydatetime()
+    import datetime
+
+    must_emit = {
+        s
+        for s in truth
+        if s[2] + datetime.timedelta(seconds=gap_s + wm_s) < final_wm
+    }
+    assert must_emit <= got_r, f"missing finalized: {sorted(must_emit - got_r)[:3]}"
+    assert len(got_r) > 0
+
+
 def test_transform_with_state_totals(spark, sf_dir):
     """Arbitrary-state v2 (transformWithStateInPandas): runs live when the
     protobuf wheel is present, else skips naming the missing dependency —
