@@ -373,19 +373,35 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    def assign(corpus: DataFrame, model: DataFrame) -> DataFrame:
-        """vec_id → best cell, entirely map-side: argmax via ``array_max``
-        on (cos, cid) structs. At 100 TB this is a single codegen pass over
-        the corpus, versus the naive crossJoin+groupBy which fans every
-        vector out |cells|× and re-shuffles it back."""
-        return (
-            corpus.withColumn("nrm", _norm(F.col("embedding")))
-            .crossJoin(F.broadcast(model))
-            .select(
-                "vec_id",
-                "embedding",
-                F.array_max(cell_scores(F.col("embedding"), F.col("nrm")))["cid"].alias("cid"),
-            )
+    def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+        """vec_id → best cell: the centroid table collects to the driver
+        like any ML model (|cells|×dim ≈ 4 KB here, |cells| ≤ √n by
+        construction), broadcasts, and each Arrow batch scores ALL cells in
+        one BLAS matmul + argmax — the dense n×c GEMM tier measured on
+        ``dedup_semantic`` (the earlier higher-order-fold form was the same
+        linear-big-constant the 100× probe flagged on the LSH keys: 48 s,
+        ~2×10⁸ interpreted lambda evals). Map-side only; the corpus never
+        fans out |cells|× and never re-shuffles."""
+        from pyspark.sql.functions import pandas_udf
+
+        rows = centroids.select("cid", "c_emb").collect()
+        cids = np.array([r["cid"] for r in rows], dtype=np.int32)
+        cmat = np.array([r["c_emb"] for r in rows], dtype=np.float64)
+        cnrm = np.linalg.norm(cmat, axis=1)
+        cnrm[cnrm == 0.0] = 1.0
+        bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat, cnrm))
+
+        @pandas_udf("int")
+        def best_cell(emb: pd.Series) -> pd.Series:
+            ids, c, cn = bc.value
+            mat = np.stack(emb.to_numpy())
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            sims = (mat @ c.T) / (nrm * cn[None, :])
+            return pd.Series(ids[np.argmax(sims, axis=1)])
+
+        return corpus.select(
+            "vec_id", "embedding", best_cell("embedding").alias("cid")
         )
 
     # Train the quantizer on a deterministic ~25% sample (standard IVF
@@ -393,20 +409,21 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus×cells scoring pass at any scale). Full corpus still assigns.
     train = e.where(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
     refined = (
-        assign(train, to_model(seeds))
+        assign(train, seeds)
         .select("cid", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cid", "pos")
         .agg(F.avg("v").alias("m"))
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: s["m"].cast("float")).alias("c_emb"))
+        # two consumers (full-corpus assignment, query probing) — pin the
+        # k-means lineage so it runs once
+        .localCheckpoint()
     )
-    # one-row model feeding two consumers (assignment, probing): persist the
-    # row, not the table, so the k-means lineage runs once
-    model = to_model(refined).persist()
+    model = to_model(refined)
     vec_norm = _batched_vec_norm()
     pair_cos = _batched_pair_cos()
-    cells = assign(e, model).withColumn("nrm", vec_norm(F.col("embedding")))
+    cells = assign(e, refined).withColumn("nrm", vec_norm(F.col("embedding")))
 
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
