@@ -359,7 +359,17 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_stream_join_live", tag="streaming")  # rows-only: live stream
+_SSJ_ORACLE = """
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
+@query("stream_stream_join_live", _SSJ_ORACLE, tag="streaming")
 def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join, driven live: clicks and
     purchases arrive as two independent file streams, both watermarked, and
@@ -368,7 +378,14 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXPIRE join state — without them stream-stream join state grows forever;
     with them state per key is bounded by the interval, which is the whole
     100 TB story for streaming joins. Output: matched pair counts per user
-    (aggregated in the driver-memory sink query, not the stream)."""
+    (aggregated in the driver-memory sink query, not the stream).
+
+    HASH-checked (upgraded from rows-only in round 3): an availableNow
+    drain of a bounded source sees both sides completely, and an inner
+    interval join emits a pair exactly when the batch join would — state
+    expiry only ever drops rows the time bound already excludes — so the
+    emitted set equals the batch interval join, verified exactly at
+    sf0.001 and sf0.01."""
     import shutil
     import tempfile
 
