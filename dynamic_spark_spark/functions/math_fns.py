@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
-from dynamic_spark_spark.sources.readers import load_table
+from dynamic_spark_spark.sources.readers import load_table, sf_scaled_bound
 
 
 @query(
@@ -116,8 +116,13 @@ def fn_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The l_orderkey bound is a verification-budget trim (quarter of the rows
     through the 32-term expression and the differential hash) — it reaches
-    the scan as a pushed filter and changes nothing about the curve."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 3750)
+    the scan as a pushed filter and changes nothing about the curve. The
+    bound SCALES with the SF (``sf_scaled_bound``): at sf0.01 it is 3750,
+    matching the static oracle SQL; at bench/scale SFs it keeps selecting
+    the same quarter of the table rather than a constant-row subset."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") < sf_scaled_bound(sf_dir, 3750)
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",

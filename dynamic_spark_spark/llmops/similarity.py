@@ -192,8 +192,11 @@ def lsh_bucket_entries(emb: Column) -> Column:
     return F.array(*entries)
 
 
-#: (session id, dim) -> hyperplane weight matrix (LSH_TABLES*LSH_ROWS × dim)
-_PLANES_CACHE: dict[tuple[int, int], np.ndarray] = {}
+#: (applicationId, dim) -> hyperplane weight matrix (LSH_TABLES*LSH_ROWS × dim).
+#: Keyed on the Spark applicationId (unique per context — a GC'd session
+#: object's ``id()`` can be reused by a NEW session, silently serving planes
+#: derived under the old context) and pruned on insert so it stays bounded.
+_PLANES_CACHE: dict[tuple[str, int], np.ndarray] = {}
 
 
 def _plane_matrix(spark: SparkSession, dim: int) -> np.ndarray:
@@ -202,10 +205,13 @@ def _plane_matrix(spark: SparkSession, dim: int) -> np.ndarray:
     per-element — computed here by one tiny Spark job (T·r·dim rows ≈ 3.2k
     doubles, a model-sized collect) so the JVM and batched paths share
     bit-identical planes."""
-    ck = (id(spark), dim)
+    app_id = spark.sparkContext.applicationId
+    ck = (app_id, dim)
     cached = _PLANES_CACHE.get(ck)
     if cached is not None:
         return cached
+    for stale in [k for k in _PLANES_CACHE if k[0] != app_id]:
+        del _PLANES_CACHE[stale]
     n_planes = LSH_TABLES * LSH_ROWS
     rows = (
         spark.range(n_planes)

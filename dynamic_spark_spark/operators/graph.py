@@ -41,11 +41,14 @@ GROUP BY cn.n_name, sn.n_name
 """
 
 
-#: (session id, sf_dir) -> checkpointed edge table. Six graph keys share the
-#: same relational→graph construction; the edge table is domain²-bounded
+#: (applicationId, sf_dir) -> checkpointed edge table. Six graph keys share
+#: the same relational→graph construction; the edge table is domain²-bounded
 #: (25×25 here) so pinning the materialized result is model-sized, and the
 #: fact-table star join runs once per session instead of once per key.
-_EDGES_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: Keyed on the Spark applicationId (unique per context, never reused the way
+#: a GC'd session object's ``id()`` can be) and pruned on every insert so a
+#: stopped context's checkpoints are dropped instead of accumulating.
+_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,10 +56,13 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast against the lineitem fact; one fact-sized shuffle for the
     group-by, emitting a domain²-bounded edge table. Memoized per session —
     callers get the checkpointed result."""
-    ck = (id(spark), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    ck = (app_id, sf_dir)
     cached = _EDGES_CACHE.get(ck)
     if cached is not None:
         return cached
+    for stale in [k for k in _EDGES_CACHE if k[0] != app_id]:
+        del _EDGES_CACHE[stale]
     edges = _build_trade_edges(spark, sf_dir).localCheckpoint()
     _EDGES_CACHE[ck] = edges
     return edges

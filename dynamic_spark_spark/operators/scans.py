@@ -29,7 +29,11 @@ from pyspark.sql.types import (
 )
 
 from dynamic_spark_spark.registry import query
-from dynamic_spark_spark.sources.readers import load_table, register_views
+from dynamic_spark_spark.sources.readers import (
+    load_table,
+    register_views,
+    sf_scaled_bound,
+)
 
 
 def _tmpdir(prefix: str) -> str:
@@ -801,10 +805,13 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _tmpdir(prefix="dss_zorder_")
     # l_orderkey bound: verification-budget trim (pushed to the scan); the
-    # layout mechanics are identical on the subset.
+    # layout mechanics are identical on the subset. SF-scaled so bigger
+    # scale factors rewrite proportionally more rows (constant fraction,
+    # not a constant few-thousand-row subset); equals the oracle SQL's
+    # static 3750 at the driver's sf0.01.
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") < 3750)
+        .where(F.col("l_orderkey") < sf_scaled_bound(sf_dir, 3750))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     )
     mx = li.agg(F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms"))

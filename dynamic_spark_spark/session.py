@@ -77,6 +77,13 @@ def scoped_conf(spark: SparkSession, **confs: str):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # conf was unset before we touched it — restore that state,
+                # otherwise the scoped override leaks into subsequent keys
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
 
 
 def get_spark(app_name: str = "dynamic-spark-spark", cpus: int | None = None) -> SparkSession:

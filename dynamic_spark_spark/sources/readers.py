@@ -35,6 +35,26 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+ORACLE_SF = 0.01  # the driver runs oracle comparisons at this scale factor
+
+
+def sf_scaled_bound(sf_dir: str, base: int, base_sf: float = ORACLE_SF) -> int:
+    """Scale a verification-budget row-key trim with the scale factor so it
+    selects a constant FRACTION of the table at every SF, not a constant
+    few-thousand-row subset. At the oracle SF (0.01) the bound equals
+    ``base`` — matching the static oracle SQL — while bench/scale runs at
+    sf0.1+ process 10× the keys. Unparseable dirs fall back to ``base``."""
+    import re
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    if not m:
+        return base
+    try:
+        sf = float(m.group(1).rstrip("."))
+    except ValueError:
+        return base
+    return max(1, int(round(base * sf / base_sf)))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing nanosecond timestamps."""

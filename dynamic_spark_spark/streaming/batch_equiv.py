@@ -743,11 +743,19 @@ agg AS (SELECT user_id AS key, MIN(ts) AS session_start, MAX(ts) AS session_end,
 wm AS (SELECT MAX(ts) - INTERVAL {CUSTOM_SESS_WM_S} SECOND AS w FROM ev),
 umax AS (SELECT user_id AS key, MAX(ts) AS um FROM ev GROUP BY user_id)
 SELECT a.key, a.session_start, a.session_end, CAST(a.n_events AS BIGINT) AS n_events,
-       ROUND(a.value_sum, 6) AS value_sum
+       CAST(FLOOR(a.value_sum * 1000000 + 0.5) AS BIGINT) AS value_sum_fp
 FROM agg a JOIN umax u ON a.key = u.key CROSS JOIN wm
 WHERE a.session_end < u.um
-   OR epoch_ms(a.session_end + INTERVAL {CUSTOM_SESS_GAP_S} SECOND) < epoch_ms(wm.w)
+   OR epoch_ms(wm.w) * 1000 >= epoch_us(a.session_end) + {CUSTOM_SESS_GAP_S} * 1000000
 """
+# value_sum compared at integral 1e-6 fixed point (the graph_pagerank
+# precedent): DuckDB's SUM order can differ from the engine's sequential
+# per-session accumulation by an ulp, and ROUND-to-6dp + repr equality
+# flakes on that. Horizon disjunct mirrors the engine's timer arithmetic
+# EXACTLY: the timer is armed at ceil((last_us+gap_us)/1000) ms and fires
+# when watermark_ms >= that, which for integral ms is watermark_ms*1000 >=
+# last_us + gap_us — epoch_ms(wm) truncates just like Spark's watermark
+# tracker, so sub-ms boundary sessions agree on both sides.
 
 
 @query("stream_custom_session_live", _CUSTOM_SESS_ORACLE, tag="streaming")
@@ -800,7 +808,9 @@ def stream_custom_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start",
             "session_end",
             "n_events",
-            F.round("value_sum", 6).alias("value_sum"),
+            F.floor(F.col("value_sum") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_sum_fp"),
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
