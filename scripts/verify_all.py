@@ -65,6 +65,9 @@ def main() -> int:
     # time-bounded rather than count-bounded, these are the budget hogs
     slowest = sorted(elapsed.items(), key=lambda kv: -kv[1])[:10]
     print(f"slowest keys: {slowest}", file=sys.stderr)
+    # full per-key timings for shave work (engine+oracle+compare per key)
+    with open(os.path.join(os.path.dirname(__file__), "verify_times.json"), "w") as f:
+        json.dump(elapsed, f, indent=0, sort_keys=True)
     print(
         json.dumps(
             {
