@@ -117,9 +117,11 @@ def fn_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     The l_orderkey bound is a verification-budget trim (quarter of the rows
     through the 32-term expression and the differential hash) — it reaches
     the scan as a pushed filter and changes nothing about the curve. The
-    bound SCALES with the SF (``sf_scaled_bound``): at sf0.01 it is 3750,
-    matching the static oracle SQL; at bench/scale SFs it keeps selecting
-    the same quarter of the table rather than a constant-row subset."""
+    bound SCALES with the SF (``sf_scaled_bound``) but is FLOORED at 3750
+    for sf ≤ 0.01, so every verification fixture (driver sf0.01, pytest
+    sf0.001) matches the static oracle SQL exactly; at bench/scale SFs it
+    keeps selecting the same quarter of the table rather than a
+    constant-row subset."""
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_orderkey") < sf_scaled_bound(sf_dir, 3750)
     )

@@ -404,8 +404,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode", tag="llm-multimodal")  # rows-only: mixed-format corpus
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decode_features_mixed(docs: DataFrame) -> DataFrame:
     """Binary payload → feature vector, dispatching per format the way a
     real curation pipeline must: even doc_ids carry COMPLETE synthesized
     PNGs (zlib-deflated IDAT, all five row filters) which are pixel-decoded
@@ -414,8 +413,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern); odd doc_ids carry non-PNG payloads that fall back to the
     documented byte-histogram stub (JPEG entropy decode stays env-blocked).
     Output marks which decoder ran, so the mixed-path plumbing is visible in
-    the result, and stays Arrow-batched with bounded worker memory."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    the result, and stays Arrow-batched with bounded worker memory. Returns
+    the native ``features array<double>`` shape for downstream pipeline
+    composition; the registered key flattens it to scalar digests (driver
+    canon cannot hash array cells)."""
+    docs = docs.select("doc_id", "text")
     docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(DECODE_BATCH_ROWS))
@@ -441,6 +443,32 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         decode, schema="doc_id long, decoder string, features array<double>"
+    )
+
+
+@query("multimodal_decode", tag="llm-multimodal")  # rows-only: mixed-format corpus
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered key over :func:`decode_features_mixed`, flattened to SCALAR
+    outputs per the driver's output contract: feature count plus a
+    position-weighted 1e-6 fixed-point checksum of the vector (JVM-side
+    ``aggregate`` over the Arrow-returned array — any pixel or histogram
+    change moves the digest; the underlying pixel values stay pytest-pinned
+    against the PNG generator pattern)."""
+    feats = decode_features_mixed(load_table(spark, sf_dir, "documents"))
+    checksum = F.aggregate(
+        F.zip_with(
+            "features",
+            F.sequence(F.lit(1), F.size("features")),
+            lambda f, i: f * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        "doc_id",
+        "decoder",
+        F.size("features").alias("n_features"),
+        F.floor(checksum * 1_000_000 + F.lit(0.5)).cast("long").alias("feat_checksum_fp"),
     )
 
 
@@ -511,25 +539,40 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample", tag="llm-multimodal")  # rows-only: binary payload
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sampled_frames(docs_with_media: DataFrame) -> DataFrame:
     """Video frame-sampling plumbing, entirely JVM-side: treat the payload as
     fixed-width frames and keep every ``FRAME_STRIDE``-th via binary
     ``substring`` over a ``sequence`` — no Python, no fan-out shuffle; each
     row yields its sampled-frame array in codegen. (A real container format
     would swap the fixed stride for codec keyframe offsets produced by a
-    mapInPandas demuxer, same shape as :func:`decode_features`.)"""
-    m = with_media_columns(load_table(spark, sf_dir, "documents"))
+    mapInPandas demuxer, same shape as :func:`decode_features`.) Returns the
+    native ``array<binary>`` / ``array<bigint>`` shape for pipeline
+    composition; the registered key flattens it to scalar digests."""
     n_frames = (F.octet_length("media") / FRAME_BYTES).cast("int")
     frames = F.transform(
         F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(FRAME_STRIDE)),
         lambda i: F.substring("media", i * FRAME_BYTES + 1, FRAME_BYTES),
     )
-    return m.select(
+    return docs_with_media.select(
         "doc_id",
         n_frames.alias("n_frames"),
         frames.alias("sampled_frames"),
         F.transform(frames, lambda fr: F.xxhash64(fr)).alias("frame_hashes"),
+    )
+
+
+@query("multimodal_frame_sample", tag="llm-multimodal")  # rows-only: binary payload
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered key over :func:`sampled_frames`, flattened to SCALAR
+    outputs per the driver's output contract: total and sampled frame counts
+    plus one ``xxhash64`` fold over the ordered per-frame hash array (frame
+    order is positional, so the digest is deterministic without a sort)."""
+    fr = sampled_frames(with_media_columns(load_table(spark, sf_dir, "documents")))
+    return fr.select(
+        "doc_id",
+        "n_frames",
+        F.size("sampled_frames").alias("n_sampled"),
+        F.xxhash64("frame_hashes").alias("frames_digest"),
     )
 
 

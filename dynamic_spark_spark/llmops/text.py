@@ -172,23 +172,40 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint", tag="llm-text")  # rows-only: engine-hash-based
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting (winnowing-style): hash rolling character
-     8-grams, keep hashes ≡ 0 (mod 8) as the fingerprint set — a deterministic
-    ~1/8 content-defined sample, robust to small edits, joinable for overlap
-    detection at corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
-    k = 8
+def fingerprint_sets(docs: DataFrame, k: int = 8, mod: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint SETS in their native ``array<bigint>``
+    form: hash rolling character ``k``-grams, keep hashes ≡ 0 (mod ``mod``)
+    — a deterministic ~1/mod content-defined sample, robust to small edits,
+    joinable for overlap detection at corpus scale. Internal shape for
+    pipeline composition; the registered key emits scalar digests of it
+    (the driver harness canonicalizes every output via pandas and cannot
+    hash array cells — the r1 ``agg_collect`` lesson)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
         lambda i: F.xxhash64(F.col("text").substr(i, F.lit(k))),
     )
-    return d.select(
+    return docs.select(
         "doc_id",
         F.array_sort(
-            F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(8)) == 0))
+            F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(mod)) == 0))
         ).alias("fingerprints"),
+    )
+
+
+@query("text_fingerprint", tag="llm-text")  # rows-only: engine-hash-based
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-style) via :func:`fingerprint_sets`,
+    flattened to SCALAR outputs per the driver's output contract: the
+    fingerprint count plus one ``xxhash64`` fold over the sorted set (the
+    sort makes the digest partition-order-invariant — pinned by
+    tests/test_operators_misc.py's shuffle-partition invariance sweep).
+    The array form stays available to pipeline code via
+    :func:`fingerprint_sets`."""
+    fp = fingerprint_sets(load_table(spark, sf_dir, "documents"))
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.xxhash64("fingerprints").alias("fp_digest"),
     )
 
 

@@ -204,8 +204,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list, sorted for order-determinism and joined to a string so
     the compared frame is scalar-typed (r1 driver harness could not
-    canonicalize raw array columns; the array-typed form lives on as the
-    rows-only ``agg_collect_array`` twin)."""
+    canonicalize raw array columns; ``agg_collect_array`` exercises the
+    array-typed intermediate and flattens the same way)."""
     return (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
@@ -213,14 +213,30 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_collect_array", tag="aggregate")
+@query(
+    "agg_collect_array",
+    "SELECT n_regionkey,"
+    " CAST(len(list(n_name)) AS BIGINT) AS n_names,"
+    " array_to_string(list_sort(list(n_name)), '|') AS names_joined"
+    " FROM nation GROUP BY n_regionkey",
+    tag="aggregate",
+)
 def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list in its native array form (rows-only: array columns are
-    outside the driver harness's canonicalizer)."""
-    return (
+    """collect_list in its native array form, exercised through genuine
+    array-typed intermediate state (``sort_array`` over the collected
+    array), then flattened to scalar outputs for the driver harness — array
+    columns are outside its pandas canonicalizer (the r1 ``agg_collect``
+    lesson, re-learned on the r4 multimodal keys). Size + ordered join
+    pin both the cardinality and the exact element sequence."""
+    arr = (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+    )
+    return arr.select(
+        "n_regionkey",
+        F.size("names").cast("long").alias("n_names"),
+        F.array_join("names", "|").alias("names_joined"),
     )
 
 

@@ -807,8 +807,8 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # l_orderkey bound: verification-budget trim (pushed to the scan); the
     # layout mechanics are identical on the subset. SF-scaled so bigger
     # scale factors rewrite proportionally more rows (constant fraction,
-    # not a constant few-thousand-row subset); equals the oracle SQL's
-    # static 3750 at the driver's sf0.01.
+    # not a constant few-thousand-row subset); floored at the oracle SQL's
+    # static 3750 for sf <= 0.01 so every verification fixture matches.
     li = (
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") < sf_scaled_bound(sf_dir, 3750))

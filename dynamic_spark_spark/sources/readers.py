@@ -40,10 +40,13 @@ ORACLE_SF = 0.01  # the driver runs oracle comparisons at this scale factor
 
 def sf_scaled_bound(sf_dir: str, base: int, base_sf: float = ORACLE_SF) -> int:
     """Scale a verification-budget row-key trim with the scale factor so it
-    selects a constant FRACTION of the table at every SF, not a constant
-    few-thousand-row subset. At the oracle SF (0.01) the bound equals
-    ``base`` — matching the static oracle SQL — while bench/scale runs at
-    sf0.1+ process 10× the keys. Unparseable dirs fall back to ``base``."""
+    selects a constant FRACTION of the table at bench/scale SFs, not a
+    constant few-thousand-row subset — while staying FLOORED at ``base`` for
+    every SF at or below the oracle SF (0.01). The floor keeps the bound
+    SF-invariant across ALL verification fixtures (the driver gate at sf0.01
+    and pytest's oracle-parity fixture at sf0.001 both see exactly ``base``,
+    matching the static oracle SQL); only sf0.1+ bench/scale runs scale up.
+    Unparseable dirs fall back to ``base``."""
     import re
 
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -53,7 +56,7 @@ def sf_scaled_bound(sf_dir: str, base: int, base_sf: float = ORACLE_SF) -> int:
         sf = float(m.group(1).rstrip("."))
     except ValueError:
         return base
-    return max(1, int(round(base * sf / base_sf)))
+    return max(base, int(round(base * sf / base_sf)))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

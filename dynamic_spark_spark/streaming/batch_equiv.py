@@ -746,16 +746,19 @@ SELECT a.key, a.session_start, a.session_end, CAST(a.n_events AS BIGINT) AS n_ev
        CAST(FLOOR(a.value_sum * 1000000 + 0.5) AS BIGINT) AS value_sum_fp
 FROM agg a JOIN umax u ON a.key = u.key CROSS JOIN wm
 WHERE a.session_end < u.um
-   OR epoch_ms(wm.w) * 1000 >= epoch_us(a.session_end) + {CUSTOM_SESS_GAP_S} * 1000000
+   OR (epoch_ms(wm.w) - 1) * 1000 >= epoch_us(a.session_end) + {CUSTOM_SESS_GAP_S} * 1000000
 """
 # value_sum compared at integral 1e-6 fixed point (the graph_pagerank
 # precedent): DuckDB's SUM order can differ from the engine's sequential
 # per-session accumulation by an ulp, and ROUND-to-6dp + repr equality
 # flakes on that. Horizon disjunct mirrors the engine's timer arithmetic
-# EXACTLY: the timer is armed at ceil((last_us+gap_us)/1000) ms and fires
-# when watermark_ms >= that, which for integral ms is watermark_ms*1000 >=
-# last_us + gap_us — epoch_ms(wm) truncates just like Spark's watermark
-# tracker, so sub-ms boundary sessions agree on both sides.
+# EXACTLY: the timer is armed at ceil((last_us+gap_us)/1000) ms and Spark
+# fires an event-time timer only when the watermark advances STRICTLY
+# beyond it (timeoutTimestamp < eventTimeWatermarkForEviction), i.e. emit
+# iff wm_ms > ceil(horizon_us/1000) ⟺ (wm_ms - 1)*1000 >= horizon_us for
+# integral ms — a trailing session whose horizon lands exactly on the
+# watermark millisecond is NOT emitted, and the oracle must not emit it
+# either. epoch_ms(wm) truncates just like Spark's watermark tracker.
 
 
 @query("stream_custom_session_live", _CUSTOM_SESS_ORACLE, tag="streaming")

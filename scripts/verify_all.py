@@ -54,8 +54,17 @@ def main() -> int:
                 compare(name, df, con.execute(ORACLE[name]).df())
                 passed.append(name)
             else:
-                n = df.count()
-                assert n >= 0
+                # mirror the DRIVER's canon exactly, not just count(): the
+                # driver runs toPandas + sort_values over ALL columns for
+                # EVERY key (rows-only included) before its row-count logic,
+                # and that sort crashes on unhashable cells (array/map/struct
+                # outputs — the r4 text_fingerprint/multimodal failures).
+                # Running the literal failing operation here converts that
+                # whole failure class into a pre-flight catch.
+                pdf = df.toPandas()
+                if len(pdf.columns):
+                    pdf.sort_values(list(pdf.columns))
+                assert len(pdf) >= 0
                 rows_only.append(name)
         except Exception:
             failed[name] = traceback.format_exc(limit=2).splitlines()[-1]
@@ -65,8 +74,11 @@ def main() -> int:
     # time-bounded rather than count-bounded, these are the budget hogs
     slowest = sorted(elapsed.items(), key=lambda kv: -kv[1])[:10]
     print(f"slowest keys: {slowest}", file=sys.stderr)
-    # full per-key timings for shave work (engine+oracle+compare per key)
-    with open(os.path.join(os.path.dirname(__file__), "verify_times.json"), "w") as f:
+    # full per-key timings for shave work (engine+oracle+compare per key) —
+    # written under the gitignored artifacts/ dir, not the source tree
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+    os.makedirs(art, exist_ok=True)
+    with open(os.path.join(art, "verify_times.json"), "w") as f:
         json.dump(elapsed, f, indent=0, sort_keys=True)
     print(
         json.dumps(

@@ -139,11 +139,14 @@ def test_png_real_resize_roundtrip():
 
 
 def test_multimodal_decode_mixed_paths(spark, sf_dir):
-    """The registered key runs BOTH decoders: even doc_ids through the real
+    """The decode pipeline runs BOTH decoders: even doc_ids through the real
     PNG pixel decode (feature = [w, h, 3 channel means, 3 channel spreads]),
-    odd through the histogram stub (8 normalized buckets)."""
-    qs = load_all_queries()
-    pdf = qs["multimodal_decode"](spark, sf_dir).toPandas()
+    odd through the histogram stub (8 normalized buckets). Pins the native
+    array form (decode_features_mixed); the registered key flattens it to
+    scalar digests for the driver harness."""
+    from dynamic_spark_spark.llmops.multimodal import decode_features_mixed
+
+    pdf = decode_features_mixed(load_table(spark, sf_dir, "documents")).toPandas()
     real = pdf[pdf["decoder"] == "png-real"]
     stub = pdf[pdf["decoder"] == "histogram-stub"]
     assert (real["doc_id"] % 2 == 0).all() and (stub["doc_id"] % 2 == 1).all()
