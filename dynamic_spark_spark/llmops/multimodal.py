@@ -11,8 +11,10 @@ struct. The Spark-side plumbing — schema, batch shape, partitioning,
   re-encode on true pixels. Round-trips are pytest-pinned byte-exact.
 - **PNG/JPEG/GIF/BMP/WAV/MP4 headers: real parsers** over genuine byte
   offsets (oracle-checked keys).
-- **JPEG pixel decode: documented stub** (:func:`decode_stub` — entropy
-  decode needs codec libraries this container doesn't have).
+- **JPEG pixel decode: REAL as of r5** — baseline Huffman + dequantize +
+  IDCT in :mod:`dynamic_spark_spark.llmops.jpeg` (pure stdlib+numpy),
+  pytest-pinned bit-exact against the encoder's reconstruction;
+  :func:`decode_stub` survives only as the malformed-payload fallback.
 
 ``spark.read.format("binaryFile")`` is the ingestion path for real media
 files; here the binary payloads are synthesized from ``documents.text`` so
@@ -183,10 +185,13 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_stub(payload: bytes) -> list[float]:
-    """Deterministic fake media decode for formats whose codecs are not in
-    this container (JPEG entropy decode etc.). Produces an 8-dim
-    byte-histogram feature so downstream plumbing is testable. PNG does NOT
-    go through this — :func:`decode_png_rgb` is a real pixel decode."""
+    """Deterministic byte-histogram fallback for MALFORMED or unknown-format
+    payloads (8-dim, schema-compatible with the real decoders). As of r5
+    neither PNG nor JPEG routes through this on the happy path —
+    :func:`decode_png_rgb` and :mod:`dynamic_spark_spark.llmops.jpeg` are
+    real pixel decodes; this is the degrade-don't-die tier for corrupt
+    bytes (video/audio containers would land here too until a demuxer
+    exists)."""
     if payload is None:
         return [0.0] * 8
     buckets = [0] * 8
@@ -285,8 +290,9 @@ def decode_png_rgb(payload: bytes):
     isn't an 8-bit non-interlaced RGB PNG (the malformed-input discipline of
     every parser in this module: degrade, don't kill the stage).
 
-    This closes round-2's "real media decode" gap for one format end-to-end;
-    JPEG stays a documented stub (entropy decode needs a codec library)."""
+    This closed round-2's "real media decode" gap for one format end-to-end;
+    r5 closed the other (baseline JPEG entropy decode,
+    :mod:`dynamic_spark_spark.llmops.jpeg`)."""
     if not payload or payload[:8] != _PNG_SIG:
         return None
     i, width, height, idat = 8, None, None, bytearray()
@@ -404,19 +410,51 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_pixel_features(payload: bytes) -> list[float] | None:
+    """Feature vector from REAL entropy-decoded JPEG pixels (grayscale
+    baseline, :func:`dynamic_spark_spark.llmops.jpeg.decode_jpeg_gray` —
+    Huffman + dequantize + IDCT, pure stdlib+numpy): (width, height, global
+    mean, global spread, 4 quadrant means) — 8-dim like the PNG tier so the
+    downstream schema is format-invariant. None for undecodable input."""
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg_gray
+
+    px = decode_jpeg_gray(payload)
+    if px is None:
+        return None
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.float64)
+    h, w = arr.shape
+    quads = [
+        arr[: max(h // 2, 1), : max(w // 2, 1)],
+        arr[: max(h // 2, 1), w // 2 :],
+        arr[h // 2 :, : max(w // 2, 1)],
+        arr[h // 2 :, w // 2 :],
+    ]
+    return (
+        [float(w), float(h), round(float(arr.mean()), 6), round(float(arr.std()), 6)]
+        + [round(float(q.mean()), 6) if q.size else 0.0 for q in quads]
+    )
+
+
 def decode_features_mixed(docs: DataFrame) -> DataFrame:
     """Binary payload → feature vector, dispatching per format the way a
     real curation pipeline must: even doc_ids carry COMPLETE synthesized
-    PNGs (zlib-deflated IDAT, all five row filters) which are pixel-decoded
-    FOR REAL by :func:`decode_png_rgb` (stdlib zlib inflate + per-row
-    unfiltering — pytest pins decoded pixels equal to the generator
-    pattern); odd doc_ids carry non-PNG payloads that fall back to the
-    documented byte-histogram stub (JPEG entropy decode stays env-blocked).
-    Output marks which decoder ran, so the mixed-path plumbing is visible in
-    the result, and stays Arrow-batched with bounded worker memory. Returns
-    the native ``features array<double>`` shape for downstream pipeline
-    composition; the registered key flattens it to scalar digests (driver
-    canon cannot hash array cells)."""
+    PNGs (zlib-deflated IDAT, all five row filters) pixel-decoded FOR REAL
+    by :func:`decode_png_rgb` (stdlib zlib inflate + per-row unfiltering);
+    odd doc_ids carry COMPLETE baseline JPEGs (DCT + quantization +
+    canonical Huffman entropy coding) pixel-decoded FOR REAL by
+    :func:`dynamic_spark_spark.llmops.jpeg.decode_jpeg_gray` (r5 — closes
+    the last decode stub; pytest pins both decoders' pixels against their
+    encoders' reconstructions). The byte-histogram stub remains ONLY as the
+    malformed-payload fallback — at 100 TB a corrupt file must degrade,
+    not kill the stage. Output marks which decoder ran, so the mixed-path
+    plumbing is visible in the result, and stays Arrow-batched with bounded
+    worker memory. Returns the native ``features array<double>`` shape for
+    downstream pipeline composition; the registered key flattens it to
+    scalar digests (driver canon cannot hash array cells)."""
+    from dynamic_spark_spark.llmops.jpeg import jpeg_gray_bytes
+
     docs = docs.select("doc_id", "text")
     docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
@@ -431,7 +469,10 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
                     feats = png_pixel_features(payload)
                     dec = "png-real"
                 else:
-                    payload = (text or "").encode("utf-8")
+                    payload = jpeg_gray_bytes(8 + d % 9, 5 + d % 7, int(d))
+                    feats = jpeg_pixel_features(payload)
+                    dec = "jpeg-real"
+                if feats is None:  # malformed payload: degrade, don't die
                     feats, dec = decode_stub(payload), "histogram-stub"
                 out_ids.append(d)
                 out_dec.append(dec)

@@ -1,0 +1,107 @@
+"""Pixel-level pins for the pure-Python baseline JPEG codec (r5) — the
+encoder/decoder pair in dynamic_spark_spark/llmops/jpeg.py that replaced
+the last media-decode stub.
+
+The central invariant: ``decode_jpeg_gray(encode_jpeg_gray(img))`` must
+EXACTLY equal ``reconstruct_gray(img)`` — the encoder's own dequantized
+IDCT reconstruction. JPEG is lossy, so "decoded == source" is the wrong
+pin; "decoder mirrors the encoder's math bit-for-bit" is the right one,
+and it catches any drift in Huffman tables, zigzag order, EXTEND,
+dequantization, or the IDCT on either side. Reconstruction error vs the
+source is separately bounded by the quantization step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dynamic_spark_spark.llmops.jpeg import (
+    DEFAULT_QTABLE,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    jpeg_gray_bytes,
+    reconstruct_gray,
+)
+
+
+@pytest.mark.parametrize(
+    "w,h",
+    [(8, 8), (16, 8), (11, 7), (64, 48), (33, 29), (1, 1), (8, 40), (40, 8)],
+)
+def test_roundtrip_exact_vs_reconstruction(w, h):
+    """Decoder output == encoder's dequantized reconstruction, pixel-exact,
+    across block-aligned, padded, tall, wide, and degenerate shapes."""
+    rng = np.random.RandomState(w * 100 + h)
+    img = rng.randint(0, 256, size=(h, w))
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert dec is not None and dec.shape == (h, w)
+    assert np.array_equal(dec, reconstruct_gray(img))
+
+
+def test_reconstruction_error_bounded_by_quantization():
+    """With the uniform q=8 table, per-coefficient error is ≤ q/2; the worst
+    pixel error after the orthonormal IDCT is well under 4·q. Smooth and
+    noisy content both stay inside the bound."""
+    rng = np.random.RandomState(3)
+    noisy = rng.randint(0, 256, size=(24, 24))
+    yy, xx = np.mgrid[0:24, 0:24]
+    smooth = ((yy * 5 + xx * 3) % 256).astype(np.int64)
+    for img in (noisy, smooth):
+        dec = decode_jpeg_gray(encode_jpeg_gray(img))
+        err = np.max(np.abs(dec.astype(int) - img))
+        assert err <= 4 * int(DEFAULT_QTABLE[0, 0])
+
+
+def test_flat_image_lossless_and_tiny():
+    """A constant block has one DC coefficient and 63 zero ACs: the decode
+    is exact (DC survives uniform quantization of a multiple) and the
+    entropy stream collapses to DC + EOB per block — run-length coding is
+    actually doing its job."""
+    img = np.full((32, 32), 128)
+    payload = encode_jpeg_gray(img)
+    assert np.array_equal(decode_jpeg_gray(payload), img)
+    rand_len = len(encode_jpeg_gray(np.random.RandomState(0).randint(0, 256, (32, 32))))
+    assert len(payload) < rand_len / 2  # EOB-compressed far below noise
+
+
+def test_stream_structure_and_header_interop():
+    """The emitted stream is a standards-correct segment walk: the existing
+    SOF-marker header parser (written for the metadata tier, round 2)
+    recovers mime and dimensions from the full codec's output."""
+    from dynamic_spark_spark.llmops.multimodal import parse_image_header
+
+    payload = jpeg_gray_bytes(24, 17, 5)
+    assert parse_image_header(payload) == ("image/jpeg", 24, 17)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+
+
+def test_tables_read_from_stream_not_assumed():
+    """The decoder reconstructs Huffman tables from the DHT segments it
+    reads; re-encoding with a different quantization table changes the
+    stream but the decode still mirrors the matching reconstruction."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16))
+    coarse = np.full((8, 8), 32, dtype=np.int32)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img, qtable=coarse))
+    assert np.array_equal(dec, reconstruct_gray(img, qtable=coarse))
+    # coarser table → smaller stream (more zero coefficients)
+    assert len(encode_jpeg_gray(img, qtable=coarse)) < len(encode_jpeg_gray(img))
+
+
+def test_malformed_payloads_degrade_to_none():
+    """100 TB contract: corrupt bytes return None, never raise."""
+    good = jpeg_gray_bytes(16, 16, 1)
+    for bad in (None, b"", b"\xff\xd8", b"not a jpeg", good[:20], good[:-10] + b"x" * 10):
+        decode_jpeg_gray(bad)  # must not raise
+    assert decode_jpeg_gray(b"not a jpeg") is None
+    assert decode_jpeg_gray(good[:20]) is None
+
+
+def test_deterministic_across_calls():
+    """Encoder and decoder are pure: identical bytes and pixels across
+    repeated calls (the partition-invariance precondition for the engine's
+    hash-folded digests)."""
+    a, b = jpeg_gray_bytes(13, 9, 42), jpeg_gray_bytes(13, 9, 42)
+    assert a == b
+    assert np.array_equal(decode_jpeg_gray(a), decode_jpeg_gray(b))

@@ -139,24 +139,31 @@ def test_png_real_resize_roundtrip():
 
 
 def test_multimodal_decode_mixed_paths(spark, sf_dir):
-    """The decode pipeline runs BOTH decoders: even doc_ids through the real
+    """The decode pipeline runs BOTH real decoders: even doc_ids through the
     PNG pixel decode (feature = [w, h, 3 channel means, 3 channel spreads]),
-    odd through the histogram stub (8 normalized buckets). Pins the native
-    array form (decode_features_mixed); the registered key flattens it to
-    scalar digests for the driver harness."""
+    odd through the baseline-JPEG entropy decode (r5: [w, h, mean, spread,
+    4 quadrant means]) — zero histogram-stub rows on well-formed payloads.
+    Pins the native array form (decode_features_mixed); the registered key
+    flattens it to scalar digests for the driver harness."""
     from dynamic_spark_spark.llmops.multimodal import decode_features_mixed
 
     pdf = decode_features_mixed(load_table(spark, sf_dir, "documents")).toPandas()
-    real = pdf[pdf["decoder"] == "png-real"]
-    stub = pdf[pdf["decoder"] == "histogram-stub"]
-    assert (real["doc_id"] % 2 == 0).all() and (stub["doc_id"] % 2 == 1).all()
-    assert len(real) and len(stub)
-    for _, r in real.head(20).iterrows():
+    png = pdf[pdf["decoder"] == "png-real"]
+    jpg = pdf[pdf["decoder"] == "jpeg-real"]
+    assert (png["doc_id"] % 2 == 0).all() and (jpg["doc_id"] % 2 == 1).all()
+    assert len(png) and len(jpg)
+    assert len(png) + len(jpg) == len(pdf)  # no stub fallbacks on clean data
+    for _, r in png.head(20).iterrows():
         f = r["features"]
         assert len(f) == 8
         assert f[0] == 8 + r["doc_id"] % 9 and f[1] == 5 + r["doc_id"] % 7
         assert all(0 <= v <= 255 for v in f[2:5])  # channel means
-    assert all(abs(sum(f) - 1.0) < 1e-9 for f in stub["features"].head(20))
+    for _, r in jpg.head(20).iterrows():
+        f = r["features"]
+        assert len(f) == 8
+        assert f[0] == 8 + r["doc_id"] % 9 and f[1] == 5 + r["doc_id"] % 7
+        assert 0 <= f[2] <= 255  # global mean of real decoded pixels
+        assert all(0 <= v <= 255 for v in f[4:])  # quadrant means
 
 
 def test_multimodal_image_meta_dims(spark, sf_dir):
