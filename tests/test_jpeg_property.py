@@ -1,0 +1,81 @@
+"""Property-based pins (hypothesis) for the baseline JPEG codec — the
+randomized complement to tests/test_jpeg_codec.py's example-based pins.
+
+The invariants that must hold for EVERY image, not just the examples:
+decode∘encode equals the encoder's own reconstruction bit-exactly, the
+stream round-trips its dimensions, and reconstruction error stays inside
+the quantization bound. Hypothesis shrinks any counterexample to a
+minimal failing image, which is exactly what you want when a bit-reader
+edge case (e.g. a ZRL at the block boundary, a stuffed 0xFF at the pad)
+slips through hand-picked shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dynamic_spark_spark.llmops.jpeg import (
+    DEFAULT_QTABLE,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    reconstruct_gray,
+)
+
+
+@st.composite
+def images(draw):
+    """Small grayscale images: arbitrary (not 8-aligned) shapes, full
+    0..255 value range, deterministic from hypothesis's seed."""
+    h = draw(st.integers(min_value=1, max_value=24))
+    w = draw(st.integers(min_value=1, max_value=24))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w))
+
+
+@settings(max_examples=60, deadline=None)
+@given(images())
+def test_decode_mirrors_reconstruction(img):
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert dec is not None and dec.shape == img.shape
+    assert np.array_equal(dec, reconstruct_gray(img))
+
+
+@settings(max_examples=60, deadline=None)
+@given(images())
+def test_error_bounded(img):
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert np.max(np.abs(dec.astype(int) - img)) <= 4 * int(DEFAULT_QTABLE[0, 0])
+
+
+@settings(max_examples=30, deadline=None)
+@given(images(), st.integers(min_value=1, max_value=64))
+def test_any_uniform_qtable_round_trips(img, qval):
+    """The decoder reads tables from the stream: every uniform quantization
+    step must round-trip against the matching reconstruction."""
+    q = np.full((8, 8), qval, dtype=np.int32)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img, qtable=q))
+    assert np.array_equal(dec, reconstruct_gray(img, qtable=q))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_arbitrary_bytes_never_raise(payload):
+    """Fuzz the malformed-payload contract: any byte string decodes to an
+    array or None, never an exception (the degrade-don't-die discipline
+    every parser in the media tier follows)."""
+    out = decode_jpeg_gray(payload)
+    assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=40, deadline=None)
+@given(images())
+def test_truncations_never_raise(img):
+    """Every prefix truncation of a VALID stream (cutting mid-segment,
+    mid-entropy-data, mid-marker) must degrade safely too — fuzzing with
+    structure, which random bytes alone rarely reach."""
+    payload = encode_jpeg_gray(img)
+    for cut in range(0, len(payload), max(1, len(payload) // 16)):
+        out = decode_jpeg_gray(payload[:cut])
+        assert out is None or isinstance(out, np.ndarray)
