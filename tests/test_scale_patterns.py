@@ -241,3 +241,29 @@ def test_zstd_sink_writes_zstd_chunks(spark, sf_dir, tmp_path):
         for rg in range(meta.num_row_groups):
             for ci in range(meta.num_columns):
                 assert meta.row_group(rg).column(ci).compression == "ZSTD"
+
+
+def test_digest_flattened_keys_add_no_shuffle(spark, sf_dir):
+    """The r5 scalar-digest flattening (driver-canon contract) must stay
+    plan-neutral: folding an array column to size + xxhash64 is a pure
+    projection, so the narrow keys keep ZERO exchanges and the collect_list
+    key keeps exactly its one hash-partitioned exchange with a map-side
+    partial aggregate below it. Locks the flatten against a future rewrite
+    accidentally materializing or re-shuffling the arrays."""
+    from dynamic_spark_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    for name in ("text_fingerprint", "multimodal_frame_sample"):
+        plan = (
+            qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+        assert "xxhash64" in plan  # digest folds are JVM expressions
+    plan = (
+        qs["agg_collect_array"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_collect_list" in plan  # map-side combine below the shuffle
