@@ -741,6 +741,89 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_threshold_curve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of ``dedup_threshold_curve``: the identical
+    calibration sweep, but candidates come from the capped LSH bucket
+    pipeline of ``sim_join_lsh`` instead of the label-blocked all-pairs
+    join. The registered key keeps the blocked join because it is
+    oracle-expressible and bit-exact against DuckDB at the gate SF; its
+    cost is quadratic in block size BY CONSTRUCTION (fixed label
+    vocabulary → block size grows with the corpus — measured 2.8 s → 277 s
+    for 10× in SCALE.md's round-5 curve wave). This function is the shape
+    a rollout actually runs at 100 TB: bucket-bounded candidate generation
+    (``SIM_JOIN_MAX_BUCKET`` caps any hot bucket), Arrow-batched exact
+    cosine on the candidates only, then the same per-threshold pair /
+    dropped-doc aggregation — linear in corpus size (probe:
+    scripts/scale_probe_curve.py). Not a registered key (round-5 window
+    freeze); exposed for pipeline use and probed for scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets_batched(spark, e)
+    members = (
+        buckets.groupBy("tbl", "key")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("vec_id")), 1, SIM_JOIN_MAX_BUCKET
+            ).alias("ids")
+        )
+        .where(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("vec_a"), b.alias("vec_b")),
+            ),
+        )
+    )
+    cand = (
+        members.select(F.explode(pair_expr).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    vec_norm = _batched_vec_norm()
+    pair_cos = _batched_pair_cos()
+    en = e.withColumn("nrm", vec_norm(F.col("embedding")))
+    ea = en.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            pair_cos(
+                F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min(DEDUP_CURVE_THRESHOLDS))
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in DEDUP_CURVE_THRESHOLDS], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .join(pairs, pairs.cos_sim >= th.threshold, "left")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("cos_sim") >= F.col("threshold"), 1)).alias(
+                "n_pairs"
+            ),
+            F.count_distinct(
+                F.when(F.col("cos_sim") >= F.col("threshold"), F.col("vec_b"))
+            ).alias("n_docs_dropped"),
+        )
+    )
+
+
 # One shared labeled top-K block — the CTE prefix and the DataFrame plan —
 # feeds BOTH retrieval metrics (precision@K, NDCG@K). A tie-break or
 # norm-precompute change edits exactly one place.

@@ -267,3 +267,29 @@ def test_digest_flattened_keys_add_no_shuffle(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1, plan
     assert "partial_collect_list" in plan  # map-side combine below the shuffle
+
+
+def test_threshold_curve_lsh_production_form(spark, sf_dir):
+    """The unregistered production twin of dedup_threshold_curve (capped
+    LSH candidates instead of the label-blocked all-pairs join) must keep
+    the key's output contract: same schema, one row per swept threshold,
+    pair counts monotonically non-increasing in the threshold, and every
+    LSH-surfaced pair genuinely above threshold — deterministic across
+    calls (same bucket planes, same cap)."""
+    from dynamic_spark_spark.llmops.similarity import (
+        DEDUP_CURVE_THRESHOLDS,
+        dedup_threshold_curve_lsh,
+    )
+    from dynamic_spark_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    blocked = qs["dedup_threshold_curve"](spark, sf_dir)
+    prod = dedup_threshold_curve_lsh(spark, sf_dir)
+    assert prod.columns == blocked.columns
+    rows = {r["threshold"]: r for r in prod.collect()}
+    assert sorted(rows) == sorted(DEDUP_CURVE_THRESHOLDS)
+    counts = [rows[t]["n_pairs"] for t in sorted(rows)]
+    assert counts == sorted(counts, reverse=True)  # monotone in threshold
+    assert all(rows[t]["n_docs_dropped"] <= rows[t]["n_pairs"] for t in rows)
+    again = {r["threshold"]: r["n_pairs"] for r in dedup_threshold_curve_lsh(spark, sf_dir).collect()}
+    assert again == {t: r["n_pairs"] for t, r in rows.items()}
