@@ -683,22 +683,58 @@ GROUP BY th.threshold
 """
 
 
+def _threshold_sweep(pairs: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) pairs → one row per swept threshold with
+    pair count and distinct dropped docs, in a SINGLE conditional-aggregate
+    pass + ``stack`` unpivot. The earlier form joined a broadcast threshold
+    table on ``cos_sim >= threshold`` — a non-equi LEFT join that Spark can
+    only plan as BroadcastNestedLoopJoin BUILDING THE PAIR SIDE, i.e.
+    materializing the entire pair set as the broadcast relation; the r5
+    probe measured the registered key at 277 s for 10× data while
+    ``dedup_embedding`` computed the *same* blocked pair set in 6.7 s —
+    the 40× gap was this join strategy, not the pair count. Conditional
+    aggregation needs no join at all: |thresholds| is a compile-time
+    constant, each threshold contributes two agg expressions over one scan
+    of the pairs, zero-pair thresholds naturally yield count 0 (what the
+    LEFT join preserved), and output rows/types are identical."""
+    aggs = []
+    for i, t in enumerate(DEDUP_CURVE_THRESHOLDS):
+        aggs.append(F.count(F.when(F.col("cos_sim") >= t, 1)).alias(f"n_{i}"))
+        aggs.append(
+            F.count_distinct(
+                F.when(F.col("cos_sim") >= t, F.col("vec_b"))
+            ).alias(f"d_{i}")
+        )
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), n_{i}, d_{i}"
+        for i, t in enumerate(DEDUP_CURVE_THRESHOLDS)
+    )
+    return pairs.agg(*aggs).selectExpr(
+        f"stack({len(DEDUP_CURVE_THRESHOLDS)}, {stack_args})"
+        " AS (threshold, n_pairs, n_docs_dropped)"
+    )
+
+
 @query("dedup_threshold_curve", _CURVE_ORACLE, tag="llm-dedup")
 def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup threshold calibration: near-dup pair counts AND documents that
     would be dropped (keep-lowest-id policy) at each candidate cosine
     threshold, from ONE pass over the candidate pairs — the sweep every
     dedup rollout runs before fixing its threshold ('how much does 0.95 vs
-    0.97 actually delete?'). The pair set is computed once and
-    cross-checked against each threshold (|thresholds| is a constant);
-    blocked by label like ``dedup_embedding`` so the same join is
-    oracle-expressible — the unblocked production path swaps in the LSH
-    candidate generation of ``sim_join_lsh`` with the same sweep."""
+    0.97 actually delete?'). The pair set is computed once and swept by
+    conditional aggregation (:func:`_threshold_sweep`; |thresholds| is a
+    constant); blocked by label like ``dedup_embedding`` so the same join
+    is oracle-expressible — the unblocked production path is
+    :func:`dedup_threshold_curve_lsh` (LSH candidates, same sweep)."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    # per-side norms (one fold per pair, not three — see dedup_embedding)
-    a = e.select(
+    # per-side norms (one fold per pair, not three — see dedup_embedding);
+    # repartition the probe side like dedup_embedding does, or the
+    # single-file scan drives the broadcast join — and ALL the per-pair
+    # fold work — with one or two tasks (r5 probe: 135 s vs 7 s at 10×
+    # for the identical pair set, purely stream-side parallelism)
+    a = e.repartition(32).select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
@@ -723,22 +759,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= min(DEDUP_CURVE_THRESHOLDS))
     )
-    th = spark.createDataFrame(
-        [(t,) for t in DEDUP_CURVE_THRESHOLDS], "threshold double"
-    )
-    return (
-        F.broadcast(th)
-        .join(pairs, pairs.cos_sim >= th.threshold, "left")
-        .groupBy("threshold")
-        .agg(
-            F.count(F.when(F.col("cos_sim") >= F.col("threshold"), 1)).alias(
-                "n_pairs"
-            ),
-            F.count_distinct(
-                F.when(F.col("cos_sim") >= F.col("threshold"), F.col("vec_b"))
-            ).alias("n_docs_dropped"),
-        )
-    )
+    return _threshold_sweep(pairs)
 
 
 def dedup_threshold_curve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,22 +827,7 @@ def dedup_threshold_curve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= min(DEDUP_CURVE_THRESHOLDS))
     )
-    th = spark.createDataFrame(
-        [(t,) for t in DEDUP_CURVE_THRESHOLDS], "threshold double"
-    )
-    return (
-        F.broadcast(th)
-        .join(pairs, pairs.cos_sim >= th.threshold, "left")
-        .groupBy("threshold")
-        .agg(
-            F.count(F.when(F.col("cos_sim") >= F.col("threshold"), 1)).alias(
-                "n_pairs"
-            ),
-            F.count_distinct(
-                F.when(F.col("cos_sim") >= F.col("threshold"), F.col("vec_b"))
-            ).alias("n_docs_dropped"),
-        )
-    )
+    return _threshold_sweep(pairs)
 
 
 # One shared labeled top-K block — the CTE prefix and the DataFrame plan —
