@@ -762,21 +762,24 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _threshold_sweep(pairs)
 
 
+@query("dedup_threshold_curve_lsh", tag="llm-dedup")
 def dedup_threshold_curve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION form of ``dedup_threshold_curve``: the identical
     calibration sweep, but candidates come from the capped LSH bucket
     pipeline of ``sim_join_lsh`` instead of the label-blocked all-pairs
-    join. The registered key keeps the blocked join because it is
+    join. The oracle-checked twin keeps the blocked join because it is
     oracle-expressible and bit-exact against DuckDB at the gate SF; its
-    cost is quadratic in block size BY CONSTRUCTION (fixed label
-    vocabulary → block size grows with the corpus — measured 2.8 s → 277 s
-    for 10× in SCALE.md's round-5 curve wave). This function is the shape
+    pair count is quadratic in block size BY CONSTRUCTION (fixed label
+    vocabulary → block size grows with the corpus). This key is the shape
     a rollout actually runs at 100 TB: bucket-bounded candidate generation
     (``SIM_JOIN_MAX_BUCKET`` caps any hot bucket), Arrow-batched exact
-    cosine on the candidates only, then the same per-threshold pair /
-    dropped-doc aggregation — linear in corpus size (probe:
-    scripts/scale_probe_curve.py). Not a registered key (round-5 window
-    freeze); exposed for pipeline use and probed for scale."""
+    cosine on the candidates only, then the same conditional-aggregate
+    sweep — flat to the 100× probe (SCALE.md round-5 curve wave, 3.4 s;
+    reproduce: scripts/scale_probe_curve.py). Rows-only per contract:
+    the random-hyperplane bucketing is not DuckDB-expressible; the sweep
+    logic itself is oracle-proven through the registered twin, and
+    contract parity + threshold monotonicity + determinism are
+    pytest-pinned (test_threshold_curve_lsh_production_form)."""
     e = load_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets_batched(spark, e)
     members = (
