@@ -275,12 +275,17 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     run before tokenizer training.
 
     Scale shape: bigram and unigram counts are two partial-aggregated
-    shuffles over per-row codegen arrays; the PMI join runs on the
+    shuffles over per-row arrays; the PMI join runs on the
     vocabulary-sized count tables, never the corpus; the min-count filter
     cuts the pair table before the join; ranking uses fixed-point integers
-    (see module docstring)."""
+    (see module docstring). The token array is materialized as a column
+    before the ``transform`` lambda touches it — HOF lambdas re-evaluate
+    non-attribute child expressions per element, so an inline ``_words()``
+    split inside ``element_at`` makes bigram construction O(n²) per doc
+    (measured 15× on sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
-    words = _words()
+    dw = d.select(_words().alias("words"))
+    words = F.col("words")
     n = F.size(words)
     bigrams = F.when(
         n >= 2,
@@ -293,14 +298,14 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     pair = (
-        d.select(F.explode(bigrams).alias("g"))
+        dw.select(F.explode(bigrams).alias("g"))
         .select("g.w1", "g.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .where(F.col("c12") >= PMI_MIN_COUNT)
     )
     uni = (
-        d.select(F.explode(words).alias("tok"))
+        dw.select(F.explode(words).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -333,14 +333,22 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-frequent-word mass fraction and duplicate-bigram fraction. Boilerplate
     and degenerate generations score high on both; real prose stays low.
 
-    Scale posture: the bigram metric never leaves codegen — the bigram list
-    is a per-row array expression (``transform(sequence(...))`` guarded for
-    <2-word docs, since Spark's ``sequence(1, 0)`` descends), so it costs
-    zero shuffles. The top-word metric is the standard explode → two-level
-    agg: one shuffle keyed (doc_id, word), then a per-doc reduce that reuses
-    the same hash partitioning prefix."""
+    Scale posture: the bigram metric never leaves the per-row array tier —
+    the bigram list is an array expression (``transform(sequence(...))``
+    guarded for <2-word docs, since Spark's ``sequence(1, 0)`` descends),
+    so it costs zero shuffles. The top-word metric is the standard explode
+    → two-level agg: one shuffle keyed (doc_id, word), then a per-doc
+    reduce that reuses the same hash partitioning prefix. The token array
+    MUST be materialized as a column before the lambda touches it:
+    higher-order-function lambdas re-evaluate any non-attribute child
+    expression per element, so an inline split inside ``element_at`` makes
+    bigram construction O(n²) per doc — measured 15× slower on sf0.1."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    dw = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda w: w != "").alias("words"),
+    )
+    words = F.col("words")
     n_words = F.size(words)
     bigrams = F.when(
         n_words >= 2,
@@ -351,7 +359,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    per_doc = d.select(
+    per_doc = dw.select(
         "doc_id",
         n_words.alias("n_words"),
         F.when(
@@ -365,7 +373,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_bigram_frac"),
     )
     wc = (
-        d.select("doc_id", F.explode(words).alias("w"))
+        dw.select("doc_id", F.explode(words).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -436,13 +444,21 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) <= 50
 
 @query("text_ngram_counts", _NGRAM_ORACLE, tag="llm-text")
 def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram statistics (n-gram LM counts): per-row bigram arrays in
-    pure codegen (no shuffle until the count), one count shuffle, top-50 cut
-    with a deterministic tiebreak. The bigram construction guard matters:
-    Spark's ``sequence(1, 0)`` DESCENDS, so sub-2-token docs must emit an
-    empty array explicitly."""
+    """Corpus bigram statistics (n-gram LM counts): per-row bigram arrays
+    (no shuffle until the count), one count shuffle, top-50 cut with a
+    deterministic tiebreak. The bigram construction guard matters: Spark's
+    ``sequence(1, 0)`` DESCENDS, so sub-2-token docs must emit an empty
+    array explicitly. The token array is materialized as a column before
+    the ``transform`` lambda touches it — HOF lambdas re-evaluate
+    non-attribute child expressions per element, so an inline split makes
+    this O(n²) per doc (measured 15× on sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+    dw = d.select(
+        F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "").alias(
+            "words"
+        )
+    )
+    words = F.col("words")
     n = F.size(words)
     bigrams = F.when(
         n >= 2,
@@ -452,7 +468,7 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        d.select(F.explode(bigrams).alias("gram"))
+        dw.select(F.explode(bigrams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
