@@ -460,28 +460,36 @@ def dedup_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs — the signal used to strip boilerplate/templated passages from
     training corpora.
 
-    Scale shape: chunking is per-row codegen (sequence + slice + array_join,
-    no Python); the only shuffles are the passage groupBy and the join back,
-    both keyed by ``xxhash64(chunk)`` — an inverted index over 8-byte keys,
-    never pairwise and never shipping passage strings (measured 1.4×
-    super-linear at the 100× probe when string-keyed; hash-keyed restores
-    ~linear, see SCALE.md). The final counts carry no hash, so the key stays
-    oracle-comparable; a 64-bit collision would need ~2³² distinct passages
-    to become likely. Within-doc repeats are not self-matches: frequency
-    counts distinct docs per passage."""
+    Scale shape: chunking is per-row array work (sequence + slice +
+    array_join, no Python); the only shuffles are the passage groupBy and
+    the join back, both keyed by ``xxhash64(chunk)`` — an inverted index
+    over 8-byte keys, never pairwise and never shipping passage strings
+    (measured 1.4× super-linear at the 100× probe when string-keyed;
+    hash-keyed restores ~linear, see SCALE.md). The token array is
+    materialized as a column before the ``transform`` lambda slices it —
+    HOF lambdas re-evaluate non-attribute child expressions per element,
+    so an inline split would re-tokenize once per chunk (the
+    ``dedup_passage_rewrite`` twin always did this; same fix as the
+    text-tier bigram keys, SCALE.md round 5). The final counts carry no
+    hash, so the key stays oracle-comparable; a 64-bit collision would
+    need ~2³² distinct passages to become likely. Within-doc repeats are
+    not self-matches: frequency counts distinct docs per passage."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    n_full = F.floor(F.size(w) / CHUNK_TOKENS).cast("int")
+    sized = d.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("w"),
+    )
+    n_full = F.floor(F.size("w") / CHUNK_TOKENS).cast("int")
     idx = F.when(n_full > 0, F.sequence(F.lit(0), n_full - 1)).otherwise(
         F.array().cast("array<int>")
     )
     chunks = F.transform(
         idx,
         lambda i: F.xxhash64(
-            F.array_join(F.slice(w, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ")
+            F.array_join(F.slice("w", i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ")
         ),
     )
-    ch = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    ch = sized.select("doc_id", F.explode(chunks).alias("chunk"))
     freq = ch.distinct().groupBy("chunk").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         ch.join(freq, "chunk")
