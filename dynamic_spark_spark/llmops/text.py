@@ -532,9 +532,16 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes with any downstream sampling or dedup stage. The boolean verdict
     is computed from the *raw* ratios (rounding only in the displayed
     columns) so the pass/fail set is bit-identical across engines — integer
-    numerators and denominators make the IEEE division deterministic."""
-    d = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    numerators and denominators make the IEEE division deterministic.
+    The token array is materialized as a column first: the signal
+    expressions reference it ~10× per row, the array HOFs are
+    CodegenFallback (no codegen CSE), and an inline split would be
+    re-evaluated at every occurrence."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda w: w != "").alias("words"),
+    )
+    words = F.col("words")
     wc = F.size(words)
     char_sum = F.aggregate(
         words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
