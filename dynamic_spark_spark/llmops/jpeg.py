@@ -281,10 +281,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
-    """Decode a baseline grayscale JPEG produced by ANY standards-following
-    encoder (tables and dimensions are read from the stream). Returns the
-    pixel array (uint8, h×w) or None for unparseable input — at 100 TB a
-    malformed payload must not kill a stage."""
+    """Decode a baseline sequential GRAYSCALE JPEG (tables and dimensions
+    are read from the stream; 8- and 16-bit quantization tables and marker
+    fill bytes are handled). Returns the pixel array (uint8, h×w), or None
+    for input that is malformed OR uses a valid-but-unsupported feature —
+    progressive scans, multi-component images, and restart intervals
+    (DRI/RSTn) all return None explicitly rather than mis-decode, and the
+    caller degrades to the histogram stub: at 100 TB a payload this tier
+    cannot decode must not kill the stage or ship wrong pixels."""
     try:
         return _decode_jpeg_gray(payload)
     except Exception:
@@ -303,25 +307,37 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             return None
+        # the standard allows any number of 0xFF fill bytes before a marker
+        while payload[i + 1] == 0xFF and i + 2 < len(payload):
+            i += 1
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
         body = payload[i + 4 : i + 2 + seg_len]
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
+        if marker == 0xDD:  # DRI: restart-interval streams are not decoded
+            if struct.unpack(">H", body[:2])[0] != 0:
+                return None  # RSTn un-stuffing unsupported — degrade, don't mis-decode
+        elif marker == 0xDB:  # DQT (possibly several tables per segment)
             j = 0
             while j < len(body):
+                pq = body[j] >> 4  # 0: 8-bit entries, 1: 16-bit entries
                 tq = body[j] & 0x0F
-                zz = body[j + 1 : j + 65]
+                if pq == 1:
+                    zz = struct.unpack(">64H", body[j + 1 : j + 129])
+                else:
+                    zz = body[j + 1 : j + 65]
                 q = np.zeros((8, 8), dtype=np.int32)
                 for k, (r, c) in enumerate(_ZIGZAG):
                     q[r, c] = zz[k]
                 qtables[tq] = q
-                j += 65
+                j += 129 if pq == 1 else 65
         elif marker == 0xC0:  # SOF0 baseline
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
                 return None  # grayscale tier only
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # non-baseline SOF (progressive etc.) — degrade
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             j = 0
             while j < len(body):

@@ -455,7 +455,10 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
     scalar digests (driver canon cannot hash array cells)."""
     from dynamic_spark_spark.llmops.jpeg import jpeg_gray_bytes
 
-    docs = docs.select("doc_id", "text")
+    # only doc_id crosses the shuffle and the Arrow boundary: both payload
+    # synthesizers are keyed on it, so shipping any other column (the full
+    # text corpus, at one point) is dead I/O in the key's dominant path
+    docs = docs.select("doc_id")
     docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(DECODE_BATCH_ROWS))
@@ -463,7 +466,7 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_ids, out_dec, out_feat = [], [], []
         for pdf in batches:
-            for d, text in zip(pdf["doc_id"], pdf["text"]):
+            for d in pdf["doc_id"]:
                 if d % 2 == 0:
                     payload = png_rgb_bytes(8 + d % 9, 5 + d % 7, int(d))
                     feats = png_pixel_features(payload)
@@ -496,7 +499,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     change moves the digest; the underlying pixel values stay pytest-pinned
     against the PNG generator pattern)."""
     feats = decode_features_mixed(load_table(spark, sf_dir, "documents"))
-    checksum = F.aggregate(
+    fold = F.aggregate(
         F.zip_with(
             "features",
             F.sequence(F.lit(1), F.size("features")),
@@ -505,6 +508,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # guard the descending-sequence trap: sequence(1, 0) yields [1, 0] on an
+    # empty features array (schema-legal even if no current decoder emits one),
+    # which would null-pad the zip and fold the checksum to NULL
+    checksum = F.when(F.size("features") > 0, fold).otherwise(F.lit(0.0))
     return feats.select(
         "doc_id",
         "decoder",

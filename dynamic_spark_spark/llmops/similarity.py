@@ -534,21 +534,20 @@ SIM_JOIN_THRESHOLD = 0.40
 SIM_JOIN_MAX_BUCKET = 64
 
 
-@query("sim_join_lsh", tag="llm-dedup")  # rows-only: LSH recall is probabilistic
-def sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pair join in its PRODUCTION form — the
-    unblocked variant of ``dedup_embedding`` (whose label blocking exists so
-    an oracle can express the same join): LSH buckets generate candidate
-    pairs, exact cosine verifies them, no all-pairs comparison anywhere.
+def lsh_scored_pairs(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """THE capped LSH candidate pipeline, shared by every LSH-candidate
+    consumer (``sim_join_lsh``, ``dedup_threshold_curve_lsh``) so a change
+    to the bucket cap, pair expansion, or scoring tier edits exactly one
+    place. Returns ``(vec_a, vec_b, cos_sim)`` for the distinct candidate
+    pairs — unfiltered; callers apply their own threshold.
 
     Pipeline: sign-bit bucket entries per vector (``LSH_TABLES`` × pure
     codegen, no shuffle) → explode to (tbl, key) bucket rows → per-bucket
     member sets via one groupBy → in-bucket pair expansion **capped at
     ``SIM_JOIN_MAX_BUCKET`` members** (the quadratic guard: an adversarial
-    hot bucket degrades recall, never cost) → distinct pairs → exact-cosine
-    filter at ``SIM_JOIN_THRESHOLD``. Recall vs the brute-force join is
-    floor-tested in tests/test_scale_patterns.py."""
-    e = load_table(spark, sf_dir, "embeddings")
+    hot bucket degrades recall, never cost) → distinct pairs → exact cosine
+    on the Arrow-batched numpy tier (per-vector norms once, one einsum per
+    candidate batch)."""
     buckets = lsh_buckets_batched(spark, e)
     members = (
         buckets.groupBy("tbl", "key")
@@ -569,8 +568,6 @@ def sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.vec_a", "p.vec_b")
         .distinct()
     )
-    # exact-cosine verification on the Arrow-batched numpy tier (rows-only
-    # key; per-vector norms once, one einsum per candidate batch)
     vec_norm = _batched_vec_norm()
     pair_cos = _batched_pair_cos()
     en = e.withColumn("nrm", vec_norm(F.col("embedding")))
@@ -583,10 +580,28 @@ def sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .where(
-            pair_cos(F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b"))
-            >= SIM_JOIN_THRESHOLD
+        .select(
+            "vec_a",
+            "vec_b",
+            pair_cos(
+                F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
+            ).alias("cos_sim"),
         )
+    )
+
+
+@query("sim_join_lsh", tag="llm-dedup")  # rows-only: LSH recall is probabilistic
+def sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pair join in its PRODUCTION form — the
+    unblocked variant of ``dedup_embedding`` (whose label blocking exists so
+    an oracle can express the same join): LSH buckets generate candidate
+    pairs (:func:`lsh_scored_pairs` — bucket-capped, never all-pairs), exact
+    cosine verifies them at ``SIM_JOIN_THRESHOLD``. Recall vs the
+    brute-force join is floor-tested in tests/test_scale_patterns.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        lsh_scored_pairs(spark, e)
+        .where(F.col("cos_sim") >= SIM_JOIN_THRESHOLD)
         .select("vec_a", "vec_b")
     )
 
@@ -765,9 +780,10 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_threshold_curve_lsh", tag="llm-dedup")
 def dedup_threshold_curve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION form of ``dedup_threshold_curve``: the identical
-    calibration sweep, but candidates come from the capped LSH bucket
-    pipeline of ``sim_join_lsh`` instead of the label-blocked all-pairs
-    join. The oracle-checked twin keeps the blocked join because it is
+    calibration sweep, but candidates come from :func:`lsh_scored_pairs` —
+    the same capped LSH bucket pipeline ``sim_join_lsh`` runs, shared as
+    one function so the two cannot diverge — instead of the label-blocked
+    all-pairs join. The oracle-checked twin keeps the blocked join because it is
     oracle-expressible and bit-exact against DuckDB at the gate SF; its
     pair count is quadratic in block size BY CONSTRUCTION (fixed label
     vocabulary → block size grows with the corpus). This key is the shape
@@ -781,54 +797,8 @@ def dedup_threshold_curve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract parity + threshold monotonicity + determinism are
     pytest-pinned (test_threshold_curve_lsh_production_form)."""
     e = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets_batched(spark, e)
-    members = (
-        buckets.groupBy("tbl", "key")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_set("vec_id")), 1, SIM_JOIN_MAX_BUCKET
-            ).alias("ids")
-        )
-        .where(F.size("ids") > 1)
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            "ids",
-            lambda a: F.transform(
-                F.filter("ids", lambda b: b > a),
-                lambda b: F.struct(a.alias("vec_a"), b.alias("vec_b")),
-            ),
-        )
-    )
-    cand = (
-        members.select(F.explode(pair_expr).alias("p"))
-        .select("p.vec_a", "p.vec_b")
-        .distinct()
-    )
-    vec_norm = _batched_vec_norm()
-    pair_cos = _batched_pair_cos()
-    en = e.withColumn("nrm", vec_norm(F.col("embedding")))
-    ea = en.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    eb = en.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    pairs = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            pair_cos(
-                F.col("emb_a"), F.col("emb_b"), F.col("nrm_a"), F.col("nrm_b")
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= min(DEDUP_CURVE_THRESHOLDS))
+    pairs = lsh_scored_pairs(spark, e).where(
+        F.col("cos_sim") >= min(DEDUP_CURVE_THRESHOLDS)
     )
     return _threshold_sweep(pairs)
 

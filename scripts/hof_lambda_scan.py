@@ -70,47 +70,50 @@ def scan_file(path: str) -> list[str]:
     src = open(path).read()
     tree = ast.parse(src)
     findings: list[str] = []
-    for scope in ast.walk(tree):
-        if not isinstance(scope, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            continue
-        expr_vars = _expression_assignments(scope)
-        if not expr_vars:
-            continue
-        # collect params of every lambda so nested-lambda refs are excused
-        lambda_params: set[str] = set()
-        for n in ast.walk(scope):
-            if isinstance(n, ast.Lambda):
-                lambda_params |= {a.arg for a in n.args.args}
-        for call in ast.walk(scope):
-            if not (
-                isinstance(call, ast.Call)
-                and isinstance(call.func, ast.Attribute)
-                and call.func.attr in HOFS
-                and isinstance(call.func.value, ast.Name)
-                and call.func.value.id == "F"
-            ):
-                continue
-            for arg in call.args:
-                if not isinstance(arg, ast.Lambda):
-                    continue
-                params = {a.arg for a in arg.args.args}
+
+    def visit(node: ast.AST, expr_vars: dict[str, int], enclosing: frozenset[str]) -> None:
+        """Walk with the stack of ENCLOSING lambda params — only params of
+        lambdas the HOF lambda is nested inside excuse a name (a same-named
+        param of an unrelated lambda elsewhere in the function must not)."""
+        if isinstance(node, ast.Lambda):
+            enclosing = enclosing | {a.arg for a in node.args.args}
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in HOFS
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+        ):
+            # lambdas may arrive positionally or as keywords (f=..., merge=...)
+            lambdas = [a for a in node.args if isinstance(a, ast.Lambda)]
+            lambdas += [k.value for k in node.keywords if isinstance(k.value, ast.Lambda)]
+            for lam in lambdas:
+                params = enclosing | {a.arg for a in lam.args.args}
                 flagged: set[str] = set()
-                for name_node in ast.walk(arg.body):
+                for name_node in ast.walk(lam.body):
                     if (
                         isinstance(name_node, ast.Name)
                         and name_node.id in expr_vars
                         and name_node.id not in params
-                        and name_node.id not in lambda_params
                         and name_node.id not in flagged
                     ):
                         flagged.add(name_node.id)
                         rel = os.path.relpath(path, os.path.dirname(PKG))
                         findings.append(
-                            f"{rel}:{call.lineno} F.{call.func.attr} lambda "
+                            f"{rel}:{node.lineno} F.{node.func.attr} lambda "
                             f"references expression-valued '{name_node.id}' "
                             f"(assigned at line {expr_vars[name_node.id]}) — "
                             "materialize it as a column first"
                         )
+        for child in ast.iter_child_nodes(node):
+            visit(child, expr_vars, enclosing)
+
+    for scope in ast.walk(tree):
+        if not isinstance(scope, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        expr_vars = _expression_assignments(scope)
+        if expr_vars:
+            visit(scope, expr_vars, frozenset())
     return findings
 
 

@@ -55,8 +55,12 @@ def state_metrics(progresses) -> dict:
 
 
 def drain(q):
-    q.awaitTermination(600)
+    # a False return means the availableNow drain did NOT finish in time;
+    # partial state metrics must never masquerade as a completed drain
+    finished = q.awaitTermination(600)
     q.stop()
+    if not finished:
+        raise TimeoutError("stream did not drain within 600 s — probe invalid")
     return [json.loads(p.json) for p in q.recentProgress]
 
 
@@ -80,6 +84,9 @@ def probe_sessions(spark, sf_dir: str, gap_s: int, wm: str, n_files: int) -> dic
             .start()
         )
         prog = drain(q)
+        # stop the clock BEFORE the bookkeeping counts below — they launch
+        # full Spark jobs and must not inflate the reported drain wall time
+        wall_s = round(time.perf_counter() - t0, 2)
         n_events = ev.count()
         n_users = ev.select("user_id").distinct().count()
         return {
@@ -89,7 +96,7 @@ def probe_sessions(spark, sf_dir: str, gap_s: int, wm: str, n_files: int) -> dic
             "watermark": wm,
             "n_events": n_events,
             "n_users": n_users,
-            "wall_s": round(time.perf_counter() - t0, 2),
+            "wall_s": wall_s,
             **state_metrics(prog),
         }
     finally:
@@ -143,12 +150,15 @@ def probe_ssj(spark, sf_dir: str, n_files: int) -> dict:
             prog = drain(q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # stop the clock before side.count() — it launches a Spark job and
+        # must not inflate the reported drain wall time
+        wall_s = round(time.perf_counter() - t0, 2)
         return {
             "probe": "stream_stream_join_state",
             "sf_dir": sf_dir,
             "side_rows": side.count(),
             "n_files": n_files,
-            "wall_s": round(time.perf_counter() - t0, 2),
+            "wall_s": wall_s,
             **state_metrics(prog),
         }
     finally:

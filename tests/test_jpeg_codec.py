@@ -105,3 +105,48 @@ def test_deterministic_across_calls():
     a, b = jpeg_gray_bytes(13, 9, 42), jpeg_gray_bytes(13, 9, 42)
     assert a == b
     assert np.array_equal(decode_jpeg_gray(a), decode_jpeg_gray(b))
+
+
+def test_marker_fill_bytes_are_transparent():
+    """The standard allows any number of 0xFF fill bytes before a marker."""
+    import struct
+
+    base = jpeg_gray_bytes(16, 12, 7)
+    px = decode_jpeg_gray(base)
+    i = base.find(b"\xff\xc0")
+    filled = base[:i] + b"\xff\xff\xff" + base[i:]
+    assert np.array_equal(decode_jpeg_gray(filled), px)
+
+
+def test_restart_interval_streams_degrade_not_misdecode():
+    """RSTn un-stuffing is unsupported: nonzero DRI must return None (the
+    caller falls back to the histogram stub), zero DRI is a legal no-op."""
+    base = jpeg_gray_bytes(16, 12, 7)
+    px = decode_jpeg_gray(base)
+    with_dri = base[:2] + b"\xff\xdd\x00\x04\x00\x04" + base[2:]
+    assert decode_jpeg_gray(with_dri) is None
+    with_dri0 = base[:2] + b"\xff\xdd\x00\x04\x00\x00" + base[2:]
+    assert np.array_equal(decode_jpeg_gray(with_dri0), px)
+
+
+def test_16bit_precision_dqt_decodes_identically():
+    """Pq=1 quantization tables (16-bit entries) parse with the 129-byte
+    stride and, with identical values, yield identical pixels."""
+    import struct
+
+    base = jpeg_gray_bytes(16, 12, 7)
+    px = decode_jpeg_gray(base)
+    j = base.find(b"\xff\xdb")
+    seg_len = struct.unpack(">H", base[j + 2 : j + 4])[0]
+    body = base[j + 4 : j + 2 + seg_len]
+    new_body = bytes([0x10 | (body[0] & 0x0F)]) + b"".join(
+        struct.pack(">H", v) for v in body[1:65]
+    )
+    new_seg = b"\xff\xdb" + struct.pack(">H", len(new_body) + 2) + new_body
+    redone = base[:j] + new_seg + base[j + 2 + seg_len :]
+    assert np.array_equal(decode_jpeg_gray(redone), px)
+
+
+def test_progressive_sof_degrades_to_none():
+    base = jpeg_gray_bytes(16, 12, 7)
+    assert decode_jpeg_gray(base.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
