@@ -263,6 +263,10 @@ _PRIORITY = [
     # -- round-3 additions (registry otherwise frozen per the r2 verdict;
     # this is the verdict's own ask #5: live arbitrary-state sessions) --
     "stream_custom_session_live",
+    # -- round-5 addition, deliberately LAST: registered mid-round, so it
+    # must rank behind every pre-flighted backlog key and never shift a
+    # frozen driver window --
+    "dedup_threshold_curve_lsh",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in
