@@ -79,6 +79,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all_queries()
 
+    # Box-state capture: two rounds running, a recorded total drifted ~1.1×
+    # purely from co-tenant load and had to be re-adjudicated by rerunning.
+    # Record load averages before warmup and after the last timed run so the
+    # JSON artifact carries its own noise context, and warn loudly when the
+    # box is already busy before the timed section starts.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    if load_before[0] > 2:
+        print(
+            f"BENCH WARNING: 1-min load average {load_before[0]} > 2 before "
+            f"timed runs — totals on a loaded box drift up to ~1.2x; prefer "
+            f"min_total_sec and rerun on a quiet box before reading a "
+            f"regression",
+            file=sys.stderr,
+        )
+
     # JIT/classload warmup so the first timed query isn't charged for JVM
     # startup (touches the fact-table scan + shuffle + noop-sink code paths
     # once, so timed runs measure steady-state throughput, not codegen/JIT)
@@ -122,6 +137,13 @@ def main() -> None:
     for name in EXTENDED:
         extended[name], extended_min[name], _ = timed(name)
 
+    load_after = [round(x, 2) for x in os.getloadavg()]
+    try:
+        with open("/proc/uptime") as fh:
+            uptime_sec = round(float(fh.read().split()[0]), 1)
+    except OSError:
+        uptime_sec = None
+
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -145,6 +167,9 @@ def main() -> None:
                 "extended_queries_min": extended_min,
                 "extended_total_sec": round(sum(extended.values()), 3),
                 "extended_min_total_sec": round(sum(extended_min.values()), 3),
+                "loadavg_before": load_before,
+                "loadavg_after": load_after,
+                "uptime_sec": uptime_sec,
             }
         )
     )

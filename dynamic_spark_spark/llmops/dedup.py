@@ -649,6 +649,17 @@ def dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hard input cap for the MLlib parity key. Measured (SCALE.md "10x quadratic
+#: hunt"): stock ``approxSimilarityJoin`` has no bucket cap — on duplicate-heavy
+#: staging it ran 40 s at 1x and was aborted after >35 min at 10x with all
+#: cores pinned in ``MinHashLSHModel.keyDistance``. The hand-built
+#: ``dedup_minhash`` (bucket-capped) is the scale path; this key exists ONLY as
+#: a small-scale cross-check, so refuse inputs beyond the parity-check size
+#: rather than let a caller run the quadratic join on real data. 20k docs
+#: covers every verification fixture (sf0.001: 50, sf0.01: 500, sf0.1: 5000).
+MINHASH_ML_MAX_DOCS = 20_000
+
+
 @query("dedup_minhash_ml", tag="llm-dedup")  # rows-only: LSH is engine-specific
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the STOCK Spark ML pipeline (SURVEY §2.D names
@@ -663,10 +674,21 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffle-joins on (table, hash) — the same band-bucket shape as the
     hand-built path, but with vectors (not 8-byte digests) as shuffle
     payload, which is exactly why the hand-built path is the 100 TB default
-    and this one is the library-parity tier."""
+    and this one is the library-parity tier. Inputs above
+    ``MINHASH_ML_MAX_DOCS`` are refused outright (see the constant's note for
+    the measured 10x abort that motivates the cap)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = _normalized(load_table(spark, sf_dir, "documents"))
+    # limit(cap+1).count() bounds the guard's own cost: it stops as soon as
+    # cap+1 rows are seen instead of scanning the full table.
+    if docs.select("doc_id").limit(MINHASH_ML_MAX_DOCS + 1).count() > MINHASH_ML_MAX_DOCS:
+        raise ValueError(
+            f"dedup_minhash_ml is a small-scale parity cross-check capped at "
+            f"{MINHASH_ML_MAX_DOCS} documents: stock MLlib approxSimilarityJoin "
+            f"is quadratic on duplicate-heavy data (measured abort at 10x, "
+            f"SCALE.md). Use dedup_minhash (bucket-capped banded LSH) at scale."
+        )
     n = SHINGLE_N
     sh_arr = F.array_distinct(
         F.filter(

@@ -303,6 +303,7 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     htables: dict[int, dict[tuple[int, int], int]] = {}
     h = w = None
     dc_id = ac_id = 0
+    comp_tq = 0
     entropy = None
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
@@ -336,6 +337,9 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
                 return None  # grayscale tier only
+            # component spec is (id, HV, Tq): honor the component's
+            # quantization-table selector instead of assuming table 0
+            comp_tq = body[8]
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # non-baseline SOF (progressive etc.) — degrade
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
@@ -355,7 +359,7 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     if entropy is None or h is None:
         return None
     dc_tab, ac_tab = htables.get(dc_id), htables.get(ac_id)
-    q = qtables.get(0)
+    q = qtables.get(comp_tq)
     if dc_tab is None or ac_tab is None or q is None:
         return None
     # un-stuff 0xFF 0x00 -> 0xFF

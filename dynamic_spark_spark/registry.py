@@ -117,6 +117,38 @@ def _driver_verified_keys() -> frozenset[str]:
     return frozenset(seen) if seen else _R1_VERIFIED
 
 
+def _oracle_upgrade_pending() -> frozenset[str]:
+    """Keys the driver has only ever seen WITHOUT a hash-green result (the
+    r1/r2 rows-only era) that now carry a registered oracle. The ordering
+    re-fronts these behind every never-driver-seen key so their oracle
+    status becomes driver-proven too — the plain verified/unverified split
+    would never re-surface them, because the driver gate only samples a
+    prefix and a once-seen key otherwise yields its slot forever (r5
+    verdict, next-round order #4). As of r6 this set is the five format
+    roundtrips ``scan_{csv,json,orc,text,jdbc}_roundtrip``; it is computed,
+    not hard-coded, so it drains itself the round after the driver
+    hash-checks them."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    hash_green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if isinstance(row, dict):
+                seen.add(key)
+                if row.get("hash_match"):
+                    hash_green.add(key)
+    return frozenset(k for k in seen - hash_green if k in ORACLE)
+
+
 _R1_VERIFIED = frozenset({
     "scan_parquet", "scan_table", "values_source", "sql_view_query",
     "sink_parquet_roundtrip", "sample_split", "scan_csv_roundtrip",
@@ -281,12 +313,19 @@ def verification_order(keys) -> list[str]:
     tail. "Verified" is read from every past round's CORRECTNESS file, so
     each round's gate window slides to fresh keys without manual edits."""
     verified = _driver_verified_keys()
+    upgrade = _oracle_upgrade_pending()
     rank = {k: i for i, k in enumerate(_PRIORITY)}
     original = {k: i for i, k in enumerate(keys)}
-    return sorted(
-        keys,
-        key=lambda k: (k in verified, rank.get(k, len(_PRIORITY)), original[k]),
-    )
+
+    def cls(k: str) -> int:
+        # 0 = never driver-seen; 1 = driver-seen rows-only but oracle since
+        # registered (re-front BEHIND every never-seen key so a pre-flighted
+        # window is never displaced); 2 = driver-verified tail
+        if k not in verified:
+            return 0
+        return 1 if k in upgrade else 2
+
+    return sorted(keys, key=lambda k: (cls(k), rank.get(k, len(_PRIORITY)), original[k]))
 
 
 def load_all_queries() -> dict[str, QueryFn]:

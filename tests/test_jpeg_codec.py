@@ -147,6 +147,47 @@ def test_16bit_precision_dqt_decodes_identically():
     assert np.array_equal(decode_jpeg_gray(redone), px)
 
 
+def test_component_tq_selector_honored():
+    """The SOF0 component's Tq selector picks the quantization table: a
+    stream that carries a decoy table 0 and the real table under id 1, with
+    the component selecting Tq=1, must decode identically to the original —
+    and a Tq pointing at an absent table degrades to None, never
+    mis-decodes with whichever table happens to be present."""
+    import struct
+
+    base = jpeg_gray_bytes(16, 12, 7)
+    px = decode_jpeg_gray(base)
+    j = base.find(b"\xff\xdb")
+    seg_len = struct.unpack(">H", base[j + 2 : j + 4])[0]
+    body = base[j + 4 : j + 2 + seg_len]
+    # decoy table 0 (all 255s) + the real values re-labelled as table 1
+    decoy = bytes([0x00]) + b"\xff" * 64
+    real_as_1 = bytes([0x01]) + body[1:65]
+    new_body = decoy + real_as_1
+    new_seg = b"\xff\xdb" + struct.pack(">H", len(new_body) + 2) + new_body
+    k = base.find(b"\xff\xc0")
+    sof_body = bytearray(base[k + 4 : k + 4 + 9])
+    sof_body[8] = 0x01  # component selects Tq=1
+    redone = (
+        base[:j]
+        + new_seg
+        + base[j + 2 + seg_len : k + 4]
+        + bytes(sof_body)
+        + base[k + 4 + 9 :]
+    )
+    assert np.array_equal(decode_jpeg_gray(redone), px)
+    # same stream but table 1 absent → None, not a wrong-table decode
+    only_decoy = b"\xff\xdb" + struct.pack(">H", len(decoy) + 2) + decoy
+    missing = (
+        base[:j]
+        + only_decoy
+        + base[j + 2 + seg_len : k + 4]
+        + bytes(sof_body)
+        + base[k + 4 + 9 :]
+    )
+    assert decode_jpeg_gray(missing) is None
+
+
 def test_progressive_sof_degrades_to_none():
     base = jpeg_gray_bytes(16, 12, 7)
     assert decode_jpeg_gray(base.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None

@@ -206,6 +206,22 @@ def test_scale_invariance_shuffle_partitions(spark, sf_dir):
         assert r4 == r32, f"{name}: results differ across shuffle partitioning"
 
 
+def test_dedup_minhash_ml_cap_engages(spark, tmp_path):
+    """dedup_minhash_ml must refuse inputs above MINHASH_ML_MAX_DOCS: stock
+    MLlib approxSimilarityJoin is quadratic on duplicate-heavy data (measured
+    abort at 10x, SCALE.md), so the parity key carries a hard input cap."""
+    import pytest
+
+    from dynamic_spark_spark.llmops.dedup import MINHASH_ML_MAX_DOCS, dedup_minhash_ml
+
+    big = spark.range(MINHASH_ML_MAX_DOCS + 1).select(
+        F.col("id").alias("doc_id"), F.lit("some repeated text body").alias("text")
+    )
+    big.write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(ValueError, match="capped at"):
+        dedup_minhash_ml(spark, str(tmp_path))
+
+
 def test_dedup_clusters_transitive(spark, sf_dir):
     """Connected components must agree with the candidate-pair graph: both
     endpoints of every LSH pair share a component, and each component id is

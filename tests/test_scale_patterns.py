@@ -270,8 +270,9 @@ def test_digest_flattened_keys_add_no_shuffle(spark, sf_dir):
 
 
 def test_threshold_curve_lsh_production_form(spark, sf_dir):
-    """The unregistered production twin of dedup_threshold_curve (capped
-    LSH candidates instead of the label-blocked all-pairs join) must keep
+    """The production twin of dedup_threshold_curve (capped LSH candidates
+    instead of the label-blocked all-pairs join) — registered as a
+    rows-only key ranked LAST in the registry priority list — must keep
     the key's output contract: same schema, one row per swept threshold,
     pair counts monotonically non-increasing in the threshold, and every
     LSH-surfaced pair genuinely above threshold — deterministic across
