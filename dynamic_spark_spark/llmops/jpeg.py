@@ -13,11 +13,19 @@ subset end-to-end:
   stuffing, and a standards-correct segment stream (SOI, APP0/JFIF, DQT,
   SOF0, DHT×2, SOS, EOI) that any baseline decoder can read.
 - **Decoder** (:func:`decode_jpeg_gray`): full inverse — segment walk,
-  DQT/SOF0/DHT/SOS parse, canonical Huffman table reconstruction FROM THE
+  DQT/SOF/DHT/SOS parse, canonical Huffman table reconstruction FROM THE
   STREAM (tables are self-describing per the standard; the decoder makes
   no assumption about which tables the encoder chose), bit-unstuffing,
   DC prediction, coefficient EXTEND, dequantize, de-zigzag, IDCT, level
-  unshift, clamp, crop.
+  unshift, clamp, crop. Handles baseline sequential (SOF0) AND
+  progressive (SOF2) streams: multi-scan spectral selection with
+  cross-block EOB runs plus full successive approximation (DC/AC first
+  and refinement passes, T.81 G.2).
+- **Progressive encoder** (:func:`encode_jpeg_gray_progressive`):
+  emits SOF2 scan scripts (default: the canonical DC-first /
+  two-AC-band / walk-Al-to-zero shape) over the SAME quantized
+  coefficients as the baseline encoder, so both stream forms pin to one
+  reconstruction truth.
 
 Determinism: the DCT/IDCT are float64 matrix products against a
 precomputed cosine basis — bit-identical across runs and partitions —
@@ -73,6 +81,18 @@ _AC_VALS = [0x00] + [
 ] + [0xF0]
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
+#: progressive AC table: EOBn symbols (n<<4, n=0..14) join the (run,size)
+#: family and ZRL — 176 symbols, still one fixed 8-bit code each
+#: (176·2⁻⁸ ≤ 1). Emitted in the progressive stream's DHT, so any
+#: standard decoder reads it; EOBn is what makes cross-block EOB runs
+#: expressible in spectral-selection scans.
+_AC_PROG_VALS = (
+    [n << 4 for n in range(15)]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    + [0xF0]
+)
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
 #: 2-D DCT basis: C[u, x] = alpha(u)/2 * cos((2x+1)uπ/16)
 _DCT_C = np.zeros((8, 8))
 for u in range(8):
@@ -98,6 +118,7 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 _DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+_AC_PROG_CODES = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +267,184 @@ def encode_jpeg_gray(
     )
 
 
+#: default progressive scan script (Ss, Se, Ah, Al) — the canonical
+#: successive-approximation shape real encoders emit: DC first pass with
+#: one point-transform bit, AC split into two spectral bands at reduced
+#: precision, then refinement passes walking Al back to 0 one bit per
+#: scan (T.81 requires Ah == Al+1 in every refinement scan).
+_PROGRESSIVE_SCRIPT: list[tuple[int, int, int, int]] = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (0, 0, 1, 0),
+    (1, 63, 2, 1),
+    (1, 63, 1, 0),
+]
+
+
+def _encode_progressive_scan(
+    qz: np.ndarray, ss: int, se: int, ah: int, al: int
+) -> bytes:
+    """Entropy-code one progressive scan over the quantized zigzag
+    coefficients ``qz[nblk, 64]`` (single component, so every scan walks
+    all blocks in raster order)."""
+    bw = _BitWriter()
+    nblk = qz.shape[0]
+    if ss == 0:  # DC scan (Se must be 0; DC and AC never share a scan)
+        if ah == 0:
+            prev = 0
+            for b in range(nblk):
+                v = int(qz[b, 0]) >> al  # point transform: arithmetic shift
+                diff = v - prev
+                prev = v
+                size = _bit_size(abs(diff))
+                code, length = _DC_CODES[size]
+                bw.write(code, length)
+                if size:
+                    amp = diff if diff > 0 else diff + (1 << size) - 1
+                    bw.write(amp, size)
+        else:
+            for b in range(nblk):
+                bw.write((int(qz[b, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    eobrun = 0
+    pending_bits: list[int] = []  # corrections buffered across an EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending_bits
+        if not eobrun:
+            return
+        nbits = eobrun.bit_length() - 1
+        code, length = _AC_PROG_CODES[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(eobrun - (1 << nbits), nbits)
+        for bit in pending_bits:
+            bw.write(bit, 1)
+        pending_bits = []
+        eobrun = 0
+
+    if ah == 0:  # first pass over this spectral band
+        for b in range(nblk):
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(qz[b, k])
+                t = abs(v) >> al  # AC point transform: magnitude shift
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    code, length = _AC_PROG_CODES[0xF0]
+                    bw.write(code, length)
+                    r -= 16
+                size = _bit_size(t)
+                code, length = _AC_PROG_CODES[(r << 4) | size]
+                bw.write(code, length)
+                amp = t if v > 0 else (1 << size) - 1 - t
+                bw.write(amp, size)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    # refinement pass: one correction bit per already-nonzero coefficient,
+    # (run, 1) + sign for the newly significant ones (T.81 G.1.2.3 /
+    # libjpeg encode_mcu_AC_refine structure). Two alignment rules carried
+    # over from libjpeg: the ZRL flush must fire on reaching ANY nonzero-t
+    # coefficient with r > 15 — including a correction-only one — so the
+    # buffered bits stay paired with the symbol whose advance loop the
+    # decoder reads them in; and ZRLs are only emitted while another
+    # newly-significant coefficient still follows (k <= eob_idx),
+    # because a trailing run folds into the EOB whose correction bits the
+    # decoder drains to the end of the band.
+    for b in range(nblk):
+        tvals = [abs(int(qz[b, k])) >> al for k in range(ss, se + 1)]
+        eob_idx = ss - 1  # band index of the LAST newly-significant coef
+        for k in range(ss, se + 1):
+            if tvals[k - ss] == 1:
+                eob_idx = k
+        r = 0
+        br_bits: list[int] = []  # corrections owed within this block
+        for k in range(ss, se + 1):
+            t = tvals[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_idx:
+                flush_eob()
+                code, length = _AC_PROG_CODES[0xF0]
+                bw.write(code, length)
+                r -= 16
+                for bit in br_bits:
+                    bw.write(bit, 1)
+                br_bits = []
+            if t > 1:  # history-nonzero: emit its next magnitude bit
+                br_bits.append(t & 1)
+                continue
+            # newly significant at this precision (t == 1 by construction)
+            flush_eob()
+            code, length = _AC_PROG_CODES[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if int(qz[b, k]) > 0 else 0, 1)
+            r = 0
+            for bit in br_bits:
+                bw.write(bit, 1)
+            br_bits = []
+        if r or br_bits:
+            eobrun += 1
+            pending_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return bw.flush()
+
+
+def encode_jpeg_gray_progressive(
+    img: np.ndarray | list,
+    qtable: np.ndarray = DEFAULT_QTABLE,
+    script: list[tuple[int, int, int, int]] | None = None,
+) -> bytes:
+    """Encode an 8-bit grayscale image as a PROGRESSIVE (SOF2) JPEG with
+    successive approximation. Quantized coefficients are identical to the
+    baseline encoder's, so ``decode_jpeg_gray`` of this stream must equal
+    ``reconstruct_gray(img, qtable)`` exactly — the same bit-exactness pin
+    the baseline pair carries."""
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape
+    coefs, by, bx = _dct_blocks(img)
+    q = np.asarray(qtable, dtype=np.float64)
+    nblk = by * bx
+    qz = np.zeros((nblk, 64), dtype=np.int64)
+    for b in range(nblk):
+        y, x = divmod(b, bx)
+        blk = _quantize(coefs[y, x], q).astype(np.int64)
+        qz[b] = [int(blk[r, c]) for r, c in _ZIGZAG]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    stream = (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + zz_q)
+        + seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF2
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+    )
+    for ss, se, ah, al in script or _PROGRESSIVE_SCRIPT:
+        stream += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        stream += _encode_progressive_scan(qz, ss, se, ah, al)
+    return stream + b"\xff\xd9"  # EOI
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -281,18 +480,183 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
-    """Decode a baseline sequential GRAYSCALE JPEG (tables and dimensions
-    are read from the stream; 8- and 16-bit quantization tables and marker
-    fill bytes are handled). Returns the pixel array (uint8, h×w), or None
-    for input that is malformed OR uses a valid-but-unsupported feature —
-    progressive scans, multi-component images, and restart intervals
-    (DRI/RSTn) all return None explicitly rather than mis-decode, and the
-    caller degrades to the histogram stub: at 100 TB a payload this tier
-    cannot decode must not kill the stage or ship wrong pixels."""
+    """Decode a GRAYSCALE JPEG — baseline sequential (SOF0) or progressive
+    with successive approximation (SOF2). Tables, dimensions, and the scan
+    script are read from the stream; 8- and 16-bit quantization tables and
+    marker fill bytes are handled. Returns the pixel array (uint8, h×w),
+    or None for input that is malformed OR uses a valid-but-unsupported
+    feature — multi-component images and restart intervals (DRI/RSTn)
+    return None explicitly rather than mis-decode, and the caller degrades
+    to the histogram stub: at 100 TB a payload this tier cannot decode
+    must not kill the stage or ship wrong pixels."""
     try:
         return _decode_jpeg_gray(payload)
     except Exception:
         return None
+
+
+def _entropy_end(payload: bytes, i: int) -> int:
+    """First byte position of the marker terminating the entropy-coded
+    segment starting at ``i`` (0xFF 0x00 is byte stuffing, any other
+    0xFF-successor ends the segment; 0xFF fill runs before the marker
+    still start at the first 0xFF)."""
+    n = len(payload)
+    j = i
+    while j + 1 < n:
+        if payload[j] != 0xFF:
+            j += 1
+        elif payload[j + 1] == 0x00:
+            j += 2
+        else:
+            return j
+    return n
+
+
+def _decode_baseline_scan(
+    data: bytes,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    nblk: int,
+) -> np.ndarray:
+    """Sequential scan: per block, DC differential then run-length AC —
+    returns coefficients in zigzag order, ``[nblk, 64]``."""
+    br = _BitReader(data)
+    coef = np.zeros((nblk, 64), dtype=np.int64)
+    prev_dc = 0
+    for b in range(nblk):
+        size = _read_symbol(br, dc_tab)
+        diff = _extend(br.read_bits(size), size) if size else 0
+        prev_dc += diff
+        coef[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _read_symbol(br, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0x0F
+            if k > 63:
+                raise ValueError("AC coefficient index overruns the block")
+            coef[b, k] = _extend(br.read_bits(size), size)
+            k += 1
+    return coef
+
+
+def _apply_progressive_scan(
+    coef: np.ndarray,
+    data: bytes,
+    dc_tab: dict[tuple[int, int], int] | None,
+    ac_tab: dict[tuple[int, int], int] | None,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Accumulate one progressive scan into ``coef[nblk, 64]`` (zigzag).
+    Single component, so every scan is non-interleaved and walks all
+    blocks in raster order. T.81 G.2 semantics: DC first pass codes
+    ``value >> Al`` differentially, DC refinement one bit per block; AC
+    first pass codes the band at reduced precision with cross-block EOB
+    runs, AC refinement interleaves newly-significant (run,1)+sign codes
+    with one correction bit per already-nonzero coefficient."""
+    br = _BitReader(data)
+    nblk = coef.shape[0]
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            if dc_tab is None:
+                raise ValueError("DC scan references an undefined DC table")
+            prev = 0
+            for b in range(nblk):
+                size = _read_symbol(br, dc_tab)
+                diff = _extend(br.read_bits(size), size) if size else 0
+                prev += diff
+                coef[b, 0] = prev << al
+        else:
+            for b in range(nblk):
+                if br.read_bit():
+                    coef[b, 0] |= 1 << al
+        return
+
+    if ac_tab is None:
+        raise ValueError("AC scan references an undefined AC table")
+    if ah == 0:  # first pass over this spectral band
+        eobrun = 0
+        for b in range(nblk):
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _read_symbol(br, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1  # EOBn: this block is included
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient index overruns the band")
+                coef[b, k] = _extend(br.read_bits(s), s) << al
+                k += 1
+        return
+
+    # refinement pass (Ah = Al+1): libjpeg decode_mcu_AC_refine structure.
+    # Entering the scan every nonzero coefficient is a multiple of
+    # 2^(Al+1), so `c & p1` reads the pending magnitude bit correctly for
+    # negative values too (two's complement matches |c| below the lowest
+    # set bit).
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    for b in range(nblk):
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _read_symbol(br, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r  # includes this block's tail
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # ZRL: 16 zero-history slots, correcting nonzeros passed
+                else:
+                    if s != 1:
+                        raise ValueError("refinement magnitude must be 1")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    c = int(coef[b, k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            coef[b, k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("newly-significant index overruns band")
+                    coef[b, k] = val
+                k += 1
+        if eobrun:
+            while k <= se:  # correction bits for the rest of the band
+                c = int(coef[b, k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        coef[b, k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
 
 
 def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
@@ -302,9 +666,11 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     h = w = None
-    dc_id = ac_id = 0
+    sof_marker = None
     comp_tq = 0
-    entropy = None
+    # each scan snapshots its table lookups at parse position, since DHT
+    # segments may legally redefine tables between scans
+    scans: list[tuple] = []  # (dc_tab, ac_tab, ss, se, ah, al, data)
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             return None
@@ -333,7 +699,8 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
                     q[r, c] = zz[k]
                 qtables[tq] = q
                 j += 129 if pq == 1 else 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            sof_marker = marker
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
                 return None  # grayscale tier only
@@ -341,61 +708,64 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
             # quantization-table selector instead of assuming table 0
             comp_tq = body[8]
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # non-baseline SOF (progressive etc.) — degrade
+            return None  # other SOFs (extended/arithmetic/lossless) — degrade
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             j = 0
             while j < len(body):
                 tc_th, inv = _decode_table(body[j:])
                 htables[tc_th] = inv
                 j += 17 + sum(body[j + 1 : j + 17])
-        elif marker == 0xDA:  # SOS: entropy data follows until EOI
-            dc_id = body[2] >> 4
-            ac_id = 0x10 | (body[2] & 0x0F)
+        elif marker == 0xDA:  # SOS: entropy data runs to the next marker
+            if body[0] != 1:
+                return None  # one component per scan in the grayscale tier
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0x0F
             i += 2 + seg_len
-            end = payload.rfind(b"\xff\xd9")
-            entropy = payload[i : end if end > i else len(payload)]
-            break
-        i += 2 + seg_len
-    if entropy is None or h is None:
-        return None
-    dc_tab, ac_tab = htables.get(dc_id), htables.get(ac_id)
-    q = qtables.get(comp_tq)
-    if dc_tab is None or ac_tab is None or q is None:
-        return None
-    # un-stuff 0xFF 0x00 -> 0xFF
-    data = entropy.replace(b"\xff\x00", b"\xff")
-    br = _BitReader(data)
-    by, bx = -(-h // 8), -(-w // 8)
-    out = np.zeros((by * 8, bx * 8))
-    prev_dc = 0
-    for y in range(by):
-        for x in range(bx):
-            zz = [0] * 64
-            size = _read_symbol(br, dc_tab)
-            diff = _extend(br.read_bits(size), size) if size else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0x0F
-                if k > 63:
-                    return None
-                zz[k] = _extend(br.read_bits(size), size)
-                k += 1
-            blk = np.zeros((8, 8))
-            for j, (r, c) in enumerate(_ZIGZAG):
-                blk[r, c] = zz[j] * q[r, c]
-            # IDCT: C.T @ D @ C, then level unshift
-            out[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
-                _DCT_C.T @ blk @ _DCT_C + 128.0
+            end = _entropy_end(payload, i)
+            scans.append(
+                (
+                    htables.get(dc_id),
+                    htables.get(0x10 | ac_id),
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    payload[i:end],
+                )
             )
+            i = end
+            continue
+        i += 2 + seg_len
+    q = qtables.get(comp_tq)
+    if h is None or sof_marker is None or not scans or q is None:
+        return None
+    by, bx = -(-h // 8), -(-w // 8)
+    nblk = by * bx
+    if sof_marker == 0xC0:
+        if len(scans) != 1:
+            return None
+        dc_tab, ac_tab, ss, se, ah, al, data = scans[0]
+        if (ss, se, ah, al) != (0, 63, 0, 0) or dc_tab is None or ac_tab is None:
+            return None
+        coef = _decode_baseline_scan(
+            data.replace(b"\xff\x00", b"\xff"), dc_tab, ac_tab, nblk
+        )
+    else:
+        coef = np.zeros((nblk, 64), dtype=np.int64)
+        for dc_tab, ac_tab, ss, se, ah, al, data in scans:
+            _apply_progressive_scan(
+                coef, data.replace(b"\xff\x00", b"\xff"), dc_tab, ac_tab, ss, se, ah, al
+            )
+    # dequantize + IDCT per block (the `@` products keep float op order
+    # identical to reconstruct_gray, preserving the bit-exactness pin)
+    out = np.zeros((by * 8, bx * 8))
+    for b in range(nblk):
+        blk = np.zeros((8, 8))
+        for j, (r, c) in enumerate(_ZIGZAG):
+            blk[r, c] = coef[b, j] * q[r, c]
+        y, x = divmod(b, bx)
+        out[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = _DCT_C.T @ blk @ _DCT_C + 128.0
     return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
 
 

@@ -188,6 +188,89 @@ def test_component_tq_selector_honored():
     assert decode_jpeg_gray(missing) is None
 
 
-def test_progressive_sof_degrades_to_none():
+def test_baseline_scan_mislabelled_progressive_degrades_to_none():
+    """A baseline stream whose SOF marker is flipped to SOF2 is internally
+    inconsistent (a progressive stream never carries a DC+AC 0..63 scan):
+    it must degrade to None, not decode under either interpretation."""
     base = jpeg_gray_bytes(16, 12, 7)
     assert decode_jpeg_gray(base.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+
+
+@pytest.mark.parametrize(
+    "w,h", [(8, 8), (16, 8), (11, 7), (64, 48), (33, 29), (1, 1), (40, 8)]
+)
+def test_progressive_roundtrip_exact(w, h):
+    """Progressive (SOF2, successive approximation) streams must decode to
+    EXACTLY the same pixels as the baseline pair: both encoders quantize
+    identically, so reconstruct_gray is the shared truth."""
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.RandomState(w * 100 + h)
+    img = rng.randint(0, 256, size=(h, w))
+    dec = decode_jpeg_gray(encode_jpeg_gray_progressive(img))
+    assert dec is not None
+    assert np.array_equal(dec, reconstruct_gray(img))
+    # and agrees with the baseline decode of the same image
+    assert np.array_equal(dec, decode_jpeg_gray(encode_jpeg_gray(img)))
+
+
+def test_progressive_scan_script_variants():
+    """Spectral-selection-only scripts and deeper approximation ladders
+    (Al starting at 3) both land on the same reconstruction; fine
+    quantization (q=1) exercises the correction-bit-heavy refinement path
+    including the ZRL-with-buffered-bits alignment rule."""
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.RandomState(17)
+    fine = np.full((8, 8), 1, dtype=np.int32)
+    ss_only = [(0, 0, 0, 0), (1, 10, 0, 0), (11, 63, 0, 0)]
+    deep = [
+        (0, 0, 0, 3), (1, 63, 0, 3), (0, 0, 3, 2), (0, 0, 2, 1),
+        (0, 0, 1, 0), (1, 63, 3, 2), (1, 63, 2, 1), (1, 63, 1, 0),
+    ]
+    for script in (ss_only, deep, None):
+        for qt in (None, fine):
+            img = rng.randint(0, 256, size=(29, 37))
+            kwargs = {}
+            if script is not None:
+                kwargs["script"] = script
+            if qt is not None:
+                kwargs["qtable"] = qt
+            dec = decode_jpeg_gray(encode_jpeg_gray_progressive(img, **kwargs))
+            want = reconstruct_gray(img, qtable=qt) if qt is not None else reconstruct_gray(img)
+            assert np.array_equal(dec, want), (script is None, qt is None)
+
+
+def test_progressive_eob_run_spans_blocks():
+    """A large flat image compresses to cross-block EOB runs (EOBn symbols
+    with run bits); a flat image with isolated spikes adds sparse
+    significants inside the runs. Both must stay bit-exact."""
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_gray_progressive
+
+    flat = np.full((128, 128), 200)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_gray_progressive(flat)), reconstruct_gray(flat)
+    )
+    rng = np.random.RandomState(5)
+    spiky = np.full((96, 96), 128)
+    for _ in range(5):
+        spiky[rng.randint(96), rng.randint(96)] = rng.randint(256)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_gray_progressive(spiky)), reconstruct_gray(spiky)
+    )
+
+
+def test_progressive_malformed_degrades_to_none():
+    """Truncated or corrupted progressive streams return None, never raise
+    — the same 100 TB degrade contract as baseline."""
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.RandomState(2)
+    full = encode_jpeg_gray_progressive(rng.randint(0, 256, size=(32, 32)))
+    px = decode_jpeg_gray(full)
+    assert px is not None
+    for cut in (20, len(full) // 4, len(full) // 2, len(full) - 5):
+        decode_jpeg_gray(full[:cut])  # must not raise
+    # progressive streams with nonzero DRI still degrade (RSTn unsupported)
+    with_dri = full[:2] + b"\xff\xdd\x00\x04\x00\x04" + full[2:]
+    assert decode_jpeg_gray(with_dri) is None

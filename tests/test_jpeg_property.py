@@ -20,6 +20,7 @@ from dynamic_spark_spark.llmops.jpeg import (
     DEFAULT_QTABLE,
     decode_jpeg_gray,
     encode_jpeg_gray,
+    encode_jpeg_gray_progressive,
     reconstruct_gray,
 )
 
@@ -57,6 +58,28 @@ def test_any_uniform_qtable_round_trips(img, qval):
     q = np.full((8, 8), qval, dtype=np.int32)
     dec = decode_jpeg_gray(encode_jpeg_gray(img, qtable=q))
     assert np.array_equal(dec, reconstruct_gray(img, qtable=q))
+
+
+@settings(max_examples=40, deadline=None)
+@given(images(), st.integers(min_value=1, max_value=32))
+def test_progressive_mirrors_reconstruction(img, qval):
+    """The progressive stream form (SOF2 successive approximation) must
+    land on the identical reconstruction for every image and quantization
+    step — small q values force the correction-bit-heavy refinement path,
+    large ones the EOB-run path."""
+    q = np.full((8, 8), qval, dtype=np.int32)
+    dec = decode_jpeg_gray(encode_jpeg_gray_progressive(img, qtable=q))
+    assert dec is not None and dec.shape == img.shape
+    assert np.array_equal(dec, reconstruct_gray(img, qtable=q))
+
+
+@settings(max_examples=25, deadline=None)
+@given(images())
+def test_progressive_truncations_never_raise(img):
+    payload = encode_jpeg_gray_progressive(img)
+    for cut in range(0, len(payload), max(1, len(payload) // 16)):
+        out = decode_jpeg_gray(payload[:cut])
+        assert out is None or isinstance(out, np.ndarray)
 
 
 @settings(max_examples=40, deadline=None)
