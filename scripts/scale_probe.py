@@ -60,14 +60,27 @@ def main() -> None:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
+    # Write the staged fact tables across many files. The source tables are
+    # single-partition parquet and crossJoin with a broadcast range preserves
+    # that, so without an explicit repartition the staged table lands as ONE
+    # file with one row group — unsplittable, so every scan-side projection
+    # (the whole pipeline for the no-shuffle text tier) runs on ONE core and
+    # the probe measures serialization, not the plan (observed r6: recurring
+    # (12+1)/13 straggler stages, load avg 1.6 on 32 cores). A real 100-TB
+    # corpus is tens of thousands of splits; many files is the honest layout.
+    n_files = max(32, min(256, replicas))
     for name, keys in keyed.items():
-        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        # repartition the (single-file) base first so the ×replicas expansion
+        # itself runs 32-way instead of on one core
+        base = spark.read.parquet(f"{SRC}/{name}.parquet").repartition(32)
         scaled = base.crossJoin(
             spark.range(replicas).select(F.col("id").alias("__rep"))
         )
         for k in keys:
             scaled = scaled.withColumn(k, F.col(k) + F.col("__rep") * SHIFT)
-        scaled.drop("__rep").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        scaled.drop("__rep").repartition(n_files).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
 
     # warm scan, then steady-state timings
     warm_table = "lineitem" if "lineitem" in keyed else "documents"
