@@ -159,9 +159,27 @@ def curriculum_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-source budget; a document is kept iff it *starts* inside the
     budget, mirroring ``pack_token_budget``'s chunk rule. This is the
     "spend the token budget on the highest-quality slice of each domain"
-    selection step of data curation. One window shuffle partitioned by
-    source; at 100 TB the partition key widens to (source, shard) with
-    per-shard budgets, same plan shape."""
+    selection step of data curation.
+
+    Plan: ``source`` is a bounded-cardinality partition key, so a single
+    full window degrades to |sources|-way parallelism and an
+    every-row-per-source sort — the round-6 1000× probe measured exactly
+    that (18.3× for the last 10× of rows). Instead, positive-token docs
+    are rank-pruned first: a doc with ``row_number > CURRICULUM_BUDGET``
+    has ≥ BUDGET positive-token predecessors, hence ≥ BUDGET preceding
+    tokens, hence can never start inside the budget — and a literal
+    rank-≤-N filter is rewritten by Spark into WindowGroupLimit, a
+    map-side per-partition top-N before the one (now small) window
+    shuffle. The running sum then touches ≤ BUDGET rows per source.
+    Zero-token docs (they consume no budget, so the full-window semantics
+    keep them at ANY rank while the budget lasts) resolve against the
+    kept-positive boundary table — ≤ BUDGET rows per source by
+    construction, broadcastable at any corpus size: a zero-token doc is
+    kept iff no kept positive doc sorting before it has already crossed
+    the budget, and its cum_tok equals the last preceding kept-positive
+    cum_tok (every positive predecessor of a kept zero-token doc is
+    itself kept, so the boundary table is sufficient — the first positive
+    doc to reach cum ≥ BUDGET always starts inside the budget)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
     scored = d.select(
@@ -176,17 +194,52 @@ def curriculum_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.col("n_uniq") * 1000000 / F.greatest(F.col("n_tok"), F.lit(1))
         ).cast("long").alias("score"),
+    ).persist()  # 4 narrow columns; 3 consumers (pos, zero, boundary
+    # broadcast) would each re-run the dominant tokenize+distinct scoring
+    pos = scored.where(F.col("n_tok") >= 1)
+    zero = scored.where(F.col("n_tok") == 0)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), "doc_id"
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pos_kept = (
+        pos.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= CURRICULUM_BUDGET)
+        .withColumn("cum_tok", F.sum("n_tok").over(w_cum))
         .where(F.col("cum_tok") - F.col("n_tok") < CURRICULUM_BUDGET)
         .select("doc_id", "source", "score", "n_tok", "cum_tok")
     )
+    boundary = pos_kept.select(
+        F.col("source").alias("b_source"),
+        F.col("score").alias("b_score"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("cum_tok").alias("b_cum"),
+    )
+    sorts_before = (F.col("b_score") > F.col("score")) | (
+        (F.col("b_score") == F.col("score"))
+        & (F.col("b_doc") < F.col("doc_id"))
+    )
+    zero_kept = (
+        zero.join(
+            F.broadcast(boundary),
+            (F.col("b_source") == F.col("source")) & sorts_before,
+            "left",
+        )
+        .groupBy("doc_id", "source", "score", "n_tok")
+        .agg(F.max("b_cum").alias("pre_cum"))
+        .where(
+            F.col("pre_cum").isNull()
+            | (F.col("pre_cum") < CURRICULUM_BUDGET)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            "n_tok",
+            F.coalesce("pre_cum", F.lit(0)).cast("long").alias("cum_tok"),
+        )
+    )
+    return pos_kept.unionByName(zero_kept)
 
 
 # ---------------------------------------------------------------------------
@@ -224,10 +277,19 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams that it INTRODUCES to the corpus (doc_id order as ingestion
     order) — the data-valuation signal behind "does this source add
     anything new" pruning decisions: near-zero novelty marks templated or
-    duplicated feeds long before a full dedup pass runs. Plan: the same
-    higher-order-array gram generation as ``text_decontaminate``, one
-    (gram → min doc_id) reduce, one broadcast-free equi-join back on the
-    gram key; everything after the first shuffle is gram-table-sized."""
+    duplicated feeds long before a full dedup pass runs.
+
+    Plan: within-document gram dedup is ``array_distinct`` on the gram
+    array (map-side, replacing a corpus-gram-sized ``distinct()`` shuffle),
+    ``n_grams`` is the array size (free in the same projection), so the
+    exploded gram table crosses the wire exactly once — the (gram → min
+    doc_id) reduce with map-side partial min. ``n_novel`` comes from
+    re-grouping that gram-count-sized result by its winning doc, and the
+    only join left is doc-level (doc ids × small novel-count table, AQE
+    broadcasts it). The round-6 1000× probe caught the previous shape —
+    distinct + join-back + final group all on the full gram table — going
+    super-linear (15.6× for the last 10× of rows) from triple-shuffling
+    ~500M grams; this shape shuffles them once."""
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
     idx = F.when(
@@ -237,28 +299,37 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_arr = F.transform(
         idx, lambda i: F.array_join(F.slice("words", i, NGRAM), " ")
     )
-    per_doc_gram = (
+    # persist: gram generation (regex split + gram-string build + distinct)
+    # dominates this key's cost, and both consumers below would re-run it —
+    # the old shape's distinct() exchange doubled as a materialization, so
+    # dropping the shuffle without persisting would double the CPU instead
+    doc_grams = (
         d.select("doc_id", words.alias("words"))
-        .select("doc_id", F.explode(gram_arr).alias("gram"))
-        .distinct()
+        .select("doc_id", F.array_distinct(gram_arr).alias("grams"))
+        .where(F.size("grams") > 0)
+    ).persist()
+    doc_level = doc_grams.select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams")
     )
-    first_seen = per_doc_gram.groupBy("gram").agg(
-        F.min("doc_id").alias("first_doc")
+    first_seen = (
+        doc_grams.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
     )
+    novel = first_seen.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_novel_raw")
+    )
+    n_novel = F.coalesce(F.col("n_novel_raw"), F.lit(0)).cast("long")
     return (
-        per_doc_gram.join(first_seen, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
-                "n_novel"
-            ),
+        doc_level.join(
+            novel, doc_level["doc_id"] == novel["first_doc"], "left"
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            n_novel.alias("n_novel"),
             F.round(
-                F.count(
-                    F.when(F.col("first_doc") == F.col("doc_id"), 1)
-                ).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                n_novel.cast("double") / F.col("n_grams"), 6
             ).alias("novelty_rate"),
         )
     )

@@ -139,23 +139,34 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed query (k1=1.2, b=0.75): top-20
     documents with per-document matched-term counts.
 
-    Scale shape: the corpus-sized token stream is filtered to the query's
-    terms BEFORE any aggregation — the (doc, term) shuffle carries only
-    matching tokens, i.e. it scales with the posting lists of the query
-    terms, not the corpus. Document length and avgdl come from one separate
-    count aggregation whose scalar result is broadcast. The final top-20 is
-    a single-partition window over the already-reduced per-doc score table
+    Scale shape: nothing corpus-sized ever crosses the wire. Document
+    length is the token ARRAY length (map-side `size`, no explode — the
+    round-6 1000× probe caught the exploded-dl shape at 14.0× for the last
+    10× of rows: two full 500M-token explodes plus a corpus-wide groupBy),
+    and the term-frequency explode happens AFTER an array-level filter to
+    the query's terms, so the exploded stream scales with the posting
+    lists of the query terms, not the corpus. avgdl/n_docs is one scalar
+    aggregation whose result is broadcast. The final top-20 is a
+    single-partition window over the already-reduced per-doc score table
     — at cluster scale that table is |matching docs| rows, and a two-level
     top-k (per-partition limit then merge) is what AQE's WindowGroupLimit
     emits for exactly this rank-filter shape."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_words()).alias("tok"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    words = _words()
+    # oracle's dl CTE counts tokens per doc FROM the exploded stream, which
+    # drops zero-token docs — mirror that with the >= 1 filter
+    dl = d.select(
+        "doc_id", F.size(words).cast("long").alias("dl")
+    ).where(F.col("dl") >= 1).persist()  # two narrow columns; consumed by
+    # both stats and the score join — unpersisted it re-tokenizes the corpus
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
+    matching = F.filter(
+        words, lambda t: t.isin(*BM25_QUERY_TERMS)
+    )
     tf = (
-        tok.where(F.col("tok").isin(BM25_QUERY_TERMS))
+        d.select("doc_id", F.explode(matching).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -15,6 +15,7 @@ dedup/ANN/curation paths stay cheap to stage.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -87,9 +88,19 @@ def main() -> None:
     spark.read.parquet(f"{out}/{warm_table}.parquet").groupBy(F.lit(1)).count().write.mode(
         "overwrite"
     ).format("noop").save()
+    # SPARK_GRAFT_PROBE_COLD=1 clears the DataFrame cache between the warmup
+    # and the timed run: queries that persist() an intermediate (dedup_minhash,
+    # text_novelty, curriculum_quality_budget, text_bm25_search) otherwise
+    # serve the timed run from the warmup's cache, which measures steady-state
+    # re-query cost rather than a first-pass over new data. Both are real
+    # costs at 100 TB — default (warm) matches every prior wave's methodology;
+    # cold is the honest first-pass number.
+    cold = os.environ.get("SPARK_GRAFT_PROBE_COLD") == "1"
     timings: dict[str, float] = {}
     for name in probe_queries:
         queries[name](spark, out).write.mode("overwrite").format("noop").save()
+        if cold:
+            spark.catalog.clearCache()
         # timer wraps construction + materialization: iterative operators
         # (e.g. dedup_clusters) run driver-coordinated actions during
         # construction, which a save-only timer would miss

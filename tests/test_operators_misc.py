@@ -652,3 +652,48 @@ def test_bpe_segment_respects_token_boundaries():
     assert bpe_segment("ttthhh") == ["t", "t", "th", "h", "h"]  # leftmost, non-overlapping
     assert bpe_segment("AND-er!") == ["and", "er"]  # lowercase + strip non-alpha
     assert bpe_segment("") == []
+
+
+def test_curriculum_budget_zero_token_docs(spark, tmp_path):
+    """The WindowGroupLimit rewrite of curriculum_quality_budget splits
+    positive- and zero-token documents (rank-pruning is only provably safe
+    for docs that consume budget); this pins the zero-token branch the
+    parquet fixtures never exercise, differentially against DuckDB running
+    the registered oracle on the same synthetic table. Covers: zero docs
+    after budget exhaustion (excluded), zero docs in an unexhausted source
+    (kept, cum_tok = preceding positive total), and an all-zero source
+    (kept with cum_tok 0)."""
+    import duckdb
+
+    from dynamic_spark_spark.llmops.curation import (
+        _CURRICULUM_ORACLE,
+        curriculum_quality_budget,
+    )
+    from tests.oracle_harness import compare
+
+    rows = []
+    # source A: five 300-token docs exhaust the 700 budget at doc 3;
+    # zero-token docs (score 0) sort last -> all excluded
+    for i in range(5):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(300)), "en", "A", 0))
+    rows += [(5, "", "en", "A", 0), (6, "  !!  ", "en", "A", 0)]
+    # source B: one 100-token doc, budget never exhausted -> zero docs kept
+    rows.append((10, " ".join(f"b{j}" for j in range(100)), "en", "B", 0))
+    rows += [(11, "", "en", "B", 0), (12, "...", "en", "B", 0)]
+    # source C: only zero-token docs -> all kept with cum_tok 0
+    rows += [(20, "", "en", "C", 0), (21, "!?", "en", "C", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = curriculum_quality_budget(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    compare("curriculum_zero_token", got, con.execute(_CURRICULUM_ORACLE).df())
+    kept = {r["doc_id"]: r for r in got.collect()}
+    assert 5 not in kept and 6 not in kept  # zero docs after exhaustion
+    assert kept[11]["cum_tok"] == 100 and kept[12]["cum_tok"] == 100
+    assert kept[20]["cum_tok"] == 0 and kept[21]["cum_tok"] == 0
