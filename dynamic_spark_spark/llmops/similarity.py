@@ -487,6 +487,16 @@ FROM embeddings a JOIN embeddings b
 WHERE {_o_cosine('a.embedding', 'b.embedding')} >= 0.40
 """
 
+#: Hard input cap for the blocked all-pairs parity key. The label-blocked
+#: join is quadratic in block size BY CONTRACT (all pairs within a block,
+#: exact fold per pair so DuckDB can express it) — the round-6 100× probe
+#: measured it: 0.64 s at 1×, 6.7 s at 10×, killed after >26 min at 100×
+#: (duplicate staging grows each label block 100×, pairs 10,000×; thread
+#: dumps show every core inside the interpreted ZipWith/ArrayAggregate fold
+#: under the join's bound condition). The scale path is sim_join_lsh
+#: (bucket-capped); this key exists to prove it against an exact oracle.
+DEDUP_EMB_MAX_VECS = 10_000
+
 
 @query("dedup_embedding", _DEDUP_EMB_ORACLE, tag="llm-dedup")
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,10 +505,21 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production unblocked path is ``sim_join_lsh``). The 0.40 threshold is
     calibrated to the synthetic corpus (max within-label cosine ≈ 0.47, so a
     "near-dup" here is the top ~0.04% of pairs) — a 0.99 threshold would be
-    vacuously empty on this data and prove nothing."""
+    vacuously empty on this data and prove nothing. Inputs above
+    ``DEDUP_EMB_MAX_VECS`` are refused outright (see the constant's note for
+    the measured 100× blowup that motivates the cap)."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", _norm(F.col("embedding"))
     )
+    # limit(cap+1).count() bounds the guard's own cost: it stops as soon as
+    # cap+1 rows are seen instead of scanning the full table.
+    if e.select("vec_id").limit(DEDUP_EMB_MAX_VECS + 1).count() > DEDUP_EMB_MAX_VECS:
+        raise ValueError(
+            f"dedup_embedding is a small-scale oracle-parity key capped at "
+            f"{DEDUP_EMB_MAX_VECS} vectors: its label-blocked all-pairs join "
+            f"is quadratic in block size (measured >26 min at 100x, "
+            f"SCALE.md). Use sim_join_lsh (bucket-capped) at scale."
+        )
     # norms precomputed per SIDE before the pair fan-out: bit-identical to
     # the per-pair form (same sequential fold over the same doubles), one
     # array fold per candidate instead of three (sim_topk's device)

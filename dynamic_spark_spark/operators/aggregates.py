@@ -554,27 +554,43 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_percentile_approx``) when the report must be reproducible to the
     bit: a rank-selected value is read from storage, so any engine returns
     the identical number, while interpolated percentiles differ by an ulp
-    across engines and approx sketches by design. Cost is one per-group
-    sort (the window), the price ``agg_winsorize`` documents; the sketch
-    tier is the 100 TB default, this is the audited-report path."""
+    across engines and approx sketches by design.
+
+    Plan: aggregate-then-rank. The value at rank ``ceil(p·n)`` in the
+    sorted multiset is the smallest value whose cumulative count reaches
+    the rank, so the per-group sort only needs the (group, value) COUNT
+    table, not the rows — duplicates collapse in the map-side partial agg
+    and the window's input is bounded by the value domain (price cents),
+    not the row count. The previous shape windowed the full fact table by
+    ``l_returnflag`` — a 3-value partition key, so 3-way parallelism and a
+    20M-row sort per partition at the 100× probe (5.3 → 75.9 s, 14.2× for
+    10× rows); this shape is 3 small exchanges past the one real shuffle."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = counts.select(
         "l_returnflag",
         "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
     )
+    # smallest value whose cumulative count reaches rank ceil(p·n) ==
+    # the element at that rank in the sorted multiset (type-1 quantile)
     return ranked.groupBy("l_returnflag").agg(
         *[
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rn") == F.ceil(F.col("n") * (p / 100.0)).cast("long"),
+                    F.col("cum")
+                    >= F.ceil(F.col("n") * (p / 100.0)).cast("long"),
                     F.col("l_extendedprice"),
                 )
             ).alias(f"p{p}")

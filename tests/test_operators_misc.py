@@ -697,3 +697,25 @@ def test_curriculum_budget_zero_token_docs(spark, tmp_path):
     assert 5 not in kept and 6 not in kept  # zero docs after exhaustion
     assert kept[11]["cum_tok"] == 100 and kept[12]["cum_tok"] == 100
     assert kept[20]["cum_tok"] == 0 and kept[21]["cum_tok"] == 0
+
+
+def test_dedup_embedding_cap_engages(spark, tmp_path):
+    """dedup_embedding must refuse inputs above DEDUP_EMB_MAX_VECS: its
+    label-blocked all-pairs join is quadratic in block size by contract
+    (measured >26 min at 100x duplicate staging, SCALE.md), so the
+    oracle-parity key carries a hard input cap like dedup_minhash_ml."""
+    import pytest
+
+    from dynamic_spark_spark.llmops.similarity import (
+        DEDUP_EMB_MAX_VECS,
+        dedup_embedding,
+    )
+
+    big = spark.range(DEDUP_EMB_MAX_VECS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    big.write.parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="capped at"):
+        dedup_embedding(spark, str(tmp_path))
