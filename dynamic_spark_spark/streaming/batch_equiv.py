@@ -119,11 +119,23 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events table arrives as a bounded file stream (availableNow), per-key
     running totals accumulate in engine-managed state, and the final update
     per key is returned. Proves the general stateful operator end-to-end —
-    the strongest analog of the reference's per-micro-batch compute stage."""
+    the strongest analog of the reference's per-micro-batch compute stage.
+
+    Scale shape: ``event_type`` is a bounded key domain, so the stateful
+    operator alone caps parallelism at |keys| — the round-6 100× probe
+    measured the uncombined form at 29.6 s (15.4× per decade) with 10M rows
+    funneled through a handful of Python tasks. A stateless ``mapInPandas``
+    partial-reduce (the classic combiner) now runs first at full scan
+    parallelism, so the stateful merge consumes (partitions × keys) partial
+    rows instead of the event stream; the engine-managed state and its
+    final totals are unchanged."""
     import shutil
     import tempfile
 
-    from dynamic_spark_spark.streaming.core import file_stream, stateful_running_totals
+    from dynamic_spark_spark.streaming.core import (
+        file_stream,
+        stateful_total_merge,
+    )
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     # The query drains fully (availableNow) into the in-memory sink before we
@@ -136,7 +148,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev.write.mode("overwrite").parquet(src)
         q = (
-            stateful_running_totals(file_stream(spark, src, ev.schema))
+            stateful_total_merge(file_stream(spark, src, ev.schema))
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
@@ -673,12 +685,18 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Session-window aggregation only supports append/complete output; this
     key drains in COMPLETE mode, so the memory sink's final table IS the
     full final session state (append mode would hold back every session the
-    final watermark hasn't passed — at drain time, the last hour). The
-    source is written as a single file so session KEYS (user, window-start)
-    never straddle micro-batches; cross-batch merge behavior is pinned
-    separately in ``tests/test_streaming.py`` with a controlled two-file
-    arrival. At scale a real deployment uses append mode into a durable
-    sink and lets the watermark close sessions continuously."""
+    final watermark hasn't passed — at drain time, the last hour). In
+    COMPLETE mode no state is ever watermark-evicted, so the key carries NO
+    watermark: with one, a multi-batch drain over unsorted files could drop
+    late rows batch-to-batch and the result would depend on file order —
+    without one the drained state is the exact session set whatever the
+    batching, which is also what lets the source stay MULTI-file (the
+    round-6 100× probe measured the old coalesce(1) staging at 168.7 s,
+    30.8× per decade — a one-core scan, not a plan cost). Cross-batch
+    merge behavior is pinned separately in ``tests/test_streaming.py``
+    with a controlled two-file arrival. At scale a real deployment uses
+    append mode into a durable sink with a watermark and lets the engine
+    close sessions continuously."""
     import shutil
     import tempfile
 
@@ -689,10 +707,9 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="dss_sess_ckpt_")
     name = "dss_stream_session"
     try:
-        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        ev.repartition(32).write.mode("overwrite").parquet(src)
         agg = (
             file_stream(spark, src, ev.schema)
-            .withWatermark("ts", "1 hour")
             .groupBy(F.session_window("ts", "30 minutes"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(

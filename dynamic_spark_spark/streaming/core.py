@@ -183,6 +183,55 @@ def stateful_running_totals(
     )
 
 
+def stateful_total_merge(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """:func:`stateful_running_totals` with a COMBINER: the stateful operator
+    hashes on the key, so a bounded key domain (|event_type| values) caps
+    its parallelism at |keys| no matter the event volume. A stateless
+    ``mapInPandas`` partial-reduce runs first at full scan parallelism and
+    emits (key, n, total) per input partition; the ``applyInPandasWithState``
+    merge then sums PARTIALS — (partitions × keys) rows per batch instead of
+    the event stream — keeping the engine-managed state and its final
+    totals identical to the uncombined form."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def partial_reduce(pdfs):
+        for pdf in pdfs:
+            if len(pdf):
+                g = pdf.groupby(key_col)[val_col].agg(["count", "sum"])
+                yield pd.DataFrame(
+                    {
+                        key_col: g.index,
+                        "n_part": g["count"].astype("int64"),
+                        "total_part": g["sum"].astype("float64"),
+                    }
+                )
+
+    partials = stream_df.mapInPandas(
+        partial_reduce, schema=f"{key_col} string, n_part long, total_part double"
+    )
+
+    def merge_partials(key: tuple, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["total_part"].sum())
+            n += int(pdf["n_part"].sum())
+        state.update((total, n))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    return partials.groupBy(key_col).applyInPandasWithState(
+        merge_partials,
+        outputStructType="key string, n long, total double",
+        stateStructType="total double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_sessions(
     stream_df: DataFrame,
     key_col: str = "user_id",
