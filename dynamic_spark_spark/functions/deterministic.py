@@ -14,13 +14,21 @@ Two implementations, same semantics at corpus scale:
   codegen; ~4.5x faster than Spark's decimal sum (measured sf0.1: 0.39s vs
   1.70s for 4 sums over 600k rows) because Spark's decimal accumulator above
   precision 18 falls back to BigDecimal allocation per row. Exact while the
-  per-group Σ|x·1e6| < 2^63, i.e. Σ|x| < ~9.2e12 — holds for every corpus
-  column through ~sf1000 (1 TB). DuckDB's SUM(BIGINT) accumulates in HUGEINT
-  (int128), so the oracle side never overflows first.
+  per-group Σ|x·1e6| < 2^63, i.e. Σ|x| < ~9.2e12. THE BOUND IS ON THE
+  SUMMED EXPRESSION, NOT THE COLUMN — per-group row budget ≈ 9.2e12 / E[|x|]:
+  ~9e12 rows for unit-scale values (discount factors), ~2.5e8 rows (≈ sf250
+  per l_returnflag group) for bare prices, and only ~5e6 rows (≈ sf10) for
+  price·qty products — the round-6 100× probe crashed exactly there
+  (agg_weighted_avg, ARITHMETIC_OVERFLOW under ANSI; non-ANSI wraps
+  silently). DuckDB's SUM(BIGINT) accumulates in HUGEINT (int128), so the
+  oracle side never overflows first — the Spark side is always the one
+  that must switch paths.
 - **Exact path** (``dsum_exact``) — DECIMAL(18,6) per-row cast with a
-  DECIMAL(28,6) accumulator. Unbounded-scale-safe (used beyond the int64
-  envelope, e.g. petabyte-scale global sums); at 100 TB prefer this or a
-  two-level scheme (partial int64 sums per partition, decimal merge).
+  DECIMAL(28,6) accumulator (exact to ~1e22 — past 100 TB for every corpus
+  expression). Use it whenever the expression's per-group row budget above
+  is within two decades of the target scale; agg_weighted_avg's numerators
+  are the in-repo example. At 100 TB prefer this or a two-level scheme
+  (partial int64 sums per partition, decimal merge).
 
 ``floor(x + 0.5)`` is round-half-up for the corpus's non-negative measures and
 is computed identically (IEEE 754) by Spark and DuckDB, so the per-row integer
