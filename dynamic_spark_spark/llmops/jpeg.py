@@ -413,7 +413,18 @@ def encode_jpeg_gray_progressive(
     successive approximation. Quantized coefficients are identical to the
     baseline encoder's, so ``decode_jpeg_gray`` of this stream must equal
     ``reconstruct_gray(img, qtable)`` exactly — the same bit-exactness pin
-    the baseline pair carries."""
+    the baseline pair carries.
+
+    Caller scripts are validated against the T.81 successive-approximation
+    rules the refinement encoder depends on (DC/AC scans separate, each
+    band first-passed with ah=0 before any refinement, refinements at
+    exactly ah=al+1, no precision gaps): the refinement pass treats
+    ``abs(coef) >> al == 1`` as "newly significant", which only holds when
+    every prior pass honored those rules — an invalid script would encode
+    a stream that DECODES CLEANLY TO WRONG PIXELS, so it is refused at
+    encode time instead."""
+    if script is not None:
+        _validate_progressive_script(script)
     img = np.asarray(img, dtype=np.float64)
     h, w = img.shape
     coefs, by, bx = _dct_blocks(img)
@@ -439,10 +450,59 @@ def encode_jpeg_gray_progressive(
         + seg(0xC4, dht_dc)
         + seg(0xC4, dht_ac)
     )
-    for ss, se, ah, al in script or _PROGRESSIVE_SCRIPT:
+    for ss, se, ah, al in (_PROGRESSIVE_SCRIPT if script is None else script):
         stream += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
         stream += _encode_progressive_scan(qz, ss, se, ah, al)
     return stream + b"\xff\xd9"  # EOI
+
+
+def _validate_progressive_script(
+    script: list[tuple[int, int, int, int]],
+) -> None:
+    """Refuse scan scripts that violate the T.81 successive-approximation
+    rules (F.1.3 / G.1): the refinement encoder infers "newly significant"
+    from ``abs(coef) >> al == 1``, which is only sound when every band is
+    first-passed at ah=0 and refined one bit at a time — a script with a
+    precision gap or a missing first pass would encode a stream that
+    decodes cleanly to WRONG pixels."""
+    if not script:
+        raise ValueError("progressive scan script must contain at least one scan")
+    level: dict[int, int] = {}
+    for i, (ss, se, ah, al) in enumerate(script):
+        if not (0 <= ss <= se <= 63) or al < 0 or ah < 0:
+            raise ValueError(
+                f"scan {i}: invalid band/precision (ss={ss}, se={se}, ah={ah}, al={al})"
+            )
+        if (ss == 0) != (se == 0):
+            raise ValueError(
+                f"scan {i}: DC and AC coefficients must not share a scan "
+                f"(ss={ss}, se={se})"
+            )
+        if ss >= 1 and 0 not in level:
+            raise ValueError(f"scan {i}: AC scan before the DC first pass")
+        if ah != 0 and ah != al + 1:
+            raise ValueError(
+                f"scan {i}: refinement must have ah == al+1 (ah={ah}, al={al})"
+            )
+        for k in range(ss, se + 1):
+            cur = level.get(k)
+            if ah == 0:
+                if cur is not None:
+                    raise ValueError(
+                        f"scan {i}: coefficient {k} first-passed twice"
+                    )
+            elif cur is None:
+                raise ValueError(
+                    f"scan {i}: coefficient {k} refined before its ah=0 first pass"
+                )
+            elif ah != cur:
+                raise ValueError(
+                    f"scan {i}: coefficient {k} is at precision al={cur}; a "
+                    f"refinement with ah={ah} leaves a precision gap"
+                )
+            level[k] = al
+    if 0 not in level:
+        raise ValueError("script never codes the DC coefficient (band 0)")
 
 
 # ---------------------------------------------------------------------------

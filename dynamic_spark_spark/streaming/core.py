@@ -202,11 +202,17 @@ def stateful_total_merge(
     def partial_reduce(pdfs):
         for pdf in pdfs:
             if len(pdf):
-                g = pdf.groupby(key_col)[val_col].agg(["count", "sum"])
+                # dropna=False keeps NULL keys (Spark GROUP BY semantics) and
+                # "size" counts ROWS (the oracle's COUNT(*)), while "sum"
+                # skips null values exactly like Spark's SUM — both match the
+                # uncombined form's len(pdf) / pdf[val].sum() accounting.
+                g = pdf.groupby(key_col, dropna=False)[val_col].agg(
+                    ["size", "sum"]
+                )
                 yield pd.DataFrame(
                     {
                         key_col: g.index,
-                        "n_part": g["count"].astype("int64"),
+                        "n_part": g["size"].astype("int64"),
                         "total_part": g["sum"].astype("float64"),
                     }
                 )

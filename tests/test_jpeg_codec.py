@@ -274,3 +274,43 @@ def test_progressive_malformed_degrades_to_none():
     # progressive streams with nonzero DRI still degrade (RSTn unsupported)
     with_dri = full[:2] + b"\xff\xdd\x00\x04\x00\x04" + full[2:]
     assert decode_jpeg_gray(with_dri) is None
+
+
+def test_progressive_script_validation():
+    """Invalid scan scripts must be refused at encode time: the refinement
+    encoder's newly-significant test (abs >> al == 1) is only sound under
+    the T.81 successive-approximation rules, and a bad script would encode
+    a stream that decodes cleanly to wrong pixels."""
+    import numpy as np
+    import pytest
+
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_gray_progressive
+
+    img = np.arange(64, dtype=np.float64).reshape(8, 8)
+    bad = [
+        ([], "at least one scan"),
+        ([(0, 63, 0, 0)], "must not share a scan"),
+        ([(0, 0, 0, 0), (1, 63, 0, 2), (1, 63, 1, 0)], "precision gap"),
+        ([(0, 0, 0, 0), (1, 63, 1, 0)], "before its ah=0 first pass"),
+        ([(1, 63, 0, 0)], "before the DC first pass"),
+        ([(0, 0, 0, 0), (1, 63, 0, 0), (1, 63, 0, 0)], "first-passed twice"),
+        ([(0, 0, 0, 1), (1, 63, 0, 0), (0, 0, 2, 0)], None),  # ah != al+1... ah=2,al=0
+        ([(1, 63, 0, 0), (0, 0, 0, 0)], "before the DC first pass"),
+    ]
+    for script, match in bad:
+        with pytest.raises(ValueError, match=match):
+            encode_jpeg_gray_progressive(img, script=script)
+    # a legal custom script (coarse-to-fine with proper refinements) must
+    # still decode bit-exact against the baseline reconstruction
+    from dynamic_spark_spark.llmops.jpeg import (
+        DEFAULT_QTABLE,
+        decode_jpeg_gray,
+        reconstruct_gray,
+    )
+
+    ok = [(0, 0, 0, 1), (0, 0, 1, 0), (1, 5, 0, 1), (6, 63, 0, 1),
+          (1, 5, 1, 0), (6, 63, 1, 0)]
+    stream = encode_jpeg_gray_progressive(img, script=ok)
+    assert np.array_equal(
+        decode_jpeg_gray(stream), reconstruct_gray(img, DEFAULT_QTABLE)
+    )

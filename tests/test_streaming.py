@@ -435,3 +435,37 @@ def test_session_window_merges_across_batches(spark, tmp_path):
             t0 + dt.timedelta(hours=3, minutes=30),
         ): 1,
     }
+
+
+def test_stateful_total_merge_null_semantics(spark, tmp_path):
+    """The mapInPandas combiner in stream_stateful_totals must keep Spark
+    GROUP BY semantics on nullable input: NULL keys form a group (pandas
+    groupby drops them by default), n counts ROWS (the oracle's COUNT(*)),
+    and sum skips NULL values like Spark's SUM — pinned differentially
+    against DuckDB on a synthetic events table the fixtures can't cover."""
+    import duckdb
+
+    from dynamic_spark_spark.streaming.batch_equiv import stream_stateful_totals
+
+    rows = [
+        ("click", 1.0), ("click", None), ("view", 2.5),
+        (None, 3.0), (None, None), ("view", None), ("click", 4.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in stream_stateful_totals(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = dict(
+        con.execute(
+            "SELECT event_type, COUNT(*) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    assert got == want, (got, want)
