@@ -91,3 +91,41 @@ def dsum_exact(col: Column | str, alias: str) -> Column:
 def o_dsum_exact(expr: str) -> str:
     """DuckDB fragment matching :func:`dsum_exact`."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+#: hi/lo split point for dsum_wide: low 21 bits summed separately.
+_WIDE_SHIFT = 21
+_WIDE_BASE = 1 << _WIDE_SHIFT
+
+
+def dsum_wide(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM for NON-NEGATIVE expressions past the single
+    int64 envelope, at int64-path speed.
+
+    The scaled per-row int (≤ ~43 bits for corpus products) is split into
+    its high and low 21 bits, each summed as a plain long — both partial
+    sums are exact integers (per-group row budget ≈ 2^63 / (E[x·1e6] /
+    2^21), ~3e12 rows for price·qty ≈ 500 TB) and every op stays inside
+    whole-stage codegen, measured at plain-double-sum speed where the
+    DECIMAL accumulator was 6× slower (600M rows: 2.5 s vs 14.9 s). The
+    reassembly hi·2^21 + lo happens in double on BOTH engines (identical
+    IEEE ops on identical exact integers), so hash parity holds even when
+    the total exceeds 2^53. Caller contract: the expression is
+    non-negative (shift/mask = divmod only holds without sign handling;
+    every corpus measure qualifies)."""
+    s = F.floor(_col(col) * _SCALE + F.lit(0.5)).cast("long")
+    hi = F.sum(F.shiftright(s, _WIDE_SHIFT)).cast("double")
+    lo = F.sum(s.bitwiseAND(F.lit(_WIDE_BASE - 1))).cast("double")
+    return ((hi * F.lit(float(_WIDE_BASE)) + lo) / F.lit(float(_SCALE))).alias(
+        alias
+    )
+
+
+def o_dsum_wide(expr: str) -> str:
+    """DuckDB fragment matching :func:`dsum_wide` (non-negative exprs:
+    integer // and % equal the Spark shift/mask pair)."""
+    s = f"CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT)"
+    return (
+        f"((CAST(SUM({s} // {_WIDE_BASE}) AS DOUBLE) * {float(_WIDE_BASE)}"
+        f" + CAST(SUM({s} % {_WIDE_BASE}) AS DOUBLE)) / 1000000.0)"
+    )

@@ -18,10 +18,10 @@ from pyspark.sql import functions as F
 from dynamic_spark_spark.functions.deterministic import (
     davg,
     dsum,
-    dsum_exact,
+    dsum_wide,
     o_davg,
     o_dsum,
-    o_dsum_exact,
+    o_dsum_wide,
 )
 from dynamic_spark_spark.registry import query
 from dynamic_spark_spark.sources.readers import load_table
@@ -436,9 +436,9 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_weighted_avg",
     "SELECT l_returnflag,"
-    f" ROUND({o_dsum_exact('l_extendedprice * l_quantity')} / SUM(l_quantity), 6)"
+    f" ROUND({o_dsum_wide('l_extendedprice * l_quantity')} / SUM(l_quantity), 6)"
     "   AS qty_weighted_price,"
-    f" ROUND({o_dsum_exact('l_extendedprice * (1 - l_discount)')} /"
+    f" ROUND({o_dsum_wide('l_extendedprice * (1 - l_discount)')} /"
     f"       {o_dsum('1 - l_discount')}, 6) AS disc_weighted_price"
     " FROM lineitem GROUP BY l_returnflag",
     tag="aggregate",
@@ -452,19 +452,20 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per row), which shrinks the scaled-int64 ``dsum`` envelope from
     ~sf1000 to ~sf10 — the round-6 100× probe crashed it with
     ARITHMETIC_OVERFLOW at 60M rows (ANSI mode; non-ANSI would have
-    wrapped SILENTLY). Numerators therefore use the decimal-accumulated
-    ``dsum_exact`` (exact at any scale factor, deterministic.py's
-    documented escape hatch); the denominator sums values ≤ 1 and stays
-    on the fast int64 path."""
+    wrapped SILENTLY). Numerators therefore use the hi/lo two-long
+    ``dsum_wide`` path (exact and order-independent to ~500 TB for this
+    expression, at plain-sum speed — the DECIMAL accumulator alternative
+    measured 6× slower at 600M rows); the denominator sums values ≤ 1
+    and stays on the single-int64 fast path."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            dsum_exact(F.col("l_extendedprice") * F.col("l_quantity"), "_num_q")
+            dsum_wide(F.col("l_extendedprice") * F.col("l_quantity"), "_num_q")
             / F.sum("l_quantity"),
             6,
         ).alias("qty_weighted_price"),
         F.round(
-            dsum_exact(
+            dsum_wide(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "_num_d"
             )
             / dsum(1 - F.col("l_discount"), "_den_d"),
