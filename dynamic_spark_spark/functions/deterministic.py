@@ -103,16 +103,23 @@ def dsum_wide(col: Column | str, alias: str) -> Column:
     int64 envelope, at int64-path speed.
 
     The scaled per-row int (≤ ~43 bits for corpus products) is split into
-    its high and low 21 bits, each summed as a plain long — both partial
-    sums are exact integers (per-group row budget ≈ 2^63 / (E[x·1e6] /
-    2^21), ~3e12 rows for price·qty ≈ 500 TB) and every op stays inside
-    whole-stage codegen, measured at plain-double-sum speed where the
-    DECIMAL accumulator was 6× slower (600M rows: 2.5 s vs 14.9 s). The
-    reassembly hi·2^21 + lo happens in double on BOTH engines (identical
-    IEEE ops on identical exact integers), so hash parity holds even when
-    the total exceeds 2^53. Caller contract: the expression is
-    non-negative (shift/mask = divmod only holds without sign handling;
-    every corpus measure qualifies)."""
+    its high and low 21 bits, each summed as a plain long — the int64
+    partials don't overflow until ≈ 2^63 / (E[x·1e6] / 2^21), ~3e12 rows
+    for price·qty ≈ 500 TB — and every op stays inside whole-stage
+    codegen, measured at plain-double-sum speed where the DECIMAL
+    accumulator was 6× slower (600M rows: 2.5 s vs 14.9 s).
+
+    Precision contract (r6 advice): the result is ORDER-INDEPENDENT and
+    ENGINE-PARITY-EXACT to that ~3e12-row budget — each int64 partial is
+    cast to double through the same correctly-rounded int→double conversion
+    on both engines, and the hi·2^21 + lo reassembly is the same IEEE ops
+    on the same values, so hashes match. It is NUMERICALLY exact only
+    while each partial sum stays under 2^53 (~4e11 rows for price·qty —
+    a decade below the parity budget); past that the int→double cast
+    rounds (relative error ≤ 2^-53, deterministic). For numerically exact
+    totals beyond 2^53, use :func:`dsum_exact`. Caller contract: the
+    expression is non-negative (shift/mask = divmod only holds without
+    sign handling; every corpus measure qualifies)."""
     s = F.floor(_col(col) * _SCALE + F.lit(0.5)).cast("long")
     hi = F.sum(F.shiftright(s, _WIDE_SHIFT)).cast("double")
     lo = F.sum(s.bitwiseAND(F.lit(_WIDE_BASE - 1))).cast("double")

@@ -195,7 +195,13 @@ def curriculum_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_uniq") * 1000000 / F.greatest(F.col("n_tok"), F.lit(1))
         ).cast("long").alias("score"),
     ).persist()  # 4 narrow columns; 3 consumers (pos, zero, boundary
-    # broadcast) would each re-run the dominant tokenize+distinct scoring
+    # broadcast) would each re-run the dominant tokenize+distinct scoring.
+    # Deliberately not unpersisted: the returned DF is lazy (the caller
+    # collects later), so an eager unpersist would force the recompute this
+    # cache exists to avoid. Repeated invocations stay bounded because
+    # Spark's CacheManager canonicalizes and dedupes identical logical
+    # plans — re-running the key re-uses the one cached table per sf_dir
+    # rather than stacking new ones (verified r6; LRU evicts under pressure)
     pos = scored.where(F.col("n_tok") >= 1)
     zero = scored.where(F.col("n_tok") == 0)
     w_rank = Window.partitionBy("source").orderBy(
@@ -307,7 +313,8 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", words.alias("words"))
         .select("doc_id", F.array_distinct(gram_arr).alias("grams"))
         .where(F.size("grams") > 0)
-    ).persist()
+    ).persist()  # not unpersisted (returned DF is lazy); bounded across
+    # reruns by CacheManager plan-dedup — see curriculum_quality_budget note
     doc_level = doc_grams.select(
         "doc_id", F.size("grams").cast("long").alias("n_grams")
     )

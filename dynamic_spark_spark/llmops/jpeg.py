@@ -20,7 +20,11 @@ subset end-to-end:
   unshift, clamp, crop. Handles baseline sequential (SOF0) AND
   progressive (SOF2) streams: multi-scan spectral selection with
   cross-block EOB runs plus full successive approximation (DC/AC first
-  and refinement passes, T.81 G.2).
+  and refinement passes, T.81 G.2), and restart intervals (DRI/RSTm,
+  T.81 E.1.4) in both forms — per-interval byte realignment, DC
+  predictor and EOB-run resets, with the RSTm modulo-8 cadence verified
+  against the declared interval so a sheared stream degrades instead of
+  mis-decoding.
 - **Progressive encoder** (:func:`encode_jpeg_gray_progressive`):
   emits SOF2 scan scripts (default: the canonical DC-first /
   two-AC-band / walk-Al-to-zero shape) over the SAME quantized
@@ -201,52 +205,107 @@ def _quantize(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
 
 
-def encode_jpeg_gray(
-    img: np.ndarray | list, qtable: np.ndarray = DEFAULT_QTABLE
-) -> bytes:
-    """Encode an 8-bit grayscale image (2-D array, values 0..255) as a
-    complete baseline sequential JPEG byte stream."""
+def _quantized_zigzag(
+    img: np.ndarray | list, qtable: np.ndarray
+) -> tuple[np.ndarray, int, int, int, int]:
+    """Shared encoder front-end: DCT + quantize + zigzag every block.
+    Returns (qz[nblk, 64], h, w, by, bx)."""
     img = np.asarray(img, dtype=np.float64)
     h, w = img.shape
     coefs, by, bx = _dct_blocks(img)
     q = np.asarray(qtable, dtype=np.float64)
+    qz = np.zeros((by * bx, 64), dtype=np.int64)
+    for b in range(by * bx):
+        y, x = divmod(b, bx)
+        blk = _quantize(coefs[y, x], q).astype(np.int64)
+        qz[b] = [int(blk[r, c]) for r, c in _ZIGZAG]
+    return qz, h, w, by, bx
+
+
+def _restart_ranges(nblk: int, restart_interval: int) -> list[tuple[int, int]]:
+    """Block ranges [b0, b1) of each restart interval — one range when
+    restarts are disabled (interval 0) or the interval covers all blocks."""
+    if restart_interval <= 0:
+        return [(0, nblk)]
+    return [
+        (b0, min(nblk, b0 + restart_interval))
+        for b0 in range(0, nblk, restart_interval)
+    ]
+
+
+def _join_restart_chunks(chunks: list[bytes]) -> bytes:
+    """Join per-interval entropy chunks with RSTm markers (T.81 E.1.4/F.1.2.4:
+    each chunk is byte-aligned by its own 1-bit flush; the modulo-8 marker
+    counter starts at 0 per scan). RST markers are markers, never stuffed."""
+    out = bytearray()
+    for m, chunk in enumerate(chunks):
+        if m:
+            out += bytes([0xFF, 0xD0 + ((m - 1) & 7)])
+        out += chunk
+    return bytes(out)
+
+
+def _encode_baseline_chunk(qz: np.ndarray, b0: int, b1: int) -> bytes:
+    """Entropy-code blocks [b0, b1) of one restart interval: DC prediction
+    starts at 0 (it resets at every restart) and the chunk is 1-padded to a
+    byte boundary by the flush."""
     bw = _BitWriter()
     prev_dc = 0
-    for y in range(by):
-        for x in range(bx):
-            blk = _quantize(coefs[y, x], q).astype(np.int64)
-            zz = [int(blk[r, c]) for r, c in _ZIGZAG]
-            # DC: differential + SSSS category code + amplitude bits
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size = _bit_size(abs(diff))
-            code, length = _DC_CODES[size]
-            bw.write(code, length)
-            if size:
-                amp = diff if diff > 0 else diff + (1 << size) - 1
-                bw.write(amp, size)
-            # AC: run-length of zeros + (run,size) symbol + amplitude
+    for b in range(b0, b1):
+        zz = qz[b]
+        # DC: differential + SSSS category code + amplitude bits
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        size = _bit_size(abs(diff))
+        code, length = _DC_CODES[size]
+        bw.write(code, length)
+        if size:
+            amp = diff if diff > 0 else diff + (1 << size) - 1
+            bw.write(amp, size)
+        # AC: run-length of zeros + (run,size) symbol + amplitude
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = _AC_CODES[0xF0]  # ZRL: 16 zeros
+                bw.write(c, ln)
+                run -= 16
+            size = _bit_size(abs(v))
+            c, ln = _AC_CODES[(run << 4) | size]
+            bw.write(c, ln)
+            amp = v if v > 0 else v + (1 << size) - 1
+            bw.write(amp, size)
             run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = _AC_CODES[0xF0]  # ZRL: 16 zeros
-                    bw.write(c, ln)
-                    run -= 16
-                size = _bit_size(abs(v))
-                c, ln = _AC_CODES[(run << 4) | size]
-                bw.write(c, ln)
-                amp = v if v > 0 else v + (1 << size) - 1
-                bw.write(amp, size)
-                run = 0
-            if last_nz < 63:
-                c, ln = _AC_CODES[0x00]  # EOB
-                bw.write(c, ln)
-    entropy = bw.flush()
+        if last_nz < 63:
+            c, ln = _AC_CODES[0x00]  # EOB
+            bw.write(c, ln)
+    return bw.flush()
+
+
+def encode_jpeg_gray(
+    img: np.ndarray | list,
+    qtable: np.ndarray = DEFAULT_QTABLE,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an 8-bit grayscale image (2-D array, values 0..255) as a
+    complete baseline sequential JPEG byte stream. ``restart_interval`` > 0
+    emits a DRI segment and RSTm markers every that many blocks (DC
+    prediction resets per interval) — the error-resilience layout real
+    crawl JPEGs commonly carry."""
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must fit a DRI segment (0..65535)")
+    qz, h, w, by, bx = _quantized_zigzag(img, qtable)
+    q = np.asarray(qtable, dtype=np.float64)
+    entropy = _join_restart_chunks(
+        [
+            _encode_baseline_chunk(qz, b0, b1)
+            for b0, b1 in _restart_ranges(by * bx, restart_interval)
+        ]
+    )
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -254,6 +313,7 @@ def encode_jpeg_gray(
     zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"  # SOI
         + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -261,6 +321,7 @@ def encode_jpeg_gray(
         + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
         + seg(0xC4, dht_dc)
         + seg(0xC4, dht_ac)
+        + dri
         + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS: 1 comp, DC0/AC0
         + entropy
         + b"\xff\xd9"  # EOI
@@ -283,17 +344,29 @@ _PROGRESSIVE_SCRIPT: list[tuple[int, int, int, int]] = [
 
 
 def _encode_progressive_scan(
-    qz: np.ndarray, ss: int, se: int, ah: int, al: int
+    qz: np.ndarray, ss: int, se: int, ah: int, al: int, restart_interval: int = 0
 ) -> bytes:
     """Entropy-code one progressive scan over the quantized zigzag
     coefficients ``qz[nblk, 64]`` (single component, so every scan walks
-    all blocks in raster order)."""
+    all blocks in raster order), splitting at restart intervals: DC
+    prediction and EOB runs never cross an RSTm boundary (T.81 E.1.4)."""
+    return _join_restart_chunks(
+        [
+            _encode_progressive_scan_chunk(qz, b0, b1, ss, se, ah, al)
+            for b0, b1 in _restart_ranges(qz.shape[0], restart_interval)
+        ]
+    )
+
+
+def _encode_progressive_scan_chunk(
+    qz: np.ndarray, b0: int, b1: int, ss: int, se: int, ah: int, al: int
+) -> bytes:
+    """One restart interval of one progressive scan (blocks [b0, b1))."""
     bw = _BitWriter()
-    nblk = qz.shape[0]
     if ss == 0:  # DC scan (Se must be 0; DC and AC never share a scan)
         if ah == 0:
             prev = 0
-            for b in range(nblk):
+            for b in range(b0, b1):
                 v = int(qz[b, 0]) >> al  # point transform: arithmetic shift
                 diff = v - prev
                 prev = v
@@ -304,7 +377,7 @@ def _encode_progressive_scan(
                     amp = diff if diff > 0 else diff + (1 << size) - 1
                     bw.write(amp, size)
         else:
-            for b in range(nblk):
+            for b in range(b0, b1):
                 bw.write((int(qz[b, 0]) >> al) & 1, 1)
         return bw.flush()
 
@@ -326,7 +399,7 @@ def _encode_progressive_scan(
         eobrun = 0
 
     if ah == 0:  # first pass over this spectral band
-        for b in range(nblk):
+        for b in range(b0, b1):
             r = 0
             for k in range(ss, se + 1):
                 v = int(qz[b, k])
@@ -362,7 +435,7 @@ def _encode_progressive_scan(
     # newly-significant coefficient still follows (k <= eob_idx),
     # because a trailing run folds into the EOB whose correction bits the
     # decoder drains to the end of the band.
-    for b in range(nblk):
+    for b in range(b0, b1):
         tvals = [abs(int(qz[b, k])) >> al for k in range(ss, se + 1)]
         eob_idx = ss - 1  # band index of the LAST newly-significant coef
         for k in range(ss, se + 1):
@@ -408,6 +481,7 @@ def encode_jpeg_gray_progressive(
     img: np.ndarray | list,
     qtable: np.ndarray = DEFAULT_QTABLE,
     script: list[tuple[int, int, int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an 8-bit grayscale image as a PROGRESSIVE (SOF2) JPEG with
     successive approximation. Quantized coefficients are identical to the
@@ -425,16 +499,10 @@ def encode_jpeg_gray_progressive(
     encode time instead."""
     if script is not None:
         _validate_progressive_script(script)
-    img = np.asarray(img, dtype=np.float64)
-    h, w = img.shape
-    coefs, by, bx = _dct_blocks(img)
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must fit a DRI segment (0..65535)")
+    qz, h, w, by, bx = _quantized_zigzag(img, qtable)
     q = np.asarray(qtable, dtype=np.float64)
-    nblk = by * bx
-    qz = np.zeros((nblk, 64), dtype=np.int64)
-    for b in range(nblk):
-        y, x = divmod(b, bx)
-        blk = _quantize(coefs[y, x], q).astype(np.int64)
-        qz[b] = [int(blk[r, c]) for r, c in _ZIGZAG]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -450,9 +518,11 @@ def encode_jpeg_gray_progressive(
         + seg(0xC4, dht_dc)
         + seg(0xC4, dht_ac)
     )
+    if restart_interval:
+        stream += seg(0xDD, struct.pack(">H", restart_interval))
     for ss, se, ah, al in (_PROGRESSIVE_SCRIPT if script is None else script):
         stream += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
-        stream += _encode_progressive_scan(qz, ss, se, ah, al)
+        stream += _encode_progressive_scan(qz, ss, se, ah, al, restart_interval)
     return stream + b"\xff\xd9"  # EOI
 
 
@@ -541,12 +611,14 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     """Decode a GRAYSCALE JPEG — baseline sequential (SOF0) or progressive
-    with successive approximation (SOF2). Tables, dimensions, and the scan
-    script are read from the stream; 8- and 16-bit quantization tables and
-    marker fill bytes are handled. Returns the pixel array (uint8, h×w),
-    or None for input that is malformed OR uses a valid-but-unsupported
-    feature — multi-component images and restart intervals (DRI/RSTn)
-    return None explicitly rather than mis-decode, and the caller degrades
+    with successive approximation (SOF2). Tables, dimensions, the scan
+    script, and restart intervals (DRI/RSTm resync with per-interval DC
+    and EOB-run resets) are read from the stream; 8- and 16-bit
+    quantization tables and marker fill bytes are handled. Returns the
+    pixel array (uint8, h×w), or None for input that is malformed OR uses
+    a valid-but-unsupported feature — multi-component images return None
+    explicitly rather than mis-decode, as do restart streams whose RSTm
+    cadence contradicts the declared interval, and the caller degrades
     to the histogram stub: at 100 TB a payload this tier cannot decode
     must not kill the stage or ship wrong pixels."""
     try:
@@ -557,57 +629,96 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
 
 def _entropy_end(payload: bytes, i: int) -> int:
     """First byte position of the marker terminating the entropy-coded
-    segment starting at ``i`` (0xFF 0x00 is byte stuffing, any other
-    0xFF-successor ends the segment; 0xFF fill runs before the marker
-    still start at the first 0xFF)."""
+    segment starting at ``i`` (0xFF 0x00 is byte stuffing, RSTm markers
+    0xFFD0–0xFFD7 live INSIDE the segment, any other 0xFF-successor ends
+    it; 0xFF fill runs before the marker still start at the first 0xFF)."""
     n = len(payload)
     j = i
     while j + 1 < n:
         if payload[j] != 0xFF:
             j += 1
-        elif payload[j + 1] == 0x00:
+        elif payload[j + 1] == 0x00 or 0xD0 <= payload[j + 1] <= 0xD7:
             j += 2
         else:
             return j
     return n
 
 
+def _restart_chunks(data: bytes, nblk: int, restart_interval: int) -> list[tuple[bytes, int, int]]:
+    """Split one scan's entropy-coded bytes at RSTm markers into UNSTUFFED
+    per-interval chunks with their block ranges [(bytes, b0, b1), ...].
+    Validates the layout the encoder must have produced: the modulo-8
+    marker sequence starts at 0, and the chunk count matches the interval
+    arithmetic — a mismatch means a corrupt or lying stream, and decoding
+    it would silently shear every block after the first bad boundary, so
+    it raises (the caller degrades to None)."""
+    if restart_interval <= 0:
+        return [(data.replace(b"\xff\x00", b"\xff"), 0, nblk)]
+    raw: list[bytes] = []
+    start = j = 0
+    n = len(data)
+    while j + 1 < n:
+        if data[j] != 0xFF:
+            j += 1
+        elif data[j + 1] == 0x00:
+            j += 2
+        elif 0xD0 <= data[j + 1] <= 0xD7:
+            if data[j + 1] - 0xD0 != len(raw) & 7:
+                raise ValueError("RSTm marker out of sequence")
+            raw.append(data[start:j])
+            start = j = j + 2
+        else:  # trailing fill 0xFFs before the terminating marker
+            j += 1
+    raw.append(data[start:])
+    ranges = _restart_ranges(nblk, restart_interval)
+    if len(raw) != len(ranges):
+        raise ValueError(
+            f"restart chunk count {len(raw)} != expected {len(ranges)}"
+        )
+    return [
+        (chunk.replace(b"\xff\x00", b"\xff"), b0, b1)
+        for chunk, (b0, b1) in zip(raw, ranges)
+    ]
+
+
 def _decode_baseline_scan(
-    data: bytes,
+    chunks: list[tuple[bytes, int, int]],
     dc_tab: dict[tuple[int, int], int],
     ac_tab: dict[tuple[int, int], int],
     nblk: int,
 ) -> np.ndarray:
     """Sequential scan: per block, DC differential then run-length AC —
-    returns coefficients in zigzag order, ``[nblk, 64]``."""
-    br = _BitReader(data)
+    returns coefficients in zigzag order, ``[nblk, 64]``. Each restart
+    chunk gets a fresh byte-aligned bit reader and a reset DC predictor."""
     coef = np.zeros((nblk, 64), dtype=np.int64)
-    prev_dc = 0
-    for b in range(nblk):
-        size = _read_symbol(br, dc_tab)
-        diff = _extend(br.read_bits(size), size) if size else 0
-        prev_dc += diff
-        coef[b, 0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_symbol(br, ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += sym >> 4
-            size = sym & 0x0F
-            if k > 63:
-                raise ValueError("AC coefficient index overruns the block")
-            coef[b, k] = _extend(br.read_bits(size), size)
-            k += 1
+    for data, b0, b1 in chunks:
+        br = _BitReader(data)
+        prev_dc = 0
+        for b in range(b0, b1):
+            size = _read_symbol(br, dc_tab)
+            diff = _extend(br.read_bits(size), size) if size else 0
+            prev_dc += diff
+            coef[b, 0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0x0F
+                if k > 63:
+                    raise ValueError("AC coefficient index overruns the block")
+                coef[b, k] = _extend(br.read_bits(size), size)
+                k += 1
     return coef
 
 
 def _apply_progressive_scan(
     coef: np.ndarray,
-    data: bytes,
+    chunks: list[tuple[bytes, int, int]],
     dc_tab: dict[tuple[int, int], int] | None,
     ac_tab: dict[tuple[int, int], int] | None,
     ss: int,
@@ -621,9 +732,28 @@ def _apply_progressive_scan(
     ``value >> Al`` differentially, DC refinement one bit per block; AC
     first pass codes the band at reduced precision with cross-block EOB
     runs, AC refinement interleaves newly-significant (run,1)+sign codes
-    with one correction bit per already-nonzero coefficient."""
+    with one correction bit per already-nonzero coefficient. Every restart
+    chunk restarts the bit reader, the DC predictor, and the EOB run
+    (none of them may cross an RSTm boundary, T.81 E.1.4)."""
+    for data, b0, b1 in chunks:
+        _apply_progressive_scan_chunk(
+            coef, data, b0, b1, dc_tab, ac_tab, ss, se, ah, al
+        )
+
+
+def _apply_progressive_scan_chunk(
+    coef: np.ndarray,
+    data: bytes,
+    b0: int,
+    b1: int,
+    dc_tab: dict[tuple[int, int], int] | None,
+    ac_tab: dict[tuple[int, int], int] | None,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
     br = _BitReader(data)
-    nblk = coef.shape[0]
     if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
@@ -631,13 +761,13 @@ def _apply_progressive_scan(
             if dc_tab is None:
                 raise ValueError("DC scan references an undefined DC table")
             prev = 0
-            for b in range(nblk):
+            for b in range(b0, b1):
                 size = _read_symbol(br, dc_tab)
                 diff = _extend(br.read_bits(size), size) if size else 0
                 prev += diff
                 coef[b, 0] = prev << al
         else:
-            for b in range(nblk):
+            for b in range(b0, b1):
                 if br.read_bit():
                     coef[b, 0] |= 1 << al
         return
@@ -646,7 +776,7 @@ def _apply_progressive_scan(
         raise ValueError("AC scan references an undefined AC table")
     if ah == 0:  # first pass over this spectral band
         eobrun = 0
-        for b in range(nblk):
+        for b in range(b0, b1):
             if eobrun:
                 eobrun -= 1
                 continue
@@ -676,7 +806,7 @@ def _apply_progressive_scan(
     # set bit).
     p1, m1 = 1 << al, -(1 << al)
     eobrun = 0
-    for b in range(nblk):
+    for b in range(b0, b1):
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -728,9 +858,11 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     h = w = None
     sof_marker = None
     comp_tq = 0
-    # each scan snapshots its table lookups at parse position, since DHT
-    # segments may legally redefine tables between scans
-    scans: list[tuple] = []  # (dc_tab, ac_tab, ss, se, ah, al, data)
+    restart_interval = 0
+    # each scan snapshots its table lookups AND the restart interval at
+    # parse position, since DHT/DRI segments may legally redefine both
+    # between scans
+    scans: list[tuple] = []  # (dc_tab, ac_tab, ss, se, ah, al, ri, data)
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             return None
@@ -742,9 +874,8 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
             break
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
         body = payload[i + 4 : i + 2 + seg_len]
-        if marker == 0xDD:  # DRI: restart-interval streams are not decoded
-            if struct.unpack(">H", body[:2])[0] != 0:
-                return None  # RSTn un-stuffing unsupported — degrade, don't mis-decode
+        if marker == 0xDD:  # DRI: restart interval, MCUs between RSTm markers
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDB:  # DQT (possibly several tables per segment)
             j = 0
             while j < len(body):
@@ -791,6 +922,7 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
                     se,
                     ah,
                     al,
+                    restart_interval,
                     payload[i:end],
                 )
             )
@@ -805,17 +937,17 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     if sof_marker == 0xC0:
         if len(scans) != 1:
             return None
-        dc_tab, ac_tab, ss, se, ah, al, data = scans[0]
+        dc_tab, ac_tab, ss, se, ah, al, ri, data = scans[0]
         if (ss, se, ah, al) != (0, 63, 0, 0) or dc_tab is None or ac_tab is None:
             return None
         coef = _decode_baseline_scan(
-            data.replace(b"\xff\x00", b"\xff"), dc_tab, ac_tab, nblk
+            _restart_chunks(data, nblk, ri), dc_tab, ac_tab, nblk
         )
     else:
         coef = np.zeros((nblk, 64), dtype=np.int64)
-        for dc_tab, ac_tab, ss, se, ah, al, data in scans:
+        for dc_tab, ac_tab, ss, se, ah, al, ri, data in scans:
             _apply_progressive_scan(
-                coef, data.replace(b"\xff\x00", b"\xff"), dc_tab, ac_tab, ss, se, ah, al
+                coef, _restart_chunks(data, nblk, ri), dc_tab, ac_tab, ss, se, ah, al
             )
     # dequantize + IDCT per block (the `@` products keep float op order
     # identical to reconstruct_gray, preserving the bit-exactness pin)

@@ -158,7 +158,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = d.select(
         "doc_id", F.size(words).cast("long").alias("dl")
     ).where(F.col("dl") >= 1).persist()  # two narrow columns; consumed by
-    # both stats and the score join — unpersisted it re-tokenizes the corpus
+    # both stats and the score join — unpersisted it re-tokenizes the corpus.
+    # Not unpersisted on exit (returned DF is lazy); reruns stay bounded via
+    # CacheManager plan-dedup — see curation.curriculum_quality_budget note
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )

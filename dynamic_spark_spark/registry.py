@@ -74,7 +74,18 @@ def query(name: str, oracle: str | None = None, tag: str = "") -> Callable[[Quer
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
-            raise ValueError(f"duplicate query key: {name}")
+            prev = QUERIES[name]
+            # A module re-import (importlib.reload, or the same file reached
+            # under two module names) re-runs its decorators; that re-binding
+            # is idempotent, not a conflict. Only two DIFFERENT definitions
+            # claiming one key is a registration bug.
+            same_def = (
+                getattr(prev, "__qualname__", None) == getattr(fn, "__qualname__", None)
+                and getattr(prev, "__module__", "").rsplit(".", 1)[-1]
+                == getattr(fn, "__module__", "").rsplit(".", 1)[-1]
+            )
+            if not same_def:
+                raise ValueError(f"duplicate query key: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -330,7 +341,10 @@ def verification_order(keys) -> list[str]:
 
 def load_all_queries() -> dict[str, QueryFn]:
     """Import every operator module (populating the registry) and return it
-    in driver-verification priority order."""
-    for mod in _QUERY_MODULES:
+    in driver-verification priority order. Idempotent: duplicate module
+    names are imported once, and re-running a module's decorators (reload,
+    dual-name import) re-binds rather than double-registers (r6 verdict
+    order #3)."""
+    for mod in dict.fromkeys(_QUERY_MODULES):
         importlib.import_module(mod)
     return {k: QUERIES[k] for k in verification_order(list(QUERIES))}

@@ -217,8 +217,20 @@ def stateful_total_merge(
                     }
                 )
 
+    # derive the key field's type from the input schema so a non-string key
+    # column round-trips instead of silently coercing to string (r6 advice)
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    key_field = stream_df.schema[key_col]
     partials = stream_df.mapInPandas(
-        partial_reduce, schema=f"{key_col} string, n_part long, total_part double"
+        partial_reduce,
+        schema=StructType(
+            [
+                StructField(key_col, key_field.dataType, key_field.nullable),
+                StructField("n_part", LongType()),
+                StructField("total_part", DoubleType()),
+            ]
+        ),
     )
 
     def merge_partials(key: tuple, pdfs, state: GroupState):
@@ -231,7 +243,13 @@ def stateful_total_merge(
 
     return partials.groupBy(key_col).applyInPandasWithState(
         merge_partials,
-        outputStructType="key string, n long, total double",
+        outputStructType=StructType(
+            [
+                StructField("key", key_field.dataType, key_field.nullable),
+                StructField("n", LongType()),
+                StructField("total", DoubleType()),
+            ]
+        ),
         stateStructType="total double, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

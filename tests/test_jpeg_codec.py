@@ -118,15 +118,50 @@ def test_marker_fill_bytes_are_transparent():
     assert np.array_equal(decode_jpeg_gray(filled), px)
 
 
-def test_restart_interval_streams_degrade_not_misdecode():
-    """RSTn un-stuffing is unsupported: nonzero DRI must return None (the
-    caller falls back to the histogram stub), zero DRI is a legal no-op."""
+def test_restart_interval_streams_decode_or_degrade():
+    """DRI/RSTm support (r6 verdict stretch): a restart-encoded stream
+    decodes bit-exactly; a DECLARED interval whose RSTm cadence the
+    entropy data contradicts degrades to None (decoding it would shear
+    every block after the first bad boundary); zero DRI is a legal no-op.
+    The 12×16 base image has 4 blocks."""
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_gray
+
+    img = (7 * 31 + np.mgrid[0:12, 0:16][0] * 7 + np.mgrid[0:12, 0:16][1] * 3) % 256
     base = jpeg_gray_bytes(16, 12, 7)
     px = decode_jpeg_gray(base)
+    # real restart streams: every interval decodes to the same pixels
+    for ri in (1, 2, 3, 4, 9):
+        assert np.array_equal(
+            decode_jpeg_gray(encode_jpeg_gray(img, restart_interval=ri)), px
+        )
+    # DRI=4 injected into a restart-free 4-block stream: one interval
+    # covers all blocks, so no RSTm markers are expected — consistent
     with_dri = base[:2] + b"\xff\xdd\x00\x04\x00\x04" + base[2:]
-    assert decode_jpeg_gray(with_dri) is None
+    assert np.array_equal(decode_jpeg_gray(with_dri), px)
+    # DRI=2 would require an RSTm between blocks 1 and 2; its absence
+    # means the stream lies about its layout — degrade, don't mis-decode
+    with_dri2 = base[:2] + b"\xff\xdd\x00\x04\x00\x02" + base[2:]
+    assert decode_jpeg_gray(with_dri2) is None
     with_dri0 = base[:2] + b"\xff\xdd\x00\x04\x00\x00" + base[2:]
     assert np.array_equal(decode_jpeg_gray(with_dri0), px)
+
+
+def test_restart_marker_cadence_verified():
+    """An out-of-sequence RSTm (bit-flipped marker id, a real corruption
+    mode) must degrade to None — the modulo-8 cadence is the stream's own
+    integrity check."""
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_gray
+
+    img = np.random.RandomState(3).randint(0, 256, size=(32, 32))
+    payload = encode_jpeg_gray(img, restart_interval=2)
+    assert decode_jpeg_gray(payload) is not None
+    i = next(
+        i
+        for i in range(len(payload) - 1)
+        if payload[i] == 0xFF and payload[i + 1] == 0xD0
+    )
+    corrupted = payload[:i + 1] + bytes([0xD5]) + payload[i + 2:]
+    assert decode_jpeg_gray(corrupted) is None
 
 
 def test_16bit_precision_dqt_decodes_identically():
@@ -271,9 +306,16 @@ def test_progressive_malformed_degrades_to_none():
     assert px is not None
     for cut in (20, len(full) // 4, len(full) // 2, len(full) - 5):
         decode_jpeg_gray(full[:cut])  # must not raise
-    # progressive streams with nonzero DRI still degrade (RSTn unsupported)
+    # a declared DRI=4 on a restart-free 16-block stream expects 4 chunks
+    # per scan; the missing RSTm markers contradict it — degrade to None
     with_dri = full[:2] + b"\xff\xdd\x00\x04\x00\x04" + full[2:]
     assert decode_jpeg_gray(with_dri) is None
+    # the real restart-encoded progressive twin decodes bit-exactly
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_gray_progressive as _p
+
+    rng2 = np.random.RandomState(2)
+    img2 = rng2.randint(0, 256, size=(32, 32))
+    assert np.array_equal(decode_jpeg_gray(_p(img2, restart_interval=4)), px)
 
 
 def test_progressive_script_validation():

@@ -102,3 +102,31 @@ def test_truncations_never_raise(img):
     for cut in range(0, len(payload), max(1, len(payload) // 16)):
         out = decode_jpeg_gray(payload[:cut])
         assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=40, deadline=None)
+@given(images(), st.integers(min_value=1, max_value=12))
+def test_restart_interval_mirrors_reconstruction(img, ri):
+    """DRI/RSTm streams (r6 verdict stretch): for every image and restart
+    interval, BOTH stream forms must decode bit-exactly to the same
+    reconstruction as their restart-free twins — per-interval DC resets,
+    byte realignment, and EOB-run resets are all exercised as ri shrinks
+    below the block count."""
+    ref = reconstruct_gray(img)
+    base = decode_jpeg_gray(encode_jpeg_gray(img, restart_interval=ri))
+    assert base is not None and np.array_equal(base, ref)
+    prog = decode_jpeg_gray(
+        encode_jpeg_gray_progressive(img, restart_interval=ri)
+    )
+    assert prog is not None and np.array_equal(prog, ref)
+
+
+@settings(max_examples=25, deadline=None)
+@given(images(), st.integers(min_value=1, max_value=4))
+def test_restart_truncations_never_raise(img, ri):
+    """Prefix truncations of a restart stream (cutting mid-chunk, mid-RST
+    marker, mid-DRI segment) must degrade to None/array, never raise."""
+    payload = encode_jpeg_gray(img, restart_interval=ri)
+    for cut in range(0, len(payload), max(1, len(payload) // 16)):
+        out = decode_jpeg_gray(payload[:cut])
+        assert out is None or isinstance(out, np.ndarray)

@@ -293,19 +293,41 @@ def test_text_repetition_crafted(spark):
 
 def test_verification_order_integrity():
     """The driver's correctness gate samples a PREFIX of queries(), so the
-    priority machinery is load-bearing: every _PRIORITY name must be a real
-    registered key (a typo silently wastes a verification slot), and the
-    first 50 entries must contain no already-driver-verified keys."""
+    priority machinery is load-bearing. This test must stay ARTIFACT-ROBUST:
+    it asserts the three-class invariant the registry actually implements
+    (never-driver-seen first, then oracle-upgrade-pending rows-only-era keys,
+    then the verified tail) rather than pinning window composition against
+    the moving set of CORRECTNESS_r*.json files — a fixed "no verified keys
+    in the first 50" rule re-fires every time the driver drops a new file
+    (it did exactly that when CORRECTNESS_r06.json landed: the r5-ordered
+    re-front of the five oracle-upgraded scan_*_roundtrip keys is deliberate,
+    r5 verdict order #4)."""
     from dynamic_spark_spark import registry
 
     qs = registry.load_all_queries()
     missing = [k for k in registry._PRIORITY if k not in qs]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
-    first50 = list(qs)[:50]
-    stale = [k for k in first50 if k in registry._R1_VERIFIED]
-    assert not stale, f"r1-verified keys wasting the driver window: {stale}"
     # every registered key must be orderable without KeyError
-    assert len(registry.verification_order(list(qs))) == len(qs)
+    order = registry.verification_order(list(qs))
+    assert len(order) == len(qs)
+    assert list(qs) == order, "load_all_queries must return verification order"
+    # three-class invariant: class ids must be non-decreasing along the order
+    verified = registry._driver_verified_keys()
+    upgrade = registry._oracle_upgrade_pending()
+
+    def cls(k: str) -> int:
+        if k not in verified:
+            return 0
+        return 1 if k in upgrade else 2
+
+    classes = [cls(k) for k in order]
+    assert classes == sorted(classes), (
+        "verification_order violates never-seen -> oracle-upgrade-pending -> "
+        f"verified-tail: {[k for k, c, s in zip(order, classes, sorted(classes)) if c != s]}"
+    )
+    # upgrade-pending keys must actually carry oracles (that's the point of
+    # re-fronting them: the driver can hash-prove them this time)
+    assert all(k in registry.ORACLE for k in upgrade)
     # and every key must hold an explicit rank: an unlisted key falls to the
     # back of the unverified block, quietly starving it of a driver slot
     unlisted = [
@@ -313,6 +335,35 @@ def test_verification_order_integrity():
         if k not in registry._PRIORITY and k not in registry._R1_VERIFIED
     ]
     assert not unlisted, f"registered keys missing from _PRIORITY: {unlisted}"
+
+
+def test_registry_load_idempotent():
+    """load_all_queries() must be safe to call repeatedly and survive a
+    module re-import (reload re-runs decorators): no duplicate-key error,
+    identical key set, identical verification order (r6 verdict order #3).
+    Two genuinely different functions claiming one key must still raise."""
+    import importlib
+    import pytest
+
+    from dynamic_spark_spark import registry
+
+    first = list(registry.load_all_queries())
+    second = list(registry.load_all_queries())
+    assert first == second
+    # reload one registering module: decorators re-run against a populated
+    # registry; same-definition re-binding must be accepted silently
+    import dynamic_spark_spark.operators.sorts as sorts_mod
+
+    importlib.reload(sorts_mod)
+    third = list(registry.load_all_queries())
+    assert first == third
+    # a DIFFERENT definition under an existing key is still a hard error
+    with pytest.raises(ValueError, match="duplicate query key"):
+        @registry.query("sort_multi")
+        def _imposter(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+    # the failed registration must not have clobbered the real function
+    assert registry.QUERIES["sort_multi"] is sorts_mod.sort_multi
 
 
 def test_pagerank_mass_and_convergence(spark, sf_dir):

@@ -469,3 +469,25 @@ def test_stateful_total_merge_null_semantics(spark, tmp_path):
         ).fetchall()
     )
     assert got == want, (got, want)
+
+
+def test_stateful_total_merge_nonstring_key_schema(spark):
+    """stateful_total_merge derives the key field's type from the input
+    schema (r6 advice) — a long key must round-trip as long in both the
+    combiner partials and the merged output, not coerce to string. Schema
+    derivation is plan-time, so a never-started rate stream suffices."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from dynamic_spark_spark.streaming.core import stateful_total_merge
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            (F.col("value") % 5).alias("bucket_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = stateful_total_merge(stream, key_col="bucket_id", val_col="value")
+    assert isinstance(out.schema["key"].dataType, LongType), out.schema
+    assert [f.name for f in out.schema.fields] == ["key", "n", "total"]
