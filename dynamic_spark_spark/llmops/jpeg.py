@@ -30,6 +30,15 @@ subset end-to-end:
   two-AC-band / walk-Al-to-zero shape) over the SAME quantized
   coefficients as the baseline encoder, so both stream forms pin to one
   reconstruction truth.
+- **Color tier** (r7 — :func:`encode_jpeg_color` / :func:`decode_jpeg` /
+  :func:`reconstruct_color`): baseline YCbCr with the JFIF transform,
+  box-average chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 and the vertical
+  twin), one interleaved scan with per-MCU component block ordering
+  (T.81 A.2.3), separate luma/chroma quantization tables, per-component
+  DC predictors with restart resets, and nearest-neighbor chroma
+  upsampling on decode. Progressive color, CMYK (4-component),
+  non-interleaved color scans, and fractional sampling ratios remain
+  explicit rejections — decode_jpeg returns None rather than mis-decode.
 
 Determinism: the DCT/IDCT are float64 matrix products against a
 precomputed cosine basis — bit-identical across runs and partitions —
@@ -245,6 +254,43 @@ def _join_restart_chunks(chunks: list[bytes]) -> bytes:
     return bytes(out)
 
 
+def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
+    """Entropy-code ONE block's zigzag coefficients (DC differential + AC
+    run-length) into ``bw``; returns the new DC predictor. Shared verbatim
+    by the single-component and interleaved-MCU encoders so both stream
+    forms pin to identical per-block bits."""
+    # DC: differential + SSSS category code + amplitude bits
+    diff = int(zz[0]) - prev_dc
+    size = _bit_size(abs(diff))
+    code, length = _DC_CODES[size]
+    bw.write(code, length)
+    if size:
+        amp = diff if diff > 0 else diff + (1 << size) - 1
+        bw.write(amp, size)
+    # AC: run-length of zeros + (run,size) symbol + amplitude
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_CODES[0xF0]  # ZRL: 16 zeros
+            bw.write(c, ln)
+            run -= 16
+        size = _bit_size(abs(v))
+        c, ln = _AC_CODES[(run << 4) | size]
+        bw.write(c, ln)
+        amp = v if v > 0 else v + (1 << size) - 1
+        bw.write(amp, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = _AC_CODES[0x00]  # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
 def _encode_baseline_chunk(qz: np.ndarray, b0: int, b1: int) -> bytes:
     """Entropy-code blocks [b0, b1) of one restart interval: DC prediction
     starts at 0 (it resets at every restart) and the chunk is 1-padded to a
@@ -252,37 +298,7 @@ def _encode_baseline_chunk(qz: np.ndarray, b0: int, b1: int) -> bytes:
     bw = _BitWriter()
     prev_dc = 0
     for b in range(b0, b1):
-        zz = qz[b]
-        # DC: differential + SSSS category code + amplitude bits
-        diff = int(zz[0]) - prev_dc
-        prev_dc = int(zz[0])
-        size = _bit_size(abs(diff))
-        code, length = _DC_CODES[size]
-        bw.write(code, length)
-        if size:
-            amp = diff if diff > 0 else diff + (1 << size) - 1
-            bw.write(amp, size)
-        # AC: run-length of zeros + (run,size) symbol + amplitude
-        run = 0
-        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-        for i in range(1, last_nz + 1):
-            v = int(zz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = _AC_CODES[0xF0]  # ZRL: 16 zeros
-                bw.write(c, ln)
-                run -= 16
-            size = _bit_size(abs(v))
-            c, ln = _AC_CODES[(run << 4) | size]
-            bw.write(c, ln)
-            amp = v if v > 0 else v + (1 << size) - 1
-            bw.write(amp, size)
-            run = 0
-        if last_nz < 63:
-            c, ln = _AC_CODES[0x00]  # EOB
-            bw.write(c, ln)
+        prev_dc = _encode_block(bw, qz[b], prev_dc)
     return bw.flush()
 
 
@@ -621,8 +637,21 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     cadence contradicts the declared interval, and the caller degrades
     to the histogram stub: at 100 TB a payload this tier cannot decode
     must not kill the stage or ship wrong pixels."""
+    out = decode_jpeg(payload)
+    return out if out is not None and out.ndim == 2 else None
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Decode a JPEG: grayscale (baseline SOF0 or progressive SOF2) returns
+    ``uint8 [h, w]``; baseline YCbCr color (one interleaved scan, integer
+    sampling ratios — 4:4:4 / 4:2:2 / 4:2:0 and friends) returns ``uint8
+    [h, w, 3]`` RGB. Restart intervals handled in both forms. Returns None
+    for malformed input or valid-but-unsupported features (progressive
+    color, CMYK, non-interleaved color scans, fractional sampling) — the
+    caller degrades to the histogram stub rather than shipping wrong
+    pixels."""
     try:
-        return _decode_jpeg_gray(payload)
+        return _decode_jpeg(payload)
     except Exception:
         return None
 
@@ -695,25 +724,39 @@ def _decode_baseline_scan(
         br = _BitReader(data)
         prev_dc = 0
         for b in range(b0, b1):
-            size = _read_symbol(br, dc_tab)
-            diff = _extend(br.read_bits(size), size) if size else 0
-            prev_dc += diff
-            coef[b, 0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0x0F
-                if k > 63:
-                    raise ValueError("AC coefficient index overruns the block")
-                coef[b, k] = _extend(br.read_bits(size), size)
-                k += 1
+            prev_dc = _decode_block(br, dc_tab, ac_tab, coef[b], prev_dc)
     return coef
+
+
+def _decode_block(
+    br: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    out: np.ndarray,
+    prev_dc: int,
+) -> int:
+    """Decode ONE block's DC differential + run-length AC into ``out``
+    (zigzag order, length 64); returns the new DC predictor. Shared by the
+    single-component raster scan and the interleaved-MCU color scan."""
+    size = _read_symbol(br, dc_tab)
+    diff = _extend(br.read_bits(size), size) if size else 0
+    prev_dc += diff
+    out[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0x0F
+        if k > 63:
+            raise ValueError("AC coefficient index overruns the block")
+        out[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return prev_dc
 
 
 def _apply_progressive_scan(
@@ -849,7 +892,7 @@ def _apply_progressive_scan_chunk(
             eobrun -= 1
 
 
-def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
+def _decode_jpeg(payload: bytes) -> np.ndarray | None:
     if payload is None or payload[:2] != b"\xff\xd8":
         return None
     i = 2
@@ -857,12 +900,12 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     htables: dict[int, dict[tuple[int, int], int]] = {}
     h = w = None
     sof_marker = None
-    comp_tq = 0
+    comps_sof: list[tuple[int, int, int, int]] = []  # (id, H, V, Tq)
     restart_interval = 0
     # each scan snapshots its table lookups AND the restart interval at
     # parse position, since DHT/DRI segments may legally redefine both
     # between scans
-    scans: list[tuple] = []  # (dc_tab, ac_tab, ss, se, ah, al, ri, data)
+    scans: list[tuple] = []  # ([(cs, dc_tab, ac_tab)], ss, se, ah, al, ri, data)
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             return None
@@ -893,11 +936,21 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             sof_marker = marker
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                return None  # grayscale tier only
-            # component spec is (id, HV, Tq): honor the component's
-            # quantization-table selector instead of assuming table 0
-            comp_tq = body[8]
+            # grayscale (baseline + progressive) and baseline YCbCr; CMYK
+            # (4-component) and progressive color stay explicit rejections
+            if ncomp not in (1, 3) or (ncomp == 3 and marker == 0xC2):
+                return None
+            # component specs are (id, HV, Tq): honor each component's
+            # sampling factors and quantization-table selector
+            comps_sof = [
+                (
+                    body[6 + 3 * k],
+                    body[7 + 3 * k] >> 4,
+                    body[7 + 3 * k] & 0x0F,
+                    body[8 + 3 * k],
+                )
+                for k in range(ncomp)
+            ]
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # other SOFs (extended/arithmetic/lossless) — degrade
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
@@ -907,37 +960,41 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
                 htables[tc_th] = inv
                 j += 17 + sum(body[j + 1 : j + 17])
         elif marker == 0xDA:  # SOS: entropy data runs to the next marker
-            if body[0] != 1:
-                return None  # one component per scan in the grayscale tier
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
-            ss, se = body[3], body[4]
-            ah, al = body[5] >> 4, body[5] & 0x0F
+            ns = body[0]
+            scan_tabs = [
+                (
+                    body[1 + 2 * k],  # component id
+                    htables.get(body[2 + 2 * k] >> 4),
+                    htables.get(0x10 | (body[2 + 2 * k] & 0x0F)),
+                )
+                for k in range(ns)
+            ]
+            j = 1 + 2 * ns
+            ss, se = body[j], body[j + 1]
+            ah, al = body[j + 2] >> 4, body[j + 2] & 0x0F
             i += 2 + seg_len
             end = _entropy_end(payload, i)
             scans.append(
-                (
-                    htables.get(dc_id),
-                    htables.get(0x10 | ac_id),
-                    ss,
-                    se,
-                    ah,
-                    al,
-                    restart_interval,
-                    payload[i:end],
-                )
+                (scan_tabs, ss, se, ah, al, restart_interval, payload[i:end])
             )
             i = end
             continue
         i += 2 + seg_len
-    q = qtables.get(comp_tq)
-    if h is None or sof_marker is None or not scans or q is None:
+    if h is None or sof_marker is None or not scans or not comps_sof:
+        return None
+    if len(comps_sof) == 3:
+        return _reassemble_color(h, w, comps_sof, scans, qtables, sof_marker)
+    # --- single-component (grayscale) path: scans are non-interleaved ---
+    q = qtables.get(comps_sof[0][3])
+    if q is None or any(len(tabs) != 1 for tabs, *_ in scans):
         return None
     by, bx = -(-h // 8), -(-w // 8)
     nblk = by * bx
     if sof_marker == 0xC0:
         if len(scans) != 1:
             return None
-        dc_tab, ac_tab, ss, se, ah, al, ri, data = scans[0]
+        scan_tabs, ss, se, ah, al, ri, data = scans[0]
+        _, dc_tab, ac_tab = scan_tabs[0]
         if (ss, se, ah, al) != (0, 63, 0, 0) or dc_tab is None or ac_tab is None:
             return None
         coef = _decode_baseline_scan(
@@ -945,20 +1002,101 @@ def _decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
         )
     else:
         coef = np.zeros((nblk, 64), dtype=np.int64)
-        for dc_tab, ac_tab, ss, se, ah, al, ri, data in scans:
+        for scan_tabs, ss, se, ah, al, ri, data in scans:
+            _, dc_tab, ac_tab = scan_tabs[0]
             _apply_progressive_scan(
                 coef, _restart_chunks(data, nblk, ri), dc_tab, ac_tab, ss, se, ah, al
             )
     # dequantize + IDCT per block (the `@` products keep float op order
     # identical to reconstruct_gray, preserving the bit-exactness pin)
+    out = _plane_from_coef(coef, q, by, bx)
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def _reassemble_color(
+    h: int,
+    w: int,
+    comps_sof: list[tuple[int, int, int, int]],
+    scans: list[tuple],
+    qtables: dict[int, np.ndarray],
+    sof_marker: int,
+) -> np.ndarray | None:
+    """Baseline YCbCr: exactly one interleaved scan covering all three SOF
+    components (the layout every mainstream encoder emits). Decodes the MCU
+    stream with per-component DC predictors, reconstructs each plane on its
+    own block grid, nearest-neighbor-upsamples chroma, and applies the JFIF
+    inverse transform. Non-interleaved baseline color, fractional sampling
+    ratios, and progressive color return None — reject, never mis-decode."""
+    if sof_marker != 0xC0 or len(scans) != 1:
+        return None
+    scan_tabs, ss, se, ah, al, ri, data = scans[0]
+    if (ss, se, ah, al) != (0, 63, 0, 0) or len(scan_tabs) != 3:
+        return None
+    hmax = max(c[1] for c in comps_sof)
+    vmax = max(c[2] for c in comps_sof)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps_sof}
+    comps = []  # scan order: (hc, vc, bx, dc_tab, ac_tab, coef)
+    for cs, dc_tab, ac_tab in scan_tabs:
+        if cs not in by_id or dc_tab is None or ac_tab is None:
+            return None
+        hc, vc, _ = by_id[cs]
+        if hc < 1 or vc < 1 or hmax % hc or vmax % vc:
+            return None  # fractional upsampling ratios: unsupported
+        comps.append(
+            (hc, vc, mcux * hc, dc_tab, ac_tab,
+             np.zeros((mcuy * vc * mcux * hc, 64), dtype=np.int64))
+        )
+    _decode_interleaved_scan(_restart_chunks(data, mcuy * mcux, ri), comps, mcux)
+    coef_by_id = {cs: comps[k][5] for k, (cs, *_rest) in enumerate(scan_tabs)}
+    planes = []
+    for cid, hc, vc, tq in comps_sof:  # SOF order is Y, Cb, Cr per JFIF
+        q = qtables.get(tq)
+        if q is None:
+            return None
+        by, bx = mcuy * vc, mcux * hc
+        plane = _plane_from_coef(coef_by_id[cid], q, by, bx)
+        # crop to the component's natural size, then replicate up (T.81 A.1.1)
+        ch, cw = -(-h * vc // vmax), -(-w * hc // hmax)
+        plane = np.clip(np.round(plane[:ch, :cw]), 0, 255)
+        planes.append(_upsample(plane, hmax // hc, vmax // vc, h, w))
+    return _ycc_to_rgb(*planes)
+
+
+def _decode_interleaved_scan(
+    chunks: list[tuple[bytes, int, int]],
+    comps: list[tuple],
+    mcux: int,
+) -> None:
+    """Decode one interleaved baseline scan (T.81 A.2.3): per MCU, each
+    component contributes its Vc×Hc blocks in raster order. Each restart
+    chunk gets a fresh byte-aligned bit reader and resets EVERY component's
+    DC predictor (T.81 E.1.4); chunk ranges are MCU ranges."""
+    for data, m0, m1 in chunks:
+        br = _BitReader(data)
+        prev = [0] * len(comps)
+        for m in range(m0, m1):
+            my, mx = divmod(m, mcux)
+            for ci, (hc, vc, bx, dc_tab, ac_tab, coef) in enumerate(comps):
+                for v in range(vc):
+                    for hh in range(hc):
+                        b = (my * vc + v) * bx + (mx * hc + hh)
+                        prev[ci] = _decode_block(br, dc_tab, ac_tab, coef[b], prev[ci])
+
+
+def _plane_from_coef(coef: np.ndarray, q: np.ndarray, by: int, bx: int) -> np.ndarray:
+    """Dequantize + IDCT zigzag coefficients ``[by*bx, 64]`` into one
+    float64 plane ``[by*8, bx*8]`` — the single reconstruction kernel every
+    decode path and every encoder-side ``reconstruct_*`` share, so the
+    bit-exactness pins reduce to 'same coefficients in, same pixels out'."""
     out = np.zeros((by * 8, bx * 8))
-    for b in range(nblk):
+    for b in range(by * bx):
         blk = np.zeros((8, 8))
         for j, (r, c) in enumerate(_ZIGZAG):
             blk[r, c] = coef[b, j] * q[r, c]
         y, x = divmod(b, bx)
         out[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = _DCT_C.T @ blk @ _DCT_C + 128.0
-    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+    return out
 
 
 def reconstruct_gray(
@@ -980,6 +1118,216 @@ def reconstruct_gray(
                 _DCT_C.T @ deq @ _DCT_C + 128.0
             )
     return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# color (YCbCr) baseline tier — interleaved MCUs with chroma subsampling
+# ---------------------------------------------------------------------------
+
+#: 4:2:0 — the sampling nearly every camera/web encoder emits
+DEFAULT_SAMPLING: tuple[int, int] = (2, 2)
+
+_SAMPLINGS = ((1, 1), (2, 1), (1, 2), (2, 2))
+
+
+def _rgb_to_ycc(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF full-range RGB -> (Y, Cb, Cr) planes, rounded to integer-valued
+    float64 — the encoder's forward transform AND the reconstruction's, so
+    the bit-exactness pin never sees transform drift."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return tuple(np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF inverse transform on integer-valued planes -> uint8 RGB [h,w,3].
+    Shared verbatim by the decoder and :func:`reconstruct_color`."""
+    cbs, crs = cb - 128.0, cr - 128.0
+    r = y + 1.402 * crs
+    g = y - 0.344136286 * cbs - 0.714136286 * crs
+    b = y + 1.772 * cbs
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _subsample(plane: np.ndarray, hs: int, vs: int) -> np.ndarray:
+    """Chroma downsample: box-average hs×vs neighborhoods over an
+    edge-replicated pad, rounded back to integer values — output is the
+    component's natural size ceil(h/vs) × ceil(w/hs)."""
+    if hs == 1 and vs == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // vs) * vs, -(-w // hs) * hs
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    m = p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+    return np.clip(np.round(m), 0, 255)
+
+
+def _upsample(plane: np.ndarray, fh: int, fv: int, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor (pixel replication) chroma upsample, cropped to the
+    image size — deterministic, and what T.81 A.1.1 suggests as the simple
+    conformant reconstruction."""
+    if fh == 1 and fv == 1:
+        return plane[:h, :w]
+    return np.repeat(np.repeat(plane, fv, axis=0), fh, axis=1)[:h, :w]
+
+
+def _plane_qz(
+    plane: np.ndarray, qtable: np.ndarray, ph: int, pw: int
+) -> tuple[np.ndarray, int, int]:
+    """Encoder front-end for ONE component plane padded (edge-replicate) to
+    the caller's grid ph×pw (8-multiples — the MCU grid for luma, the
+    component's own block grid for chroma): DCT + quantize + zigzag.
+    Returns (qz[nblk, 64], blocks_y, blocks_x)."""
+    h, w = plane.shape
+    padded = np.pad(plane.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+    shifted = padded - 128.0
+    by, bx = ph // 8, pw // 8
+    blocks = shifted.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ux,byxv,wv->byuw", _DCT_C, blocks, _DCT_C)
+    q = np.asarray(qtable, dtype=np.float64)
+    qz = np.zeros((by * bx, 64), dtype=np.int64)
+    for b in range(by * bx):
+        y, x = divmod(b, bx)
+        blk = _quantize(coefs[y, x], q).astype(np.int64)
+        qz[b] = [int(blk[r, c]) for r, c in _ZIGZAG]
+    return qz, by, bx
+
+
+def _encode_interleaved_chunk(
+    comps: list[tuple[int, int, int, np.ndarray]], m0: int, m1: int, mcux: int
+) -> bytes:
+    """Entropy-code MCUs [m0, m1) of one restart interval in interleaved
+    order (T.81 A.2.3): per MCU, each component contributes its Vc×Hc
+    blocks in raster order. Every component's DC predictor starts at 0
+    (restart reset); the chunk is byte-aligned by the flush."""
+    bw = _BitWriter()
+    prev = [0] * len(comps)
+    for m in range(m0, m1):
+        my, mx = divmod(m, mcux)
+        for ci, (hc, vc, bx, qz) in enumerate(comps):
+            for v in range(vc):
+                for hh in range(hc):
+                    b = (my * vc + v) * bx + (mx * hc + hh)
+                    prev[ci] = _encode_block(bw, qz[b], prev[ci])
+    return bw.flush()
+
+
+def encode_jpeg_color(
+    rgb: np.ndarray | list,
+    sampling: tuple[int, int] = DEFAULT_SAMPLING,
+    qtable: np.ndarray = DEFAULT_QTABLE,
+    chroma_qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an 8-bit RGB image (h×w×3, values 0..255) as a baseline
+    sequential YCbCr JPEG: JFIF color transform, box-average chroma
+    subsampling (``sampling`` = luma (H,V) factors — (2,2) is 4:2:0,
+    (2,1) 4:2:2, (1,1) 4:4:4), one interleaved scan, separate luma/chroma
+    quantization tables (DQT 0/1), shared Huffman tables, and optional
+    restart intervals counted in MCUs per T.81 E.1.4."""
+    rgb = np.asarray(rgb)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects an h×w×3 RGB array")
+    if tuple(sampling) not in _SAMPLINGS:
+        raise ValueError(f"sampling must be one of {_SAMPLINGS}")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must fit a DRI segment (0..65535)")
+    hs, vs = sampling
+    cq = np.asarray(
+        qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
+    )
+    lq = np.asarray(qtable, dtype=np.int32)
+    h, w = rgb.shape[:2]
+    y, cb, cr = _rgb_to_ycc(rgb)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    yqz, _, ybx = _plane_qz(y, lq, mcuy * vs * 8, mcux * hs * 8)
+    cbqz, _, cbx = _plane_qz(_subsample(cb, hs, vs), cq, mcuy * 8, mcux * 8)
+    crqz, _, _ = _plane_qz(_subsample(cr, hs, vs), cq, mcuy * 8, mcux * 8)
+    comps = [(hs, vs, ybx, yqz), (1, 1, cbx, cbqz), (1, 1, cbx, crqz)]
+    entropy = _join_restart_chunks(
+        [
+            _encode_interleaved_chunk(comps, m0, m1, mcux)
+            for m0, m1 in _restart_ranges(mcuy * mcux, restart_interval)
+        ]
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zz_lq = bytes(int(lq[r, c]) for r, c in _ZIGZAG)
+    zz_cq = bytes(int(cq[r, c]) for r, c in _ZIGZAG)
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + zz_lq)  # DQT table 0: luma
+        + seg(0xDB, b"\x01" + zz_cq)  # DQT table 1: chroma
+        + seg(0xC0, sof)  # SOF0, 3 components, chroma at (1,1)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + dri
+        # SOS: Y,Cb,Cr interleaved, all on DC0/AC0
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def reconstruct_color(
+    rgb: np.ndarray | list,
+    sampling: tuple[int, int] = DEFAULT_SAMPLING,
+    qtable: np.ndarray = DEFAULT_QTABLE,
+    chroma_qtable: np.ndarray | None = None,
+) -> np.ndarray:
+    """The color encoder's OWN reconstruction — transform, subsample,
+    quantize, dequantize, IDCT, upsample, inverse transform, with the same
+    float op order the decoder uses. pytest pins
+    ``decode_jpeg(encode_jpeg_color(img)) == reconstruct_color(img)``."""
+    rgb = np.asarray(rgb)
+    hs, vs = sampling
+    lq = np.asarray(qtable, dtype=np.int32)
+    cq = np.asarray(
+        qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
+    )
+    h, w = rgb.shape[:2]
+    y, cb, cr = _rgb_to_ycc(rgb)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    planes = []
+    for plane, q, ph, pw, fh, fv in (
+        (y, lq, mcuy * vs * 8, mcux * hs * 8, 1, 1),
+        (_subsample(cb, hs, vs), cq, mcuy * 8, mcux * 8, hs, vs),
+        (_subsample(cr, hs, vs), cq, mcuy * 8, mcux * 8, hs, vs),
+    ):
+        qz, by, bx = _plane_qz(plane, q, ph, pw)
+        rec = _plane_from_coef(qz, np.asarray(q, dtype=np.float64), by, bx)
+        ch, cw = plane.shape
+        rec = np.clip(np.round(rec[:ch, :cw]), 0, 255)
+        planes.append(_upsample(rec, fh, fv, h, w))
+    return _ycc_to_rgb(*planes)
+
+
+def jpeg_color_bytes(width: int, height: int, seed: int) -> bytes:
+    """Deterministic REAL color JPEG payload for the synthetic corpus —
+    the RGB sibling of :func:`jpeg_gray_bytes`, 4:2:0 subsampled."""
+    yy, xx = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [
+            (seed * 31 + yy * 7 + xx * 3) % 256,
+            (seed * 17 + yy * 5 + xx * 11) % 256,
+            (seed * 13 + yy * 3 + xx * 7) % 256,
+        ],
+        axis=-1,
+    )
+    return encode_jpeg_color(rgb)
 
 
 def jpeg_gray_bytes(width: int, height: int, seed: int) -> bytes:

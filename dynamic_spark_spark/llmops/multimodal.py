@@ -437,6 +437,29 @@ def jpeg_pixel_features(payload: bytes) -> list[float] | None:
     )
 
 
+def jpeg_color_pixel_features(payload: bytes) -> list[float] | None:
+    """Feature vector from REAL entropy-decoded color-JPEG pixels (baseline
+    YCbCr, interleaved MCUs with chroma subsampling,
+    :func:`dynamic_spark_spark.llmops.jpeg.decode_jpeg` — r7 closes the
+    color tier): (width, height, 3 channel means, 3 channel spreads) —
+    8-dim, the SAME layout as the PNG tier so the downstream schema stays
+    format-invariant. None for undecodable or grayscale input."""
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg
+
+    px = decode_jpeg(payload)
+    if px is None or px.ndim != 3:
+        return None
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.float64)
+    h, w = arr.shape[:2]
+    return (
+        [float(w), float(h)]
+        + [round(float(arr[..., c].mean()), 6) for c in range(3)]
+        + [round(float(arr[..., c].std()), 6) for c in range(3)]
+    )
+
+
 def decode_features_mixed(docs: DataFrame) -> DataFrame:
     """Binary payload → feature vector, dispatching per format the way a
     real curation pipeline must: even doc_ids carry COMPLETE synthesized
@@ -446,14 +469,17 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
     canonical Huffman entropy coding) pixel-decoded FOR REAL by
     :func:`dynamic_spark_spark.llmops.jpeg.decode_jpeg_gray` (r5 — closes
     the last decode stub; pytest pins both decoders' pixels against their
-    encoders' reconstructions). The byte-histogram stub remains ONLY as the
+    encoders' reconstructions); doc_id % 4 == 3 carries COMPLETE baseline
+    COLOR JPEGs (YCbCr, 4:2:0 chroma subsampling, interleaved MCUs)
+    entropy-decoded by :func:`dynamic_spark_spark.llmops.jpeg.decode_jpeg`
+    (r7 — the color tier). The byte-histogram stub remains ONLY as the
     malformed-payload fallback — at 100 TB a corrupt file must degrade,
     not kill the stage. Output marks which decoder ran, so the mixed-path
     plumbing is visible in the result, and stays Arrow-batched with bounded
     worker memory. Returns the native ``features array<double>`` shape for
     downstream pipeline composition; the registered key flattens it to
     scalar digests (driver canon cannot hash array cells)."""
-    from dynamic_spark_spark.llmops.jpeg import jpeg_gray_bytes
+    from dynamic_spark_spark.llmops.jpeg import jpeg_color_bytes, jpeg_gray_bytes
 
     # only doc_id crosses the shuffle and the Arrow boundary: both payload
     # synthesizers are keyed on it, so shipping any other column (the full
@@ -471,10 +497,14 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
                     payload = png_rgb_bytes(8 + d % 9, 5 + d % 7, int(d))
                     feats = png_pixel_features(payload)
                     dec = "png-real"
-                else:
+                elif d % 4 == 1:
                     payload = jpeg_gray_bytes(8 + d % 9, 5 + d % 7, int(d))
                     feats = jpeg_pixel_features(payload)
                     dec = "jpeg-real"
+                else:  # d % 4 == 3: baseline YCbCr 4:2:0 color stream
+                    payload = jpeg_color_bytes(8 + d % 9, 5 + d % 7, int(d))
+                    feats = jpeg_color_pixel_features(payload)
+                    dec = "jpeg-color-real"
                 if feats is None:  # malformed payload: degrade, don't die
                     feats, dec = decode_stub(payload), "histogram-stub"
                 out_ids.append(d)

@@ -356,3 +356,114 @@ def test_progressive_script_validation():
     assert np.array_equal(
         decode_jpeg_gray(stream), reconstruct_gray(img, DEFAULT_QTABLE)
     )
+
+
+# ---------------------------------------------------------------------------
+# color (YCbCr) baseline tier — r7
+# ---------------------------------------------------------------------------
+
+
+def _color_img(h, w, seed=3):
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, 3))
+
+
+def test_color_roundtrip_exact_all_samplings():
+    """decode_jpeg(encode_jpeg_color(img)) mirrors reconstruct_color
+    bit-for-bit across every supported chroma sampling, on shapes that
+    exercise partial edge MCUs in both axes."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        reconstruct_color,
+    )
+
+    for h, w in [(1, 1), (17, 23), (16, 16), (9, 40)]:
+        img = _color_img(h, w, seed=h * 100 + w)
+        for samp in ((1, 1), (2, 1), (1, 2), (2, 2)):
+            dec = decode_jpeg(encode_jpeg_color(img, sampling=samp))
+            assert dec is not None and dec.shape == (h, w, 3)
+            assert np.array_equal(dec, reconstruct_color(img, sampling=samp))
+
+
+def test_color_chroma_qtable_honored():
+    """A coarser chroma table (DQT id 1) must be read from the stream and
+    applied to Cb/Cr only — the layout real encoders emit."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        reconstruct_color,
+    )
+
+    img = _color_img(19, 14)
+    cq = np.full((8, 8), 24, dtype=np.int32)
+    dec = decode_jpeg(encode_jpeg_color(img, chroma_qtable=cq))
+    assert np.array_equal(dec, reconstruct_color(img, chroma_qtable=cq))
+
+
+def test_color_restart_interval_roundtrip():
+    """Restart intervals in interleaved scans count MCUs; every component's
+    DC predictor resets at each RSTm (T.81 E.1.4)."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        reconstruct_color,
+    )
+
+    img = _color_img(33, 25)
+    for ri in (1, 2, 5):
+        dec = decode_jpeg(encode_jpeg_color(img, restart_interval=ri))
+        assert np.array_equal(dec, reconstruct_color(img))
+
+
+def test_color_error_bounds():
+    """4:4:4 error is bounded by quantization through the color transform;
+    flat images (DC-only blocks, constant chroma) are near-lossless even at
+    4:2:0. (4:2:0 on NOISE is unboundedly lossy by design — chroma noise is
+    what subsampling throws away — so no random-noise 4:2:0 bound.)"""
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg, encode_jpeg_color
+
+    img = _color_img(16, 16, seed=9)
+    dec = decode_jpeg(encode_jpeg_color(img, sampling=(1, 1)))
+    assert np.max(np.abs(dec.astype(int) - img)) <= 5 * int(DEFAULT_QTABLE[0, 0])
+    flat = np.full((12, 10, 3), [200, 30, 117])
+    dec = decode_jpeg(encode_jpeg_color(flat, sampling=(2, 2)))
+    assert np.max(np.abs(dec.astype(int) - flat)) <= 2
+
+
+def test_gray_and_color_tiers_dispatch():
+    """decode_jpeg_gray stays a gray-only API (None on color streams);
+    decode_jpeg handles both and matches the gray tier on gray streams."""
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg, encode_jpeg_color
+
+    color = encode_jpeg_color(_color_img(10, 12))
+    assert decode_jpeg_gray(color) is None
+    assert decode_jpeg(color).shape == (10, 12, 3)
+    gray = encode_jpeg_gray(np.arange(117).reshape(9, 13) % 256)
+    assert np.array_equal(decode_jpeg(gray), decode_jpeg_gray(gray))
+
+
+def test_unsupported_color_forms_degrade_to_none():
+    """Progressive color (SOF2, 3 components) and fractional sampling
+    ratios are rejected outright — never mis-decoded."""
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg, encode_jpeg_color
+
+    stream = encode_jpeg_color(_color_img(16, 16))
+    sof = stream.index(b"\xff\xc0")
+    # flip SOF0 -> SOF2: progressive color must be rejected
+    prog = stream[:sof] + b"\xff\xc2" + stream[sof + 2 :]
+    assert decode_jpeg(prog) is None
+    # patch component sampling to a fractional ratio: luma (2,2) with a
+    # 3x-sampled Cb makes hmax=3, 3 % 2 != 0 -> reject before entropy decode
+    hv = bytearray(stream)
+    assert hv[sof + 11] == 0x22 and hv[sof + 14] == 0x11  # Y then Cb spec
+    hv[sof + 14] = 0x31
+    assert decode_jpeg(bytes(hv)) is None
+
+
+def test_jpeg_color_bytes_deterministic_and_decodable():
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg, jpeg_color_bytes
+
+    a, b = jpeg_color_bytes(20, 14, 3), jpeg_color_bytes(20, 14, 3)
+    assert a == b
+    px = decode_jpeg(a)
+    assert px is not None and px.shape == (14, 20, 3)

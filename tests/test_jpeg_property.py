@@ -130,3 +130,51 @@ def test_restart_truncations_never_raise(img, ri):
     for cut in range(0, len(payload), max(1, len(payload) // 16)):
         out = decode_jpeg_gray(payload[:cut])
         assert out is None or isinstance(out, np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# color (YCbCr) baseline tier — r7
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg_color,
+    reconstruct_color,
+)
+
+_SAMPLINGS = ((1, 1), (2, 1), (1, 2), (2, 2))
+
+
+@st.composite
+def color_images(draw):
+    """Small RGB images: arbitrary (not MCU-aligned) shapes, full value
+    range — partial edge MCUs in both axes are the hot spot."""
+    h = draw(st.integers(min_value=1, max_value=20))
+    w = draw(st.integers(min_value=1, max_value=20))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, 3))
+
+
+@settings(max_examples=40, deadline=None)
+@given(color_images(), st.sampled_from(_SAMPLINGS))
+def test_color_decode_mirrors_reconstruction(img, samp):
+    dec = decode_jpeg(encode_jpeg_color(img, sampling=samp))
+    assert dec is not None and dec.shape == img.shape
+    assert np.array_equal(dec, reconstruct_color(img, sampling=samp))
+
+
+@settings(max_examples=20, deadline=None)
+@given(color_images(), st.sampled_from(_SAMPLINGS), st.integers(1, 9))
+def test_color_restart_mirrors_reconstruction(img, samp, ri):
+    dec = decode_jpeg(encode_jpeg_color(img, sampling=samp, restart_interval=ri))
+    assert np.array_equal(dec, reconstruct_color(img, sampling=samp))
+
+
+@settings(max_examples=25, deadline=None)
+@given(color_images(), st.integers(min_value=0, max_value=10_000))
+def test_color_truncations_never_raise(img, cut):
+    """Any prefix of a valid color stream decodes or degrades to None —
+    the 100-TB contract: corrupt payloads must not kill the stage."""
+    stream = encode_jpeg_color(img)
+    out = decode_jpeg(stream[: cut % max(len(stream), 1)])
+    assert out is None or isinstance(out, np.ndarray)

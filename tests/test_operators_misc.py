@@ -139,10 +139,12 @@ def test_png_real_resize_roundtrip():
 
 
 def test_multimodal_decode_mixed_paths(spark, sf_dir):
-    """The decode pipeline runs BOTH real decoders: even doc_ids through the
-    PNG pixel decode (feature = [w, h, 3 channel means, 3 channel spreads]),
-    odd through the baseline-JPEG entropy decode (r5: [w, h, mean, spread,
-    4 quadrant means]) — zero histogram-stub rows on well-formed payloads.
+    """The decode pipeline runs ALL THREE real decoders: even doc_ids through
+    the PNG pixel decode (feature = [w, h, 3 channel means, 3 channel
+    spreads]), doc_id % 4 == 1 through the grayscale baseline-JPEG entropy
+    decode (r5: [w, h, mean, spread, 4 quadrant means]), doc_id % 4 == 3
+    through the COLOR (YCbCr 4:2:0 interleaved-MCU) JPEG decode (r7, PNG
+    feature layout) — zero histogram-stub rows on well-formed payloads.
     Pins the native array form (decode_features_mixed); the registered key
     flattens it to scalar digests for the driver harness."""
     from dynamic_spark_spark.llmops.multimodal import decode_features_mixed
@@ -150,9 +152,12 @@ def test_multimodal_decode_mixed_paths(spark, sf_dir):
     pdf = decode_features_mixed(load_table(spark, sf_dir, "documents")).toPandas()
     png = pdf[pdf["decoder"] == "png-real"]
     jpg = pdf[pdf["decoder"] == "jpeg-real"]
-    assert (png["doc_id"] % 2 == 0).all() and (jpg["doc_id"] % 2 == 1).all()
-    assert len(png) and len(jpg)
-    assert len(png) + len(jpg) == len(pdf)  # no stub fallbacks on clean data
+    cjpg = pdf[pdf["decoder"] == "jpeg-color-real"]
+    assert (png["doc_id"] % 2 == 0).all()
+    assert (jpg["doc_id"] % 4 == 1).all() and (cjpg["doc_id"] % 4 == 3).all()
+    assert len(png) and len(jpg) and len(cjpg)
+    # no stub fallbacks on clean data
+    assert len(png) + len(jpg) + len(cjpg) == len(pdf)
     for _, r in png.head(20).iterrows():
         f = r["features"]
         assert len(f) == 8
@@ -164,6 +169,11 @@ def test_multimodal_decode_mixed_paths(spark, sf_dir):
         assert f[0] == 8 + r["doc_id"] % 9 and f[1] == 5 + r["doc_id"] % 7
         assert 0 <= f[2] <= 255  # global mean of real decoded pixels
         assert all(0 <= v <= 255 for v in f[4:])  # quadrant means
+    for _, r in cjpg.head(20).iterrows():
+        f = r["features"]
+        assert len(f) == 8
+        assert f[0] == 8 + r["doc_id"] % 9 and f[1] == 5 + r["doc_id"] % 7
+        assert all(0 <= v <= 255 for v in f[2:5])  # RGB channel means
 
 
 def test_multimodal_image_meta_dims(spark, sf_dir):
