@@ -218,17 +218,18 @@ def _quantized_zigzag(
     img: np.ndarray | list, qtable: np.ndarray
 ) -> tuple[np.ndarray, int, int, int, int]:
     """Shared encoder front-end: DCT + quantize + zigzag every block.
-    Returns (qz[nblk, 64], h, w, by, bx)."""
+    Returns (qz[nblk, 64], h, w, by, bx). Delegates to :func:`_plane_qz`
+    with the plane's own 8-aligned grid — one quantization kernel for the
+    gray and color tiers."""
     img = np.asarray(img, dtype=np.float64)
     h, w = img.shape
-    coefs, by, bx = _dct_blocks(img)
-    q = np.asarray(qtable, dtype=np.float64)
-    qz = np.zeros((by * bx, 64), dtype=np.int64)
-    for b in range(by * bx):
-        y, x = divmod(b, bx)
-        blk = _quantize(coefs[y, x], q).astype(np.int64)
-        qz[b] = [int(blk[r, c]) for r, c in _ZIGZAG]
+    qz, by, bx = _plane_qz(img, qtable, -(-h // 8) * 8, -(-w // 8) * 8)
     return qz, h, w, by, bx
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    """One marker segment: FF <marker> <len+2 big-endian> <payload>."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
 def _restart_ranges(nblk: int, restart_interval: int) -> list[tuple[int, int]]:
@@ -323,22 +324,19 @@ def encode_jpeg_gray(
         ]
     )
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
     zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"  # SOI
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xDB, b"\x00" + zz_q)  # DQT, table 0, 8-bit precision
-        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
-        + seg(0xC4, dht_dc)
-        + seg(0xC4, dht_ac)
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, b"\x00" + zz_q)  # DQT, table 0, 8-bit precision
+        + _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
         + dri
-        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS: 1 comp, DC0/AC0
+        + _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS: 1 comp, DC0/AC0
         + entropy
         + b"\xff\xd9"  # EOI
     )
@@ -520,24 +518,21 @@ def encode_jpeg_gray_progressive(
     qz, h, w, by, bx = _quantized_zigzag(img, qtable)
     q = np.asarray(qtable, dtype=np.float64)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
     zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
     stream = (
         b"\xff\xd8"  # SOI
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xDB, b"\x00" + zz_q)
-        + seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF2
-        + seg(0xC4, dht_dc)
-        + seg(0xC4, dht_ac)
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, b"\x00" + zz_q)
+        + _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF2
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
     )
     if restart_interval:
-        stream += seg(0xDD, struct.pack(">H", restart_interval))
+        stream += _seg(0xDD, struct.pack(">H", restart_interval))
     for ss, se, ah, al in (_PROGRESSIVE_SCRIPT if script is None else script):
-        stream += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        stream += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
         stream += _encode_progressive_scan(qz, ss, se, ah, al, restart_interval)
     return stream + b"\xff\xd9"  # EOI
 
@@ -637,8 +632,12 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
     cadence contradicts the declared interval, and the caller degrades
     to the histogram stub: at 100 TB a payload this tier cannot decode
     must not kill the stage or ship wrong pixels."""
-    out = decode_jpeg(payload)
-    return out if out is not None and out.ndim == 2 else None
+    try:
+        # gray_only rejects multi-component streams at SOF parse — the
+        # gray-only API must not pay a full color decode just to discard it
+        return _decode_jpeg(payload, gray_only=True)
+    except Exception:
+        return None
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
@@ -892,7 +891,7 @@ def _apply_progressive_scan_chunk(
             eobrun -= 1
 
 
-def _decode_jpeg(payload: bytes) -> np.ndarray | None:
+def _decode_jpeg(payload: bytes, gray_only: bool = False) -> np.ndarray | None:
     if payload is None or payload[:2] != b"\xff\xd8":
         return None
     i = 2
@@ -940,6 +939,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray | None:
             # (4-component) and progressive color stay explicit rejections
             if ncomp not in (1, 3) or (ncomp == 3 and marker == 0xC2):
                 return None
+            if gray_only and ncomp != 1:
+                return None  # gray-only API: reject at header-parse cost
             # component specs are (id, HV, Tq): honor each component's
             # sampling factors and quantization-table selector
             comps_sof = [
@@ -1032,13 +1033,22 @@ def _reassemble_color(
     scan_tabs, ss, se, ah, al, ri, data = scans[0]
     if (ss, se, ah, al) != (0, 63, 0, 0) or len(scan_tabs) != 3:
         return None
+    # every validation happens BEFORE the entropy pass: a lying header must
+    # reject at parse cost, and duplicate component ids would silently
+    # collapse the by-id dicts below into a mis-decode
+    sof_ids = [c[0] for c in comps_sof]
+    scan_ids = [t[0] for t in scan_tabs]
+    if len(set(sof_ids)) != 3 or sorted(scan_ids) != sorted(sof_ids):
+        return None
+    if any(qtables.get(tq) is None for _, _, _, tq in comps_sof):
+        return None
     hmax = max(c[1] for c in comps_sof)
     vmax = max(c[2] for c in comps_sof)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps_sof}
     comps = []  # scan order: (hc, vc, bx, dc_tab, ac_tab, coef)
     for cs, dc_tab, ac_tab in scan_tabs:
-        if cs not in by_id or dc_tab is None or ac_tab is None:
+        if dc_tab is None or ac_tab is None:
             return None
         hc, vc, _ = by_id[cs]
         if hc < 1 or vc < 1 or hmax % hc or vmax % vc:
@@ -1051,9 +1061,7 @@ def _reassemble_color(
     coef_by_id = {cs: comps[k][5] for k, (cs, *_rest) in enumerate(scan_tabs)}
     planes = []
     for cid, hc, vc, tq in comps_sof:  # SOF order is Y, Cb, Cr per JFIF
-        q = qtables.get(tq)
-        if q is None:
-            return None
+        q = qtables[tq]
         by, bx = mcuy * vc, mcux * hc
         plane = _plane_from_coef(coef_by_id[cid], q, by, bx)
         # crop to the component's natural size, then replicate up (T.81 A.1.1)
@@ -1255,28 +1263,25 @@ def encode_jpeg_color(
         ]
     )
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
     zz_lq = bytes(int(lq[r, c]) for r, c in _ZIGZAG)
     zz_cq = bytes(int(cq[r, c]) for r, c in _ZIGZAG)
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
         [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     return (
         b"\xff\xd8"  # SOI
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xDB, b"\x00" + zz_lq)  # DQT table 0: luma
-        + seg(0xDB, b"\x01" + zz_cq)  # DQT table 1: chroma
-        + seg(0xC0, sof)  # SOF0, 3 components, chroma at (1,1)
-        + seg(0xC4, dht_dc)
-        + seg(0xC4, dht_ac)
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, b"\x00" + zz_lq)  # DQT table 0: luma
+        + _seg(0xDB, b"\x01" + zz_cq)  # DQT table 1: chroma
+        + _seg(0xC0, sof)  # SOF0, 3 components, chroma at (1,1)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
         + dri
         # SOS: Y,Cb,Cr interleaved, all on DC0/AC0
-        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
         + entropy
         + b"\xff\xd9"  # EOI
     )
@@ -1293,6 +1298,10 @@ def reconstruct_color(
     float op order the decoder uses. pytest pins
     ``decode_jpeg(encode_jpeg_color(img)) == reconstruct_color(img)``."""
     rgb = np.asarray(rgb)
+    if tuple(sampling) not in _SAMPLINGS:
+        # mirror encode_jpeg_color: a typo'd sampling must raise on BOTH
+        # sides of the pin, never yield a silently-wrong reference image
+        raise ValueError(f"sampling must be one of {_SAMPLINGS}")
     hs, vs = sampling
     lq = np.asarray(qtable, dtype=np.int32)
     cq = np.asarray(

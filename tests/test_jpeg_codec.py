@@ -467,3 +467,27 @@ def test_jpeg_color_bytes_deterministic_and_decodable():
     assert a == b
     px = decode_jpeg(a)
     assert px is not None and px.shape == (14, 20, 3)
+
+
+def test_duplicate_component_ids_rejected():
+    """A stream whose SOF/SOS declare the same component id twice must
+    return None, not collapse the by-id lookups into garbage pixels
+    (r7 review finding). Also: the gray-only API rejects color at SOF
+    parse, and reconstruct_color validates sampling like the encoder."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        reconstruct_color,
+    )
+
+    stream = encode_jpeg_color(_color_img(16, 16))
+    sof = stream.index(b"\xff\xc0")
+    dup = bytearray(stream)
+    assert dup[sof + 13] == 2 and dup[sof + 16] == 3  # Cb, Cr component ids
+    dup[sof + 16] = 2  # SOF now lists id 2 twice
+    sos = bytes(dup).index(b"\xff\xda")
+    assert dup[sos + 9] == 3  # SOS third component id
+    dup[sos + 9] = 2  # SOS matches the duplicated SOF
+    assert decode_jpeg(bytes(dup)) is None
+    with pytest.raises(ValueError, match="sampling"):
+        reconstruct_color(_color_img(8, 8), sampling=(4, 1))
