@@ -30,15 +30,20 @@ subset end-to-end:
   two-AC-band / walk-Al-to-zero shape) over the SAME quantized
   coefficients as the baseline encoder, so both stream forms pin to one
   reconstruction truth.
-- **Color tier** (r7 — :func:`encode_jpeg_color` / :func:`decode_jpeg` /
-  :func:`reconstruct_color`): baseline YCbCr with the JFIF transform,
-  box-average chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 and the vertical
-  twin), one interleaved scan with per-MCU component block ordering
-  (T.81 A.2.3), separate luma/chroma quantization tables, per-component
-  DC predictors with restart resets, and nearest-neighbor chroma
-  upsampling on decode. Progressive color, CMYK (4-component),
-  non-interleaved color scans, and fractional sampling ratios remain
-  explicit rejections — decode_jpeg returns None rather than mis-decode.
+- **Color tier** (r7 — :func:`encode_jpeg_color` /
+  :func:`encode_jpeg_color_progressive` / :func:`decode_jpeg` /
+  :func:`reconstruct_color`): YCbCr with the JFIF transform, box-average
+  chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 and the vertical twin),
+  separate luma/chroma quantization tables, per-component DC predictors
+  with restart resets, nearest-neighbor chroma upsampling on decode.
+  Baseline: one interleaved scan with per-MCU component block ordering
+  (T.81 A.2.3). Progressive: interleaved DC scans (restart interval in
+  MCUs) + per-component non-interleaved AC scans walking each
+  component's OWN block grid (T.81 A.2.2/G.1.1.1.1 — a sub-grid of the
+  MCU-padded array on subsampled frames; restart interval in blocks).
+  CMYK (4-component), non-interleaved baseline color scans, and
+  fractional sampling ratios remain explicit rejections — decode_jpeg
+  returns None rather than mis-decode.
 
 Determinism: the DCT/IDCT are float64 matrix products against a
 precomputed cosine basis — bit-identical across runs and partitions —
@@ -641,12 +646,14 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray | None:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Decode a JPEG: grayscale (baseline SOF0 or progressive SOF2) returns
-    ``uint8 [h, w]``; baseline YCbCr color (one interleaved scan, integer
-    sampling ratios — 4:4:4 / 4:2:2 / 4:2:0 and friends) returns ``uint8
-    [h, w, 3]`` RGB. Restart intervals handled in both forms. Returns None
-    for malformed input or valid-but-unsupported features (progressive
-    color, CMYK, non-interleaved color scans, fractional sampling) — the
+    """Decode a JPEG: grayscale returns ``uint8 [h, w]``; YCbCr color
+    (integer sampling ratios — 4:4:4 / 4:2:2 / 4:2:0 and friends) returns
+    ``uint8 [h, w, 3]`` RGB. Baseline (SOF0) and progressive (SOF2) both
+    decode in both tiers — progressive color handles interleaved DC scans
+    and per-component non-interleaved AC scans over each component's own
+    block grid. Restart intervals handled in every form. Returns None for
+    malformed input or valid-but-unsupported features (CMYK,
+    non-interleaved baseline color scans, fractional sampling) — the
     caller degrades to the histogram stub rather than shipping wrong
     pixels."""
     try:
@@ -935,9 +942,9 @@ def _decode_jpeg(payload: bytes, gray_only: bool = False) -> np.ndarray | None:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             sof_marker = marker
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            # grayscale (baseline + progressive) and baseline YCbCr; CMYK
-            # (4-component) and progressive color stay explicit rejections
-            if ncomp not in (1, 3) or (ncomp == 3 and marker == 0xC2):
+            # grayscale and YCbCr, baseline + progressive; CMYK
+            # (4-component) stays an explicit rejection
+            if ncomp not in (1, 3):
                 return None
             if gray_only and ncomp != 1:
                 return None  # gray-only API: reject at header-parse cost
@@ -1022,43 +1029,104 @@ def _reassemble_color(
     qtables: dict[int, np.ndarray],
     sof_marker: int,
 ) -> np.ndarray | None:
-    """Baseline YCbCr: exactly one interleaved scan covering all three SOF
-    components (the layout every mainstream encoder emits). Decodes the MCU
-    stream with per-component DC predictors, reconstructs each plane on its
-    own block grid, nearest-neighbor-upsamples chroma, and applies the JFIF
-    inverse transform. Non-interleaved baseline color, fractional sampling
-    ratios, and progressive color return None — reject, never mis-decode."""
-    if sof_marker != 0xC0 or len(scans) != 1:
-        return None
-    scan_tabs, ss, se, ah, al, ri, data = scans[0]
-    if (ss, se, ah, al) != (0, 63, 0, 0) or len(scan_tabs) != 3:
+    """YCbCr reassembly, baseline AND progressive.
+
+    Baseline (SOF0): exactly one interleaved scan covering all three SOF
+    components — the layout every mainstream encoder emits.
+
+    Progressive (SOF2, r7): DC scans may be interleaved (MCU-ordered over
+    the scan's components, restart interval in MCUs) or single-component;
+    AC scans are single-component per T.81 G.1.1.1.1 and walk the
+    component's OWN block grid in raster order (restart interval in
+    blocks) — which for subsampled frames is a SUB-grid of the MCU-padded
+    coefficient array, hence the gather/scatter through
+    :func:`_subgrid_index`.
+
+    Both forms share the tail: per-plane dequantize+IDCT on the MCU grid,
+    crop to the component's natural size, nearest-neighbor chroma
+    upsample, JFIF inverse transform. Non-interleaved baseline color and
+    fractional sampling ratios return None — reject, never mis-decode."""
+    if not scans:
         return None
     # every validation happens BEFORE the entropy pass: a lying header must
     # reject at parse cost, and duplicate component ids would silently
     # collapse the by-id dicts below into a mis-decode
     sof_ids = [c[0] for c in comps_sof]
-    scan_ids = [t[0] for t in scan_tabs]
-    if len(set(sof_ids)) != 3 or sorted(scan_ids) != sorted(sof_ids):
+    if len(set(sof_ids)) != 3:
         return None
     if any(qtables.get(tq) is None for _, _, _, tq in comps_sof):
         return None
     hmax = max(c[1] for c in comps_sof)
     vmax = max(c[2] for c in comps_sof)
+    if any(
+        hc < 1 or vc < 1 or hmax % hc or vmax % vc for _, hc, vc, _ in comps_sof
+    ):
+        return None  # fractional upsampling ratios: unsupported
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     by_id = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps_sof}
-    comps = []  # scan order: (hc, vc, bx, dc_tab, ac_tab, coef)
-    for cs, dc_tab, ac_tab in scan_tabs:
-        if dc_tab is None or ac_tab is None:
+    coef_by_id = {
+        cid: np.zeros((mcuy * vc * mcux * hc, 64), dtype=np.int64)
+        for cid, hc, vc, _ in comps_sof
+    }
+
+    if sof_marker == 0xC0:
+        if len(scans) != 1:
             return None
-        hc, vc, _ = by_id[cs]
-        if hc < 1 or vc < 1 or hmax % hc or vmax % vc:
-            return None  # fractional upsampling ratios: unsupported
-        comps.append(
-            (hc, vc, mcux * hc, dc_tab, ac_tab,
-             np.zeros((mcuy * vc * mcux * hc, 64), dtype=np.int64))
+        scan_tabs, ss, se, ah, al, ri, data = scans[0]
+        if (ss, se, ah, al) != (0, 63, 0, 0) or len(scan_tabs) != 3:
+            return None
+        if sorted(t[0] for t in scan_tabs) != sorted(sof_ids):
+            return None
+        comps = []  # scan order: (hc, vc, bx, dc_tab, ac_tab, coef)
+        for cs, dc_tab, ac_tab in scan_tabs:
+            if dc_tab is None or ac_tab is None:
+                return None
+            hc, vc, _ = by_id[cs]
+            comps.append((hc, vc, mcux * hc, dc_tab, ac_tab, coef_by_id[cs]))
+        _decode_interleaved_scan(
+            _restart_chunks(data, mcuy * mcux, ri), comps, mcux
         )
-    _decode_interleaved_scan(_restart_chunks(data, mcuy * mcux, ri), comps, mcux)
-    coef_by_id = {cs: comps[k][5] for k, (cs, *_rest) in enumerate(scan_tabs)}
+    else:  # SOF2 progressive color
+        for scan_tabs, ss, se, ah, al, ri, data in scans:
+            scan_ids = [t[0] for t in scan_tabs]
+            if len(set(scan_ids)) != len(scan_ids) or any(
+                cs not in by_id for cs in scan_ids
+            ):
+                return None
+            if ss == 0 and len(scan_tabs) > 1:
+                # interleaved DC scan: MCU-ordered over the scan's comps
+                if se != 0:
+                    return None
+                comps = []
+                for cs, dc_tab, _ac in scan_tabs:
+                    if ah == 0 and dc_tab is None:
+                        return None
+                    hc, vc, _ = by_id[cs]
+                    comps.append((hc, vc, mcux * hc, dc_tab, coef_by_id[cs]))
+                _apply_progressive_dc_interleaved(
+                    _restart_chunks(data, mcuy * mcux, ri), comps, mcux, ah, al
+                )
+            elif len(scan_tabs) == 1:
+                # non-interleaved scan over the component's OWN block grid
+                cs, dc_tab, ac_tab = scan_tabs[0]
+                hc, vc, _ = by_id[cs]
+                coef = coef_by_id[cs]
+                idx = _subgrid_index(h, w, hc, vc, hmax, vmax, mcux)
+                sub = coef[idx]  # gather (advanced indexing copies)
+                _apply_progressive_scan(
+                    sub,
+                    _restart_chunks(data, len(idx), ri),
+                    dc_tab,
+                    ac_tab,
+                    ss,
+                    se,
+                    ah,
+                    al,
+                )
+                coef[idx] = sub  # scatter the scan's contribution back
+            else:
+                return None  # interleaved AC scans are illegal (G.1.1.1.1)
+
     planes = []
     for cid, hc, vc, tq in comps_sof:  # SOF order is Y, Cb, Cr per JFIF
         q = qtables[tq]
@@ -1069,6 +1137,54 @@ def _reassemble_color(
         plane = np.clip(np.round(plane[:ch, :cw]), 0, 255)
         planes.append(_upsample(plane, hmax // hc, vmax // vc, h, w))
     return _ycc_to_rgb(*planes)
+
+
+def _subgrid_index(
+    h: int, w: int, hc: int, vc: int, hmax: int, vmax: int, mcux: int
+) -> np.ndarray:
+    """MCU-grid row indices of a component's OWN blocks in raster order —
+    the block sequence of a NON-interleaved scan (T.81 A.2.2). The
+    component's natural grid (ceil of its scaled dims over 8) can be
+    narrower than the MCU-padded grid: e.g. an 8-px-wide 4:2:0 luma plane
+    has 1 real block per row but 2 per MCU row, and non-interleaved scans
+    code only the real one."""
+    ch, cw = -(-h * vc // vmax), -(-w * hc // hmax)
+    byp, bxp = -(-ch // 8), -(-cw // 8)
+    bx = mcux * hc
+    return np.array(
+        [r * bx + c for r in range(byp) for c in range(bxp)], dtype=np.int64
+    )
+
+
+def _apply_progressive_dc_interleaved(
+    chunks: list[tuple[bytes, int, int]],
+    comps: list[tuple],
+    mcux: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Interleaved progressive DC scan (first pass ah=0: per-component
+    differential coding of ``value >> Al``; refinement: one bit per block
+    appended at Al). MCU block order per T.81 A.2.3; every restart chunk
+    resets the bit reader and every component's predictor."""
+    for data, m0, m1 in chunks:
+        br = _BitReader(data)
+        prev = [0] * len(comps)
+        for m in range(m0, m1):
+            my, mx = divmod(m, mcux)
+            for ci, (hc, vc, bx, dc_tab, coef) in enumerate(comps):
+                for v in range(vc):
+                    for hh in range(hc):
+                        b = (my * vc + v) * bx + (mx * hc + hh)
+                        if ah == 0:
+                            size = _read_symbol(br, dc_tab)
+                            diff = (
+                                _extend(br.read_bits(size), size) if size else 0
+                            )
+                            prev[ci] += diff
+                            coef[b, 0] = prev[ci] << al
+                        elif br.read_bit():
+                            coef[b, 0] |= 1 << al
 
 
 def _decode_interleaved_scan(
@@ -1285,6 +1401,129 @@ def encode_jpeg_color(
         + entropy
         + b"\xff\xd9"  # EOI
     )
+
+
+def _encode_progressive_dc_interleaved_chunk(
+    comps: list[tuple[int, int, int, np.ndarray]],
+    m0: int,
+    m1: int,
+    mcux: int,
+    ah: int,
+    al: int,
+) -> bytes:
+    """One restart interval of an interleaved progressive DC scan: first
+    pass (ah=0) codes ``value >> Al`` differentially with per-component
+    predictors in MCU block order; refinement appends one bit per block."""
+    bw = _BitWriter()
+    prev = [0] * len(comps)
+    for m in range(m0, m1):
+        my, mx = divmod(m, mcux)
+        for ci, (hc, vc, bx, qz) in enumerate(comps):
+            for v in range(vc):
+                for hh in range(hc):
+                    b = (my * vc + v) * bx + (mx * hc + hh)
+                    if ah == 0:
+                        val = int(qz[b, 0]) >> al
+                        diff = val - prev[ci]
+                        prev[ci] = val
+                        size = _bit_size(abs(diff))
+                        code, length = _DC_CODES[size]
+                        bw.write(code, length)
+                        if size:
+                            amp = diff if diff > 0 else diff + (1 << size) - 1
+                            bw.write(amp, size)
+                    else:
+                        bw.write((int(qz[b, 0]) >> al) & 1, 1)
+    return bw.flush()
+
+
+def encode_jpeg_color_progressive(
+    rgb: np.ndarray | list,
+    sampling: tuple[int, int] = DEFAULT_SAMPLING,
+    qtable: np.ndarray = DEFAULT_QTABLE,
+    chroma_qtable: np.ndarray | None = None,
+    script: list[tuple[int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an 8-bit RGB image as a PROGRESSIVE (SOF2) YCbCr JPEG: each
+    DC script entry becomes ONE interleaved scan over all three components
+    (restart interval in MCUs); each AC entry becomes THREE per-component
+    scans over each component's own block grid (T.81 G.1.1.1.1 — AC scans
+    are single-component; restart interval in blocks). Quantized
+    coefficients are identical to :func:`encode_jpeg_color`'s, so
+    ``decode_jpeg`` of this stream must equal ``reconstruct_color(img)``
+    exactly — the same pin the grayscale progressive pair carries. Scan
+    scripts are validated like the grayscale encoder's (an invalid script
+    would decode cleanly to wrong pixels, so it is refused at encode
+    time)."""
+    if script is not None:
+        _validate_progressive_script(script)
+    rgb = np.asarray(rgb)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color_progressive expects h×w×3 RGB")
+    if tuple(sampling) not in _SAMPLINGS:
+        raise ValueError(f"sampling must be one of {_SAMPLINGS}")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must fit a DRI segment (0..65535)")
+    hs, vs = sampling
+    lq = np.asarray(qtable, dtype=np.int32)
+    cq = np.asarray(
+        qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
+    )
+    h, w = rgb.shape[:2]
+    y, cb, cr = _rgb_to_ycc(rgb)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    yqz, _, ybx = _plane_qz(y, lq, mcuy * vs * 8, mcux * hs * 8)
+    cbqz, _, cbx = _plane_qz(_subsample(cb, hs, vs), cq, mcuy * 8, mcux * 8)
+    crqz, _, _ = _plane_qz(_subsample(cr, hs, vs), cq, mcuy * 8, mcux * 8)
+    # (component id, H, V, qz, non-interleaved sub-grid index)
+    comps = [
+        (1, hs, vs, yqz, _subgrid_index(h, w, hs, vs, hs, vs, mcux)),
+        (2, 1, 1, cbqz, _subgrid_index(h, w, 1, 1, hs, vs, mcux)),
+        (3, 1, 1, crqz, _subgrid_index(h, w, 1, 1, hs, vs, mcux)),
+    ]
+
+    zz_lq = bytes(int(lq[r, c]) for r, c in _ZIGZAG)
+    zz_cq = bytes(int(cq[r, c]) for r, c in _ZIGZAG)
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    stream = (
+        b"\xff\xd8"
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, b"\x00" + zz_lq)
+        + _seg(0xDB, b"\x01" + zz_cq)
+        + _seg(0xC2, sof)  # SOF2 progressive
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+    )
+    if restart_interval:
+        stream += _seg(0xDD, struct.pack(">H", restart_interval))
+    for ss, se, ah, al in (_PROGRESSIVE_SCRIPT if script is None else script):
+        if ss == 0:  # one interleaved DC scan over all three components
+            stream += _seg(
+                0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, (ah << 4) | al])
+            )
+            enc = [(hc, vc, mcux * hc, qz) for _, hc, vc, qz, _ in comps]
+            stream += _join_restart_chunks(
+                [
+                    _encode_progressive_dc_interleaved_chunk(
+                        enc, m0, m1, mcux, ah, al
+                    )
+                    for m0, m1 in _restart_ranges(mcuy * mcux, restart_interval)
+                ]
+            )
+        else:  # one scan per component over its own block grid
+            for cid, _hc, _vc, qz, idx in comps:
+                stream += _seg(
+                    0xDA, bytes([1, cid, 0x00, ss, se, (ah << 4) | al])
+                )
+                stream += _encode_progressive_scan(
+                    qz[idx], ss, se, ah, al, restart_interval
+                )
+    return stream + b"\xff\xd9"
 
 
 def reconstruct_color(

@@ -491,3 +491,66 @@ def test_duplicate_component_ids_rejected():
     assert decode_jpeg(bytes(dup)) is None
     with pytest.raises(ValueError, match="sampling"):
         reconstruct_color(_color_img(8, 8), sampling=(4, 1))
+
+
+def test_progressive_color_roundtrip_exact():
+    """Progressive color: interleaved DC scans + per-component AC scans
+    decode bit-exact against the SAME reconstruction truth as baseline
+    color (identical quantized coefficients). Shapes chosen so the luma
+    non-interleaved sub-grid is strictly narrower than the MCU grid
+    (w=8 at 4:2:0: 1 real block per luma row, 2 per MCU row)."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color_progressive,
+        reconstruct_color,
+    )
+
+    for h, w in [(8, 8), (17, 23), (16, 9)]:
+        img = _color_img(h, w, seed=h * 37 + w)
+        for samp in ((1, 1), (2, 2), (2, 1)):
+            dec = decode_jpeg(encode_jpeg_color_progressive(img, sampling=samp))
+            assert dec is not None and dec.shape == (h, w, 3)
+            assert np.array_equal(dec, reconstruct_color(img, sampling=samp))
+
+
+def test_progressive_color_restart_and_custom_script():
+    """Restart intervals (MCU-counted in DC scans, block-counted in AC
+    scans) and a caller scan script both roundtrip; invalid scripts are
+    refused like the grayscale encoder refuses them."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color_progressive,
+        reconstruct_color,
+    )
+
+    img = _color_img(25, 18, seed=5)
+    for ri in (1, 2, 7):
+        dec = decode_jpeg(encode_jpeg_color_progressive(img, restart_interval=ri))
+        assert np.array_equal(dec, reconstruct_color(img))
+    ok = [(0, 0, 0, 1), (0, 0, 1, 0), (1, 5, 0, 1), (6, 63, 0, 1),
+          (1, 5, 1, 0), (6, 63, 1, 0)]
+    dec = decode_jpeg(encode_jpeg_color_progressive(img, script=ok))
+    assert np.array_equal(dec, reconstruct_color(img))
+    with pytest.raises(ValueError):
+        encode_jpeg_color_progressive(img, script=[(1, 63, 0, 0), (0, 0, 0, 0)])
+
+
+def test_progressive_color_malformed_degrades():
+    """Interleaved AC scans are illegal (T.81 G.1.1.1.1): patching an AC
+    scan's SOS to claim 3 components must reject, and gray-only decode
+    still refuses progressive color at header parse."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color_progressive,
+    )
+
+    stream = encode_jpeg_color_progressive(_color_img(16, 16))
+    assert decode_jpeg_gray(stream) is None
+    # find the first single-component SOS (AC scan): FF DA len=8 ns=1
+    pos = stream.index(b"\xff\xda\x00\x08\x01")
+    bad = bytearray(stream)
+    bad[pos + 4] = 3  # lie: Ns=3 on an AC scan (length now inconsistent)
+    assert decode_jpeg(bytes(bad)) is None
+    for cut in (30, len(stream) // 2, len(stream) - 3):
+        out = decode_jpeg(stream[:cut])
+        assert out is None or isinstance(out, np.ndarray)

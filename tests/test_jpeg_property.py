@@ -178,3 +178,30 @@ def test_color_truncations_never_raise(img, cut):
     stream = encode_jpeg_color(img)
     out = decode_jpeg(stream[: cut % max(len(stream), 1)])
     assert out is None or isinstance(out, np.ndarray)
+
+
+from dynamic_spark_spark.llmops.jpeg import (  # noqa: E402
+    encode_jpeg_color_progressive,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(color_images(), st.sampled_from(_SAMPLINGS), st.integers(0, 6))
+def test_progressive_color_mirrors_reconstruction(img, samp, ri):
+    """Progressive color pins to the SAME reconstruction truth as the
+    baseline color encoder, for every sampling and restart interval
+    (0 = no restarts)."""
+    stream = encode_jpeg_color_progressive(
+        img, sampling=samp, restart_interval=ri
+    )
+    dec = decode_jpeg(stream)
+    assert dec is not None and dec.shape == img.shape
+    assert np.array_equal(dec, reconstruct_color(img, sampling=samp))
+
+
+@settings(max_examples=20, deadline=None)
+@given(color_images(), st.integers(min_value=0, max_value=10_000))
+def test_progressive_color_truncations_never_raise(img, cut):
+    stream = encode_jpeg_color_progressive(img)
+    out = decode_jpeg(stream[: cut % max(len(stream), 1)])
+    assert out is None or isinstance(out, np.ndarray)
