@@ -260,19 +260,51 @@ def _join_restart_chunks(chunks: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
-    """Entropy-code ONE block's zigzag coefficients (DC differential + AC
-    run-length) into ``bw``; returns the new DC predictor. Shared verbatim
-    by the single-component and interleaved-MCU encoders so both stream
-    forms pin to identical per-block bits."""
-    # DC: differential + SSSS category code + amplitude bits
-    diff = int(zz[0]) - prev_dc
+def _encode_dc_diff(bw: _BitWriter, val: int, prev: int) -> int:
+    """DC differential coding (size category + amplitude bits) — THE one
+    copy shared by the baseline block encoder and both progressive DC
+    first passes (single-component and interleaved); returns the new
+    predictor."""
+    diff = val - prev
     size = _bit_size(abs(diff))
     code, length = _DC_CODES[size]
     bw.write(code, length)
     if size:
         amp = diff if diff > 0 else diff + (1 << size) - 1
         bw.write(amp, size)
+    return val
+
+
+def _decode_dc_diff(
+    br: _BitReader, dc_tab: dict[tuple[int, int], int], prev: int
+) -> int:
+    """Inverse of :func:`_encode_dc_diff`: reads one DC size category +
+    amplitude and returns the updated predictor."""
+    size = _read_symbol(br, dc_tab)
+    return prev + (_extend(br.read_bits(size), size) if size else 0)
+
+
+def _mcu_block_ids(comps: list, m0: int, m1: int, mcux: int):
+    """Yield ``(component_index, mcu-grid block row)`` in interleaved MCU
+    order (T.81 A.2.3) for MCUs [m0, m1). Each entry of ``comps`` starts
+    with ``(hc, vc, bx, ...)``; trailing fields are the caller's. The one
+    copy of the MCU walk shared by the baseline and progressive-DC
+    encoders and decoders."""
+    for m in range(m0, m1):
+        my, mx = divmod(m, mcux)
+        for ci, comp in enumerate(comps):
+            hc, vc, bx = comp[0], comp[1], comp[2]
+            for v in range(vc):
+                for hh in range(hc):
+                    yield ci, (my * vc + v) * bx + (mx * hc + hh)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
+    """Entropy-code ONE block's zigzag coefficients (DC differential + AC
+    run-length) into ``bw``; returns the new DC predictor. Shared verbatim
+    by the single-component and interleaved-MCU encoders so both stream
+    forms pin to identical per-block bits."""
+    prev_dc = _encode_dc_diff(bw, int(zz[0]), prev_dc)
     # AC: run-length of zeros + (run,size) symbol + amplitude
     run = 0
     last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
@@ -386,15 +418,8 @@ def _encode_progressive_scan_chunk(
         if ah == 0:
             prev = 0
             for b in range(b0, b1):
-                v = int(qz[b, 0]) >> al  # point transform: arithmetic shift
-                diff = v - prev
-                prev = v
-                size = _bit_size(abs(diff))
-                code, length = _DC_CODES[size]
-                bw.write(code, length)
-                if size:
-                    amp = diff if diff > 0 else diff + (1 << size) - 1
-                    bw.write(amp, size)
+                # point transform: arithmetic shift, coded differentially
+                prev = _encode_dc_diff(bw, int(qz[b, 0]) >> al, prev)
         else:
             for b in range(b0, b1):
                 bw.write((int(qz[b, 0]) >> al) & 1, 1)
@@ -744,9 +769,7 @@ def _decode_block(
     """Decode ONE block's DC differential + run-length AC into ``out``
     (zigzag order, length 64); returns the new DC predictor. Shared by the
     single-component raster scan and the interleaved-MCU color scan."""
-    size = _read_symbol(br, dc_tab)
-    diff = _extend(br.read_bits(size), size) if size else 0
-    prev_dc += diff
+    prev_dc = _decode_dc_diff(br, dc_tab, prev_dc)
     out[0] = prev_dc
     k = 1
     while k < 64:
@@ -811,9 +834,7 @@ def _apply_progressive_scan_chunk(
                 raise ValueError("DC scan references an undefined DC table")
             prev = 0
             for b in range(b0, b1):
-                size = _read_symbol(br, dc_tab)
-                diff = _extend(br.read_bits(size), size) if size else 0
-                prev += diff
+                prev = _decode_dc_diff(br, dc_tab, prev)
                 coef[b, 0] = prev << al
         else:
             for b in range(b0, b1):
@@ -1087,45 +1108,52 @@ def _reassemble_color(
             _restart_chunks(data, mcuy * mcux, ri), comps, mcux
         )
     else:  # SOF2 progressive color
-        for scan_tabs, ss, se, ah, al, ri, data in scans:
+        # validate EVERY scan header before decoding ANY entropy data, so a
+        # lying scan k rejects at parse cost instead of after scans 0..k-1
+        for scan_tabs, ss, se, ah, al, _ri, _data in scans:
             scan_ids = [t[0] for t in scan_tabs]
             if len(set(scan_ids)) != len(scan_ids) or any(
                 cs not in by_id for cs in scan_ids
             ):
                 return None
+            if len(scan_tabs) > 1 and (ss != 0 or se != 0):
+                return None  # interleaved AC scans are illegal (G.1.1.1.1)
+            if ss == 0 and ah == 0 and any(t[1] is None for t in scan_tabs):
+                return None  # DC first pass needs every DC table
+        # non-interleaved scan geometry is fixed per component: cache it
+        idx_by_id = {
+            cid: _subgrid_index(h, w, hc, vc, hmax, vmax, mcux)
+            for cid, hc, vc, _ in comps_sof
+        }
+        for scan_tabs, ss, se, ah, al, ri, data in scans:
             if ss == 0 and len(scan_tabs) > 1:
                 # interleaved DC scan: MCU-ordered over the scan's comps
-                if se != 0:
-                    return None
-                comps = []
-                for cs, dc_tab, _ac in scan_tabs:
-                    if ah == 0 and dc_tab is None:
-                        return None
-                    hc, vc, _ = by_id[cs]
-                    comps.append((hc, vc, mcux * hc, dc_tab, coef_by_id[cs]))
+                comps = [
+                    (by_id[cs][0], by_id[cs][1], mcux * by_id[cs][0],
+                     dc_tab, coef_by_id[cs])
+                    for cs, dc_tab, _ac in scan_tabs
+                ]
                 _apply_progressive_dc_interleaved(
                     _restart_chunks(data, mcuy * mcux, ri), comps, mcux, ah, al
                 )
-            elif len(scan_tabs) == 1:
+            else:
                 # non-interleaved scan over the component's OWN block grid
                 cs, dc_tab, ac_tab = scan_tabs[0]
-                hc, vc, _ = by_id[cs]
                 coef = coef_by_id[cs]
-                idx = _subgrid_index(h, w, hc, vc, hmax, vmax, mcux)
-                sub = coef[idx]  # gather (advanced indexing copies)
-                _apply_progressive_scan(
-                    sub,
-                    _restart_chunks(data, len(idx), ri),
-                    dc_tab,
-                    ac_tab,
-                    ss,
-                    se,
-                    ah,
-                    al,
-                )
-                coef[idx] = sub  # scatter the scan's contribution back
-            else:
-                return None  # interleaved AC scans are illegal (G.1.1.1.1)
+                idx = idx_by_id[cs]
+                chunks = _restart_chunks(data, len(idx), ri)
+                if len(idx) == coef.shape[0]:
+                    # sub-grid == MCU grid (always for max-sampled comps on
+                    # aligned frames and for chroma): skip gather/scatter
+                    _apply_progressive_scan(
+                        coef, chunks, dc_tab, ac_tab, ss, se, ah, al
+                    )
+                else:
+                    sub = coef[idx]  # gather (advanced indexing copies)
+                    _apply_progressive_scan(
+                        sub, chunks, dc_tab, ac_tab, ss, se, ah, al
+                    )
+                    coef[idx] = sub  # scatter the contribution back
 
     planes = []
     for cid, hc, vc, tq in comps_sof:  # SOF order is Y, Cb, Cr per JFIF
@@ -1170,21 +1198,13 @@ def _apply_progressive_dc_interleaved(
     for data, m0, m1 in chunks:
         br = _BitReader(data)
         prev = [0] * len(comps)
-        for m in range(m0, m1):
-            my, mx = divmod(m, mcux)
-            for ci, (hc, vc, bx, dc_tab, coef) in enumerate(comps):
-                for v in range(vc):
-                    for hh in range(hc):
-                        b = (my * vc + v) * bx + (mx * hc + hh)
-                        if ah == 0:
-                            size = _read_symbol(br, dc_tab)
-                            diff = (
-                                _extend(br.read_bits(size), size) if size else 0
-                            )
-                            prev[ci] += diff
-                            coef[b, 0] = prev[ci] << al
-                        elif br.read_bit():
-                            coef[b, 0] |= 1 << al
+        for ci, b in _mcu_block_ids(comps, m0, m1, mcux):
+            dc_tab, coef = comps[ci][3], comps[ci][4]
+            if ah == 0:
+                prev[ci] = _decode_dc_diff(br, dc_tab, prev[ci])
+                coef[b, 0] = prev[ci] << al
+            elif br.read_bit():
+                coef[b, 0] |= 1 << al
 
 
 def _decode_interleaved_scan(
@@ -1199,13 +1219,9 @@ def _decode_interleaved_scan(
     for data, m0, m1 in chunks:
         br = _BitReader(data)
         prev = [0] * len(comps)
-        for m in range(m0, m1):
-            my, mx = divmod(m, mcux)
-            for ci, (hc, vc, bx, dc_tab, ac_tab, coef) in enumerate(comps):
-                for v in range(vc):
-                    for hh in range(hc):
-                        b = (my * vc + v) * bx + (mx * hc + hh)
-                        prev[ci] = _decode_block(br, dc_tab, ac_tab, coef[b], prev[ci])
+        for ci, b in _mcu_block_ids(comps, m0, m1, mcux):
+            _hc, _vc, _bx, dc_tab, ac_tab, coef = comps[ci]
+            prev[ci] = _decode_block(br, dc_tab, ac_tab, coef[b], prev[ci])
 
 
 def _plane_from_coef(coef: np.ndarray, q: np.ndarray, by: int, bx: int) -> np.ndarray:
@@ -1330,14 +1346,62 @@ def _encode_interleaved_chunk(
     (restart reset); the chunk is byte-aligned by the flush."""
     bw = _BitWriter()
     prev = [0] * len(comps)
-    for m in range(m0, m1):
-        my, mx = divmod(m, mcux)
-        for ci, (hc, vc, bx, qz) in enumerate(comps):
-            for v in range(vc):
-                for hh in range(hc):
-                    b = (my * vc + v) * bx + (mx * hc + hh)
-                    prev[ci] = _encode_block(bw, qz[b], prev[ci])
+    for ci, b in _mcu_block_ids(comps, m0, m1, mcux):
+        prev[ci] = _encode_block(bw, comps[ci][3][b], prev[ci])
     return bw.flush()
+
+
+def _color_encode_frontend(
+    rgb: np.ndarray | list,
+    sampling: tuple[int, int],
+    qtable: np.ndarray,
+    chroma_qtable: np.ndarray | None,
+    restart_interval: int,
+    sof_marker: int,
+    ac_bits: list[int],
+    ac_vals: list[int],
+) -> tuple:
+    """Shared front-end for BOTH color encoders (baseline and
+    progressive): validation, JFIF transform, chroma subsample, per-plane
+    quantization on the MCU grid, and the full header prefix (SOI through
+    DHTs + optional DRI). One copy, so the two stream forms cannot drift
+    apart in coefficients or headers — the bit-exactness pin's foundation.
+    Returns (yqz, cbqz, crqz, h, w, mcux, mcuy, header_bytes)."""
+    rgb = np.asarray(rgb)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("color encoders expect an h×w×3 RGB array")
+    if tuple(sampling) not in _SAMPLINGS:
+        raise ValueError(f"sampling must be one of {_SAMPLINGS}")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must fit a DRI segment (0..65535)")
+    hs, vs = sampling
+    lq = np.asarray(qtable, dtype=np.int32)
+    cq = np.asarray(
+        qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
+    )
+    h, w = rgb.shape[:2]
+    y, cb, cr = _rgb_to_ycc(rgb)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    yqz, _, _ = _plane_qz(y, lq, mcuy * vs * 8, mcux * hs * 8)
+    cbqz, _, _ = _plane_qz(_subsample(cb, hs, vs), cq, mcuy * 8, mcux * 8)
+    crqz, _, _ = _plane_qz(_subsample(cr, hs, vs), cq, mcuy * 8, mcux * 8)
+    header = (
+        b"\xff\xd8"  # SOI
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, b"\x00" + bytes(int(lq[r, c]) for r, c in _ZIGZAG))
+        + _seg(0xDB, b"\x01" + bytes(int(cq[r, c]) for r, c in _ZIGZAG))
+        # SOF: 3 components, luma at (hs, vs), chroma at (1,1)
+        + _seg(
+            sof_marker,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    )
+    if restart_interval:
+        header += _seg(0xDD, struct.pack(">H", restart_interval))
+    return yqz, cbqz, crqz, h, w, mcux, mcuy, header
 
 
 def encode_jpeg_color(
@@ -1353,49 +1417,24 @@ def encode_jpeg_color(
     (2,1) 4:2:2, (1,1) 4:4:4), one interleaved scan, separate luma/chroma
     quantization tables (DQT 0/1), shared Huffman tables, and optional
     restart intervals counted in MCUs per T.81 E.1.4."""
-    rgb = np.asarray(rgb)
-    if rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("encode_jpeg_color expects an h×w×3 RGB array")
-    if tuple(sampling) not in _SAMPLINGS:
-        raise ValueError(f"sampling must be one of {_SAMPLINGS}")
-    if not 0 <= restart_interval <= 0xFFFF:
-        raise ValueError("restart_interval must fit a DRI segment (0..65535)")
-    hs, vs = sampling
-    cq = np.asarray(
-        qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
+    yqz, cbqz, crqz, h, w, mcux, mcuy, header = _color_encode_frontend(
+        rgb, sampling, qtable, chroma_qtable, restart_interval,
+        0xC0, _AC_BITS, _AC_VALS,
     )
-    lq = np.asarray(qtable, dtype=np.int32)
-    h, w = rgb.shape[:2]
-    y, cb, cr = _rgb_to_ycc(rgb)
-    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
-    yqz, _, ybx = _plane_qz(y, lq, mcuy * vs * 8, mcux * hs * 8)
-    cbqz, _, cbx = _plane_qz(_subsample(cb, hs, vs), cq, mcuy * 8, mcux * 8)
-    crqz, _, _ = _plane_qz(_subsample(cr, hs, vs), cq, mcuy * 8, mcux * 8)
-    comps = [(hs, vs, ybx, yqz), (1, 1, cbx, cbqz), (1, 1, cbx, crqz)]
+    hs, vs = sampling
+    comps = [
+        (hs, vs, mcux * hs, yqz),
+        (1, 1, mcux, cbqz),
+        (1, 1, mcux, crqz),
+    ]
     entropy = _join_restart_chunks(
         [
             _encode_interleaved_chunk(comps, m0, m1, mcux)
             for m0, m1 in _restart_ranges(mcuy * mcux, restart_interval)
         ]
     )
-
-    zz_lq = bytes(int(lq[r, c]) for r, c in _ZIGZAG)
-    zz_cq = bytes(int(cq[r, c]) for r, c in _ZIGZAG)
-    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    dri = _seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
-        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
-    )
     return (
-        b"\xff\xd8"  # SOI
-        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + _seg(0xDB, b"\x00" + zz_lq)  # DQT table 0: luma
-        + _seg(0xDB, b"\x01" + zz_cq)  # DQT table 1: chroma
-        + _seg(0xC0, sof)  # SOF0, 3 components, chroma at (1,1)
-        + _seg(0xC4, dht_dc)
-        + _seg(0xC4, dht_ac)
-        + dri
+        header
         # SOS: Y,Cb,Cr interleaved, all on DC0/AC0
         + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
         + entropy
@@ -1416,24 +1455,12 @@ def _encode_progressive_dc_interleaved_chunk(
     predictors in MCU block order; refinement appends one bit per block."""
     bw = _BitWriter()
     prev = [0] * len(comps)
-    for m in range(m0, m1):
-        my, mx = divmod(m, mcux)
-        for ci, (hc, vc, bx, qz) in enumerate(comps):
-            for v in range(vc):
-                for hh in range(hc):
-                    b = (my * vc + v) * bx + (mx * hc + hh)
-                    if ah == 0:
-                        val = int(qz[b, 0]) >> al
-                        diff = val - prev[ci]
-                        prev[ci] = val
-                        size = _bit_size(abs(diff))
-                        code, length = _DC_CODES[size]
-                        bw.write(code, length)
-                        if size:
-                            amp = diff if diff > 0 else diff + (1 << size) - 1
-                            bw.write(amp, size)
-                    else:
-                        bw.write((int(qz[b, 0]) >> al) & 1, 1)
+    for ci, b in _mcu_block_ids(comps, m0, m1, mcux):
+        qz = comps[ci][3]
+        if ah == 0:
+            prev[ci] = _encode_dc_diff(bw, int(qz[b, 0]) >> al, prev[ci])
+        else:
+            bw.write((int(qz[b, 0]) >> al) & 1, 1)
     return bw.flush()
 
 
@@ -1458,49 +1485,19 @@ def encode_jpeg_color_progressive(
     time)."""
     if script is not None:
         _validate_progressive_script(script)
-    rgb = np.asarray(rgb)
-    if rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("encode_jpeg_color_progressive expects h×w×3 RGB")
-    if tuple(sampling) not in _SAMPLINGS:
-        raise ValueError(f"sampling must be one of {_SAMPLINGS}")
-    if not 0 <= restart_interval <= 0xFFFF:
-        raise ValueError("restart_interval must fit a DRI segment (0..65535)")
-    hs, vs = sampling
-    lq = np.asarray(qtable, dtype=np.int32)
-    cq = np.asarray(
-        qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
+    yqz, cbqz, crqz, h, w, mcux, mcuy, stream = _color_encode_frontend(
+        rgb, sampling, qtable, chroma_qtable, restart_interval,
+        0xC2, _AC_PROG_BITS, _AC_PROG_VALS,
     )
-    h, w = rgb.shape[:2]
-    y, cb, cr = _rgb_to_ycc(rgb)
-    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
-    yqz, _, ybx = _plane_qz(y, lq, mcuy * vs * 8, mcux * hs * 8)
-    cbqz, _, cbx = _plane_qz(_subsample(cb, hs, vs), cq, mcuy * 8, mcux * 8)
-    crqz, _, _ = _plane_qz(_subsample(cr, hs, vs), cq, mcuy * 8, mcux * 8)
-    # (component id, H, V, qz, non-interleaved sub-grid index)
+    hs, vs = sampling
+    # (component id, H, V, qz, non-interleaved sub-grid index) — Cb and Cr
+    # share one geometry, so one index serves both
+    cidx = _subgrid_index(h, w, 1, 1, hs, vs, mcux)
     comps = [
         (1, hs, vs, yqz, _subgrid_index(h, w, hs, vs, hs, vs, mcux)),
-        (2, 1, 1, cbqz, _subgrid_index(h, w, 1, 1, hs, vs, mcux)),
-        (3, 1, 1, crqz, _subgrid_index(h, w, 1, 1, hs, vs, mcux)),
+        (2, 1, 1, cbqz, cidx),
+        (3, 1, 1, crqz, cidx),
     ]
-
-    zz_lq = bytes(int(lq[r, c]) for r, c in _ZIGZAG)
-    zz_cq = bytes(int(cq[r, c]) for r, c in _ZIGZAG)
-    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS)
-    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
-        [1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
-    )
-    stream = (
-        b"\xff\xd8"
-        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + _seg(0xDB, b"\x00" + zz_lq)
-        + _seg(0xDB, b"\x01" + zz_cq)
-        + _seg(0xC2, sof)  # SOF2 progressive
-        + _seg(0xC4, dht_dc)
-        + _seg(0xC4, dht_ac)
-    )
-    if restart_interval:
-        stream += _seg(0xDD, struct.pack(">H", restart_interval))
     for ss, se, ah, al in (_PROGRESSIVE_SCRIPT if script is None else script):
         if ss == 0:  # one interleaved DC scan over all three components
             stream += _seg(
