@@ -37,13 +37,13 @@ subset end-to-end:
   separate luma/chroma quantization tables, per-component DC predictors
   with restart resets, nearest-neighbor chroma upsampling on decode.
   Baseline: one interleaved scan with per-MCU component block ordering
-  (T.81 A.2.3). Progressive: interleaved DC scans (restart interval in
-  MCUs) + per-component non-interleaved AC scans walking each
-  component's OWN block grid (T.81 A.2.2/G.1.1.1.1 — a sub-grid of the
-  MCU-padded array on subsampled frames; restart interval in blocks).
-  CMYK (4-component), non-interleaved baseline color scans, and
-  fractional sampling ratios remain explicit rejections — decode_jpeg
-  returns None rather than mis-decode.
+  (T.81 A.2.3), or the three-scan non-interleaved form (decode only).
+  Progressive: interleaved DC scans (restart interval in MCUs) +
+  per-component non-interleaved AC scans walking each component's OWN
+  block grid (T.81 A.2.2/G.1.1.1.1 — a sub-grid of the MCU-padded array
+  on subsampled frames; restart interval in blocks). CMYK (4-component)
+  and fractional sampling ratios remain explicit rejections —
+  decode_jpeg returns None rather than mis-decode.
 
 Determinism: the DCT/IDCT are float64 matrix products against a
 precomputed cosine basis — bit-identical across runs and partitions —
@@ -676,10 +676,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
     ``uint8 [h, w, 3]`` RGB. Baseline (SOF0) and progressive (SOF2) both
     decode in both tiers — progressive color handles interleaved DC scans
     and per-component non-interleaved AC scans over each component's own
-    block grid. Restart intervals handled in every form. Returns None for
-    malformed input or valid-but-unsupported features (CMYK,
-    non-interleaved baseline color scans, fractional sampling) — the
-    caller degrades to the histogram stub rather than shipping wrong
+    block grid; baseline color decodes both the interleaved single-scan
+    form and the three-scan non-interleaved form. Restart intervals
+    handled in every form. Returns None for malformed input or
+    valid-but-unsupported features (CMYK, fractional sampling ratios) —
+    the caller degrades to the histogram stub rather than shipping wrong
     pixels."""
     try:
         return _decode_jpeg(payload)
@@ -1052,8 +1053,11 @@ def _reassemble_color(
 ) -> np.ndarray | None:
     """YCbCr reassembly, baseline AND progressive.
 
-    Baseline (SOF0): exactly one interleaved scan covering all three SOF
-    components — the layout every mainstream encoder emits.
+    Baseline (SOF0): ONE interleaved scan covering all three SOF
+    components (the layout every mainstream encoder emits), or THREE
+    single-component scans each walking its component's own block grid
+    (T.81 A.2.2 non-interleaved baseline — legal and occasionally emitted;
+    restart interval counted in blocks).
 
     Progressive (SOF2, r7): DC scans may be interleaved (MCU-ordered over
     the scan's components, restart interval in MCUs) or single-component;
@@ -1065,8 +1069,8 @@ def _reassemble_color(
 
     Both forms share the tail: per-plane dequantize+IDCT on the MCU grid,
     crop to the component's natural size, nearest-neighbor chroma
-    upsample, JFIF inverse transform. Non-interleaved baseline color and
-    fractional sampling ratios return None — reject, never mis-decode."""
+    upsample, JFIF inverse transform. Fractional sampling ratios return
+    None — reject, never mis-decode."""
     if not scans:
         return None
     # every validation happens BEFORE the entropy pass: a lying header must
@@ -1091,22 +1095,39 @@ def _reassemble_color(
     }
 
     if sof_marker == 0xC0:
-        if len(scans) != 1:
+        if any((ss, se, ah, al) != (0, 63, 0, 0) for _t, ss, se, ah, al, _r, _d in scans):
             return None
-        scan_tabs, ss, se, ah, al, ri, data = scans[0]
-        if (ss, se, ah, al) != (0, 63, 0, 0) or len(scan_tabs) != 3:
-            return None
-        if sorted(t[0] for t in scan_tabs) != sorted(sof_ids):
-            return None
-        comps = []  # scan order: (hc, vc, bx, dc_tab, ac_tab, coef)
-        for cs, dc_tab, ac_tab in scan_tabs:
-            if dc_tab is None or ac_tab is None:
+        if len(scans) == 1 and len(scans[0][0]) == 3:
+            # one interleaved scan over all three components
+            scan_tabs, _ss, _se, _ah, _al, ri, data = scans[0]
+            if sorted(t[0] for t in scan_tabs) != sorted(sof_ids):
                 return None
-            hc, vc, _ = by_id[cs]
-            comps.append((hc, vc, mcux * hc, dc_tab, ac_tab, coef_by_id[cs]))
-        _decode_interleaved_scan(
-            _restart_chunks(data, mcuy * mcux, ri), comps, mcux
-        )
+            comps = []  # scan order: (hc, vc, bx, dc_tab, ac_tab, coef)
+            for cs, dc_tab, ac_tab in scan_tabs:
+                if dc_tab is None or ac_tab is None:
+                    return None
+                hc, vc, _ = by_id[cs]
+                comps.append((hc, vc, mcux * hc, dc_tab, ac_tab, coef_by_id[cs]))
+            _decode_interleaved_scan(
+                _restart_chunks(data, mcuy * mcux, ri), comps, mcux
+            )
+        elif len(scans) == 3 and all(len(s[0]) == 1 for s in scans):
+            # non-interleaved baseline: each component's own scan, walking
+            # its own block grid (may be a sub-grid of the MCU-padded array)
+            if sorted(s[0][0][0] for s in scans) != sorted(sof_ids):
+                return None
+            for scan_tabs, _ss, _se, _ah, _al, ri, data in scans:
+                cs, dc_tab, ac_tab = scan_tabs[0]
+                if dc_tab is None or ac_tab is None:
+                    return None
+                hc, vc, _ = by_id[cs]
+                idx = _subgrid_index(h, w, hc, vc, hmax, vmax, mcux)
+                sub = _decode_baseline_scan(
+                    _restart_chunks(data, len(idx), ri), dc_tab, ac_tab, len(idx)
+                )
+                coef_by_id[cs][idx] = sub
+        else:
+            return None
     else:  # SOF2 progressive color
         # validate EVERY scan header before decoding ANY entropy data, so a
         # lying scan k rejects at parse cost instead of after scans 0..k-1

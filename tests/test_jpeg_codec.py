@@ -554,3 +554,37 @@ def test_progressive_color_malformed_degrades():
     for cut in (30, len(stream) // 2, len(stream) - 3):
         out = decode_jpeg(stream[:cut])
         assert out is None or isinstance(out, np.ndarray)
+
+
+def test_noninterleaved_baseline_color_decodes():
+    """Baseline color as THREE single-component scans (T.81 A.2.2 — legal,
+    occasionally emitted) decodes bit-exact against the same reconstruction
+    truth as the interleaved form. Stream hand-assembled from the module's
+    own building blocks; each scan walks the component's own block grid
+    with block-counted restart intervals."""
+    from dynamic_spark_spark.llmops import jpeg as J
+
+    img = _color_img(17, 23, seed=2)
+    for samp, ri in (((2, 2), 0), ((2, 1), 0), ((1, 1), 3), ((2, 2), 2)):
+        hs, vs = samp
+        yqz, cbqz, crqz, h, w, mcux, mcuy, header = J._color_encode_frontend(
+            img, samp, J.DEFAULT_QTABLE, None, ri, 0xC0, J._AC_BITS, J._AC_VALS
+        )
+        stream = header
+        for cid, hc, vc, qz in ((1, hs, vs, yqz), (2, 1, 1, cbqz), (3, 1, 1, crqz)):
+            idx = J._subgrid_index(h, w, hc, vc, hs, vs, mcux)
+            sub = qz[idx]
+            stream += J._seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+            stream += J._join_restart_chunks(
+                [
+                    J._encode_baseline_chunk(sub, b0, b1)
+                    for b0, b1 in J._restart_ranges(len(idx), ri)
+                ]
+            )
+        stream += b"\xff\xd9"
+        dec = J.decode_jpeg(stream)
+        assert dec is not None, (samp, ri)
+        assert np.array_equal(dec, J.reconstruct_color(img, sampling=samp)), (samp, ri)
+    # two scans (incomplete component set) must still reject
+    partial = header + J._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + b"\xff\xd9"
+    assert J.decode_jpeg(partial) is None
