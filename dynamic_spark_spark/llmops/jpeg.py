@@ -1116,10 +1116,13 @@ def _reassemble_color(
             # its own block grid (may be a sub-grid of the MCU-padded array)
             if sorted(s[0][0][0] for s in scans) != sorted(sof_ids):
                 return None
+            # table presence checked for ALL scans before decoding ANY
+            # entropy data — same reject-at-parse-cost invariant as the
+            # progressive branch
+            if any(s[0][0][1] is None or s[0][0][2] is None for s in scans):
+                return None
             for scan_tabs, _ss, _se, _ah, _al, ri, data in scans:
                 cs, dc_tab, ac_tab = scan_tabs[0]
-                if dc_tab is None or ac_tab is None:
-                    return None
                 hc, vc, _ = by_id[cs]
                 idx = _subgrid_index(h, w, hc, vc, hmax, vmax, mcux)
                 sub = _decode_baseline_scan(
