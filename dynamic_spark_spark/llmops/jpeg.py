@@ -88,6 +88,16 @@ for s in range(15):
 #: enough that entropy coding (runs, EOB) is genuinely exercised
 DEFAULT_QTABLE = np.full((8, 8), 8, dtype=np.int32)
 
+#: decode-side resource guard: a corrupt or adversarial SOF can declare up
+#: to 65535×65535 (4.3 Gpx) — the coefficient arrays alone would be tens
+#: of GB and the block loops would spin for minutes before the bit reader
+#: exhausts the (tiny) real entropy data. Frames above this pixel count
+#: return None (the standard degrade path). 16.7 Mpx is already ~80 s of
+#: work for this deliberately bit-faithful pure-Python tier (~0.2
+#: Mpx/s/core, SCALE.md r5 addendum); a libjpeg-binding swap would raise
+#: or remove the cap along with the throughput ceiling.
+MAX_DECODE_PIXELS = 1 << 24
+
 #: Annex K luminance DC table: bits[1..16] histogram + symbol order
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
@@ -968,6 +978,8 @@ def _decode_jpeg(payload: bytes, gray_only: bool = False) -> np.ndarray | None:
             # (4-component) stays an explicit rejection
             if ncomp not in (1, 3):
                 return None
+            if h * w > MAX_DECODE_PIXELS:
+                return None  # lying/adversarial dims: refuse, don't thrash
             if gray_only and ncomp != 1:
                 return None  # gray-only API: reject at header-parse cost
             # component specs are (id, HV, Tq): honor each component's

@@ -588,3 +588,52 @@ def test_noninterleaved_baseline_color_decodes():
     # two scans (incomplete component set) must still reject
     partial = header + J._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + b"\xff\xd9"
     assert J.decode_jpeg(partial) is None
+
+
+def test_appn_com_segments_transparent_and_header_parse():
+    """Real crawl JPEGs carry EXIF (APP1), comments (COM), and other APPn
+    segments; the decoder's marker walk must skip them all, and
+    parse_image_header must recover dims from color SOFs through them."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        _seg,
+        decode_jpeg,
+        encode_jpeg_color,
+        jpeg_color_bytes,
+        reconstruct_color,
+    )
+    from dynamic_spark_spark.llmops.multimodal import parse_image_header
+
+    img = _color_img(14, 21, seed=8)
+    stream = encode_jpeg_color(img)
+    # inject EXIF-ish APP1, a COM, and APP13 right after SOI
+    extra = (
+        _seg(0xE1, b"Exif\x00\x00" + bytes(range(40)))
+        + _seg(0xFE, b"a comment with \xff\x00 bytes inside")
+        + _seg(0xED, b"Photoshop 3.0\x00" + b"\x01" * 17)
+    )
+    fat = stream[:2] + extra + stream[2:]
+    dec = decode_jpeg(fat)
+    assert np.array_equal(dec, reconstruct_color(img))
+    mime, pw, ph = parse_image_header(fat)
+    assert (mime, pw, ph) == ("image/jpeg", 21, 14)
+    mime, pw, ph = parse_image_header(jpeg_color_bytes(19, 11, 4))
+    assert (mime, pw, ph) == ("image/jpeg", 19, 11)
+
+
+def test_lying_dimensions_guarded():
+    """A corrupt SOF declaring a multi-gigapixel frame must return None at
+    header parse instead of allocating GB-scale coefficient arrays and
+    spinning block loops until the entropy data runs out (decode-side
+    resource guard, MAX_DECODE_PIXELS)."""
+    import struct
+
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg
+
+    stream = bytearray(encode_jpeg_gray(np.arange(64).reshape(8, 8)))
+    sof = bytes(stream).index(b"\xff\xc0")
+    stream[sof + 5 : sof + 9] = struct.pack(">HH", 0xFFFF, 0xFFFF)
+    import time
+
+    t0 = time.perf_counter()
+    assert decode_jpeg(bytes(stream)) is None
+    assert time.perf_counter() - t0 < 1.0  # header-parse cost, not decode

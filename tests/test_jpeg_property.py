@@ -205,3 +205,27 @@ def test_progressive_color_truncations_never_raise(img, cut):
     stream = encode_jpeg_color_progressive(img)
     out = decode_jpeg(stream[: cut % max(len(stream), 1)])
     assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    color_images(),
+    st.booleans(),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000), st.integers(0, 255)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_mutated_streams_never_raise(img, progressive, mutations):
+    """The 100-TB degrade contract, adversarially: flip arbitrary bytes
+    anywhere in a valid (baseline or progressive) color stream — decode
+    must return None or an array, never raise or hang. Catches any decode
+    path that trusts stream-declared sizes without bounds checks."""
+    stream = bytearray(
+        encode_jpeg_color_progressive(img) if progressive else encode_jpeg_color(img)
+    )
+    for pos, val in mutations:
+        stream[pos % len(stream)] = val
+    out = decode_jpeg(bytes(stream))
+    assert out is None or isinstance(out, np.ndarray)
