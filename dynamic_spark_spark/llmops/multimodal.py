@@ -804,6 +804,10 @@ def parse_mp4_header(payload: bytes):
 
     def walk(buf: bytes, start: int, end: int):
         nonlocal brand, timescale, duration, width, height
+        # a corrupt box size can claim to extend past the payload: clamp,
+        # so truncated boxes degrade to nulls instead of raising on a
+        # short struct slice (r7 fuzz finding)
+        end = min(end, len(buf))
         i = start
         while i + 8 <= end:
             size = struct.unpack(">I", buf[i : i + 4])[0]
@@ -823,7 +827,9 @@ def parse_mp4_header(payload: bytes):
             i += size
 
     walk(payload, 0, len(payload))
-    if brand is None or timescale is None:
+    # timescale 0 is as malformed as a missing mvhd (and would divide by
+    # zero below) — same null degrade
+    if brand is None or not timescale:
         return nulls
     return (
         brand,

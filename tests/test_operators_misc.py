@@ -780,3 +780,57 @@ def test_dedup_embedding_cap_engages(spark, tmp_path):
     big.write.parquet(str(tmp_path / "embeddings.parquet"))
     with pytest.raises(ValueError, match="capped at"):
         dedup_embedding(spark, str(tmp_path))
+
+
+def test_media_parsers_degrade_on_mutation():
+    """The 100-TB degrade contract for EVERY media parser: byte-flipped
+    valid payloads must parse to values-or-nulls, never raise. Pins the r7
+    fuzz findings — an ISO-BMFF box size extending past the payload
+    (short struct slice) and a zeroed mvhd timescale (division by zero)
+    both degrade to nulls now."""
+    import struct
+
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_png_rgb,
+        mp4_bytes,
+        parse_image_header,
+        parse_mp4_header,
+        parse_wav_header,
+        png_pixel_features,
+        png_rgb_bytes,
+        resize_png_real,
+        wav_bytes,
+    )
+
+    # the two minimized regressions first
+    clean = mp4_bytes(600, 5, 320, 180)
+    lying = bytearray(clean)
+    lying[0:4] = struct.pack(">I", len(clean) + 64)  # box past payload end
+    assert parse_mp4_header(bytes(lying)) == (None,) * 6
+    zts = bytearray(clean)
+    mvhd = bytes(clean).index(b"mvhd")
+    zts[mvhd + 16 : mvhd + 20] = b"\x00\x00\x00\x00"  # timescale = 0
+    assert parse_mp4_header(bytes(zts)) == (None,) * 6
+
+    rng = np.random.RandomState(13)
+    makers = [
+        lambda: png_rgb_bytes(rng.randint(1, 12), rng.randint(1, 12), 7),
+        lambda: wav_bytes(8000, 1, 16, int(rng.randint(1, 60))),
+        lambda: mp4_bytes(600, int(rng.randint(1, 60)), 320, 180),
+    ]
+    for trial in range(240):
+        stream = bytearray(makers[trial % len(makers)]())
+        for _ in range(rng.randint(1, 5)):
+            stream[rng.randint(0, len(stream))] = rng.randint(0, 256)
+        b = bytes(stream)
+        for fn in (
+            parse_image_header,
+            decode_png_rgb,
+            png_pixel_features,
+            resize_png_real,
+            parse_wav_header,
+            parse_mp4_header,
+        ):
+            fn(b)  # must not raise; return value may be nulls/None
