@@ -724,6 +724,21 @@ def _restart_chunks(data: bytes, nblk: int, restart_interval: int) -> list[tuple
     it would silently shear every block after the first bad boundary, so
     it raises (the caller degrades to None)."""
     if restart_interval <= 0:
+        # RSTm bytes in a scan that declares NO restart interval mean the
+        # DRI segment was corrupted/zeroed out from under a restart-encoded
+        # stream — consuming marker bytes as entropy bits would shear every
+        # block after the first one, so reject here instead of relying on
+        # an incidental Huffman error downstream (r7 review finding)
+        j = 0
+        while j + 1 < len(data):
+            if data[j] != 0xFF:
+                j += 1
+            elif data[j + 1] == 0xFF:  # fill byte: next 0xFF may start a marker
+                j += 1
+            elif 0xD0 <= data[j + 1] <= 0xD7:
+                raise ValueError("RSTm marker in a scan with restart interval 0")
+            else:
+                j += 2
         return [(data.replace(b"\xff\x00", b"\xff"), 0, nblk)]
     raw: list[bytes] = []
     start = j = 0

@@ -78,11 +78,22 @@ def query(name: str, oracle: str | None = None, tag: str = "") -> Callable[[Quer
             # A module re-import (importlib.reload, or the same file reached
             # under two module names) re-runs its decorators; that re-binding
             # is idempotent, not a conflict. Only two DIFFERENT definitions
-            # claiming one key is a registration bug.
+            # claiming one key is a registration bug. The module comparison
+            # requires one dotted path to be a suffix-at-a-dot of the other
+            # (reload: equal; dual-name import: 'llmops.text' vs
+            # 'dynamic_spark_spark.llmops.text') — a bare basename match
+            # would let same-named functions in sibling packages (e.g. a
+            # future operators/ops.py vs llmops/ops.py) silently rebind.
+            pm = getattr(prev, "__module__", "") or ""
+            fm = getattr(fn, "__module__", "") or ""
+            same_module = (
+                pm == fm
+                or pm.endswith("." + fm)
+                or fm.endswith("." + pm)
+            )
             same_def = (
                 getattr(prev, "__qualname__", None) == getattr(fn, "__qualname__", None)
-                and getattr(prev, "__module__", "").rsplit(".", 1)[-1]
-                == getattr(fn, "__module__", "").rsplit(".", 1)[-1]
+                and same_module
             )
             if not same_def:
                 raise ValueError(f"duplicate query key: {name}")

@@ -165,6 +165,7 @@ def stateful_running_totals(
     group to Python in one vectorized block, never row-at-a-time."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     def update_totals(key: tuple, pdfs, state: GroupState):
         total, n = state.get if state.exists else (0.0, 0)
@@ -174,9 +175,18 @@ def stateful_running_totals(
         state.update((total, n))
         yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
 
+    # key type derived from the input schema (r6 advice, applied to the
+    # combined twin first; r7 review: the twins must stay schema-identical)
+    key_field = stream_df.schema[key_col]
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update_totals,
-        outputStructType="key string, n long, total double",
+        outputStructType=StructType(
+            [
+                StructField("key", key_field.dataType, key_field.nullable),
+                StructField("n", LongType()),
+                StructField("total", DoubleType()),
+            ]
+        ),
         stateStructType="total double, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -378,9 +388,17 @@ def transform_with_state_totals(stream_df: DataFrame, key_col: str = "event_type
         def close(self) -> None:
             pass
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_field = stream_df.schema[key_col]
     return stream_df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=RunningCounts(),
-        outputStructType="key string, n long",
+        outputStructType=StructType(
+            [
+                StructField("key", key_field.dataType, key_field.nullable),
+                StructField("n", LongType()),
+            ]
+        ),
         outputMode="Update",
         timeMode="None",
     )

@@ -637,3 +637,21 @@ def test_lying_dimensions_guarded():
     t0 = time.perf_counter()
     assert decode_jpeg(bytes(stream)) is None
     assert time.perf_counter() - t0 < 1.0  # header-parse cost, not decode
+
+
+def test_stripped_dri_rejected_not_misdecoded():
+    """Zeroing out a restart stream's DRI segment (2-byte corruption) must
+    reject: with interval 0 the decoder would otherwise consume RSTm marker
+    bytes as entropy bits and shear every block after the first boundary
+    (r7 review finding — the cadence check only guarded interval > 0)."""
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg
+
+    img = np.random.RandomState(4).randint(0, 256, size=(24, 24))
+    stream = bytearray(encode_jpeg_gray(img, restart_interval=2))
+    dri = bytes(stream).index(b"\xff\xdd")
+    # keep the segment but declare interval 0
+    stream[dri + 4 : dri + 6] = b"\x00\x00"
+    assert decode_jpeg(bytes(stream)) is None
+    # removing the DRI segment entirely must also reject
+    no_dri = bytes(stream[:dri]) + bytes(stream[dri + 6 :])
+    assert decode_jpeg(no_dri) is None

@@ -834,3 +834,42 @@ def test_media_parsers_degrade_on_mutation():
             parse_mp4_header,
         ):
             fn(b)  # must not raise; return value may be nulls/None
+
+
+def test_registry_duplicate_guard_rejects_sibling_modules():
+    """The duplicate-key guard must treat same-named functions from SIBLING
+    modules as a registration bug (raise), while still allowing the
+    idempotent re-bind cases: an exact reload and the same file imported
+    under a dotted-suffix module name (r7 review finding — a basename-only
+    comparison silently rebound sibling definitions)."""
+    import pytest as _pytest
+
+    from dynamic_spark_spark import registry
+
+    key = "__r7_guard_probe__"
+
+    def probe(spark, sf_dir):  # pragma: no cover - never run
+        return None
+
+    try:
+        registry.query(key)(probe)
+        registry.query(key)(probe)  # exact re-registration: idempotent
+
+        def clone(spark, sf_dir):  # pragma: no cover - never run
+            return None
+
+        clone.__qualname__ = probe.__qualname__
+        clone.__module__ = "dynamic_spark_spark.llmops." + probe.__module__
+        registry.query(key)(clone)  # dotted-suffix dual import: allowed
+
+        def sibling(spark, sf_dir):  # pragma: no cover - never run
+            return None
+
+        sibling.__qualname__ = probe.__qualname__
+        sibling.__module__ = "sibling_pkg.ops"
+        with _pytest.raises(ValueError, match="duplicate query key"):
+            registry.query(key)(sibling)
+    finally:
+        registry.QUERIES.pop(key, None)
+        registry.ORACLE.pop(key, None)
+        registry.TAGS.pop(key, None)
