@@ -20,3 +20,29 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+# --- temp-dir hygiene -------------------------------------------------------
+# Tests that stage parquet/py files under /tmp previously leaked one small
+# dir per run (r7 sweep: ~50 dirs after a day of suite runs — same hygiene
+# class as the r6 probe-staging finding). Route all test mkdtemps through
+# here; the session-scoped autouse fixture removes them at exit, which is
+# late enough for lazily-read streaming sources.
+_DSS_TMPDIRS: list[str] = []
+
+
+def dss_mkdtemp(prefix: str) -> str:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    _DSS_TMPDIRS.append(d)
+    return d
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _dss_tmpdir_cleanup():
+    yield
+    import shutil
+
+    for d in _DSS_TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)

@@ -8,7 +8,7 @@ settings — no operator may depend on physical partitioning).
 from __future__ import annotations
 
 import os
-import tempfile
+from tests.conftest import dss_mkdtemp
 
 from pyspark.sql import functions as F
 
@@ -50,7 +50,7 @@ def test_save_as_table_catalog(spark, sf_dir):
 
 def test_binary_file_reader(spark):
     """binaryFile format — the real-media ingestion path for multimodal."""
-    d = tempfile.mkdtemp(prefix="dss_bin_")
+    d = dss_mkdtemp("dss_bin_")
     for i in range(3):
         with open(os.path.join(d, f"f{i}.bin"), "wb") as f:
             f.write(bytes([i]) * (i + 1))

@@ -7,7 +7,7 @@ the reference's pipeline test shape (``ScalaSparkTest.java:320-367``).
 from __future__ import annotations
 
 import os
-import tempfile
+from tests.conftest import dss_mkdtemp
 
 import pytest
 
@@ -78,7 +78,7 @@ def _wordcount_spec(sf_dir: str, out_dir: str) -> dict:
 
 
 def test_pipeline_end_to_end(spark, sf_dir):
-    out_dir = tempfile.mkdtemp(prefix="dss_pipe_")
+    out_dir = dss_mkdtemp("dss_pipe_")
     pipe = Pipeline(_wordcount_spec(sf_dir, out_dir))
     assert pipe.validate(spark) == []
     result = pipe.run(spark)
@@ -113,7 +113,7 @@ def test_pipeline_schema_incompatibility_collected(spark, sf_dir):
 
 
 def test_pipeline_user_sink_and_context_args(spark, sf_dir):
-    out_dir = tempfile.mkdtemp(prefix="dss_usink_")
+    out_dir = dss_mkdtemp("dss_usink_")
     spec = {
         "name": "usink",
         "stages": [

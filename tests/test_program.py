@@ -7,7 +7,7 @@ module inside an executor-side UDF.
 from __future__ import annotations
 
 import os
-import tempfile
+from tests.conftest import dss_mkdtemp
 
 import pytest
 
@@ -39,7 +39,7 @@ def test_program_with_dependency_pyfile(spark):
     """Dependency module shipped via addPyFile and imported inside a UDF that
     runs on executors (the jar-dependency test's analog,
     ``ScalaSparkTest.java:174-215``)."""
-    d = tempfile.mkdtemp(prefix="dss_dep_")
+    d = dss_mkdtemp("dss_dep_")
     dep = os.path.join(d, "dss_test_dep.py")
     with open(dep, "w") as f:
         f.write("def triple(x):\n    return 3 * x\n")

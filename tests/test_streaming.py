@@ -6,7 +6,7 @@ streams with ``availableNow`` triggers so they terminate deterministically.
 from __future__ import annotations
 
 import os
-import tempfile
+from tests.conftest import dss_mkdtemp
 
 import pytest
 
@@ -25,7 +25,7 @@ from dynamic_spark_spark.streaming.core import (
 
 def _events_stream(spark, sf_dir):
     batch = load_table(spark, sf_dir, "events")
-    staged = tempfile.mkdtemp(prefix="dss_stream_src_")
+    staged = dss_mkdtemp("dss_stream_src_")
     batch.write.mode("overwrite").parquet(staged)
     return batch, file_stream(spark, staged, batch.schema)
 
@@ -273,7 +273,6 @@ def test_transform_with_state_totals(spark, sf_dir):
 
     pytest.importorskip("google.protobuf.descriptor")
     import shutil
-    import tempfile
 
     from dynamic_spark_spark.sources.readers import load_table
     from dynamic_spark_spark.streaming.core import (
@@ -282,8 +281,8 @@ def test_transform_with_state_totals(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    src = tempfile.mkdtemp(prefix="dss_tws_src_")
-    ckpt = tempfile.mkdtemp(prefix="dss_tws_ckpt_")
+    src = dss_mkdtemp("dss_tws_src_")
+    ckpt = dss_mkdtemp("dss_tws_ckpt_")
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
