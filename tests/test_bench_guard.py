@@ -1,0 +1,100 @@
+"""Pins for the bench.py regression guard (r7 judge order #1).
+
+The guard decision moved from the median total to the min-of-5 total
+because three rounds of artifacts (r5–r7) recorded 10–25% phantom
+regressions that were pure co-tenant load: the median of 5 timed runs
+absorbs in-run load spikes poorly, while the min is close to the engine's
+true cost even on a busy box. These tests pin the guard as a pure
+function so the verdict logic can never silently drift back to a
+load-sensitive basis.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(_ROOT, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load_bench()
+
+
+def test_guard_clean_on_quiet_box_numbers():
+    # r7 judge quiet-box rerun: min 8.038 headline / 6.107 extended-median
+    # (extended min below that) — well under 2x the r4 min anchors
+    assert bench.guard_verdict(0.1, 8.038, 5.0) == []
+
+
+def test_guard_trips_on_real_regression():
+    msgs = bench.guard_verdict(0.1, 2 * bench.GUARD_ANCHOR_MIN_SEC + 0.001, 1.0)
+    assert len(msgs) == 1 and "headline" in msgs[0]
+    msgs = bench.guard_verdict(
+        0.1, 1.0, 2 * bench.GUARD_EXTENDED_ANCHOR_MIN_SEC + 0.001
+    )
+    assert len(msgs) == 1 and "extended" in msgs[0]
+    msgs = bench.guard_verdict(0.1, 100.0, 100.0)
+    assert len(msgs) == 2
+
+
+def test_guard_only_judges_anchor_sf():
+    """The anchors are sf0.1 numbers; any other scale factor (or an
+    unparseable dir → sf=None) must not be compared against them."""
+    assert bench.guard_verdict(0.01, 100.0, 100.0) == []
+    assert bench.guard_verdict(None, 100.0, 100.0) == []
+
+
+def test_guard_verdict_is_load_invariant():
+    """The property the r5–r7 artifacts lacked: inflate the MEDIANS by the
+    worst observed load factor (r7: median 9.688 vs quiet 8.502 ≈ 1.14x;
+    allow up to 1.4x) while the mins stay near the engine's true cost —
+    the verdict must equal the quiet-box verdict, because the guard never
+    reads the medians at all."""
+    quiet_min, quiet_ext_min = 7.739, 4.610  # == the r4 anchors themselves
+    base = bench.guard_verdict(0.1, quiet_min, quiet_ext_min)
+    # loaded box: mins drift a little (observed ≤ ~1.15x on min vs ~1.4x on
+    # median); verdicts must agree across the whole observed drift band
+    for drift in (1.0, 1.05, 1.1, 1.15):
+        loaded = bench.guard_verdict(
+            0.1, round(quiet_min * drift, 3), round(quiet_ext_min * drift, 3)
+        )
+        assert loaded == base == []
+
+
+def test_guard_anchors_match_r4_artifact():
+    """The min anchors must stay pinned to the r4 artifact they cite —
+    a drive-by edit to the constant without re-deriving it is a guard
+    weakening, not a tune."""
+    path = os.path.join(_ROOT, "BENCH_r04.json")
+    parsed = json.load(open(path))["parsed"]
+    assert bench.GUARD_ANCHOR_MIN_SEC == parsed["min_total_sec"]
+    assert bench.GUARD_EXTENDED_ANCHOR_MIN_SEC == parsed["extended_min_total_sec"]
+
+
+def test_artifact_guard_block_fields():
+    """bench.py main() emits a self-adjudicating guard block; pin the
+    schema contract here (basis + anchors + violations + loaded_box) by
+    reconstructing the dict the same way main() does."""
+    violations = bench.guard_verdict(0.1, 7.0, 4.0)
+    block = {
+        "basis": "min_total_sec",
+        "anchor_min_sec": bench.GUARD_ANCHOR_MIN_SEC,
+        "extended_anchor_min_sec": bench.GUARD_EXTENDED_ANCHOR_MIN_SEC,
+        "violations": violations,
+        "loaded_box": 3.5 > bench.LOAD_WARN_THRESHOLD,
+    }
+    assert block["violations"] == [] and block["loaded_box"] is True
+    # and the source really wires guard_verdict's output into that block
+    src = open(os.path.join(_ROOT, "bench.py")).read()
+    assert '"basis": "min_total_sec"' in src
+    assert '"violations": violations' in src
+    assert "violations = guard_verdict(sf, min_total, ext_min_total)" in src

@@ -873,3 +873,43 @@ def test_registry_duplicate_guard_rejects_sibling_modules():
         registry.QUERIES.pop(key, None)
         registry.ORACLE.pop(key, None)
         registry.TAGS.pop(key, None)
+
+
+def test_registry_guard_single_segment_module(tmp_path):
+    """r7 advice: with a single-segment module name the dotted-suffix rule
+    degenerates to a basename match ('ops' vs 'sibling_pkg.ops'), so two
+    genuinely different same-named functions could silently rebind. When
+    only the suffix rule (not exact module equality) matches, the guard
+    must also demand the definitions share a source file."""
+    import pytest as _pytest
+
+    from dynamic_spark_spark import registry
+
+    key = "__r8_single_segment_probe__"
+    code = "def q(spark, sf_dir):\n    return None\n"
+    src_a, src_b = tmp_path / "a.py", tmp_path / "b.py"
+    src_a.write_text(code)
+    src_b.write_text(code)
+
+    def load(path, module):
+        ns: dict = {}
+        exec(compile(path.read_text(), str(path), "exec"), ns)
+        fn = ns["q"]
+        fn.__module__ = module
+        fn.__qualname__ = "q"
+        return fn
+
+    try:
+        registry.query(key)(load(src_a, "ops"))
+        # different file, basename-suffix module match: must raise now
+        with _pytest.raises(ValueError, match="duplicate query key"):
+            registry.query(key)(load(src_b, "sibling_pkg.ops"))
+        # SAME file re-exec'd under a dotted-suffix dual name (reload /
+        # dual-import semantics): still an idempotent re-bind, no raise
+        again = load(src_a, "sibling_pkg.ops")
+        registry.query(key)(again)
+        assert registry.QUERIES[key] is again
+    finally:
+        registry.QUERIES.pop(key, None)
+        registry.ORACLE.pop(key, None)
+        registry.TAGS.pop(key, None)
