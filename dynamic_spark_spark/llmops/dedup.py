@@ -234,10 +234,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Oracle-upgraded (r8, judge order #4). The Spark side compresses each
+#: 5-char shingle to xxhash64 before the set/df-cap/join arithmetic — but
+#: Jaccard over injectively-mapped sets equals Jaccard over the raw sets,
+#: so DuckDB can state the same result on the raw shingle STRINGS (no
+#: engine hash involved). A 64-bit collision anywhere in the sf0.01 corpus
+#: (~1e5 distinct shingles → P(collision) ≈ 1e-9) is the only divergence.
+_NGRAM_JACCARD_ORACLE = f"""
+WITH norm AS (SELECT doc_id, lower(trim(coalesce(text, ''))) AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), {SHINGLE_N}) AS shingle
+  FROM norm, UNNEST(generate_series(1, greatest(length(t) - {SHINGLE_N - 1}, 1))) AS u(i)
+  WHERE length(substring(t, CAST(i AS INT), {SHINGLE_N})) = {SHINGLE_N}
+),
+rare AS (
+  SELECT doc_id, shingle FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.5
+"""
+
+
 @query(
     "dedup_ngram_jaccard",
+    _NGRAM_JACCARD_ORACLE,
     tag="llm-dedup",
-)  # rows-only: shingle hashing is engine-specific
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity on candidate pairs from an inverted
     shingle index. Scale controls: distinct shingles per doc, document-

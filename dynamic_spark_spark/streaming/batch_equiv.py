@@ -133,6 +133,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from dynamic_spark_spark.streaming.core import (
+        drain_parallelism,
         file_stream,
         stateful_total_merge,
     )
@@ -147,17 +148,18 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "dss_stateful_totals"
     try:
         ev.write.mode("overwrite").parquet(src)
-        q = (
-            stateful_total_merge(file_stream(spark, src, ev.schema))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        with drain_parallelism(spark):
+            q = (
+                stateful_total_merge(file_stream(spark, src, ev.schema))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
         # The memory sink holds its batches in driver memory — it stays
         # queryable after the staging dirs are gone.
         return spark.sql(
@@ -179,7 +181,11 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dynamic_spark_spark.streaming.core import file_stream, stateful_dedup
+    from dynamic_spark_spark.streaming.core import (
+        drain_parallelism,
+        file_stream,
+        stateful_dedup,
+    )
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     src = tempfile.mkdtemp(prefix="dss_dedup_src_")
@@ -187,22 +193,23 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "dss_stream_dedup"
     try:
         ev.write.mode("overwrite").parquet(src)
-        q = (
-            stateful_dedup(
-                file_stream(spark, src, ev.schema),
-                ["user_id", "event_type"],
-                ts_col="ts",
-                watermark="1 hour",
+        with drain_parallelism(spark):
+            q = (
+                stateful_dedup(
+                    file_stream(spark, src, ev.schema),
+                    ["user_id", "event_type"],
+                    ts_col="ts",
+                    watermark="1 hour",
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
             )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+            q.awaitTermination(300)
+            q.stop()
         return spark.sql(
             f"SELECT event_type, COUNT(*) AS n_unique_users FROM {name} GROUP BY event_type"
         )
@@ -269,7 +276,7 @@ def stream_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dynamic_spark_spark.streaming.core import file_stream
+    from dynamic_spark_spark.streaming.core import drain_parallelism, file_stream
 
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
     src = tempfile.mkdtemp(prefix="dss_rollup_src_")
@@ -282,16 +289,17 @@ def stream_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 minute"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        q = (
-            minutely.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        with drain_parallelism(spark):
+            q = (
+                minutely.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
         return spark.sql(
             f"SELECT date_trunc('hour', window.start) AS hour_start, event_type,"
             f" CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_minutes"
@@ -401,7 +409,7 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dynamic_spark_spark.streaming.core import file_stream
+    from dynamic_spark_spark.streaming.core import drain_parallelism, file_stream
 
     ev = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="dss_ssj_src_")
@@ -438,12 +446,9 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # A stream-stream join runs FOUR state stores per shuffle partition;
         # size the partition count to the data (a few thousand rows at
-        # verification scale) instead of paying 32×4 store setups. Cluster
-        # deployments size this to volume; the knob is scoped to the stream
-        # (the checkpoint pins it) and restored after.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        # verification scale) instead of paying 32×4 store setups — the
+        # shared drain_parallelism rationale, at 4× the per-partition cost.
+        with drain_parallelism(spark):
             q = (
                 joined.writeStream.format("memory")
                 .queryName(name)
@@ -454,8 +459,6 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination(300)
             q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return spark.sql(
             f"SELECT user_id, COUNT(*) AS n_pairs FROM {name} GROUP BY user_id"
         )
@@ -508,17 +511,22 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fresh = batch_df
             fresh.write.mode("append").parquet(target)
 
-        q = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .writeStream.foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        from dynamic_spark_spark.streaming.core import drain_parallelism
+
+        # stateless stream, but each micro-batch's anti-join + write runs
+        # as batch jobs INSIDE the drain — scope their shuffle width too
+        with drain_parallelism(spark):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(upsert)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
         final = (
             spark.read.parquet(target)
             .groupBy("event_type")
@@ -624,7 +632,7 @@ def stream_dedup_groups_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "dss_dedup_groups"
     try:
         d.write.mode("overwrite").parquet(src)
-        from dynamic_spark_spark.streaming.core import file_stream
+        from dynamic_spark_spark.streaming.core import drain_parallelism, file_stream
 
         agg = (
             file_stream(spark, src, d.schema)
@@ -635,16 +643,17 @@ def stream_dedup_groups_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_copies"),
             )
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        with drain_parallelism(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
         return spark.sql(
             f"SELECT digest, MIN(keeper_doc_id) AS keeper_doc_id,"
             f" MAX(n_copies) AS n_copies FROM {name} GROUP BY digest"
@@ -700,7 +709,7 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dynamic_spark_spark.streaming.core import file_stream
+    from dynamic_spark_spark.streaming.core import drain_parallelism, file_stream
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     src = tempfile.mkdtemp(prefix="dss_sess_src_")
@@ -719,16 +728,17 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        with drain_parallelism(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
         return spark.table(name).select(
             "user_id", "session_start", "session_end", "n_events"
         )
@@ -796,7 +806,11 @@ def stream_custom_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from dynamic_spark_spark.streaming.core import file_stream, stateful_sessions
+    from dynamic_spark_spark.streaming.core import (
+        drain_parallelism,
+        file_stream,
+        stateful_sessions,
+    )
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -813,16 +827,17 @@ def stream_custom_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap_seconds=CUSTOM_SESS_GAP_S,
             watermark=f"{CUSTOM_SESS_WM_S} seconds",
         )
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        with drain_parallelism(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
         return spark.table(name).select(
             "key",
             "session_start",
@@ -859,7 +874,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
     import tempfile
 
-    from dynamic_spark_spark.streaming.core import file_stream
+    from dynamic_spark_spark.streaming.core import drain_parallelism, file_stream
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     src = tempfile.mkdtemp(prefix="dss_dww_src_")
@@ -873,16 +888,17 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
             .select("user_id", "event_type")
         )
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
+        with drain_parallelism(spark):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
         return spark.table(name)
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -9,12 +9,121 @@ from collections import defaultdict
 
 from dynamic_spark_spark.registry import ORACLE, TAGS, load_all_queries
 
+# Per-key audit of every rows-only key (r7 judge order #4): for each, either
+# the reason no DuckDB oracle CAN exist, or the round an oracle landed. The
+# generator fails if a rows-only key is missing here — a new key cannot ship
+# without a written verdict. Keys that were upgraded keep their entry (as a
+# record) but must be in ORACLE or the generator flags the stale entry.
+ROWS_ONLY_VERDICTS: dict[str, str] = {
+    # -- engine sketches: the estimate IS internal sketch state ------------
+    "agg_approx_distinct": "Spark HLL++ estimate; value is engine-internal. "
+    "Relative-error contract pinned in pytest against the exact count.",
+    "agg_hll_sketch": "engine HLL sketch estimate (same family as above); "
+    "exact-count twin is oracle-checked as agg_distinct.",
+    "agg_hll_union": "merge of engine HLL sketch binaries; union estimate "
+    "is sketch-state-dependent. Exact twin: agg_distinct.",
+    "agg_percentile_approx": "engine quantile-sketch estimates; exact twin "
+    "agg_percentile_exact is oracle-checked.",
+    # -- engine hash functions: DuckDB has no implementation --------------
+    "fn_hash_engine": "outputs of Spark-internal hash/xxhash64/crc32; "
+    "DuckDB has no compatible implementation. Pinned in pytest.",
+    "dedup_minhash": "MinHash signatures are xxhash64(shingle, seed); the "
+    "banding/bucketing is checked by pytest invariants + scale probes.",
+    "dedup_simhash": "per-bit majority over xxhash64 token hashes; "
+    "signature values are engine-hash-defined. Pinned in pytest.",
+    "dedup_minhash_ml": "MLlib MinHashLSH hash family (its own coefficient "
+    "RNG); parity with the declarative tier asserted in pytest.",
+    "dedup_clusters": "connected components OVER the engine-hash LSH "
+    "candidate graph; component ids inherit the hash dependency.",
+    "dedup_apply_canonical": "survivor materialization over dedup_clusters; "
+    "same LSH-derived input. Survivor invariants pinned in pytest.",
+    "dedup_threshold_curve_lsh": "curve over LSH candidate pairs (engine "
+    "hash); the exact-similarity twin dedup_threshold_curve is "
+    "oracle-checked.",
+    "sim_join_lsh": "random-hyperplane LSH (seeded engine RNG matrix).",
+    "sim_topk_lsh": "same hyperplane family as sim_join_lsh; recall vs the "
+    "oracle-checked brute-force tier measured by sim_recall_at_k.",
+    "sim_topk_ivf": "IVF cells come from iterative centroid refinement; "
+    "assignment is engine-float-iteration-dependent. Recall vs exact "
+    "top-k (oracle-checked sim_topk) is the meaningful check and is "
+    "pytest-pinned.",
+    "dedup_semantic": "cell seeds are engine-hash-picked and refinement is "
+    "float-iterative; per-vector drop verdicts pinned in pytest (every "
+    "drop names an earlier >=tau neighbor).",
+    "multimodal_frame_sample": "frame digests are xxhash64 folds (engine "
+    "hash); frame slicing arithmetic is pytest-pinned.",
+    "text_fingerprint": "winnowing fingerprints are xxhash64 grams + an "
+    "xxhash64 fold; partition-order invariance pinned in pytest.",
+    # -- engine RNG: no cross-engine reproduction --------------------------
+    "sample_split": "randomSplit draws Spark's per-partition RNG stream.",
+    "sample_stratified": "sampleBy draws the engine RNG.",
+    "scan_tablesample": "TABLESAMPLE draws the engine RNG.",
+    "ml_kmeans_cluster": "k-means|| init draws MLlib's seeded RNG and the "
+    "fit is float-iterative; cluster-quality invariants pytest-pinned.",
+    "ml_train_predict": "LBFGS fit is float-iterative (result depends on "
+    "partial-gradient summation order); accuracy bounds pytest-pinned.",
+    "embed_pca_project": "eigenvector sign/order is solver-specific; "
+    "variance-ordering + reconstruction-error invariants pytest-pinned.",
+    "graph_pagerank": "8 float iterations; cross-engine summation order "
+    "drifts the low bits, so an exact hash cannot be shared. Rank-order "
+    "and convergence invariants pytest-pinned.",
+    # -- not SQL-expressible ------------------------------------------------
+    "pack_sequences_ffd": "first-fit-decreasing is inherently sequential "
+    "per shard — no SQL formulation exists. Bin invariants (no overflow, "
+    "deterministic shard assignment) pytest-pinned.",
+    "text_bpe_apply": "BPE merge loop is data-dependent iteration — not "
+    "expressible in one SQL pass. Merge table + encoding pytest-pinned.",
+    "text_compression_ratio": "DuckDB has no deflate; zlib level-6 output "
+    "pinned against direct zlib calls in pytest.",
+    "multimodal_decode": "feature vectors come from the engine's own "
+    "pure-Python pixel decoders on payloads synthesized in-flight — there "
+    "is no DuckDB-computable input, and staging the engine's output for "
+    "DuckDB to re-digest would be circular, not differential. Pixel truth "
+    "is pinned in pytest against the encoder's own reconstruction.",
+    "multimodal_resize": "output is re-encoded PNG binary (pixel resample); "
+    "no SQL twin exists. Thumb pixels pytest-pinned vs the generator "
+    "pattern.",
+    "fn_xpath": "DuckDB has no XPath functions; outputs pytest-pinned.",
+    "fn_phonetic": "DuckDB has no soundex/metaphone; outputs pytest-pinned.",
+    # -- live-stream drains -------------------------------------------------
+    "stream_dedup_live": "unbounded-state dropDuplicates over a multi-file "
+    "drain: which duplicate survives (and re-emission after any state "
+    "eviction) is arrival-order-dependent. The bounded variant with a "
+    "deterministic emitted set IS oracle-checked: "
+    "stream_dedup_within_watermark.",
+    # -- upgraded (kept as the audit trail) ---------------------------------
+    "dedup_ngram_jaccard": "UPGRADED r8: Jaccard is invariant under the "
+    "injective shingle->xxhash64 map, so DuckDB states the same result on "
+    "raw 5-char shingles.",
+    "scan_file_metadata": "UPGRADED r8: single-file-per-table layout makes "
+    "the grouped _metadata result pure catalog arithmetic (file_name "
+    "literal, n_rows=COUNT(*), dense row_index 0..n-1).",
+}
+
 
 def main() -> None:
     queries = load_all_queries()
     by_tag: dict[str, list[str]] = defaultdict(list)
     for name in sorted(queries):
         by_tag[TAGS.get(name, "other")].append(name)
+
+    rows_only = [k for k in sorted(queries) if k not in ORACLE]
+    missing = [k for k in rows_only if k not in ROWS_ONLY_VERDICTS]
+    if missing:
+        raise SystemExit(
+            f"rows-only keys without a written audit verdict: {missing} — "
+            "add them to ROWS_ONLY_VERDICTS (or register an oracle)"
+        )
+    stale = [
+        k
+        for k, v in ROWS_ONLY_VERDICTS.items()
+        if k in ORACLE and not v.startswith("UPGRADED")
+    ]
+    if stale:
+        raise SystemExit(
+            f"keys in ROWS_ONLY_VERDICTS that now have oracles: {stale} — "
+            "mark the entry 'UPGRADED rN: ...' or remove it"
+        )
 
     lines = [
         "# COVERAGE — query-key inventory (auto-generated by scripts/coverage_report.py)",
@@ -27,10 +136,14 @@ def main() -> None:
         f"Total: **{len(queries)}** keys, **{len(ORACLE)}** oracle-checked.",
         "",
         "Rows-only parameter changes of record (no oracle would notice, so",
-        "they are declared here): `graph_pagerank` runs PAGERANK_ITERS=8",
-        "iterations (round 3; was 15 in rounds 1-2 — a verification-budget",
-        "trim; convergence behavior and plan shape unchanged, ranks are",
-        "fixed-point-hashed at the 8-iteration value). The zorder keys'",
+        "they are declared here): `graph_pagerank` runs PAGERANK_ITERS=6",
+        "iterations (round 8; was 8 in rounds 3-7, 15 in rounds 1-2 —",
+        "verification-budget trims; convergence behavior and plan shape",
+        "unchanged, mass-conservation and determinism pins are",
+        "iteration-count-invariant). `ml_train_predict` fits with",
+        "maxIter=10 (round 8; was 20 in rounds 1-7 — same rationale: one",
+        "LBFGS treeAggregate job per iteration, accuracy converged within",
+        "rounding, |labels| output rows invariant). The zorder keys'",
         "`l_orderkey` trim is SF-scaled as of round 4 (`sf_scaled_bound`):",
         "a constant fraction of the table at bench/scale SFs, FLOORED (r5)",
         "at the oracle SQL's static bound for sf <= 0.01 so every",
@@ -44,15 +157,15 @@ def main() -> None:
         "complex-typed outputs, zero build errors, across the full key",
         "list (r6 tail pre-cleared).",
         "",
-        "Verify-gate latency (r6 verdict #5): the full 299-key gate runs",
-        "~186 s of per-key work (artifacts/verify_times.json). The top-4",
-        "keys (stream_custom_session_live 5.7 s, text_bpe_apply 5.2 s,",
-        "scan_python_datasource 3.8 s, dedup_threshold_curve_lsh 3.3 s)",
-        "were NOT trimmed: three are r7-window keys whose outputs are",
-        "frozen until the driver hash-proves them, and the Python",
-        "datasource keys' cost IS the operator under test (a per-row",
-        "Python source; shrinking its row count would weaken the very",
-        "path being verified). Everything else is already <3 s/key.",
+        "Verify-gate latency (r7 verdict #3, applied r8): the stateful",
+        "live-stream drains now scope `spark.sql.shuffle.partitions` to 4",
+        "for the drain only (`streaming.core.drain_parallelism`) — a",
+        "stateful query builds one state store per shuffle partition at",
+        "its first batch, and 32-way state over kilobyte streams was pure",
+        "setup cost (stream_session_live 5.4 s -> 1.6 s, identical",
+        "output). The Python datasource keys stay untrimmed: their cost",
+        "IS the operator under test (a per-row Python source). Current",
+        "per-key totals: artifacts/verify_times.json.",
         "",
         "| category | query key | check | implementation |",
         "|---|---|---|---|",
@@ -63,6 +176,18 @@ def main() -> None:
             impl = f"`{fn.__module__.removeprefix('dynamic_spark_spark.')}.{fn.__name__}`"
             check = "oracle" if name in ORACLE else "rows-only"
             lines.append(f"| {tag} | `{name}` | {check} | {impl} |")
+    lines.append("")
+    lines.append("## Rows-only audit (r7 judge order #4, written r8)")
+    lines.append("")
+    lines.append("Every rows-only key with the reason no DuckDB oracle can")
+    lines.append("exist (or the round one landed). The generator REFUSES to")
+    lines.append("write this file if a rows-only key has no verdict, so the")
+    lines.append("audit cannot silently rot.")
+    lines.append("")
+    lines.append("| key | verdict |")
+    lines.append("|---|---|")
+    for name in sorted(ROWS_ONLY_VERDICTS):
+        lines.append(f"| `{name}` | {ROWS_ONLY_VERDICTS[name]} |")
     lines.append("")
     with open("COVERAGE.md", "w") as f:
         f.write("\n".join(lines))

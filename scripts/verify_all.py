@@ -42,6 +42,21 @@ def main() -> int:
 
     import time
 
+    # Warm the execution stack the way the DRIVER does before ITS gate: the
+    # entry() flagship smoke-check (scan/join/agg codegen + broadcast
+    # machinery at sf0.001), plus one mapInPandas round-trip to spawn the
+    # reused Python workers + Arrow serializers (entry() is JVM-only).
+    # Without this the FIRST key's recorded time absorbs ~5-6 s of
+    # JVM/worker bring-up that belongs to session startup, and per-key
+    # numbers become order-dependent (the r7 artifact's "slow" keys were
+    # window-front keys paying exactly this).
+    import __spark_entry__
+
+    __spark_entry__.entry(spark).collect()
+    spark.range(32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).collect()
+
     items = list(queries.items())  # already in driver verification order
     if PREFIX is not None:
         items = items[:PREFIX]

@@ -229,3 +229,118 @@ def test_mutated_streams_never_raise(img, progressive, mutations):
         stream[pos % len(stream)] = val
     out = decode_jpeg(bytes(stream))
     assert out is None or isinstance(out, np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# SOF2-color deep fuzz (r7 judge order #6): the entropy-coded progressive
+# color scan space — random scan scripts and entropy-segment-targeted
+# mutations, beyond the whole-stream byte flips above (which mostly land in
+# headers). Coverage per run: 30 script trials × (3-13 scans each, every
+# spectral split and approximation chain random) + 35 entropy-targeted
+# mutation trials × ≤8 flips, all inside SOS payloads by construction.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def progressive_scripts(draw):
+    """Random VALID T.81 progressive scan scripts: a DC chain first-passed
+    at a random precision then refined to 0, and the 1..63 AC range split
+    into 1-4 contiguous bands, each with its own first-pass precision and
+    full refinement chain. This walks the successive-approximation space
+    (EOB-run lengths, correction-bit density, band boundaries) that the
+    fixed default script can't reach."""
+    script = []
+    dc_al = draw(st.integers(min_value=0, max_value=3))
+    script.append((0, 0, 0, dc_al))
+    for al in range(dc_al, 0, -1):
+        script.append((0, 0, al, al - 1))
+    n_bands = draw(st.integers(min_value=1, max_value=4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=2, max_value=63),
+                min_size=n_bands - 1,
+                max_size=n_bands - 1,
+                unique=True,
+            )
+        )
+    )
+    bounds = [1] + cuts + [64]
+    for b in range(len(bounds) - 1):
+        ss, se = bounds[b], bounds[b + 1] - 1
+        ac_al = draw(st.integers(min_value=0, max_value=2))
+        script.append((ss, se, 0, ac_al))
+        for al in range(ac_al, 0, -1):
+            script.append((ss, se, al, al - 1))
+    return script
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    color_images(),
+    st.sampled_from(_SAMPLINGS),
+    progressive_scripts(),
+    st.integers(min_value=0, max_value=5),
+)
+def test_random_scan_scripts_mirror_reconstruction(img, samp, script, ri):
+    """EVERY valid progressive script must land on the same reconstruction
+    truth — the script only reorders which coefficient bits travel in which
+    scan. A decode-path bug in EOB-run bookkeeping, correction-bit
+    injection, or band-boundary handling shows up as a pixel diff under
+    some script even when the default script hides it."""
+    stream = encode_jpeg_color_progressive(
+        img, sampling=samp, script=script, restart_interval=ri
+    )
+    dec = decode_jpeg(stream)
+    assert dec is not None and dec.shape == img.shape
+    assert np.array_equal(dec, reconstruct_color(img, sampling=samp))
+
+
+def _entropy_regions(stream: bytes) -> list[tuple[int, int]]:
+    """(start, end) byte ranges of the entropy-coded data after each SOS
+    header — the marker walk any conforming reader performs (stuffed 0xFF00
+    and RSTm stay inside a region; any other marker ends it)."""
+    regions, i, n = [], 2, len(stream)
+    while i + 4 <= n:
+        if stream[i] != 0xFF:
+            break
+        marker = stream[i + 1]
+        seg_len = int.from_bytes(stream[i + 2 : i + 4], "big")
+        i += 2 + seg_len
+        if marker == 0xDA:  # SOS: entropy data runs to the next real marker
+            start = i
+            while i + 1 < n and not (
+                stream[i] == 0xFF
+                and stream[i + 1] != 0x00
+                and not (0xD0 <= stream[i + 1] <= 0xD7)
+            ):
+                i += 1
+            regions.append((start, i))
+    return regions
+
+
+@settings(max_examples=35, deadline=None)
+@given(
+    color_images(),
+    st.sampled_from(_SAMPLINGS),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9), st.integers(0, 255)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_progressive_color_entropy_mutations_never_raise(img, samp, mutations):
+    """Byte flips targeted INSIDE the entropy-coded segments of a
+    progressive color stream (headers untouched): corrupt Huffman runs,
+    EOB counters, and correction bits must degrade to None/array, never
+    raise or hang — whole-stream flips mostly hit headers and leave this
+    space under-fuzzed."""
+    stream = bytearray(encode_jpeg_color_progressive(img, sampling=samp))
+    regions = _entropy_regions(bytes(stream))
+    assert regions and all(end > start for start, end in regions)
+    spans = [(s, e) for s, e in regions if e > s]
+    for pos, val in mutations:
+        start, end = spans[pos % len(spans)]
+        stream[start + (pos % (end - start))] = val
+    out = decode_jpeg(bytes(stream))
+    assert out is None or isinstance(out, np.ndarray)
