@@ -41,9 +41,12 @@ subset end-to-end:
   Progressive: interleaved DC scans (restart interval in MCUs) +
   per-component non-interleaved AC scans walking each component's OWN
   block grid (T.81 A.2.2/G.1.1.1.1 — a sub-grid of the MCU-padded array
-  on subsampled frames; restart interval in blocks). CMYK (4-component)
-  and fractional sampling ratios remain explicit rejections —
-  decode_jpeg returns None rather than mis-decode.
+  on subsampled frames; restart interval in blocks).
+- CMYK/YCCK (r8): Adobe 4-component frames (APP14 transform byte,
+  inverted storage per Adobe TN 5116), baseline + progressive, decoded
+  to RGB via the naive ink conversion. Fractional sampling ratios and
+  arithmetic coding remain explicit rejections — decode_jpeg returns
+  None rather than mis-decode.
 
 Determinism: the DCT/IDCT are float64 matrix products against a
 precomputed cosine basis — bit-identical across runs and partitions —
@@ -696,9 +699,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
     block grid; baseline color decodes both the interleaved single-scan
     form and the three-scan non-interleaved form. Restart intervals
     handled in every form. Returns None for malformed input or
-    valid-but-unsupported features (CMYK, fractional sampling ratios) —
-    the caller degrades to the histogram stub rather than shipping wrong
-    pixels."""
+    valid-but-unsupported features (fractional sampling ratios, arithmetic
+    coding) — the caller degrades to the histogram stub rather than
+    shipping wrong pixels. Adobe 4-component CMYK/YCCK decodes to RGB as
+    of r8."""
     if _native_enabled():
         px = decode_jpeg_native(payload)
         if px is not None:
@@ -756,9 +760,13 @@ def _native_enabled() -> bool:
 def decode_jpeg_native(payload: bytes) -> np.ndarray | None:
     """Decode via the native backend when installed: ``uint8 [h, w]`` for
     grayscale, ``uint8 [h, w, 3]`` RGB for color, None when the backend is
-    absent, the payload is malformed, or the image falls outside the same
-    envelope the pure tier enforces (zero/oversize dims, CMYK). Never
-    raises — at 100 TB a bad payload degrades, it doesn't kill the stage."""
+    absent, the payload is malformed, or the image falls outside the
+    zero/oversize-dims envelope the pure tier's SOF guard enforces. CMYK
+    declines here and FALLS THROUGH to the pure tier (which decodes it as
+    of r8): Pillow's Adobe-inversion handling has varied across versions,
+    and the seam's contract is that the native path never disagrees with
+    the pure truth. Never raises — at 100 TB a bad payload degrades, it
+    doesn't kill the stage."""
     image_mod = native_backend()
     if image_mod is None:
         return None
@@ -774,7 +782,7 @@ def decode_jpeg_native(payload: bytes) -> np.ndarray | None:
                 return np.asarray(im, dtype=np.uint8)
             if im.mode in ("RGB", "YCbCr"):
                 return np.asarray(im.convert("RGB"), dtype=np.uint8)
-            return None  # CMYK and friends: explicit rejection, both tiers
+            return None  # CMYK etc.: decline → pure tier decodes (r8)
     except Exception:
         return None
 
@@ -1036,6 +1044,7 @@ def _decode_jpeg(payload: bytes, gray_only: bool = False) -> np.ndarray | None:
     sof_marker = None
     comps_sof: list[tuple[int, int, int, int]] = []  # (id, H, V, Tq)
     restart_interval = 0
+    adobe_transform = None  # APP14 color-transform byte (Adobe TN 5116)
     # each scan snapshots its table lookups AND the restart interval at
     # parse position, since DHT/DRI segments may legally redefine both
     # between scans
@@ -1053,6 +1062,10 @@ def _decode_jpeg(payload: bytes, gray_only: bool = False) -> np.ndarray | None:
         body = payload[i + 4 : i + 2 + seg_len]
         if marker == 0xDD:  # DRI: restart interval, MCUs between RSTm markers
             restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14: the transform byte is how 4-component frames declare
+            # YCCK (2) vs direct CMYK (0) — Adobe TN 5116 §18
+            adobe_transform = body[11]
         elif marker == 0xDB:  # DQT (possibly several tables per segment)
             j = 0
             while j < len(body):
@@ -1070,9 +1083,9 @@ def _decode_jpeg(payload: bytes, gray_only: bool = False) -> np.ndarray | None:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             sof_marker = marker
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            # grayscale and YCbCr, baseline + progressive; CMYK
-            # (4-component) stays an explicit rejection
-            if ncomp not in (1, 3):
+            # grayscale, YCbCr, and (r8) Adobe 4-component CMYK/YCCK,
+            # baseline + progressive; other component counts degrade
+            if ncomp not in (1, 3, 4):
                 return None
             if not h or not w or h * w > MAX_DECODE_PIXELS:
                 # zero-dimension frames would decode to an empty array and
@@ -1123,8 +1136,10 @@ def _decode_jpeg(payload: bytes, gray_only: bool = False) -> np.ndarray | None:
         i += 2 + seg_len
     if h is None or sof_marker is None or not scans or not comps_sof:
         return None
-    if len(comps_sof) == 3:
-        return _reassemble_color(h, w, comps_sof, scans, qtables, sof_marker)
+    if len(comps_sof) in (3, 4):
+        return _reassemble_color(
+            h, w, comps_sof, scans, qtables, sof_marker, adobe_transform
+        )
     # --- single-component (grayscale) path: scans are non-interleaved ---
     q = qtables.get(comps_sof[0][3])
     if q is None or any(len(tabs) != 1 for tabs, *_ in scans):
@@ -1161,12 +1176,14 @@ def _reassemble_color(
     scans: list[tuple],
     qtables: dict[int, np.ndarray],
     sof_marker: int,
+    adobe_transform: int | None = None,
 ) -> np.ndarray | None:
-    """YCbCr reassembly, baseline AND progressive.
+    """Multi-component reassembly (3 = YCbCr, 4 = Adobe CMYK/YCCK),
+    baseline AND progressive.
 
-    Baseline (SOF0): ONE interleaved scan covering all three SOF
-    components (the layout every mainstream encoder emits), or THREE
-    single-component scans each walking its component's own block grid
+    Baseline (SOF0): ONE interleaved scan covering every SOF component
+    (the layout every mainstream encoder emits), or one single-component
+    scan PER component, each walking its component's own block grid
     (T.81 A.2.2 non-interleaved baseline — legal and occasionally emitted;
     restart interval counted in blocks).
 
@@ -1180,15 +1197,18 @@ def _reassemble_color(
 
     Both forms share the tail: per-plane dequantize+IDCT on the MCU grid,
     crop to the component's natural size, nearest-neighbor chroma
-    upsample, JFIF inverse transform. Fractional sampling ratios return
-    None — reject, never mis-decode."""
+    upsample, then the color finish — JFIF inverse for 3 components,
+    Adobe-convention ink conversion (:func:`_cmyk_finish_rgb`, APP14
+    transform byte) for 4. Fractional sampling ratios return None —
+    reject, never mis-decode."""
     if not scans:
         return None
+    nc = len(comps_sof)
     # every validation happens BEFORE the entropy pass: a lying header must
     # reject at parse cost, and duplicate component ids would silently
     # collapse the by-id dicts below into a mis-decode
     sof_ids = [c[0] for c in comps_sof]
-    if len(set(sof_ids)) != 3:
+    if len(set(sof_ids)) != nc:
         return None
     if any(qtables.get(tq) is None for _, _, _, tq in comps_sof):
         return None
@@ -1208,8 +1228,8 @@ def _reassemble_color(
     if sof_marker == 0xC0:
         if any((ss, se, ah, al) != (0, 63, 0, 0) for _t, ss, se, ah, al, _r, _d in scans):
             return None
-        if len(scans) == 1 and len(scans[0][0]) == 3:
-            # one interleaved scan over all three components
+        if len(scans) == 1 and len(scans[0][0]) == nc:
+            # one interleaved scan over all SOF components
             scan_tabs, _ss, _se, _ah, _al, ri, data = scans[0]
             if sorted(t[0] for t in scan_tabs) != sorted(sof_ids):
                 return None
@@ -1222,7 +1242,7 @@ def _reassemble_color(
             _decode_interleaved_scan(
                 _restart_chunks(data, mcuy * mcux, ri), comps, mcux
             )
-        elif len(scans) == 3 and all(len(s[0]) == 1 for s in scans):
+        elif len(scans) == nc and all(len(s[0]) == 1 for s in scans):
             # non-interleaved baseline: each component's own scan, walking
             # its own block grid (may be a sub-grid of the MCU-padded array)
             if sorted(s[0][0][0] for s in scans) != sorted(sof_ids):
@@ -1291,7 +1311,7 @@ def _reassemble_color(
                     coef[idx] = sub  # scatter the contribution back
 
     planes = []
-    for cid, hc, vc, tq in comps_sof:  # SOF order is Y, Cb, Cr per JFIF
+    for cid, hc, vc, tq in comps_sof:  # SOF order: Y,Cb,Cr (3) / YCCK or CMYK (4)
         q = qtables[tq]
         by, bx = mcuy * vc, mcux * hc
         plane = _plane_from_coef(coef_by_id[cid], q, by, bx)
@@ -1299,7 +1319,9 @@ def _reassemble_color(
         ch, cw = -(-h * vc // vmax), -(-w * hc // hmax)
         plane = np.clip(np.round(plane[:ch, :cw]), 0, 255)
         planes.append(_upsample(plane, hmax // hc, vmax // vc, h, w))
-    return _ycc_to_rgb(*planes)
+    if nc == 3:
+        return _ycc_to_rgb(*planes)
+    return _cmyk_finish_rgb(planes, adobe_transform)
 
 
 def _subgrid_index(
@@ -1717,3 +1739,267 @@ def jpeg_gray_bytes(width: int, height: int, seed: int) -> bytes:
     yy, xx = np.mgrid[0:height, 0:width]
     img = (seed * 31 + yy * 7 + xx * 3) % 256
     return encode_jpeg_gray(img)
+
+
+def jpeg_cmyk_bytes(width: int, height: int, seed: int) -> bytes:
+    """Deterministic REAL Adobe YCCK (4-component) JPEG payload for the
+    synthetic corpus — the print-workflow sibling of
+    :func:`jpeg_color_bytes`, 4:2:0 subsampled with a patterned K plane."""
+    yy, xx = np.mgrid[0:height, 0:width]
+    cmyk = np.stack(
+        [
+            (seed * 31 + yy * 7 + xx * 3) % 256,
+            (seed * 17 + yy * 5 + xx * 11) % 256,
+            (seed * 13 + yy * 3 + xx * 7) % 256,
+            (seed * 7 + yy * 11 + xx * 5) % 256,
+        ],
+        axis=-1,
+    )
+    return encode_jpeg_cmyk(cmyk, sampling=(2, 2), transform=2)
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK tier (r8) — Adobe 4-component frames
+# ---------------------------------------------------------------------------
+# Print-workflow JPEGs (a real fraction of any web crawl) carry FOUR
+# components: either direct CMYK (APP14 transform 0 / absent) or YCCK
+# (transform 2 — the CMY channels ride the same YCbCr transform as color,
+# K travels untouched). Adobe writers store every component INVERTED
+# (255 − value, Adobe TN 5116 §18), which is the convention this pair
+# implements on both sides. The entropy/coefficient layer is the SAME
+# N-component machinery the YCbCr tier uses; only the header (APP14, 4-comp
+# SOF) and the color finish differ. decode_jpeg returns RGB via the naive
+# ink conversion R = s_c·s_K/255 on the stored (inverted) values — the
+# conversion every mainstream viewer applies absent an ICC engine.
+
+
+def _cmyk_finish_rgb(
+    planes: list[np.ndarray], transform: int | None
+) -> np.ndarray | None:
+    """RGB finish for a 4-component frame, on the decoder's integer-valued
+    float planes (stored-inverted per the Adobe convention): transform 2
+    (YCCK) first recovers the inverted C,M,Y through the shared JFIF
+    inverse; transform 0 / no APP14 means the planes ARE the inverted CMYK.
+    A 4-component frame declaring transform 1 (YCbCr) is malformed —
+    degrade, never guess."""
+    if transform == 2:
+        inv_cmy = _ycc_to_rgb(planes[0], planes[1], planes[2]).astype(np.float64)
+    elif transform in (0, None):
+        inv_cmy = np.stack(planes[:3], axis=-1)
+    else:
+        return None
+    return np.clip(
+        np.round(inv_cmy * (planes[3] / 255.0)[..., None]), 0, 255
+    ).astype(np.uint8)
+
+
+def _cmyk_encode_frontend(
+    cmyk: np.ndarray | list,
+    sampling: tuple[int, int],
+    qtable: np.ndarray,
+    chroma_qtable: np.ndarray | None,
+    restart_interval: int,
+    transform: int,
+    sof_marker: int,
+    ac_bits: list[int],
+    ac_vals: list[int],
+) -> tuple:
+    """Shared front-end for BOTH CMYK encoders (baseline and progressive):
+    validation, Adobe inversion, the YCCK transform (when ``transform=2``),
+    per-plane quantization on the MCU grid, and the full header prefix (SOI
+    through DHTs + optional DRI) — the same one-copy discipline as
+    :func:`_color_encode_frontend`. Returns
+    (comps[(H, V, row_stride, qz)], h, w, mcux, mcuy, header_bytes)."""
+    cmyk = np.asarray(cmyk)
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError("CMYK encoders expect an h×w×4 CMYK array")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    if tuple(sampling) not in _SAMPLINGS:
+        raise ValueError(f"sampling must be one of {_SAMPLINGS}")
+    if transform == 0 and tuple(sampling) != (1, 1):
+        raise ValueError("direct CMYK (transform=0) is always 1:1")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must fit a DRI segment (0..65535)")
+    hs, vs = sampling
+    lq = np.asarray(qtable, dtype=np.int32)
+    cq = np.asarray(
+        qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
+    )
+    h, w = cmyk.shape[:2]
+    inv = 255.0 - cmyk.astype(np.float64)  # Adobe stores inverted values
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    if transform == 2:
+        y, cb, cr = _rgb_to_ycc(inv[..., :3])
+        plane_specs = [  # (plane, qtable, pad_h, pad_w, H, V, Tq)
+            (y, lq, mcuy * vs * 8, mcux * hs * 8, hs, vs, 0),
+            (_subsample(cb, hs, vs), cq, mcuy * 8, mcux * 8, 1, 1, 1),
+            (_subsample(cr, hs, vs), cq, mcuy * 8, mcux * 8, 1, 1, 1),
+            (inv[..., 3], lq, mcuy * vs * 8, mcux * hs * 8, hs, vs, 0),
+        ]
+    else:
+        plane_specs = [
+            (inv[..., k], lq, mcuy * 8, mcux * 8, 1, 1, 0) for k in range(4)
+        ]
+    comps, sof_body = [], struct.pack(">BHHB", 8, h, w, 4)
+    for cid, (plane, q, ph, pw, hc, vc, tq) in enumerate(plane_specs, start=1):
+        qz, _, _ = _plane_qz(plane, q, ph, pw)
+        comps.append((hc, vc, mcux * hc, qz))
+        sof_body += bytes([cid, (hc << 4) | vc, tq])
+    header = (
+        b"\xff\xd8"  # SOI — no JFIF: APP0/JFIF is defined for 1 or 3 comps
+        + _seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform))
+        + _seg(0xDB, b"\x00" + bytes(int(lq[r, c]) for r, c in _ZIGZAG))
+    )
+    if transform == 2:
+        header += _seg(0xDB, b"\x01" + bytes(int(cq[r, c]) for r, c in _ZIGZAG))
+    header += (
+        _seg(sof_marker, sof_body)
+        + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    )
+    if restart_interval:
+        header += _seg(0xDD, struct.pack(">H", restart_interval))
+    return comps, h, w, mcux, mcuy, header
+
+
+def encode_jpeg_cmyk(
+    cmyk: np.ndarray | list,
+    sampling: tuple[int, int] = (1, 1),
+    qtable: np.ndarray = DEFAULT_QTABLE,
+    chroma_qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+    transform: int = 2,
+) -> bytes:
+    """Encode an 8-bit CMYK image (h×w×4, TRUE ink values 0..255) as a
+    baseline Adobe 4-component JPEG. ``transform=2`` (YCCK, the common
+    print form): inverted C,M,Y ride :func:`_rgb_to_ycc` with Y and K at
+    the ``sampling`` factors and Cb/Cr at (1,1) — sum of H·V over the four
+    components stays ≤ 10 (T.81 B.2.2) for every supported sampling.
+    ``transform=0`` (direct CMYK): four inverted planes, all 1:1
+    (``sampling`` must be (1,1) — direct-CMYK writers do not subsample
+    inks). One interleaved scan (Ns=4, the T.81 B.2.3 maximum), APP14
+    Adobe marker carrying the transform byte, optional restart intervals
+    in MCUs."""
+    comps, h, w, mcux, mcuy, header = _cmyk_encode_frontend(
+        cmyk, sampling, qtable, chroma_qtable, restart_interval, transform,
+        0xC0, _AC_BITS, _AC_VALS,
+    )
+    entropy = _join_restart_chunks(
+        [
+            _encode_interleaved_chunk(comps, m0, m1, mcux)
+            for m0, m1 in _restart_ranges(mcuy * mcux, restart_interval)
+        ]
+    )
+    return (
+        header
+        + _seg(0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_cmyk_progressive(
+    cmyk: np.ndarray | list,
+    sampling: tuple[int, int] = (1, 1),
+    qtable: np.ndarray = DEFAULT_QTABLE,
+    chroma_qtable: np.ndarray | None = None,
+    script: list[tuple[int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+    transform: int = 2,
+) -> bytes:
+    """Encode an 8-bit CMYK image as a PROGRESSIVE (SOF2) Adobe
+    4-component JPEG: each DC script entry becomes ONE interleaved scan
+    over all four components (restart interval in MCUs); each AC entry
+    becomes FOUR per-component scans over each component's own block grid
+    (T.81 G.1.1.1.1 — AC scans are single-component; restart interval in
+    blocks). Quantized coefficients are identical to
+    :func:`encode_jpeg_cmyk`'s, so ``decode_jpeg`` of this stream must
+    equal ``reconstruct_cmyk(img, ...)`` exactly — the same pin every
+    progressive/baseline pair in this module carries."""
+    if script is not None:
+        _validate_progressive_script(script)
+    comps, h, w, mcux, mcuy, stream = _cmyk_encode_frontend(
+        cmyk, sampling, qtable, chroma_qtable, restart_interval, transform,
+        0xC2, _AC_PROG_BITS, _AC_PROG_VALS,
+    )
+    hs, vs = sampling
+    hmax = max(hc for hc, _, _, _ in comps)
+    vmax = max(vc for _, vc, _, _ in comps)
+    comps_idx = [
+        (cid, hc, vc, qz, _subgrid_index(h, w, hc, vc, hmax, vmax, mcux))
+        for cid, (hc, vc, _stride, qz) in enumerate(comps, start=1)
+    ]
+    for ss, se, ah, al in (_PROGRESSIVE_SCRIPT if script is None else script):
+        if ss == 0:  # one interleaved DC scan over all four components
+            stream += _seg(
+                0xDA,
+                bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 0, (ah << 4) | al]),
+            )
+            enc = [(hc, vc, mcux * hc, qz) for _, hc, vc, qz, _ in comps_idx]
+            stream += _join_restart_chunks(
+                [
+                    _encode_progressive_dc_interleaved_chunk(
+                        enc, m0, m1, mcux, ah, al
+                    )
+                    for m0, m1 in _restart_ranges(mcuy * mcux, restart_interval)
+                ]
+            )
+        else:  # one scan per component over its own block grid
+            for cid, _hc, _vc, qz, idx in comps_idx:
+                stream += _seg(
+                    0xDA, bytes([1, cid, 0x00, ss, se, (ah << 4) | al])
+                )
+                stream += _encode_progressive_scan(
+                    qz[idx], ss, se, ah, al, restart_interval
+                )
+    return stream + b"\xff\xd9"
+
+
+def reconstruct_cmyk(
+    cmyk: np.ndarray | list,
+    sampling: tuple[int, int] = (1, 1),
+    qtable: np.ndarray = DEFAULT_QTABLE,
+    chroma_qtable: np.ndarray | None = None,
+    transform: int = 2,
+) -> np.ndarray:
+    """The CMYK encoder's OWN reconstruction (RGB out) — what a bit-exact
+    decode of :func:`encode_jpeg_cmyk`'s stream must produce, with the same
+    float op order the decoder uses. pytest pins
+    ``decode_jpeg(encode_jpeg_cmyk(img, ...)) == reconstruct_cmyk(img, ...)``
+    across transforms, samplings, and restart intervals."""
+    cmyk = np.asarray(cmyk)
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    if tuple(sampling) not in _SAMPLINGS:
+        raise ValueError(f"sampling must be one of {_SAMPLINGS}")
+    if transform == 0 and tuple(sampling) != (1, 1):
+        raise ValueError("direct CMYK (transform=0) is always 1:1")
+    hs, vs = sampling
+    lq = np.asarray(qtable, dtype=np.int32)
+    cq = np.asarray(
+        qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
+    )
+    h, w = cmyk.shape[:2]
+    inv = 255.0 - cmyk.astype(np.float64)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    if transform == 2:
+        y, cb, cr = _rgb_to_ycc(inv[..., :3])
+        plane_specs = [
+            (y, lq, mcuy * vs * 8, mcux * hs * 8, 1, 1),
+            (_subsample(cb, hs, vs), cq, mcuy * 8, mcux * 8, hs, vs),
+            (_subsample(cr, hs, vs), cq, mcuy * 8, mcux * 8, hs, vs),
+            (inv[..., 3], lq, mcuy * vs * 8, mcux * hs * 8, 1, 1),
+        ]
+    else:
+        plane_specs = [
+            (inv[..., k], lq, mcuy * 8, mcux * 8, 1, 1) for k in range(4)
+        ]
+    planes = []
+    for plane, q, ph, pw, fh, fv in plane_specs:
+        qz, by, bx = _plane_qz(plane, q, ph, pw)
+        rec = _plane_from_coef(qz, np.asarray(q, dtype=np.float64), by, bx)
+        ch, cw = plane.shape
+        rec = np.clip(np.round(rec[:ch, :cw]), 0, 255)
+        planes.append(_upsample(rec, fh, fv, h, w))
+    return _cmyk_finish_rgb(planes, transform)

@@ -469,17 +469,24 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
     canonical Huffman entropy coding) pixel-decoded FOR REAL by
     :func:`dynamic_spark_spark.llmops.jpeg.decode_jpeg_gray` (r5 — closes
     the last decode stub; pytest pins both decoders' pixels against their
-    encoders' reconstructions); doc_id % 4 == 3 carries COMPLETE baseline
+    encoders' reconstructions); doc_id % 8 == 3 carries COMPLETE baseline
     COLOR JPEGs (YCbCr, 4:2:0 chroma subsampling, interleaved MCUs)
     entropy-decoded by :func:`dynamic_spark_spark.llmops.jpeg.decode_jpeg`
-    (r7 — the color tier). The byte-histogram stub remains ONLY as the
+    (r7 — the color tier); doc_id % 8 == 7 carries COMPLETE Adobe
+    4-component YCCK JPEGs (APP14, inverted storage — the print-workflow
+    form real crawls contain), decoded to RGB by the same entry point
+    (r8 — the CMYK tier). The byte-histogram stub remains ONLY as the
     malformed-payload fallback — at 100 TB a corrupt file must degrade,
     not kill the stage. Output marks which decoder ran, so the mixed-path
     plumbing is visible in the result, and stays Arrow-batched with bounded
     worker memory. Returns the native ``features array<double>`` shape for
     downstream pipeline composition; the registered key flattens it to
     scalar digests (driver canon cannot hash array cells)."""
-    from dynamic_spark_spark.llmops.jpeg import jpeg_color_bytes, jpeg_gray_bytes
+    from dynamic_spark_spark.llmops.jpeg import (
+        jpeg_cmyk_bytes,
+        jpeg_color_bytes,
+        jpeg_gray_bytes,
+    )
 
     # only doc_id crosses the shuffle and the Arrow boundary: both payload
     # synthesizers are keyed on it, so shipping any other column (the full
@@ -501,10 +508,14 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
                     payload = jpeg_gray_bytes(8 + d % 9, 5 + d % 7, int(d))
                     feats = jpeg_pixel_features(payload)
                     dec = "jpeg-real"
-                else:  # d % 4 == 3: baseline YCbCr 4:2:0 color stream
+                elif d % 8 == 3:  # baseline YCbCr 4:2:0 color stream
                     payload = jpeg_color_bytes(8 + d % 9, 5 + d % 7, int(d))
                     feats = jpeg_color_pixel_features(payload)
                     dec = "jpeg-color-real"
+                else:  # d % 8 == 7: Adobe 4-component YCCK stream (r8)
+                    payload = jpeg_cmyk_bytes(8 + d % 9, 5 + d % 7, int(d))
+                    feats = jpeg_color_pixel_features(payload)
+                    dec = "jpeg-cmyk-real"
                 if feats is None:  # malformed payload: degrade, don't die
                     feats, dec = decode_stub(payload), "histogram-stub"
                 out_ids.append(d)

@@ -760,3 +760,128 @@ def test_stripped_dri_rejected_not_misdecoded():
     # removing the DRI segment entirely must also reject
     no_dri = bytes(stream[:dri]) + bytes(stream[dri + 6 :])
     assert decode_jpeg(no_dri) is None
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK tier (r8) — Adobe 4-component frames
+# ---------------------------------------------------------------------------
+
+
+def test_cmyk_roundtrip_bit_exact_all_forms():
+    """decode == the encoder's own reconstruction for BOTH transforms
+    (direct CMYK, YCCK), every supported sampling, baseline AND
+    progressive, with and without restart intervals — the same
+    bit-exactness pin every other tier in this module carries."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        encode_jpeg_cmyk,
+        encode_jpeg_cmyk_progressive,
+        reconstruct_cmyk,
+    )
+
+    rng = np.random.RandomState(31)
+    for h, w in ((1, 1), (8, 8), (9, 13), (21, 17)):
+        img = rng.randint(0, 256, size=(h, w, 4))
+        for tf, samps in ((0, [(1, 1)]), (2, [(1, 1), (2, 1), (1, 2), (2, 2)])):
+            for samp in samps:
+                ref = reconstruct_cmyk(img, sampling=samp, transform=tf)
+                assert ref.shape == (h, w, 3)
+                for ri in (0, 2):
+                    for enc in (encode_jpeg_cmyk, encode_jpeg_cmyk_progressive):
+                        dec = decode_jpeg(
+                            enc(img, sampling=samp, transform=tf, restart_interval=ri)
+                        )
+                        assert dec is not None and np.array_equal(dec, ref), (
+                            enc.__name__,
+                            h,
+                            w,
+                            tf,
+                            samp,
+                            ri,
+                        )
+
+
+def test_cmyk_contracts_and_degrades():
+    """The 4-component contract edges: the gray API rejects CMYK streams at
+    header cost; a 4-component frame claiming the YCbCr transform (1) is
+    malformed and degrades; stripping the APP14 marker means 'no declared
+    transform', which the decoder treats as direct CMYK (the libjpeg
+    heuristic) — pinned by comparing against an APP14-bearing transform-0
+    stream of the same image."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_cmyk,
+    )
+
+    img = np.random.RandomState(5).randint(0, 256, size=(12, 10, 4))
+    stream = encode_jpeg_cmyk(img, transform=0)
+    assert decode_jpeg_gray(stream) is None
+    # transform byte 1 on a 4-component frame: reject, never guess
+    bad = bytearray(stream)
+    bad[bad.index(b"Adobe") + 11] = 1
+    assert decode_jpeg(bytes(bad)) is None
+    # APP14 stripped entirely -> decoded as direct CMYK (same pixels)
+    app14 = stream.index(b"\xff\xee")
+    seg_len = int.from_bytes(stream[app14 + 2 : app14 + 4], "big")
+    stripped = stream[:app14] + stream[app14 + 2 + seg_len :]
+    assert np.array_equal(decode_jpeg(stripped), decode_jpeg(stream))
+
+
+def test_cmyk_encoder_validation():
+    """Invalid encoder inputs raise at encode time (a bad stream that
+    decodes cleanly to wrong pixels is the failure mode to prevent)."""
+    import pytest
+
+    from dynamic_spark_spark.llmops.jpeg import encode_jpeg_cmyk
+
+    img4 = np.zeros((8, 8, 4), dtype=np.int64)
+    with pytest.raises(ValueError):
+        encode_jpeg_cmyk(np.zeros((8, 8, 3)))  # not 4 components
+    with pytest.raises(ValueError):
+        encode_jpeg_cmyk(img4, transform=1)  # YCbCr is a 3-comp transform
+    with pytest.raises(ValueError):
+        encode_jpeg_cmyk(img4, transform=0, sampling=(2, 2))  # CMYK is 1:1
+    with pytest.raises(ValueError):
+        encode_jpeg_cmyk(img4, sampling=(3, 1))  # unsupported factors
+
+
+def test_cmyk_flat_ink_reconstructs_exactly():
+    """A flat ink patch survives the full YCCK pipeline losslessly (DC-only
+    blocks quantize exactly), pinning the inversion/ink arithmetic against
+    hand-computed RGB: pure 50% K over zero CMY must come back as the
+    uniform gray the naive conversion prescribes."""
+    from dynamic_spark_spark.llmops.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    img = np.zeros((16, 16, 4), dtype=np.int64)
+    img[..., 3] = 128  # K=128: stored s_k=127 -> RGB = round(255*127/255)=127
+    dec = decode_jpeg(encode_jpeg_cmyk(img, transform=2, sampling=(2, 2)))
+    assert dec is not None
+    assert np.unique(dec).tolist() == [127]
+
+
+def test_jpeg_cmyk_bytes_deterministic_and_decodable():
+    """The corpus generator's YCCK payloads are stable across calls and
+    decode to exactly the encoder's reconstruction of the pattern — the
+    same pin jpeg_color_bytes carries."""
+    from dynamic_spark_spark.llmops.jpeg import (
+        decode_jpeg,
+        jpeg_cmyk_bytes,
+        reconstruct_cmyk,
+    )
+
+    a, b = jpeg_cmyk_bytes(13, 9, 41), jpeg_cmyk_bytes(13, 9, 41)
+    assert a == b
+    yy, xx = np.mgrid[0:9, 0:13]
+    cmyk = np.stack(
+        [
+            (41 * 31 + yy * 7 + xx * 3) % 256,
+            (41 * 17 + yy * 5 + xx * 11) % 256,
+            (41 * 13 + yy * 3 + xx * 7) % 256,
+            (41 * 7 + yy * 11 + xx * 5) % 256,
+        ],
+        axis=-1,
+    )
+    assert np.array_equal(
+        decode_jpeg(a), reconstruct_cmyk(cmyk, sampling=(2, 2), transform=2)
+    )

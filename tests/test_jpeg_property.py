@@ -344,3 +344,63 @@ def test_progressive_color_entropy_mutations_never_raise(img, samp, mutations):
         stream[start + (pos % (end - start))] = val
     out = decode_jpeg(bytes(stream))
     assert out is None or isinstance(out, np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK tier (r8): randomized pins over the Adobe 4-component space
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.jpeg import (  # noqa: E402
+    encode_jpeg_cmyk,
+    encode_jpeg_cmyk_progressive,
+    reconstruct_cmyk,
+)
+
+
+@st.composite
+def cmyk_images(draw):
+    """Small CMYK images: arbitrary (not MCU-aligned) shapes, full ink
+    range — partial edge MCUs and the K-channel coupling are the hot
+    spots."""
+    h = draw(st.integers(min_value=1, max_value=20))
+    w = draw(st.integers(min_value=1, max_value=20))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, 4))
+
+
+_CMYK_FORMS = [(0, (1, 1))] + [(2, s) for s in _SAMPLINGS]
+
+
+@settings(max_examples=30, deadline=None)
+@given(cmyk_images(), st.sampled_from(_CMYK_FORMS), st.integers(0, 5), st.booleans())
+def test_cmyk_decode_mirrors_reconstruction(img, form, ri, progressive):
+    """Every (transform, sampling, restart, stream-form) combination must
+    land exactly on the encoder's own reconstruction — the Adobe inversion
+    and ink conversion are part of the pinned math, not post-processing."""
+    tf, samp = form
+    enc = encode_jpeg_cmyk_progressive if progressive else encode_jpeg_cmyk
+    dec = decode_jpeg(enc(img, sampling=samp, transform=tf, restart_interval=ri))
+    assert dec is not None and dec.shape == (img.shape[0], img.shape[1], 3)
+    assert np.array_equal(dec, reconstruct_cmyk(img, sampling=samp, transform=tf))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    cmyk_images(),
+    st.booleans(),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000), st.integers(0, 255)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_cmyk_mutated_streams_never_raise(img, progressive, mutations):
+    """Byte flips anywhere in a valid 4-component stream (APP14, 4-comp
+    SOF, Ns=4 scan headers, entropy data) must degrade to None/array,
+    never raise — the same 100-TB contract as every other stream form."""
+    enc = encode_jpeg_cmyk_progressive if progressive else encode_jpeg_cmyk
+    stream = bytearray(enc(img, sampling=(2, 2), transform=2))
+    for pos, val in mutations:
+        stream[pos % len(stream)] = val
+    out = decode_jpeg(bytes(stream))
+    assert out is None or isinstance(out, np.ndarray)
