@@ -404,3 +404,18 @@ def test_cmyk_mutated_streams_never_raise(img, progressive, mutations):
         stream[pos % len(stream)] = val
     out = decode_jpeg(bytes(stream))
     assert out is None or isinstance(out, np.ndarray)
+
+
+@settings(max_examples=15, deadline=None)
+@given(cmyk_images(), progressive_scripts(), st.integers(0, 3))
+def test_cmyk_random_scan_scripts_mirror_reconstruction(img, script, ri):
+    """The random-script invariant extends to 4-component frames: any
+    valid progressive script over a YCCK stream must land on the exact
+    reconstruction — the per-component AC sub-grid walks and the Ns=4
+    interleaved DC scans reorder bits, never change them."""
+    stream = encode_jpeg_cmyk_progressive(
+        img, sampling=(2, 2), transform=2, script=script, restart_interval=ri
+    )
+    dec = decode_jpeg(stream)
+    assert dec is not None
+    assert np.array_equal(dec, reconstruct_cmyk(img, sampling=(2, 2), transform=2))
