@@ -1424,7 +1424,19 @@ def reconstruct_gray(
 #: 4:2:0 — the sampling nearly every camera/web encoder emits
 DEFAULT_SAMPLING: tuple[int, int] = (2, 2)
 
-_SAMPLINGS = ((1, 1), (2, 1), (1, 2), (2, 2))
+#: Supported luma (H, V) factors (chroma always codes at (1, 1), so the
+#: upsample ratios are exactly these integers). r8 adds the 3× and 4×
+#: families — 4:1:1 (DV/camera) and the rarer 3:1 forms real crawls
+#: contain — every combination keeping the T.81 B.2.2 interleaved bound
+#: sum(Hi·Vi) ≤ 10 (luma H·V ≤ 8 with two 1×1 chroma). The DECODER is
+#: ratio-generic already (any hmax % hc == 0 layout); this list gates
+#: only what the encoders emit. Truly fractional ratios (e.g. 3:2)
+#: remain a decode-time rejection.
+_SAMPLINGS = (
+    (1, 1), (2, 1), (1, 2), (2, 2),
+    (3, 1), (1, 3),
+    (4, 1), (1, 4), (4, 2), (2, 4),
+)
 
 
 def _rgb_to_ycc(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1819,9 +1831,14 @@ def _cmyk_encode_frontend(
         raise ValueError(f"sampling must be one of {_SAMPLINGS}")
     if transform == 0 and tuple(sampling) != (1, 1):
         raise ValueError("direct CMYK (transform=0) is always 1:1")
+    hs, vs = sampling
+    if 2 * hs * vs + 2 > 10:
+        # YCCK codes K at the luma factors, so the interleaved-scan bound
+        # (T.81 B.2.2: sum of Hi*Vi <= 10) caps H*V at 4 here — tighter
+        # than the 3-component tier's 8
+        raise ValueError("YCCK sampling H*V must be <= 4 (T.81 B.2.2)")
     if not 0 <= restart_interval <= 0xFFFF:
         raise ValueError("restart_interval must fit a DRI segment (0..65535)")
-    hs, vs = sampling
     lq = np.asarray(qtable, dtype=np.int32)
     cq = np.asarray(
         qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32
@@ -1976,6 +1993,10 @@ def reconstruct_cmyk(
     if transform == 0 and tuple(sampling) != (1, 1):
         raise ValueError("direct CMYK (transform=0) is always 1:1")
     hs, vs = sampling
+    if 2 * hs * vs + 2 > 10:
+        # mirror the encoder frontend: the reference image must refuse the
+        # same inputs the stream writer refuses (pin symmetry)
+        raise ValueError("YCCK sampling H*V must be <= 4 (T.81 B.2.2)")
     lq = np.asarray(qtable, dtype=np.int32)
     cq = np.asarray(
         qtable if chroma_qtable is None else chroma_qtable, dtype=np.int32

@@ -282,6 +282,78 @@ def png_rgb_bytes(width: int, height: int, seed: int) -> bytes:
     )
 
 
+def _encode_png_raw(
+    raw_rows: list[bytes], bpp: int, color_type: int, plte: bytes | None = None
+) -> bytes:
+    """Shared PNG stream writer for the non-RGB color types (r8): filter
+    each raw scanline with type ``y % 5`` (the same all-five-filters
+    discipline :func:`encode_png_rgb` uses), deflate, frame. ``plte``
+    (color type 3) is emitted between IHDR and IDAT per RFC 2083 §4.3."""
+    height, stride = len(raw_rows), len(raw_rows[0])
+    width = stride // bpp
+    stream = bytearray()
+    prior = bytes(stride)
+    for y, raw in enumerate(raw_rows):
+        ftype = y % 5
+        stream.append(ftype)
+        for i in range(stride):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = raw[i]
+            elif ftype == 1:
+                v = raw[i] - left
+            elif ftype == 2:
+                v = raw[i] - up
+            elif ftype == 3:
+                v = raw[i] - (left + up) // 2
+            else:
+                v = raw[i] - _paeth(left, up, ul)
+            stream.append(v & 0xFF)
+        prior = raw
+    out = _PNG_SIG + _png_chunk(
+        b"IHDR", _struct.pack(">II5B", width, height, 8, color_type, 0, 0, 0)
+    )
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", _zlib.compress(bytes(stream))) + _png_chunk(
+        b"IEND", b""
+    )
+
+
+def encode_png_gray(rows) -> bytes:
+    """REAL 8-bit grayscale PNG (color type 0) of a ``height×width``
+    nested value list — decodes through :func:`decode_png_rgb` to the
+    gray-replicated RGB contract."""
+    return _encode_png_raw([bytes(r) for r in rows], 1, 0)
+
+
+def encode_png_palette(index_rows, palette: list[list[int]]) -> bytes:
+    """REAL 8-bit indexed PNG (color type 3): ``index_rows`` are palette
+    indices, ``palette`` is a list of RGB triples (≤256) written as the
+    PLTE chunk."""
+    plte = bytes(v for rgb in palette for v in rgb)
+    return _encode_png_raw([bytes(r) for r in index_rows], 1, 3, plte=plte)
+
+
+def encode_png_rgba(rows) -> bytes:
+    """REAL 8-bit RGBA PNG (color type 6) of a ``height×width×4`` nested
+    pixel list — the alpha channel is carried in the stream and dropped
+    by :func:`decode_png_rgb` per its contract."""
+    return _encode_png_raw(
+        [bytes(v for px in r for v in px) for r in rows], 4, 6
+    )
+
+
+def encode_png_gray_alpha(rows) -> bytes:
+    """REAL 8-bit gray+alpha PNG (color type 4) of a ``height×width×2``
+    nested (gray, alpha) list."""
+    return _encode_png_raw(
+        [bytes(v for px in r for v in px) for r in rows], 2, 4
+    )
+
+
 def _png_native_enabled() -> bool:
     """Opt-in flag for the native PNG fast path — the PNG half of the r7
     judge's 'seam behind decode_jpeg/decode_png' order (the JPEG half lives
@@ -300,12 +372,14 @@ def _png_native_enabled() -> bool:
 def decode_png_rgb_native(payload: bytes):
     """Decode via the native backend (Pillow → libpng/zlib-ng) when
     installed, returning the SAME ``height×width×3`` nested-list shape as
-    :func:`decode_png_rgb`, or None to fall through. The pure tier's
-    envelope is enforced from the IHDR bytes BEFORE Pillow runs (8-bit,
-    color type 2, non-interlaced only), so enabling the seam can never
-    decode a stream the pure truth refuses — PNG is lossless, so
-    cross-validation demands exact pixel equality (tests/test_multimodal
-    native tests). Never raises."""
+    :func:`decode_png_rgb`, or None to fall through. Deliberately
+    NARROWER than the pure tier: only 8-bit color-type-2 non-interlaced
+    streams (enforced from the IHDR bytes BEFORE Pillow runs) — the one
+    form whose native output is bit-identical by construction, so the
+    cross-validation can demand exact pixel equality. The r8 gray/palette/
+    alpha types decode through the pure tier only (palette + alpha
+    normalization conventions vary across binding versions; a seam that
+    might disagree with the truth is worse than no seam). Never raises."""
     from dynamic_spark_spark.llmops.jpeg import native_backend
 
     image_mod = native_backend()
@@ -343,9 +417,11 @@ def decode_png_rgb(payload: bytes):
     """REAL PNG pixel decode with the standard library only: walk the chunk
     list, concatenate IDAT segments, ``zlib`` inflate, then reverse the
     per-row filter (all five types) byte-exactly. Returns a
-    ``height×width×3`` nested list of ints, or ``None`` for anything that
-    isn't an 8-bit non-interlaced RGB PNG (the malformed-input discipline of
-    every parser in this module: degrade, don't kill the stage).
+    ``height×width×3`` nested list of ints — every 8-bit non-interlaced
+    color type normalizes to RGB (r8: gray replicates, palette indexes
+    PLTE, alpha is dropped) — or ``None`` for anything outside that
+    envelope (the malformed-input discipline of every parser in this
+    module: degrade, don't kill the stage).
 
     This closed round-2's "real media decode" gap for one format end-to-end;
     r5 closed the other (baseline JPEG entropy decode,
@@ -359,7 +435,7 @@ def decode_png_rgb(payload: bytes):
             return px
     if not payload or payload[:8] != _PNG_SIG:
         return None
-    i, width, height, idat = 8, None, None, bytearray()
+    i, width, height, color, idat, plte = 8, None, None, None, bytearray(), None
     while i + 8 <= len(payload):
         (size,) = _struct.unpack(">I", payload[i : i + 4])
         tag = payload[i + 4 : i + 8]
@@ -370,8 +446,15 @@ def decode_png_rgb(payload: bytes):
             width, height, depth, color, _comp, _filt, interlace = _struct.unpack(
                 ">II5B", body[:13]
             )
-            if depth != 8 or color != 2 or interlace != 0:
-                return None  # only 8-bit RGB non-interlaced supported
+            # 8-bit non-interlaced, all five standard color types (r8:
+            # gray/palette/gray+alpha/RGBA join RGB — the crawl-dominant
+            # forms). sub-8-bit packing, 16-bit, and Adam7 stay rejections.
+            if depth != 8 or color not in (0, 2, 3, 4, 6) or interlace != 0:
+                return None
+        elif tag == b"PLTE":
+            if len(body) % 3:
+                return None
+            plte = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -379,11 +462,14 @@ def decode_png_rgb(payload: bytes):
         i += 12 + size
     if not width or not height or not idat:
         return None
+    if color == 3 and not plte:
+        return None  # indexed without a palette is unrenderable
     try:
         stream = _zlib.decompress(bytes(idat))
     except _zlib.error:
         return None
-    bpp, stride = 3, width * 3
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = width * bpp
     if len(stream) != height * (stride + 1):
         return None
     rows, prior = [], bytes(stride)
@@ -410,7 +496,26 @@ def decode_png_rgb(payload: bytes):
                 return None
             raw[i2] = v & 0xFF
         prior = bytes(raw)
-        rows.append([[raw[x * 3 + c] for c in range(3)] for x in range(width)])
+        # normalize every color type to the h×w×3 RGB contract: gray
+        # replicates, palette indexes PLTE (out-of-range index = corrupt
+        # stream, reject), alpha channels are DROPPED (raw RGB, not
+        # composited — the convention Pillow's convert("RGB") also uses)
+        if color == 2:
+            rows.append([[raw[x * 3 + c] for c in range(3)] for x in range(width)])
+        elif color == 6:
+            rows.append([[raw[x * 4 + c] for c in range(3)] for x in range(width)])
+        elif color == 0:
+            rows.append([[raw[x]] * 3 for x in range(width)])
+        elif color == 4:
+            rows.append([[raw[x * 2]] * 3 for x in range(width)])
+        else:  # color == 3: palette lookup
+            row = []
+            for x in range(width):
+                j = raw[x] * 3
+                if j + 3 > len(plte):
+                    return None
+                row.append([plte[j], plte[j + 1], plte[j + 2]])
+            rows.append(row)
     return rows
 
 

@@ -490,7 +490,9 @@ def test_duplicate_component_ids_rejected():
     dup[sos + 9] = 2  # SOS matches the duplicated SOF
     assert decode_jpeg(bytes(dup)) is None
     with pytest.raises(ValueError, match="sampling"):
-        reconstruct_color(_color_img(8, 8), sampling=(4, 1))
+        # (4,4) would put 18 blocks in an MCU (T.81 B.2.2 caps 10) and is
+        # not in the allowlist; (4,1) et al. became VALID in r8
+        reconstruct_color(_color_img(8, 8), sampling=(4, 4))
 
 
 def test_native_seam_dispatch(monkeypatch):
@@ -843,7 +845,11 @@ def test_cmyk_encoder_validation():
     with pytest.raises(ValueError):
         encode_jpeg_cmyk(img4, transform=0, sampling=(2, 2))  # CMYK is 1:1
     with pytest.raises(ValueError):
-        encode_jpeg_cmyk(img4, sampling=(3, 1))  # unsupported factors
+        encode_jpeg_cmyk(img4, sampling=(5, 1))  # outside T.81 1..4 range
+    with pytest.raises(ValueError):
+        # YCCK codes K at luma factors: H*V > 4 busts the 10-block MCU
+        # bound even though (4,2) is valid for the 3-component tier
+        encode_jpeg_cmyk(img4, transform=2, sampling=(4, 2))
 
 
 def test_cmyk_flat_ink_reconstructs_exactly():

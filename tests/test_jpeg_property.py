@@ -142,7 +142,9 @@ from dynamic_spark_spark.llmops.jpeg import (  # noqa: E402
     reconstruct_color,
 )
 
-_SAMPLINGS = ((1, 1), (2, 1), (1, 2), (2, 2))
+# the encoder's own allowlist (r8: includes the 3x/4x families), so the
+# property sweep widens automatically with the codec's envelope
+from dynamic_spark_spark.llmops.jpeg import _SAMPLINGS  # noqa: E402
 
 
 @st.composite
@@ -368,7 +370,9 @@ def cmyk_images(draw):
     return np.random.RandomState(seed).randint(0, 256, size=(h, w, 4))
 
 
-_CMYK_FORMS = [(0, (1, 1))] + [(2, s) for s in _SAMPLINGS]
+# YCCK codes K at the luma factors, so the T.81 B.2.2 interleaved bound
+# (sum Hi*Vi <= 10) restricts it to H*V <= 4 — the encoder enforces this
+_CMYK_FORMS = [(0, (1, 1))] + [(2, s) for s in _SAMPLINGS if s[0] * s[1] <= 4]
 
 
 @settings(max_examples=30, deadline=None)

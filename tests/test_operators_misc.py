@@ -965,3 +965,81 @@ def test_registry_guard_single_segment_module(tmp_path):
         registry.QUERIES.pop(key, None)
         registry.ORACLE.pop(key, None)
         registry.TAGS.pop(key, None)
+
+
+def test_png_all_color_types_roundtrip_lossless():
+    """r8: every 8-bit non-interlaced PNG color type decodes losslessly to
+    the h×w×3 RGB contract — gray (0) replicates, palette (3) indexes
+    PLTE, gray+alpha (4) and RGBA (6) drop alpha; heights > 4 force all
+    five filters through each type's own bpp geometry. An out-of-range
+    palette index is a corrupt stream and rejects."""
+    import random
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_png_rgb,
+        encode_png_gray,
+        encode_png_gray_alpha,
+        encode_png_palette,
+        encode_png_rgba,
+    )
+
+    rnd = random.Random(9)
+    for w, h in ((1, 1), (3, 7), (17, 11)):
+        gray = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+        assert decode_png_rgb(encode_png_gray(gray)) == [
+            [[v] * 3 for v in row] for row in gray
+        ]
+        pal = [[rnd.randrange(256) for _ in range(3)] for _ in range(17)]
+        idx = [[rnd.randrange(17) for _ in range(w)] for _ in range(h)]
+        assert decode_png_rgb(encode_png_palette(idx, pal)) == [
+            [pal[v] for v in row] for row in idx
+        ]
+        rgba = [
+            [[rnd.randrange(256) for _ in range(4)] for _ in range(w)]
+            for _ in range(h)
+        ]
+        assert decode_png_rgb(encode_png_rgba(rgba)) == [
+            [p[:3] for p in row] for row in rgba
+        ]
+        ga = [
+            [[rnd.randrange(256) for _ in range(2)] for _ in range(w)]
+            for _ in range(h)
+        ]
+        assert decode_png_rgb(encode_png_gray_alpha(ga)) == [
+            [[p[0]] * 3 for p in row] for row in ga
+        ]
+    assert decode_png_rgb(encode_png_palette([[5]], [[1, 2, 3]])) is None
+
+
+def test_png_new_color_types_fuzz_never_raise():
+    """Truncations and byte flips over the new color-type streams degrade
+    to None/list, never raise — same contract as the RGB tier."""
+    import random
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_png_rgb,
+        encode_png_gray,
+        encode_png_palette,
+        encode_png_rgba,
+    )
+
+    rnd = random.Random(4)
+    streams = [
+        encode_png_gray([[rnd.randrange(256) for _ in range(9)] for _ in range(7)]),
+        encode_png_palette(
+            [[rnd.randrange(8) for _ in range(9)] for _ in range(7)],
+            [[rnd.randrange(256) for _ in range(3)] for _ in range(8)],
+        ),
+        encode_png_rgba(
+            [[[rnd.randrange(256) for _ in range(4)] for _ in range(9)] for _ in range(7)]
+        ),
+    ]
+    for s in streams:
+        for cut in range(0, len(s), max(1, len(s) // 12)):
+            out = decode_png_rgb(s[:cut])
+            assert out is None or isinstance(out, list)
+        for _ in range(40):
+            b = bytearray(s)
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+            out = decode_png_rgb(bytes(b))
+            assert out is None or isinstance(out, list)
