@@ -1043,3 +1043,115 @@ def test_png_new_color_types_fuzz_never_raise():
             b[rnd.randrange(len(b))] = rnd.randrange(256)
             out = decode_png_rgb(bytes(b))
             assert out is None or isinstance(out, list)
+
+
+def test_wav_pcm_decode_roundtrip_lossless():
+    """r8: the audio tier grows real SAMPLE decode (it was header-only).
+    PCM is uncompressed, so decode must return exactly the int16 frames
+    the encoder wrote, for every rate/channel/length shape; header parse
+    agrees with the PCM shape; malformed/truncated inputs degrade."""
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_wav_pcm,
+        parse_wav_header,
+        wav_bytes,
+        wav_pcm_bytes,
+        wav_pcm_sample,
+    )
+
+    for rate, ch, n, seed in [(8000, 1, 1, 0), (16000, 2, 37, 5), (44100, 2, 500, 9)]:
+        payload = wav_pcm_bytes(rate, ch, n, seed)
+        frames = decode_wav_pcm(payload)
+        assert frames is not None and frames.shape == (n, ch)
+        expect = np.array(
+            [[wav_pcm_sample(i, c, seed) for c in range(ch)] for i in range(n)],
+            dtype=np.int16,
+        )
+        assert np.array_equal(frames, expect)
+        assert parse_wav_header(payload)[:2] == (rate, ch)
+    # truncated data chunk: decode the whole frames that exist
+    full = wav_pcm_bytes(8000, 2, 100, 3)
+    cut = full[: len(full) - 37]
+    part = decode_wav_pcm(cut)
+    assert part is not None and part.shape[1] == 2 and 0 < part.shape[0] < 100
+    assert np.array_equal(part, decode_wav_pcm(full)[: part.shape[0]])
+    # header-only stream (no payload), junk, and non-16-bit all degrade
+    assert decode_wav_pcm(wav_bytes(8000, 1, 16, 100)) is None
+    assert decode_wav_pcm(b"junk") is None
+    assert decode_wav_pcm(None) is None
+    assert decode_wav_pcm(wav_pcm_bytes(8000, 1, 0, 1)) is None  # zero frames
+
+
+def test_wav_audio_features_pinned():
+    """Feature arithmetic pinned against direct numpy on the source
+    samples — rms/peak/zcr are the curation signals, so they must be the
+    textbook definitions, not approximations."""
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        wav_audio_features,
+        wav_pcm_bytes,
+        wav_pcm_sample,
+    )
+
+    rate, ch, n, seed = 16000, 2, 250, 7
+    feats = wav_audio_features(wav_pcm_bytes(rate, ch, n, seed))
+    assert feats is not None and len(feats) == 7
+    x = np.array(
+        [[wav_pcm_sample(i, c, seed) for c in range(ch)] for i in range(n)],
+        dtype=np.float64,
+    )
+    assert feats[0] == rate and feats[1] == ch and feats[2] == n
+    assert feats[3] == n * 1000 // rate
+    assert feats[4] == round(float(np.sqrt(np.mean(x * x))), 6)
+    assert feats[5] == float(np.max(np.abs(x)))
+    signs = np.signbit(x)
+    assert feats[6] == round(float(np.mean(signs[1:] != signs[:-1])), 6)
+    assert wav_audio_features(b"junk") is None
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r8: Adam7-interlaced PNGs decode to the identical pixels as their
+    sequential twins — seven independently filtered sub-images, scattered
+    by their pass grids — across shapes that exercise empty passes (tiny
+    images), partial passes, and every color type through the shared
+    writer. Truncations and byte flips degrade, never raise."""
+    import random
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        _encode_png_raw,
+        decode_png_rgb,
+        encode_png_rgb,
+        png_pixel,
+    )
+
+    rnd = random.Random(13)
+    for w, h in ((1, 1), (2, 2), (3, 7), (17, 11), (1, 9), (33, 21)):
+        rows = [
+            [[png_pixel(x, y, c, 5) for c in range(3)] for x in range(w)]
+            for y in range(h)
+        ]
+        assert decode_png_rgb(encode_png_rgb(rows, interlace=1)) == rows, (w, h)
+    gray = [[rnd.randrange(256) for _ in range(13)] for _ in range(9)]
+    s = _encode_png_raw([bytes(r) for r in gray], 1, 0, interlace=1)
+    assert decode_png_rgb(s) == [[[v] * 3 for v in row] for row in gray]
+    pal = [[rnd.randrange(256) for _ in range(3)] for _ in range(16)]
+    idx = [[rnd.randrange(16) for _ in range(13)] for _ in range(9)]
+    s = _encode_png_raw(
+        [bytes(r) for r in idx], 1, 3,
+        plte=bytes(v for p in pal for v in p), interlace=1,
+    )
+    assert decode_png_rgb(s) == [[pal[v] for v in row] for row in idx]
+    base = encode_png_rgb(
+        [[[rnd.randrange(256) for _ in range(3)] for _ in range(11)] for _ in range(8)],
+        interlace=1,
+    )
+    for cut in range(0, len(base), max(1, len(base) // 15)):
+        out = decode_png_rgb(base[:cut])
+        assert out is None or isinstance(out, list)
+    for _ in range(80):
+        b = bytearray(base)
+        b[rnd.randrange(len(b))] = rnd.randrange(256)
+        out = decode_png_rgb(bytes(b))
+        assert out is None or isinstance(out, list)
