@@ -1040,6 +1040,164 @@ def wav_audio_features(payload: bytes):
     ]
 
 
+#: MPEG Layer III bitrate table (kbps) by version group — index 0 is
+#: "free format" and 15 is forbidden (both rejected here); ISO 11172-3 /
+#: 13818-3 annex tables, public standard.
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def mp3_frame_bytes(
+    n_frames: int, bitrate_idx: int = 9, rate_idx: int = 0, seed: int = 0, mono: bool = False
+) -> bytes:
+    """Deterministic REAL MPEG-1 Layer III CBR stream: an ID3v2 tag
+    (synchsafe size) followed by ``n_frames`` standards-correct frame
+    headers, each frame padded to its table-derived length with patterned
+    filler (only header structure is meaningful — the point is exercising
+    a real frame walk, the same tier as :func:`wav_bytes`)."""
+    import struct
+
+    tag_body = bytes((seed + i) % 256 for i in range(32))
+    out = bytearray(b"ID3\x04\x00\x00" + bytes([0, 0, len(tag_body) >> 7, len(tag_body) & 0x7F]))
+    out += tag_body
+    bitrate = _MP3_BITRATES_V1[bitrate_idx] * 1000
+    rate = _MP3_RATES[3][rate_idx]
+    for i in range(n_frames):
+        padding = i % 2  # alternate padded/unpadded frames
+        flen = 144 * bitrate // rate + padding
+        hdr = struct.pack(
+            ">BBBB",
+            0xFF,
+            0xFB,  # MPEG1 (11), Layer III (01), no CRC (1)
+            (bitrate_idx << 4) | (rate_idx << 2) | (padding << 1),
+            (0xC0 if mono else 0x00) | 0x04,
+        )
+        body = bytes((seed * 31 + i * 7 + j * 3) % 256 for j in range(flen - 4))
+        out += hdr + body
+    return bytes(out)
+
+
+def parse_mp3_header(payload: bytes):
+    """REAL MPEG Layer III stream walk (pure Python, public ISO tables):
+    skip an ID3v2 tag (synchsafe size), find the first frame sync, read
+    version/bitrate/samplerate/channel-mode from the header tables, then
+    WALK every frame by its computed length to count frames — duration is
+    frames × samples-per-frame / rate, the way CBR players compute it.
+    Returns (version, bitrate_kbps, sample_rate, channels, n_frames,
+    duration_ms) or all-None: free-format/forbidden bitrate indexes,
+    reserved version/rate bits, and non-Layer-III streams all degrade (at
+    100 TB a weird file must not kill the stage)."""
+    nulls = (None, None, None, None, None, None)
+    if not payload or len(payload) < 4:
+        return nulls
+    i = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+        i = 10 + size
+    # scan to the first sync word (streams often carry leading junk)
+    while i + 4 <= len(payload) and not (
+        payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0
+    ):
+        i += 1
+    if i + 4 > len(payload):
+        return nulls
+    b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+    version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (b1 >> 1) & 3  # 1=Layer III
+    if version == 1 or layer != 1:
+        return nulls
+    br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
+    bitrates = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+    if br_idx in (0, 15) or sr_idx == 3:
+        return nulls  # free-format / forbidden / reserved: refuse, not guess
+    bitrate = bitrates[br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    channels = 1 if (b3 >> 6) == 3 else 2
+    per_frame = 144 if version == 3 else 72  # Layer III coefficient
+    samples = 1152 if version == 3 else 576
+    n_frames = 0
+    first = (version, br_idx, sr_idx)
+    while i + 4 <= len(payload):
+        if not (payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0):
+            break
+        fb1, fb2 = payload[i + 1], payload[i + 2]
+        fver, flay = (fb1 >> 3) & 3, (fb1 >> 1) & 3
+        fbr, fsr = fb2 >> 4, (fb2 >> 2) & 3
+        if flay != 1 or (fver, fbr, fsr) != first or fbr in (0, 15) or fsr == 3:
+            break  # VBR / mixed streams: count the CBR prefix only
+        flen = per_frame * bitrate // rate + ((fb2 >> 1) & 1)
+        if flen < 4 or i + flen > len(payload):
+            break  # truncated trailing frame: count the whole frames only
+        n_frames += 1
+        i += flen
+    if n_frames == 0:
+        return nulls
+    return (
+        version,
+        bitrate // 1000,
+        rate,
+        channels,
+        n_frames,
+        n_frames * samples * 1000 // rate,
+    )
+
+
+def flac_bytes(sample_rate: int, channels: int, bits: int, n_samples: int) -> bytes:
+    """Minimal REAL FLAC stream: ``fLaC`` magic + a last-block STREAMINFO
+    metadata block with the bit-packed rate/channels/bps/total-samples
+    fields (frame payload omitted — only header metadata is exercised,
+    same tier as :func:`wav_bytes`)."""
+    import struct
+
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | n_samples
+    )
+    body = (
+        struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + b"\x00\x00\x00" * 2  # min/max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + bytes(16)  # MD5 of unencoded audio (unset)
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def parse_flac_header(payload: bytes):
+    """REAL FLAC STREAMINFO parse (bit-packed fields per the public FLAC
+    format spec): walk the metadata blocks to STREAMINFO and unpack
+    20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+    samples. Returns (sample_rate, channels, bits, n_samples,
+    duration_ms) or all-None on anything malformed."""
+    nulls = (None, None, None, None, None)
+    if not payload or len(payload) < 8 or payload[:4] != b"fLaC":
+        return nulls
+    i = 4
+    while i + 4 <= len(payload):
+        hdr = payload[i]
+        size = int.from_bytes(payload[i + 1 : i + 4], "big")
+        body = payload[i + 4 : i + 4 + size]
+        if (hdr & 0x7F) == 0:  # STREAMINFO
+            if len(body) < 18:
+                return nulls
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            n_samples = packed & ((1 << 36) - 1)
+            if not rate:
+                return nulls  # rate 0 is invalid; avoid division
+            return (rate, channels, bits, n_samples, n_samples * 1000 // rate)
+        if hdr & 0x80:  # last-metadata-block flag, no STREAMINFO seen
+            return nulls
+        i += 4 + size
+    return nulls
+
+
 @query(
     "multimodal_audio_meta",
     "SELECT doc_id, 'audio/wav' AS mime,"

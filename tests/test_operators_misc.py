@@ -1155,3 +1155,71 @@ def test_png_adam7_interlace_roundtrip():
         b[rnd.randrange(len(b))] = rnd.randrange(256)
         out = decode_png_rgb(bytes(b))
         assert out is None or isinstance(out, list)
+
+
+def test_mp3_frame_walk_roundtrip():
+    """r8: MPEG-1 Layer III frame walk — the synthesizer writes a real
+    ID3v2 tag + CBR frame sequence with table-derived lengths (alternating
+    padding bits), and the parser must recover version/bitrate/rate/
+    channels and count EVERY frame (duration = frames x 1152 / rate).
+    Free-format, reserved bits, truncation, and junk all degrade."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        mp3_frame_bytes,
+        parse_mp3_header,
+    )
+
+    for n, br_idx, sr_idx, mono in [(1, 9, 0, False), (7, 14, 1, True), (23, 1, 2, False)]:
+        payload = mp3_frame_bytes(n, bitrate_idx=br_idx, rate_idx=sr_idx, mono=mono)
+        ver, kbps, rate, ch, frames, dur = parse_mp3_header(payload)
+        assert ver == 3 and frames == n
+        assert ch == (1 if mono else 2)
+        assert kbps == (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)[br_idx]
+        assert rate == (44100, 48000, 32000)[sr_idx]
+        assert dur == n * 1152 * 1000 // rate
+    # truncating mid-final-frame drops exactly that frame
+    full = mp3_frame_bytes(5, bitrate_idx=9, rate_idx=0)
+    assert parse_mp3_header(full[:-10])[4] == 4
+    # degrade paths: junk, empty, free-format bitrate, reserved rate bits
+    assert parse_mp3_header(b"junkjunkjunk") == (None,) * 6
+    assert parse_mp3_header(b"") == (None,) * 6
+    assert parse_mp3_header(None) == (None,) * 6
+    free = bytearray(mp3_frame_bytes(1, bitrate_idx=9))
+    sync = bytes(free).index(b"\xff\xfb")
+    free[sync + 2] = (free[sync + 2] & 0x0F) | 0x00  # bitrate index 0 = free
+    assert parse_mp3_header(bytes(free)) == (None,) * 6
+    # byte-flip fuzz: never raises
+    import random
+
+    rnd = random.Random(2)
+    for _ in range(120):
+        b = bytearray(full)
+        b[rnd.randrange(len(b))] = rnd.randrange(256)
+        out = parse_mp3_header(bytes(b))
+        assert isinstance(out, tuple) and len(out) == 6
+
+
+def test_flac_streaminfo_roundtrip():
+    """r8: FLAC STREAMINFO bit-packing roundtrip — the 20/3/5/36-bit field
+    layout must survive encode/parse exactly for boundary shapes, and
+    malformed streams degrade."""
+    from dynamic_spark_spark.llmops.multimodal import flac_bytes, parse_flac_header
+
+    for rate, ch, bits, n in [
+        (44100, 2, 16, 1_000_000),
+        (8000, 1, 8, 1),
+        (192000, 8, 32, (1 << 36) - 1),
+    ]:
+        got = parse_flac_header(flac_bytes(rate, ch, bits, n))
+        assert got == (rate, ch, bits, n, n * 1000 // rate)
+    assert parse_flac_header(b"junk") == (None,) * 5
+    assert parse_flac_header(None) == (None,) * 5
+    assert parse_flac_header(flac_bytes(44100, 2, 16, 10)[:10]) == (None,) * 5
+    import random
+
+    rnd = random.Random(6)
+    base = flac_bytes(44100, 2, 16, 12345)
+    for _ in range(80):
+        b = bytearray(base)
+        b[rnd.randrange(len(b))] = rnd.randrange(256)
+        out = parse_flac_header(bytes(b))
+        assert isinstance(out, tuple) and len(out) == 5
