@@ -131,6 +131,210 @@ def gif_bytes(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x70\x00\x00;"
 
 
+def gif_animation_bytes(
+    width: int, height: int, n_frames: int, delay_cs: int = 10, loop: int = 0
+) -> bytes:
+    """REAL animated GIF89a structure: logical screen descriptor, a
+    NETSCAPE2.0 looping application extension, and per frame a graphic
+    control extension (delay in centiseconds) + image descriptor + LZW
+    sub-block framing (patterned payload — the parser walks structure,
+    it does not LZW-decode)."""
+    import struct
+
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", width, height, 0x70, 0, 0))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for i in range(n_frames):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        payload = bytes((i * 7 + j * 3) % 256 for j in range(5))
+        out += bytes([2, len(payload)]) + payload + b"\x00"  # LZW min code + one sub-block
+    return bytes(out) + b";"
+
+
+def parse_gif_meta(payload: bytes):
+    """REAL GIF block walk (GIF89a spec, public): logical screen dims,
+    then every data block — image descriptors (skipping local color
+    tables and LZW sub-block chains by their declared sizes), graphic
+    control extensions (summing frame delays), and the NETSCAPE looping
+    extension. Returns (width, height, n_frames, duration_ms,
+    loop_count-or-None); malformed input degrades to all-None — the
+    frame count × delay signal is how an image pipeline separates
+    animations from stills without decoding a pixel."""
+    import struct
+
+    nulls = (None, None, None, None, None)
+    if not payload or len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return nulls
+    width, height, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    if packed & 0x80:  # global color table: 3 * 2^(size+1) bytes
+        i += 3 * (2 << (packed & 0x07))
+    n_frames, duration_cs, loop = 0, 0, None
+
+    def skip_subblocks(j: int) -> int | None:
+        while j < len(payload):
+            size = payload[j]
+            j += 1
+            if size == 0:
+                return j
+            j += size
+        return None
+
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                return nulls
+            lpacked = payload[i + 9]
+            i += 10
+            if lpacked & 0x80:  # local color table
+                i += 3 * (2 << (lpacked & 0x07))
+            if i >= len(payload):
+                return nulls
+            i += 1  # LZW minimum code size
+            nxt = skip_subblocks(i)
+            if nxt is None:
+                return nulls
+            i = nxt
+            n_frames += 1
+        elif b == 0x21:  # extension
+            if i + 2 > len(payload):
+                return nulls
+            label = payload[i + 1]
+            j = i + 2
+            if label == 0xF9 and j + 6 <= len(payload) and payload[j] == 4:
+                duration_cs += struct.unpack("<H", payload[j + 2 : j + 4])[0]
+            if (
+                label == 0xFF
+                and j + 12 <= len(payload)
+                and payload[j] == 11
+                and payload[j + 1 : j + 12] == b"NETSCAPE2.0"
+            ):
+                k = j + 12
+                if k + 4 <= len(payload) and payload[k] == 3 and payload[k + 1] == 1:
+                    loop = struct.unpack("<H", payload[k + 2 : k + 4])[0]
+            nxt = skip_subblocks(j)
+            if nxt is None:
+                return nulls
+            i = nxt
+        else:
+            return nulls  # unknown block type: corrupt, refuse to guess
+    return (width, height, n_frames, duration_cs * 10, loop)
+
+
+def _ebml_vint(value: int, length: int | None = None) -> bytes:
+    """Encode an EBML variable-length SIZE (marker bit in the first byte,
+    RFC 8794 §4) — used by the WebM synthesizer."""
+    if length is None:
+        length = 1
+        while value >= (1 << (7 * length)) - 1:
+            length += 1
+    out = value | (1 << (7 * length))
+    return out.to_bytes(length, "big")
+
+
+def _ebml_element(eid: bytes, body: bytes) -> bytes:
+    return eid + _ebml_vint(len(body)) + body
+
+
+def webm_bytes(width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal REAL WebM/Matroska stream (RFC 8794 EBML framing): EBML
+    header declaring the webm doctype, then a Segment holding Info
+    (TimestampScale 1e6 ns + float Duration) and Tracks (one video
+    TrackEntry with PixelWidth/PixelHeight). Cluster payload omitted —
+    only header metadata is exercised, the same tier as
+    :func:`wav_bytes` / :func:`parse_mp4_header`."""
+    import struct
+
+    ebml_hdr = _ebml_element(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_element(b"\x42\x82", b"webm"),  # DocType
+    )
+    info = _ebml_element(
+        b"\x15\x49\xa9\x66",
+        _ebml_element(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))  # scale ns
+        + _ebml_element(b"\x44\x89", struct.pack(">d", float(duration_ms))),
+    )
+    video = _ebml_element(
+        b"\xe0",
+        _ebml_element(b"\xb0", width.to_bytes(2, "big"))
+        + _ebml_element(b"\xba", height.to_bytes(2, "big")),
+    )
+    track = _ebml_element(
+        b"\xae", _ebml_element(b"\x83", b"\x01") + video  # TrackType 1 = video
+    )
+    tracks = _ebml_element(b"\x16\x54\xae\x6b", track)
+    return ebml_hdr + _ebml_element(b"\x18\x53\x80\x67", info + tracks)
+
+
+def parse_webm_header(payload: bytes):
+    """REAL EBML walk (RFC 8794 + Matroska element IDs, public specs):
+    variable-length IDs and sizes, descending Segment → Info (timestamp
+    scale + float duration) and Segment → Tracks → TrackEntry → Video
+    (pixel dims). Unknown-size Segments (streamed files write
+    all-ones sizes) extend to end-of-payload. Returns
+    (duration_ms, width, height) or all-None on malformed input."""
+    import struct
+
+    nulls = (None, None, None)
+
+    def read_vint(buf: bytes, i: int, keep_marker: bool):
+        if i >= len(buf) or buf[i] == 0:
+            return None
+        length = 8 - buf[i].bit_length() + 1
+        if i + length > len(buf):
+            return None
+        raw = int.from_bytes(buf[i : i + length], "big")
+        if not keep_marker:
+            marker_bits = 7 * length
+            mask = (1 << marker_bits) - 1
+            val = raw & mask
+            # all-ones size = "unknown" (streaming writers)
+            return (None if val == mask else val, i + length)
+        return (raw, i + length)
+
+    def walk(buf: bytes, i: int, end: int, out: dict, depth: int = 0):
+        if depth > 8:
+            return
+        while i < end:
+            got = read_vint(buf, i, True)
+            if got is None:
+                return
+            eid, i = got
+            got = read_vint(buf, i, False)
+            if got is None:
+                return
+            size, i = got
+            body_end = end if size is None else min(end, i + size)
+            if eid in (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0):
+                walk(buf, i, body_end, out, depth + 1)  # master elements
+            elif eid == 0x2AD7B1 and body_end > i:
+                out["scale"] = int.from_bytes(buf[i:body_end], "big")
+            elif eid == 0x4489 and body_end - i in (4, 8):
+                fmt = ">f" if body_end - i == 4 else ">d"
+                out["duration"] = struct.unpack(fmt, buf[i:body_end])[0]
+            elif eid == 0xB0 and body_end > i:
+                out["w"] = int.from_bytes(buf[i:body_end], "big")
+            elif eid == 0xBA and body_end > i:
+                out["h"] = int.from_bytes(buf[i:body_end], "big")
+            i = body_end
+
+    if not payload or len(payload) < 4 or payload[:4] != b"\x1a\x45\xdf\xa3":
+        return nulls
+    try:
+        out: dict = {}
+        walk(payload, 0, len(payload), out)
+        if "duration" not in out or "w" not in out or "h" not in out:
+            return nulls
+        scale = out.get("scale", 1_000_000)  # Matroska default: 1 ms
+        duration_ms = int(out["duration"] * scale / 1_000_000)
+        return (duration_ms, out["w"], out["h"])
+    except Exception:
+        return nulls
+
+
 def bmp_bytes(width: int, height: int) -> bytes:
     """Minimal REAL BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (little-endian
     dims, 24 bpp, no pixel array — only metadata extraction is exercised)."""

@@ -1223,3 +1223,56 @@ def test_flac_streaminfo_roundtrip():
         b[rnd.randrange(len(b))] = rnd.randrange(256)
         out = parse_flac_header(bytes(b))
         assert isinstance(out, tuple) and len(out) == 5
+
+
+def test_gif_animation_meta_walk():
+    """r8: GIF block walk — frame count, summed graphic-control delays,
+    and the NETSCAPE loop count recovered from real block structure
+    (sub-block chains, color-table sizing); static GIFs report 0 frames;
+    malformed input degrades."""
+    import random
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        gif_animation_bytes,
+        gif_bytes,
+        parse_gif_meta,
+    )
+
+    for w, h, n, d, loop in ((1, 1, 1, 0, 0), (64, 48, 12, 8, 3), (320, 200, 3, 100, 0)):
+        assert parse_gif_meta(gif_animation_bytes(w, h, n, delay_cs=d, loop=loop)) == (
+            w, h, n, n * d * 10, loop,
+        )
+    assert parse_gif_meta(gif_bytes(10, 20)) == (10, 20, 0, 0, None)
+    assert parse_gif_meta(b"junk") == (None,) * 5
+    assert parse_gif_meta(None) == (None,) * 5
+    assert parse_gif_meta(gif_animation_bytes(8, 8, 3)[:20]) == (None,) * 5
+    rnd = random.Random(1)
+    base = gif_animation_bytes(16, 16, 4, 12, 2)
+    for _ in range(150):
+        b = bytearray(base)
+        b[rnd.randrange(len(b))] = rnd.randrange(256)
+        out = parse_gif_meta(bytes(b))
+        assert isinstance(out, tuple) and len(out) == 5
+
+
+def test_webm_ebml_header_walk():
+    """r8: EBML variable-length walk — Segment -> Info (timestamp scale +
+    float duration) and Tracks -> Video pixel dims recovered from real
+    RFC 8794 framing; truncation and byte flips degrade, never raise or
+    loop (recursion depth and per-iteration consumption are bounded)."""
+    import random
+
+    from dynamic_spark_spark.llmops.multimodal import parse_webm_header, webm_bytes
+
+    for w, h, d in ((1, 1, 0), (640, 360, 120000), (1920, 1080, 3600000)):
+        assert parse_webm_header(webm_bytes(w, h, d)) == (d, w, h)
+    assert parse_webm_header(b"junk") == (None,) * 3
+    assert parse_webm_header(None) == (None,) * 3
+    assert parse_webm_header(webm_bytes(64, 48, 1000)[:15]) == (None,) * 3
+    rnd = random.Random(3)
+    base = webm_bytes(320, 240, 60000)
+    for _ in range(200):
+        b = bytearray(base)
+        b[rnd.randrange(len(b))] = rnd.randrange(256)
+        out = parse_webm_header(bytes(b))
+        assert isinstance(out, tuple) and len(out) == 3
