@@ -117,6 +117,22 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None]:
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         width, height = struct.unpack("<HH", payload[6:10])
         return ("image/gif", width, height)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and len(payload) >= 20:
+        # r8: the three public WebP header forms (container spec + VP8/VP8L
+        # bitstream headers); unknown or short chunks degrade to null dims
+        four = payload[12:16]
+        body = payload[20:]
+        if four == b"VP8X" and len(body) >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return ("image/webp", w, h)
+        if four == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            packed = int.from_bytes(body[1:5], "little")
+            return ("image/webp", (packed & 0x3FFF) + 1, ((packed >> 14) & 0x3FFF) + 1)
+        if four == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+            w, h = struct.unpack("<HH", body[6:10])
+            return ("image/webp", w & 0x3FFF, h & 0x3FFF)
+        return ("image/webp", None, None)
     if payload[:2] == b"BM" and len(payload) >= 26:
         width, height = struct.unpack("<ii", payload[18:26])
         return ("image/bmp", width, abs(height))  # negative height = top-down
@@ -129,6 +145,86 @@ def gif_bytes(width: int, height: int) -> bytes:
     import struct
 
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x70\x00\x00;"
+
+
+def exif_app1_bytes(orientation: int, big_endian: bool = False) -> bytes:
+    """A REAL JPEG APP1/Exif segment: TIFF header (either byte order) and
+    an IFD0 with the single Orientation (0x0112, SHORT) entry — splice it
+    after a stream's SOI to synthesize oriented test payloads."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    tiff = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8)
+    ifd = struct.pack(e + "H", 1)  # one entry
+    ifd += struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(e + "H", orientation) + b"\x00\x00"
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    body = b"Exif\x00\x00" + tiff + ifd
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def parse_exif_orientation(payload: bytes):
+    """REAL EXIF orientation extraction from a JPEG stream (TIFF 6.0 +
+    Exif 2.3, public specs): find the APP1/Exif segment in the marker
+    walk, honor the declared TIFF byte order (II/MM), walk IFD0's 12-byte
+    entries to tag 0x0112. Returns 1-8 or None (absent tag, malformed
+    TIFF, out-of-range value). This is the bit an image pipeline must
+    read BEFORE any geometric op — a resize that ignores orientation
+    silently trains on rotated pixels."""
+    import struct
+
+    if not payload or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xDA or marker == 0xD9:
+            return None  # entropy data / EOI reached without an APP1
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            t = body[6:]
+            if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+                return None
+            e = "<" if t[:2] == b"II" else ">"
+            magic, ifd_off = struct.unpack_from(e + "HI", t, 2)
+            if magic != 42 or ifd_off + 2 > len(t):
+                return None
+            (n_entries,) = struct.unpack_from(e + "H", t, ifd_off)
+            for k in range(n_entries):
+                off = ifd_off + 2 + 12 * k
+                if off + 12 > len(t):
+                    return None
+                tag, typ, _cnt = struct.unpack_from(e + "HHI", t, off)
+                if tag == 0x0112 and typ == 3:
+                    (val,) = struct.unpack_from(e + "H", t, off + 8)
+                    return val if 1 <= val <= 8 else None
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def webp_bytes(width: int, height: int, form: str = "VP8X") -> bytes:
+    """Minimal REAL WebP container: RIFF + WEBP fourcc + one of the three
+    public header forms — extended ``VP8X`` (24-bit canvas dims minus
+    one), lossless ``VP8L`` (14-bit packed dims minus one), or lossy
+    ``VP8 `` (keyframe tag + 14-bit dims). Only the dimension framing is
+    exercised, same tier as :func:`gif_bytes`/:func:`bmp_bytes`."""
+    import struct
+
+    if form == "VP8X":
+        body = bytes(4) + (width - 1).to_bytes(3, "little") + (height - 1).to_bytes(3, "little")
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    elif form == "VP8L":
+        packed = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + packed.to_bytes(4, "little")
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    else:  # lossy "VP8 ": 3-byte frame tag, start code, 14-bit dims
+        body = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    payload = b"WEBP" + chunk + (b"\x00" if len(chunk) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
 def gif_animation_bytes(

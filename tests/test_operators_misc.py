@@ -1276,3 +1276,55 @@ def test_webm_ebml_header_walk():
         b[rnd.randrange(len(b))] = rnd.randrange(256)
         out = parse_webm_header(bytes(b))
         assert isinstance(out, tuple) and len(out) == 3
+
+
+def test_webp_header_parse_all_forms():
+    """r8: the three public WebP header forms (VP8X canvas dims, VP8L
+    packed 14-bit, lossy VP8 keyframe tag) parse to exact dims; WAV —
+    also RIFF — does not misroute; unknown WebP chunks degrade to null
+    dims with the mime still detected."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        parse_image_header,
+        wav_bytes,
+        webp_bytes,
+    )
+
+    for form in ("VP8X", "VP8L", "VP8 "):
+        for w, h in ((1, 1), (640, 480), (16383, 2)):
+            assert parse_image_header(webp_bytes(w, h, form)) == ("image/webp", w, h)
+    assert parse_image_header(wav_bytes(8000, 1, 16, 10))[0] == "application/octet-stream"
+    junk = webp_bytes(4, 4, "VP8X")[:12] + b"XXXX" + bytes(8)
+    assert parse_image_header(junk) == ("image/webp", None, None)
+
+
+def test_exif_orientation_extraction():
+    """r8: EXIF orientation from a real APP1/TIFF IFD walk, BOTH byte
+    orders, all 8 values, spliced into a real JPEG stream (whose dims
+    still parse with the APP1 present); absent tag, out-of-range value,
+    junk, and byte flips degrade to None, never raise."""
+    import random
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        exif_app1_bytes,
+        jpeg_bytes,
+        parse_exif_orientation,
+        parse_image_header,
+    )
+
+    base = jpeg_bytes(20, 10)
+    for be in (False, True):
+        for o in range(1, 9):
+            stream = base[:2] + exif_app1_bytes(o, big_endian=be) + base[2:]
+            assert parse_exif_orientation(stream) == o
+            assert parse_image_header(stream) == ("image/jpeg", 20, 10)
+    assert parse_exif_orientation(base) is None
+    assert parse_exif_orientation(b"junk") is None
+    assert parse_exif_orientation(None) is None
+    assert parse_exif_orientation(base[:2] + exif_app1_bytes(9) + base[2:]) is None
+    rnd = random.Random(5)
+    s = base[:2] + exif_app1_bytes(6) + base[2:]
+    for _ in range(150):
+        b = bytearray(s)
+        b[rnd.randrange(len(b))] = rnd.randrange(256)
+        out = parse_exif_orientation(bytes(b))
+        assert out is None or 1 <= out <= 8
