@@ -1328,3 +1328,75 @@ def test_exif_orientation_extraction():
         b[rnd.randrange(len(b))] = rnd.randrange(256)
         out = parse_exif_orientation(bytes(b))
         assert out is None or 1 <= out <= 8
+
+
+def test_mp4_sample_table_demux():
+    """r8: REAL ISO-BMFF sample-table demux — stts/stss/stsc/stsz/stco
+    reconstruct every sample's (offset, size, keyframe, dts) exactly as
+    written (including the short final chunk and within-chunk offset
+    accumulation), keyframe slices return the actual mdat bytes, lying
+    tables and truncation degrade to None, byte flips never raise."""
+    import random
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        mp4_keyframe_slices,
+        mp4_media_bytes,
+        parse_mp4_samples,
+    )
+
+    for n, ke, spc in ((1, 1, 3), (10, 5, 3), (23, 4, 3), (17, 3, 5), (9, 2, 1)):
+        p = mp4_media_bytes(n, keyframe_every=ke, seed=7, samples_per_chunk=spc)
+        samples = parse_mp4_samples(p)
+        assert samples is not None and len(samples) == n
+        for i, (off, size, key, dts) in enumerate(samples):
+            assert size == 16 + (7 * 7 + i * 3) % 48
+            assert p[off : off + size] == bytes(
+                (7 * 31 + i * 7 + j * 3) % 256 for j in range(size)
+            )
+            assert key == (i % ke == 0) and dts == i * 25
+        assert len(mp4_keyframe_slices(p)) == len(range(0, n, ke))
+    assert parse_mp4_samples(b"junk") is None
+    assert parse_mp4_samples(None) is None
+    p = mp4_media_bytes(12, seed=1)
+    assert parse_mp4_samples(p[: len(p) // 2]) is None  # lying offsets refused
+    rnd = random.Random(8)
+    for _ in range(150):
+        b = bytearray(p)
+        b[rnd.randrange(len(b))] = rnd.randrange(256)
+        out = parse_mp4_samples(bytes(b))
+        assert out is None or isinstance(out, list)
+
+
+def test_demux_keyframes_spark_stage(spark):
+    """The demux runs as a real Arrow-batched Spark stage: synthesized
+    containers in, per-row keyframe counts/bytes/digests out; a corrupt
+    payload row emits nulls instead of killing the stage; the digest is
+    deterministic across runs."""
+    import hashlib
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        demux_keyframes,
+        mp4_keyframe_slices,
+        mp4_media_bytes,
+    )
+
+    rows = [
+        (0, bytearray(mp4_media_bytes(10, keyframe_every=5, seed=0))),
+        (1, bytearray(mp4_media_bytes(23, keyframe_every=4, seed=1))),
+        (2, bytearray(b"not an mp4")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in demux_keyframes(df).collect()}
+    assert out[2]["n_samples"] is None and out[2]["kf_digest"] is None
+    for doc_id, payload in rows[:2]:
+        keys = mp4_keyframe_slices(bytes(payload))
+        assert out[doc_id]["n_keyframes"] == len(keys)
+        assert out[doc_id]["keyframe_bytes"] == sum(len(k) for k in keys)
+        expect = int.from_bytes(
+            hashlib.sha256(b"".join(keys)).digest()[:8], "big", signed=True
+        )
+        assert out[doc_id]["kf_digest"] == expect
+    out2 = {r["doc_id"]: r for r in demux_keyframes(df).collect()}
+    assert {k: v["kf_digest"] for k, v in out.items()} == {
+        k: v["kf_digest"] for k, v in out2.items()
+    }
