@@ -136,6 +136,29 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None]:
     if payload[:2] == b"BM" and len(payload) >= 26:
         width, height = struct.unpack("<ii", payload[18:26])
         return ("image/bmp", width, abs(height))  # negative height = top-down
+    if payload[:4] in (b"II*\x00", b"MM\x00*") and len(payload) >= 8:
+        # r8: TIFF 6.0 — honor the declared byte order, walk IFD0 to the
+        # ImageWidth/ImageLength tags (SHORT or LONG); scans/EXIF-bearing
+        # originals ship as TIFF in real crawls
+        e = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+        w = h = None
+        if ifd_off + 2 <= len(payload):
+            (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+            for k in range(n_entries):
+                off = ifd_off + 2 + 12 * k
+                if off + 12 > len(payload):
+                    break
+                tag, typ, _cnt = struct.unpack_from(e + "HHI", payload, off)
+                if tag in (0x0100, 0x0101) and typ in (3, 4):
+                    (val,) = struct.unpack_from(
+                        e + ("H" if typ == 3 else "I"), payload, off + 8
+                    )
+                    if tag == 0x0100:
+                        w = val
+                    else:
+                        h = val
+        return ("image/tiff", w, h)
     return ("application/octet-stream", None, None)
 
 

@@ -1400,3 +1400,36 @@ def test_demux_keyframes_spark_stage(spark):
     assert {k: v["kf_digest"] for k, v in out.items()} == {
         k: v["kf_digest"] for k, v in out2.items()
     }
+
+
+def test_tiff_header_parse_both_orders():
+    """r8: TIFF 6.0 dims from a real IFD walk in either byte order
+    (SHORT and LONG tag types); truncated IFDs report the mime with null
+    dims; byte flips never raise."""
+    import random
+    import struct
+
+    from dynamic_spark_spark.llmops.multimodal import parse_image_header
+
+    def tiff(w, h, big_endian, long_type):
+        e = ">" if big_endian else "<"
+        head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", 8)
+        typ, fmt = (4, "I") if long_type else (3, "H")
+        entries = b""
+        for tag, val in ((0x0100, w), (0x0101, h)):
+            entries += struct.pack(e + "HHI", tag, typ, 1)
+            entries += struct.pack(e + fmt, val).ljust(4, b"\x00")
+        return head + struct.pack(e + "H", 2) + entries + struct.pack(e + "I", 0)
+
+    for be in (False, True):
+        for long_type in (False, True):
+            s = tiff(6000, 4000, be, long_type)
+            assert parse_image_header(s) == ("image/tiff", 6000, 4000), (be, long_type)
+    assert parse_image_header(b"II*\x00\x08\x00\x00\x00") == ("image/tiff", None, None)
+    rnd = random.Random(2)
+    base = tiff(640, 480, False, False)
+    for _ in range(150):
+        b = bytearray(base)
+        b[rnd.randrange(len(b))] = rnd.randrange(256)
+        out = parse_image_header(bytes(b))
+        assert isinstance(out, tuple) and len(out) == 3
