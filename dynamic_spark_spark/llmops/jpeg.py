@@ -1430,11 +1430,11 @@ DEFAULT_SAMPLING: tuple[int, int] = (2, 2)
 #: contain — every combination keeping the T.81 B.2.2 interleaved bound
 #: sum(Hi·Vi) ≤ 10 (luma H·V ≤ 8 with two 1×1 chroma). The DECODER is
 #: ratio-generic already (any hmax % hc == 0 layout); this list gates
-#: only what the encoders emit. Truly fractional ratios (e.g. 3:2)
-#: remain a decode-time rejection.
+#: only what the encoders emit. Truly fractional CROSS-component ratios
+#: (hmax % hc != 0 in the wild) remain a decode-time rejection.
 _SAMPLINGS = (
     (1, 1), (2, 1), (1, 2), (2, 2),
-    (3, 1), (1, 3),
+    (3, 1), (1, 3), (3, 2), (2, 3),
     (4, 1), (1, 4), (4, 2), (2, 4),
 )
 
@@ -1789,19 +1789,28 @@ def _cmyk_finish_rgb(
     planes: list[np.ndarray], transform: int | None
 ) -> np.ndarray | None:
     """RGB finish for a 4-component frame, on the decoder's integer-valued
-    float planes (stored-inverted per the Adobe convention): transform 2
-    (YCCK) first recovers the inverted C,M,Y through the shared JFIF
-    inverse; transform 0 / no APP14 means the planes ARE the inverted CMYK.
-    A 4-component frame declaring transform 1 (YCbCr) is malformed —
-    degrade, never guess."""
+    float planes. With an APP14 marker the components are stored INVERTED
+    per the Adobe convention: transform 2 (YCCK) first recovers the
+    inverted C,M,Y through the shared JFIF inverse; transform 0 means the
+    planes are the inverted CMYK directly. WITHOUT an APP14 marker the
+    stream is a non-Adobe writer and the components are TRUE ink values
+    (the libjpeg convention: only the Adobe marker implies inversion —
+    review-fixed r8; the invert-always form shipped white for a no-marker
+    pure-black ink image). A 4-component frame declaring transform 1
+    (YCbCr) is malformed — degrade, never guess."""
     if transform == 2:
         inv_cmy = _ycc_to_rgb(planes[0], planes[1], planes[2]).astype(np.float64)
-    elif transform in (0, None):
+        s_k = planes[3]
+    elif transform == 0:
         inv_cmy = np.stack(planes[:3], axis=-1)
+        s_k = planes[3]
+    elif transform is None:
+        inv_cmy = 255.0 - np.stack(planes[:3], axis=-1)
+        s_k = 255.0 - planes[3]
     else:
         return None
     return np.clip(
-        np.round(inv_cmy * (planes[3] / 255.0)[..., None]), 0, 255
+        np.round(inv_cmy * (s_k / 255.0)[..., None]), 0, 255
     ).astype(np.uint8)
 
 
@@ -1940,7 +1949,6 @@ def encode_jpeg_cmyk_progressive(
         cmyk, sampling, qtable, chroma_qtable, restart_interval, transform,
         0xC2, _AC_PROG_BITS, _AC_PROG_VALS,
     )
-    hs, vs = sampling
     hmax = max(hc for hc, _, _, _ in comps)
     vmax = max(vc for _, vc, _, _ in comps)
     comps_idx = [

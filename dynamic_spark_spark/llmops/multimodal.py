@@ -201,6 +201,9 @@ def parse_exif_orientation(payload: bytes):
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while payload[i + 1] == 0xFF and i + 2 < len(payload):
+            i += 1
         marker = payload[i + 1]
         if marker == 0xDA or marker == 0xD9:
             return None  # entropy data / EOI reached without an APP1
@@ -1753,9 +1756,13 @@ def parse_mp4_samples(payload: bytes):
     raises."""
     import struct
 
-    tables: dict[bytes, bytes] = {}
+    # sample tables are PER-TRAK state: collecting them globally would mix
+    # e.g. an audio trak's stss into the video trak's layout (review
+    # finding, r8) — each trak gets its own dict and the first trak whose
+    # stbl is complete wins
+    per_trak: list[dict[bytes, bytes]] = []
 
-    def walk(buf: bytes, start: int, end: int, depth: int = 0):
+    def walk(buf: bytes, start: int, end: int, tables, depth: int = 0):
         end = min(end, len(buf))
         i = start
         while i + 8 <= end and depth <= 8:
@@ -1763,19 +1770,30 @@ def parse_mp4_samples(payload: bytes):
             if size < 8:
                 return
             tag = buf[i + 4 : i + 8]
-            if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                walk(buf, i + 8, i + size, depth + 1)
+            if tag == b"trak":
+                per_trak.append({})
+                walk(buf, i + 8, i + size, per_trak[-1], depth + 1)
+            elif tag in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(buf, i + 8, i + size, tables, depth + 1)
             elif tag in (b"stts", b"stss", b"stsc", b"stsz", b"stco"):
-                tables.setdefault(tag, buf[i + 8 : i + size])
+                if tables is not None:
+                    tables.setdefault(tag, buf[i + 8 : i + size])
             i += size
 
     if not payload or len(payload) < 16 or payload[4:8] != b"ftyp":
         return None
     try:
-        walk(payload, 0, len(payload))
-        for need in (b"stts", b"stsc", b"stsz", b"stco"):
-            if need not in tables:
-                return None
+        walk(payload, 0, len(payload), None)
+        tables = next(
+            (
+                t
+                for t in per_trak
+                if all(k in t for k in (b"stts", b"stsc", b"stsz", b"stco"))
+            ),
+            None,
+        )
+        if tables is None:
+            return None
         # stsz: fixed size or per-sample table
         b = tables[b"stsz"]
         fixed, n = struct.unpack(">II", b[4:12])

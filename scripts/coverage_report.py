@@ -64,7 +64,8 @@ ROWS_ONLY_VERDICTS: dict[str, str] = {
     "partial-gradient summation order); accuracy bounds pytest-pinned.",
     "embed_pca_project": "eigenvector sign/order is solver-specific; "
     "variance-ordering + reconstruction-error invariants pytest-pinned.",
-    "graph_pagerank": "8 float iterations; cross-engine summation order "
+    "graph_pagerank": "float-iterative (PAGERANK_ITERS rounds — 6 as of "
+    "r8, see the parameter ledger above); cross-engine summation order "
     "drifts the low bits, so an exact hash cannot be shared. Rank-order "
     "and convergence invariants pytest-pinned.",
     # -- not SQL-expressible ------------------------------------------------

@@ -806,10 +806,12 @@ def test_cmyk_roundtrip_bit_exact_all_forms():
 def test_cmyk_contracts_and_degrades():
     """The 4-component contract edges: the gray API rejects CMYK streams at
     header cost; a 4-component frame claiming the YCbCr transform (1) is
-    malformed and degrades; stripping the APP14 marker means 'no declared
-    transform', which the decoder treats as direct CMYK (the libjpeg
-    heuristic) — pinned by comparing against an APP14-bearing transform-0
-    stream of the same image."""
+    malformed and degrades; stripping the APP14 marker means 'non-Adobe
+    writer', whose components are TRUE ink values per the libjpeg
+    convention (only the Adobe marker implies inverted storage) — pinned
+    with flat-ink images whose DC-only blocks survive the roundtrip
+    exactly, including the review repro: a no-marker pure-black ink image
+    must decode black, not white."""
     from dynamic_spark_spark.llmops.jpeg import (
         decode_jpeg,
         decode_jpeg_gray,
@@ -823,11 +825,28 @@ def test_cmyk_contracts_and_degrades():
     bad = bytearray(stream)
     bad[bad.index(b"Adobe") + 11] = 1
     assert decode_jpeg(bytes(bad)) is None
-    # APP14 stripped entirely -> decoded as direct CMYK (same pixels)
-    app14 = stream.index(b"\xff\xee")
-    seg_len = int.from_bytes(stream[app14 + 2 : app14 + 4], "big")
-    stripped = stream[:app14] + stream[app14 + 2 + seg_len :]
-    assert np.array_equal(decode_jpeg(stripped), decode_jpeg(stream))
+
+    def strip_app14(s: bytes) -> bytes:
+        a = s.index(b"\xff\xee")
+        seg_len = int.from_bytes(s[a + 2 : a + 4], "big")
+        return s[:a] + s[a + 2 + seg_len :]
+
+    # craft a stream whose STORED bytes are the true inks t: the encoder
+    # stores 255 - x, so encode x = 255 - t, then strip the marker
+    def non_adobe_stream(t):
+        x = 255 - np.full((16, 16, 4), t, dtype=np.int64)
+        return strip_app14(encode_jpeg_cmyk(x, transform=0))
+
+    black = decode_jpeg(non_adobe_stream(np.array([0, 0, 0, 255])))
+    assert np.unique(black).tolist() == [0]  # full K = black, not white
+    white = decode_jpeg(non_adobe_stream(np.array([0, 0, 0, 0])))
+    assert np.unique(white).tolist() == [255]  # no ink = white paper
+    # the SAME stored bytes flip meaning with the marker: a no-ink Adobe
+    # stream stores all-255, which a non-Adobe reading takes as ALL-max
+    # ink — white with the marker, black without it
+    adobe_stream = encode_jpeg_cmyk(np.zeros((16, 16, 4), dtype=np.int64), transform=0)
+    assert np.unique(decode_jpeg(adobe_stream)).tolist() == [255]
+    assert np.unique(decode_jpeg(strip_app14(adobe_stream))).tolist() == [0]
 
 
 def test_cmyk_encoder_validation():

@@ -1433,3 +1433,70 @@ def test_tiff_header_parse_both_orders():
         b[rnd.randrange(len(b))] = rnd.randrange(256)
         out = parse_image_header(bytes(b))
         assert isinstance(out, tuple) and len(out) == 3
+
+
+def test_mp4_multitrak_tables_not_mixed():
+    """r8 review fix: sample tables are per-trak state. A file whose FIRST
+    trak has no stss (= all its samples are sync, per spec) followed by a
+    second trak carrying stss=[1] must demux the first complete trak with
+    ALL samples as keyframes — the pre-fix global table collection mixed
+    the second trak's stss into the first trak's layout and dropped real
+    keyframes."""
+    import struct
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        mp4_media_bytes,
+        parse_mp4_samples,
+    )
+
+    base = mp4_media_bytes(4, keyframe_every=1, seed=0)  # all-sync via stss
+    # rebuild: strip trak1's stss, then append a second trak whose stss
+    # claims only sample 1 is sync
+    def box(tag, *parts):
+        body = b"".join(parts)
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    i = base.index(b"stss") - 4
+    size = struct.unpack(">I", base[i : i + 4])[0]
+    no_stss = bytearray(base[:i] + base[i + size :])
+    # fix enclosing box sizes (moov, trak, mdia, minf, stbl shrink by size)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = bytes(no_stss).index(tag) - 4
+        old = struct.unpack(">I", no_stss[j : j + 4])[0]
+        no_stss[j : j + 4] = struct.pack(">I", old - size)
+    evil_stbl = box(
+        b"stbl",
+        box(b"stts", struct.pack(">IIII", 0, 1, 2, 10)),
+        box(b"stss", struct.pack(">III", 0, 1, 1)),  # only sample 1 sync
+        box(b"stsc", struct.pack(">II", 0, 1), struct.pack(">III", 1, 2, 1)),
+        box(b"stsz", struct.pack(">III", 0, 0, 2), struct.pack(">II", 4, 4)),
+        box(b"stco", struct.pack(">III", 0, 1, 0)),
+    )
+    evil_trak = box(b"trak", box(b"mdia", box(b"minf", evil_stbl)))
+    moov_at = bytes(no_stss).index(b"moov") - 4
+    moov_size = struct.unpack(">I", no_stss[moov_at : moov_at + 4])[0]
+    with_evil = (
+        bytes(no_stss[: moov_at + 4])  # keep size slot, patch below
+        + bytes(no_stss[moov_at + 4 : moov_at + moov_size])
+        + evil_trak
+        + bytes(no_stss[moov_at + moov_size :])
+    )
+    patched = bytearray(with_evil)
+    patched[moov_at : moov_at + 4] = struct.pack(">I", moov_size + len(evil_trak))
+    samples = parse_mp4_samples(bytes(patched))
+    assert samples is not None and len(samples) == 4
+    assert all(key for _o, _s, key, _d in samples)  # no stss = ALL sync
+
+
+def test_exif_survives_marker_fill_bytes():
+    """r8 review fix: T.81 B.1.1.2 allows any number of 0xFF fill bytes
+    before a marker — orientation must still be found through them."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        exif_app1_bytes,
+        jpeg_bytes,
+        parse_exif_orientation,
+    )
+
+    base = jpeg_bytes(20, 10)
+    padded = base[:2] + b"\xff\xff\xff" + exif_app1_bytes(6) + base[2:]
+    assert parse_exif_orientation(padded) == 6
