@@ -148,7 +148,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "dss_stateful_totals"
     try:
         ev.write.mode("overwrite").parquet(src)
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 stateful_total_merge(file_stream(spark, src, ev.schema))
                 .writeStream.format("memory")
@@ -193,7 +193,7 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "dss_stream_dedup"
     try:
         ev.write.mode("overwrite").parquet(src)
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 stateful_dedup(
                     file_stream(spark, src, ev.schema),
@@ -289,7 +289,7 @@ def stream_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 minute"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 minutely.writeStream.format("memory")
                 .queryName(name)
@@ -448,7 +448,7 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         # size the partition count to the data (a few thousand rows at
         # verification scale) instead of paying 32×4 store setups — the
         # shared drain_parallelism rationale, at 4× the per-partition cost.
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 joined.writeStream.format("memory")
                 .queryName(name)
@@ -515,7 +515,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # stateless stream, but each micro-batch's anti-join + write runs
         # as batch jobs INSIDE the drain — scope their shuffle width too
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1)
@@ -643,7 +643,7 @@ def stream_dedup_groups_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_copies"),
             )
         )
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -728,7 +728,7 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -827,7 +827,7 @@ def stream_custom_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap_seconds=CUSTOM_SESS_GAP_S,
             watermark=f"{CUSTOM_SESS_WM_S} seconds",
         )
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 out.writeStream.format("memory")
                 .queryName(name)
@@ -888,7 +888,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
             .select("user_id", "event_type")
         )
-        with drain_parallelism(spark):
+        with drain_parallelism(spark, src=src):
             q = (
                 deduped.writeStream.format("memory")
                 .queryName(name)

@@ -21,21 +21,50 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+#: staged bytes per state partition: one partition per ~4 MB of source,
+#: floored at 4 (state-machinery cost amortizes) and capped at the local
+#: core count — kilobyte verification drains get 4 partitions, a 100×
+#: scale probe (~hundreds of MB staged) gets the full session width
+DRAIN_BYTES_PER_PARTITION = 4 << 20
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 @contextmanager
-def drain_parallelism(spark: SparkSession, n: int = 4):
-    """Scope ``spark.sql.shuffle.partitions`` down around a bounded
-    verification drain. A stateful streaming query instantiates one state
-    store (plus its checkpoint tree, commit files, and maintenance thread)
-    per shuffle partition, fixed at the query's FIRST micro-batch — so a
-    32-way drain of a kilobyte file stream spends several times longer
-    creating state machinery than processing rows (measured r8 at sf0.01:
-    ``stream_session_live`` 5.4 s → 1.6 s, ``stream_stateful_totals``
-    4.1 s → 1.3 s, identical output). Production deployments size the SAME
-    knob up to the stream's real key volume before first start; the final
-    state is partition-count-invariant, which the oracle-checked live keys
-    prove every round. Restores the previous value even when the drain
-    dies; the post-drain sink reads execute outside the scope at the
-    session default."""
+def drain_parallelism(spark: SparkSession, n: int | None = None, src: str | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` around a bounded drain,
+    SIZED TO THE STAGED DATA. A stateful streaming query instantiates one
+    state store (plus its checkpoint tree, commit files, and maintenance
+    thread) per shuffle partition, fixed at the query's FIRST micro-batch
+    — so a 32-way drain of a kilobyte file stream spends several times
+    longer creating state machinery than processing rows (measured r8 at
+    sf0.01: ``stream_session_live`` 5.4 s → 1.6 s,
+    ``stream_stateful_totals`` 4.1 s → 1.3 s, identical output). But a
+    CONSTANT small width would throttle the same keys under the 10×/100×
+    scale probes (review-hardened r8), so when ``src`` (the staged source
+    dir) is given the width derives from its byte size: one partition per
+    ``DRAIN_BYTES_PER_PARTITION``, floor 4, capped at the session's core
+    count — exactly how production sizes state parallelism to stream
+    volume before first start. The final state is partition-count-
+    invariant, which the oracle-checked live keys prove every round.
+    Restores the previous value even when the drain dies; post-drain sink
+    reads execute outside the scope at the session default."""
+    if n is None:
+        width = 4
+        if src is not None:
+            width = max(4, _dir_bytes(src) // DRAIN_BYTES_PER_PARTITION)
+        n = min(spark.sparkContext.defaultParallelism, width)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -490,3 +490,40 @@ def test_stateful_total_merge_nonstring_key_schema(spark):
     out = stateful_total_merge(stream, key_col="bucket_id", val_col="value")
     assert isinstance(out.schema["key"].dataType, LongType), out.schema
     assert [f.name for f in out.schema.fields] == ["key", "n", "total"]
+
+
+def test_drain_parallelism_sizes_to_staged_bytes(spark, tmp_path):
+    """r8 review hardening: the drain width derives from the staged source
+    size — kilobyte verification drains get the floor (4), scale-probe-
+    sized staging gets the full session width, an explicit n wins, and the
+    previous setting is restored even on failure."""
+    from dynamic_spark_spark.streaming.core import (
+        DRAIN_BYTES_PER_PARTITION,
+        drain_parallelism,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "part-0").write_bytes(b"x" * 1024)
+    with drain_parallelism(spark, src=str(small)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    big = tmp_path / "big"
+    big.mkdir()
+    # 40 partitions' worth of bytes -> capped at the session core count
+    (big / "part-0").write_bytes(b"\0" * (40 * DRAIN_BYTES_PER_PARTITION))
+    cores = spark.sparkContext.defaultParallelism
+    with drain_parallelism(spark, src=str(big)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(cores)
+
+    with drain_parallelism(spark, n=7):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+
+    try:
+        with drain_parallelism(spark, src=str(small)):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
