@@ -21,11 +21,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-#: staged bytes per state partition: one partition per ~4 MB of source,
-#: floored at 4 (state-machinery cost amortizes) and capped at the local
-#: core count — kilobyte verification drains get 4 partitions, a 100×
-#: scale probe (~hundreds of MB staged) gets the full session width
-DRAIN_BYTES_PER_PARTITION = 4 << 20
+#: staged bytes per state partition, floored at 4 (state-machinery cost
+#: amortizes) and capped at the session core count: verification drains
+#: (≤1 MB staged) get 4 partitions, a 10× probe (~10 MB) gets ~10, a 100×
+#: probe (~100 MB) the full width. Width-sensitivity was probed at 100×
+#: (r8): stream_stateful_totals reproduced its r6 number under the sized
+#: drain (4.97 s vs 4.6), and stream_session_live measured the SAME
+#: 102-164 s band at width 21 and width 32 — its cost is the documented
+#: driver-side complete-mode sink materialization, not state parallelism.
+DRAIN_BYTES_PER_PARTITION = 1 << 20
 
 
 def _dir_bytes(path: str) -> int:
