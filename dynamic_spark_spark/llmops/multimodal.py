@@ -107,6 +107,12 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None]:
         while i + 4 <= len(payload):
             if payload[i] != 0xFF:
                 break
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker (review fix r8 — previously read seg_len from fill)
+            while payload[i + 1] == 0xFF and i + 2 < len(payload):
+                i += 1
+            if i + 4 > len(payload):
+                break  # trailing fill run: dims unrecoverable, not a crash
             marker = payload[i + 1]
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if marker in _JPEG_SOF and i + 9 <= len(payload):
@@ -143,23 +149,41 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None]:
         e = "<" if payload[:2] == b"II" else ">"
         (ifd_off,) = struct.unpack(e + "I", payload[4:8])
         w = h = None
-        if ifd_off + 2 <= len(payload):
-            (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
-            for k in range(n_entries):
-                off = ifd_off + 2 + 12 * k
-                if off + 12 > len(payload):
-                    break
-                tag, typ, _cnt = struct.unpack_from(e + "HHI", payload, off)
-                if tag in (0x0100, 0x0101) and typ in (3, 4):
-                    (val,) = struct.unpack_from(
-                        e + ("H" if typ == 3 else "I"), payload, off + 8
-                    )
-                    if tag == 0x0100:
-                        w = val
-                    else:
-                        h = val
+        for tag, typ, val in _tiff_ifd0_entries(payload, e, ifd_off):
+            if tag == 0x0100 and typ in (3, 4):
+                w = val
+            elif tag == 0x0101 and typ in (3, 4):
+                h = val
         return ("image/tiff", w, h)
     return ("application/octet-stream", None, None)
+
+
+def _tiff_ifd0_entries(buf: bytes, e: str, ifd_off: int):
+    """Yield (tag, type, inline_value) for IFD0's 12-byte entries — the
+    endian-aware walk shared by the TIFF dimension parse and the EXIF
+    orientation parse (review fix r8: one copy, one set of bounds). Only
+    count==1 entries carry their value INLINE per TIFF 6.0; multi-count
+    entries store an offset there, so yielding it as a value would invent
+    phantom dimensions — they are skipped."""
+    import struct
+
+    if ifd_off + 2 > len(buf):
+        return
+    (n_entries,) = struct.unpack_from(e + "H", buf, ifd_off)
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(buf):
+            return
+        tag, typ, cnt = struct.unpack_from(e + "HHI", buf, off)
+        if cnt != 1:
+            continue
+        if typ == 3:
+            (val,) = struct.unpack_from(e + "H", buf, off + 8)
+        elif typ == 4:
+            (val,) = struct.unpack_from(e + "I", buf, off + 8)
+        else:
+            continue
+        yield tag, typ, val
 
 
 def gif_bytes(width: int, height: int) -> bytes:
@@ -204,6 +228,8 @@ def parse_exif_orientation(payload: bytes):
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
         while payload[i + 1] == 0xFF and i + 2 < len(payload):
             i += 1
+        if i + 4 > len(payload):
+            return None  # trailing fill run (review fix r8: was a crash)
         marker = payload[i + 1]
         if marker == 0xDA or marker == 0xD9:
             return None  # entropy data / EOI reached without an APP1
@@ -215,16 +241,10 @@ def parse_exif_orientation(payload: bytes):
                 return None
             e = "<" if t[:2] == b"II" else ">"
             magic, ifd_off = struct.unpack_from(e + "HI", t, 2)
-            if magic != 42 or ifd_off + 2 > len(t):
+            if magic != 42:
                 return None
-            (n_entries,) = struct.unpack_from(e + "H", t, ifd_off)
-            for k in range(n_entries):
-                off = ifd_off + 2 + 12 * k
-                if off + 12 > len(t):
-                    return None
-                tag, typ, _cnt = struct.unpack_from(e + "HHI", t, off)
+            for tag, typ, val in _tiff_ifd0_entries(t, e, ifd_off):
                 if tag == 0x0112 and typ == 3:
-                    (val,) = struct.unpack_from(e + "H", t, off + 8)
                     return val if 1 <= val <= 8 else None
             return None
         i += 2 + seg_len

@@ -370,19 +370,26 @@ def _color_img(h, w, seed=3):
 def test_color_roundtrip_exact_all_samplings():
     """decode_jpeg(encode_jpeg_color(img)) mirrors reconstruct_color
     bit-for-bit across every supported chroma sampling, on shapes that
-    exercise partial edge MCUs in both axes."""
+    exercise partial edge MCUs in both axes. Iterates the module's OWN
+    _SAMPLINGS allowlist (review fix r8) so coverage widens with the
+    envelope instead of silently lagging it — this is what pins the
+    3x/4x families (incl. the mixed (3,2)/(2,3) geometries)."""
     from dynamic_spark_spark.llmops.jpeg import (
+        _SAMPLINGS,
         decode_jpeg,
         encode_jpeg_color,
+        encode_jpeg_color_progressive,
         reconstruct_color,
     )
 
-    for h, w in [(1, 1), (17, 23), (16, 16), (9, 40)]:
+    for h, w in [(1, 1), (17, 23), (9, 40)]:
         img = _color_img(h, w, seed=h * 100 + w)
-        for samp in ((1, 1), (2, 1), (1, 2), (2, 2)):
-            dec = decode_jpeg(encode_jpeg_color(img, sampling=samp))
-            assert dec is not None and dec.shape == (h, w, 3)
-            assert np.array_equal(dec, reconstruct_color(img, sampling=samp))
+        for samp in _SAMPLINGS:
+            ref = reconstruct_color(img, sampling=samp)
+            for enc in (encode_jpeg_color, encode_jpeg_color_progressive):
+                dec = decode_jpeg(enc(img, sampling=samp))
+                assert dec is not None and dec.shape == (h, w, 3), (samp, enc.__name__)
+                assert np.array_equal(dec, ref), (h, w, samp, enc.__name__)
 
 
 def test_color_chroma_qtable_honored():

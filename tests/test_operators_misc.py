@@ -1500,3 +1500,35 @@ def test_exif_survives_marker_fill_bytes():
     base = jpeg_bytes(20, 10)
     padded = base[:2] + b"\xff\xff\xff" + exif_app1_bytes(6) + base[2:]
     assert parse_exif_orientation(padded) == 6
+
+
+def test_media_parser_review_regressions():
+    """r8 tail-review fixes, pinned: (a) a truncated trailing 0xFF fill
+    run must return None from parse_exif_orientation, not raise (the
+    fill-byte fix had broken the outer bound); (b) parse_image_header's
+    JPEG walk tolerates fill bytes before markers too (dims recovered
+    through padding); (c) a TIFF tag with count != 1 stores an OFFSET in
+    its value slot, which must not be read as a dimension."""
+    import struct
+
+    from dynamic_spark_spark.llmops.multimodal import (
+        exif_app1_bytes,
+        jpeg_bytes,
+        parse_exif_orientation,
+        parse_image_header,
+    )
+
+    # (a) trailing fill run: None, never struct.error
+    assert parse_exif_orientation(b"\xff\xd8\xff\xff\xff\xff") is None
+    # (b) padded stream still yields dims AND orientation
+    base = jpeg_bytes(20, 10)
+    padded = base[:2] + b"\xff\xff\xff" + exif_app1_bytes(5) + base[2:]
+    assert parse_image_header(padded) == ("image/jpeg", 20, 10)
+    assert parse_exif_orientation(padded) == 5
+    # (c) count=2 ImageWidth entry: the value slot is an offset, skip it
+    e = "<"
+    head = b"II*\x00" + struct.pack(e + "I", 8)
+    entries = struct.pack(e + "HHI", 0x0100, 3, 2) + struct.pack(e + "I", 26)
+    entries += struct.pack(e + "HHI", 0x0101, 3, 1) + struct.pack(e + "H", 480).ljust(4, b"\x00")
+    tiff = head + struct.pack(e + "H", 2) + entries + struct.pack(e + "I", 0)
+    assert parse_image_header(tiff) == ("image/tiff", None, 480)

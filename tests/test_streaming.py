@@ -512,9 +512,10 @@ def test_drain_parallelism_sizes_to_staged_bytes(spark, tmp_path):
 
     big = tmp_path / "big"
     big.mkdir()
-    # 40 partitions' worth of bytes -> capped at the session core count
-    (big / "part-0").write_bytes(b"\0" * (40 * DRAIN_BYTES_PER_PARTITION))
+    # (cores + 8) partitions' worth of staged bytes -> capped at the
+    # session core count whatever SPARK_GRAFT_CPUS the session runs with
     cores = spark.sparkContext.defaultParallelism
+    (big / "part-0").write_bytes(b"\0" * ((cores + 8) * DRAIN_BYTES_PER_PARTITION))
     with drain_parallelism(spark, src=str(big)):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(cores)
 
