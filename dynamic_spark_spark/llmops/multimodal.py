@@ -449,8 +449,15 @@ def parse_webm_header(payload: bytes):
             if got is None:
                 return
             size, i = got
+            masters = (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0)
+            # RFC 8794 §6.2: unknown size is only meaningful for master
+            # elements (streamed Segments). A LEAF carrying the all-ones
+            # vint would otherwise decode the whole remaining payload as
+            # one integer — refuse, don't guess.
+            if size is None and eid not in masters:
+                return
             body_end = end if size is None else min(end, i + size)
-            if eid in (0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0):
+            if eid in masters:
                 walk(buf, i, body_end, out, depth + 1)  # master elements
             elif eid == 0x2AD7B1 and body_end > i:
                 out["scale"] = int.from_bytes(buf[i:body_end], "big")
@@ -1342,10 +1349,17 @@ def decode_wav_pcm(payload: bytes):
                 "<HHIIHH", payload[i + 8 : i + 24]
             )
         elif tag == b"data" and block_align:
+            if fmt_tag != 1 or bits != 16 or not channels:
+                return None
+            # A lying fmt chunk (block_align != channels * bytes-per-sample)
+            # would make frombuffer/reshape raise on the size mismatch —
+            # refuse it up front to keep the "never raises" contract.
+            if block_align != channels * 2:
+                return None
             avail = min(size, len(payload) - i - 8)
             n = avail // block_align  # whole frames only
             raw = payload[i + 8 : i + 8 + n * block_align]
-            if fmt_tag != 1 or bits != 16 or not channels or n == 0:
+            if n == 0:
                 return None
             frames = np.frombuffer(raw, dtype="<i2").reshape(n, channels)
             # ASCII WAV is little-endian; normalize to native int16

@@ -1081,6 +1081,17 @@ def test_wav_pcm_decode_roundtrip_lossless():
     assert decode_wav_pcm(b"junk") is None
     assert decode_wav_pcm(None) is None
     assert decode_wav_pcm(wav_pcm_bytes(8000, 1, 0, 1)) is None  # zero frames
+    # r8 advice: a lying fmt chunk (block_align disagreeing with
+    # channels*2) must degrade to None, not raise from frombuffer/reshape
+    import struct as _struct
+
+    from dynamic_spark_spark.llmops.multimodal import wav_audio_features
+
+    for bad_align in (1, 3, 4, 5):
+        lying = bytearray(wav_pcm_bytes(8000, 1, 10, 2))
+        lying[32:34] = _struct.pack("<H", bad_align)  # block_align field
+        assert decode_wav_pcm(bytes(lying)) is None
+        assert wav_audio_features(bytes(lying)) is None  # must not propagate
 
 
 def test_wav_audio_features_pinned():
@@ -1276,6 +1287,36 @@ def test_webm_ebml_header_walk():
         b[rnd.randrange(len(b))] = rnd.randrange(256)
         out = parse_webm_header(bytes(b))
         assert isinstance(out, tuple) and len(out) == 3
+    # r8 advice: the all-ones "unknown size" vint is only legal on master
+    # elements (RFC 8794 §6.2). A LEAF carrying it (PixelWidth here) must
+    # degrade to nulls, not decode the remaining payload as one huge int.
+    import struct as _struct
+
+    from dynamic_spark_spark.llmops.multimodal import _ebml_element
+
+    ebml_hdr = _ebml_element(b"\x1a\x45\xdf\xa3", _ebml_element(b"\x42\x82", b"webm"))
+    info = _ebml_element(
+        b"\x15\x49\xa9\x66",
+        _ebml_element(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml_element(b"\x44\x89", _struct.pack(">d", 1000.0)),
+    )
+    # PixelWidth with the 1-byte all-ones size vint (0xFF -> unknown)
+    video = _ebml_element(
+        b"\xe0",
+        b"\xb0\xff" + (123456).to_bytes(3, "big") + _ebml_element(b"\xba", (48).to_bytes(2, "big")),
+    )
+    tracks = _ebml_element(b"\x16\x54\xae\x6b", _ebml_element(b"\xae", video))
+    crafted = ebml_hdr + _ebml_element(b"\x18\x53\x80\x67", info + tracks)
+    assert parse_webm_header(crafted) == (None, None, None)
+    # unknown-size on the MASTER Segment stays accepted (streamed files)
+    video_ok = _ebml_element(
+        b"\xe0",
+        _ebml_element(b"\xb0", (320).to_bytes(2, "big"))
+        + _ebml_element(b"\xba", (240).to_bytes(2, "big")),
+    )
+    tracks_ok = _ebml_element(b"\x16\x54\xae\x6b", _ebml_element(b"\xae", video_ok))
+    streamed = ebml_hdr + b"\x18\x53\x80\x67\xff" + info + tracks_ok
+    assert parse_webm_header(streamed) == (1000, 320, 240)
 
 
 def test_webp_header_parse_all_forms():
