@@ -825,6 +825,12 @@ def decode_png_rgb(payload: bytes):
             # Sub-8-bit packing and 16-bit depth stay rejections.
             if depth != 8 or color not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
                 return None
+            # lying/adversarial dims would make the inflate cap and the
+            # Adam7 canvas attacker-sized — same guard as the JPEG tier
+            from dynamic_spark_spark.llmops.jpeg import MAX_DECODE_PIXELS
+
+            if not width or not height or width * height > MAX_DECODE_PIXELS:
+                return None
         elif tag == b"PLTE":
             if len(body) % 3:
                 return None
@@ -838,15 +844,30 @@ def decode_png_rgb(payload: bytes):
         return None
     if color == 3 and not plte:
         return None  # indexed without a palette is unrenderable
-    try:
-        stream = _zlib.decompress(bytes(idat))
-    except _zlib.error:
-        return None
     bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = width * bpp
+    # expected raw stream size follows exactly from the (now pixel-capped)
+    # dims, so inflate with that bound: an IDAT that is a decompression
+    # bomb (KBs inflating to GBs) stops at expected+1 bytes and is
+    # rejected by the length checks below instead of OOM-killing the
+    # executor. Sequential: h filtered rows; Adam7: seven sub-images,
+    # each row prefixed by its filter byte (RFC 2083 §2.6).
     if interlace == 0:
-        if len(stream) != height * (stride + 1):
-            return None
+        expected = height * (stride + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw and ph:
+                expected += ph * (pw * bpp + 1)
+    try:
+        stream = _zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except _zlib.error:
+        return None
+    if len(stream) != expected:
+        return None  # truncated, oversized, or bomb: corrupt stream
+    if interlace == 0:
         raw_rows = _unfilter_rows(stream, 0, height, stride, bpp)
         if raw_rows is None:
             return None
@@ -1660,14 +1681,17 @@ def parse_mp4_header(payload: bytes):
     nulls = (None, None, None, None, None, None)
     brand = timescale = duration = width = height = None
 
-    def walk(buf: bytes, start: int, end: int):
+    def walk(buf: bytes, start: int, end: int, depth: int = 0):
         nonlocal brand, timescale, duration, width, height
         # a corrupt box size can claim to extend past the payload: clamp,
         # so truncated boxes degrade to nulls instead of raising on a
         # short struct slice (r7 fuzz finding)
         end = min(end, len(buf))
         i = start
-        while i + 8 <= end:
+        # depth bound (contract-sweep finding, r9): a crafted nest of
+        # trak-in-trak boxes is ~8 bytes per level, so an unbounded
+        # recursion overflows the interpreter limit on a ~10 KB payload
+        while i + 8 <= end and depth <= 8:
             size = struct.unpack(">I", buf[i : i + 4])[0]
             if size < 8:
                 return
@@ -1676,7 +1700,7 @@ def parse_mp4_header(payload: bytes):
             if tag == b"ftyp":
                 brand = body[:4].decode("ascii", "replace")
             elif tag in (b"moov", b"trak"):
-                walk(buf, i + 8, i + size)
+                walk(buf, i + 8, i + size, depth + 1)
             elif tag == b"mvhd" and len(body) >= 20:
                 timescale, duration = struct.unpack(">II", body[12:20])
             elif tag == b"tkhd" and len(body) >= 84:
@@ -1684,6 +1708,8 @@ def parse_mp4_header(payload: bytes):
                 width, height = w >> 16, h >> 16
             i += size
 
+    if not payload or len(payload) < 8:
+        return nulls
     walk(payload, 0, len(payload))
     # timescale 0 is as malformed as a missing mvhd (and would divide by
     # zero below) — same null degrade
@@ -1832,6 +1858,11 @@ def parse_mp4_samples(payload: bytes):
         b = tables[b"stsz"]
         fixed, n = struct.unpack(">II", b[4:12])
         if fixed:
+            # each fixed-size sample occupies >= 1 payload byte, so a
+            # declared count beyond the payload length is a lying table —
+            # refuse before [fixed] * n becomes an attacker-sized list
+            if n > len(payload):
+                return None
             sizes = [fixed] * n
         else:
             if len(b) < 12 + 4 * n:
@@ -1851,7 +1882,9 @@ def parse_mp4_samples(payload: bytes):
         runs = [struct.unpack(">III", b[8 + 12 * k : 20 + 12 * k]) for k in range(nrun)]
         spc_by_chunk = []
         for r, (first, spc, _sdi) in enumerate(runs):
-            last = runs[r + 1][0] - 1 if r + 1 < nrun else nch
+            # clamp the run end to the chunk count: a crafted first_chunk
+            # of 2^31 in the NEXT run would otherwise size this expansion
+            last = min(runs[r + 1][0] - 1 if r + 1 < nrun else nch, nch)
             spc_by_chunk += [spc] * max(0, last - first + 1)
         if len(spc_by_chunk) != nch:
             return None

@@ -1,0 +1,319 @@
+"""Class-level contract sweep for every media parser/decoder.
+
+Two generalizations of the per-format fuzz suites:
+
+1. **Resource-bomb regressions** — a malformed payload must be rejected
+   by CHEAP validation, never by OOM or unbounded allocation. At 100 TB a
+   single crafted cell that inflates to gigabytes kills an executor and,
+   with Spark's task retry, then kills three more; the contract is
+   "degrade in O(header) time and memory".
+2. **Cross-format never-raise matrix** — every parser is fed every OTHER
+   format's valid payloads, plus truncations at every early boundary and
+   seeded byte mutations. The r8 advice items (WAV block_align, WebM
+   unknown-size leaf) were both instances of a parser trusting a field
+   that a DIFFERENT byte stream can contradict; this matrix makes the
+   whole class regression-tested instead of whack-a-mole.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+import zlib
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# resource bombs: cheap rejection, never allocation
+# ---------------------------------------------------------------------------
+
+
+def _png_raw(width: int, height: int, interlace: int, idat: bytes) -> bytes:
+    """Hand-framed PNG (bypasses the encoders' honest dims) so the tests
+    can declare LYING dimensions."""
+    from dynamic_spark_spark.llmops.multimodal import _PNG_SIG, _png_chunk
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, interlace)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_inflate_bomb_is_capped():
+    """An 8x8 frame whose IDAT inflates to 64 MB must stop at the
+    expected-size cap (201 bytes here) and reject — not materialize the
+    bomb. Pre-guard, zlib.decompress ran uncapped."""
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+    assert len(bomb) < 1 * 1024 * 1024  # it IS a bomb: >64x expansion
+    from dynamic_spark_spark.llmops.multimodal import decode_png_rgb
+
+    t0 = time.monotonic()
+    assert decode_png_rgb(_png_raw(8, 8, 0, bomb)) is None
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_png_dims_bomb_rejected_before_canvas():
+    """65535x65535 interlaced with a 10-byte stream: the Adam7 path used
+    to allocate height bytearrays of stride bytes (~12.9 GB) BEFORE any
+    length validation. The pixel cap now rejects at header-parse cost."""
+    from dynamic_spark_spark.llmops.multimodal import decode_png_rgb
+
+    tiny = zlib.compress(b"\x00" * 10)
+    t0 = time.monotonic()
+    for interlace in (0, 1):
+        assert decode_png_rgb(_png_raw(65535, 65535, interlace, tiny)) is None
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_png_cap_does_not_reject_real_images():
+    """The guard must not change any in-envelope decode: round-trip a
+    normal image through the same entry point."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_png_rgb,
+        png_pixel,
+        png_rgb_bytes,
+    )
+
+    px = decode_png_rgb(png_rgb_bytes(9, 7, 3))
+    assert px is not None and len(px) == 7 and len(px[0]) == 9
+    assert px[2][4] == [png_pixel(4, 2, c, 3) for c in range(3)]
+
+
+def _mp4_stbl(stts: bytes, stsc: bytes, stsz: bytes, stco: bytes) -> bytes:
+    from dynamic_spark_spark.llmops.multimodal import _mp4_box
+
+    stbl = _mp4_box(b"stbl", stts, stsc, stsz, stco)
+    moov = _mp4_box(
+        b"moov", _mp4_box(b"trak", _mp4_box(b"mdia", _mp4_box(b"minf", stbl)))
+    )
+    return _mp4_box(b"ftyp", b"isom") + moov
+
+
+def test_mp4_stsz_fixed_count_bomb():
+    """stsz with fixed size and a 2^31 sample count used to allocate
+    [fixed] * n before any other check. n is now bounded by the payload
+    length (each fixed-size sample occupies >= 1 byte)."""
+    from dynamic_spark_spark.llmops.multimodal import _mp4_box, parse_mp4_samples
+
+    payload = _mp4_stbl(
+        _mp4_box(b"stts", struct.pack(">II", 0, 1), struct.pack(">II", 6, 25)),
+        _mp4_box(b"stsc", struct.pack(">II", 0, 1), struct.pack(">III", 1, 3, 1)),
+        _mp4_box(b"stsz", struct.pack(">III", 0, 16, 1 << 31)),  # the bomb
+        _mp4_box(b"stco", struct.pack(">II", 0, 2), struct.pack(">II", 40, 88)),
+    )
+    t0 = time.monotonic()
+    assert parse_mp4_samples(payload) is None
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_mp4_stsc_run_expansion_bomb():
+    """An stsc whose NEXT run declares first_chunk = 2^31 used to expand
+    the previous run to [spc] * 2^31 entries. The run end is now clamped
+    to the chunk count; the parse completes in O(tables) and the result
+    stays consistent with the (small) real chunk list."""
+    from dynamic_spark_spark.llmops.multimodal import _mp4_box, parse_mp4_samples
+
+    sizes = b"".join(struct.pack(">I", 4) for _ in range(6))
+    payload = _mp4_stbl(
+        _mp4_box(b"stts", struct.pack(">II", 0, 1), struct.pack(">II", 6, 25)),
+        _mp4_box(
+            b"stsc",
+            struct.pack(">II", 0, 2),
+            struct.pack(">III", 1, 3, 1) + struct.pack(">III", 1 << 31, 3, 1),
+        ),
+        _mp4_box(b"stsz", struct.pack(">III", 0, 0, 6) + sizes),
+        _mp4_box(b"stco", struct.pack(">II", 0, 2), struct.pack(">II", 40, 60)),
+    )
+    t0 = time.monotonic()
+    out = parse_mp4_samples(payload)
+    assert time.monotonic() - t0 < 2.0
+    assert out is None or (isinstance(out, list) and len(out) <= 6)
+
+
+def test_mp4_demux_still_exact_after_guards():
+    """The bomb guards must not move the real-table behavior: full
+    round-trip on an honest container (same pin as the r8 suite)."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        mp4_keyframe_slices,
+        mp4_media_bytes,
+        parse_mp4_samples,
+    )
+
+    payload = mp4_media_bytes(11, keyframe_every=4, seed=2)
+    samples = parse_mp4_samples(payload)
+    assert samples is not None and len(samples) == 11
+    keys = mp4_keyframe_slices(payload)
+    assert keys is not None and len(keys) == len(range(1, 12, 4))
+    for off, size, is_key, _dts in samples:
+        assert 0 <= off and off + size <= len(payload)
+
+
+# ---------------------------------------------------------------------------
+# cross-format never-raise matrix
+# ---------------------------------------------------------------------------
+
+
+def _corpus() -> dict[str, bytes]:
+    """One small valid payload per format/builder, plus the encoders'
+    real-pixel variants. Small shapes keep the full matrix under seconds."""
+    from dynamic_spark_spark.llmops import jpeg as J
+    from dynamic_spark_spark.llmops import multimodal as M
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    corpus = {
+        "png_meta": M.png_bytes(8, 6),
+        "png_rgb": M.png_rgb_bytes(8, 6, 1),
+        "jpeg_meta": M.jpeg_bytes(8, 6),
+        "jpeg_gray": J.encode_jpeg_gray(gray),
+        "jpeg_color": J.encode_jpeg_color(rgb),
+        "jpeg_prog": J.encode_jpeg_gray_progressive(gray),
+        "gif": M.gif_bytes(8, 6),
+        "gif_anim": M.gif_animation_bytes(8, 6, 3),
+        "bmp": M.bmp_bytes(8, 6),
+        "webp_vp8x": M.webp_bytes(8, 6, "VP8X"),
+        "webp_vp8l": M.webp_bytes(8, 6, "VP8L"),
+        "webm": M.webm_bytes(320, 240, 60000),
+        "wav_meta": M.wav_bytes(8000, 1, 16, 10),
+        "wav_pcm": M.wav_pcm_bytes(8000, 2, 12, 3),
+        "mp3": M.mp3_frame_bytes(4),
+        "flac": M.flac_bytes(44100, 2, 16, 100),
+        "mp4_meta": M.mp4_bytes(600, 4, 320, 240),
+        "mp4_media": M.mp4_media_bytes(7, keyframe_every=3, seed=1),
+        "exif_jpeg": b"\xff\xd8" + M.exif_app1_bytes(6) + M.jpeg_bytes(8, 6)[2:],
+    }
+    return corpus
+
+
+def _parsers():
+    from dynamic_spark_spark.llmops import jpeg as J
+    from dynamic_spark_spark.llmops import multimodal as M
+
+    return {
+        "parse_image_header": M.parse_image_header,
+        "parse_exif_orientation": M.parse_exif_orientation,
+        "parse_gif_meta": M.parse_gif_meta,
+        "parse_webm_header": M.parse_webm_header,
+        "parse_wav_header": M.parse_wav_header,
+        "decode_wav_pcm": M.decode_wav_pcm,
+        "wav_audio_features": M.wav_audio_features,
+        "parse_mp3_header": M.parse_mp3_header,
+        "parse_flac_header": M.parse_flac_header,
+        "parse_mp4_header": M.parse_mp4_header,
+        "parse_mp4_samples": M.parse_mp4_samples,
+        "mp4_keyframe_slices": M.mp4_keyframe_slices,
+        "decode_png_rgb": M.decode_png_rgb,
+        "png_pixel_features": M.png_pixel_features,
+        "resize_png_real": M.resize_png_real,
+        "decode_jpeg": J.decode_jpeg,
+        "decode_jpeg_gray": J.decode_jpeg_gray,
+        "jpeg_pixel_features": M.jpeg_pixel_features,
+        "jpeg_color_pixel_features": M.jpeg_color_pixel_features,
+    }
+
+
+def test_cross_format_matrix_never_raises():
+    """Every parser x every OTHER format's valid payload: wrong-format
+    input must parse-fail cleanly (None / nulls / degraded), never raise.
+    This is exactly the shape of both r8 advice bugs."""
+    corpus, parsers = _corpus(), _parsers()
+    for pname, parse in parsers.items():
+        for cname, payload in corpus.items():
+            try:
+                parse(payload)
+            except Exception as exc:  # pragma: no cover - the assertion
+                pytest.fail(f"{pname}({cname}) raised {type(exc).__name__}: {exc}")
+
+
+def test_truncation_matrix_never_raises():
+    """Every parser x every payload truncated at each of the first 48
+    byte boundaries plus mid/len-1: header fields that straddle the cut
+    must be bounds-checked, not sliced-and-unpacked."""
+    corpus, parsers = _corpus(), _parsers()
+    for pname, parse in parsers.items():
+        for cname, payload in corpus.items():
+            cuts = list(range(0, min(len(payload), 48)))
+            cuts += [len(payload) // 2, max(0, len(payload) - 1)]
+            for k in cuts:
+                try:
+                    parse(payload[:k])
+                except Exception as exc:  # pragma: no cover
+                    pytest.fail(f"{pname}({cname}[:{k}]) raised {type(exc).__name__}: {exc}")
+
+
+def test_mutation_matrix_never_raises():
+    """Seeded single-byte corruption, every parser x every payload x 24
+    mutation sites. Catches fields whose VALUE (not presence) is trusted:
+    sizes, counts, alignments, vints."""
+    import random
+
+    corpus, parsers = _corpus(), _parsers()
+    rnd = random.Random(11)
+    for cname, payload in corpus.items():
+        mutants = []
+        for _ in range(24):
+            b = bytearray(payload)
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+            mutants.append(bytes(b))
+        for pname, parse in parsers.items():
+            for mi, m in enumerate(mutants):
+                try:
+                    parse(m)
+                except Exception as exc:  # pragma: no cover
+                    pytest.fail(f"{pname}({cname} mutant {mi}) raised {type(exc).__name__}: {exc}")
+
+
+def test_mp4_nesting_bomb_bounded():
+    """A ~10 KB payload of trak-in-trak-in-trak used to overflow the
+    interpreter recursion limit in parse_mp4_header's box walk (the
+    samples walk already had a depth bound; the header walk did not).
+    Both must degrade, never raise."""
+    from dynamic_spark_spark.llmops.multimodal import (
+        _mp4_box,
+        parse_mp4_header,
+        parse_mp4_samples,
+    )
+
+    nest = b""
+    for _ in range(1500):
+        nest = _mp4_box(b"trak", nest)
+    payload = _mp4_box(b"ftyp", b"isom") + _mp4_box(b"moov", nest)
+    t0 = time.monotonic()
+    assert parse_mp4_header(payload) == (None,) * 6
+    assert parse_mp4_samples(payload) is None
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_degenerate_inputs_never_raise():
+    """The constant table of inputs every parser must survive: empty,
+    None, single bytes, all-FF, all-00, a correct magic followed by
+    garbage, and maximal declared sizes right at the end of the buffer."""
+    parsers = _parsers()
+    degenerates = [
+        None,
+        b"",
+        b"\x00",
+        b"\xff",
+        b"\x00" * 64,
+        b"\xff" * 64,
+        b"RIFF\xff\xff\xff\xffWAVE" + b"\xff" * 16,
+        b"\xff\xd8" + b"\xff" * 32,
+        b"\x89PNG\r\n\x1a\n" + b"\xff" * 32,
+        b"\x1a\x45\xdf\xa3" + b"\xff" * 32,
+        struct.pack(">I", 0xFFFFFFFF) + b"ftyp" + b"\x00" * 24,
+        b"GIF89a" + b"\xff" * 16,
+        b"fLaC" + b"\xff" * 16,
+        b"ID3" + b"\x00" * 16,
+    ]
+    for pname, parse in parsers.items():
+        for di, d in enumerate(degenerates):
+            try:
+                parse(d)
+            except Exception as exc:  # pragma: no cover
+                pytest.fail(f"{pname}(degenerate {di}) raised {type(exc).__name__}: {exc}")
