@@ -1,0 +1,240 @@
+"""HTML text extraction — the first stage of a crawl-derived training
+pipeline (boilerplate/markup in, clean text out).
+
+Real corpora (Common Crawl WARC/WET) arrive as HTML; the curation signals
+downstream (quality, dedup, decontamination) are only meaningful on the
+EXTRACTED text. This module implements the extraction as pure
+``pyspark.sql.functions`` regex/replace chains — whole-stage codegen, zero
+UDFs, zero shuffles (per-row work), the plan shape that survives a 100-TB
+scan untouched.
+
+The driver testdata has no HTML column, so each key synthesizes a
+deterministic page per document from ``documents.text`` (the same
+convention as the multimodal tier, which synthesizes media payloads from
+text). The synthesis is deliberately adversarial to naive strippers:
+
+- the ``<script>`` body contains a ``"<p>"`` STRING LITERAL, so an
+  extractor that only strips tags (without removing script blocks first)
+  provably leaks junk and fails the oracle;
+- the document text is entity-escaped into the page (``& < > "``), so an
+  extractor that skips entity decoding fails the recovery check;
+- the footer link count varies per ``doc_id % 3``, so link statistics are
+  row-dependent, not constants.
+
+Both sides (Spark and the DuckDB oracle) express the identical
+synthesize → extract pipeline, and ``body_recovered`` pins end-to-end
+losslessness: the whitespace-collapsed original text must appear intact in
+the extraction output for every row.
+
+Reference basis: the reference engine's text-transform surface is generic
+column expressions (ScalaSparkCompute-sparkcompute.md:5-6 — any
+Spark-expressible transform); HTML extraction is the canonical instance a
+training-data user runs first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+# regexes shared verbatim by Spark (java.util.regex) and DuckDB (RE2):
+# (?s) dotall + non-greedy repetition mean the same thing in both engines,
+# and none of the patterns use constructs RE2 lacks (no lookaround, no
+# backreferences). Whitespace collapse uses an EXPLICIT class — java \s
+# and RE2 \s disagree on \x0B, and document text is untrusted.
+_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+_ANCHOR_RE = r"(?s)<a [^>]*>(.*?)</a>"
+_TAG_RE = r"<[^>]+>"
+_WS_RE = r"[ \t\n\r]+"
+_HREF_HOST_RE = r'href="https?://([^/"]+)'
+
+
+def _esc(col: Column) -> Column:
+    """HTML-escape document text the way the page synthesis embeds it
+    (& first, so later entities are not double-escaped)."""
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    return F.regexp_replace(out, '"', "&quot;")
+
+
+_ESC_SQL = (
+    "replace(replace(replace(replace(text,"
+    " '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+)
+
+
+def _page(doc_id: Column, text: Column) -> Column:
+    """Deterministic synthetic page for one document row."""
+    sid = doc_id.cast("string")
+    footer = (
+        F.when(doc_id % 3 == 0, F.lit(""))
+        .when(
+            doc_id % 3 == 1,
+            F.concat(
+                F.lit('<div class="footer"><a href="https://ads.example/click?id='),
+                sid,
+                F.lit('">sponsored link</a></div>'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<div class="footer"><a href="https://cdn.example/r/'),
+                ((doc_id * 7) % 100).cast("string"),
+                F.lit('">related item one</a> <a href="https://site.example/d/'),
+                (doc_id % 50).cast("string"),
+                F.lit('">more reading</a></div>'),
+            )
+        )
+    )
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        sid,
+        F.lit("</title><style>body{margin:0} .nav{color:#333}</style>"),
+        F.lit('<script type="text/javascript">var x='),
+        sid,
+        F.lit(';if(x>0){track("<p>")}</script></head><body>'),
+        F.lit('<div class="nav"><a href="https://site.example/home">Home</a>'),
+        F.lit(' <a href="https://site.example/about">About</a></div><p>'),
+        _esc(text),
+        F.lit("</p>"),
+        footer,
+        F.lit("</body></html>"),
+    )
+
+
+_PAGE_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||"
+    " '</title><style>body{margin:0} .nav{color:#333}</style>"
+    "<script type=\"text/javascript\">var x=' || CAST(doc_id AS VARCHAR) ||"
+    " ';if(x>0){track(\"<p>\")}</script></head><body>"
+    '<div class="nav"><a href="https://site.example/home">Home</a>'
+    ' <a href="https://site.example/about">About</a></div><p>\' || '
+    + _ESC_SQL
+    + " || '</p>' ||"
+    " CASE doc_id % 3 WHEN 0 THEN ''"
+    " WHEN 1 THEN '<div class=\"footer\"><a href=\"https://ads.example/click?id='"
+    "   || CAST(doc_id AS VARCHAR) || '\">sponsored link</a></div>'"
+    " ELSE '<div class=\"footer\"><a href=\"https://cdn.example/r/'"
+    "   || CAST((doc_id * 7) % 100 AS VARCHAR)"
+    "   || '\">related item one</a> <a href=\"https://site.example/d/'"
+    "   || CAST(doc_id % 50 AS VARCHAR) || '\">more reading</a></div>'"
+    " END || '</body></html>'"
+)
+
+
+def _unescape(col: Column) -> Column:
+    out = F.regexp_replace(col, "&quot;", '"')
+    out = F.regexp_replace(out, "&gt;", ">")
+    out = F.regexp_replace(out, "&lt;", "<")
+    return F.regexp_replace(out, "&amp;", "&")
+
+
+_EXTRACT_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, text, {_PAGE_SQL} AS html FROM documents
+), stripped AS (
+  SELECT doc_id, text, html,
+    regexp_replace(regexp_replace(html, '{_SCRIPT_RE}', ' ', 'g'),
+                   '{_STYLE_RE}', ' ', 'g') AS no_blocks
+  FROM pages
+), extracted AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(
+      replace(replace(replace(replace(
+        regexp_replace(no_blocks, '{_TAG_RE}', ' ', 'g'),
+        '&quot;', '"'), '&gt;', '>'), '&lt;', '<'), '&amp;', '&'),
+      '{_WS_RE}', ' ', 'g')) AS clean,
+    len(regexp_extract_all(no_blocks, '{_ANCHOR_RE}', 1)) AS n_links,
+    length(array_to_string(
+      regexp_extract_all(no_blocks, '{_ANCHOR_RE}', 1), '')) AS link_chars
+  FROM stripped
+)
+SELECT doc_id,
+  CAST(length(clean) AS BIGINT) AS clean_len,
+  CAST(n_links AS INT) AS n_links,
+  CAST(link_chars AS BIGINT) AS link_chars,
+  CAST(link_chars AS DOUBLE) / GREATEST(length(clean), 1) AS link_density,
+  contains(clean, trim(regexp_replace(text, '{_WS_RE}', ' ', 'g')))
+    AS body_recovered
+FROM extracted
+"""
+
+
+def with_extraction(d: DataFrame) -> DataFrame:
+    """The synthesize → extract projection over any (doc_id, text) frame —
+    shared by the registered key and the adversarial unit tests."""
+    html = _page(F.col("doc_id"), F.col("text"))
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(html, _SCRIPT_RE, " "), _STYLE_RE, " "
+    )
+    anchors = F.regexp_extract_all(no_blocks, F.lit(_ANCHOR_RE), 1)
+    clean = F.trim(
+        F.regexp_replace(
+            _unescape(F.regexp_replace(no_blocks, _TAG_RE, " ")), _WS_RE, " "
+        )
+    )
+    collapsed_src = F.trim(F.regexp_replace(F.col("text"), _WS_RE, " "))
+    return d.select(
+        "doc_id",
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.size(anchors).cast("int").alias("n_links"),
+        F.length(F.concat_ws("", anchors)).cast("bigint").alias("link_chars"),
+        (
+            F.length(F.concat_ws("", anchors)).cast("double")
+            / F.greatest(F.length(clean), F.lit(1))
+        ).alias("link_density"),
+        F.contains(clean, collapsed_src).alias("body_recovered"),
+    )
+
+
+@query("text_html_extract", _EXTRACT_ORACLE, tag="llm-text")
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-stripping text extraction over synthesized crawl pages:
+    remove script/style blocks FIRST (their bodies contain markup-shaped
+    string literals), then strip tags, decode entities, collapse
+    whitespace. Emits the curation signals a 100-TB crawl filter keys on —
+    clean length, link count, link density (anchor-text chars / clean
+    chars, the classic boilerplate discriminator) — plus ``body_recovered``
+    pinning that the original document text survives the round trip
+    verbatim on every row. Pure codegen: one projection, no UDF, no
+    shuffle."""
+    return with_extraction(load_table(spark, sf_dir, "documents"))
+
+
+_LINKS_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, {_PAGE_SQL} AS html FROM documents
+), hosts AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '{_HREF_HOST_RE}', 1)) AS host
+  FROM pages
+)
+SELECT host,
+  CAST(COUNT(*) AS BIGINT) AS n_refs,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hosts GROUP BY host
+"""
+
+
+@query("text_html_links", _LINKS_ORACLE, tag="llm-text")
+def text_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink host graph from the same synthesized pages: extract every
+    href host, explode, aggregate refs + distinct documents per host — the
+    shape of a crawl frontier / domain-blocklist pass. One generate + one
+    hash aggregate (partial + final); the host cardinality is tiny
+    relative to rows, so the shuffle is the reduced side, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    html = _page(F.col("doc_id"), F.col("text"))
+    hosts = F.regexp_extract_all(html, F.lit(_HREF_HOST_RE), 1)
+    return (
+        d.select("doc_id", F.explode(hosts).alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )

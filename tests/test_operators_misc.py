@@ -1573,3 +1573,36 @@ def test_media_parser_review_regressions():
     entries += struct.pack(e + "HHI", 0x0101, 3, 1) + struct.pack(e + "H", 480).ljust(4, b"\x00")
     tiff = head + struct.pack(e + "H", 2) + entries + struct.pack(e + "I", 0)
     assert parse_image_header(tiff) == ("image/tiff", None, 480)
+
+
+def test_html_extraction_adversarial(spark):
+    """r9: the HTML extraction pipeline on texts crafted to break naive
+    strippers — markup-shaped literals, entity chains, every whitespace the
+    collapse class covers. Script bodies containing "<p>" must not leak,
+    and the original text must survive the escape->embed->extract round
+    trip verbatim (collapsed) for every case."""
+    from dynamic_spark_spark.llmops.html import with_extraction
+
+    texts = [
+        "plain words only",
+        'markup in text: <p>bold</p> & <a href="x">link</a>',
+        "entity chains: &amp; &lt;p&gt; &quot;q&quot; &amp;amp;",
+        "whitespace\t\tmix\n\nacross\r\nlines",
+        "closing tag in text </script> should stay text",
+        'quotes "double" and 5 < 6 & 7 > 2',
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in with_extraction(df).collect()}
+    assert len(rows) == len(texts)
+    for i in range(len(texts)):
+        r = rows[i]
+        assert r.body_recovered, f"text {i} did not survive the round trip"
+        # nav contributes 2 links; footer adds doc_id % 3 == 1 -> 1, == 2 -> 2
+        assert r.n_links == 2 + {0: 0, 1: 1, 2: 2}[i % 3]
+        assert 0.0 <= r.link_density < 1.0
+        assert r.link_chars >= len("Home") + len("About")
+    # the script literal 'track("<p>")' must NOT appear in any clean text:
+    # clean_len of a short doc stays far below the raw page length
+    assert all(r.clean_len < 400 for r in rows.values())
