@@ -238,3 +238,123 @@ def text_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# --- WARC: the container crawl corpora actually arrive in ------------------
+
+_WARC_SPLIT_RE = r"WARC/1\.0\r\n"
+_WARC_PAYLOAD_RE = r"(?s)^.*?\r\n\r\n(.*)\r\n\r\n$"
+
+
+def _warc_record(typ: str, sid: Column, body: Column) -> Column:
+    """One WARC/1.0 record: version line, headers, blank line, payload,
+    record delimiter (ISO 28500 framing, public spec)."""
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: " + typ),
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:doc-"),
+        sid,
+        F.lit("-" + typ + ">"),
+        F.lit("\r\nWARC-Target-URI: https://site.example/d/"),
+        sid,
+        F.lit("\r\nContent-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def _warc_record_sql(typ: str, body_sql: str) -> str:
+    return (
+        "'WARC/1.0' || e'\\r\\n' || 'WARC-Type: " + typ + "' || e'\\r\\n' ||"
+        " 'WARC-Record-ID: <urn:uuid:doc-' || CAST(doc_id AS VARCHAR) ||"
+        f" '-{typ}>' || e'\\r\\n' ||"
+        " 'WARC-Target-URI: https://site.example/d/' || CAST(doc_id AS VARCHAR)"
+        " || e'\\r\\n' ||"
+        f" 'Content-Length: ' || CAST(length({body_sql}) AS VARCHAR)"
+        f" || e'\\r\\n' || e'\\r\\n' || {body_sql} || e'\\r\\n' || e'\\r\\n'"
+    )
+
+
+_REQ_BODY_SQL = (
+    "'GET /d/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1' || e'\\r\\n'"
+    " || 'Host: site.example'"
+)
+_RESP_BODY_SQL = "'HTTP/1.1 200 OK' || e'\\r\\n' || e'\\r\\n' || text"
+_META_BODY_SQL = "'fetchTimeMs: ' || CAST(doc_id % 1000 AS VARCHAR)"
+
+_WARC_ORACLE = f"""
+WITH blobs AS (
+  SELECT doc_id,
+    {_warc_record_sql("request", _REQ_BODY_SQL)} ||
+    {_warc_record_sql("response", _RESP_BODY_SQL)} ||
+    {_warc_record_sql("metadata", _META_BODY_SQL)} AS blob
+  FROM documents
+), recs AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(blob, '{_WARC_SPLIT_RE}'),
+                       r -> r <> '')) AS rec
+  FROM blobs
+)
+SELECT doc_id,
+  regexp_extract(rec, 'WARC-Type: ([a-z]+)', 1) AS warc_type,
+  regexp_extract(rec, 'WARC-Target-URI: ([^\r]+)', 1) AS target_uri,
+  CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+    AS declared_len,
+  CAST(length(regexp_extract(rec, '{_WARC_PAYLOAD_RE}', 1)) AS BIGINT)
+    AS payload_len,
+  CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+    = length(regexp_extract(rec, '{_WARC_PAYLOAD_RE}', 1)) AS length_ok
+FROM recs
+"""
+
+
+@query("scan_warc_records", _WARC_ORACLE, tag="scan")
+def scan_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record splitting + header parse — the ingest stage of a crawl
+    pipeline (Common Crawl ships WARC; ISO 28500 is the public framing).
+    Each document synthesizes the real capture shape: a request/response/
+    metadata record TRIPLE sharing one Target-URI, concatenated into one
+    blob. The operator splits records on the version line, extracts the
+    typed headers, and cross-checks declared Content-Length against the
+    actual payload span — the integrity bit a 100-TB ingest filters on
+    before any decode. Split + explode + per-row regex: embarrassingly
+    parallel, no shuffle (the explode fans out 3x in place), which is how
+    WARC segments distribute on a real cluster (one file slice per task).
+    Note a PRODUCTION reader walks records by Content-Length instead of
+    delimiter split (payloads may embed the version line); that tier
+    belongs in a mapInPandas reader like the media demux — the framing,
+    header grammar, and integrity semantics pinned here are identical."""
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    req_body = F.concat(
+        F.lit("GET /d/"), sid, F.lit(" HTTP/1.1\r\nHost: site.example")
+    )
+    resp_body = F.concat(F.lit("HTTP/1.1 200 OK\r\n\r\n"), F.col("text"))
+    meta_body = F.concat(
+        F.lit("fetchTimeMs: "), (F.col("doc_id") % 1000).cast("string")
+    )
+    blob = F.concat(
+        _warc_record("request", sid, req_body),
+        _warc_record("response", sid, resp_body),
+        _warc_record("metadata", sid, meta_body),
+    )
+    rec = F.explode(
+        F.filter(F.split(blob, _WARC_SPLIT_RE), lambda r: r != "")
+    ).alias("rec")
+    declared = F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1).cast(
+        "bigint"
+    )
+    payload_len = F.length(
+        F.regexp_extract("rec", _WARC_PAYLOAD_RE, 1)
+    ).cast("bigint")
+    return d.select("doc_id", rec).select(
+        "doc_id",
+        F.regexp_extract("rec", r"WARC-Type: ([a-z]+)", 1).alias("warc_type"),
+        F.regexp_extract("rec", r"WARC-Target-URI: ([^\r]+)", 1).alias(
+            "target_uri"
+        ),
+        declared.alias("declared_len"),
+        payload_len.alias("payload_len"),
+        (declared == payload_len).alias("length_ok"),
+    )

@@ -1606,3 +1606,22 @@ def test_html_extraction_adversarial(spark):
     # the script literal 'track("<p>")' must NOT appear in any clean text:
     # clean_len of a short doc stays far below the raw page length
     assert all(r.clean_len < 400 for r in rows.values())
+
+
+def test_warc_record_triples(spark, sf_dir):
+    """r9: WARC ingest — every document yields exactly a request/response/
+    metadata triple sharing one Target-URI, and the declared
+    Content-Length matches the actual payload span on every record."""
+    from dynamic_spark_spark.llmops.html import scan_warc_records
+
+    df = scan_warc_records(spark, sf_dir).cache()
+    n_docs = df.select("doc_id").distinct().count()
+    assert df.count() == 3 * n_docs
+    types = {r.warc_type for r in df.select("warc_type").distinct().collect()}
+    assert types == {"request", "response", "metadata"}
+    assert df.filter("NOT length_ok").count() == 0
+    assert df.filter("target_uri NOT LIKE 'https://site.example/d/%'").count() == 0
+    # response payload carries the HTTP envelope + the document text
+    resp = df.filter("warc_type = 'response'")
+    assert resp.filter("payload_len < 19").count() == 0  # len('HTTP/1.1 200 OK\r\n\r\n')
+    df.unpersist()
