@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.embedding_ops",
     "dynamic_spark_spark.llmops.text",
     "dynamic_spark_spark.llmops.html",
+    "dynamic_spark_spark.llmops.instruct",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
     "dynamic_spark_spark.llmops.curation",

@@ -1625,3 +1625,43 @@ def test_warc_record_triples(spark, sf_dir):
     resp = df.filter("warc_type = 'response'")
     assert resp.filter("payload_len < 19").count() == 0  # len('HTTP/1.1 200 OK\r\n\r\n')
     df.unpersist()
+
+
+def test_chat_template_mask_geometry(spark, sf_dir):
+    """r9: the loss-mask boundary must be exact — rendered string length
+    equals prompt + completion spans, mask_start points one past the
+    assistant sentinel, and the turn table reassembles the original text
+    (user_turn || assistant_turn == text) for every document."""
+    from dynamic_spark_spark.llmops.instruct import (
+        chat_template_flatten,
+        chat_turns_explode,
+    )
+
+    flat = chat_template_flatten(spark, sf_dir)
+    bad = flat.filter(
+        "length(rendered) != prompt_chars + completion_chars"
+        " OR mask_start != prompt_chars + 1"
+        " OR substring(rendered, CAST(mask_start - length('<|assistant|>') AS INT),"
+        "              length('<|assistant|>')) != '<|assistant|>'"
+        " OR completion_ratio < 0 OR completion_ratio > 1"
+    ).count()
+    assert bad == 0
+    turns = chat_turns_explode(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    reassembled = (
+        turns.filter("role != 'system'")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("turn_idx", "content"))).getField("content")
+            ).alias("joined")
+        )
+    )
+    from dynamic_spark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mismatches = (
+        reassembled.join(docs, "doc_id").filter("joined != text").count()
+    )
+    assert mismatches == 0
