@@ -1665,3 +1665,38 @@ def test_chat_template_mask_geometry(spark, sf_dir):
         reassembled.join(docs, "doc_id").filter("joined != text").count()
     )
     assert mismatches == 0
+
+
+def test_warc_walk_length_driven_semantics():
+    """r9: the production WARC walker must frame by Content-Length — a
+    payload that EMBEDS the version line stays one record (the case
+    delimiter split mis-frames), a lying length or missing delimiter
+    stops at the last good record, and junk degrades to no records."""
+    from dynamic_spark_spark.llmops.html import warc_walk
+
+    def rec(typ, body, declared=None):
+        declared = len(body) if declared is None else declared
+        return (
+            f"WARC/1.0\r\nWARC-Type: {typ}"
+            f"\r\nWARC-Target-URI: https://site.example/x"
+            f"\r\nContent-Length: {declared}\r\n\r\n{body}\r\n\r\n"
+        )
+
+    # payload embedding the version line: ONE record, length_ok, intact
+    tricky = "before WARC/1.0\r\n embedded after"
+    out = warc_walk(rec("response", tricky) + rec("metadata", "m: 1"))
+    assert [(t, ok) for t, _u, _d, _p, ok in out] == [
+        ("response", True),
+        ("metadata", True),
+    ]
+    assert out[0][2] == out[0][3] == len(tricky)
+    # lying Content-Length (points past the buffer): refuse the record
+    assert warc_walk(rec("response", "abc", declared=10_000)) == []
+    # missing record delimiter after the declared span: stop cleanly
+    good_then_cut = rec("request", "GET /") + "WARC/1.0\r\nContent-Length: 3\r\n\r\nabcXX"
+    out = warc_walk(good_then_cut)
+    assert len(out) == 1 and out[0][0] == "request"
+    # junk / empty / None degrade
+    assert warc_walk("not a warc") == []
+    assert warc_walk("") == []
+    assert warc_walk(None) == []
