@@ -317,3 +317,146 @@ def test_degenerate_inputs_never_raise():
                 parse(d)
             except Exception as exc:  # pragma: no cover
                 pytest.fail(f"{pname}(degenerate {di}) raised {type(exc).__name__}: {exc}")
+
+
+# ---------------------------------------------------------------------------
+# generative structure-aware fuzz (hypothesis): random container trees
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_MP4_TAGS = [
+    b"ftyp", b"moov", b"trak", b"mdia", b"minf", b"stbl",
+    b"stts", b"stsz", b"stsc", b"stco", b"stss", b"mvhd", b"tkhd",
+    b"mdat", b"free", b"junk",
+]
+
+
+@st.composite
+def mp4_trees(draw, depth=0):
+    """Random ISO-BMFF box sequences: known/unknown tags, random payloads,
+    nested children, and sizes that are correct, short, huge, or zero."""
+    n = draw(st.integers(0, 3 if depth < 2 else 1))
+    out = b""
+    for _ in range(n):
+        tag = draw(st.sampled_from(_MP4_TAGS))
+        if depth < 2 and draw(st.booleans()):
+            body = draw(mp4_trees(depth=depth + 1))
+        else:
+            body = draw(st.binary(min_size=0, max_size=48))
+        size_kind = draw(st.sampled_from(["correct", "short", "huge", "tiny"]))
+        size = {
+            "correct": 8 + len(body),
+            "short": max(8, (8 + len(body)) // 2),
+            "huge": 0x7FFFFFF0,
+            "tiny": draw(st.integers(0, 7)),
+        }[size_kind]
+        out += struct.pack(">I", size) + tag + body
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(mp4_trees())
+def test_mp4_parsers_survive_random_trees(tree):
+    from dynamic_spark_spark.llmops.multimodal import (
+        mp4_keyframe_slices,
+        parse_mp4_header,
+        parse_mp4_samples,
+    )
+
+    payload = struct.pack(">I", 16) + b"ftyp" + b"isomiso2" + tree
+    t0 = time.monotonic()
+    assert isinstance(parse_mp4_header(payload), tuple)
+    out = parse_mp4_samples(payload)
+    assert out is None or isinstance(out, list)
+    keys = mp4_keyframe_slices(payload)
+    assert keys is None or isinstance(keys, list)
+    assert time.monotonic() - t0 < 2.0
+
+
+_EBML_IDS = [
+    b"\x18\x53\x80\x67", b"\x15\x49\xa9\x66", b"\x16\x54\xae\x6b",
+    b"\xae", b"\xe0", b"\xb0", b"\xba", b"\x2a\xd7\xb1", b"\x44\x89",
+    b"\x42\x82", b"\xec",
+]
+
+
+@st.composite
+def ebml_trees(draw, depth=0):
+    """Random EBML element sequences: known/unknown IDs, random bodies,
+    nesting, and sizes correct / lying / the all-ones unknown vint."""
+    from dynamic_spark_spark.llmops.multimodal import _ebml_vint
+
+    n = draw(st.integers(0, 3 if depth < 2 else 1))
+    out = b""
+    for _ in range(n):
+        eid = draw(st.sampled_from(_EBML_IDS))
+        if depth < 2 and draw(st.booleans()):
+            body = draw(ebml_trees(depth=depth + 1))
+        else:
+            body = draw(st.binary(min_size=0, max_size=24))
+        size_kind = draw(st.sampled_from(["correct", "lying", "unknown"]))
+        if size_kind == "correct":
+            out += eid + _ebml_vint(len(body)) + body
+        elif size_kind == "lying":
+            out += eid + _ebml_vint(draw(st.integers(0, 1 << 20))) + body
+        else:
+            out += eid + b"\xff" + body
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(ebml_trees())
+def test_webm_parser_survives_random_trees(tree):
+    from dynamic_spark_spark.llmops.multimodal import parse_webm_header
+
+    payload = b"\x1a\x45\xdf\xa3\x84\x42\x82\x80" + tree
+    t0 = time.monotonic()
+    out = parse_webm_header(payload)
+    assert isinstance(out, tuple) and len(out) == 3
+    assert time.monotonic() - t0 < 2.0
+
+
+@st.composite
+def riff_chunks(draw):
+    """Random RIFF chunk lists with adversarial fmt fields (any tag/size/
+    alignment combination a corrupt WAV can carry)."""
+    body = b"WAVE"
+    for _ in range(draw(st.integers(0, 4))):
+        tag = draw(st.sampled_from([b"fmt ", b"data", b"LIST", b"junk"]))
+        if tag == b"fmt ":
+            payload = struct.pack(
+                "<HHIIHH",
+                draw(st.integers(0, 3)),       # fmt_tag
+                draw(st.integers(0, 4)),       # channels
+                draw(st.integers(0, 96000)),   # rate
+                draw(st.integers(0, 1 << 20)), # bytes/sec
+                draw(st.integers(0, 16)),      # block_align (incl. lying)
+                draw(st.sampled_from([8, 16, 24, 32])),
+            )
+        else:
+            payload = draw(st.binary(min_size=0, max_size=64))
+        declared = draw(
+            st.sampled_from([len(payload), len(payload) * 3, 0, 0xFFFFFFF0])
+        )
+        body += tag + struct.pack("<I", declared) + payload
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@settings(max_examples=150, deadline=None)
+@given(riff_chunks())
+def test_wav_parsers_survive_random_chunks(payload):
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_wav_pcm,
+        parse_wav_header,
+        wav_audio_features,
+    )
+
+    t0 = time.monotonic()
+    assert isinstance(parse_wav_header(payload), tuple)
+    frames = decode_wav_pcm(payload)
+    assert frames is None or frames.ndim == 2
+    feats = wav_audio_features(payload)
+    assert feats is None or len(feats) == 7
+    assert time.monotonic() - t0 < 2.0
