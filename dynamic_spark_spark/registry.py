@@ -329,6 +329,14 @@ _PRIORITY = [
     # must rank behind every pre-flighted backlog key and never shift a
     # frozen driver window --
     "dedup_threshold_curve_lsh",
+    # -- round-8 additions (crawl-ingest + SFT tiers): never driver-seen,
+    # so the class-0 rule fronts them in r9's window regardless of rank;
+    # listed here so every key holds an explicit rank --
+    "scan_warc_records", "scan_warc_stream",
+    "text_html_extract", "text_html_links",
+    "chat_template_flatten", "chat_turns_explode",
+    # -- round-9 additions --
+    "scan_warc_gzip", "scan_text_gzip",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in
