@@ -248,6 +248,38 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_text_gzip",
+    "SELECT doc_id, text FROM documents WHERE text NOT LIKE '%|%'",
+    tag="scan",
+)  # oracle: gzip-compressed text write+read must round-trip values exactly
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-COMPRESSED text write → read-back → re-parse: 100-TB text
+    corpora ship compressed (Common Crawl WET is gzip), and Spark's text
+    source handles ``.gz`` transparently via the codec registry — this key
+    proves that surface end-to-end (``option("compression","gzip")`` on
+    write, plain ``spark.read.text`` on read). The scale caveat a user
+    must know: gzip is NOT splittable, so one ``.gz`` file = one task —
+    the parallelism unit is the FILE, which is why crawl corpora ship as
+    many member-framed files (and why ``scan_warc_gzip`` walks per-record
+    members). The pipe-embedding rows are excluded on BOTH engines so the
+    2-field re-parse is exact, mirroring the csv roundtrip's quoting
+    discipline."""
+    out = _tmpdir(prefix="dss_textgz_")
+    docs = load_table(spark, sf_dir, "documents").where(
+        ~F.col("text").contains("|")
+    )
+    docs.select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "text")
+    ).write.mode("overwrite").option("compression", "gzip").text(out)
+    lines = spark.read.text(out)
+    parts = F.split("value", r"\|", 2)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("text"),
+    )
+
+
+@query(
     "scan_jdbc_roundtrip",
     "SELECT n_nationkey, n_regionkey, n_name FROM nation",
     tag="scan",

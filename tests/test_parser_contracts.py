@@ -460,3 +460,66 @@ def test_wav_parsers_survive_random_chunks(payload):
     feats = wav_audio_features(payload)
     assert feats is None or len(feats) == 7
     assert time.monotonic() - t0 < 2.0
+
+
+# ---------------------------------------------------------------------------
+# gzip-member WARC walker (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_gzip_member_walk_roundtrip():
+    """Three per-record members must come back as exactly the three record
+    texts the Column/SQL synthesis would build — the worker-side twin and
+    the codegen twin agree byte-for-byte."""
+    from dynamic_spark_spark.llmops.html import (
+        _warc_record_py,
+        gzip_member_walk,
+        warc_gzip_blob,
+        warc_walk,
+    )
+
+    raw = warc_gzip_blob(7, "hello world")
+    members = gzip_member_walk(raw)
+    assert len(members) == 3
+    assert members[0].decode() == _warc_record_py(
+        "request", 7, "GET /d/7 HTTP/1.1\r\nHost: site.example"
+    )
+    recs = [warc_walk(m.decode())[0] for m in members]
+    assert [r[0] for r in recs] == ["request", "response", "metadata"]
+    assert all(r[4] for r in recs)  # every length_ok True
+
+
+def test_gzip_member_walk_degrades():
+    """Truncation, garbage, and non-gzip prefixes stop the walk cleanly at
+    the last good member; nothing raises."""
+    import gzip
+
+    from dynamic_spark_spark.llmops.html import gzip_member_walk
+
+    good = gzip.compress(b"record one", mtime=0)
+    assert gzip_member_walk(b"") == []
+    assert gzip_member_walk(None) == []
+    assert gzip_member_walk(b"not gzip at all") == []
+    assert gzip_member_walk(good + b"\x1f\x8bgarbage") == [b"record one"]
+    assert gzip_member_walk(good + good[: len(good) // 2]) == [b"record one"]
+    # corrupt CRC in the middle member: first survives, rest refused
+    bad = bytearray(gzip.compress(b"record two", mtime=0))
+    bad[-5] ^= 0xFF
+    assert gzip_member_walk(good + bytes(bad) + good) == [b"record one"]
+
+
+def test_gzip_member_walk_bomb_capped():
+    """A member inflating past the cap is refused in O(cap) time — the
+    walker must not materialize the bomb."""
+    import gzip
+    import time
+
+    from dynamic_spark_spark.llmops.html import gzip_member_walk
+
+    bomb = gzip.compress(b"\x00" * (64 << 20), mtime=0)  # 64 MiB of zeros
+    t0 = time.monotonic()
+    assert gzip_member_walk(bomb, cap=1 << 20) == []
+    assert time.monotonic() - t0 < 2.0
+    # and a stream that is bomb-then-good yields nothing after the refusal
+    good = gzip.compress(b"after", mtime=0)
+    assert gzip_member_walk(bomb + good, cap=1 << 20) == []
