@@ -1064,11 +1064,38 @@ def jpeg_color_pixel_features(payload: bytes) -> list[float] | None:
     )
 
 
+def gif_pixel_features(payload: bytes) -> list[float] | None:
+    """Feature vector from REAL LZW-decoded GIF pixels
+    (:func:`dynamic_spark_spark.llmops.gif.decode_gif_pixels` — r9 closes
+    the third raster format): (width, height, 3 channel means, 3 channel
+    spreads) — 8-dim, the SAME layout as the PNG/color-JPEG tiers so the
+    downstream schema stays format-invariant. None for undecodable
+    input."""
+    from dynamic_spark_spark.llmops.gif import decode_gif_pixels
+
+    px = decode_gif_pixels(payload)
+    if px is None:
+        return None
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.float64)
+    h, w = arr.shape[:2]
+    return (
+        [float(w), float(h)]
+        + [round(float(arr[..., c].mean()), 6) for c in range(3)]
+        + [round(float(arr[..., c].std()), 6) for c in range(3)]
+    )
+
+
 def decode_features_mixed(docs: DataFrame) -> DataFrame:
     """Binary payload → feature vector, dispatching per format the way a
     real curation pipeline must: even doc_ids carry COMPLETE synthesized
     PNGs (zlib-deflated IDAT, all five row filters) pixel-decoded FOR REAL
-    by :func:`decode_png_rgb` (stdlib zlib inflate + per-row unfiltering);
+    by :func:`decode_png_rgb` (stdlib zlib inflate + per-row unfiltering),
+    except doc_id % 8 == 6 which carries COMPLETE LZW-coded GIFs
+    (variable-code-size LZW, interlace on even seeds) pixel-decoded by
+    :func:`dynamic_spark_spark.llmops.gif.decode_gif_pixels` (r9 — the
+    third real raster codec);
     odd doc_ids carry COMPLETE baseline JPEGs (DCT + quantization +
     canonical Huffman entropy coding) pixel-decoded FOR REAL by
     :func:`dynamic_spark_spark.llmops.jpeg.decode_jpeg_gray` (r5 — closes
@@ -1086,6 +1113,7 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
     worker memory. Returns the native ``features array<double>`` shape for
     downstream pipeline composition; the registered key flattens it to
     scalar digests (driver canon cannot hash array cells)."""
+    from dynamic_spark_spark.llmops.gif import gif_rgb_bytes
     from dynamic_spark_spark.llmops.jpeg import (
         jpeg_cmyk_bytes,
         jpeg_color_bytes,
@@ -1104,7 +1132,11 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
         out_ids, out_dec, out_feat = [], [], []
         for pdf in batches:
             for d in pdf["doc_id"]:
-                if d % 2 == 0:
+                if d % 8 == 6:  # LZW-coded GIF stream (r9)
+                    payload = gif_rgb_bytes(8 + d % 9, 5 + d % 7, int(d))
+                    feats = gif_pixel_features(payload)
+                    dec = "gif-real"
+                elif d % 2 == 0:
                     payload = png_rgb_bytes(8 + d % 9, 5 + d % 7, int(d))
                     feats = png_pixel_features(payload)
                     dec = "png-real"

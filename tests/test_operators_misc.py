@@ -183,28 +183,37 @@ def test_png_real_resize_roundtrip():
 
 
 def test_multimodal_decode_mixed_paths(spark, sf_dir):
-    """The decode pipeline runs ALL FOUR real decoders: even doc_ids through
+    """The decode pipeline runs ALL FIVE real decoders: even doc_ids through
     the PNG pixel decode (feature = [w, h, 3 channel means, 3 channel
-    spreads]), doc_id % 4 == 1 through the grayscale baseline-JPEG entropy
-    decode (r5: [w, h, mean, spread, 4 quadrant means]), doc_id % 8 == 3
-    through the COLOR (YCbCr 4:2:0 interleaved-MCU) JPEG decode (r7, PNG
-    feature layout), doc_id % 8 == 7 through the Adobe YCCK 4-component
-    decode (r8, same layout) — zero histogram-stub rows on well-formed
-    payloads. Pins the native array form (decode_features_mixed); the
-    registered key flattens it to scalar digests for the driver harness."""
+    spreads]) except doc_id % 8 == 6 which routes to the LZW GIF decode
+    (r9, same layout), doc_id % 4 == 1 through the grayscale baseline-JPEG
+    entropy decode (r5: [w, h, mean, spread, 4 quadrant means]),
+    doc_id % 8 == 3 through the COLOR (YCbCr 4:2:0 interleaved-MCU) JPEG
+    decode (r7, PNG feature layout), doc_id % 8 == 7 through the Adobe
+    YCCK 4-component decode (r8, same layout) — zero histogram-stub rows
+    on well-formed payloads. Pins the native array form
+    (decode_features_mixed); the registered key flattens it to scalar
+    digests for the driver harness."""
     from dynamic_spark_spark.llmops.multimodal import decode_features_mixed
 
     pdf = decode_features_mixed(load_table(spark, sf_dir, "documents")).toPandas()
     png = pdf[pdf["decoder"] == "png-real"]
+    gif = pdf[pdf["decoder"] == "gif-real"]
     jpg = pdf[pdf["decoder"] == "jpeg-real"]
     cjpg = pdf[pdf["decoder"] == "jpeg-color-real"]
     kjpg = pdf[pdf["decoder"] == "jpeg-cmyk-real"]
-    assert (png["doc_id"] % 2 == 0).all()
+    assert (png["doc_id"] % 2 == 0).all() and (png["doc_id"] % 8 != 6).all()
+    assert (gif["doc_id"] % 8 == 6).all()
     assert (jpg["doc_id"] % 4 == 1).all()
     assert (cjpg["doc_id"] % 8 == 3).all() and (kjpg["doc_id"] % 8 == 7).all()
-    assert len(png) and len(jpg) and len(cjpg) and len(kjpg)
+    assert len(png) and len(gif) and len(jpg) and len(cjpg) and len(kjpg)
     # no stub fallbacks on clean data
-    assert len(png) + len(jpg) + len(cjpg) + len(kjpg) == len(pdf)
+    assert len(png) + len(gif) + len(jpg) + len(cjpg) + len(kjpg) == len(pdf)
+    for _, r in gif.head(20).iterrows():
+        f = r["features"]
+        assert len(f) == 8
+        assert f[0] == 8 + r["doc_id"] % 9 and f[1] == 5 + r["doc_id"] % 7
+        assert all(0 <= v <= 255 for v in f[2:5])  # palette-mapped means
     for _, r in png.head(20).iterrows():
         f = r["features"]
         assert len(f) == 8

@@ -161,6 +161,7 @@ def test_mp4_demux_still_exact_after_guards():
 def _corpus() -> dict[str, bytes]:
     """One small valid payload per format/builder, plus the encoders'
     real-pixel variants. Small shapes keep the full matrix under seconds."""
+    from dynamic_spark_spark.llmops import gif as G
     from dynamic_spark_spark.llmops import jpeg as J
     from dynamic_spark_spark.llmops import multimodal as M
 
@@ -176,6 +177,7 @@ def _corpus() -> dict[str, bytes]:
         "jpeg_prog": J.encode_jpeg_gray_progressive(gray),
         "gif": M.gif_bytes(8, 6),
         "gif_anim": M.gif_animation_bytes(8, 6, 3),
+        "gif_lzw": G.gif_rgb_bytes(8, 6, 2),
         "bmp": M.bmp_bytes(8, 6),
         "webp_vp8x": M.webp_bytes(8, 6, "VP8X"),
         "webp_vp8l": M.webp_bytes(8, 6, "VP8L"),
@@ -192,6 +194,7 @@ def _corpus() -> dict[str, bytes]:
 
 
 def _parsers():
+    from dynamic_spark_spark.llmops import gif as G
     from dynamic_spark_spark.llmops import jpeg as J
     from dynamic_spark_spark.llmops import multimodal as M
 
@@ -215,6 +218,8 @@ def _parsers():
         "decode_jpeg_gray": J.decode_jpeg_gray,
         "jpeg_pixel_features": M.jpeg_pixel_features,
         "jpeg_color_pixel_features": M.jpeg_color_pixel_features,
+        "decode_gif_pixels": G.decode_gif_pixels,
+        "gif_pixel_features": M.gif_pixel_features,
     }
 
 
