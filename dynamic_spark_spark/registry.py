@@ -337,6 +337,7 @@ _PRIORITY = [
     "chat_template_flatten", "chat_turns_explode",
     # -- round-9 additions --
     "scan_warc_gzip", "scan_text_gzip",
+    "chat_preference_pairs", "chat_rejection_sample",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -351,3 +351,15 @@ def test_sessionize_capped_single_exchange(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "Sort" in plan  # partition-local order the fold depends on
     assert "BatchEvalPython" not in plan  # Arrow path, not pickled rows
+
+
+def test_preference_keys_zero_shuffle(spark, sf_dir):
+    """The DPO pair and rejection-sample keys compute per-prompt
+    argmax/argmin/mean IN-ROW over the candidate array: their plans must
+    contain no exchange at all (a grouped max_by or a window would shuffle
+    K x corpus rows to aggregate K in-row values)."""
+    qs = load_all_queries()
+    for key in ("chat_preference_pairs", "chat_rejection_sample"):
+        plan = _plan(qs[key](spark, sf_dir))
+        assert "Exchange" not in plan, f"{key}: {plan}"
+        assert "BatchEvalPython" not in plan, key
