@@ -682,6 +682,126 @@ def dedup_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: distinct-document frequency at which a passage counts as boilerplate
+#: and is stripped from EVERY document (CCNet/RefinedWeb-style policy —
+#: frequency-threshold, not keep-first: even the first occurrence goes,
+#: because a nav bar is junk in its first document too).
+BOILERPLATE_DF = 2
+
+_BOILERPLATE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+sized AS (
+  SELECT doc_id, w, CAST(floor(len(w) / {CHUNK_TOKENS}) AS INT) AS n_full
+  FROM base),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS idx,
+         array_to_string(list_slice(w, u.i * {CHUNK_TOKENS} + 1,
+                                    (u.i + 1) * {CHUNK_TOKENS}), ' ') AS chunk
+  FROM sized, unnest(generate_series(0, n_full - 1)) AS u(i)
+  WHERE n_full > 0),
+boiler AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_DF}),
+marked AS (
+  SELECT c.doc_id, c.idx, c.chunk, b.chunk IS NOT NULL AS is_boiler
+  FROM chunks c LEFT JOIN boiler b USING (chunk)),
+kept AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (WHERE NOT is_boiler) AS BIGINT) AS n_kept,
+         CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_stripped,
+         string_agg(chunk, ' ' ORDER BY idx)
+           FILTER (WHERE NOT is_boiler) AS kept_str
+  FROM marked GROUP BY doc_id)
+SELECT s.doc_id,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.n_stripped, 0) AS n_stripped,
+       md5(concat_ws(' ', k.kept_str,
+             nullif(array_to_string(
+               list_slice(s.w, s.n_full * {CHUNK_TOKENS} + 1, len(s.w)), ' '),
+             ''))) AS clean_md5
+FROM sized s LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@query("dedup_boilerplate_strip", _BOILERPLATE_ORACLE, tag="llm-dedup")
+def dedup_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-threshold boilerplate removal (the CCNet policy,
+    complementing ``dedup_passage_rewrite``'s keep-first policy): any
+    {CHUNK_TOKENS}-token passage occurring in ≥ BOILERPLATE_DF distinct
+    documents is stripped from ALL of them — headers, nav bars, and cookie
+    banners are junk in their first document too — and the surviving text
+    is reassembled in original order (md5-compared so the driver frame
+    stays scalar). Within-doc repeats are NOT boilerplate: frequency
+    counts distinct documents.
+
+    Scale shape: chunking is per-row codegen; the document-frequency
+    aggregate is the one unavoidable shuffle. The boilerplate SET is then
+    df-capped by construction (≤ total-chunks / BOILERPLATE_DF distinct
+    strings, and in real corpora orders of magnitude smaller — it's the
+    heavy-tail survivors), so the join back to chunks is left UNHINTED
+    and AQE converts it to a broadcast join at runtime when the set is
+    small; the fallback is a plain shuffled hash join, never a quadratic
+    path. Passage keys stay strings for oracle parity — production keys
+    by ``xxhash64(chunk)`` as ``dedup_passage_chunks`` does."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda x: x != "")
+    sized = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.floor(F.size(w) / CHUNK_TOKENS).cast("int").alias("n_full"),
+    )
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), F.col("n_full") - 1),
+        lambda i: F.array_join(F.slice("w", i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "),
+    )
+    chunks = sized.where(F.col("n_full") > 0).select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= BOILERPLATE_DF)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    marked = chunks.join(boiler, "chunk", "left")
+    keep = F.col("is_boiler").isNull()
+    kept = marked.groupBy("doc_id").agg(
+        F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~keep).cast("int")).cast("bigint").alias("n_stripped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("idx", "chunk")))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_str"),
+    )
+    tail = F.array_join(
+        F.slice(
+            "w",
+            F.col("n_full") * CHUNK_TOKENS + 1,
+            F.size("w") - F.col("n_full") * CHUNK_TOKENS,
+        ),
+        " ",
+    )
+    return sized.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("n_stripped", F.lit(0)).cast("bigint").alias("n_stripped"),
+        F.md5(
+            F.concat_ws(
+                " ", F.nullif("kept_str", F.lit("")), F.nullif(tail, F.lit(""))
+            )
+        ).alias("clean_md5"),
+    )
+
+
 #: Hard input cap for the MLlib parity key. Measured (SCALE.md "10x quadratic
 #: hunt"): stock ``approxSimilarityJoin`` has no bucket cap — on duplicate-heavy
 #: staging it ran 40 s at 1x and was aborted after >35 min at 10x with all
