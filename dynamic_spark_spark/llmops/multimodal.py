@@ -1661,6 +1661,162 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flac_pcm_bytes(
+    sample_rate: int, channels: int, n_samples: int, seed: int
+) -> bytes:
+    """REAL FLAC (r9) carrying the SAME deterministic
+    :func:`wav_pcm_sample` pattern as the WAV tier — so the compressed
+    and uncompressed audio paths are provably decoding the same signal.
+    Stereo inputs take the mid/side path; the partition order varies with
+    the seed so Rice partitioning stays exercised."""
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.flac import encode_flac
+
+    i = np.arange(n_samples, dtype=np.int64)[:, None]
+    c = np.arange(channels, dtype=np.int64)[None, :]
+    samples = ((seed * 31 + i * 7 + c * 12345) % 65536) - 32768
+    # block_size 64 keeps every fixture multi-frame while the pure-Python
+    # Rice loop stays cheap enough for the driver gate (the codec's big
+    # shapes are pinned in tests/test_flac_codec.py, not here)
+    return encode_flac(
+        samples,
+        sample_rate,
+        block_size=64,
+        partition_order=seed % 3,
+        mid_side=(channels == 2),
+    )
+
+
+def flac_audio_features(payload: bytes):
+    """The FLAC twin of :func:`wav_audio_features` — identical 7-dim
+    layout ``[sample_rate, channels, n_frames, duration_ms, rms, peak,
+    zero_crossing_rate]`` from REAL entropy-decoded samples, so the
+    downstream audio-curation schema is container-invariant. None when
+    the payload doesn't decode."""
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.flac import decode_flac
+
+    frames = decode_flac(payload)
+    if frames is None:
+        return None
+    rate, _ch, _bits, _n, _dur = parse_flac_header(payload)
+    if not rate:
+        return None
+    x = frames.astype(np.float64)
+    n = frames.shape[0]
+    zcr = 0.0
+    if n > 1:
+        signs = np.signbit(x)
+        zcr = float(np.mean(signs[1:] != signs[:-1]))
+    return [
+        float(rate),
+        float(frames.shape[1]),
+        float(n),
+        float(n * 1000 // rate),
+        round(float(np.sqrt(np.mean(x * x))), 6),
+        float(np.max(np.abs(x))),
+        round(zcr, 6),
+    ]
+
+
+_FLAC_DECODE_ORACLE = """
+WITH params AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+    1 + doc_id % 2 AS channels,
+    120 + doc_id % 97 AS n,
+    doc_id % 97 AS seed
+  FROM documents),
+samples AS (
+  SELECT p.doc_id, p.sample_rate, p.channels, p.n,
+    ((p.seed * 31 + i.i * 7 + c.c * 12345) % 65536) - 32768 AS v
+  FROM params p,
+       unnest(generate_series(0, p.n - 1)) i(i),
+       unnest(generate_series(0, p.channels - 1)) c(c))
+SELECT doc_id,
+  CAST(any_value(sample_rate) AS INT) AS sample_rate,
+  CAST(any_value(channels) AS INT) AS channels,
+  CAST(any_value(n) AS BIGINT) AS n_samples,
+  CAST(SUM(v) AS BIGINT) AS sum_v,
+  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+  CAST(MIN(v) AS BIGINT) AS v_min,
+  CAST(MAX(v) AS BIGINT) AS v_max
+FROM samples GROUP BY doc_id
+"""
+
+
+@query("multimodal_flac_decode", _FLAC_DECODE_ORACLE, tag="llm-multimodal")
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAC round trip, ORACLE-PROVEN: each document synthesizes the
+    deterministic PCM pattern, compresses it through the REAL FLAC
+    encoder (FIXED predictors, Rice partitions, mid/side on stereo,
+    CRC-8/CRC-16), entropy-decodes it back, and emits integer-exact
+    statistics of the DECODED samples (count, sum, abs-sum, min, max)
+    plus the STREAMINFO fields re-parsed from the compressed bytes. The
+    DuckDB oracle computes the same statistics from the closed-form
+    sample pattern via ``generate_series`` — it never touches FLAC — so a
+    hash match proves the codec is lossless end-to-end on every row, not
+    just in pytest fixtures. Scale shape: per-row work in one
+    Arrow-batched ``mapInPandas`` over the scan, no shuffle."""
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dynamic_spark_spark.llmops.flac import decode_flac
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payload = flac_pcm_bytes(
+                    _WAV_RATES[d % 4], 1 + d % 2, 120 + d % 97, d % 97
+                )
+                rate, ch, _bits, n, _dur = parse_flac_header(payload)
+                dec = decode_flac(payload)
+                if dec is None or rate is None:
+                    # corrupt synthesis would hash-mismatch the oracle —
+                    # exactly what the gate is for; degrade, don't die
+                    rows.append((d, None, None, None, None, None, None, None))
+                    continue
+                v = dec.astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        rate,
+                        ch,
+                        n,
+                        int(v.sum()),
+                        int(np.abs(v).sum()),
+                        int(v.min()),
+                        int(v.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "channels",
+                    "n_samples",
+                    "sum_v",
+                    "sum_abs",
+                    "v_min",
+                    "v_max",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    return docs.mapInPandas(
+        synth_and_decode,
+        schema="doc_id long, sample_rate int, channels int, n_samples long,"
+        " sum_v long, sum_abs long, v_min long, v_max long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Real video-container metadata (ISO BMFF / MP4) — round-2 fourth wave
 # ---------------------------------------------------------------------------

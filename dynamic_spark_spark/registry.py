@@ -338,7 +338,7 @@ _PRIORITY = [
     # -- round-9 additions --
     "scan_warc_gzip", "scan_text_gzip",
     "chat_preference_pairs", "chat_rejection_sample",
-    "dedup_boilerplate_strip",
+    "dedup_boilerplate_strip", "multimodal_flac_decode",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

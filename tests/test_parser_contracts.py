@@ -178,6 +178,7 @@ def _corpus() -> dict[str, bytes]:
         "gif": M.gif_bytes(8, 6),
         "gif_anim": M.gif_animation_bytes(8, 6, 3),
         "gif_lzw": G.gif_rgb_bytes(8, 6, 2),
+        "flac_pcm": M.flac_pcm_bytes(8000, 2, 70, 3),
         "bmp": M.bmp_bytes(8, 6),
         "webp_vp8x": M.webp_bytes(8, 6, "VP8X"),
         "webp_vp8l": M.webp_bytes(8, 6, "VP8L"),
@@ -194,6 +195,7 @@ def _corpus() -> dict[str, bytes]:
 
 
 def _parsers():
+    from dynamic_spark_spark.llmops import flac as FL
     from dynamic_spark_spark.llmops import gif as G
     from dynamic_spark_spark.llmops import jpeg as J
     from dynamic_spark_spark.llmops import multimodal as M
@@ -220,6 +222,8 @@ def _parsers():
         "jpeg_color_pixel_features": M.jpeg_color_pixel_features,
         "decode_gif_pixels": G.decode_gif_pixels,
         "gif_pixel_features": M.gif_pixel_features,
+        "decode_flac": FL.decode_flac,
+        "flac_audio_features": M.flac_audio_features,
     }
 
 
