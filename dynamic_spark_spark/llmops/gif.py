@@ -107,37 +107,22 @@ def lzw_compress(indices, min_code_size: int) -> bytes:
 
 
 def lzw_decompress(data: bytes, min_code_size: int, max_pixels: int):
-    """GIF LZW decode of a de-sub-blocked code stream to palette indices,
-    or None on any malformation (bad code, truncation before enough
-    pixels). Output is hard-capped at ``max_pixels`` — the declared image
-    size — so a crafted stream cannot balloon the buffer; excess data
-    after the cap or after EOI is ignored (real encoders pad)."""
+    """GIF LZW decode of a de-sub-blocked code stream to palette indices
+    (``bytes``), or None on any malformation (bad code, truncation before
+    enough pixels). Output is hard-capped at ``max_pixels`` — the declared
+    image size — so a crafted stream cannot balloon the buffer; excess
+    data after the cap or after EOI is ignored (real encoders pad).
+    Table entries are materialized byte strings (the classic fast form):
+    per-code work is one concatenation, not a prefix-chain walk."""
     if min_code_size < 2 or min_code_size > 11:
         return None
     clear = 1 << min_code_size
     eoi = clear + 1
     code_size = min_code_size + 1
-    next_code = eoi + 1
-    # table: code -> (prefix_code|None, final_index); roots are implicit
-    table: dict[int, tuple[int | None, int]] = {}
-    out: list[int] = []
-    prev: int | None = None
-
-    def expand(code: int):
-        seq: list[int] = []
-        c: int | None = code
-        while c is not None:
-            if c < clear:
-                seq.append(c)
-                c = None
-            else:
-                entry = table.get(c)
-                if entry is None or len(seq) > max_pixels:
-                    return None
-                seq.append(entry[1])
-                c = entry[0]
-        seq.reverse()
-        return seq
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]  # clear/eoi pads
+    seqs = list(roots)
+    out = bytearray()
+    prev: bytes | None = None
 
     acc = 0
     nbits = 0
@@ -147,7 +132,7 @@ def lzw_decompress(data: bytes, min_code_size: int, max_pixels: int):
         while nbits < code_size:
             if pos >= n:
                 # stream exhausted without EOI: accept only a complete image
-                return out if len(out) >= max_pixels else None
+                return bytes(out) if len(out) >= max_pixels else None
             acc |= data[pos] << nbits
             pos += 1
             nbits += 8
@@ -155,9 +140,8 @@ def lzw_decompress(data: bytes, min_code_size: int, max_pixels: int):
         acc >>= code_size
         nbits -= code_size
         if code == clear:
-            table.clear()
+            del seqs[eoi + 1 :]
             code_size = min_code_size + 1
-            next_code = eoi + 1
             prev = None
             continue
         if code == eoi:
@@ -165,31 +149,26 @@ def lzw_decompress(data: bytes, min_code_size: int, max_pixels: int):
         if prev is None:
             if code >= clear:
                 return None  # first code after clear must be a root
-            out.append(code)
+            prev = seqs[code]
+            out += prev
         else:
-            if code < next_code:
-                seq = expand(code)
-                if seq is None:
+            if code < len(seqs):
+                if code in (clear, eoi):
                     return None
-                first = seq[0]
-            elif code == next_code:
-                pseq = expand(prev)
-                if pseq is None:
-                    return None
-                first = pseq[0]
-                seq = pseq + [first]
+                seq = seqs[code]
+            elif code == len(seqs):
+                seq = prev + prev[:1]
             else:
                 return None  # gap in the code space: corrupt stream
-            if next_code <= (1 << _MAX_CODE_SIZE) - 1:
-                table[next_code] = (prev, first)
-                next_code += 1
-                if next_code == (1 << code_size) and code_size < _MAX_CODE_SIZE:
+            if len(seqs) <= (1 << _MAX_CODE_SIZE) - 1:
+                seqs.append(prev + seq[:1])
+                if len(seqs) == (1 << code_size) and code_size < _MAX_CODE_SIZE:
                     code_size += 1
-            out.extend(seq)
+            out += seq
+            prev = seq
         if len(out) >= max_pixels:
-            return out[:max_pixels]
-        prev = code
-    return out if len(out) >= max_pixels else None
+            return bytes(out[:max_pixels])
+    return bytes(out) if len(out) >= max_pixels else None
 
 
 def _sub_blocks(stream: bytes) -> bytes:
@@ -378,20 +357,17 @@ def decode_gif_pixels(payload: bytes):
         indices = lzw_decompress(bytes(stream), mcs, width * height)
         if indices is None:
             return None
+        import numpy as np
+
         n_colors = len(ct) // 3
-        if any(v >= n_colors for v in indices):
+        idx = np.frombuffer(indices, dtype=np.uint8)
+        if int(idx.max(initial=0)) >= n_colors:
             return None  # index outside the palette: corrupt
-        rows = [
-            [
-                list(ct[indices[y * width + x] * 3 : indices[y * width + x] * 3 + 3])
-                for x in range(width)
-            ]
-            for y in range(height)
-        ]
+        palette = np.frombuffer(ct, dtype=np.uint8).reshape(n_colors, 3)
+        px = palette[idx].reshape(height, width, 3)
         if lpacked & 0x40:  # interlaced: rows arrived in 4-pass order
-            ordered = [None] * height
-            for src, dst in enumerate(_interlaced_order(height)):
-                ordered[dst] = rows[src]
-            rows = ordered
-        return rows
+            ordered = np.empty_like(px)
+            ordered[_interlaced_order(height)] = px
+            px = ordered
+        return px.astype(int).tolist()
     return None

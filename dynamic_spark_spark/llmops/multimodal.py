@@ -1817,6 +1817,145 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raster_stats_rows(pdf: "pd.DataFrame", synth_decode) -> list[tuple]:
+    """Shared stat extraction for the oracle-proven raster keys: decode
+    each doc's synthesized image and emit integer-exact channel sums plus
+    a position-weighted checksum (``Σ (y·w+x+1)·(r+2g+3b)``) — the term
+    that catches a decoder returning the right pixel MULTISET in the
+    wrong ORDER (e.g. a broken de-interlace)."""
+    import numpy as np
+
+    rows = []
+    for d in pdf["doc_id"]:
+        d = int(d)
+        px = synth_decode(d)
+        if px is None:
+            rows.append((d, None, None, None, None, None, None))
+            continue
+        arr = np.asarray(px, dtype=np.int64)
+        h, w = arr.shape[:2]
+        weights = np.arange(1, h * w + 1, dtype=np.int64)
+        mix = (arr[..., 0] + 2 * arr[..., 1] + 3 * arr[..., 2]).reshape(-1)
+        rows.append(
+            (
+                d,
+                w,
+                h,
+                int(arr[..., 0].sum()),
+                int(arr[..., 1].sum()),
+                int(arr[..., 2].sum()),
+                int(np.dot(weights, mix)),
+            )
+        )
+    return rows
+
+
+_RASTER_SCHEMA = (
+    "doc_id long, width int, height int,"
+    " sum_r long, sum_g long, sum_b long, pos_checksum long"
+)
+_RASTER_COLS = ["doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "pos_checksum"]
+
+
+def _raster_key(docs: DataFrame, synth_decode) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                _raster_stats_rows(pdf, synth_decode), columns=_RASTER_COLS
+            )
+
+    docs = docs.select("doc_id")
+    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    return docs.mapInPandas(run, schema=_RASTER_SCHEMA)
+
+
+_GIF_DECODE_ORACLE = """
+WITH params AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+         4 + doc_id % 13 AS n
+  FROM documents),
+px AS (
+  SELECT p.doc_id, p.w, p.h,
+    (x.x * 3 + y.y * 7 + p.doc_id) % p.n AS idx,
+    y.y * p.w + x.x + 1 AS pos
+  FROM params p,
+       unnest(generate_series(0, p.w - 1)) x(x),
+       unnest(generate_series(0, p.h - 1)) y(y)),
+rgb AS (
+  SELECT doc_id, w, h, pos,
+    (idx * 37 + doc_id * 11 + 5) % 256 AS r,
+    (idx * 59 + doc_id * 7 + 3) % 256 AS g,
+    (idx * 83 + doc_id * 3 + 1) % 256 AS b
+  FROM px)
+SELECT doc_id,
+  CAST(any_value(w) AS INT) AS width,
+  CAST(any_value(h) AS INT) AS height,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM(pos * (r + 2 * g + 3 * b)) AS BIGINT) AS pos_checksum
+FROM rgb GROUP BY doc_id
+"""
+
+
+@query("multimodal_gif_decode", _GIF_DECODE_ORACLE, tag="llm-multimodal")
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIF round trip, ORACLE-PROVEN: encode the closed-form palette
+    pattern through the REAL LZW encoder (interlaced on even doc_ids),
+    decode it back, and emit integer channel sums plus a
+    position-weighted checksum. The DuckDB oracle computes the same
+    numbers from the pattern arithmetic via ``generate_series`` — it
+    never touches GIF — so a hash match proves LZW + palette mapping +
+    DE-INTERLACING are lossless end-to-end on every row (the positional
+    term fails if rows come back in transmission order). Per-row
+    mapInPandas, no shuffle."""
+    from dynamic_spark_spark.llmops.gif import decode_gif_pixels, gif_rgb_bytes
+
+    def synth_decode(d: int):
+        return decode_gif_pixels(gif_rgb_bytes(8 + d % 9, 5 + d % 7, d))
+
+    return _raster_key(load_table(spark, sf_dir, "documents"), synth_decode)
+
+
+_PNG_DECODE_ORACLE = """
+WITH params AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents),
+px AS (
+  SELECT p.doc_id, p.w, p.h,
+    y.y * p.w + x.x + 1 AS pos,
+    (p.doc_id * 31 + y.y * 7 + x.x * 3) % 256 AS r,
+    (p.doc_id * 31 + y.y * 7 + x.x * 3 + 11) % 256 AS g,
+    (p.doc_id * 31 + y.y * 7 + x.x * 3 + 22) % 256 AS b
+  FROM params p,
+       unnest(generate_series(0, p.w - 1)) x(x),
+       unnest(generate_series(0, p.h - 1)) y(y))
+SELECT doc_id,
+  CAST(any_value(w) AS INT) AS width,
+  CAST(any_value(h) AS INT) AS height,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM(pos * (r + 2 * g + 3 * b)) AS BIGINT) AS pos_checksum
+FROM px GROUP BY doc_id
+"""
+
+
+@query("multimodal_png_decode", _PNG_DECODE_ORACLE, tag="llm-multimodal")
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG round trip, ORACLE-PROVEN the same way: the
+    :func:`png_pixel` pattern ((seed·31 + y·7 + x·3 + c·11) mod 256)
+    deflates through the real encoder (row filter y % 5 — all five PNG
+    filters in any image ≥ 5 rows tall), inflates + unfilters back, and
+    the integer stats must match DuckDB's closed-form arithmetic. This
+    upgrades the PNG decode claim from pytest-pinned to driver-hash-
+    proven. Per-row mapInPandas, no shuffle."""
+
+    def synth_decode(d: int):
+        return decode_png_rgb(png_rgb_bytes(8 + d % 9, 5 + d % 7, d))
+
+    return _raster_key(load_table(spark, sf_dir, "documents"), synth_decode)
+
+
 # ---------------------------------------------------------------------------
 # Real video-container metadata (ISO BMFF / MP4) — round-2 fourth wave
 # ---------------------------------------------------------------------------

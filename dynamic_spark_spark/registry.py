@@ -339,6 +339,7 @@ _PRIORITY = [
     "scan_warc_gzip", "scan_text_gzip",
     "chat_preference_pairs", "chat_rejection_sample",
     "dedup_boilerplate_strip", "multimodal_flac_decode",
+    "multimodal_gif_decode", "multimodal_png_decode",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -129,7 +129,7 @@ def test_lzw_stream_cannot_overrun_declared_size():
     """An LZW stream carrying more pixels than the descriptor declares is
     truncated at the declared count, not ballooned."""
     out = lzw_decompress(lzw_compress([1, 0] * 500, 2), 2, 10)
-    assert out == [1, 0] * 5
+    assert out == bytes([1, 0] * 5)
 
 
 def test_index_outside_palette_refused():
