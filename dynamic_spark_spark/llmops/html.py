@@ -168,7 +168,13 @@ FROM extracted
 def with_extraction(d: DataFrame) -> DataFrame:
     """The synthesize → extract projection over any (doc_id, text) frame —
     shared by the registered key and the adversarial unit tests."""
-    html = _page(F.col("doc_id"), F.col("text"))
+    return extract_from_html(d, _page(F.col("doc_id"), F.col("text")))
+
+
+def extract_from_html(d: DataFrame, html: Column) -> DataFrame:
+    """The extraction half alone, over any html column — also the last
+    stage of the crawl→WET composition key, where the page arrives out of
+    a gzip WARC member instead of in-plan synthesis."""
     no_blocks = F.regexp_replace(
         F.regexp_replace(html, _SCRIPT_RE, " "), _STYLE_RE, " "
     )
@@ -434,17 +440,23 @@ def _warc_record_py(typ: str, doc_id: int, body: str) -> str:
     )
 
 
-def warc_gzip_blob(doc_id: int, text: str) -> bytes:
+def warc_gzip_blob(doc_id: int, text: str, response_body: str | None = None) -> bytes:
     """One document's capture as concatenated PER-RECORD gzip members —
     the framing Common Crawl actually ships (ISO 28500 Annex D: each
     record its own gzip member, so readers can seek to a member boundary
     and inflate one record without touching the rest of the file).
-    ``mtime=0`` keeps the bytes deterministic across runs."""
+    ``mtime=0`` keeps the bytes deterministic across runs.
+    ``response_body`` overrides the HTTP response payload (the crawl→WET
+    key carries the synthesized HTML page there)."""
     import gzip
 
     bodies = [
         ("request", f"GET /d/{doc_id} HTTP/1.1\r\nHost: site.example"),
-        ("response", "HTTP/1.1 200 OK\r\n\r\n" + (text or "")),
+        (
+            "response",
+            "HTTP/1.1 200 OK\r\n\r\n"
+            + (response_body if response_body is not None else (text or "")),
+        ),
         ("metadata", f"fetchTimeMs: {doc_id % 1000}"),
     ]
     return b"".join(
@@ -573,3 +585,87 @@ def scan_warc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, warc_type string, target_uri string,"
         " declared_len long, payload_len long, length_ok boolean",
     )
+
+
+def _page_py(doc_id: int, text: str) -> str:
+    """Python twin of :func:`_page` (the Column synthesizer), needed by
+    the crawl→WET composition key whose page must exist worker-side
+    before it is WARC-framed and gzipped. Any drift between the twins
+    fails the shared extraction oracle, so the duplication is
+    driver-checked, not trusted."""
+    esc = (
+        (text or "")
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+    if doc_id % 3 == 0:
+        footer = ""
+    elif doc_id % 3 == 1:
+        footer = (
+            '<div class="footer"><a href="https://ads.example/click?id='
+            f'{doc_id}">sponsored link</a></div>'
+        )
+    else:
+        footer = (
+            '<div class="footer"><a href="https://cdn.example/r/'
+            f'{(doc_id * 7) % 100}">related item one</a> '
+            f'<a href="https://site.example/d/{doc_id % 50}">more reading</a></div>'
+        )
+    return (
+        f"<html><head><title>Doc {doc_id}</title>"
+        "<style>body{margin:0} .nav{color:#333}</style>"
+        f'<script type="text/javascript">var x={doc_id};'
+        'if(x>0){track("<p>")}</script></head><body>'
+        '<div class="nav"><a href="https://site.example/home">Home</a>'
+        ' <a href="https://site.example/about">About</a></div><p>'
+        f"{esc}</p>{footer}</body></html>"
+    )
+
+
+@query("pipeline_crawl_wet", _EXTRACT_ORACLE, tag="llm-text")
+def pipeline_crawl_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE crawl-to-WET pipeline as one key: each document's
+    synthesized HTML page is framed as the HTTP response of a gzip-member
+    WARC capture, then the reader walks members, inflates, parses the
+    record by Content-Length, peels the HTTP header off the response
+    payload — and the recovered page flows into the SAME codegen
+    extraction chain as ``text_html_extract``, under the SAME oracle.
+    A hash match therefore proves the entire composition is lossless:
+    page → WARC framing → gzip → member split → inflate → record parse →
+    HTTP split → boilerplate strip → entity decode → original text
+    recovered, per row. This is exactly the job that produces WET files
+    from Common Crawl WARCs. Scale shape: the ingest half is per-row
+    mapInPandas (one WARC file per task on a real cluster); the
+    extraction half stays whole-stage codegen; no shuffle anywhere."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ingest(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                page = _page_py(int(doc_id), text)
+                raw = warc_gzip_blob(int(doc_id), text, response_body=page)
+                html = None
+                for member in gzip_member_walk(raw):
+                    try:
+                        rec = member.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                    parsed = warc_walk(rec)
+                    if not parsed or parsed[0][0] != "response":
+                        continue
+                    hdr_end = rec.find("\r\n\r\n")
+                    payload = rec[hdr_end + 4 : -4]
+                    http_split = payload.split("\r\n\r\n", 1)
+                    if len(http_split) == 2 and http_split[0].startswith("HTTP/1.1 200"):
+                        html = http_split[1]
+                    break
+                rows.append((doc_id, text, html))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "html"])
+
+    recovered = d.mapInPandas(ingest, "doc_id long, text string, html string")
+    return extract_from_html(recovered, F.col("html"))

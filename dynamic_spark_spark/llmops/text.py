@@ -1085,3 +1085,57 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", seg_udf("text").alias("s")).select(
         "doc_id", F.col("s.n_symbols").alias("n_symbols"), F.col("s.bpe_md5").alias("bpe_md5")
     )
+
+
+_NFC_ORACLE = """
+WITH injected AS (
+  SELECT doc_id,
+         replace(coalesce(text, ''), 'e', 'e' || chr(769)) AS raw
+  FROM documents)
+SELECT doc_id,
+  nfc_normalize(raw) AS nfc_text,
+  CAST(length(raw) AS BIGINT) AS raw_len,
+  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS n_composed
+FROM injected
+"""
+
+
+@query("text_unicode_nfc", _NFC_ORACLE, tag="llm-text")
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step multilingual
+    corpora need before ANY exact or hash-keyed dedup (the same text in
+    composed vs decomposed form hashes differently; CCNet normalizes
+    first for exactly this reason). The corpus is ASCII, so a combining
+    acute accent (U+0301) is deterministically injected after every 'e'
+    on BOTH engines; Spark normalizes via ``unicodedata`` (the stdlib's
+    Unicode database) in an Arrow-batched mapInPandas, DuckDB via its
+    native ``nfc_normalize`` — two INDEPENDENT Unicode implementations
+    that must agree on the composed string, its codepoint length, and
+    the composition count, row by row. Per-row map work, no shuffle."""
+    import pandas as pd
+    import unicodedata
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def normalize(batches):
+        for pdf in batches:
+            raw = [
+                (t or "").replace("e", "e\u0301") for t in pdf["text"]
+            ]
+            nfc = [unicodedata.normalize("NFC", r) for r in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "nfc_text": nfc,
+                    "raw_len": [len(r) for r in raw],
+                    "nfc_len": [len(n) for n in nfc],
+                    "n_composed": [len(r) - len(n) for r, n in zip(raw, nfc)],
+                }
+            )
+
+    return d.mapInPandas(
+        normalize,
+        "doc_id long, nfc_text string, raw_len long, nfc_len long,"
+        " n_composed long",
+    )

@@ -340,6 +340,7 @@ _PRIORITY = [
     "chat_preference_pairs", "chat_rejection_sample",
     "dedup_boilerplate_strip", "multimodal_flac_decode",
     "multimodal_gif_decode", "multimodal_png_decode",
+    "pipeline_crawl_wet", "text_unicode_nfc",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in
