@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.embedding_ops",
     "dynamic_spark_spark.llmops.text",
     "dynamic_spark_spark.llmops.html",
+    "dynamic_spark_spark.llmops.containers",
     "dynamic_spark_spark.llmops.instruct",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
@@ -340,7 +341,7 @@ _PRIORITY = [
     "chat_preference_pairs", "chat_rejection_sample",
     "dedup_boilerplate_strip", "multimodal_flac_decode",
     "multimodal_gif_decode", "multimodal_png_decode",
-    "pipeline_crawl_wet", "text_unicode_nfc",
+    "pipeline_crawl_wet", "text_unicode_nfc", "scan_zip_members",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -532,3 +532,75 @@ def test_gzip_member_walk_bomb_capped():
     # and a stream that is bomb-then-good yields nothing after the refusal
     good = gzip.compress(b"after", mtime=0)
     assert gzip_member_walk(bomb + good, cap=1 << 20) == []
+
+
+# ---------------------------------------------------------------------------
+# ZIP central-directory walker (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_zip_member_walk_roundtrip():
+    from dynamic_spark_spark.llmops.containers import (
+        zip_archive_bytes,
+        zip_member_walk,
+    )
+
+    raw = zip_archive_bytes(7, "hello world of zip members")
+    members = zip_member_walk(raw)
+    assert [m[0] for m in members] == [
+        "doc_7/text.txt", "doc_7/meta.json", "doc_7/half.txt",
+    ]
+    assert [m[1] for m in members] == [0, 8, 8]  # stored, deflated, deflated
+    assert all(m[3] for m in members)  # every crc_ok
+    assert members[0][4] == b"hello world of zip members"
+    assert members[2][4] == b"hello world o"  # ceil-half of 26 chars = 13
+
+
+def test_zip_member_walk_degrades():
+    import time
+
+    from dynamic_spark_spark.llmops.containers import (
+        zip_archive_bytes,
+        zip_member_walk,
+    )
+
+    good = zip_archive_bytes(3, "some text payload")
+    assert zip_member_walk(b"") == []
+    assert zip_member_walk(None) == []
+    assert zip_member_walk(b"PK\x03\x04 not a real zip") == []
+    t0 = time.monotonic()
+    for cut in range(1, len(good), 7):
+        zip_member_walk(good[:cut])  # must not raise
+    for pos in range(0, len(good), 5):
+        mutated = bytearray(good)
+        mutated[pos] ^= 0xFF
+        zip_member_walk(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 5.0
+    # flipping a content byte must flip crc_ok for that member only
+    flipped = bytearray(good)
+    # the stored member's content starts after its 30-byte local header +
+    # name; locate it by searching for the stored payload
+    idx = good.find(b"some text payload")
+    flipped[idx] ^= 0xFF
+    members = zip_member_walk(bytes(flipped))
+    assert [m[0].endswith("text.txt") and not m[3] or m[3] for m in members]
+    assert not [m for m in members if m[0].endswith("text.txt")][0][3]
+    assert [m for m in members if m[0].endswith("meta.json")][0][3]
+
+
+def test_zip_member_bomb_capped():
+    """A DEFLATED member inflating past the cap is refused in O(cap)."""
+    import io
+    import time
+    import zipfile
+
+    from dynamic_spark_spark.llmops.containers import zip_member_walk
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("bomb.bin", b"\x00" * (64 << 20))
+        zf.writestr("ok.txt", "fine")
+    t0 = time.monotonic()
+    members = zip_member_walk(buf.getvalue(), cap=1 << 20)
+    assert time.monotonic() - t0 < 2.0
+    assert [m[0] for m in members] == ["ok.txt"]  # bomb skipped, rest kept
