@@ -1342,7 +1342,10 @@ def parse_wav_header(payload: bytes):
         elif tag == b"data" and block_align:
             n_samples = size // block_align
         i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-    if rate is None or n_samples is None:
+    # `not rate` (not `rate is None`): a fmt chunk DECLARING rate 0 is as
+    # malformed as a missing one, and 0 would divide the duration below
+    # (hypothesis-found, r9)
+    if not rate or n_samples is None:
         return nulls
     return (rate, channels, bits, n_samples, n_samples * 1000 // rate)
 
