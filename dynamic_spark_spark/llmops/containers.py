@@ -1,4 +1,4 @@
-"""ZIP container ingest — dataset archives, walked for real.
+"""ZIP and tar container ingest — dataset archives, walked for real.
 
 Training corpora are routinely distributed as ZIP archives (image sets,
 scraped-document dumps, per-shard bundles). This module implements the
@@ -16,7 +16,10 @@ allocation is bounded:
   members whose contents derive from ``documents.text``), walked by the
   real parser, hash-proven against a DuckDB oracle that computes the
   member inventory (names, methods, sizes, CRC validity) from closed
-  form without touching ZIP.
+  form without touching ZIP;
+- :func:`tar_member_walk` / :func:`scan_tar_members` — the ustar twin
+  (octal fields, spaces-substituted header checksum, 512-byte block
+  walk), the SEQUENTIAL framing that splits like WARC on a cluster.
 
 Reference basis: the reference engine's source surface is generic
 file-format plugins (docs/ScalaSparkCompute-sparkcompute.md:5-6 names
@@ -197,4 +200,131 @@ def scan_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         walk,
         "doc_id long, name string, method int, uncomp_len long, crc_ok boolean",
+    )
+
+
+# --- tar (ustar): the other archive framing datasets ship in ---------------
+
+#: member-size cap for the tar walker (same discipline as ZIP_MEMBER_CAP;
+#: tar sizes are DECLARED, so a lying header is refused before any slice).
+TAR_MEMBER_CAP = 4 << 20
+
+
+def tar_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
+    """Walk a ustar archive (POSIX.1-1988 layout, public): 512-byte
+    headers with octal size fields and a spaces-substituted checksum,
+    data in 512-byte blocks, terminated by two zero blocks. Returns
+    ``(name, size, typeflag, chksum_ok, content)`` per regular-file
+    member; never raises; stops at the first malformed header (degrade,
+    don't guess) and refuses declared sizes past the cap or the buffer."""
+    out = []
+    if not raw:
+        return out
+    pos = 0
+    n = len(raw)
+    while pos + 512 <= n:
+        hdr = raw[pos : pos + 512]
+        if hdr == b"\x00" * 512:  # end-of-archive marker
+            break
+        if hdr[257:262] != b"ustar":
+            break
+        try:
+            size = int(hdr[124:135].rstrip(b" \x00") or b"0", 8)
+            declared_sum = int(hdr[148:155].rstrip(b" \x00") or b"0", 8)
+        except ValueError:
+            break
+        if size < 0 or size > cap or pos + 512 + size > n:
+            break  # lying length: refuse the phantom member
+        actual_sum = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        name = hdr[:100].rstrip(b"\x00")
+        prefix = hdr[345:500].rstrip(b"\x00")
+        if prefix:
+            name = prefix + b"/" + name
+        try:
+            name_s = name.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        content = raw[pos + 512 : pos + 512 + size]
+        if typeflag in ("0", "\x00"):
+            out.append(
+                (name_s, size, typeflag, actual_sum == declared_sum, content)
+            )
+        pos += 512 + ((size + 511) // 512) * 512
+    return out
+
+
+def tar_archive_bytes(doc_id: int, text: str) -> bytes:
+    """The tar twin of :func:`zip_archive_bytes`: same three members,
+    fixed mtime, strict ustar format — deterministic bytes."""
+    import io
+    import tarfile
+
+    text = text or ""
+    half = text[: (len(text) + 1) // 2]
+    meta = f'{{"doc_id": {doc_id}, "n_chars": {len(text)}}}'
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in [
+            (f"doc_{doc_id}/text.txt", text),
+            (f"doc_{doc_id}/meta.json", meta),
+            (f"doc_{doc_id}/half.txt", half),
+        ]:
+            ti = tarfile.TarInfo(name)
+            payload = data.encode("utf-8")
+            ti.size = len(payload)
+            ti.mtime = 0
+            tf.addfile(ti, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+_TAR_ORACLE = """
+WITH members AS (
+  SELECT doc_id,
+    'doc_' || CAST(doc_id AS VARCHAR) || '/text.txt' AS name,
+    length(coalesce(text, '')) AS size
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+    'doc_' || CAST(doc_id AS VARCHAR) || '/meta.json',
+    length('{"doc_id": ' || CAST(doc_id AS VARCHAR) || ', "n_chars": '
+           || CAST(length(coalesce(text, '')) AS VARCHAR) || '}')
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+    'doc_' || CAST(doc_id AS VARCHAR) || '/half.txt',
+    CAST(floor((length(coalesce(text, '')) + 1) / 2) AS BIGINT)
+  FROM documents)
+SELECT doc_id, name, CAST(size AS BIGINT) AS size, TRUE AS chksum_ok
+FROM members
+"""
+
+
+@query("scan_tar_members", _TAR_ORACLE, tag="scan")
+def scan_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar-shard ingest, the sequential-framing twin of
+    ``scan_zip_members``: per-document ustar archives walked by the real
+    header parser (octal fields, spaces-substituted checksum verify,
+    512-block advance, lying-size refusal). The oracle asserts every
+    member's name, size, and checksum validity from closed form. Unlike
+    ZIP's index-at-end, tar streams — so on a real cluster it splits
+    like WARC (sequential member walk per file slice), which is why both
+    framings exist here. Per-row mapInPandas, no shuffle."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = tar_archive_bytes(int(doc_id), text)
+                for name, size, _tf, chksum_ok, _c in tar_member_walk(raw):
+                    rows.append((doc_id, name, size, chksum_ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "name", "size", "chksum_ok"]
+            )
+
+    return d.mapInPandas(
+        walk, "doc_id long, name string, size long, chksum_ok boolean"
     )

@@ -604,3 +604,62 @@ def test_zip_member_bomb_capped():
     members = zip_member_walk(buf.getvalue(), cap=1 << 20)
     assert time.monotonic() - t0 < 2.0
     assert [m[0] for m in members] == ["ok.txt"]  # bomb skipped, rest kept
+
+
+def test_tar_member_walk_roundtrip():
+    from dynamic_spark_spark.llmops.containers import (
+        tar_archive_bytes,
+        tar_member_walk,
+    )
+
+    raw = tar_archive_bytes(9, "tar member payload text")
+    members = tar_member_walk(raw)
+    assert [m[0] for m in members] == [
+        "doc_9/text.txt", "doc_9/meta.json", "doc_9/half.txt",
+    ]
+    assert all(m[3] for m in members)  # every checksum verifies
+    assert members[0][4] == b"tar member payload text"
+
+
+def test_tar_member_walk_degrades():
+    import time
+
+    from dynamic_spark_spark.llmops.containers import (
+        tar_archive_bytes,
+        tar_member_walk,
+    )
+
+    good = tar_archive_bytes(1, "short text")
+    assert tar_member_walk(b"") == []
+    assert tar_member_walk(None) == []
+    assert tar_member_walk(b"\x00" * 1024) == []
+    t0 = time.monotonic()
+    for cut in range(1, len(good), 97):
+        tar_member_walk(good[:cut])  # must not raise
+    for pos in range(0, len(good), 13):
+        mutated = bytearray(good)
+        mutated[pos] ^= 0xFF
+        tar_member_walk(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 5.0
+    # header-byte tweak inside a name (still valid UTF-8, so the walk
+    # proceeds) must flip that member's checksum bit
+    flipped = bytearray(good)
+    flipped[2] ^= 0x01  # first header, name byte: 'c' -> 'b'
+    members = tar_member_walk(bytes(flipped))
+    assert members and not members[0][3]
+
+
+def test_tar_lying_size_refused():
+    import struct
+    import time
+
+    from dynamic_spark_spark.llmops.containers import (
+        tar_archive_bytes,
+        tar_member_walk,
+    )
+
+    good = bytearray(tar_archive_bytes(2, "x" * 100))
+    good[124:135] = b"77777777777"  # first member claims 8 GiB
+    t0 = time.monotonic()
+    assert tar_member_walk(bytes(good)) == []
+    assert time.monotonic() - t0 < 0.5
