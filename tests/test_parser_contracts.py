@@ -663,3 +663,108 @@ def test_tar_lying_size_refused():
     t0 = time.monotonic()
     assert tar_member_walk(bytes(good)) == []
     assert time.monotonic() - t0 < 0.5
+
+
+@st.composite
+def zip_archives(draw):
+    """Random real archives (stdlib writer) with an optional mutation —
+    the walker must either parse or refuse, never raise."""
+    import io
+    import zipfile
+
+    n = draw(st.integers(0, 5))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(n):
+            name = draw(
+                st.text(
+                    st.characters(min_codepoint=48, max_codepoint=122), max_size=20
+                )
+            ) or f"m{i}"
+            data = draw(st.binary(max_size=200))
+            zi = zipfile.ZipInfo(f"{name}_{i}", date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = draw(
+                st.sampled_from([zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED])
+            )
+            zf.writestr(zi, data)
+    raw = bytearray(buf.getvalue())
+    if raw and draw(st.booleans()):
+        pos = draw(st.integers(0, len(raw) - 1))
+        raw[pos] ^= draw(st.integers(1, 255))
+    return bytes(raw)
+
+
+@settings(max_examples=120, deadline=None)
+@given(zip_archives())
+def test_zip_walker_survives_random_archives(raw):
+    from dynamic_spark_spark.llmops.containers import zip_member_walk
+
+    t0 = time.monotonic()
+    members = zip_member_walk(raw)
+    assert isinstance(members, list)
+    for name, method, ulen, crc_ok, content in members:
+        assert method in (0, 8)
+        # a member reported crc_ok must really carry matching content
+        if crc_ok:
+            assert len(content) == ulen
+    assert time.monotonic() - t0 < 2.0
+
+
+@st.composite
+def tar_archives(draw):
+    import io
+    import tarfile
+
+    n = draw(st.integers(0, 5))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for i in range(n):
+            data = draw(st.binary(max_size=600))
+            ti = tarfile.TarInfo(f"member_{i}")
+            ti.size = len(data)
+            ti.mtime = 0
+            tf.addfile(ti, io.BytesIO(data))
+    raw = bytearray(buf.getvalue())
+    if raw and draw(st.booleans()):
+        pos = draw(st.integers(0, len(raw) - 1))
+        raw[pos] ^= draw(st.integers(1, 255))
+    return bytes(raw)
+
+
+@settings(max_examples=120, deadline=None)
+@given(tar_archives())
+def test_tar_walker_survives_random_archives(raw):
+    from dynamic_spark_spark.llmops.containers import tar_member_walk
+
+    t0 = time.monotonic()
+    members = tar_member_walk(raw)
+    assert isinstance(members, list)
+    for name, size, typeflag, chksum_ok, content in members:
+        assert len(content) == size
+    assert time.monotonic() - t0 < 2.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 400),
+    st.integers(1, 2),
+    st.integers(0, 3),
+    st.integers(16, 256),
+    st.booleans(),
+    st.integers(0, 10_000),
+)
+def test_flac_random_roundtrip(n, channels, po, bs, mid_side, seed):
+    """Random signals x random frame geometry: encode/decode must be the
+    identity (the audio analog of the GIF property sweep)."""
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, (n, channels), dtype=np.int64)
+    payload = encode_flac(
+        samples, 8000, block_size=bs, partition_order=po,
+        mid_side=(mid_side and channels == 2),
+    )
+    dec = decode_flac(payload)
+    assert dec is not None and np.array_equal(dec, samples)
