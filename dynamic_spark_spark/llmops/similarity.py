@@ -1106,3 +1106,193 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+# --- product quantization (r9): the memory-bounded ANN tier -----------------
+
+#: PQ geometry: M subspaces x K codewords. 64-dim vectors -> 8-dim
+#: subvectors; codes are M bytes per vector (32:1 compression of a float64
+#: view) — the property that lets a 100-TB embedding corpus fit scannable.
+PQ_M = 8
+PQ_K = 16
+#: ADC shortlist size fed to the exact re-rank (the production ADC-then-
+#: rerank pattern; the shortlist bound is what keeps re-rank cost flat).
+PQ_SHORTLIST = 50
+
+
+def _pq_codebooks(e: DataFrame):
+    """Train per-subspace codebooks distributed (IVF's pattern: seed
+    deterministically, one Lloyd step via DataFrame aggregation, collect
+    only the MODEL — PQ_M x PQ_K x subdim floats, ~4 KB — never rows).
+    Returns the codebook as a numpy array shaped (M, K, subdim)."""
+    sub_dim = None  # derived from the first seed row below
+
+    train = e.where(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+    subs = train.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(
+                    "embedding",
+                    m * (F.size("embedding") / PQ_M).cast("int") + 1,
+                    (F.size("embedding") / PQ_M).cast("int"),
+                ),
+            )
+        ).alias("m", "sub"),
+    )
+    w = Window.partitionBy("m").orderBy(F.xxhash64("vec_id"), "vec_id")
+    seeds = (
+        subs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_K)
+        .select("m", (F.col("rn") - 1).alias("code"), F.col("sub"))
+    )
+    seed_rows = seeds.collect()  # model-sized: M*K rows
+    sub_dim = len(seed_rows[0]["sub"])
+    cb0 = np.zeros((PQ_M, PQ_K, sub_dim))
+    for r in seed_rows:
+        cb0[r["m"], r["code"]] = r["sub"]
+    bc0 = e.sparkSession.sparkContext.broadcast(cb0)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest_code(m: pd.Series, sub: pd.Series) -> pd.Series:
+        cb = bc0.value
+        out = np.empty(len(m), dtype=np.int32)
+        for mv in np.unique(m.to_numpy()):
+            mask = m.to_numpy() == mv
+            x = np.stack(sub[mask].to_numpy())
+            d = ((x[:, None, :] - cb[mv][None, :, :]) ** 2).sum(axis=2)
+            out[mask] = np.argmin(d, axis=1)
+        return pd.Series(out)
+
+    refined_rows = (
+        subs.withColumn("code", nearest_code("m", "sub"))
+        .select("m", "code", F.posexplode("sub").alias("pos", "v"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("m", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+        .select("m", "code", F.transform("pm", lambda s: s["mv"]).alias("c_sub"))
+        .collect()  # model-sized again
+    )
+    cb = cb0.copy()  # empty cells keep their seed (standard k-means practice)
+    for r in refined_rows:
+        cb[r["m"], r["code"]] = r["c_sub"]
+    return cb
+
+
+@query("sim_topk_pq", tag="llm-similarity")  # rows-only: ANN recall is probabilistic
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public) — the
+    MEMORY-bounded tier complementing IVF's compute-bounded one: corpus
+    vectors are L2-normalized and encoded to PQ_M one-byte codes against
+    per-subspace codebooks, queries score the ENTIRE corpus through an
+    asymmetric-distance lookup table (one gather-add per subspace — no
+    dot products in the scan), and the ADC shortlist is re-ranked with
+    exact cosines before the final top-k. This is how a 100-TB embedding
+    corpus becomes scannable: codes are 32× smaller than the float64
+    view, the LUT tensor is queries×M×K (broadcast once), and the scan is
+    a map-only pass emitting per-partition partial top-lists — the only
+    shuffles are the two bounded top-k exchanges and the model-sized
+    k-means aggregates. Driver traffic is the MODEL and the query set
+    only (IVF's documented convention). Recall is graded in pytest
+    against the exact brute-force ground truth; determinism comes from
+    hash-seeded k-means, not RNG."""
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(e)
+    bc = spark.sparkContext.broadcast(cb)
+    sub_dim = cb.shape[2]
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        cbv = bc.value
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        mat = mat / nrm
+        codes = np.empty((len(mat), PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            x = mat[:, m * sub_dim : (m + 1) * sub_dim]
+            d = ((x[:, None, :] - cbv[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    coded = e.select("vec_id", "embedding", encode("embedding").alias("codes"))
+
+    # query LUTs: nq x M x K inner products against NORMALIZED queries —
+    # query-set-sized driver traffic, broadcast once (the small side)
+    q_rows = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_nrm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_nrm[q_nrm == 0.0] = 1.0
+    q_mat = q_mat / q_nrm
+    lut = np.empty((len(q_ids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lut[:, m, :] = q_mat[:, m * sub_dim : (m + 1) * sub_dim] @ cb[m].T
+    bq = spark.sparkContext.broadcast((q_ids, lut))
+
+    def adc_scan(batches):
+        """Per-batch ADC: gather-add LUT entries by code, keep each
+        query's local top-PQ_SHORTLIST — partial top-k, so the exchange
+        carries nq×shortlist rows per partition, never the corpus."""
+        for pdf in batches:
+            ids, lutv = bq.value
+            codes = np.stack(pdf["codes"].to_numpy())
+            vec_ids = pdf["vec_id"].to_numpy()
+            scores = np.zeros((len(ids), len(codes)))
+            for m in range(PQ_M):
+                scores += lutv[:, m, :][:, codes[:, m]]
+            k = min(PQ_SHORTLIST, scores.shape[1])
+            rows = []
+            for qi in range(len(ids)):
+                top = np.argpartition(-scores[qi], k - 1)[:k]
+                for j in top:
+                    rows.append((int(ids[qi]), int(vec_ids[j]), float(scores[qi, j])))
+            yield pd.DataFrame(rows, columns=["q_id", "vec_id", "adc"])
+
+    partial = coded.select("vec_id", "codes").mapInPandas(
+        adc_scan, "q_id long, vec_id long, adc double"
+    )
+    w_short = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), "vec_id")
+    shortlist = (
+        partial.withColumn("rn", F.row_number().over(w_short))
+        .where((F.col("rn") <= PQ_SHORTLIST) & (F.col("q_id") != F.col("vec_id")))
+        .select("q_id", "vec_id")
+    )
+
+    # exact re-rank of the shortlist (the ADC score is a rank proxy, not
+    # the reported number — production PQ always re-ranks)
+    vec_norm = _batched_vec_norm()
+    pair_cos = _batched_pair_cos()
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        shortlist.join(F.broadcast(q), "q_id")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .withColumn("q_nrm", vec_norm("q_emb"))
+        .withColumn("nrm", vec_norm("embedding"))
+        .select(
+            "q_id",
+            "vec_id",
+            pair_cos(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -76,8 +76,12 @@ def test_ann_recall_floor(spark, sf_dir):
     exact = {(r.q_id, r.vec_id) for r in qs["sim_topk"](spark, sf_dir).collect()}
     ivf = {(r.q_id, r.vec_id) for r in qs["sim_topk_ivf"](spark, sf_dir).collect()}
     lsh = {(r.q_id, r.vec_id) for r in qs["sim_topk_lsh"](spark, sf_dir).collect()}
+    pq = {(r.q_id, r.vec_id) for r in qs["sim_topk_pq"](spark, sf_dir).collect()}
     assert len(exact & ivf) / len(exact) >= 0.40
     assert len(exact & lsh) / len(exact) >= 0.60
+    # PQ (r9): measured 0.56 at sf0.001 / 0.68 at sf0.01 with the
+    # 50-candidate ADC shortlist; deterministic (hash-seeded k-means)
+    assert len(exact & pq) / len(exact) >= 0.48
 
 
 def test_lsh_batched_buckets_match_jvm_path(spark, sf_dir):
