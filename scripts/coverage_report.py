@@ -47,6 +47,10 @@ ROWS_ONLY_VERDICTS: dict[str, str] = {
     "assignment is engine-float-iteration-dependent. Recall vs exact "
     "top-k (oracle-checked sim_topk) is the meaningful check and is "
     "pytest-pinned.",
+    "sim_topk_pq": "PQ codebooks come from the same hash-seeded k-means "
+    "family (r9); ADC ranks are quantization-dependent. Recall vs exact "
+    "top-k (oracle-checked sim_topk) is the meaningful check and is "
+    "pytest-pinned at 0.48 alongside the IVF/LSH floors.",
     "dedup_semantic": "cell seeds are engine-hash-picked and refinement is "
     "float-iterative; per-vector drop verdicts pinned in pytest (every "
     "drop names an earlier >=tau neighbor).",
