@@ -228,32 +228,119 @@ def _write_residual(bw: _BitWriter, resid: np.ndarray, block_size: int, order: i
             bw.write(u, param)
 
 
-def _encode_subframe(bw: _BitWriter, x: np.ndarray, bits: int, partition_order: int) -> None:
-    """CONSTANT when the channel is flat, else the best FIXED order."""
+#: LPC quantization precision the encoder emits (decoder handles 1–15).
+_LPC_PRECISION = 12
+
+
+def _lpc_analyze(x: np.ndarray, order: int):
+    """Autocorrelation + Levinson-Durbin + coefficient quantization —
+    the standard LPC analysis (RFC 9639 §A; textbook DSP, public).
+    Returns (quantized_coefs, shift) or None when the signal is too
+    short/degenerate for a stable predictor."""
+    if len(x) <= order * 2:
+        return None
+    xf = x.astype(np.float64)
+    autoc = np.array(
+        [np.dot(xf[: len(xf) - lag], xf[lag:]) for lag in range(order + 1)]
+    )
+    if autoc[0] == 0.0:
+        return None
+    err = autoc[0]
+    lpc = np.zeros(order)
+    for i in range(order):
+        acc = autoc[i + 1] - np.dot(lpc[:i], autoc[i:0:-1])
+        k = acc / err
+        lpc[: i + 1] = np.concatenate([lpc[:i] - k * lpc[:i][::-1], [k]])
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            return None
+    cmax = np.max(np.abs(lpc))
+    if cmax == 0.0 or not np.isfinite(cmax):
+        return None
+    # largest shift keeping every quantized coefficient in signed range
+    shift = _LPC_PRECISION - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
+    shift = max(0, min(15, shift))
+    qmax = (1 << (_LPC_PRECISION - 1)) - 1
+    q = np.clip(np.round(lpc * (1 << shift)), -qmax - 1, qmax).astype(np.int64)
+    if not np.any(q):
+        return None
+    return q, shift
+
+
+def _lpc_residual(x: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    """Integer LPC residual with the decoder's exact arithmetic
+    (sum(coef·history) >> shift, arithmetic shift)."""
+    order = len(q)
+    xi = x.astype(np.int64)
+    # history matrix: column j holds x[i-1-j] for each predicted i
+    hist = np.stack([xi[order - 1 - j : len(xi) - 1 - j] for j in range(order)])
+    pred = (q @ hist) >> shift
+    return xi[order:] - pred
+
+
+def _encode_subframe(
+    bw: _BitWriter,
+    x: np.ndarray,
+    bits: int,
+    partition_order: int,
+    lpc_order: int = 0,
+) -> None:
+    """CONSTANT when the channel is flat, else the cheaper of the best
+    FIXED order and (when ``lpc_order`` > 0) a real LPC predictor."""
     if np.all(x == x[0]):
         bw.write(0, 1)  # pad
         bw.write(0, 6)  # type: CONSTANT
         bw.write(0, 1)  # no wasted bits
         bw.write_signed(int(x[0]), bits)
         return
+    def rice_bits(resid: np.ndarray) -> int:
+        return _rice_cost(resid, _best_rice_param(resid)) if len(resid) else 0
+
     best_order, best_cost = 0, None
     for order in range(min(5, len(x))):
         r = _fixed_residual(x, order)
-        cost = int(np.sum(np.abs(r))) if len(r) else 0
+        # full subframe cost: warmup samples + Rice-coded residual
+        cost = order * bits + rice_bits(r)
         if best_cost is None or cost < best_cost:
             best_order, best_cost = order, cost
-    order = best_order
-    resid = _fixed_residual(x, order)
-    bw.write(0, 1)
-    bw.write(0b001000 | order, 6)  # type: FIXED, order
-    bw.write(0, 1)  # no wasted bits
-    for v in x[:order]:
-        bw.write_signed(int(v), bits)
+
+    lpc_plan = None
+    if lpc_order > 0:
+        analyzed = _lpc_analyze(x, lpc_order)
+        if analyzed is not None:
+            q, shift = analyzed
+            lresid = _lpc_residual(x, q, shift)
+            # charge LPC its FULL cost — warmup, precision+shift fields,
+            # quantized coefficients — so it only wins when the encoded
+            # subframe is smaller, not just the residual
+            lpc_cost = len(q) * bits + 9 + len(q) * _LPC_PRECISION + rice_bits(lresid)
+            if lpc_cost < best_cost:
+                lpc_plan = (q, shift, lresid)
+
+    order = len(lpc_plan[0]) if lpc_plan else best_order
     # partition order must divide the block and leave the first partition
     # at least `order` samples
     po = partition_order
     while po and ((len(x) % (1 << po)) or (len(x) >> po) <= order):
         po -= 1
+
+    bw.write(0, 1)
+    if lpc_plan:
+        q, shift, resid = lpc_plan
+        bw.write(0b100000 | (order - 1), 6)  # type: LPC, order
+        bw.write(0, 1)  # no wasted bits
+        for v in x[:order]:
+            bw.write_signed(int(v), bits)
+        bw.write(_LPC_PRECISION - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in q:
+            bw.write_signed(int(c), _LPC_PRECISION)
+    else:
+        resid = _fixed_residual(x, order)
+        bw.write(0b001000 | order, 6)  # type: FIXED, order
+        bw.write(0, 1)  # no wasted bits
+        for v in x[:order]:
+            bw.write_signed(int(v), bits)
     _write_residual(bw, resid, len(x), order, po)
 
 
@@ -264,12 +351,16 @@ def encode_flac(
     block_size: int = 256,
     partition_order: int = 0,
     mid_side: bool = False,
+    lpc_order: int = 0,
 ) -> bytes:
     """COMPLETE FLAC encode of an ``(n_samples, channels)`` int array:
     fLaC magic, STREAMINFO (real PCM MD5), fixed-blocksize frames with
     CONSTANT/FIXED subframes and Rice partitions. ``mid_side=True`` uses
     mid/side decorrelation on stereo input (the side channel carries
-    ``bits+1`` sample size per spec)."""
+    ``bits+1`` sample size per spec). ``lpc_order`` > 0 additionally runs
+    real LPC analysis (autocorrelation + Levinson-Durbin + coefficient
+    quantization) per subframe and emits the LPC form when its residual
+    beats every FIXED order."""
     samples = np.asarray(samples, dtype=np.int64)
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -319,11 +410,11 @@ def encode_flac(
             right = blk[:, 1]
             mid = (left + right) >> 1
             side = left - right
-            _encode_subframe(body, mid, bits, partition_order)
-            _encode_subframe(body, side, bits + 1, partition_order)
+            _encode_subframe(body, mid, bits, partition_order, lpc_order)
+            _encode_subframe(body, side, bits + 1, partition_order, lpc_order)
         else:
             for c in range(channels):
-                _encode_subframe(body, blk[:, c], bits, partition_order)
+                _encode_subframe(body, blk[:, c], bits, partition_order, lpc_order)
         body.align()
         frame = hdr + body.bytes()
         frame += struct.pack(">H", _crc16(frame))

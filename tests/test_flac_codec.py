@@ -274,3 +274,31 @@ def test_flac_audio_features_matches_wav_tier():
         assert wf is not None and ff is not None
         assert wf == ff
     assert flac_audio_features(b"not flac") is None
+
+
+def test_lpc_encoder_roundtrip_and_wins_on_tonal():
+    """Real LPC analysis (autocorr + Levinson + quantization): on tonal
+    signals the LPC subframe must round-trip exactly, actually be CHOSEN
+    (stream differs from the FIXED-only encode), and never produce a
+    larger stream than FIXED-only (the cost model charges LPC its full
+    header+warmup overhead)."""
+    rng = np.random.default_rng(11)
+    t = np.arange(1500)
+    base = (9000 * np.sin(t / 8) + 2500 * np.sin(t / 31)).astype(np.int64)
+    samples = np.clip(base + rng.integers(-40, 40, len(t)), -32768, 32767)[:, None]
+    plain = encode_flac(samples, 44100, block_size=256)
+    lp = encode_flac(samples, 44100, block_size=256, lpc_order=8)
+    assert lp != plain and len(lp) < len(plain)  # LPC chosen and smaller
+    dec = decode_flac(lp)
+    assert dec is not None and np.array_equal(dec, samples)
+
+
+def test_lpc_encoder_never_worse_on_noise():
+    """On incompressible noise the analysis must fall back to FIXED —
+    byte-identical output, still exact."""
+    rng = np.random.default_rng(12)
+    samples = rng.integers(-32768, 32768, (800, 2), dtype=np.int64)
+    plain = encode_flac(samples, 44100, block_size=128, mid_side=True)
+    lp = encode_flac(samples, 44100, block_size=128, mid_side=True, lpc_order=8)
+    assert len(lp) <= len(plain)
+    assert np.array_equal(decode_flac(lp), samples)
