@@ -328,3 +328,61 @@ def scan_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         walk, "doc_id long, name string, size long, chksum_ok boolean"
     )
+
+
+def tgz_archive_bytes(doc_id: int, text: str) -> bytes:
+    """``.tar.gz``: the tar archive as ONE gzip stream (unlike WARC's
+    per-record members — a .tgz cannot be split without inflating from
+    the start, which is exactly the scale caveat the key documents)."""
+    import gzip
+
+    return gzip.compress(tar_archive_bytes(doc_id, text), mtime=0)
+
+
+def tgz_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
+    """Inflate the single gzip stream (bomb-capped at 64x the tar cap —
+    an archive of capped members can still be legitimately larger than
+    one member) and walk the tar inside. Never raises."""
+    import zlib
+
+    if not raw or raw[:2] != b"\x1f\x8b":
+        return []
+    d = zlib.decompressobj(wbits=31)
+    stream_cap = cap * 64
+    try:
+        data = d.decompress(raw, stream_cap + 1)
+    except zlib.error:
+        return []
+    if len(data) > stream_cap or not d.eof:
+        return []  # bomb or truncated stream: refuse
+    return tar_member_walk(data, cap)
+
+
+@query("scan_tgz_members", _TAR_ORACLE, tag="scan")
+def scan_tgz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.tar.gz`` ingest — the composition of the gzip inflate (bounded,
+    single-stream) and the checksum-verified ustar walk, under the SAME
+    oracle as the plain tar key: a hash match proves compress → inflate →
+    header walk lossless per member. The documented scale caveat is the
+    key's point: a .tgz is ONE deflate stream, so the parallelism unit is
+    the ARCHIVE (one file per task), unlike gzip-member WARC where tasks
+    can start at member boundaries — the reason crawl corpora frame
+    per-record and dataset bundles ship many shards."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = tgz_archive_bytes(int(doc_id), text)
+                for name, size, _tf, chksum_ok, _c in tgz_member_walk(raw):
+                    rows.append((doc_id, name, size, chksum_ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "name", "size", "chksum_ok"]
+            )
+
+    return d.mapInPandas(
+        walk, "doc_id long, name string, size long, chksum_ok boolean"
+    )

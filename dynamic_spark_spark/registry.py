@@ -342,7 +342,7 @@ _PRIORITY = [
     "dedup_boilerplate_strip", "multimodal_flac_decode",
     "multimodal_gif_decode", "multimodal_png_decode",
     "pipeline_crawl_wet", "text_unicode_nfc", "scan_zip_members",
-    "scan_tar_members", "sim_topk_pq",
+    "scan_tar_members", "sim_topk_pq", "scan_tgz_members",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -768,3 +768,30 @@ def test_flac_random_roundtrip(n, channels, po, bs, mid_side, seed):
     )
     dec = decode_flac(payload)
     assert dec is not None and np.array_equal(dec, samples)
+
+
+def test_tgz_member_walk_contract():
+    import gzip
+    import time
+
+    from dynamic_spark_spark.llmops.containers import (
+        tar_archive_bytes,
+        tgz_archive_bytes,
+        tgz_member_walk,
+    )
+
+    raw = tgz_archive_bytes(4, "tgz payload text here")
+    members = tgz_member_walk(raw)
+    assert [m[0] for m in members] == [
+        "doc_4/text.txt", "doc_4/meta.json", "doc_4/half.txt",
+    ]
+    assert all(m[3] for m in members)
+    assert tgz_member_walk(b"") == []
+    assert tgz_member_walk(None) == []
+    assert tgz_member_walk(tar_archive_bytes(4, "not gzipped")) == []
+    assert tgz_member_walk(raw[: len(raw) // 2]) == []  # truncated stream
+    # a gzip stream inflating past the bound is refused in O(cap)
+    bomb = gzip.compress(b"\x00" * (600 << 20), mtime=0)
+    t0 = time.monotonic()
+    assert tgz_member_walk(bomb, cap=1 << 20) == []
+    assert time.monotonic() - t0 < 3.0
