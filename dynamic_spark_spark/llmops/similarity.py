@@ -1111,8 +1111,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- product quantization (r9): the memory-bounded ANN tier -----------------
 
 #: PQ geometry: M subspaces x K codewords. 64-dim vectors -> 8-dim
-#: subvectors; codes are M bytes per vector (32:1 compression of a float64
-#: view) — the property that lets a 100-TB embedding corpus fit scannable.
+#: subvectors; codes are M bytes per vector (64:1 compression of the
+#: 64-dim float64 view) — the property that lets a 100-TB embedding corpus fit scannable.
 PQ_M = 8
 PQ_K = 16
 #: ADC shortlist size fed to the exact re-rank (the production ADC-then-
@@ -1192,8 +1192,8 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric-distance lookup table (one gather-add per subspace — no
     dot products in the scan), and the ADC shortlist is re-ranked with
     exact cosines before the final top-k. This is how a 100-TB embedding
-    corpus becomes scannable: codes are 32× smaller than the float64
-    view, the LUT tensor is queries×M×K (broadcast once), and the scan is
+    corpus becomes scannable: codes are 64× smaller than the float64
+    view (one byte per subspace vs eight 8-byte dims), the LUT tensor is queries×M×K (broadcast once), and the scan is
     a map-only pass emitting per-partition partial top-lists — the only
     shuffles are the two bounded top-k exchanges and the model-sized
     k-means aggregates. Driver traffic is the MODEL and the query set
