@@ -669,3 +669,76 @@ def pipeline_crawl_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     recovered = d.mapInPandas(ingest, "doc_id long, text string, html string")
     return extract_from_html(recovered, F.col("html"))
+
+
+@query("stream_warc_ingest", _WARC_ORACLE, tag="streaming")
+def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest as a REAL stream — the shape of continuous crawl
+    intake: captures land as text files (one blob per line, staged from
+    the same synthesis as the batch keys), an availableNow file stream
+    picks them up, and the length-driven :func:`warc_walk` parses records
+    INSIDE the stream (mapInPandas on the streaming frame) into an
+    append-mode memory sink. Document identity is recovered from the
+    record's own Target-URI — the honest ingest posture, where nothing
+    outside the bytes identifies the capture. Same oracle as the batch
+    WARC keys, so the driver hash-proves the streamed parse against SQL.
+    Scale shape: stateless stream transform (no state store, no
+    watermark), so the drain width is the file parallelism; on a real
+    cluster this is the continuously-arriving-segment layout."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from dynamic_spark_spark.streaming.core import drain_parallelism, file_stream
+
+    d = load_table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="dss_warcstream_src_")
+    ckpt = tempfile.mkdtemp(prefix="dss_warcstream_ckpt_")
+    name = "dss_warc_ingest"
+    try:
+        staged = d.select(_warc_blob().alias("value"))
+        staged.write.mode("overwrite").parquet(src)
+
+        def parse(batches):
+            for pdf in batches:
+                rows = []
+                for blob in pdf["value"]:
+                    for typ, uri, dec, plen, ok in warc_walk(blob):
+                        rows.append((typ, uri, dec, plen, ok))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "warc_type",
+                        "target_uri",
+                        "declared_len",
+                        "payload_len",
+                        "length_ok",
+                    ],
+                )
+
+        stream = file_stream(spark, src, staged.schema)
+        parsed = stream.mapInPandas(
+            parse,
+            "warc_type string, target_uri string, declared_len long,"
+            " payload_len long, length_ok boolean",
+        )
+        with drain_parallelism(spark, src=src):
+            q = (
+                parsed.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
+        return spark.sql(
+            f"SELECT CAST(regexp_extract(target_uri, '/d/([0-9]+)$', 1) AS BIGINT)"
+            f" AS doc_id, warc_type, target_uri, declared_len, payload_len,"
+            f" length_ok FROM {name}"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
