@@ -1820,6 +1820,67 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_wav_decode", _FLAC_DECODE_ORACLE, tag="llm-multimodal")
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV twin of ``multimodal_flac_decode`` — SAME closed-form
+    oracle, because both containers carry the same deterministic PCM
+    pattern: the uncompressed RIFF path (:func:`wav_pcm_bytes` →
+    :func:`decode_wav_pcm`) must produce byte-identical sample statistics
+    to what DuckDB computes from arithmetic. Together the two keys prove
+    container-invariance driver-side: compressed and uncompressed audio
+    decode to the same signal. Per-row mapInPandas, no shuffle."""
+
+    def synth_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payload = wav_pcm_bytes(
+                    _WAV_RATES[d % 4], 1 + d % 2, 120 + d % 97, d % 97
+                )
+                rate, ch, _bits, n, _dur = parse_wav_header(payload)
+                dec = decode_wav_pcm(payload)
+                if dec is None or not rate:
+                    rows.append((d, None, None, None, None, None, None, None))
+                    continue
+                v = dec.astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        rate,
+                        ch,
+                        n,
+                        int(v.sum()),
+                        int(np.abs(v).sum()),
+                        int(v.min()),
+                        int(v.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "channels",
+                    "n_samples",
+                    "sum_v",
+                    "sum_abs",
+                    "v_min",
+                    "v_max",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    return docs.mapInPandas(
+        synth_and_decode,
+        schema="doc_id long, sample_rate int, channels int, n_samples long,"
+        " sum_v long, sum_abs long, v_min long, v_max long",
+    )
+
+
 def _raster_stats_rows(pdf: "pd.DataFrame", synth_decode) -> list[tuple]:
     """Shared stat extraction for the oracle-proven raster keys: decode
     each doc's synthesized image and emit integer-exact channel sums plus

@@ -343,7 +343,7 @@ _PRIORITY = [
     "multimodal_gif_decode", "multimodal_png_decode",
     "pipeline_crawl_wet", "text_unicode_nfc", "scan_zip_members",
     "scan_tar_members", "sim_topk_pq", "scan_tgz_members",
-    "stream_warc_ingest",
+    "stream_warc_ingest", "multimodal_wav_decode",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in
