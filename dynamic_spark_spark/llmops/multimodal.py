@@ -494,6 +494,80 @@ def bmp_bytes(width: int, height: int) -> bytes:
     return header + info
 
 
+def encode_bmp_rgb(rows, top_down: bool = False) -> bytes:
+    """COMPLETE real 24-bpp BMP encode of a ``height×width×3`` nested RGB
+    list: BITMAPFILEHEADER + BITMAPINFOHEADER, BGR byte order, rows padded
+    to 4 bytes, bottom-up by default (``top_down=True`` writes the
+    negative-height top-down form)."""
+    import struct
+
+    height = len(rows)
+    width = len(rows[0]) if height else 0
+    pad = (-(width * 3)) % 4
+    body = bytearray()
+    order = rows if top_down else rows[::-1]
+    for row in order:
+        for r, g, b in row:
+            body += bytes((b, g, r))
+        body += bytes(pad)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        24,
+        0,
+        len(body),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    header = b"BM" + struct.pack("<IHHI", 14 + len(info) + len(body), 0, 0, 14 + len(info))
+    return header + info + bytes(body)
+
+
+def decode_bmp_rgb(payload: bytes):
+    """REAL BMP pixel decode (24-bpp BITMAPINFOHEADER, the form that
+    dominates real .bmp files): parse both headers, honor bottom-up AND
+    top-down row order, strip the 4-byte row padding, convert BGR→RGB.
+    Returns ``height×width×3`` nested lists (the shared raster contract)
+    or None for anything malformed — other bit depths, compressed forms,
+    lying sizes, and dimension bombs are refused before allocation."""
+    import struct
+
+    from dynamic_spark_spark.llmops.jpeg import MAX_DECODE_PIXELS
+
+    if not payload or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        return None
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        return None  # out-of-envelope form: refuse, don't guess
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0 or width * height > MAX_DECODE_PIXELS:
+        return None
+    stride = width * 3 + ((-(width * 3)) % 4)
+    if data_off + stride * height > len(payload):
+        return None  # lying sizes: the pixel array must really be there
+    rows = []
+    for y in range(height):
+        base = data_off + y * stride
+        row = [
+            [payload[base + x * 3 + 2], payload[base + x * 3 + 1], payload[base + x * 3]]
+            for x in range(width)
+        ]
+        rows.append(row)
+    return rows if top_down else rows[::-1]
+
+
 @query(
     "multimodal_image_meta",
     "SELECT doc_id,"
@@ -2016,6 +2090,30 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth_decode(d: int):
         return decode_png_rgb(png_rgb_bytes(8 + d % 9, 5 + d % 7, d))
+
+    return _raster_key(load_table(spark, sf_dir, "documents"), synth_decode)
+
+
+_BMP_DECODE_ORACLE = _PNG_DECODE_ORACLE  # same closed-form pixel pattern
+
+
+@query("multimodal_bmp_decode", _BMP_DECODE_ORACLE, tag="llm-multimodal")
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BMP round trip, ORACLE-PROVEN with the shared raster machinery:
+    the :func:`png_pixel` pattern encodes through the real 24-bpp writer
+    (bottom-up on even doc_ids, top-down on odd — both row orders stay
+    hot), decodes back, and the channel sums + position-weighted checksum
+    must match the same closed-form DuckDB oracle as the PNG key — the
+    positional term fails if the bottom-up flip regresses. Per-row
+    mapInPandas, no shuffle."""
+
+    def synth_decode(d: int):
+        w, h = 8 + d % 9, 5 + d % 7
+        rows = [
+            [[png_pixel(x, y, c, d) for c in range(3)] for x in range(w)]
+            for y in range(h)
+        ]
+        return decode_bmp_rgb(encode_bmp_rgb(rows, top_down=(d % 2 == 1)))
 
     return _raster_key(load_table(spark, sf_dir, "documents"), synth_decode)
 

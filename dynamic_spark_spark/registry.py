@@ -344,6 +344,7 @@ _PRIORITY = [
     "pipeline_crawl_wet", "text_unicode_nfc", "scan_zip_members",
     "scan_tar_members", "sim_topk_pq", "scan_tgz_members",
     "stream_warc_ingest", "multimodal_wav_decode",
+    "multimodal_bmp_decode",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -795,3 +795,39 @@ def test_tgz_member_walk_contract():
     t0 = time.monotonic()
     assert tgz_member_walk(bomb, cap=1 << 20) == []
     assert time.monotonic() - t0 < 3.0
+
+
+def test_bmp_codec_roundtrip_and_contract():
+    from dynamic_spark_spark.llmops.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+        png_pixel,
+    )
+
+    for w, h, td in [(1, 1, False), (9, 7, False), (9, 7, True), (6, 4, True)]:
+        rows = [
+            [[png_pixel(x, y, c, 5) for c in range(3)] for x in range(w)]
+            for y in range(h)
+        ]
+        assert decode_bmp_rgb(encode_bmp_rgb(rows, top_down=td)) == rows
+    good = encode_bmp_rgb(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]]
+    )
+    assert decode_bmp_rgb(None) is None
+    assert decode_bmp_rgb(b"") is None
+    assert decode_bmp_rgb(good[:30]) is None
+    for cut in range(1, len(good), 5):
+        decode_bmp_rgb(good[:cut])  # must not raise
+    for pos in range(0, len(good), 3):
+        mutated = bytearray(good)
+        mutated[pos] ^= 0xFF
+        decode_bmp_rgb(bytes(mutated))  # must not raise
+    # dimension bomb refused before allocation
+    import struct
+    import time
+
+    bomb = bytearray(good)
+    bomb[18:26] = struct.pack("<ii", 60000, 60000)
+    t0 = time.monotonic()
+    assert decode_bmp_rgb(bytes(bomb)) is None
+    assert time.monotonic() - t0 < 0.5
