@@ -1245,6 +1245,8 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         query's local top-PQ_SHORTLIST — partial top-k, so the exchange
         carries nq×shortlist rows per partition, never the corpus."""
         for pdf in batches:
+            if not len(pdf):  # empty partition: np.stack([]) would raise
+                continue
             ids, lutv = bq.value
             codes = np.stack(pdf["codes"].to_numpy())
             vec_ids = pdf["vec_id"].to_numpy()
