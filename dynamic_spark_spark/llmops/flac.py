@@ -472,6 +472,11 @@ def _decode_subframe(br: _BitReader, block_size: int, bits: int):
     bits -= wasted
     if bits <= 0:
         return None
+    # Every reconstructed sample of a valid subframe fits the declared
+    # subframe bit depth; a CRC-valid stream whose prediction loop escapes
+    # that range (crafted large LPC/FIXED coefficients) would otherwise
+    # grow Python big-ints without bound — refuse, don't guess.
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     if stype == 0:  # CONSTANT
         x = [br.read_signed(bits)] * block_size
     elif stype == 1:  # VERBATIM
@@ -487,7 +492,10 @@ def _decode_subframe(br: _BitReader, block_size: int, bits: int):
         coef = _FIXED_COEF[order]
         for r in resid:
             pred = sum(c * x[-1 - j] for j, c in enumerate(coef))
-            x.append(pred + r)
+            v = pred + r
+            if v < lo or v > hi:
+                return None
+            x.append(v)
     elif stype >= 32:  # LPC, order 1-32
         order = (stype & 31) + 1
         if order > block_size:
@@ -506,7 +514,10 @@ def _decode_subframe(br: _BitReader, block_size: int, bits: int):
             return None
         for r in resid:
             pred = sum(c * x[-1 - j] for j, c in enumerate(coef)) >> shift
-            x.append(pred + r)
+            v = pred + r
+            if v < lo or v > hi:
+                return None
+            x.append(v)
     else:
         return None  # reserved type
     if wasted:
@@ -521,7 +532,7 @@ def decode_flac(payload: bytes):
     STREAMINFO total-sample count bounds every allocation."""
     try:
         return _decode_flac_inner(payload)
-    except (EOFError, ValueError, struct.error):
+    except (EOFError, ValueError, struct.error, OverflowError):
         return None
 
 

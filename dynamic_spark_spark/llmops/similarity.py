@@ -1127,7 +1127,17 @@ def _pq_codebooks(e: DataFrame):
     Returns the codebook as a numpy array shaped (M, K, subdim)."""
     sub_dim = None  # derived from the first seed row below
 
-    train = e.where(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+    # Train on the SAME distribution encode() sees: L2-normalized vectors
+    # (encode and the query LUT both normalize; training on raw norms
+    # would shift the codeword geometry and waste ADC recall headroom).
+    train = (
+        e.where(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+        .withColumn("nrm", F.greatest(_norm(F.col("embedding")), F.lit(1e-12)))
+        .withColumn(
+            "embedding",
+            F.transform("embedding", lambda v: v / F.col("nrm")),
+        )
+    )
     subs = train.select(
         "vec_id",
         F.posexplode(

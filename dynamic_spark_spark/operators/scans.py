@@ -249,7 +249,8 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scan_text_gzip",
-    "SELECT doc_id, text FROM documents WHERE text NOT LIKE '%|%'",
+    "SELECT doc_id, text FROM documents WHERE text NOT LIKE '%|%'"
+    " AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))",
     tag="scan",
 )  # oracle: gzip-compressed text write+read must round-trip values exactly
 def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,10 +264,15 @@ def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     many member-framed files (and why ``scan_warc_gzip`` walks per-record
     members). The pipe-embedding rows are excluded on BOTH engines so the
     2-field re-parse is exact, mirroring the csv roundtrip's quoting
-    discipline."""
+    discipline. Newline/CR-bearing rows are excluded on BOTH engines too:
+    the line-oriented text source would split them into multiple records
+    on the Spark side only, silently breaking the round trip if the
+    corpus ever gains embedded newlines."""
     out = _tmpdir(prefix="dss_textgz_")
     docs = load_table(spark, sf_dir, "documents").where(
         ~F.col("text").contains("|")
+        & ~F.col("text").contains("\n")
+        & ~F.col("text").contains("\r")
     )
     docs.select(
         F.concat_ws("|", F.col("doc_id").cast("string"), "text")

@@ -831,3 +831,70 @@ def test_bmp_codec_roundtrip_and_contract():
     t0 = time.monotonic()
     assert decode_bmp_rgb(bytes(bomb)) is None
     assert time.monotonic() - t0 < 0.5
+
+
+def test_flac_crc_valid_hostile_lpc_refused():
+    """A CRC-valid stream whose LPC coefficients drive the prediction far
+    outside the declared bit depth must be refused (None), not grow
+    unbounded Python big-ints until np.array raises OverflowError.
+    Byte-flip fuzzing never reaches this path (CRC rejects it first), so
+    the fixture is built frame-by-frame with the module's own _BitWriter
+    and real CRCs — the decoder has no checksum grounds to refuse it."""
+    import struct
+    import time
+
+    from dynamic_spark_spark.llmops.flac import (
+        _BitWriter,
+        _crc8,
+        _crc16,
+        _utf8_coded,
+        decode_flac,
+    )
+
+    bs = 8  # total samples == one block
+    out = bytearray(b"fLaC")
+    info = _BitWriter()
+    info.write(bs, 16)
+    info.write(bs, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(8000, 20)  # sample rate
+    info.write(0, 3)      # channels - 1
+    info.write(15, 5)     # bits - 1
+    info.write(bs, 36)    # total samples
+    streaminfo = info.bytes() + b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+
+    hdrw = _BitWriter()
+    hdrw.write(0b11111111111110, 14)
+    hdrw.write(0, 1)       # reserved
+    hdrw.write(0, 1)       # fixed-blocksize strategy
+    hdrw.write(0b0111, 4)  # 16-bit blocksize-1 follows
+    hdrw.write(0, 4)       # sample rate from STREAMINFO
+    hdrw.write(0, 4)       # mono
+    hdrw.write(0b100, 3)   # 16-bit samples
+    hdrw.write(0, 1)       # reserved
+    hdr = hdrw.bytes() + _utf8_coded(0) + struct.pack(">H", bs - 1)
+    hdr += bytes([_crc8(hdr)])
+
+    body = _BitWriter()
+    body.write(0, 1)        # subframe pad bit
+    body.write(32, 6)       # LPC, order 1
+    body.write(0, 1)        # no wasted bits
+    body.write_signed(32767, 16)  # warmup sample at the 16-bit max
+    body.write(14, 4)       # coefficient precision 15
+    body.write_signed(0, 5)      # shift 0
+    body.write_signed(16383, 15)  # hostile coefficient: x[i] = 16383*x[i-1]
+    body.write(0, 2)        # residual method 0 (4-bit Rice)
+    body.write(0, 4)        # partition order 0
+    body.write(0, 4)        # rice param 0
+    for _ in range(bs - 1):
+        body.write_unary(0)  # residual 0
+    body.align()
+    frame = hdr + body.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+    out += frame
+
+    t0 = time.monotonic()
+    assert decode_flac(bytes(out)) is None
+    assert time.monotonic() - t0 < 1.0
