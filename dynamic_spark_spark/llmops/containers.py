@@ -46,6 +46,28 @@ ZIP_MEMBER_CAP = 4 << 20
 _EOCD_SIG = b"PK\x05\x06"
 _CDIR_SIG = b"PK\x01\x02"
 _LOCAL_SIG = b"PK\x03\x04"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
+
+
+def _zip64_extra(extra: bytes, needed: int):
+    """Parse the ZIP64 extended-information extra field (id 0x0001,
+    APPNOTE 4.5.3): the data carries 8-byte values for ONLY the header
+    fields that hit their 0xFFFFFFFF/0xFFFF sentinel, in fixed order
+    (uncomp, comp, local_off, disk). ``needed`` is how many 8-byte values
+    the caller expects. Returns the list of values or None."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        fid, flen = struct.unpack("<HH", extra[pos : pos + 4])
+        data = extra[pos + 4 : pos + 4 + flen]
+        if len(data) < flen:
+            return None
+        if fid == 0x0001:
+            if flen < 8 * needed:
+                return None
+            return list(struct.unpack(f"<{needed}Q", data[: 8 * needed]))
+        pos += 4 + flen
+    return None
 
 
 def zip_member_walk(raw: bytes, cap: int = ZIP_MEMBER_CAP):
@@ -67,7 +89,22 @@ def zip_member_walk(raw: bytes, cap: int = ZIP_MEMBER_CAP):
     n_entries, cd_size, cd_off = struct.unpack(
         "<HI I", raw[eocd + 10 : eocd + 20]
     )
-    if cd_off + cd_size > eocd or n_entries > 65535:
+    if n_entries == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+        # ZIP64 (APPNOTE 4.3.14): the locator sits immediately before the
+        # EOCD and points at the 64-bit EOCD record carrying the real
+        # count/size/offset that overflowed the classic 16/32-bit fields.
+        loc = eocd - 20
+        if loc < 0 or raw[loc : loc + 4] != _EOCD64_LOC_SIG:
+            return out
+        e64_off = struct.unpack("<Q", raw[loc + 8 : loc + 16])[0]
+        if e64_off + 56 > len(raw) or raw[e64_off : e64_off + 4] != _EOCD64_SIG:
+            return out
+        n_entries, cd_size, cd_off = struct.unpack(
+            "<QQQ", raw[e64_off + 32 : e64_off + 56]
+        )
+        if n_entries > 1 << 20:  # index-bomb guard: refuse absurd counts
+            return out
+    if cd_off + cd_size > eocd:
         return out
     pos = cd_off
     for _ in range(n_entries):
@@ -82,11 +119,30 @@ def zip_member_walk(raw: bytes, cap: int = ZIP_MEMBER_CAP):
         name_bytes = raw[pos + 46 : pos + 46 + name_len]
         if len(name_bytes) < name_len:
             return out
+        extra_bytes = raw[pos + 46 + name_len : pos + 46 + name_len + extra_len]
         pos += 46 + name_len + extra_len + comment_len
         try:
             name = name_bytes.decode("utf-8")
         except UnicodeDecodeError:
             continue  # undecodable name: skip the member, keep walking
+        # ZIP64 sentinels: the real 64-bit values live in the 0x0001 extra
+        # field, holding ONLY the overflowed fields in spec order.
+        sent = [
+            uncomp_len == 0xFFFFFFFF,
+            comp_len == 0xFFFFFFFF,
+            local_off == 0xFFFFFFFF,
+        ]
+        if any(sent):
+            vals = _zip64_extra(extra_bytes, sum(sent))
+            if vals is None:
+                continue  # sentinel without its extra: refuse the member
+            it = iter(vals)
+            if sent[0]:
+                uncomp_len = next(it)
+            if sent[1]:
+                comp_len = next(it)
+            if sent[2]:
+                local_off = next(it)
         if uncomp_len > cap or comp_len > cap:
             continue  # declared bomb: refuse the member
         # local header cross-check (its name/extra lengths are its own)
@@ -140,6 +196,71 @@ def zip_archive_bytes(doc_id: int, text: str) -> bytes:
             zi.compress_type = method
             zf.writestr(zi, data)
     return buf.getvalue()
+
+
+def zip64_archive_bytes(doc_id: int, text: str) -> bytes:
+    """The ZIP64 twin of :func:`zip_archive_bytes`: the same three members
+    written with FULL ZIP64 structures — sentinel (0xFFFFFFFF/0xFFFF)
+    sizes/offsets/counts in every classic field, the real 64-bit values in
+    0x0001 extra fields, an EOCD64 record plus locator before the
+    sentinel EOCD. Hand-rolled because the stdlib writer only emits ZIP64
+    when a value actually overflows 4 GiB — this produces the >4 GiB
+    archive LAYOUT at test size (the layout, not the bytes, is what the
+    walker must handle at 100 TB). ``zipfile.ZipFile`` reads these back
+    verbatim (cross-validated in tests), so the writer is honest ZIP64,
+    not a private dialect."""
+    text = text or ""
+    half = text[: (len(text) + 1) // 2]
+    meta = f'{{"doc_id": {doc_id}, "n_chars": {len(text)}}}'
+    members = []
+    for name, data, method in [
+        (f"doc_{doc_id}/text.txt", text.encode("utf-8"), 0),
+        (f"doc_{doc_id}/meta.json", meta.encode("utf-8"), 8),
+        (f"doc_{doc_id}/half.txt", half.encode("utf-8"), 8),
+    ]:
+        if method == 8:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            comp = c.compress(data) + c.flush()
+        else:
+            comp = data
+        members.append((name.encode("utf-8"), method, data, comp))
+
+    out = bytearray()
+    local_offs = []
+    for name_b, method, data, comp in members:
+        local_offs.append(len(out))
+        extra = struct.pack("<HHQQ", 0x0001, 16, len(data), len(comp))
+        out += _LOCAL_SIG + struct.pack(
+            "<HHHHHIIIHH",
+            45, 0, method, 0, 0x21,
+            zlib.crc32(data) & 0xFFFFFFFF,
+            0xFFFFFFFF, 0xFFFFFFFF,
+            len(name_b), len(extra),
+        ) + name_b + extra + comp
+    cd_off = len(out)
+    for (name_b, method, data, comp), loc in zip(members, local_offs):
+        extra = struct.pack(
+            "<HHQQQ", 0x0001, 24, len(data), len(comp), loc
+        )
+        out += _CDIR_SIG + struct.pack(
+            "<HHHHHHIIIHHHHHII",
+            45, 45, 0, method, 0, 0x21,
+            zlib.crc32(data) & 0xFFFFFFFF,
+            0xFFFFFFFF, 0xFFFFFFFF,
+            len(name_b), len(extra), 0, 0, 0, 0,
+            0xFFFFFFFF,
+        ) + name_b + extra
+    cd_size = len(out) - cd_off
+    e64_off = len(out)
+    out += _EOCD64_SIG + struct.pack(
+        "<QHHIIQQQQ", 44, 45, 45, 0, 0,
+        len(members), len(members), cd_size, cd_off,
+    )
+    out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, e64_off, 1)
+    out += _EOCD_SIG + struct.pack(
+        "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+    )
+    return bytes(out)
 
 
 _ZIP_ORACLE = """
@@ -203,6 +324,40 @@ def scan_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("scan_zip64_members", _ZIP_ORACLE, tag="scan")
+def scan_zip64_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP64 ingest — the >4 GiB-archive layout every 100-TB dataset
+    bundle actually uses (classic ZIP fields saturate at 4 GiB/65535
+    members; real shard archives overflow both). Same three members and
+    the SAME closed-form oracle as ``scan_zip_members``, but every size,
+    offset, and count travels through sentinel fields + 0x0001 extras +
+    the EOCD64/locator chain — so a hash match proves the 64-bit walk end
+    to end against an oracle that never touches ZIP. The walker resolves
+    sentinels exactly where APPNOTE puts the real values; stdlib
+    ``zipfile`` cross-reads the synthesized archives (tests), so this is
+    interoperable ZIP64, not a dialect."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = zip64_archive_bytes(int(doc_id), text)
+                for name, method, ulen, crc_ok, _c in zip_member_walk(raw):
+                    rows.append((doc_id, name, method, ulen, crc_ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "name", "method", "uncomp_len", "crc_ok"],
+            )
+
+    return d.mapInPandas(
+        walk,
+        "doc_id long, name string, method int, uncomp_len long, crc_ok boolean",
+    )
+
+
 # --- tar (ustar): the other archive framing datasets ship in ---------------
 
 #: member-size cap for the tar walker (same discipline as ZIP_MEMBER_CAP;
@@ -210,10 +365,59 @@ def scan_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 TAR_MEMBER_CAP = 4 << 20
 
 
+def _pax_records(data: bytes):
+    """Parse PAX extended-header records (``"<len> key=value\\n"``,
+    POSIX.1-2001 pax(1) format). Returns the key→value dict or None for
+    anything malformed — a broken override must refuse the archive tail
+    rather than silently mis-name the member that follows it."""
+    out = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            return None
+        try:
+            ln = int(data[pos:sp])
+        except ValueError:
+            return None
+        if ln <= 0 or pos + ln > len(data) or data[pos + ln - 1] != 0x0A:
+            return None
+        rec = data[sp + 1 : pos + ln - 1]
+        eq = rec.find(b"=")
+        if eq < 0:
+            return None
+        try:
+            out[rec[:eq].decode("utf-8")] = rec[eq + 1 :].decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        pos += ln
+    return out
+
+
+def _tar_size_field(field: bytes):
+    """Decode a tar size field: octal per ustar, or GNU base-256 (high
+    bit of the first byte set — how GNU tar stores >8 GiB sizes the
+    11-octal-digit field cannot). Returns the size or None."""
+    if field and field[0] & 0x80:
+        val = field[0] & 0x7F
+        for b in field[1:]:
+            val = (val << 8) | b
+        return val
+    try:
+        return int(field.rstrip(b" \x00") or b"0", 8)
+    except ValueError:
+        return None
+
+
 def tar_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
     """Walk a ustar archive (POSIX.1-1988 layout, public): 512-byte
     headers with octal size fields and a spaces-substituted checksum,
-    data in 512-byte blocks, terminated by two zero blocks. Returns
+    data in 512-byte blocks, terminated by two zero blocks. Long-name
+    extensions are handled the way real dataset tarballs need them:
+    GNU ``L`` members (content = the next member's name, for paths the
+    100-byte field + 155-byte prefix cannot hold), PAX ``x`` extended
+    headers (``path``/``size`` record overrides for the next member),
+    and GNU base-256 size fields. Returns
     ``(name, size, typeflag, chksum_ok, content)`` per regular-file
     member; never raises; stops at the first malformed header (degrade,
     don't guess) and refuses declared sizes past the cap or the buffer."""
@@ -222,34 +426,60 @@ def tar_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
         return out
     pos = 0
     n = len(raw)
+    pending_name = None
+    pending_size = None
     while pos + 512 <= n:
         hdr = raw[pos : pos + 512]
         if hdr == b"\x00" * 512:  # end-of-archive marker
             break
         if hdr[257:262] != b"ustar":
             break
-        try:
-            size = int(hdr[124:135].rstrip(b" \x00") or b"0", 8)
-            declared_sum = int(hdr[148:155].rstrip(b" \x00") or b"0", 8)
-        except ValueError:
+        size = _tar_size_field(hdr[124:136])
+        declared_sum = _tar_size_field(hdr[148:155])
+        if size is None or declared_sum is None:
             break
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        if typeflag in ("0", "\x00") and pending_size is not None:
+            size = pending_size  # PAX size override (the >8 GiB path)
         if size < 0 or size > cap or pos + 512 + size > n:
             break  # lying length: refuse the phantom member
         actual_sum = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
-        name = hdr[:100].rstrip(b"\x00")
-        prefix = hdr[345:500].rstrip(b"\x00")
-        if prefix:
-            name = prefix + b"/" + name
-        try:
-            name_s = name.decode("utf-8")
-        except UnicodeDecodeError:
-            break
-        typeflag = chr(hdr[156]) if hdr[156] else "0"
         content = raw[pos + 512 : pos + 512 + size]
-        if typeflag in ("0", "\x00"):
+        if typeflag == "L":  # GNU longname: names the NEXT member
+            try:
+                pending_name = content.rstrip(b"\x00").decode("utf-8")
+            except UnicodeDecodeError:
+                break
+        elif typeflag == "x":  # PAX extended header for the NEXT member
+            recs = _pax_records(content)
+            if recs is None:
+                break
+            if "path" in recs:
+                pending_name = recs["path"]
+            if "size" in recs:
+                try:
+                    pending_size = int(recs["size"])
+                except ValueError:
+                    break
+        elif typeflag in ("g", "K"):
+            pass  # PAX globals / GNU long-linkname: skip, keep walking
+        elif typeflag in ("0", "\x00"):
+            if pending_name is not None:
+                name_s = pending_name
+            else:
+                name = hdr[:100].rstrip(b"\x00")
+                prefix = hdr[345:500].rstrip(b"\x00")
+                if prefix:
+                    name = prefix + b"/" + name
+                try:
+                    name_s = name.decode("utf-8")
+                except UnicodeDecodeError:
+                    break
             out.append(
                 (name_s, size, typeflag, actual_sum == declared_sum, content)
             )
+            pending_name = None
+            pending_size = None
         pos += 512 + ((size + 511) // 512) * 512
     return out
 
@@ -330,6 +560,72 @@ def scan_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def longname_tar_bytes(doc_id: int, text: str, fmt: str) -> bytes:
+    """A one-member tar whose path (134 chars) overflows the 100-byte
+    ustar name field, written by the STDLIB in the requested dialect —
+    ``gnu`` (an 'L' longname meta-member) or ``pax`` (an 'x' extended
+    header with a ``path`` record). The stdlib is the writer and the
+    hand-rolled walker is the reader, so the key cross-validates two
+    independent implementations of both long-name encodings."""
+    import io
+    import tarfile
+
+    payload = (text or "").encode("utf-8")
+    buf = io.BytesIO()
+    tf_fmt = tarfile.GNU_FORMAT if fmt == "gnu" else tarfile.PAX_FORMAT
+    with tarfile.open(fileobj=buf, mode="w", format=tf_fmt) as tf:
+        ti = tarfile.TarInfo(f"doc_{doc_id}/" + "d" * 120 + "/text.txt")
+        ti.size = len(payload)
+        ti.mtime = 0
+        tf.addfile(ti, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+_TAR_LONGNAME_ORACLE = """
+SELECT doc_id, fmt,
+  'doc_' || CAST(doc_id AS VARCHAR) || '/' || repeat('d', 120)
+    || '/text.txt' AS name,
+  CAST(length(coalesce(text, '')) AS BIGINT) AS size,
+  TRUE AS chksum_ok
+FROM documents
+CROSS JOIN (VALUES ('gnu'), ('pax')) AS f(fmt)
+"""
+
+
+@query("scan_tar_longnames", _TAR_LONGNAME_ORACLE, tag="scan")
+def scan_tar_longnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-path tar ingest — the archive long tail real dataset tarballs
+    hit immediately (any nested corpus path overflows ustar's 100-byte
+    name field). Each document is packed twice by the STDLIB writer, once
+    per long-name dialect: GNU ('L' meta-member carrying the next
+    member's name) and PAX ('x' extended header with a ``path`` record,
+    POSIX.1-2001). The hand-rolled walker must resolve BOTH to the same
+    inventory, hash-proven against a closed-form oracle (``repeat()``
+    reconstructs the 134-char path) that never touches tar. Per-row
+    mapInPandas, no shuffle — same archive-per-task posture as the other
+    container keys."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for fmt in ("gnu", "pax"):
+                    raw = longname_tar_bytes(int(doc_id), text, fmt)
+                    for name, size, _tf, ok, _c in tar_member_walk(raw):
+                        rows.append((doc_id, fmt, name, size, ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "name", "size", "chksum_ok"]
+            )
+
+    return d.mapInPandas(
+        walk,
+        "doc_id long, fmt string, name string, size long, chksum_ok boolean",
+    )
+
+
 def tgz_archive_bytes(doc_id: int, text: str) -> bytes:
     """``.tar.gz``: the tar archive as ONE gzip stream (unlike WARC's
     per-record members — a .tgz cannot be split without inflating from
@@ -378,6 +674,119 @@ def scan_tgz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = tgz_archive_bytes(int(doc_id), text)
                 for name, size, _tf, chksum_ok, _c in tgz_member_walk(raw):
+                    rows.append((doc_id, name, size, chksum_ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "name", "size", "chksum_ok"]
+            )
+
+    return d.mapInPandas(
+        walk, "doc_id long, name string, size long, chksum_ok boolean"
+    )
+
+
+def tbz_archive_bytes(doc_id: int, text: str) -> bytes:
+    """``.tar.bz2``: the tar archive as one bzip2 stream (stdlib
+    compressor; deterministic — bzip2 carries no timestamp)."""
+    import bz2
+
+    return bz2.compress(tar_archive_bytes(doc_id, text), 9)
+
+
+def tbz_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
+    """Decompress the single bzip2 stream under the same 64x stream cap
+    as the gzip twin (incremental decompressor so the cap is enforced
+    BEFORE the allocation, not after) and walk the tar inside. Never
+    raises."""
+    import bz2
+
+    if not raw or raw[:3] != b"BZh":
+        return []
+    d = bz2.BZ2Decompressor()
+    stream_cap = cap * 64
+    try:
+        data = d.decompress(raw, stream_cap + 1)
+    except (OSError, EOFError, ValueError):
+        return []
+    if len(data) > stream_cap or not d.eof:
+        return []  # bomb or truncated stream: refuse
+    return tar_member_walk(data, cap)
+
+
+@query("scan_tbz_members", _TAR_ORACLE, tag="scan")
+def scan_tbz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.tar.bz2`` ingest under the SAME oracle as the plain-tar and
+    .tgz keys — one hash match per codec proves each compress → bounded
+    decompress → checksum-verified walk chain lossless. bzip2 matters at
+    100 TB for the opposite reason gzip does: its block structure is what
+    makes Hadoop's BZip2Codec SPLITTABLE, so .bz2 corpora parallelize
+    below file granularity while .gz never does (``scan_text_bz2`` proves
+    that codec path on Spark's own text source; HERE the archive is
+    walked per-task like every container key)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = tbz_archive_bytes(int(doc_id), text)
+                for name, size, _tf, chksum_ok, _c in tbz_member_walk(raw):
+                    rows.append((doc_id, name, size, chksum_ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "name", "size", "chksum_ok"]
+            )
+
+    return d.mapInPandas(
+        walk, "doc_id long, name string, size long, chksum_ok boolean"
+    )
+
+
+def txz_archive_bytes(doc_id: int, text: str) -> bytes:
+    """``.tar.xz``: the tar archive as one xz/LZMA2 stream (stdlib;
+    deterministic — xz carries no timestamp)."""
+    import lzma
+
+    return lzma.compress(tar_archive_bytes(doc_id, text), format=lzma.FORMAT_XZ)
+
+
+def txz_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
+    """The xz twin of :func:`tbz_member_walk`: incremental LZMADecompressor
+    with the cap enforced via ``max_length`` before allocation. Never
+    raises."""
+    import lzma
+
+    if not raw or raw[:6] != b"\xfd7zXZ\x00":
+        return []
+    d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    stream_cap = cap * 64
+    try:
+        data = d.decompress(raw, stream_cap + 1)
+    except (lzma.LZMAError, EOFError, ValueError):
+        return []
+    if len(data) > stream_cap or not d.eof:
+        return []  # bomb or truncated stream: refuse
+    return tar_member_walk(data, cap)
+
+
+@query("scan_txz_members", _TAR_ORACLE, tag="scan")
+def scan_txz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.tar.xz`` ingest — the third compressed-tar codec under the one
+    shared oracle (kernel sources, HF dataset dumps, and most mirrors
+    ship .tar.xz today). xz is NOT splittable (one LZMA2 stream), so like
+    .tgz the parallelism unit is the archive — the key documents that the
+    right 100-TB layout is many shard archives, and proves the stdlib
+    lzma chain under the same bomb-cap discipline as gzip/bzip2."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = txz_archive_bytes(int(doc_id), text)
+                for name, size, _tf, chksum_ok, _c in txz_member_walk(raw):
                     rows.append((doc_id, name, size, chksum_ok))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "name", "size", "chksum_ok"]

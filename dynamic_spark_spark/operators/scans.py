@@ -286,6 +286,41 @@ def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_text_bz2",
+    "SELECT doc_id, text FROM documents WHERE text NOT LIKE '%|%'"
+    " AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))",
+    tag="scan",
+)  # oracle: bzip2-compressed text write+read must round-trip values exactly
+def scan_text_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BZIP2-COMPRESSED text write → read-back — gzip's scale OPPOSITE:
+    Hadoop's BZip2Codec is the one stock compression codec that is
+    SPLITTABLE (bzip2's independent blocks start on a findable 48-bit
+    magic, so a reader can synchronize mid-file), which means a single
+    large ``.bz2`` text file parallelizes across tasks while a ``.gz``
+    file is forever one task. A 100-TB corpus stored as few huge files
+    MUST pick bzip2 (or a container framing) to keep the cluster busy;
+    this key proves the codec path end to end on Spark's own text source
+    (``option("compression","bzip2")`` write, transparent read). Same
+    delimiter/newline exclusion discipline as ``scan_text_gzip`` so the
+    2-field re-parse is exact on both engines."""
+    out = _tmpdir(prefix="dss_textbz2_")
+    docs = load_table(spark, sf_dir, "documents").where(
+        ~F.col("text").contains("|")
+        & ~F.col("text").contains("\n")
+        & ~F.col("text").contains("\r")
+    )
+    docs.select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "text")
+    ).write.mode("overwrite").option("compression", "bzip2").text(out)
+    lines = spark.read.text(out)
+    parts = F.split("value", r"\|", 2)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("text"),
+    )
+
+
+@query(
     "scan_jdbc_roundtrip",
     "SELECT n_nationkey, n_regionkey, n_name FROM nation",
     tag="scan",

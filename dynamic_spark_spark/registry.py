@@ -345,6 +345,9 @@ _PRIORITY = [
     "scan_tar_members", "sim_topk_pq", "scan_tgz_members",
     "stream_warc_ingest", "multimodal_wav_decode",
     "multimodal_bmp_decode",
+    # -- round-10 additions --
+    "scan_zip64_members", "scan_tar_longnames",
+    "scan_tbz_members", "scan_txz_members", "scan_text_bz2",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -898,3 +898,146 @@ def test_flac_crc_valid_hostile_lpc_refused():
     t0 = time.monotonic()
     assert decode_flac(bytes(out)) is None
     assert time.monotonic() - t0 < 1.0
+
+
+def test_zip64_roundtrip_and_stdlib_interop():
+    """The hand-rolled ZIP64 writer and walker must agree with the
+    stdlib in BOTH directions: zipfile reads our full-ZIP64 archives
+    verbatim, and our walker resolves stdlib force_zip64 local headers."""
+    import io
+    import zipfile
+
+    from dynamic_spark_spark.llmops.containers import (
+        zip64_archive_bytes,
+        zip_member_walk,
+    )
+
+    raw = zip64_archive_bytes(11, "zip64 payload text")
+    ours = zip_member_walk(raw)
+    assert [m[0] for m in ours] == [
+        "doc_11/text.txt", "doc_11/meta.json", "doc_11/half.txt",
+    ]
+    assert all(m[3] for m in ours)
+    assert ours[0][4] == b"zip64 payload text"
+
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    assert zf.testzip() is None
+    assert [zi.filename for zi in zf.infolist()] == [m[0] for m in ours]
+    for zi, m in zip(zf.infolist(), ours):
+        assert zf.read(zi) == m[4]
+
+    # reverse direction: stdlib-written zip64 (sentinel local sizes)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf2:
+        with zf2.open("big.txt", "w", force_zip64=True) as f:
+            f.write(b"stdlib zip64 member")
+    members = zip_member_walk(buf.getvalue())
+    assert [(m[0], m[4]) for m in members] == [("big.txt", b"stdlib zip64 member")]
+
+
+def test_zip64_degrades():
+    import time
+
+    from dynamic_spark_spark.llmops.containers import (
+        zip64_archive_bytes,
+        zip_member_walk,
+    )
+
+    good = zip64_archive_bytes(2, "short zip64 text")
+    t0 = time.monotonic()
+    for cut in range(1, len(good), 37):
+        zip_member_walk(good[:cut])  # must not raise
+    for pos in range(0, len(good), 11):
+        mutated = bytearray(good)
+        mutated[pos] ^= 0xFF
+        zip_member_walk(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 5.0
+    # a sentinel EOCD whose zip64 locator is missing must refuse cleanly
+    no_loc = bytearray(good)
+    loc_at = bytes(no_loc).rfind(b"PK\x06\x07")
+    no_loc[loc_at] ^= 0xFF
+    assert zip_member_walk(bytes(no_loc)) == []
+
+
+def test_tar_longname_both_dialects():
+    """GNU 'L' and PAX 'x' path encodings must both resolve to the same
+    134-char member name the ustar fields cannot hold (stdlib writes,
+    hand-rolled walker reads — two implementations of each dialect)."""
+    from dynamic_spark_spark.llmops.containers import (
+        longname_tar_bytes,
+        tar_member_walk,
+    )
+
+    want = "doc_5/" + "d" * 120 + "/text.txt"
+    for fmt in ("gnu", "pax"):
+        members = tar_member_walk(longname_tar_bytes(5, "longname payload", fmt))
+        assert [(m[0], m[1], m[3]) for m in members] == [(want, 16, True)], fmt
+        assert members[0][4] == b"longname payload"
+
+
+def test_tar_pax_malformed_records_refused():
+    """A PAX 'x' member with broken records must stop the walk (a bad
+    override would otherwise silently mis-name the member after it)."""
+    from dynamic_spark_spark.llmops.containers import (
+        longname_tar_bytes,
+        tar_member_walk,
+    )
+
+    raw = bytearray(longname_tar_bytes(3, "pax payload", "pax"))
+    # the first member is the 'x' header; its data starts at 512 —
+    # corrupt the length prefix of the first record
+    raw[512] = ord("z")
+    assert tar_member_walk(bytes(raw)) == []
+
+
+def test_tbz_txz_walk_contract():
+    import time
+
+    from dynamic_spark_spark.llmops.containers import (
+        tbz_archive_bytes,
+        tbz_member_walk,
+        txz_archive_bytes,
+        txz_member_walk,
+    )
+
+    for mk, walk in [
+        (tbz_archive_bytes, tbz_member_walk),
+        (txz_archive_bytes, txz_member_walk),
+    ]:
+        raw = mk(6, "compressed tar payload")
+        members = walk(raw)
+        assert [m[0] for m in members] == [
+            "doc_6/text.txt", "doc_6/meta.json", "doc_6/half.txt",
+        ]
+        assert all(m[3] for m in members)
+        assert walk(b"") == []
+        assert walk(None) == []
+        assert walk(raw[:15]) == []          # truncated stream
+        assert walk(b"\x00" * 64) == []      # wrong magic
+        t0 = time.monotonic()
+        for cut in range(1, len(raw), 23):
+            walk(raw[:cut])  # must not raise
+        assert time.monotonic() - t0 < 5.0
+
+
+def test_tbz_bomb_capped():
+    """A bzip2 stream inflating past the 64x stream cap is refused, and
+    the incremental decompressor bounds the allocation, not just the
+    result."""
+    import bz2
+    import io
+    import tarfile
+    import time
+
+    from dynamic_spark_spark.llmops.containers import tbz_member_walk
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        ti = tarfile.TarInfo("bomb.bin")
+        ti.size = 256 << 20
+        tf.addfile(ti, io.BytesIO(b"\x00" * (256 << 20)))
+    bomb = bz2.compress(buf.getvalue(), 9)
+    assert len(bomb) < 1 << 20  # it really is a bomb
+    t0 = time.monotonic()
+    assert tbz_member_walk(bomb, cap=1 << 20) == []
+    assert time.monotonic() - t0 < 5.0
