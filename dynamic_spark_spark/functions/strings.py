@@ -245,3 +245,40 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spellings",
         )
     )
+
+
+@query(
+    "fn_binary_codecs",
+    "SELECT doc_id,"
+    " base64(encode(coalesce(text, ''))) AS b64,"
+    " hex(encode(coalesce(text, ''))) AS hx,"
+    " TRUE AS roundtrip_ok"
+    " FROM documents",
+    tag="functions",
+)
+def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary↔text transport codecs — ``base64``/``unbase64`` and
+    ``hex``/``unhex`` over the UTF-8 bytes of each document. Every
+    interchange surface (JSON-wrapped blobs, WARC payload digests, JDBC
+    binary columns) funnels through these, so the key proves Spark's
+    implementations against DuckDB's independent ``base64``/``hex`` on
+    identical bytes, AND asserts the decode side inverts the encode
+    in-plan (``roundtrip_ok``) — both directions, both codecs, all
+    codegen (no UDFs). Spark's ``base64`` emits the MIME variant (76-char
+    lines joined with CRLF, per java.util.Base64's encoder) — the CRLFs
+    are stripped to the canonical unwrapped alphabet every other engine
+    (and RFC 4648 proper) produces; ``unbase64`` accepts both, which the
+    round-trip bit also proves."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.coalesce(F.col("text"), F.lit("")).cast("binary")
+    b64 = F.regexp_replace(F.base64(b), "\r\n", "")
+    hx = F.hex(b)
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        hx.alias("hx"),
+        (
+            (F.unbase64(b64).cast("string") == F.coalesce(F.col("text"), F.lit("")))
+            & (F.unhex(hx).cast("string") == F.coalesce(F.col("text"), F.lit("")))
+        ).alias("roundtrip_ok"),
+    )

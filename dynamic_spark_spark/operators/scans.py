@@ -321,6 +321,39 @@ def scan_text_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_csv_multiline",
+    "SELECT doc_id, coalesce(text, '') || chr(10) || 'line2:'"
+    " || CAST(doc_id AS VARCHAR) AS text2 FROM documents",
+    tag="scan",
+)  # oracle: quoted-newline CSV write+multiLine read must round-trip exactly
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip with EMBEDDED NEWLINES — the quoting discipline the
+    line-oriented text keys must exclude, proven instead of avoided: each
+    document's text gains a second line, the CSV writer quotes the
+    multi-line field, and ``multiLine=True`` on read re-assembles records
+    across line breaks. The scale caveat IS the point of the option: a
+    multiLine CSV file cannot be split at newlines (a break may be inside
+    quotes), so Spark reads each file whole — at 100 TB the layout answer
+    is many small files or a record-framed format, and this key documents
+    that trade-off while proving the parser handles the quoting exactly.
+    The oracle computes the same two-line value in closed form and never
+    touches CSV."""
+    out = _tmpdir(prefix="dss_csvml_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nline2:"),
+            F.col("doc_id").cast("string"),
+        ).alias("text2"),
+    )
+    docs.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.option("header", True).option("multiLine", True).schema(
+        "doc_id long, text2 string"
+    ).csv(out)
+
+
+@query(
     "scan_jdbc_roundtrip",
     "SELECT n_nationkey, n_regionkey, n_name FROM nation",
     tag="scan",

@@ -348,7 +348,8 @@ _PRIORITY = [
     # -- round-10 additions --
     "scan_zip64_members", "scan_tar_longnames",
     "scan_tbz_members", "scan_txz_members", "scan_text_bz2",
-    "multimodal_g711_decode",
+    "multimodal_g711_decode", "ts_gapfill_interp",
+    "scan_csv_multiline", "fn_binary_codecs",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

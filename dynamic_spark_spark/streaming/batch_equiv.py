@@ -903,3 +903,121 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_GAPFILL_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT user_id,
+         TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS h,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+), joined AS (
+  SELECT s.user_id, s.h, hy.n, hy.sm,
+         CAST(epoch(s.h) AS BIGINT) // 3600 AS hi
+  FROM spine s LEFT JOIN hourly hy ON hy.user_id = s.user_id AND hy.h = s.h
+), nbr AS (
+  SELECT user_id, h, n, sm, hi,
+    last_value(sm IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_sm,
+    last_value(CASE WHEN n IS NOT NULL THEN hi END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hi,
+    first_value(sm IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_sm,
+    first_value(CASE WHEN n IS NOT NULL THEN hi END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hi
+  FROM joined)
+SELECT user_id, h AS hour_start,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+  CASE WHEN n IS NOT NULL THEN CAST(sm AS DOUBLE) / 1000000.0
+       ELSE CAST(prev_sm
+                 + CAST(FLOOR(CAST((next_sm - prev_sm) * (hi - prev_hi) AS DOUBLE)
+                              / CAST(next_hi - prev_hi AS DOUBLE)) AS BIGINT)
+                 AS DOUBLE) / 1000000.0
+  END AS interp_value
+FROM nbr
+"""
+
+
+@query("ts_gapfill_interp", _GAPFILL_INTERP_ORACLE, tag="streaming")
+def ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION — the sibling of
+    ``ts_gapfill_locf`` for signals where carrying the last value forward
+    biases the fill (rates, gauges): each missing hour gets
+    ``prev + (next - prev) * elapsed/gap``. All interpolation arithmetic
+    runs in scaled int64 micro-units with one exactly-representable
+    double division (operands < 2^53), so the result is bit-identical
+    cross-engine — the same determinism discipline as ``dsum``. The spine
+    spans each entity's observed range, so every gap row has both
+    neighbors (no edge nulls by construction). Scale posture: identical
+    to the LOCF key — spine generated bucket-side, ONE shuffle on
+    user_id serves the join and both neighbor windows."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    sm_micro = F.sum(
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ).cast("long")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), sm_micro.alias("sm"))
+        .select("user_id", F.col("window.start").alias("h"), "n", "sm")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    j = spine.join(hourly, ["user_id", "h"], "left").withColumn(
+        "hi", F.expr("CAST(h AS LONG) DIV 3600")
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hi = F.when(F.col("n").isNotNull(), F.col("hi"))
+    nbr = j.select(
+        "user_id",
+        "h",
+        "n",
+        "sm",
+        "hi",
+        F.last("sm", ignorenulls=True).over(w_back).alias("prev_sm"),
+        F.last(obs_hi, ignorenulls=True).over(w_back).alias("prev_hi"),
+        F.first("sm", ignorenulls=True).over(w_fwd).alias("next_sm"),
+        F.first(obs_hi, ignorenulls=True).over(w_fwd).alias("next_hi"),
+    )
+    interp_micro = F.col("prev_sm") + F.floor(
+        ((F.col("next_sm") - F.col("prev_sm")) * (F.col("hi") - F.col("prev_hi")))
+        .cast("double")
+        / (F.col("next_hi") - F.col("prev_hi")).cast("double")
+    ).cast("long")
+    return nbr.select(
+        "user_id",
+        F.col("h").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(
+            F.col("n").isNotNull(), F.col("sm").cast("double") / F.lit(1000000.0)
+        )
+        .otherwise(interp_micro.cast("double") / F.lit(1000000.0))
+        .alias("interp_value"),
+    )
