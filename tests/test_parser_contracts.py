@@ -1041,3 +1041,67 @@ def test_tbz_bomb_capped():
     t0 = time.monotonic()
     assert tbz_member_walk(bomb, cap=1 << 20) == []
     assert time.monotonic() - t0 < 5.0
+
+
+def test_crc32c_published_vectors():
+    """CRC-32C pinned against the published Castagnoli vectors (RFC 3720
+    appendix B.4 / Intel SSE4.2 reference) — the independent ground truth
+    for the TFRecord checksum chain."""
+    from dynamic_spark_spark.llmops.tfrecord import crc32c, masked_crc32c
+
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+    # the mask transform is an involution modulo the constant — spot-pin
+    # one known pair: mask(crc) must differ from crc and stay 32-bit
+    m = masked_crc32c(b"123456789")
+    assert 0 <= m <= 0xFFFFFFFF and m != 0xE3069283
+
+
+def test_tfrecord_walk_contract():
+    import time
+
+    from dynamic_spark_spark.llmops.tfrecord import (
+        tfrecord_bytes,
+        tfrecord_walk,
+    )
+
+    payloads = [b"hello", b"", b"x" * 1000, "wörld".encode()]
+    raw = tfrecord_bytes(payloads)
+    ms = tfrecord_walk(raw)
+    assert [m[3] for m in ms] == payloads
+    assert all(m[2] for m in ms)
+    assert [m[1] for m in ms] == [len(p) for p in payloads]
+
+    assert tfrecord_walk(b"") == []
+    assert tfrecord_walk(None) == []
+    t0 = time.monotonic()
+    for cut in range(1, len(raw), 31):
+        walked = tfrecord_walk(raw[:cut])  # truncation: keep the whole prefix
+        assert all(m[2] for m in walked)
+    assert time.monotonic() - t0 < 5.0
+
+    # data corruption: that record flagged, framing continues
+    bad = bytearray(raw)
+    bad[12] ^= 0xFF
+    ms2 = tfrecord_walk(bytes(bad))
+    assert len(ms2) == len(payloads)
+    assert not ms2[0][2] and all(m[2] for m in ms2[1:])
+
+    # length corruption: framing lost, walk stops at the boundary
+    bad2 = bytearray(raw)
+    bad2[0] ^= 0xFF
+    assert tfrecord_walk(bytes(bad2)) == []
+
+    # lying length past the cap: refused before allocation
+    import struct
+
+    from dynamic_spark_spark.llmops.tfrecord import masked_crc32c
+
+    hdr = struct.pack("<Q", 1 << 60)
+    bomb = hdr + struct.pack("<I", masked_crc32c(hdr)) + b"short"
+    t0 = time.monotonic()
+    assert tfrecord_walk(bomb) == []
+    assert time.monotonic() - t0 < 0.5
