@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.containers",
     "dynamic_spark_spark.llmops.instruct",
     "dynamic_spark_spark.llmops.tfrecord",
+    "dynamic_spark_spark.llmops.pdf",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
     "dynamic_spark_spark.llmops.curation",
@@ -351,6 +352,7 @@ _PRIORITY = [
     "scan_tbz_members", "scan_txz_members", "scan_text_bz2",
     "multimodal_g711_decode", "ts_gapfill_interp",
     "scan_csv_multiline", "fn_binary_codecs", "scan_tfrecord",
+    "scan_pdf_text",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

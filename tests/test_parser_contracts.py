@@ -1105,3 +1105,84 @@ def test_tfrecord_walk_contract():
     t0 = time.monotonic()
     assert tfrecord_walk(bomb) == []
     assert time.monotonic() - t0 < 0.5
+
+
+def test_pdf_roundtrip_hostile_chars():
+    """Escape-heavy text (parens, backslashes, newlines-in-source become
+    escaped literals) must survive the write → xref walk → inflate →
+    string-decode chain byte-for-byte."""
+    from dynamic_spark_spark.llmops.pdf import pdf_bytes, pdf_text_extract
+
+    text = r"a(b)c\\d\(e\) ((nested)) \\\\ trailing\ " + "tab\there"
+    raw = pdf_bytes(1, text)
+    res = pdf_text_extract(raw)
+    assert res is not None and res[0] == 2
+    n = len(text)
+    h = (n + 1) // 2
+    h1, h2 = text[:h], text[h:]
+    q1, q2 = h1[: (len(h1) + 1) // 2], h1[(len(h1) + 1) // 2 :]
+    q3, q4 = h2[: (len(h2) + 1) // 2], h2[(len(h2) + 1) // 2 :]
+    assert res[1] == q1 + "\n" + q2 + "\n" + q3 + "\n" + q4
+
+
+def test_pdf_empty_and_single_char():
+    from dynamic_spark_spark.llmops.pdf import pdf_bytes, pdf_text_extract
+
+    assert pdf_text_extract(pdf_bytes(1, "")) == (2, "\n\n\n")
+    assert pdf_text_extract(pdf_bytes(1, "X")) == (2, "X\n\n\n")
+
+
+def test_pdf_degrades():
+    import time
+
+    from dynamic_spark_spark.llmops.pdf import pdf_bytes, pdf_text_extract
+
+    good = pdf_bytes(3, "short pdf body text")
+    assert pdf_text_extract(b"") is None
+    assert pdf_text_extract(None) is None
+    assert pdf_text_extract(b"%PDF-1.4\ngarbage") is None
+    t0 = time.monotonic()
+    for cut in range(1, len(good), 41):
+        pdf_text_extract(good[:cut])  # must not raise
+    for pos in range(0, len(good), 17):
+        mutated = bytearray(good)
+        mutated[pos] ^= 0xFF
+        pdf_text_extract(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 10.0
+
+
+def test_pdf_stream_bomb_capped():
+    """A content stream inflating past the cap is refused in O(cap)."""
+    import time
+    import zlib
+
+    from dynamic_spark_spark.llmops.pdf import pdf_text_extract
+
+    bomb = zlib.compress(b"(" + b"A" * (64 << 20) + b") Tj", 9)
+    # a direct byte splice would break the xref offsets of every object
+    # after the stream; routing the bomb through the writer's own
+    # compress call keeps the layout honest (declared /Length = the small
+    # compressed size, so the INFLATE cap is what must refuse it)
+    from dynamic_spark_spark.llmops import pdf as P
+
+    orig_compress = zlib.compress
+    try:
+        zlib.compress = lambda data, level=6: bomb  # noqa: E731
+        hostile = P.pdf_bytes(4, "bomb host")
+    finally:
+        zlib.compress = orig_compress
+    t0 = time.monotonic()
+    assert pdf_text_extract(hostile) is None
+    assert time.monotonic() - t0 < 3.0
+
+
+def test_pdf_xref_stream_refused():
+    """PDF 1.5 cross-reference STREAMS are out of scope: the parser must
+    refuse (None), never misread the classic-xref path into them."""
+    from dynamic_spark_spark.llmops.pdf import pdf_text_extract
+
+    fake = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /XRef >>\nstream\nxx\nendstream\nendobj\n"
+        b"startxref\n9\n%%EOF\n"
+    )
+    assert pdf_text_extract(fake) is None
