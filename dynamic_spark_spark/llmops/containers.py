@@ -686,10 +686,13 @@ def scan_tgz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tbz_archive_bytes(doc_id: int, text: str) -> bytes:
     """``.tar.bz2``: the tar archive as one bzip2 stream (stdlib
-    compressor; deterministic — bzip2 carries no timestamp)."""
+    compressor; deterministic — bzip2 carries no timestamp). Level 1:
+    synthesis is scaffolding for the WALKER under test, and the probe
+    showed level 9 dominating the key's cost at 100x for identical
+    coverage (the decompressor path is level-independent)."""
     import bz2
 
-    return bz2.compress(tar_archive_bytes(doc_id, text), 9)
+    return bz2.compress(tar_archive_bytes(doc_id, text), 1)
 
 
 def tbz_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
@@ -744,10 +747,14 @@ def scan_tbz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def txz_archive_bytes(doc_id: int, text: str) -> bytes:
     """``.tar.xz``: the tar archive as one xz/LZMA2 stream (stdlib;
-    deterministic — xz carries no timestamp)."""
+    deterministic — xz carries no timestamp). Preset 1 for the same
+    reason as the bz2 twin: the default preset 6 was 85%% of the key's
+    100x probe cost while exercising nothing extra in the walker."""
     import lzma
 
-    return lzma.compress(tar_archive_bytes(doc_id, text), format=lzma.FORMAT_XZ)
+    return lzma.compress(
+        tar_archive_bytes(doc_id, text), format=lzma.FORMAT_XZ, preset=1
+    )
 
 
 def txz_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
@@ -794,4 +801,179 @@ def scan_txz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         walk, "doc_id long, name string, size long, chksum_ok boolean"
+    )
+
+
+# --- XLSX: the office-format composition (ZIP + XML) -----------------------
+
+
+def _xml_esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _xml_unesc(s: str) -> str:
+    return (
+        s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    )
+
+
+def xlsx_bytes(doc_id: int, text: str) -> bytes:
+    """Minimal REAL XLSX (ECMA-376, public): the OPC ZIP container with
+    content types, relationship parts, workbook, and one worksheet whose
+    cells carry the document's data — text as ``inlineStr`` (XML-escaped)
+    and numbers as ``<v>``. Deterministic bytes via the fixed-timestamp
+    STORED members of :func:`zip_archive_bytes`'s writer conventions."""
+    import io
+    import zipfile
+
+    text = text or ""
+    half = text[: (len(text) + 1) // 2]
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        f'<row r="1">'
+        f'<c r="A1" t="inlineStr"><is><t>{_xml_esc(text)}</t></is></c>'
+        f'<c r="B1"><v>{doc_id}</v></c>'
+        "</row>"
+        f'<row r="2">'
+        f'<c r="A2" t="inlineStr"><is><t>{_xml_esc(half)}</t></is></c>'
+        f'<c r="B2"><v>{len(text)}</v></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    parts = [
+        (
+            "[Content_Types].xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>",
+        ),
+        (
+            "_rels/.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        ),
+        (
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+            ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        ),
+        (
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        ),
+        ("xl/worksheets/sheet1.xml", sheet),
+    ]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in parts:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+_CELL_RE = None  # compiled lazily worker-side
+
+
+def xlsx_cells(raw: bytes):
+    """Parse the first worksheet out of an XLSX via the hand-rolled ZIP
+    walker + a cell-level XML scan: ``(cell_ref, kind, value)`` with
+    ``kind`` in {'s' (inlineStr), 'n' (numeric)}. Returns [] for
+    anything malformed (bad ZIP, missing sheet, CRC failure) — the
+    degrade-don't-die contract, inherited from the ZIP layer."""
+    import re as _re
+
+    global _CELL_RE
+    if _CELL_RE is None:
+        _CELL_RE = _re.compile(
+            rb'<c r="([A-Z]+\d+)"(?:\s+t="(inlineStr)")?\s*>'
+            rb"(?:<is><t>(.*?)</t></is>|<v>(.*?)</v>)</c>",
+            _re.DOTALL,
+        )
+    sheet = None
+    for name, _method, _ulen, crc_ok, content in zip_member_walk(raw):
+        if name == "xl/worksheets/sheet1.xml" and crc_ok:
+            sheet = content
+            break
+    if sheet is None:
+        return []
+    out = []
+    for m in _CELL_RE.finditer(sheet):
+        ref = m.group(1).decode("ascii")
+        if m.group(2):  # inlineStr
+            txt = m.group(3)
+            if txt is None:
+                return []
+            out.append((ref, "s", _xml_unesc(txt.decode("utf-8"))))
+        else:
+            val = m.group(4)
+            if val is None:
+                return []
+            out.append((ref, "n", val.decode("ascii")))
+    return out
+
+
+_XLSX_ORACLE = """
+WITH cells AS (
+  SELECT doc_id, 'A1' AS cell_ref, 's' AS kind,
+    coalesce(text, '') AS val FROM documents
+  UNION ALL
+  SELECT doc_id, 'B1', 'n', CAST(doc_id AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT doc_id, 'A2', 's',
+    substr(coalesce(text, ''), 1,
+           CAST(floor((length(coalesce(text, '')) + 1) / 2) AS INTEGER))
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'B2', 'n',
+    CAST(length(coalesce(text, '')) AS VARCHAR) FROM documents)
+SELECT doc_id, cell_ref, kind, val FROM cells
+"""
+
+
+@query("scan_xlsx_cells", _XLSX_ORACLE, tag="scan")
+def scan_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX ingest — the office format every enterprise data drop
+    arrives in, parsed as the COMPOSITION it actually is: an OPC ZIP
+    container (walked by the same central-directory parser as
+    ``scan_zip_members``, CRC-verified) holding XML worksheets (cell
+    scan with entity unescaping). Each document synthesizes a real
+    ECMA-376 workbook carrying its text as ``inlineStr`` cells and its
+    numbers as ``<v>`` cells; the oracle recomposes the expected cell
+    inventory in closed form and never touches ZIP or XML — a hash
+    match proves deflate, CRC, XML escaping, and cell typing round-trip
+    together. Per-row mapInPandas, workbook-per-task (ZIP index-at-end,
+    same split unit as the archive keys)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = xlsx_bytes(int(doc_id), text)
+                for ref, kind, val in xlsx_cells(raw):
+                    rows.append((doc_id, ref, kind, val))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "cell_ref", "kind", "val"]
+            )
+
+    return d.mapInPandas(
+        walk, "doc_id long, cell_ref string, kind string, val string"
     )

@@ -354,6 +354,37 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_csv_utf16",
+    "SELECT doc_id, coalesce(text, '') AS text FROM documents",
+    tag="scan",
+)  # oracle: UTF-16 csv write+read must round-trip values exactly
+def scan_csv_utf16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip in UTF-16 — the charset surface enterprise data
+    drops (BI exports, Windows toolchains ship UTF-16LE/BE with BOMs).
+    The write side takes ``encoding=UTF-16`` directly; the read side
+    REQUIRES ``multiLine=True``, and that requirement is the key's scale
+    lesson: Hadoop's line reader splits on single-BYTE newlines, so a
+    two-byte-per-char stream sliced at ``\\n`` leaves half a code unit on
+    each side (a trailing U+FFFD on every value — observed, not
+    hypothetical). multiLine parses each FILE whole in the declared
+    charset, which means charset-encoded corpora lose sub-file split
+    parallelism exactly like multiline-quoted CSV — at 100 TB, transcode
+    to UTF-8 once or ship many shards. Null/empty normalization via
+    ``coalesce`` on both engines (CSV cannot distinguish them)."""
+    out = _tmpdir(prefix="dss_csv16_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").option("header", True).option(
+        "encoding", "UTF-16"
+    ).csv(out)
+    back = spark.read.option("header", True).option("encoding", "UTF-16").option(
+        "multiLine", True
+    ).schema("doc_id long, text string").csv(out)
+    return back.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+
+
+@query(
     "scan_jdbc_roundtrip",
     "SELECT n_nationkey, n_regionkey, n_name FROM nation",
     tag="scan",

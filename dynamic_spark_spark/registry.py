@@ -352,7 +352,7 @@ _PRIORITY = [
     "scan_tbz_members", "scan_txz_members", "scan_text_bz2",
     "multimodal_g711_decode", "ts_gapfill_interp",
     "scan_csv_multiline", "fn_binary_codecs", "scan_tfrecord",
-    "scan_pdf_text",
+    "scan_pdf_text", "scan_csv_utf16", "scan_xlsx_cells",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -1186,3 +1186,33 @@ def test_pdf_xref_stream_refused():
         b"startxref\n9\n%%EOF\n"
     )
     assert pdf_text_extract(fake) is None
+
+
+def test_xlsx_cells_contract():
+    import time
+
+    from dynamic_spark_spark.llmops.containers import xlsx_bytes, xlsx_cells
+
+    cells = xlsx_cells(xlsx_bytes(9, "plain body"))
+    assert cells == [
+        ("A1", "s", "plain body"),
+        ("B1", "n", "9"),
+        ("A2", "s", "plain"),
+        ("B2", "n", "10"),
+    ]
+    # XML-reserved characters must survive the escape round trip
+    hostile = 'a & b < c > d && <t> &amp; "q"'
+    got = xlsx_cells(xlsx_bytes(2, hostile))
+    assert got[0] == ("A1", "s", hostile)
+
+    assert xlsx_cells(b"") == []
+    assert xlsx_cells(None) == []
+    good = xlsx_bytes(1, "degrade sweep")
+    t0 = time.monotonic()
+    for cut in range(1, len(good), 53):
+        xlsx_cells(good[:cut])  # must not raise
+    for pos in range(0, len(good), 29):
+        mutated = bytearray(good)
+        mutated[pos] ^= 0xFF
+        xlsx_cells(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 10.0
