@@ -425,9 +425,7 @@ def _extract_text_ops(content: bytes) -> str:
             stack.clear()
         elif tok == b"ET":
             stack.clear()
-    return "".join(
-        p if p != "\n" else "\n" for p in _squash_breaks(parts)
-    )
+    return "".join(_squash_breaks(parts))
 
 
 def _squash_breaks(parts: list[str]) -> list[str]:
