@@ -534,3 +534,79 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.least("e_a", "e_b") - overlap_start).cast("bigint").alias("overlap_s"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    "SELECT p.event_id, p.user_id, p.ts,"
+    " (SELECT c.ts FROM events c"
+    "   WHERE c.event_type = 'click' AND c.user_id = p.user_id"
+    "   ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), c.ts LIMIT 1)"
+    " AS nearest_click_ts"
+    " FROM events p WHERE p.event_type = 'purchase'",
+    tag="join",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-mode as-of join (pandas ``merge_asof(direction='nearest')``):
+    for each purchase, the same user's click closest in time on EITHER
+    side, ties to the earlier click. The backward-only key
+    (``join_asof``) misses a click one second after a purchase in favor
+    of one an hour before — nearest mode is what attribution actually
+    wants.
+
+    Implementation stays the scalable union trick, run in BOTH
+    directions off ONE shuffle: tag and union the sides, carry the last
+    click back and the first click forward within each user's timeline,
+    and pick whichever neighbor is nearer (equidistant → the earlier,
+    matching the oracle's tie rule). Still linear per-partition, no pair
+    explosion. The oracle is a genuinely independent implementation —
+    a correlated argmin subquery — so the hash match cross-checks the
+    window trick against brute force, not against itself."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("side"),
+    )
+    # side=0 sorts clicks before purchases at identical timestamps, so an
+    # exactly-simultaneous click is the backward neighbor (distance 0).
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.unix_micros("ts")
+    prev_us = F.unix_micros("prev_ts")
+    next_us = F.unix_micros("next_ts")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when((us - prev_us) <= (next_us - us), F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return (
+        clicks.unionAll(purchases)
+        .withColumn("prev_ts", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("next_ts", F.first("click_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            nearest.alias("nearest_click_ts"),
+        )
+    )

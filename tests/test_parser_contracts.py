@@ -1216,3 +1216,59 @@ def test_xlsx_cells_contract():
         mutated[pos] ^= 0xFF
         xlsx_cells(bytes(mutated))  # must not raise
     assert time.monotonic() - t0 < 10.0
+
+
+def test_parquet_footer_matches_pyarrow():
+    """The hand-rolled Thrift compact walk must agree with pyarrow (an
+    independent implementation) on files written with varied row-group
+    geometries — including multi-group files, where the field-3-in-list
+    extraction does real work."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_footer import parse_parquet_footer
+
+    for n, rg_size in [(10, 10), (100, 7), (1000, 64), (1, 1)]:
+        table = pa.table(
+            {"a": list(range(n)), "b": [f"s{i}" for i in range(n)]}
+        )
+        buf = io.BytesIO()
+        pq.write_table(table, buf, row_group_size=rg_size)
+        raw = buf.getvalue()
+        got = parse_parquet_footer(raw)
+        md = pq.read_metadata(io.BytesIO(raw))
+        want = (md.num_rows, [md.row_group(i).num_rows for i in range(md.num_row_groups)])
+        assert got == want, (n, rg_size)
+
+
+def test_parquet_footer_degrades():
+    import io
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_footer import parse_parquet_footer
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"a": list(range(50))}), buf, row_group_size=16)
+    good = buf.getvalue()
+
+    assert parse_parquet_footer(b"") is None
+    assert parse_parquet_footer(None) is None
+    assert parse_parquet_footer(b"PAR1junkPAR1") is None
+    # lying footer length
+    import struct as _s
+
+    lying = good[:-8] + _s.pack("<I", 1 << 30) + b"PAR1"
+    assert parse_parquet_footer(lying) is None
+    t0 = time.monotonic()
+    for cut in range(1, len(good), 61):
+        parse_parquet_footer(good[:cut])  # must not raise
+    for pos in range(max(0, len(good) - 300), len(good), 3):
+        mutated = bytearray(good)
+        mutated[pos] ^= 0xFF  # footer-region byte flips
+        parse_parquet_footer(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 10.0
