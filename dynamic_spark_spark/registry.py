@@ -67,6 +67,8 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.tfrecord",
     "dynamic_spark_spark.llmops.pdf",
     "dynamic_spark_spark.llmops.parquet_footer",
+    "dynamic_spark_spark.llmops.avro_ocf",
+    "dynamic_spark_spark.llmops.protowire",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
     "dynamic_spark_spark.llmops.curation",
@@ -355,6 +357,7 @@ _PRIORITY = [
     "scan_csv_multiline", "fn_binary_codecs", "scan_tfrecord",
     "scan_pdf_text", "scan_csv_utf16", "scan_xlsx_cells",
     "stream_tfrecord_ingest", "join_asof_nearest", "scan_parquet_footer",
+    "scan_avro_records", "scan_protobuf_stream",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -1272,3 +1272,131 @@ def test_parquet_footer_degrades():
         mutated[pos] ^= 0xFF  # footer-region byte flips
         parse_parquet_footer(bytes(mutated))  # must not raise
     assert time.monotonic() - t0 < 10.0
+
+
+def test_avro_ocf_roundtrip_and_degrades():
+    import time
+
+    from dynamic_spark_spark.llmops.avro_ocf import (
+        avro_ocf_bytes,
+        avro_ocf_walk,
+    )
+
+    recs = [(1, "hello"), (2, ""), (3, "wörld text"), (40000, "x" * 500)]
+    for codec in ("deflate", "null"):
+        raw = avro_ocf_bytes(recs, codec)
+        assert avro_ocf_walk(raw) == recs, codec
+
+    raw = avro_ocf_bytes(recs)
+    assert avro_ocf_walk(b"") == []
+    assert avro_ocf_walk(None) == []
+    t0 = time.monotonic()
+    for cut in range(1, len(raw), 19):
+        avro_ocf_walk(raw[:cut])  # must not raise
+    for pos in range(0, len(raw), 7):
+        mutated = bytearray(raw)
+        mutated[pos] ^= 0xFF
+        avro_ocf_walk(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 10.0
+
+    # sync-marker corruption: the walk must stop at the broken boundary,
+    # not mis-frame into the next block
+    bad = bytearray(raw)
+    bad[-1] ^= 0xFF  # trailing sync byte
+    assert avro_ocf_walk(bytes(bad)) == []
+
+    # schema-checked decode: a different field shape is refused outright
+    import json as _json
+
+    other = avro_ocf_bytes(recs)
+    swapped = other.replace(b'"name":"doc_id","type":"long"', b'"name":"other_f","type":"long"')
+    assert avro_ocf_walk(swapped) == []
+
+
+def test_avro_count_bomb_capped():
+    """A block declaring 2^40 records (or a huge byte length) must be
+    refused before any allocation."""
+    import struct
+    import time
+
+    from dynamic_spark_spark.llmops.avro_ocf import (
+        _zigzag_encode,
+        avro_ocf_bytes,
+        avro_ocf_walk,
+    )
+
+    good = avro_ocf_bytes([(1, "x")])
+    # rebuild the first block with a lying count: locate it right after
+    # the 16-byte sync that ends the header
+    hdr_end = good.index(struct.pack("<QQ", 0x5350_4152_4B47_5246, 1))
+    cut = hdr_end + 16
+    bomb = good[:cut] + _zigzag_encode(1 << 40) + good[cut + 1 :]
+    t0 = time.monotonic()
+    avro_ocf_walk(bomb)  # must neither raise nor allocate
+    assert time.monotonic() - t0 < 0.5
+
+
+def test_proto_unknown_field_forward_compat():
+    """The generic walk must skip fields it does not know — by each
+    field's OWN wire-type length — without disturbing any known value.
+    This is the forward-compatibility property proto consumers rely on."""
+    import struct
+
+    from dynamic_spark_spark.llmops.protowire import (
+        _uvarint_enc,
+        proto_doc_bytes,
+        proto_doc_decode,
+    )
+
+    base = proto_doc_bytes(42, "known payload")
+    want = proto_doc_decode(base)
+    # inject alien fields of every wire type at the FRONT (worst case:
+    # decoder must resync before any known field)
+    alien = (
+        _uvarint_enc((99 << 3) | 0) + _uvarint_enc(12345)
+        + _uvarint_enc((100 << 3) | 1) + struct.pack("<d", 2.5)
+        + _uvarint_enc((101 << 3) | 2) + _uvarint_enc(7) + b"aliens!"
+        + _uvarint_enc((102 << 3) | 5) + struct.pack("<I", 7)
+    )
+    assert proto_doc_decode(alien + base) == want
+    assert proto_doc_decode(base + alien) == want
+
+
+def test_proto_stream_walk_contract():
+    import time
+
+    from dynamic_spark_spark.llmops.protowire import (
+        proto_stream_bytes,
+        proto_stream_walk,
+    )
+
+    recs = [(1, "a"), (2, ""), (77, "wörld"), (500, "z" * 300)]
+    raw = proto_stream_bytes(recs)
+    got = proto_stream_walk(raw)
+    assert [(g[0], g[1]) for g in got] == recs
+    assert all(g[2] == len(r[1]) for g, r in zip(got, recs))
+    assert all(g[3] == r[0] * 0.5 for g, r in zip(got, recs))
+
+    assert proto_stream_walk(b"") == []
+    assert proto_stream_walk(None) == []
+    t0 = time.monotonic()
+    for cut in range(1, len(raw), 13):
+        proto_stream_walk(raw[:cut])  # must not raise
+    for pos in range(0, len(raw), 5):
+        mutated = bytearray(raw)
+        mutated[pos] ^= 0xFF
+        proto_stream_walk(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 10.0
+
+    # deprecated group wire types (3/4) are refused, not guessed over
+    from dynamic_spark_spark.llmops.protowire import _uvarint_enc
+
+    grp = _uvarint_enc((1 << 3) | 3)
+    framed = _uvarint_enc(len(grp)) + grp
+    assert proto_stream_walk(framed) == []
+
+    # length bomb: a frame declaring 2^50 bytes is refused pre-allocation
+    bomb = _uvarint_enc(1 << 50) + b"tiny"
+    t0 = time.monotonic()
+    assert proto_stream_walk(bomb) == []
+    assert time.monotonic() - t0 < 0.5
