@@ -1400,3 +1400,69 @@ def test_proto_stream_walk_contract():
     t0 = time.monotonic()
     assert proto_stream_walk(bomb) == []
     assert time.monotonic() - t0 < 0.5
+
+
+def test_lz4_block_roundtrip_and_degrades():
+    import os
+    import time
+
+    from dynamic_spark_spark.llmops.lz4_hadoop import (
+        hadoop_lz4_compress,
+        hadoop_lz4_decompress,
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 100,
+        b"the quick brown fox " * 500,
+        os.urandom(1000),          # incompressible: all literals
+        bytes(range(256)) * 300,
+        b"aaaaaaaaaaaaaaaaaaaaaaaa",  # overlap-copy (offset 1) path
+    ]
+    for data in cases:
+        comp = lz4_block_compress(data)
+        assert lz4_block_decompress(comp, len(data) + 1) == data
+        assert hadoop_lz4_decompress(hadoop_lz4_compress(data)) == data
+    big = b"repetitive content block " * 20000  # > 256 KiB: multi-block
+    assert hadoop_lz4_decompress(hadoop_lz4_compress(big)) == big
+
+    frame = hadoop_lz4_compress(b"payload " * 50)
+    assert hadoop_lz4_decompress(b"") == b""
+    assert hadoop_lz4_decompress(None) is None
+    t0 = time.monotonic()
+    for cut in range(1, len(frame), 7):
+        hadoop_lz4_decompress(frame[:cut])  # must not raise
+    for pos in range(0, len(frame), 3):
+        mutated = bytearray(frame)
+        mutated[pos] ^= 0xFF
+        hadoop_lz4_decompress(bytes(mutated))  # must not raise
+    assert time.monotonic() - t0 < 10.0
+
+    # zero offset is invalid LZ4 — must refuse, not loop
+    bad_block = bytes([0x10]) + b"A" + b"\x00\x00" + bytes([0x50])
+    assert lz4_block_decompress(bad_block, 1 << 20) is None
+
+    # declared-rawlen bomb is refused before allocation
+    import struct as _s
+
+    bomb = _s.pack(">I", 1 << 31) + _s.pack(">I", 4) + b"\x00\x00\x00\x00"
+    t0 = time.monotonic()
+    assert hadoop_lz4_decompress(bomb) is None
+    assert time.monotonic() - t0 < 0.5
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_lz4_random_roundtrip(data):
+    """Property sweep: compress→decompress is the identity on arbitrary
+    bytes (the JVM interop is proven by the two driver keys; this pins
+    the pair on inputs the corpus never produces)."""
+    from dynamic_spark_spark.llmops.lz4_hadoop import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    assert lz4_block_decompress(lz4_block_compress(data), len(data) + 1) == data
