@@ -70,6 +70,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.avro_ocf",
     "dynamic_spark_spark.llmops.protowire",
     "dynamic_spark_spark.llmops.lz4_hadoop",
+    "dynamic_spark_spark.llmops.parquet_raw",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
     "dynamic_spark_spark.llmops.curation",
@@ -359,7 +360,7 @@ _PRIORITY = [
     "scan_pdf_text", "scan_csv_utf16", "scan_xlsx_cells",
     "stream_tfrecord_ingest", "join_asof_nearest", "scan_parquet_footer",
     "scan_avro_records", "scan_protobuf_stream",
-    "scan_text_lz4", "sink_text_lz4",
+    "scan_text_lz4", "sink_text_lz4", "scan_parquet_raw_column",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

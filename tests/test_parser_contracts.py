@@ -1466,3 +1466,102 @@ def test_lz4_random_roundtrip(data):
     )
 
     assert lz4_block_decompress(lz4_block_compress(data), len(data) + 1) == data
+
+
+def test_parquet_raw_column_matches_pyarrow():
+    """The full bytes-level data read (thrift -> pages -> snappy -> RLE
+    def levels -> PLAIN) must recover exactly what pyarrow wrote, across
+    codecs, row-group geometries, and null patterns."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_int64_column,
+    )
+
+    for codec in ("snappy", "NONE"):
+        for n, rg in [(100, 100), (1000, 64), (1, 1)]:
+            buf = io.BytesIO()
+            pq.write_table(
+                pa.table({"doc_id": list(range(n))}),
+                buf,
+                compression=codec,
+                use_dictionary=False,
+                row_group_size=rg,
+            )
+            got = read_parquet_int64_column(buf.getvalue(), "doc_id")
+            assert got == list(range(n)), (codec, n, rg)
+
+    # nulls: definition levels 0 drop out, non-null values survive
+    vals = [i if i % 3 else None for i in range(200)]
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(vals, type=pa.int64())}),
+        buf,
+        compression="snappy",
+        use_dictionary=False,
+    )
+    got = read_parquet_int64_column(buf.getvalue(), "doc_id")
+    assert got == [v for v in vals if v is not None]
+
+    # dictionary-encoded chunks are REFUSED, not misread
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"doc_id": [7] * 500}), buf,
+        compression="snappy", use_dictionary=True,
+    )
+    assert read_parquet_int64_column(buf.getvalue(), "doc_id") is None
+
+    # unknown column name: no values, not a crash
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2]}), buf, use_dictionary=False
+    )
+    assert read_parquet_int64_column(buf.getvalue(), "nope") == []
+
+
+def test_snappy_decompress_contract():
+    import time
+
+    from dynamic_spark_spark.llmops.parquet_raw import snappy_decompress
+
+    # literals-only stream built by hand: varint len 5, literal tag
+    hand = bytes([5, (4 << 2) | 0]) + b"hello"
+    assert snappy_decompress(hand) == b"hello"
+    # copy stream: "ababab" = literal "ab" + copy(offset 2, len 4)
+    hand2 = bytes([6, (1 << 2) | 0]) + b"ab" + bytes([(4 - 4) << 2 | 1 | (0 << 5), 2])
+    assert snappy_decompress(hand2) == b"ababab"
+
+    assert snappy_decompress(b"") is None
+    assert snappy_decompress(bytes([255, 255, 255, 255, 255, 255])) is None
+    # declared-length bomb refused before allocation
+    t0 = time.monotonic()
+    assert snappy_decompress(bytes([0xFF, 0xFF, 0xFF, 0xFF, 0x0F]) + b"x") is None
+    assert time.monotonic() - t0 < 0.5
+    # truncation/mutation sweep over a real stream (from the pyarrow key
+    # path we only see valid streams; here every prefix must degrade)
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"doc_id": list(range(500))}), buf,
+        compression="snappy", use_dictionary=False,
+    )
+    raw = buf.getvalue()
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_int64_column,
+    )
+
+    t0 = time.monotonic()
+    for cut in range(1, len(raw), 101):
+        read_parquet_int64_column(raw[:cut], "doc_id")  # must not raise
+    for pos in range(0, len(raw), 37):
+        m = bytearray(raw)
+        m[pos] ^= 0xFF
+        read_parquet_int64_column(bytes(m), "doc_id")  # must not raise
+    assert time.monotonic() - t0 < 15.0
