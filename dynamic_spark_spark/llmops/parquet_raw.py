@@ -155,9 +155,10 @@ def read_parquet_int64_column(raw: bytes, column: str):
     """Read every value of a required/optional INT64 column straight
     from the file bytes: footer → chunk metadata → page walk → snappy →
     def levels → PLAIN. Returns the list of non-null values or None.
-    Dictionary-encoded chunks are refused (the key writes with
-    dictionary disabled; a general reader would add the dict-decode
-    tier). Never raises."""
+    Dictionary-encoded chunks are refused by THIS entry point (the
+    PLAIN-only tier keeps its refusal semantics under test);
+    :func:`read_parquet_int64_column_dict` is the general reader that
+    handles them. Never raises."""
     try:
         return _read_inner(raw, column)
     except Exception:
@@ -374,6 +375,283 @@ def scan_parquet_raw_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame({"doc_id": vals})
 
         res = files.mapInPandas(read_col, "doc_id long")
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def read_parquet_int64_column_dict(raw: bytes, column: str):
+    """The DICTIONARY tier of the raw reader — what parquet-mr writes BY
+    DEFAULT: the chunk opens with a PLAIN dictionary page, and each data
+    page encodes indices as [bit-width byte][RLE/bit-packed hybrid].
+    Returns non-null values in row order, falling back to the PLAIN
+    reader per chunk when no dictionary page exists. Never raises."""
+    try:
+        return _read_dict_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _read_dict_inner(raw: bytes, column: str):
+    if not raw or len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack("<I", raw[-8:-4])
+    start = len(raw) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    c = _Compact(raw, start)
+    chunks = []
+    last_fid = 0
+    while True:
+        fid, wtype = c.field_header(last_fid)
+        if wtype == 0:
+            break
+        last_fid = fid
+        if fid == 4 and wtype == 9:
+            size, etype = c.list_header()
+            if etype != 12:
+                return None
+            for _ in range(size):
+                rg_last = 0
+                while True:
+                    rfid, rtype = c.field_header(rg_last)
+                    if rtype == 0:
+                        break
+                    rg_last = rfid
+                    if rfid == 1 and rtype == 9:
+                        csize, cetype = c.list_header()
+                        if cetype != 12:
+                            return None
+                        for _ in range(csize):
+                            chunk = _parse_column_chunk(c)
+                            if chunk is not None:
+                                chunks.append(chunk)
+                    else:
+                        c.skip(rtype, 0)
+        else:
+            c.skip(wtype, 0)
+
+    values: list[int] = []
+    for codec, num_values, page_off, path in chunks:
+        if path != column:
+            continue
+        dictionary = None
+        got = 0
+        pos = page_off
+        while got < num_values:
+            page = _parse_page_header(raw, pos)
+            if page is None:
+                return None
+            ptype, comp_size, uncomp_size, n_vals, _def_enc, body_start = page
+            body = raw[body_start : body_start + comp_size]
+            if len(body) < comp_size:
+                return None
+            pos = body_start + comp_size
+            data = _codec_decompress(codec, body, uncomp_size)
+            if data is None or len(data) != uncomp_size:
+                return None
+            if ptype == 2:  # dictionary page: PLAIN int64 entries
+                if len(data) % 8:
+                    return None
+                dictionary = list(
+                    struct.unpack(f"<{len(data) // 8}q", data)
+                )
+                continue
+            if ptype != 0:
+                return None
+            (dlen,) = struct.unpack("<I", data[:4])
+            levels = _rle_bitpacked_bools(data[4 : 4 + dlen], 1, n_vals)
+            if levels is None:
+                return None
+            n_present = sum(levels)
+            payload = data[4 + dlen :]
+            if dictionary is None:
+                # PLAIN data page inside a chunk with no dict page
+                vals_b = payload[: 8 * n_present]
+                if len(vals_b) < 8 * n_present:
+                    return None
+                values.extend(struct.unpack(f"<{n_present}q", vals_b))
+            else:
+                if not payload:
+                    return None
+                bit_width = payload[0]
+                if bit_width > 32:
+                    return None
+                idxs = _rle_bitpacked_bools(payload[1:], bit_width, n_present)
+                if idxs is None:
+                    return None
+                try:
+                    values.extend(dictionary[i] for i in idxs)
+                except IndexError:
+                    return None  # index outside the dictionary: corrupt
+            got += n_vals
+    return values
+
+
+def read_parquet_footer_minmax(raw: bytes, column: str):
+    """Column Statistics straight from the footer: the (min, max) over
+    every row group's ``Statistics.min_value``/``max_value`` (fields
+    6/5, int64 PLAIN bytes) for the named column — the metadata a
+    pruning reader trusts, read here independently so it can be AUDITED
+    against the data. Returns (min, max) or None."""
+    try:
+        return _minmax_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _minmax_inner(raw: bytes, column: str):
+    if not raw or len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack("<I", raw[-8:-4])
+    start = len(raw) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    c = _Compact(raw, start)
+    mn = mx = None
+    last_fid = 0
+    while True:
+        fid, wtype = c.field_header(last_fid)
+        if wtype == 0:
+            break
+        last_fid = fid
+        if fid != 4 or wtype != 9:
+            c.skip(wtype, 0)
+            continue
+        size, etype = c.list_header()
+        if etype != 12:
+            return None
+        for _ in range(size):
+            rg_last = 0
+            while True:
+                rfid, rtype = c.field_header(rg_last)
+                if rtype == 0:
+                    break
+                rg_last = rfid
+                if rfid != 1 or rtype != 9:
+                    c.skip(rtype, 0)
+                    continue
+                csize, cetype = c.list_header()
+                for _ in range(csize):
+                    got = _chunk_stats(c)
+                    if got is None:
+                        continue
+                    path, cmn, cmx = got
+                    if path != column or cmn is None or cmx is None:
+                        continue
+                    mn = cmn if mn is None else min(mn, cmn)
+                    mx = cmx if mx is None else max(mx, cmx)
+    if mn is None:
+        return None
+    return mn, mx
+
+
+def _chunk_stats(c: _Compact):
+    """One ColumnChunk → (path, stats_min, stats_max); values decoded as
+    int64 PLAIN from Statistics.min_value/max_value."""
+    path = None
+    mn = mx = None
+    last = 0
+    while True:
+        fid, wtype = c.field_header(last)
+        if wtype == 0:
+            break
+        last = fid
+        if fid == 3 and wtype == 12:
+            m_last = 0
+            while True:
+                mfid, mtype = c.field_header(m_last)
+                if mtype == 0:
+                    break
+                m_last = mfid
+                if mfid == 3 and mtype == 9:
+                    size, _etype = c.list_header()
+                    parts = []
+                    for _ in range(size):
+                        ln = c.varint()
+                        parts.append(
+                            c.data[c.pos : c.pos + ln].decode("utf-8")
+                        )
+                        c.pos += ln
+                    path = ".".join(parts)
+                elif mfid == 12 and mtype == 12:  # Statistics
+                    s_last = 0
+                    while True:
+                        sfid, stype = c.field_header(s_last)
+                        if stype == 0:
+                            break
+                        s_last = sfid
+                        if sfid in (5, 6) and stype == 8:  # max_value/min_value
+                            ln = c.varint()
+                            vb = c.data[c.pos : c.pos + ln]
+                            c.pos += ln
+                            if ln == 8:
+                                (v,) = struct.unpack("<q", vb)
+                                if sfid == 5:
+                                    mx = v
+                                else:
+                                    mn = v
+                        else:
+                            c.skip(stype, 0)
+                else:
+                    c.skip(mtype, 0)
+        else:
+            c.skip(wtype, 0)
+    return path, mn, mx
+
+
+_RAW_DICT_ORACLE = """
+SELECT doc_id,
+  CAST((SELECT min(doc_id) FROM documents) AS BIGINT) AS stats_min,
+  CAST((SELECT max(doc_id) FROM documents) AS BIGINT) AS stats_max
+FROM documents
+"""
+
+
+@query("scan_parquet_raw_dict", _RAW_DICT_ORACLE, tag="scan")
+def scan_parquet_raw_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT parquet layout, read raw: Spark writes with
+    dictionary encoding ON (no options — exactly what every production
+    file looks like), and the reader recovers ``doc_id`` through the
+    dictionary tier (PLAIN dict page → bit-width byte → RLE/bit-packed
+    indices → gather), plus the footer's Statistics min/max for the same
+    column — so the one hash match proves the dictionary decode AND that
+    the pruning metadata agrees with the data it describes. Spark may
+    legitimately fall back to PLAIN mid-chunk past the dictionary size
+    threshold; the reader handles both page forms, which is the point —
+    a raw reader that only handles the happy path cannot audit real
+    files. Per-file mapInPandas, zero shuffle."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    out = tempfile.mkdtemp(prefix="dss_rawdict_")
+    try:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        d.write.mode("overwrite").option("compression", "snappy").parquet(out)
+        files = spark.read.format("binaryFile").load(
+            out, pathGlobFilter="*.parquet"
+        ).select("content")
+
+        def read_col(batches):
+            for pdf in batches:
+                rows = []
+                for content in pdf["content"]:
+                    raw = bytes(content)
+                    vals = read_parquet_int64_column_dict(raw, "doc_id")
+                    stats = read_parquet_footer_minmax(raw, "doc_id")
+                    if vals is None or stats is None:
+                        continue
+                    for v in vals:
+                        rows.append((v, stats[0], stats[1]))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "stats_min", "stats_max"]
+                )
+
+        res = files.mapInPandas(
+            read_col, "doc_id long, stats_min long, stats_max long"
+        )
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
