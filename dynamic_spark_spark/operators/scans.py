@@ -1147,3 +1147,70 @@ def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+@query(
+    "sink_txn_log_replay",
+    "SELECT doc_id, text FROM documents"
+    " WHERE doc_id % 3 = 1 OR (doc_id % 3 = 0 AND doc_id % 2 = 0)",
+    tag="sink",
+)  # oracle: the log's FINAL live-file set, not the directory listing
+def sink_txn_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table semantics (the Delta/Iceberg mechanism,
+    reduced to its core): data files are immutable parquet, and the
+    TABLE is defined by an ordered JSON action log — ``add`` and
+    ``remove`` entries per version — not by what sits in the directory.
+    The key commits three versions (v0 adds file A, v1 adds file B, v2
+    compacts A into C removing its odd rows) AND drops an uncommitted
+    orphan parquet file into the directory; the reader replays the log
+    to the final live set {B, C} and reads exactly those files. The
+    oracle states the closed-form final table, so the hash match proves
+    both replay correctness and the property that makes the log worth
+    having: a directory-listing reader would have returned the orphan's
+    rows and A's removed ones. At 100 TB this is why object-store tables
+    need a log — list-after-write is neither atomic nor ordered; the log
+    IS the table."""
+    import json
+    import os
+
+    out = _tmpdir(prefix="dss_txnlog_")
+    log_dir = os.path.join(out, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def write_file(name: str, df) -> str:
+        path = os.path.join(out, name)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return name
+
+    a = write_file("A", d.where(F.col("doc_id") % 3 == 0))
+    b = write_file("B", d.where(F.col("doc_id") % 3 == 1))
+    c = write_file(
+        "C",
+        d.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0)),
+    )
+    # uncommitted orphan: present on disk, absent from the log
+    write_file("ORPHAN", d.where(F.col("doc_id") % 3 == 2))
+
+    commits = [
+        [{"add": a}],
+        [{"add": b}],
+        [{"remove": a}, {"add": c}],
+    ]
+    for v, actions in enumerate(commits):
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            for action in actions:
+                f.write(json.dumps(action) + "\n")
+
+    # replay: strictly ordered versions -> live set
+    live: set[str] = set()
+    for fname in sorted(os.listdir(log_dir)):
+        with open(os.path.join(log_dir, fname)) as f:
+            for line in f:
+                action = json.loads(line)
+                if "add" in action:
+                    live.add(action["add"])
+                if "remove" in action:
+                    live.discard(action["remove"])
+    paths = [os.path.join(out, name) for name in sorted(live)]
+    return spark.read.parquet(*paths)

@@ -361,7 +361,7 @@ _PRIORITY = [
     "stream_tfrecord_ingest", "join_asof_nearest", "scan_parquet_footer",
     "scan_avro_records", "scan_protobuf_stream",
     "scan_text_lz4", "sink_text_lz4", "scan_parquet_raw_column",
-    "scan_parquet_raw_dict",
+    "scan_parquet_raw_dict", "sink_txn_log_replay",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in
