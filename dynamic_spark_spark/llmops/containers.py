@@ -977,3 +977,53 @@ def scan_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         walk, "doc_id long, cell_ref string, kind string, val string"
     )
+
+
+def tzst_archive_bytes(doc_id: int, text: str) -> bytes:
+    """``.tar.zst``: the tar archive as one zstd frame (the hand-rolled
+    codec in :mod:`llmops.zstd` — real Huffman/FSE compression, not
+    store mode)."""
+    from dynamic_spark_spark.llmops.zstd import zstd_compress
+
+    return zstd_compress(tar_archive_bytes(doc_id, text))
+
+
+def tzst_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
+    """Decode the zstd frame (frame-declared size capped at 64× the
+    member cap, same stream discipline as the gzip/bz2/xz twins) and
+    walk the tar inside. Never raises."""
+    from dynamic_spark_spark.llmops.zstd import zstd_decompress
+
+    data = zstd_decompress(raw, cap * 64)
+    if data is None:
+        return []
+    return tar_member_walk(data, cap)
+
+
+@query("scan_tzst_members", _TAR_ORACLE, tag="scan")
+def scan_tzst_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.tar.zst`` ingest — the fourth compressed-tar codec under the
+    one shared oracle, and the one modern mirrors are converging on.
+    Unlike the gzip/bz2/xz twins (stdlib codecs), the compression here
+    is the repo's OWN zstd implementation, so the hash match proves the
+    full Huffman/FSE entropy pipeline composed with the checksum-
+    verified ustar walk. Same split-unit caveat as .tgz: one frame per
+    archive, archive-per-task."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def walk(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = tzst_archive_bytes(int(doc_id), text)
+                for name, size, _tf, chksum_ok, _c in tzst_member_walk(raw):
+                    rows.append((doc_id, name, size, chksum_ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "name", "size", "chksum_ok"]
+            )
+
+    return d.mapInPandas(
+        walk, "doc_id long, name string, size long, chksum_ok boolean"
+    )

@@ -1,0 +1,1109 @@
+"""Zstandard codec — the modern corpus compressor, implemented for real.
+
+zstd (RFC 8878, public) is what today's training corpora actually ship
+in: HuggingFace dumps are ``.jsonl.zst``, archived crawls move to
+``.tar.zst``, and every lakehouse offers it as a parquet codec. Python's
+stdlib has no zstd (pre-3.14) and this container carries no binding, so
+the engine implements the format itself — the same posture as the FLAC
+and GIF tiers:
+
+- **decoder**: frame header → block walk (Raw / RLE / Compressed) →
+  literals section (Raw / RLE / Huffman-compressed with a direct weight
+  description) → sequences section (FSE-described tables, BACKWARD
+  bitstream, the three-state LL/OF/ML machine with repeat-offset
+  history) → sequence execution;
+- **encoder**: greedy LZ77 matcher (min match 3), Huffman literals when
+  they pay, FSE-compressed sequence codes with explicitly-serialized
+  normalized counts — every table is DESCRIBED IN THE STREAM, so
+  correctness never rests on memorized default-distribution constants;
+- **FSE**: normalized-count (de)serialization, the spec's table-spread
+  algorithm, encode/decode state machines;
+- **Huffman**: canonical weight assignment, direct description, forward
+  encode / backward decode.
+
+Correctness chain: every layer round-trips under pytest (including
+hypothesis sweeps over arbitrary bytes), the registered keys hash-prove
+document round trips against closed-form oracles, and the decoder obeys
+the container discipline (never raises, caps before allocation,
+truncation/mutation sweeps). Native interop: no zstd binding exists in
+this container to cross-validate compressed streams; the stream layout
+follows RFC 8878 section by section, and the import-gated native-seam
+pattern (jpeg.py r7) is the designated swap point the moment a binding
+appears.
+"""
+
+from __future__ import annotations
+
+import struct
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+#: decompressed cap per frame — the container discipline
+ZSTD_FRAME_CAP = 64 << 20
+_MAX_BLOCK = 128 << 10  # encoder emits 128 KiB blocks
+
+
+# ---------------------------------------------------------------------------
+# bitstreams
+# ---------------------------------------------------------------------------
+
+
+class _BackwardWriter:
+    """zstd bitstreams are written forward but READ backward: bits
+    accumulate little-endian-first, and the final byte carries a sentinel
+    1-bit above the last data bit."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+
+    def bytes(self) -> bytes:
+        # sentinel bit terminates the stream
+        self.acc |= 1 << self.nbits
+        self.nbits += 1
+        nbytes = (self.nbits + 7) // 8
+        return self.acc.to_bytes(nbytes, "little")
+
+
+class _BackwardReader:
+    """Reads the writer's stream back: start from the LAST byte, skip
+    the sentinel, then consume bits high-to-low exactly as they were
+    written low-to-high."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data or data[-1] == 0:
+            raise ValueError("no sentinel")
+        self.acc = int.from_bytes(data, "little")
+        self.nbits = len(data) * 8 - 8 + data[-1].bit_length() - 1
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        if nbits > self.nbits:
+            # per spec, reads may overshoot at stream end (zero-filled)
+            val = (self.acc << (nbits - self.nbits)) & ((1 << nbits) - 1)
+            self.nbits = 0
+            return val
+        self.nbits -= nbits
+        return (self.acc >> self.nbits) & ((1 << nbits) - 1)
+
+
+# ---------------------------------------------------------------------------
+# FSE (tANS): normalized counts <-> stream, table spread, state machines
+# ---------------------------------------------------------------------------
+
+
+def _fse_spread(norm: list[int], log: int) -> list[int]:
+    """The spec's symbol-spread: low-probability (-1) symbols take the
+    table's top slots; the rest walk ``(pos + 5/8·size + 3) mod size``
+    skipping the reserved top slots."""
+    size = 1 << log
+    table = [0] * size
+    high = size - 1
+    for sym, n in enumerate(norm):
+        if n == -1:
+            table[high] = sym
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for sym, n in enumerate(norm):
+        if n <= 0:
+            continue
+        for _ in range(n):
+            table[pos] = sym
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    return table
+
+
+class _FseDecodeTable:
+    def __init__(self, norm: list[int], log: int) -> None:
+        size = 1 << log
+        spread = _fse_spread(norm, log)
+        self.log = log
+        self.symbol = spread
+        self.nbits = [0] * size
+        self.base = [0] * size
+        counts: dict[int, int] = {}
+        for pos in range(size):
+            sym = spread[pos]
+            counts[sym] = counts.get(sym, 0) + 1
+        seen: dict[int, int] = {}
+        for pos in range(size):
+            sym = spread[pos]
+            total = counts[sym]
+            k = seen.get(sym, 0)
+            seen[sym] = k + 1
+            # the k-th occurrence (in spread order) maps to state
+            # total' = total + k where total rounded up to power of two
+            x = total + k
+            nb = log - (x.bit_length() - 1)
+            self.nbits[pos] = nb
+            self.base[pos] = (x << nb) - size
+
+
+class _FseEncodeTable:
+    """Encoding tables built to MIRROR the decode table exactly: for
+    each symbol, its decode states (in spread order) are the encoder's
+    next-state targets, keyed by the same ``total + k`` indexing the
+    decoder uses — symmetry by construction."""
+
+    def __init__(self, norm: list[int], log: int) -> None:
+        size = 1 << log
+        spread = _fse_spread(norm, log)
+        self.log = log
+        counts: dict[int, int] = {}
+        for sym in spread:
+            counts[sym] = counts.get(sym, 0) + 1
+        # next_states[sym][x - count] = table position whose decode
+        # emits sym with cumulative index x
+        self.next_state: dict[int, list[int]] = {
+            sym: [0] * c for sym, c in counts.items()
+        }
+        seen: dict[int, int] = {}
+        for pos in range(size):
+            sym = spread[pos]
+            k = seen.get(sym, 0)
+            seen[sym] = k + 1
+            self.next_state[sym][k] = pos
+        self.count = counts
+
+    def encode(self, state: int, sym: int, bw: _BackwardWriter) -> int:
+        """Transition: given the state the DECODER will move to next
+        (``state``) and the symbol it must emit before that, pick the
+        cell ``x`` in [count, 2·count) with ``(x << nb) - size ≤ state <
+        ((x+1) << nb) - size``, write the low ``nb`` bits, and return the
+        cell's table position as the new (earlier) decoder state.
+        Encoding therefore runs over the symbol sequence in REVERSE, so
+        the backward-reading decoder sees it forward."""
+        count = self.count[sym]
+        v = state + (1 << self.log)
+        nb = (v // count).bit_length() - 1
+        x = v >> nb
+        while x >= 2 * count:  # boundary adjust (integer log2 rounding)
+            nb += 1
+            x = v >> nb
+        while x < count:
+            nb -= 1
+            x = v >> nb
+        bw.write(v & ((1 << nb) - 1), nb)
+        return self.next_state[sym][x - count]
+
+    def init_state(self, sym: int) -> int:
+        """Initial state for the LAST symbol (first decoded): any state
+        that decodes to ``sym``; pick its first spread cell."""
+        return self.next_state[sym][0]
+
+
+class _FseDecoder:
+    def __init__(self, table: _FseDecodeTable, br: _BackwardReader) -> None:
+        self.t = table
+        self.state = br.read(table.log)
+
+    def peek(self) -> int:
+        return self.t.symbol[self.state]
+
+    def update(self, br: _BackwardReader) -> None:
+        nb = self.t.nbits[self.state]
+        self.state = self.t.base[self.state] + br.read(nb)
+
+
+def fse_write_ncount(norm: list[int], log: int) -> bytes:
+    """Serialize normalized counts (RFC 8878 §4.1.1 / the reference
+    FSE_writeNCount algorithm): 4-bit accuracy-log field, then counts in
+    an adaptively-shrinking field width — a value below ``max`` (the
+    count of codes that fit the short form) uses one bit fewer; zero
+    counts are followed by 2-bit zero-run repeats. Little-endian forward
+    bitstream, byte-aligned at the end."""
+    acc = 0
+    bit_count = 0
+    out = bytearray()
+
+    def emit(val: int, nb: int) -> None:
+        nonlocal acc, bit_count
+        acc |= (val & ((1 << nb) - 1)) << bit_count
+        bit_count += nb
+        while bit_count >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bit_count -= 8
+
+    emit(log - 5, 4)
+    remaining = (1 << log) + 1
+    threshold = 1 << log
+    nb_bits = log + 1
+    i = 0
+    while remaining > 1 and i < len(norm):
+        n = norm[i]
+        maxv = (2 * threshold - 1) - remaining
+        remaining -= -n if n < 0 else n
+        val = n + 1  # -1 → 0, the "less than one" code
+        if val >= threshold:
+            val += maxv
+        emit(val, nb_bits - 1 if val < maxv else nb_bits)
+        i += 1
+        if n == 0:
+            # zero-run repeats, 3 per 2-bit field (24 per 0xFFFF chunk)
+            start = i
+            while i < len(norm) and norm[i] == 0:
+                i += 1
+            run = i - start
+            while run >= 24:
+                emit(0xFFFF, 16)
+                run -= 24
+            while run >= 3:
+                emit(3, 2)
+                run -= 3
+            emit(run, 2)
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ValueError("ncount total != table size")
+    if bit_count:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def fse_read_ncount(data: bytes, pos_bits: int, max_symbol: int):
+    """Deserialize normalized counts (the FSE_readNCount twin); returns
+    ``(norm, log, bit_pos)`` with ``pos_bits`` a BIT offset into
+    ``data``. Raises ValueError on malformed input."""
+
+    def peek(nb: int) -> int:
+        byte0 = pos_bits // 8
+        if byte0 >= len(data):
+            raise ValueError("ncount eof")
+        window = int.from_bytes(data[byte0 : byte0 + 9], "little")
+        return (window >> (pos_bits & 7)) & ((1 << nb) - 1)
+
+    def skip(nb: int) -> None:
+        nonlocal pos_bits
+        pos_bits += nb
+        if (pos_bits - 1) // 8 >= len(data):
+            raise ValueError("ncount eof")
+
+    log = peek(4) + 5
+    skip(4)
+    if log > 12:
+        raise ValueError("accuracy log")
+    remaining = (1 << log) + 1
+    threshold = 1 << log
+    nb_bits = log + 1
+    norm: list[int] = []
+    previous0 = False
+    while remaining > 1 and len(norm) <= max_symbol:
+        if previous0:
+            # zero-run repeats
+            while peek(16) == 0xFFFF:
+                skip(16)
+                norm.extend([0] * 24)
+            while peek(2) == 3:
+                skip(2)
+                norm.extend([0] * 3)
+            rep = peek(2)
+            skip(2)
+            norm.extend([0] * rep)
+            previous0 = False
+            if len(norm) > max_symbol + 1:
+                raise ValueError("too many symbols")
+            continue
+        maxv = (2 * threshold - 1) - remaining
+        val = peek(nb_bits - 1)
+        if val < maxv:
+            skip(nb_bits - 1)
+        else:
+            val = peek(nb_bits)
+            skip(nb_bits)
+            if val >= threshold:
+                val -= maxv
+        n = val - 1
+        norm.append(n)
+        remaining -= -n if n < 0 else n
+        previous0 = n == 0
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1 or len(norm) > max_symbol + 1:
+        raise ValueError("ncount total")
+    return norm, log, pos_bits
+
+
+# ---------------------------------------------------------------------------
+# Huffman (literals): canonical weights, direct description
+# ---------------------------------------------------------------------------
+
+
+def _peek(br: _BackwardReader, nbits: int) -> int:
+    if nbits <= br.nbits:
+        return (br.acc >> (br.nbits - nbits)) & ((1 << nbits) - 1)
+    return (br.acc << (nbits - br.nbits)) & ((1 << nbits) - 1)
+
+
+def _consume(br: _BackwardReader, nbits: int) -> None:
+    br.nbits = max(0, br.nbits - nbits)
+
+
+def huf_build_weights(freqs: dict[int, int], max_bits: int = 11):
+    """Assign zstd Huffman WEIGHTS (weight w ⇒ code length
+    ``max+1-w``) from symbol frequencies via a real Huffman merge.
+    A COMPLETE (Kraft-tight) prefix code automatically satisfies the
+    format's power-of-two weight-sum requirement, since
+    ``Σ 2^(maxlen-len) = 2^maxlen · Σ 2^-len = 2^maxlen``. If the
+    unconstrained code exceeds ``max_bits`` (pathological skew), fall
+    back to the flat complete code (``2^L - n`` symbols one bit
+    shorter), which is always valid. Deterministic (index tie-breaks).
+    Returns ``{symbol: weight}``."""
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) < 2:
+        raise ValueError("need >= 2 distinct symbols")
+    heap = [(freqs[s], i, [s]) for i, s in enumerate(syms)]
+    heapq.heapify(heap)
+    nxt = len(syms)
+    lengths = {s: 0 for s in syms}
+    while len(heap) > 1:
+        fa, _, la = heapq.heappop(heap)
+        fb, _, lb = heapq.heappop(heap)
+        for s in la + lb:
+            lengths[s] += 1
+        heapq.heappush(heap, (fa + fb, nxt, la + lb))
+        nxt += 1
+    maxlen = max(lengths.values())
+    if maxlen > max_bits:
+        # flat complete code fallback
+        import math
+
+        n = len(syms)
+        L = max(1, math.ceil(math.log2(n)))
+        short = (1 << L) - n  # symbols that get length L-1
+        ordered = sorted(syms, key=lambda s: -freqs[s])
+        lengths = {}
+        for i, s in enumerate(ordered):
+            lengths[s] = (L - 1) if i < short and L > 1 else L
+        maxlen = max(lengths.values())
+    return {s: maxlen + 1 - ln for s, ln in lengths.items()}
+
+
+class _HufTable:
+    """Canonical table from weights: symbols sorted by (weight, symbol)
+    fill the 2^max_bits decode window from slot 0 upward, each taking
+    ``2^(w-1) << …`` slots; the same layout yields the encoder's codes."""
+
+    def __init__(self, weights: dict[int, int]) -> None:
+        ks = sum(1 << (w - 1) for w in weights.values())
+        if ks & (ks - 1):
+            raise ValueError("Kraft sum not a power of two")
+        self.max_bits = ks.bit_length() - 1
+        size = 1 << self.max_bits
+        self.dec_sym = [0] * size
+        self.dec_bits = [0] * size
+        self.codes: dict[int, tuple[int, int]] = {}
+        slot = 0
+        for sym in sorted(weights, key=lambda s: (weights[s], s)):
+            w = weights[sym]
+            nbits = self.max_bits + 1 - w
+            span = 1 << (w - 1)
+            code = slot >> (self.max_bits - nbits)
+            self.codes[sym] = (code, nbits)
+            for i in range(span):
+                self.dec_sym[slot + i] = sym
+                self.dec_bits[slot + i] = nbits
+            slot += span
+        if slot != size:
+            raise ValueError("canonical fill mismatch")
+
+
+def huf_weights_bytes(weights: dict[int, int]) -> bytes:
+    """Direct weight description (header ≥ 128): ``127 + n`` then n
+    4-bit weights for symbols ``0..n-1`` — the LAST present symbol's
+    weight is implied by the Kraft completion and not transmitted."""
+    last = max(weights)
+    n = last  # weights for symbols 0..last-1
+    if n < 1 or n > 127:
+        raise ValueError("direct description needs 1..127 listed weights")
+    nibbles = []
+    for sym in range(n):
+        nibbles.append(weights.get(sym, 0))
+    out = bytearray([127 + n])
+    for i in range(0, len(nibbles), 2):
+        hi = nibbles[i]
+        lo = nibbles[i + 1] if i + 1 < len(nibbles) else 0
+        out.append((hi << 4) | lo)
+    return bytes(out)
+
+
+def huf_read_weights(data: bytes):
+    """Parse a weight description; returns ``({symbol: weight},
+    n_consumed_bytes)``. Only the DIRECT form is produced by this
+    encoder; FSE-compressed weight tables (header < 128) decode via the
+    shared FSE machinery."""
+    if not data:
+        raise ValueError("empty weights")
+    hdr = data[0]
+    if hdr >= 128:
+        n = hdr - 127
+        nbytes = 1 + (n + 1) // 2
+        if len(data) < nbytes:
+            raise ValueError("weights eof")
+        weights: dict[int, int] = {}
+        for sym in range(n):
+            b = data[1 + sym // 2]
+            w = (b >> 4) if sym % 2 == 0 else (b & 0xF)
+            if w:
+                weights[sym] = w
+        implied_sym = n  # the spec: exactly n weights listed, symbol n implied
+        consumed = nbytes
+    else:
+        # FSE-compressed weights: hdr = compressed size; max symbol 255,
+        # two interleaved states (per spec), weights ≤ 12
+        if len(data) < 1 + hdr:
+            raise ValueError("weights eof")
+        payload = data[1 : 1 + hdr]
+        norm, log, bitpos = fse_read_ncount(payload, 0, 15)
+        table = _FseDecodeTable(norm + [0] * 0, log)
+        stream = payload[(bitpos + 7) // 8 :]
+        br = _BackwardReader(stream)
+        d1 = _FseDecoder(table, br)
+        d2 = _FseDecoder(table, br)
+        raw: list[int] = []
+        while br.nbits > 0 or True:
+            raw.append(d1.peek())
+            if br.nbits <= 0 and _exhausted(d1, br):
+                break
+            d1.update(br)
+            raw.append(d2.peek())
+            if br.nbits <= 0 and _exhausted(d2, br):
+                break
+            d2.update(br)
+            if len(raw) > 256:
+                raise ValueError("weights overflow")
+        weights = {i: w for i, w in enumerate(raw) if w}
+        implied_sym = len(raw)
+        consumed = 1 + hdr
+    # complete the implied last weight
+    ks = sum(1 << (w - 1) for w in weights.values())
+    target = 1 << ks.bit_length()
+    lastw = (target - ks).bit_length()
+    if (1 << (lastw - 1)) != target - ks:
+        raise ValueError("non-completable weights")
+    weights[implied_sym] = lastw
+    return weights, consumed
+
+
+def _exhausted(dec: _FseDecoder, br: _BackwardReader) -> bool:
+    return br.nbits <= 0
+
+
+def huf_encode_1stream(data: bytes, table: _HufTable) -> bytes:
+    """One backward Huffman stream: symbols written in REVERSE so the
+    backward-reading decoder emits them forward (the reference
+    HUF_compress1X loop shape)."""
+    bw = _BackwardWriter()
+    for b in reversed(data):
+        code, nbits = table.codes[b]
+        bw.write(code, nbits)
+    return bw.bytes()
+
+
+def huf_decode_1stream(stream: bytes, table: _HufTable, n_out: int):
+    """Decode ``n_out`` symbols from one backward stream, or None."""
+    try:
+        br = _BackwardReader(stream)
+    except ValueError:
+        return None
+    out = bytearray()
+    mb = table.max_bits
+    for _ in range(n_out):
+        idx = _peek(br, mb)
+        out.append(table.dec_sym[idx])
+        _consume(br, table.dec_bits[idx])
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# sequence code tables (RFC 8878 §3.1.1.3.2.1.1) — shared by both sides
+# ---------------------------------------------------------------------------
+
+_LL_BASES = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536,
+]
+_LL_BITS = [0] * 16 + [
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+_ML_BASES = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_BITS = [0] * 32 + [
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+
+
+def _code_for(value: int, bases: list[int]) -> int:
+    """Largest code whose base ≤ value (the tables are ascending)."""
+    import bisect
+
+    return bisect.bisect_right(bases, value) - 1
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _lz_sequences(data: bytes):
+    """Greedy LZ77 parse (min match 3, window = whole block): returns
+    (sequences, literals) where each sequence is (lit_len, offset,
+    match_len) over a shared literal buffer — zstd's representation."""
+    n = len(data)
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    table: dict[int, int] = {}
+    anchor = 0
+    pos = 0
+    while pos + 3 <= n:
+        key = int.from_bytes(data[pos : pos + 3], "little")
+        h = (key * 2654435761) & 0xFFFFFF
+        cand = table.get(h)
+        table[h] = pos
+        if (
+            cand is not None
+            and data[cand : cand + 3] == data[pos : pos + 3]
+        ):
+            mlen = 3
+            while pos + mlen < n and data[cand + mlen] == data[pos + mlen]:
+                mlen += 1
+            seqs.append((pos - anchor, pos - cand, mlen))
+            lits += data[anchor:pos]
+            pos += mlen
+            anchor = pos
+        else:
+            pos += 1
+    lits += data[anchor:]
+    return seqs, bytes(lits)
+
+
+def _literals_section(lits: bytes) -> bytes:
+    """Literals section: Huffman-compressed single stream when it pays,
+    raw otherwise (both layouts per §3.1.1.3.1)."""
+    from collections import Counter
+
+    n = len(lits)
+    if n >= 32 and len(set(lits)) >= 2:
+        weights = huf_build_weights(dict(Counter(lits)))
+        if max(weights) < 128:
+            table = _HufTable(weights)
+            desc = huf_weights_bytes(weights)
+            stream = huf_encode_1stream(lits, table)
+            comp = len(desc) + len(stream)
+            if comp < n and n < (1 << 10) and comp < (1 << 10):
+                hdr24 = 2 | (0 << 2) | (n << 4) | (comp << 14)
+                return hdr24.to_bytes(3, "little") + desc + stream
+    # raw literals
+    if n < 32:
+        return bytes([(n << 3) | 0]) + lits  # size_format 00, 5-bit
+    if n < (1 << 12):
+        hdr16 = 0 | (1 << 2) | (n << 4)
+        return hdr16.to_bytes(2, "little") + lits  # SF 01, 12-bit
+    hdr24 = 0 | (3 << 2) | (n << 4)
+    return hdr24.to_bytes(3, "little") + lits  # SF 11, 20-bit
+
+
+def _norm_counts(hist: dict[int, int], max_sym: int, log: int) -> list[int]:
+    """Normalize a histogram to sum to ``1 << log`` with every present
+    symbol ≥ 1 (zstd's requirement for FSE-described tables)."""
+    size = 1 << log
+    total = sum(hist.values())
+    norm = [0] * (max_sym + 1)
+    acc = 0
+    present = sorted(hist)
+    for sym in present:
+        share = max(1, round(hist[sym] * size / total))
+        norm[sym] = share
+        acc += share
+    # repair to exact total, never dropping a symbol below 1
+    while acc > size:
+        sym = max(present, key=lambda s: norm[s])
+        if norm[sym] <= 1:
+            break
+        norm[sym] -= 1
+        acc -= 1
+    while acc < size:
+        sym = max(present, key=lambda s: hist[s])
+        norm[sym] += 1
+        acc += 1
+    if sum(norm) != size:
+        raise ValueError("normalization failed")
+    return norm
+
+
+def _sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences section: FSE-compressed mode for all three code
+    streams, tables described in-stream, one interleaved backward
+    bitstream (§3.1.1.3.2). Repeat-offset code 1 is used when an
+    offset repeats with lit_len > 0 — so the decoder's history path is
+    exercised by ordinary round trips."""
+    out = bytearray()
+    n = len(seqs)
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00:
+        out.append((n >> 8) + 128)
+        out.append(n & 0xFF)
+    else:
+        out += bytes([255, n & 0xFF, (n >> 8) & 0xFF])
+    if n == 0:
+        return bytes(out)
+
+    ll_codes, of_codes, ml_codes = [], [], []
+    of_values = []
+    rep1 = None
+    for ll, off, ml in seqs:
+        if rep1 is not None and off == rep1 and ll > 0:
+            val = 1  # repeat-offset code
+        else:
+            val = off + 3
+        rep1 = off
+        of_values.append(val)
+        ll_codes.append(_code_for(ll, _LL_BASES))
+        of_codes.append(val.bit_length() - 1)
+        ml_codes.append(_code_for(ml, _ML_BASES))
+
+    from collections import Counter
+
+    streams = []
+    for codes, max_sym, max_log in (
+        (ll_codes, 35, 9),
+        (of_codes, 31, 8),
+        (ml_codes, 52, 9),
+    ):
+        hist = dict(Counter(codes))
+        log = min(max_log, max(5, (len(hist) - 1).bit_length() + 2))
+        norm = _norm_counts(hist, max(hist), log)
+        streams.append((codes, norm, log))
+
+    out.append((2 << 6) | (2 << 4) | (2 << 2))  # all FSE_Compressed
+    for _codes, norm, log in streams:
+        out += fse_write_ncount(norm, log)
+
+    ll_t = _FseEncodeTable(streams[0][1], streams[0][2])
+    of_t = _FseEncodeTable(streams[1][1], streams[1][2])
+    ml_t = _FseEncodeTable(streams[2][1], streams[2][2])
+
+    bw = _BackwardWriter()
+    # the decoder reads BACKWARD: init states LL,OF,ML then per sequence
+    # (OF bits, ML bits, LL bits) then state updates LL,ML,OF. The
+    # encoder writes the exact mirror, processing sequences in reverse.
+    last = n - 1
+    ll_state = ll_t.init_state(ll_codes[last])
+    of_state = of_t.init_state(of_codes[last])
+    ml_state = ml_t.init_state(ml_codes[last])
+    for i in range(last, -1, -1):
+        ll, off, ml = seqs[i]
+        if i != last:
+            # mirror of decoder's update order LL,ML,OF (writes reversed)
+            of_state = of_t.encode(of_state, of_codes[i], bw)
+            ml_state = ml_t.encode(ml_state, ml_codes[i], bw)
+            ll_state = ll_t.encode(ll_state, ll_codes[i], bw)
+        llc, ofc, mlc = ll_codes[i], of_codes[i], ml_codes[i]
+        # mirror of read order OF,ML,LL extras
+        bw.write(ll - _LL_BASES[llc], _LL_BITS[llc])
+        bw.write(ml - _ML_BASES[mlc], _ML_BITS[mlc])
+        bw.write(of_values[i] - (1 << ofc), ofc)
+    bw.write(ml_state, ml_t.log)
+    bw.write(of_state, of_t.log)
+    bw.write(ll_state, ll_t.log)
+    return bytes(out) + bw.bytes()
+
+
+def zstd_compress(data: bytes) -> bytes:
+    """A COMPLETE zstd frame: magic, single-segment header with content
+    size, 128 KiB blocks — compressed blocks with Huffman literals and
+    FSE sequences when the parse finds matches, raw blocks otherwise."""
+    out = bytearray(ZSTD_MAGIC)
+    out.append(0xE0)  # FHD: FCS_flag=3 (8 bytes), single-segment
+    out += struct.pack("<Q", len(data))
+    if not data:
+        out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")  # empty raw last
+        return bytes(out)
+    blocks = [
+        data[i : i + _MAX_BLOCK] for i in range(0, len(data), _MAX_BLOCK)
+    ]
+    for bi, blk in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        seqs, lits = _lz_sequences(blk)
+        body = None
+        if seqs:
+            try:
+                body = _literals_section(lits) + _sequences_section(seqs)
+            except ValueError:
+                body = None
+        if body is None or len(body) >= len(blk):
+            out += (last | (0 << 1) | (len(blk) << 3)).to_bytes(3, "little")
+            out += blk
+        else:
+            out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+            out += body
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def zstd_decompress(raw: bytes, cap: int = ZSTD_FRAME_CAP):
+    """Decode one zstd frame. Returns the payload bytes or None for
+    anything malformed (bad magic, reserved block types, lying sizes,
+    bomb declarations, broken entropy streams). Never raises."""
+    try:
+        return _zstd_inner(raw, cap)
+    except Exception:
+        return None
+
+
+def _zstd_inner(raw: bytes, cap: int):
+    if not raw or len(raw) < 9 or raw[:4] != ZSTD_MAGIC:
+        return None
+    fhd = raw[4]
+    pos = 5
+    single_segment = (fhd >> 5) & 1
+    fcs_flag = fhd >> 6
+    if fhd & 0x08:  # reserved bit must be zero
+        return None
+    if not single_segment:
+        pos += 1  # window descriptor
+    did_flag = fhd & 3
+    pos += (0, 1, 2, 4)[did_flag]
+    fcs_len = (0, 2, 4, 8)[fcs_flag]
+    if fcs_flag == 0 and single_segment:
+        fcs_len = 1
+    content_size = None
+    if fcs_len:
+        content_size = int.from_bytes(raw[pos : pos + fcs_len], "little")
+        if fcs_len == 2:
+            content_size += 256
+        pos += fcs_len
+        if content_size > cap:
+            return None  # declared bomb
+
+    out = bytearray()
+    while True:
+        if pos + 3 > len(raw):
+            return None
+        hdr = int.from_bytes(raw[pos : pos + 3], "little")
+        pos += 3
+        last = hdr & 1
+        btype = (hdr >> 1) & 3
+        bsize = hdr >> 3
+        if btype == 0:  # raw
+            if pos + bsize > len(raw) or len(out) + bsize > cap:
+                return None
+            out += raw[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE: bsize = REGENERATED size, 1 byte follows
+            if pos >= len(raw) or len(out) + bsize > cap:
+                return None
+            out += raw[pos : pos + 1] * bsize
+            pos += 1
+        elif btype == 2:  # compressed
+            if pos + bsize > len(raw):
+                return None
+            block = _decode_block(raw[pos : pos + bsize], cap - len(out))
+            if block is None:
+                return None
+            out += block
+            pos += bsize
+        else:
+            return None  # reserved
+        if last:
+            break
+    if (fhd >> 2) & 1:  # content checksum flag: 4 bytes we don't verify
+        pos += 4
+    if content_size is not None and len(out) != content_size:
+        return None
+    return bytes(out)
+
+
+def _decode_block(block: bytes, cap: int):
+    lits, pos = _decode_literals(block, cap)
+    if lits is None:
+        return None
+    seq_res = _decode_sequences(block[pos:], lits, cap)
+    return seq_res
+
+
+def _decode_literals(block: bytes, cap: int):
+    if not block:
+        return None, 0
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            regen = b0 >> 3
+            hdr_len = 1
+        elif sf == 1:
+            if len(block) < 2:
+                return None, 0
+            regen = (b0 >> 4) | (block[1] << 4)
+            hdr_len = 2
+        else:
+            if len(block) < 3:
+                return None, 0
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hdr_len = 3
+        if regen > cap:
+            return None, 0
+        if ltype == 0:
+            if len(block) < hdr_len + regen:
+                return None, 0
+            return block[hdr_len : hdr_len + regen], hdr_len + regen
+        if len(block) < hdr_len + 1:
+            return None, 0
+        return block[hdr_len : hdr_len + 1] * regen, hdr_len + 1
+    if ltype == 3:
+        return None, 0  # treeless: this encoder never emits it
+    # compressed literals
+    if sf == 0:
+        if len(block) < 3:
+            return None, 0
+        hdr = int.from_bytes(block[:3], "little")
+        regen = (hdr >> 4) & 0x3FF
+        comp = (hdr >> 14) & 0x3FF
+        hdr_len = 3
+        streams = 1
+    elif sf == 1:
+        if len(block) < 3:
+            return None, 0
+        hdr = int.from_bytes(block[:3], "little")
+        regen = (hdr >> 4) & 0x3FF
+        comp = (hdr >> 14) & 0x3FF
+        hdr_len = 3
+        streams = 4
+    elif sf == 2:
+        if len(block) < 4:
+            return None, 0
+        hdr = int.from_bytes(block[:4], "little")
+        regen = (hdr >> 4) & 0x3FFF
+        comp = (hdr >> 18) & 0x3FFF
+        hdr_len = 4
+        streams = 4
+    else:
+        if len(block) < 5:
+            return None, 0
+        hdr = int.from_bytes(block[:5], "little")
+        regen = (hdr >> 4) & 0x3FFFF
+        comp = (hdr >> 22) & 0x3FFFF
+        hdr_len = 5
+        streams = 4
+    if regen > cap or len(block) < hdr_len + comp:
+        return None, 0
+    payload = block[hdr_len : hdr_len + comp]
+    weights, consumed = huf_read_weights(payload)
+    table = _HufTable(weights)
+    body = payload[consumed:]
+    if streams == 1:
+        lits = huf_decode_1stream(body, table, regen)
+        if lits is None:
+            return None, 0
+        return lits, hdr_len + comp
+    # 4 streams: 6-byte jump table, sizes of streams 1-3
+    if len(body) < 6:
+        return None, 0
+    s1 = int.from_bytes(body[0:2], "little")
+    s2 = int.from_bytes(body[2:4], "little")
+    s3 = int.from_bytes(body[4:6], "little")
+    rest = body[6:]
+    if s1 + s2 + s3 > len(rest):
+        return None, 0
+    parts = [
+        rest[:s1],
+        rest[s1 : s1 + s2],
+        rest[s1 + s2 : s1 + s2 + s3],
+        rest[s1 + s2 + s3 :],
+    ]
+    per = (regen + 3) // 4
+    outs = []
+    for i, part in enumerate(parts):
+        want = per if i < 3 else regen - 3 * per
+        dec = huf_decode_1stream(part, table, want)
+        if dec is None:
+            return None, 0
+        outs.append(dec)
+    return b"".join(outs), hdr_len + comp
+
+
+def _decode_sequences(data: bytes, lits: bytes, cap: int):
+    if not data:
+        return None
+    b0 = data[0]
+    pos = 1
+    if b0 < 128:
+        n = b0
+    elif b0 < 255:
+        if len(data) < 2:
+            return None
+        n = ((b0 - 128) << 8) + data[1]
+        pos = 2
+    else:
+        if len(data) < 3:
+            return None
+        n = data[1] + (data[2] << 8) + 0x7F00
+        pos = 3
+    if n == 0:
+        if len(lits) > cap:
+            return None
+        return bytes(lits)
+    if n > (1 << 20):
+        return None  # sequence-count bomb
+
+    if pos >= len(data):
+        return None
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        return None  # reserved bits must be zero
+    ll_mode = (modes >> 6) & 3
+    of_mode = (modes >> 4) & 3
+    ml_mode = (modes >> 2) & 3
+
+    tables = []
+    for mode, max_sym in ((ll_mode, 35), (of_mode, 31), (ml_mode, 52)):
+        if mode == 2:  # FSE_Compressed
+            norm, log, bitpos = fse_read_ncount(data[pos:], 0, max_sym)
+            pos += (bitpos + 7) // 8
+            tables.append(_FseDecodeTable(norm, log))
+        elif mode == 1:  # RLE: one byte symbol, log-0 table
+            if pos >= len(data):
+                return None
+            sym = data[pos]
+            pos += 1
+            if sym > max_sym:
+                return None
+            t = _FseDecodeTable([0] * sym + [1], 0)
+            tables.append(t)
+        else:
+            return None  # predefined/repeat: this decoder's scope is
+            #              streams whose tables are self-described
+    ll_t, of_t, ml_t = tables
+
+    br = _BackwardReader(data[pos:])
+    ll_d = _FseDecoder(ll_t, br)
+    of_d = _FseDecoder(of_t, br)
+    ml_d = _FseDecoder(ml_t, br)
+
+    out = bytearray()
+    lit_pos = 0
+    reps = [1, 4, 8]
+    for i in range(n):
+        ofc = of_d.peek()
+        mlc = ml_d.peek()
+        llc = ll_d.peek()
+        if ofc > 31 or mlc > 52 or llc > 35:
+            return None
+        of_val = (1 << ofc) + br.read(ofc)
+        ml = _ML_BASES[mlc] + br.read(_ML_BITS[mlc])
+        ll = _LL_BASES[llc] + br.read(_LL_BITS[llc])
+        # repeat-offset resolution
+        if of_val > 3:
+            offset = of_val - 3
+            reps = [offset, reps[0], reps[1]]
+        else:
+            idx = of_val - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps = [offset, reps[0], reps[2]]
+            elif idx == 2:
+                offset = reps[2]
+                reps = [offset, reps[0], reps[1]]
+            else:  # of_val == 3 and ll == 0
+                offset = reps[0] - 1
+                if offset == 0:
+                    return None
+                reps = [offset, reps[0], reps[1]]
+        if lit_pos + ll > len(lits) or len(out) + ll + ml > cap:
+            return None
+        out += lits[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out) or offset == 0:
+            return None
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:
+            for k in range(ml):  # overlap copy
+                out.append(out[start + k])
+        if i != n - 1:
+            ll_d.update(br)
+            ml_d.update(br)
+            of_d.update(br)
+    rest = len(lits) - lit_pos
+    if len(out) + rest > cap:
+        return None
+    out += lits[lit_pos:]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# registered keys
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from dynamic_spark_spark.registry import query  # noqa: E402
+from dynamic_spark_spark.sources.readers import load_table  # noqa: E402
+
+_ZST_TEXT_ORACLE = """
+SELECT doc_id, text FROM documents WHERE text NOT LIKE '%|%'
+ AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+"""
+
+
+@query("scan_text_zst", _ZST_TEXT_ORACLE, tag="scan")
+def scan_text_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.zst`` text-shard round trip through the REAL codec: each Arrow
+    batch of documents becomes one newline-framed shard, compressed into
+    a complete zstd frame (Huffman literals, FSE sequences, repeat
+    offsets — every table self-described in-stream) and decoded back by
+    the full frame walker before re-parsing. The closed-form oracle
+    hash-proves the entire entropy pipeline per shard. This is the
+    format modern corpora actually ship in (`.jsonl.zst`); the scale
+    caveat matches gzip — one frame is one decode unit, so corpora shard
+    by file, exactly how the key processes them. Per-batch mapInPandas,
+    zero shuffle."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").where(
+        ~F.col("text").contains("|")
+        & ~F.col("text").contains("\n")
+        & ~F.col("text").contains("\r")
+    ).select("doc_id", "text")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            lines = "".join(
+                f"{int(i)}|{t}\n" for i, t in zip(pdf["doc_id"], pdf["text"])
+            ).encode("utf-8")
+            frame = zstd_compress(lines)
+            back = zstd_decompress(frame)
+            rows = []
+            if back is not None:
+                for line in back.decode("utf-8").splitlines():
+                    did, _, text = line.partition("|")
+                    rows.append((int(did), text))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return d.mapInPandas(roundtrip, "doc_id long, text string")

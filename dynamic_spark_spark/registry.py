@@ -71,6 +71,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.protowire",
     "dynamic_spark_spark.llmops.lz4_hadoop",
     "dynamic_spark_spark.llmops.parquet_raw",
+    "dynamic_spark_spark.llmops.zstd",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
     "dynamic_spark_spark.llmops.curation",
@@ -362,6 +363,7 @@ _PRIORITY = [
     "scan_avro_records", "scan_protobuf_stream",
     "scan_text_lz4", "sink_text_lz4", "scan_parquet_raw_column",
     "scan_parquet_raw_dict", "sink_txn_log_replay",
+    "scan_text_zst", "scan_tzst_members",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

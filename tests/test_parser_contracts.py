@@ -1619,3 +1619,25 @@ def test_parquet_dict_tier_matches_pyarrow():
         m[pos] ^= 0xFF
         read_parquet_int64_column_dict(bytes(m), "doc_id")
     assert time.monotonic() - t0 < 15.0
+
+
+def test_tzst_member_walk_contract():
+    import time
+
+    from dynamic_spark_spark.llmops.containers import (
+        tzst_archive_bytes,
+        tzst_member_walk,
+    )
+
+    raw = tzst_archive_bytes(8, "zstd-compressed tar payload")
+    members = tzst_member_walk(raw)
+    assert [m[0] for m in members] == [
+        "doc_8/text.txt", "doc_8/meta.json", "doc_8/half.txt",
+    ]
+    assert all(m[3] for m in members)
+    assert tzst_member_walk(b"") == []
+    assert tzst_member_walk(None) == []
+    t0 = time.monotonic()
+    for cut in range(1, len(raw), 17):
+        tzst_member_walk(raw[:cut])  # must not raise
+    assert time.monotonic() - t0 < 5.0

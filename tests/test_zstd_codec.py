@@ -1,0 +1,214 @@
+"""zstd codec: per-layer pins + whole-frame properties.
+
+Layer order mirrors the module: backward bitstream, FSE normalized
+counts, FSE streams, Huffman, then complete frames. No zstd binding
+exists in this container, so the cross-implementation check is
+structural (every table self-described, every layer independently
+round-tripped) plus the two driver keys' closed-form oracles; the
+native-seam pattern is the designated swap point when a binding lands.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dynamic_spark_spark.llmops.zstd import (
+    _BackwardReader,
+    _BackwardWriter,
+    _FseDecodeTable,
+    _FseDecoder,
+    _FseEncodeTable,
+    _HufTable,
+    fse_read_ncount,
+    fse_write_ncount,
+    huf_build_weights,
+    huf_decode_1stream,
+    huf_encode_1stream,
+    huf_read_weights,
+    huf_weights_bytes,
+    zstd_compress,
+    zstd_decompress,
+)
+
+
+def test_backward_bitstream_roundtrip():
+    bw = _BackwardWriter()
+    vals = [(5, 3), (0, 1), (7, 4), (1, 1), (255, 8), (3, 2), (0, 5)]
+    for v, nb in vals:
+        bw.write(v, nb)
+    br = _BackwardReader(bw.bytes())
+    for v, nb in reversed(vals):
+        assert br.read(nb) == v
+
+
+def test_ncount_roundtrip_randomized():
+    rng = random.Random(1)
+    checked = 0
+    for _ in range(300):
+        log = rng.randint(5, 9)
+        size = 1 << log
+        nsym = rng.randint(2, 30)
+        norm = [0] * nsym
+        remaining = size
+        for s in range(nsym - 1):
+            if remaining <= 0:
+                break
+            v = rng.randint(0, min(remaining, size // 2))
+            if v == 0 and rng.random() < 0.3 and remaining >= 1:
+                norm[s] = -1
+                remaining -= 1
+            else:
+                norm[s] = v
+                remaining -= v
+        norm[-1] += remaining
+        if norm[-1] < 0:
+            continue
+        total = sum(abs(n) if n != -1 else 1 for n in norm)
+        if total != size:
+            continue
+        data = fse_write_ncount(norm, log)
+        norm2, log2, _ = fse_read_ncount(data, 0, 255)
+        a, b = list(norm), list(norm2)
+        while a and a[-1] == 0:
+            a.pop()
+        while b and b[-1] == 0:
+            b.pop()
+        assert log2 == log and a == b
+        checked += 1
+    assert checked > 100
+
+
+def test_fse_stream_roundtrip_randomized():
+    rng = random.Random(2)
+    for _ in range(150):
+        log = rng.randint(5, 9)
+        size = 1 << log
+        nsym = rng.randint(2, 10)
+        norm = [1] * nsym
+        remaining = size - nsym
+        for s in range(nsym):
+            v = rng.randint(0, remaining)
+            norm[s] += v
+            remaining -= v
+        norm[0] += remaining
+        dt = _FseDecodeTable(norm, log)
+        et = _FseEncodeTable(norm, log)
+        syms = [rng.randrange(nsym) for _ in range(rng.randint(1, 300))]
+        bw = _BackwardWriter()
+        state = et.init_state(syms[-1])
+        for s in reversed(syms[:-1]):
+            state = et.encode(state, s, bw)
+        bw.write(state, log)
+        br = _BackwardReader(bw.bytes())
+        dec = _FseDecoder(dt, br)
+        out = []
+        for i in range(len(syms)):
+            out.append(dec.peek())
+            if i < len(syms) - 1:
+                dec.update(br)
+        assert out == syms
+
+
+def test_huffman_roundtrip_randomized():
+    rng = random.Random(3)
+    for _ in range(150):
+        n = rng.randint(10, 2000)
+        alpha = rng.randint(2, 120)
+        skew = rng.choice([1, 3, 1000])
+        data = bytes(
+            rng.choices(
+                range(alpha),
+                weights=[1 + (i % 7) * skew for i in range(alpha)],
+                k=n,
+            )
+        )
+        freqs = dict(Counter(data))
+        if len(freqs) < 2:
+            continue
+        weights = huf_build_weights(freqs)
+        if max(weights) >= 128:
+            continue  # direct description range
+        t = _HufTable(weights)
+        desc = huf_weights_bytes(weights)
+        w2, consumed = huf_read_weights(desc)
+        assert consumed == len(desc) and w2 == weights
+        assert huf_decode_1stream(huf_encode_1stream(data, t), t, n) == data
+
+
+def test_zstd_frame_shapes():
+    cases = [
+        b"",
+        b"a",
+        b"hello world " * 50,
+        os.urandom(500),  # incompressible: raw block
+        b"abcabcabcabc" * 1000,
+        bytes(range(256)) * 20,
+        b"x" * 200_000,  # multi-block (128 KiB block size)
+    ]
+    for data in cases:
+        frame = zstd_compress(data)
+        assert zstd_decompress(frame) == data, len(data)
+    # compression actually compresses compressible input
+    rep = b"the quick brown fox " * 5000
+    assert len(zstd_compress(rep)) < len(rep) // 10
+
+
+def test_zstd_degrades():
+    frame = zstd_compress(b"degrade sweep payload text. " * 300)
+    assert zstd_decompress(b"") is None
+    assert zstd_decompress(None) is None
+    assert zstd_decompress(b"\x28\xb5\x2f\xfdgarbage") is None
+    t0 = time.monotonic()
+    for cut in range(1, len(frame), 7):
+        zstd_decompress(frame[:cut])  # must not raise
+    for pos in range(0, len(frame), 3):
+        m = bytearray(frame)
+        m[pos] ^= 0xFF
+        zstd_decompress(bytes(m))  # must not raise
+    assert time.monotonic() - t0 < 10.0
+
+
+def test_zstd_declared_size_bomb():
+    """A frame DECLARING a huge content size is refused before any
+    block decodes."""
+    import struct
+
+    bomb = (
+        b"\x28\xb5\x2f\xfd" + b"\xe0" + struct.pack("<Q", 1 << 50)
+        + (1 | (0 << 1) | (4 << 3)).to_bytes(3, "little") + b"tiny"
+    )
+    t0 = time.monotonic()
+    assert zstd_decompress(bomb) is None
+    assert time.monotonic() - t0 < 0.5
+
+
+def test_zstd_rle_block_and_repeat_offsets():
+    """Highly repetitive input exercises RLE-ish matches and the
+    repeat-offset path the encoder emits for back-to-back same-offset
+    sequences."""
+    data = (b"A" * 400 + b"B" * 400) * 50 + b"ABAB" * 300
+    frame = zstd_compress(data)
+    assert zstd_decompress(frame) == data
+    assert len(frame) < len(data) // 20
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_zstd_random_roundtrip(data):
+    assert zstd_decompress(zstd_compress(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=24),
+    st.integers(min_value=1, max_value=2000),
+)
+def test_zstd_periodic_roundtrip(unit, reps):
+    data = (unit * reps)[:50_000]
+    assert zstd_decompress(zstd_compress(data)) == data
