@@ -764,7 +764,14 @@ def zstd_compress(data: bytes) -> bytes:
 def zstd_decompress(raw: bytes, cap: int = ZSTD_FRAME_CAP):
     """Decode one zstd frame. Returns the payload bytes or None for
     anything malformed (bad magic, reserved block types, lying sizes,
-    bomb declarations, broken entropy streams). Never raises."""
+    bomb declarations, broken entropy streams). Never raises. With
+    SPARK_GRAFT_ZSTD_NATIVE=1 and a binding installed the native tier is
+    consulted first (exact-equality contract — zstd is lossless) and
+    falls through here when it declines."""
+    if _native_enabled():
+        out = decode_zstd_native(raw, cap)
+        if out is not None:
+            return out
     try:
         return _zstd_inner(raw, cap)
     except Exception:
@@ -1107,3 +1114,59 @@ def scan_text_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "text"])
 
     return d.mapInPandas(roundtrip, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# native-codec seam (same pattern as jpeg/gif/flac)
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+_NATIVE_UNPROBED = object()
+_native_zstd_mod: object = _NATIVE_UNPROBED
+
+
+def native_backend():
+    """The optional native zstd backend — stdlib ``compression.zstd``
+    (Python 3.14+) or the ``zstandard`` wheel — or None. Probed once per
+    interpreter; absence is a supported state."""
+    global _native_zstd_mod
+    if _native_zstd_mod is _NATIVE_UNPROBED:
+        mod = None
+        try:
+            from compression import zstd as mod  # Python 3.14+
+        except Exception:
+            try:
+                import zstandard as mod
+            except Exception:
+                mod = None
+        _native_zstd_mod = mod
+    return _native_zstd_mod
+
+
+def _native_enabled() -> bool:
+    return _os.environ.get("SPARK_GRAFT_ZSTD_NATIVE", "").lower() not in (
+        "", "0", "false",
+    )
+
+
+def decode_zstd_native(raw: bytes, cap: int = ZSTD_FRAME_CAP):
+    """Decode via the native backend when installed: same bytes-or-None
+    contract as :func:`zstd_decompress`. zstd is lossless, so when both
+    tiers decode they must agree EXACTLY (cross-validated in tests when
+    a binding is present). Never raises."""
+    mod = native_backend()
+    if mod is None:
+        return None
+    try:
+        if hasattr(mod, "ZstdDecompressor"):  # zstandard wheel API
+            out = mod.ZstdDecompressor().decompress(
+                raw, max_output_size=cap
+            )
+        else:  # stdlib compression.zstd API
+            out = mod.decompress(raw)
+        if len(out) > cap:
+            return None
+        return out
+    except Exception:
+        return None

@@ -212,3 +212,40 @@ def test_zstd_random_roundtrip(data):
 def test_zstd_periodic_roundtrip(unit, reps):
     data = (unit * reps)[:50_000]
     assert zstd_decompress(zstd_compress(data)) == data
+
+
+def test_native_seam_dispatch(monkeypatch):
+    """The zstd native seam, pinned without a binding: default-off flag,
+    native-wins when it decodes, pure-Python fallback on decline."""
+    import dynamic_spark_spark.llmops.zstd as z
+
+    frame = z.zstd_compress(b"seam dispatch payload " * 20)
+    truth = z.zstd_decompress(frame)
+    fake = b"native says hi"
+
+    monkeypatch.delenv("SPARK_GRAFT_ZSTD_NATIVE", raising=False)
+    monkeypatch.setattr(z, "decode_zstd_native", lambda r, cap=0: fake)
+    assert z.zstd_decompress(frame) == truth
+
+    monkeypatch.setenv("SPARK_GRAFT_ZSTD_NATIVE", "1")
+    assert z.zstd_decompress(frame) is fake
+
+    monkeypatch.setattr(z, "decode_zstd_native", lambda r, cap=0: None)
+    assert z.zstd_decompress(frame) == truth
+
+
+def test_native_cross_validation_zstd():
+    """When a zstd binding IS installed, our frames must decode to the
+    same bytes through it (the interop proof the container lacks)."""
+    import pytest as _pytest
+
+    import dynamic_spark_spark.llmops.zstd as z
+
+    if z.native_backend() is None:
+        _pytest.skip(
+            "named dep missing: compression.zstd / zstandard "
+            "(native backend) — pure-Python tier remains the truth"
+        )
+    for data in [b"", b"abc" * 500, bytes(range(256)) * 7]:
+        frame = z.zstd_compress(data)
+        assert z.decode_zstd_native(frame) == data
