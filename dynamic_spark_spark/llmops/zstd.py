@@ -442,9 +442,9 @@ def huf_weights_bytes(weights: dict[int, int]) -> bytes:
 
 def huf_read_weights(data: bytes):
     """Parse a weight description; returns ``({symbol: weight},
-    n_consumed_bytes)``. Only the DIRECT form is produced by this
-    encoder; FSE-compressed weight tables (header < 128) decode via the
-    shared FSE machinery."""
+    n_consumed_bytes)``. Direct form (header ≥ 128) only — the form
+    this encoder produces; FSE-compressed weight tables are refused
+    explicitly (see below)."""
     if not data:
         raise ValueError("empty weights")
     hdr = data[0]
@@ -462,32 +462,12 @@ def huf_read_weights(data: bytes):
         implied_sym = n  # the spec: exactly n weights listed, symbol n implied
         consumed = nbytes
     else:
-        # FSE-compressed weights: hdr = compressed size; max symbol 255,
-        # two interleaved states (per spec), weights ≤ 12
-        if len(data) < 1 + hdr:
-            raise ValueError("weights eof")
-        payload = data[1 : 1 + hdr]
-        norm, log, bitpos = fse_read_ncount(payload, 0, 15)
-        table = _FseDecodeTable(norm + [0] * 0, log)
-        stream = payload[(bitpos + 7) // 8 :]
-        br = _BackwardReader(stream)
-        d1 = _FseDecoder(table, br)
-        d2 = _FseDecoder(table, br)
-        raw: list[int] = []
-        while br.nbits > 0 or True:
-            raw.append(d1.peek())
-            if br.nbits <= 0 and _exhausted(d1, br):
-                break
-            d1.update(br)
-            raw.append(d2.peek())
-            if br.nbits <= 0 and _exhausted(d2, br):
-                break
-            d2.update(br)
-            if len(raw) > 256:
-                raise ValueError("weights overflow")
-        weights = {i: w for i, w in enumerate(raw) if w}
-        implied_sym = len(raw)
-        consumed = 1 + hdr
+        # FSE-compressed weight tables (hdr < 128): a valid form this
+        # DECODER's scope excludes — the paired encoder only emits direct
+        # descriptions, and an untestable half-implementation would be a
+        # guess. Refuse, don't guess (the same stance the sequence
+        # decoder takes on predefined-table mode).
+        raise ValueError("FSE-compressed weights out of scope")
     # complete the implied last weight
     ks = sum(1 << (w - 1) for w in weights.values())
     target = 1 << ks.bit_length()
@@ -496,10 +476,6 @@ def huf_read_weights(data: bytes):
         raise ValueError("non-completable weights")
     weights[implied_sym] = lastw
     return weights, consumed
-
-
-def _exhausted(dec: _FseDecoder, br: _BackwardReader) -> bool:
-    return br.nbits <= 0
 
 
 def huf_encode_1stream(data: bytes, table: _HufTable) -> bytes:
