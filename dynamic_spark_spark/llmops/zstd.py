@@ -569,21 +569,47 @@ def _lz_sequences(data: bytes):
 
 
 def _literals_section(lits: bytes) -> bytes:
-    """Literals section: Huffman-compressed single stream when it pays,
-    raw otherwise (both layouts per §3.1.1.3.1)."""
+    """Literals section: Huffman-compressed when it pays — single
+    stream (SF 00) for small buffers, the 4-stream layouts (SF 01/10/11
+    with the 6-byte jump table) for larger ones — raw otherwise (all
+    layouts per §3.1.1.3.1)."""
     from collections import Counter
 
     n = len(lits)
     if n >= 32 and len(set(lits)) >= 2:
-        weights = huf_build_weights(dict(Counter(lits)))
-        if max(weights) < 128:
+        try:
+            weights = huf_build_weights(dict(Counter(lits)))
+        except ValueError:
+            weights = None
+        if weights is not None and max(weights) < 128:
             table = _HufTable(weights)
             desc = huf_weights_bytes(weights)
-            stream = huf_encode_1stream(lits, table)
-            comp = len(desc) + len(stream)
-            if comp < n and n < (1 << 10) and comp < (1 << 10):
-                hdr24 = 2 | (0 << 2) | (n << 4) | (comp << 14)
-                return hdr24.to_bytes(3, "little") + desc + stream
+            if n < 256:
+                stream = huf_encode_1stream(lits, table)
+                comp = len(desc) + len(stream)
+                if comp < n and n < (1 << 10) and comp < (1 << 10):
+                    hdr24 = 2 | (0 << 2) | (n << 4) | (comp << 14)
+                    return hdr24.to_bytes(3, "little") + desc + stream
+            else:
+                per = (n + 3) // 4
+                parts = [lits[i * per : (i + 1) * per] for i in range(3)]
+                parts.append(lits[3 * per :])
+                streams = [huf_encode_1stream(p, table) for p in parts]
+                jump = b"".join(
+                    len(st).to_bytes(2, "little") for st in streams[:3]
+                )
+                body = desc + jump + b"".join(streams)
+                comp = len(body)
+                if comp < n:
+                    if n < (1 << 10) and comp < (1 << 10):
+                        hdr = 2 | (1 << 2) | (n << 4) | (comp << 14)
+                        return hdr.to_bytes(3, "little") + body
+                    if n < (1 << 14) and comp < (1 << 14):
+                        hdr = 2 | (2 << 2) | (n << 4) | (comp << 18)
+                        return hdr.to_bytes(4, "little") + body
+                    if n < (1 << 18) and comp < (1 << 18):
+                        hdr = 2 | (3 << 2) | (n << 4) | (comp << 22)
+                        return hdr.to_bytes(5, "little") + body
     # raw literals
     if n < 32:
         return bytes([(n << 3) | 0]) + lits  # size_format 00, 5-bit
