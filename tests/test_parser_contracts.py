@@ -1641,3 +1641,40 @@ def test_tzst_member_walk_contract():
     for cut in range(1, len(raw), 17):
         tzst_member_walk(raw[:cut])  # must not raise
     assert time.monotonic() - t0 < 5.0
+
+
+def test_orc_tail_parse_contract():
+    """The generic protobuf walk must read a pyarrow-written ORC tail
+    (an independent writer), and degrade on truncation/mutation."""
+    import io
+    import time
+
+    import pyarrow as pa
+
+    from dynamic_spark_spark.llmops.protowire import parse_orc_tail
+
+    try:
+        from pyarrow import orc as pa_orc
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("pyarrow.orc unavailable")
+    buf = io.BytesIO()
+    table = pa.table({"a": list(range(777))})
+    pa_orc.write_table(table, buf, compression="UNCOMPRESSED")
+    raw = buf.getvalue()
+    parsed = parse_orc_tail(raw)
+    assert parsed is not None
+    nrows, stripes = parsed
+    assert nrows == 777 and sum(stripes) == 777
+
+    assert parse_orc_tail(b"") is None
+    assert parse_orc_tail(None) is None
+    t0 = time.monotonic()
+    for cut in range(1, len(raw), 53):
+        parse_orc_tail(raw[:cut])  # must not raise
+    for pos in range(max(0, len(raw) - 300), len(raw), 3):
+        m = bytearray(raw)
+        m[pos] ^= 0xFF
+        parse_orc_tail(bytes(m))  # must not raise
+    assert time.monotonic() - t0 < 10.0
