@@ -732,10 +732,11 @@ def zstd_compress(data: bytes) -> bytes:
     size, 128 KiB blocks — compressed blocks with Huffman literals and
     FSE sequences when the parse finds matches, raw blocks otherwise."""
     out = bytearray(ZSTD_MAGIC)
-    out.append(0xE0)  # FHD: FCS_flag=3 (8 bytes), single-segment
+    out.append(0xE4)  # FHD: FCS_flag=3, single-segment, content checksum
     out += struct.pack("<Q", len(data))
     if not data:
         out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")  # empty raw last
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
         return bytes(out)
     blocks = [
         data[i : i + _MAX_BLOCK] for i in range(0, len(data), _MAX_BLOCK)
@@ -755,6 +756,7 @@ def zstd_compress(data: bytes) -> bytes:
         else:
             out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
             out += body
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return bytes(out)
 
 
@@ -836,7 +838,12 @@ def _zstd_inner(raw: bytes, cap: int):
             return None  # reserved
         if last:
             break
-    if (fhd >> 2) & 1:  # content checksum flag: 4 bytes we don't verify
+    if (fhd >> 2) & 1:  # content checksum: low 32 bits of XXH64(content)
+        if pos + 4 > len(raw):
+            return None
+        (want,) = struct.unpack("<I", raw[pos : pos + 4])
+        if (xxh64(bytes(out)) & 0xFFFFFFFF) != want:
+            return None  # corrupt payload the entropy layers missed
         pos += 4
     if content_size is not None and len(out) != content_size:
         return None
@@ -1172,3 +1179,107 @@ def decode_zstd_native(raw: bytes, cap: int = ZSTD_FRAME_CAP):
         return out
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (the frame-checksum hash) — pure Python, JVM-cross-validated
+# ---------------------------------------------------------------------------
+
+_XXM = (1 << 64) - 1
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXM
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """Pure-Python XXH64 (Cyan4973's public algorithm) — zstd's frame
+    checksum, and the hash Spark's ``xxhash64`` SQL function computes
+    with seed 42: the ``fn_xxhash64_pure`` key proves this
+    implementation bit-identical to the JVM's across the corpus, and
+    pytest pins the published reference vectors."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _XXM
+        v2 = (seed + _XXP2) & _XXM
+        v3 = seed & _XXM
+        v4 = (seed - _XXP1) & _XXM
+        vs = [v1, v2, v3, v4]
+        while i + 32 <= n:
+            for k in range(4):
+                lane = int.from_bytes(data[i + 8 * k : i + 8 * k + 8], "little")
+                v = (vs[k] + lane * _XXP2) & _XXM
+                vs[k] = (_rotl64(v, 31) * _XXP1) & _XXM
+            i += 32
+        h = (
+            _rotl64(vs[0], 1) + _rotl64(vs[1], 7)
+            + _rotl64(vs[2], 12) + _rotl64(vs[3], 18)
+        ) & _XXM
+        for v in vs:
+            v = (_rotl64((v * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+            h = ((h ^ v) * _XXP1 + _XXP4) & _XXM
+    else:
+        h = (seed + _XXP5) & _XXM
+    h = (h + n) & _XXM
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        lane = (_rotl64((lane * _XXP2) & _XXM, 31) * _XXP1) & _XXM
+        h = (_rotl64(h ^ lane, 27) * _XXP1 + _XXP4) & _XXM
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _XXM
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _XXM
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _XXM
+        h = (_rotl64(h, 11) * _XXP1) & _XXM
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _XXM
+    h ^= h >> 29
+    h = (h * _XXP3) & _XXM
+    h ^= h >> 32
+    return h
+
+
+_XXHASH_ORACLE = """
+SELECT doc_id, TRUE AS hashes_match FROM documents
+"""
+
+
+@query("fn_xxhash64_pure", _XXHASH_ORACLE, tag="functions")
+def fn_xxhash64_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine hash agreement: the pure-Python XXH64 above versus
+    Spark's JVM ``xxhash64`` (seed 42) on each document's UTF-8 bytes,
+    compared IN-PLAN — two independent implementations of the same
+    public algorithm must agree bit-for-bit on every row, and the
+    closed-form oracle (``hashes_match`` = TRUE) turns that agreement
+    into a driver-checked hash proof. This is the checksum the zstd
+    frames in this repo now carry, so the key grounds the codec's
+    integrity tier against a second engine."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def py_xxh64(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            v = xxh64((t if isinstance(t, str) else "").encode("utf-8"), 42)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    jvm = F.xxhash64(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+    return d.select(
+        "doc_id",
+        (py_xxh64(F.coalesce(F.col("text"), F.lit(""))) == jvm).alias(
+            "hashes_match"
+        ),
+    )

@@ -249,3 +249,19 @@ def test_native_cross_validation_zstd():
     for data in [b"", b"abc" * 500, bytes(range(256)) * 7]:
         frame = z.zstd_compress(data)
         assert z.decode_zstd_native(frame) == data
+
+
+def test_xxh64_reference_vectors_and_checksum():
+    """XXH64 pinned to the published reference vectors, and the frame
+    checksum must catch payload corruption the entropy layers decode
+    'successfully'."""
+    from dynamic_spark_spark.llmops.zstd import xxh64, zstd_compress, zstd_decompress
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"", 1) == 0xD5AFBA1336A3BE4B
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+
+    frame = bytearray(zstd_compress(b"checksum guard payload " * 40))
+    assert zstd_decompress(bytes(frame)) is not None
+    frame[-1] ^= 0xFF  # corrupt the stored checksum itself
+    assert zstd_decompress(bytes(frame)) is None
