@@ -191,6 +191,35 @@ def _corpus() -> dict[str, bytes]:
         "mp4_media": M.mp4_media_bytes(7, keyframe_every=3, seed=1),
         "exif_jpeg": b"\xff\xd8" + M.exif_app1_bytes(6) + M.jpeg_bytes(8, 6)[2:],
     }
+    # round-10 formats: containers, framings, codecs, documents
+    from dynamic_spark_spark.llmops import containers as C
+    from dynamic_spark_spark.llmops import pdf as PDF
+    from dynamic_spark_spark.llmops import protowire as PW
+    from dynamic_spark_spark.llmops import tfrecord as TF
+    from dynamic_spark_spark.llmops import zstd as Z
+    from dynamic_spark_spark.llmops.avro_ocf import avro_ocf_bytes
+    from dynamic_spark_spark.llmops.lz4_hadoop import hadoop_lz4_compress
+
+    corpus.update(
+        {
+            "zip": C.zip_archive_bytes(3, "zip member text"),
+            "zip64": C.zip64_archive_bytes(3, "zip64 member text"),
+            "tar": C.tar_archive_bytes(3, "tar member text"),
+            "tgz": C.tgz_archive_bytes(3, "tgz member text"),
+            "tbz": C.tbz_archive_bytes(3, "tbz member text"),
+            "txz": C.txz_archive_bytes(3, "txz member text"),
+            "tzst": C.tzst_archive_bytes(3, "tzst member text"),
+            "tar_longname_gnu": C.longname_tar_bytes(3, "long gnu", "gnu"),
+            "tar_longname_pax": C.longname_tar_bytes(3, "long pax", "pax"),
+            "xlsx": C.xlsx_bytes(3, "cell text"),
+            "tfrecord": TF.tfrecord_bytes([b"alpha", b"beta"]),
+            "avro": avro_ocf_bytes([(1, "avro rec"), (2, "more")]),
+            "proto": PW.proto_stream_bytes([(1, "proto rec")]),
+            "pdf": PDF.pdf_bytes(3, "pdf body text"),
+            "zst": Z.zstd_compress(b"zstd payload " * 30),
+            "lz4_hadoop": hadoop_lz4_compress(b"lz4 payload " * 30),
+        }
+    )
     return corpus
 
 
@@ -227,11 +256,45 @@ def _parsers():
     }
 
 
+def _more_parsers():
+    """Round-10 parsers for the matrices (list-returning walkers and
+    tuple-returning extractors share the never-raise contract)."""
+    from dynamic_spark_spark.llmops import containers as C
+    from dynamic_spark_spark.llmops import parquet_footer as PF
+    from dynamic_spark_spark.llmops import parquet_raw as PR
+    from dynamic_spark_spark.llmops import pdf as PDF
+    from dynamic_spark_spark.llmops import protowire as PW
+    from dynamic_spark_spark.llmops import tfrecord as TF
+    from dynamic_spark_spark.llmops import zstd as Z
+    from dynamic_spark_spark.llmops.avro_ocf import avro_ocf_walk
+    from dynamic_spark_spark.llmops.lz4_hadoop import hadoop_lz4_decompress
+
+    return {
+        "zip_member_walk": C.zip_member_walk,
+        "tar_member_walk": C.tar_member_walk,
+        "tgz_member_walk": C.tgz_member_walk,
+        "tbz_member_walk": C.tbz_member_walk,
+        "txz_member_walk": C.txz_member_walk,
+        "tzst_member_walk": C.tzst_member_walk,
+        "xlsx_cells": C.xlsx_cells,
+        "tfrecord_walk": TF.tfrecord_walk,
+        "avro_ocf_walk": avro_ocf_walk,
+        "proto_stream_walk": PW.proto_stream_walk,
+        "pdf_text_extract": PDF.pdf_text_extract,
+        "zstd_decompress": Z.zstd_decompress,
+        "hadoop_lz4_decompress": hadoop_lz4_decompress,
+        "parse_parquet_footer": PF.parse_parquet_footer,
+        "parse_orc_tail": PW.parse_orc_tail,
+        "read_parquet_int64": lambda raw: PR.read_parquet_int64_column(raw, "doc_id"),
+        "read_parquet_dict": lambda raw: PR.read_parquet_int64_column_dict(raw, "doc_id"),
+    }
+
+
 def test_cross_format_matrix_never_raises():
     """Every parser x every OTHER format's valid payload: wrong-format
     input must parse-fail cleanly (None / nulls / degraded), never raise.
     This is exactly the shape of both r8 advice bugs."""
-    corpus, parsers = _corpus(), _parsers()
+    corpus, parsers = _corpus(), {**_parsers(), **_more_parsers()}
     for pname, parse in parsers.items():
         for cname, payload in corpus.items():
             try:
@@ -244,7 +307,7 @@ def test_truncation_matrix_never_raises():
     """Every parser x every payload truncated at each of the first 48
     byte boundaries plus mid/len-1: header fields that straddle the cut
     must be bounds-checked, not sliced-and-unpacked."""
-    corpus, parsers = _corpus(), _parsers()
+    corpus, parsers = _corpus(), {**_parsers(), **_more_parsers()}
     for pname, parse in parsers.items():
         for cname, payload in corpus.items():
             cuts = list(range(0, min(len(payload), 48)))
@@ -262,7 +325,7 @@ def test_mutation_matrix_never_raises():
     sizes, counts, alignments, vints."""
     import random
 
-    corpus, parsers = _corpus(), _parsers()
+    corpus, parsers = _corpus(), {**_parsers(), **_more_parsers()}
     rnd = random.Random(11)
     for cname, payload in corpus.items():
         mutants = []
