@@ -1741,3 +1741,37 @@ def test_orc_tail_parse_contract():
         m[pos] ^= 0xFF
         parse_orc_tail(bytes(m))  # must not raise
     assert time.monotonic() - t0 < 10.0
+
+
+def test_parquet_binary_column_matches_pyarrow():
+    """The BYTE_ARRAY tier must recover pyarrow-written string columns
+    exactly — PLAIN and dictionary forms, with and without nulls."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_binary_column,
+    )
+
+    vals = [f"string value {i % 40}" for i in range(800)]
+    for use_dict in (True, False):
+        for codec in ("snappy", "NONE"):
+            buf = io.BytesIO()
+            pq.write_table(
+                pa.table({"t": vals}), buf,
+                compression=codec, use_dictionary=use_dict,
+                row_group_size=300,
+            )
+            got = read_parquet_binary_column(buf.getvalue(), "t")
+            assert got == [v.encode() for v in vals], (use_dict, codec)
+
+    nv = [f"v{i}" if i % 3 else None for i in range(200)]
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"t": pa.array(nv, type=pa.string())}), buf,
+        compression="snappy", use_dictionary=False,
+    )
+    got = read_parquet_binary_column(buf.getvalue(), "t")
+    assert got == [v.encode() for v in nv if v is not None]
