@@ -21,15 +21,24 @@ and GIF tiers:
 - **Huffman**: canonical weight assignment, direct description, forward
   encode / backward decode.
 
+The decoder covers the FULL RFC 8878 surface real libzstd output uses:
+predefined FSE distributions (§3.1.1.3.2.2 normative constants),
+Repeat_Mode table reuse, FSE-compressed Huffman weight tables
+(two interleaved states, §4.2.1), treeless literals reusing the
+previous table, and frame-scoped state — repeat-offset history and the
+LZ match window both persist ACROSS blocks within a frame, exactly as
+libzstd emits them.
+
 Correctness chain: every layer round-trips under pytest (including
 hypothesis sweeps over arbitrary bytes), the registered keys hash-prove
 document round trips against closed-form oracles, and the decoder obeys
 the container discipline (never raises, caps before allocation,
-truncation/mutation sweeps). Native interop: no zstd binding exists in
-this container to cross-validate compressed streams; the stream layout
-follows RFC 8878 section by section, and the import-gated native-seam
-pattern (jpeg.py r7) is the designated swap point the moment a binding
-appears.
+truncation/mutation sweeps). Cross-implementation proof: the sandbox's
+real ``zstd`` CLI (v1.5.7) is used BOTH directions in pytest —
+CLI-written frames decode here bit-exactly at several levels, and this
+encoder's frames decode under the CLI — closing the two-independent-
+implementations loop the LZ4 keys established. The import-gated
+native-seam pattern (jpeg.py r7) remains the in-process swap point.
 """
 
 from __future__ import annotations
@@ -79,6 +88,7 @@ class _BackwardReader:
             raise ValueError("no sentinel")
         self.acc = int.from_bytes(data, "little")
         self.nbits = len(data) * 8 - 8 + data[-1].bit_length() - 1
+        self.overflowed = False  # a read overdrew the stream (BIT_DStream_overflow)
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
@@ -87,6 +97,7 @@ class _BackwardReader:
             # per spec, reads may overshoot at stream end (zero-filled)
             val = (self.acc << (nbits - self.nbits)) & ((1 << nbits) - 1)
             self.nbits = 0
+            self.overflowed = True
             return val
         self.nbits -= nbits
         return (self.acc >> self.nbits) & ((1 << nbits) - 1)
@@ -271,10 +282,13 @@ def fse_write_ncount(norm: list[int], log: int) -> bytes:
     return bytes(out)
 
 
-def fse_read_ncount(data: bytes, pos_bits: int, max_symbol: int):
+def fse_read_ncount(data: bytes, pos_bits: int, max_symbol: int,
+                    max_log: int = 12):
     """Deserialize normalized counts (the FSE_readNCount twin); returns
     ``(norm, log, bit_pos)`` with ``pos_bits`` a BIT offset into
-    ``data``. Raises ValueError on malformed input."""
+    ``data``. ``max_log`` enforces the per-stream accuracy-log ceiling
+    (LL 9, OF 8, ML 9, Huffman weights 6 per RFC 8878). Raises
+    ValueError on malformed input."""
 
     def peek(nb: int) -> int:
         byte0 = pos_bits // 8
@@ -291,7 +305,7 @@ def fse_read_ncount(data: bytes, pos_bits: int, max_symbol: int):
 
     log = peek(4) + 5
     skip(4)
-    if log > 12:
+    if log > min(max_log, 12):
         raise ValueError("accuracy log")
     remaining = (1 << log) + 1
     threshold = 1 << log
@@ -440,11 +454,43 @@ def huf_weights_bytes(weights: dict[int, int]) -> bytes:
     return bytes(out)
 
 
+def _huf_weights_fse(payload: bytes) -> list[int]:
+    """Decode an FSE-compressed Huffman weight stream (RFC 8878 §4.2.1,
+    the HUF_readStats twin): an FSE table description with accuracy log
+    ≤ 6, then a backward bitstream decoded by TWO interleaved states
+    that alternate symbols; when a state update overdraws the stream
+    (zero-padded, the BIT_DStream_overflow condition) one final symbol
+    is flushed from the OTHER state and decoding stops — exactly the
+    reference FSE_decompress tail loop."""
+    norm, log, bitpos = fse_read_ncount(payload, 0, 15, max_log=6)
+    table = _FseDecodeTable(norm, log)
+    stream = payload[(bitpos + 7) // 8 :]
+    br = _BackwardReader(stream)  # raises on empty / no sentinel
+    even = _FseDecoder(table, br)
+    odd = _FseDecoder(table, br)
+    ws: list[int] = []
+    while True:
+        if len(ws) > 253:
+            raise ValueError("weight stream too long")
+        ws.append(even.peek())
+        even.update(br)
+        if br.overflowed:
+            ws.append(odd.peek())
+            break
+        ws.append(odd.peek())
+        odd.update(br)
+        if br.overflowed:
+            ws.append(even.peek())
+            break
+    return ws
+
+
 def huf_read_weights(data: bytes):
     """Parse a weight description; returns ``({symbol: weight},
-    n_consumed_bytes)``. Direct form (header ≥ 128) only — the form
-    this encoder produces; FSE-compressed weight tables are refused
-    explicitly (see below)."""
+    n_consumed_bytes)``. Both RFC forms: direct (header ≥ 128, 4-bit
+    nibbles) and FSE-compressed (header < 128 = compressed byte count,
+    two interleaved states) — the latter is what libzstd emits for any
+    sizeable literal alphabet."""
     if not data:
         raise ValueError("empty weights")
     hdr = data[0]
@@ -462,12 +508,14 @@ def huf_read_weights(data: bytes):
         implied_sym = n  # the spec: exactly n weights listed, symbol n implied
         consumed = nbytes
     else:
-        # FSE-compressed weight tables (hdr < 128): a valid form this
-        # DECODER's scope excludes — the paired encoder only emits direct
-        # descriptions, and an untestable half-implementation would be a
-        # guess. Refuse, don't guess (the same stance the sequence
-        # decoder takes on predefined-table mode).
-        raise ValueError("FSE-compressed weights out of scope")
+        if hdr < 1 or len(data) < 1 + hdr:
+            raise ValueError("weights eof")
+        ws = _huf_weights_fse(data[1 : 1 + hdr])
+        weights = {sym: w for sym, w in enumerate(ws) if w}
+        if not weights or max(weights.values()) > 12:
+            raise ValueError("bad fse weights")
+        implied_sym = len(ws)
+        consumed = 1 + hdr
     # complete the implied last weight
     ks = sum(1 << (w - 1) for w in weights.values())
     target = 1 << ks.bit_length()
@@ -529,6 +577,48 @@ def _code_for(value: int, bases: list[int]) -> int:
     import bisect
 
     return bisect.bisect_right(bases, value) - 1
+
+
+# Predefined FSE distributions (RFC 8878 §3.1.1.3.2.2, normative) —
+# what libzstd's Predefined_Mode means. -1 is the "less than one"
+# probability (one top slot, full-log state reset).
+_LL_PREDEF_NORM = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1,
+]  # accuracy log 6
+_OF_PREDEF_NORM = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1,
+]  # accuracy log 5
+_ML_PREDEF_NORM = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1,
+]  # accuracy log 6
+
+_predef_cache: tuple | None = None
+
+
+def _predef_tables():
+    """The three predefined decode tables, built once per interpreter.
+    Slot-count invariants are asserted at build time (Σn + #(-1) = 2^log)
+    so a transcription error fails loudly, not silently."""
+    global _predef_cache
+    if _predef_cache is None:
+        for norm, log in (
+            (_LL_PREDEF_NORM, 6), (_OF_PREDEF_NORM, 5), (_ML_PREDEF_NORM, 6),
+        ):
+            used = sum(n if n > 0 else 1 for n in norm if n != 0)
+            if used != 1 << log:
+                raise AssertionError("predefined distribution mis-transcribed")
+        _predef_cache = (
+            _FseDecodeTable(_LL_PREDEF_NORM, 6),
+            _FseDecodeTable(_OF_PREDEF_NORM, 5),
+            _FseDecodeTable(_ML_PREDEF_NORM, 6),
+        )
+    return _predef_cache
 
 
 # ---------------------------------------------------------------------------
@@ -765,10 +855,28 @@ def zstd_compress(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+class _FrameCtx:
+    """Per-frame decode state RFC 8878 scopes ACROSS blocks: the last
+    Huffman table (treeless literals reuse it), the last LL/OF/ML FSE
+    tables (Repeat_Mode reuses them), and the repeat-offset history
+    (initialized 1/4/8 once per frame, NOT per block). ``stats``
+    records which entropy forms the frame exercised — the hook pytest
+    uses to pin predefined/RLE/FSE/repeat coverage on CLI fixtures."""
+
+    __slots__ = ("huf", "ll", "of", "ml", "reps", "stats")
+
+    def __init__(self) -> None:
+        self.huf: _HufTable | None = None
+        self.ll = self.of = self.ml = None
+        self.reps = [1, 4, 8]
+        self.stats: set[str] = set()
+
+
 def zstd_decompress(raw: bytes, cap: int = ZSTD_FRAME_CAP):
     """Decode one zstd frame. Returns the payload bytes or None for
     anything malformed (bad magic, reserved block types, lying sizes,
-    bomb declarations, broken entropy streams). Never raises. With
+    bomb declarations, broken entropy streams, nonzero dictionary IDs
+    — no dictionary support). Never raises. With
     SPARK_GRAFT_ZSTD_NATIVE=1 and a binding installed the native tier is
     consulted first (exact-equality contract — zstd is lossless) and
     falls through here when it declines."""
@@ -777,12 +885,24 @@ def zstd_decompress(raw: bytes, cap: int = ZSTD_FRAME_CAP):
         if out is not None:
             return out
     try:
-        return _zstd_inner(raw, cap)
+        return _zstd_inner(raw, cap, _FrameCtx())
     except Exception:
         return None
 
 
-def _zstd_inner(raw: bytes, cap: int):
+def zstd_frame_stats(raw: bytes, cap: int = ZSTD_FRAME_CAP):
+    """Decode and report: ``(payload_or_None, stats)`` where stats names
+    the entropy forms the frame used (``seq:predef``, ``seq:rle``,
+    ``seq:fse``, ``seq:repeat``, ``weights:direct``, ``weights:fse``,
+    ``lit:treeless``). Test/diagnostic hook; same never-raise contract."""
+    ctx = _FrameCtx()
+    try:
+        return _zstd_inner(raw, cap, ctx), ctx.stats
+    except Exception:
+        return None, ctx.stats
+
+
+def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx):
     if not raw or len(raw) < 9 or raw[:4] != ZSTD_MAGIC:
         return None
     fhd = raw[4]
@@ -794,7 +914,11 @@ def _zstd_inner(raw: bytes, cap: int):
     if not single_segment:
         pos += 1  # window descriptor
     did_flag = fhd & 3
-    pos += (0, 1, 2, 4)[did_flag]
+    did_len = (0, 1, 2, 4)[did_flag]
+    if did_len:
+        if int.from_bytes(raw[pos : pos + did_len], "little"):
+            return None  # dictionary frames are out of scope — refuse
+        pos += did_len
     fcs_len = (0, 2, 4, 8)[fcs_flag]
     if fcs_flag == 0 and single_segment:
         fcs_len = 1
@@ -807,6 +931,8 @@ def _zstd_inner(raw: bytes, cap: int):
         if content_size > cap:
             return None  # declared bomb
 
+    # the output buffer is FRAME-scoped: sequence offsets legally reach
+    # back into previous blocks' output (libzstd does this routinely)
     out = bytearray()
     while True:
         if pos + 3 > len(raw):
@@ -829,10 +955,8 @@ def _zstd_inner(raw: bytes, cap: int):
         elif btype == 2:  # compressed
             if pos + bsize > len(raw):
                 return None
-            block = _decode_block(raw[pos : pos + bsize], cap - len(out))
-            if block is None:
+            if not _decode_block(raw[pos : pos + bsize], out, ctx, cap):
                 return None
-            out += block
             pos += bsize
         else:
             return None  # reserved
@@ -850,15 +974,15 @@ def _zstd_inner(raw: bytes, cap: int):
     return bytes(out)
 
 
-def _decode_block(block: bytes, cap: int):
-    lits, pos = _decode_literals(block, cap)
+def _decode_block(block: bytes, out: bytearray, ctx: _FrameCtx,
+                  cap: int) -> bool:
+    lits, pos = _decode_literals(block, ctx, cap - len(out))
     if lits is None:
-        return None
-    seq_res = _decode_sequences(block[pos:], lits, cap)
-    return seq_res
+        return False
+    return _decode_sequences(block[pos:], lits, out, ctx, cap)
 
 
-def _decode_literals(block: bytes, cap: int):
+def _decode_literals(block: bytes, ctx: _FrameCtx, cap: int):
     if not block:
         return None, 0
     b0 = block[0]
@@ -887,9 +1011,7 @@ def _decode_literals(block: bytes, cap: int):
         if len(block) < hdr_len + 1:
             return None, 0
         return block[hdr_len : hdr_len + 1] * regen, hdr_len + 1
-    if ltype == 3:
-        return None, 0  # treeless: this encoder never emits it
-    # compressed literals
+    # compressed (ltype 2) / treeless (ltype 3) share the size formats
     if sf == 0:
         if len(block) < 3:
             return None, 0
@@ -925,9 +1047,18 @@ def _decode_literals(block: bytes, cap: int):
     if regen > cap or len(block) < hdr_len + comp:
         return None, 0
     payload = block[hdr_len : hdr_len + comp]
-    weights, consumed = huf_read_weights(payload)
-    table = _HufTable(weights)
-    body = payload[consumed:]
+    if ltype == 2:
+        weights, consumed = huf_read_weights(payload)
+        table = _HufTable(weights)
+        ctx.huf = table
+        ctx.stats.add("weights:fse" if payload[0] < 128 else "weights:direct")
+        body = payload[consumed:]
+    else:  # treeless: reuse the frame's previous Huffman table
+        table = ctx.huf
+        if table is None:
+            return None, 0
+        ctx.stats.add("lit:treeless")
+        body = payload
     if streams == 1:
         lits = huf_decode_1stream(body, table, regen)
         if lits is None:
@@ -959,58 +1090,72 @@ def _decode_literals(block: bytes, cap: int):
     return b"".join(outs), hdr_len + comp
 
 
-def _decode_sequences(data: bytes, lits: bytes, cap: int):
+def _decode_sequences(data: bytes, lits: bytes, out: bytearray,
+                      ctx: _FrameCtx, cap: int) -> bool:
     if not data:
-        return None
+        return False
     b0 = data[0]
     pos = 1
     if b0 < 128:
         n = b0
     elif b0 < 255:
         if len(data) < 2:
-            return None
+            return False
         n = ((b0 - 128) << 8) + data[1]
         pos = 2
     else:
         if len(data) < 3:
-            return None
+            return False
         n = data[1] + (data[2] << 8) + 0x7F00
         pos = 3
     if n == 0:
-        if len(lits) > cap:
-            return None
-        return bytes(lits)
+        if len(out) + len(lits) > cap:
+            return False
+        out += lits
+        return True
     if n > (1 << 20):
-        return None  # sequence-count bomb
+        return False  # sequence-count bomb
 
     if pos >= len(data):
-        return None
+        return False
     modes = data[pos]
     pos += 1
     if modes & 3:
-        return None  # reserved bits must be zero
+        return False  # reserved bits must be zero
     ll_mode = (modes >> 6) & 3
     of_mode = (modes >> 4) & 3
     ml_mode = (modes >> 2) & 3
 
     tables = []
-    for mode, max_sym in ((ll_mode, 35), (of_mode, 31), (ml_mode, 52)):
-        if mode == 2:  # FSE_Compressed
-            norm, log, bitpos = fse_read_ncount(data[pos:], 0, max_sym)
-            pos += (bitpos + 7) // 8
-            tables.append(_FseDecodeTable(norm, log))
+    for slot, (mode, max_sym, max_log) in zip(
+        ("ll", "of", "ml"),
+        ((ll_mode, 35, 9), (of_mode, 31, 8), (ml_mode, 52, 9)),
+    ):
+        if mode == 0:  # Predefined_Mode: the RFC's normative tables
+            t = _predef_tables()[("ll", "of", "ml").index(slot)]
+            ctx.stats.add("seq:predef")
         elif mode == 1:  # RLE: one byte symbol, log-0 table
             if pos >= len(data):
-                return None
+                return False
             sym = data[pos]
             pos += 1
             if sym > max_sym:
-                return None
+                return False
             t = _FseDecodeTable([0] * sym + [1], 0)
-            tables.append(t)
-        else:
-            return None  # predefined/repeat: this decoder's scope is
-            #              streams whose tables are self-described
+            ctx.stats.add("seq:rle")
+        elif mode == 2:  # FSE_Compressed: table described in-stream
+            norm, log, bitpos = fse_read_ncount(data[pos:], 0, max_sym,
+                                                max_log)
+            pos += (bitpos + 7) // 8
+            t = _FseDecodeTable(norm, log)
+            ctx.stats.add("seq:fse")
+        else:  # Repeat_Mode: reuse this frame's previous table
+            t = getattr(ctx, slot)
+            if t is None:
+                return False  # first use with no prior table (or dict)
+            ctx.stats.add("seq:repeat")
+        setattr(ctx, slot, t)
+        tables.append(t)
     ll_t, of_t, ml_t = tables
 
     br = _BackwardReader(data[pos:])
@@ -1018,15 +1163,14 @@ def _decode_sequences(data: bytes, lits: bytes, cap: int):
     of_d = _FseDecoder(of_t, br)
     ml_d = _FseDecoder(ml_t, br)
 
-    out = bytearray()
     lit_pos = 0
-    reps = [1, 4, 8]
+    reps = ctx.reps  # frame-scoped history, mutated in place below
     for i in range(n):
         ofc = of_d.peek()
         mlc = ml_d.peek()
         llc = ll_d.peek()
         if ofc > 31 or mlc > 52 or llc > 35:
-            return None
+            return False
         of_val = (1 << ofc) + br.read(ofc)
         ml = _ML_BASES[mlc] + br.read(_ML_BITS[mlc])
         ll = _LL_BASES[llc] + br.read(_LL_BITS[llc])
@@ -1047,14 +1191,14 @@ def _decode_sequences(data: bytes, lits: bytes, cap: int):
             else:  # of_val == 3 and ll == 0
                 offset = reps[0] - 1
                 if offset == 0:
-                    return None
+                    return False
                 reps = [offset, reps[0], reps[1]]
         if lit_pos + ll > len(lits) or len(out) + ll + ml > cap:
-            return None
+            return False
         out += lits[lit_pos : lit_pos + ll]
         lit_pos += ll
         if offset > len(out) or offset == 0:
-            return None
+            return False
         start = len(out) - offset
         if offset >= ml:
             out += out[start : start + ml]
@@ -1065,11 +1209,12 @@ def _decode_sequences(data: bytes, lits: bytes, cap: int):
             ll_d.update(br)
             ml_d.update(br)
             of_d.update(br)
+    ctx.reps = reps
     rest = len(lits) - lit_pos
     if len(out) + rest > cap:
-        return None
+        return False
     out += lits[lit_pos:]
-    return bytes(out)
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -1088,18 +1233,32 @@ SELECT doc_id, text FROM documents WHERE text NOT LIKE '%|%'
 """
 
 
+def _zstd_cli_path():
+    """The real libzstd CLI, when one exists on this box — used to write
+    fixtures so the pure-Python decoder is exercised against a second,
+    independent implementation's output. Absence is a supported state
+    (the key falls back to this module's own encoder)."""
+    import shutil
+
+    return shutil.which("zstd")
+
+
 @query("scan_text_zst", _ZST_TEXT_ORACLE, tag="scan")
 def scan_text_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``.zst`` text-shard round trip through the REAL codec: each Arrow
-    batch of documents becomes one newline-framed shard, compressed into
-    a complete zstd frame (Huffman literals, FSE sequences, repeat
-    offsets — every table self-described in-stream) and decoded back by
-    the full frame walker before re-parsing. The closed-form oracle
-    hash-proves the entire entropy pipeline per shard. This is the
-    format modern corpora actually ship in (`.jsonl.zst`); the scale
-    caveat matches gzip — one frame is one decode unit, so corpora shard
-    by file, exactly how the key processes them. Per-batch mapInPandas,
-    zero shuffle."""
+    """``.zst`` text-shard round trip against REAL libzstd output: each
+    Arrow batch of documents becomes one newline-framed shard which is
+    compressed by the actual ``zstd`` CLI (level 9 — exercises
+    predefined/FSE/repeat sequence tables, FSE-compressed Huffman
+    weights, and treeless literals, the forms libzstd routinely emits)
+    and decoded back by this module's pure-Python frame walker before
+    re-parsing. When no CLI is installed the shard comes from
+    :func:`zstd_compress` instead, so the key degrades to a self-stream
+    round trip rather than failing. The closed-form oracle hash-proves
+    the entire entropy pipeline per shard. This is the format modern
+    corpora actually ship in (`.jsonl.zst`); the scale caveat matches
+    gzip — one frame is one decode unit, so corpora shard by file,
+    exactly how the key processes them. Per-batch mapInPandas, zero
+    shuffle."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents").where(
@@ -1109,11 +1268,24 @@ def scan_text_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
 
     def roundtrip(batches):
+        import subprocess
+
+        cli = _zstd_cli_path()
         for pdf in batches:
             lines = "".join(
                 f"{int(i)}|{t}\n" for i, t in zip(pdf["doc_id"], pdf["text"])
             ).encode("utf-8")
-            frame = zstd_compress(lines)
+            frame = None
+            if cli is not None:
+                try:
+                    frame = subprocess.run(
+                        [cli, "-9", "-c"], input=lines,
+                        capture_output=True, check=True,
+                    ).stdout
+                except Exception:
+                    frame = None
+            if frame is None:
+                frame = zstd_compress(lines)
             back = zstd_decompress(frame)
             rows = []
             if back is not None:

@@ -265,3 +265,141 @@ def test_xxh64_reference_vectors_and_checksum():
     assert zstd_decompress(bytes(frame)) is not None
     frame[-1] ^= 0xFF  # corrupt the stored checksum itself
     assert zstd_decompress(bytes(frame)) is None
+
+
+# ---------------------------------------------------------------------------
+# real-libzstd cross-validation (the second independent implementation)
+# ---------------------------------------------------------------------------
+
+import shutil
+import subprocess
+
+import pytest
+
+_ZSTD_CLI = shutil.which("zstd")
+
+needs_cli = pytest.mark.skipif(
+    _ZSTD_CLI is None,
+    reason="named dep missing: zstd CLI — pure-Python self-streams "
+    "remain oracle-proven; CLI cross-validation needs the binary",
+)
+
+
+def _cli_compress(data: bytes, level: int = 3) -> bytes:
+    return subprocess.run(
+        [_ZSTD_CLI, f"-{level}", "-c"], input=data,
+        capture_output=True, check=True,
+    ).stdout
+
+
+def _cli_decompress(data: bytes) -> bytes:
+    return subprocess.run(
+        [_ZSTD_CLI, "-d", "-c"], input=data, capture_output=True, check=True,
+    ).stdout
+
+
+def _log_corpus() -> bytes:
+    """Structured multi-block corpus: at level >= 9 libzstd reuses
+    sequence tables across its 128 KiB blocks (Repeat_Mode) and emits
+    treeless literals — the cross-block state this decoder must carry."""
+    line = (
+        b"2026-08-16T00:00:%02d INFO request id=%06d "
+        b"path=/api/v1/items status=200 bytes=%05d\n"
+    )
+    return b"".join(line % (i % 60, i, (i * 37) % 90000) for i in range(8000))
+
+
+@needs_cli
+def test_cli_written_frames_decode_bit_exact():
+    """Frames written by real libzstd (v1.5+) at several levels decode
+    bit-exactly through the pure-Python walker — text, runs, random
+    (incompressible -> raw blocks), and empty payloads."""
+    rng = random.Random(42)
+    words = [
+        "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+        "spark", "engine", "corpus", "training", "data", "zstd", "frame",
+    ]
+    text = (" ".join(rng.choice(words) for _ in range(60000))).encode()
+    payloads = [text, b"a" * 50000, rng.randbytes(5000), b"", _log_corpus()]
+    for payload in payloads:
+        for level in (1, 3, 9, 19):
+            frame = _cli_compress(payload, level)
+            assert zstd_decompress(frame) == payload, (len(payload), level)
+
+
+@needs_cli
+def test_cli_decodes_our_frames():
+    """The reverse direction: this encoder's frames decode under real
+    libzstd — both implementations accept each other's output."""
+    rng = random.Random(7)
+    for payload in [
+        b"", b"interop " * 4000, bytes(range(256)) * 600, rng.randbytes(3000),
+    ]:
+        assert _cli_decompress(zstd_compress(payload)) == payload
+
+
+@needs_cli
+def test_all_entropy_modes_pinned_on_cli_fixtures():
+    """Every RFC 8878 table form libzstd emits is exercised and pinned:
+    predefined FSE distributions, RLE tables, in-stream FSE tables,
+    Repeat_Mode reuse, FSE-compressed Huffman weights, and treeless
+    literals. Each fixture decodes bit-exactly AND reports the mode."""
+    from dynamic_spark_spark.llmops.zstd import zstd_frame_stats
+
+    logs = _log_corpus()
+    cases = [
+        # small, highly-compressible -> predefined distributions
+        (b"hello hello hello world world zstd zstd zstd " * 4, 3,
+         {"seq:predef"}),
+        # structured logs, default level -> in-stream FSE + RLE tables
+        (logs, 3, {"seq:fse", "seq:rle", "weights:fse"}),
+        # structured logs, level 9 -> Repeat_Mode + treeless literals
+        (logs, 9, {"seq:repeat", "lit:treeless"}),
+    ]
+    for payload, level, want in cases:
+        out, stats = zstd_frame_stats(_cli_compress(payload, level))
+        assert out == payload
+        assert want <= stats, (level, sorted(stats))
+    # direct weight descriptions come from this repo's own encoder:
+    # skewed literals with few LZ matches so Huffman-compressing pays
+    rng = random.Random(5)
+    skewed = bytes(rng.choices(b"aaaaaabbbccde", k=4000))
+    out, stats = zstd_frame_stats(zstd_compress(skewed))
+    assert out == skewed
+    assert "weights:direct" in stats
+
+
+@needs_cli
+def test_repeat_offsets_and_window_span_blocks():
+    """Multi-block frames where matches and repeat-offset history cross
+    the 128 KiB block boundary — the frame-scoped state a per-block
+    decoder gets wrong. 600 KiB of period-64 data forces cross-block
+    back-references at every level."""
+    unit = bytes(range(64))
+    payload = unit * 9600  # 600 KiB, offsets resolve across blocks
+    for level in (1, 3, 9):
+        assert zstd_decompress(_cli_compress(payload, level)) == payload
+
+
+def test_dictionary_frames_refused():
+    """A nonzero Dictionary_ID must be refused (no dictionary support),
+    not skipped-and-misdecoded."""
+    frame = bytearray(zstd_compress(b"payload " * 50))
+    # FHD at byte 4: set DID_flag=1 and splice a 1-byte nonzero DID in
+    fhd = frame[4]
+    frame[4] = fhd | 0x01
+    frame.insert(5, 0x07)
+    assert zstd_decompress(bytes(frame)) is None
+
+
+def test_fse_weight_stream_malformed_inputs_never_raise():
+    """FSE-compressed weight headers (hdr < 128) on garbage payloads:
+    the decoder returns None, never raises."""
+    rng = random.Random(99)
+    base = zstd_compress(b"fuzz seed payload " * 64)
+    for _ in range(200):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        out = zstd_decompress(bytes(mut))
+        assert out is None or isinstance(out, bytes)
