@@ -4,19 +4,25 @@ The footer audit (:mod:`parquet_footer`) proves the metadata layer; this
 module walks the rest of the way down and reads actual COLUMN VALUES out
 of a Spark-written, snappy-compressed parquet file:
 
-    footer (Thrift compact) → row groups → column-chunk metadata
+    footer (Thrift compact) → schema tree (physical types, repetition)
+    → row groups → column-chunk metadata
     → page headers (Thrift compact, at their byte offsets)
     → SNAPPY decompression (pure-Python tag walk — the format parquet
       compresses with BY DEFAULT)
-    → definition levels (RLE/bit-packed hybrid)
-    → PLAIN-encoded values.
+    → definition levels (RLE/bit-packed hybrid, OPTIONAL columns only —
+      REQUIRED columns carry no def-levels block, parquet-format.md)
+    → PLAIN / dictionary-indexed values across the physical type
+      lattice: BOOLEAN, INT32, INT64, FLOAT, DOUBLE, BYTE_ARRAY —
+      v1 AND v2 data pages.
 
 Every layer is an independent re-implementation forced to agree with
-parquet-mr (the JVM writer) through the real bytes, and the key's oracle
-is the identity projection — a hash match means thrift field walks, the
-snappy tag decoder, the RLE hybrid, and little-endian PLAIN decoding are
-all correct simultaneously. pytest additionally pins the chain against
-pyarrow-written files (a THIRD independent writer).
+parquet-mr (the JVM writer) through the real bytes, and the keys'
+oracles are identity projections — a hash match means thrift field
+walks, the schema tree, the snappy tag decoder, the RLE hybrid, and
+little-endian PLAIN decoding are all correct simultaneously. pytest
+additionally pins the chain against pyarrow-written files (a THIRD
+independent writer), including REQUIRED columns, v2 data pages, and
+every physical type.
 
 This is the 100-TB repair story: when a shard fails in the vectorized
 reader, the bytes-level read is how you find which layer lies.
@@ -35,6 +41,19 @@ from dynamic_spark_spark.sources.readers import load_table
 
 #: decompressed-page cap — the container discipline
 PAGE_CAP = 64 << 20
+
+# parquet.thrift Type enum (physical types)
+_T_BOOLEAN = 0
+_T_INT32 = 1
+_T_INT64 = 2
+_T_INT96 = 3
+_T_FLOAT = 4
+_T_DOUBLE = 5
+_T_BYTE_ARRAY = 6
+_T_FIXED = 7
+
+_FIXED_WIDTH = {_T_INT32: "i", _T_INT64: "q", _T_FLOAT: "f", _T_DOUBLE: "d"}
+_TYPE_BYTES = {_T_INT32: 4, _T_INT64: 8, _T_FLOAT: 4, _T_DOUBLE: 8}
 
 
 def snappy_decompress(src: bytes, cap: int = PAGE_CAP):
@@ -101,8 +120,8 @@ def snappy_decompress(src: bytes, cap: int = PAGE_CAP):
 
 def _rle_bitpacked_bools(data: bytes, bit_width: int, count: int):
     """Decode the RLE/bit-packed hybrid (parquet encodings.md) for the
-    small bit widths definition levels use. Returns a list of ints or
-    None."""
+    small bit widths definition levels and dictionary indices use.
+    Returns a list of ints or None."""
     if bit_width == 0:
         return [0] * count
     out: list[int] = []
@@ -151,21 +170,72 @@ def _codec_decompress(codec: int, body: bytes, uncompressed: int):
     return None  # other codecs: out of scope — refuse, don't guess
 
 
-def read_parquet_int64_column(raw: bytes, column: str):
-    """Read every value of a required/optional INT64 column straight
-    from the file bytes: footer → chunk metadata → page walk → snappy →
-    def levels → PLAIN. Returns the list of non-null values or None.
-    Dictionary-encoded chunks are refused by THIS entry point (the
-    PLAIN-only tier keeps its refusal semantics under test);
-    :func:`read_parquet_int64_column_dict` is the general reader that
-    handles them. Never raises."""
-    try:
-        return _read_inner(raw, column)
-    except Exception:
+# ---------------------------------------------------------------------------
+# footer walk: schema tree + column-chunk inventory (shared by all readers)
+# ---------------------------------------------------------------------------
+
+
+def _parse_schema(c: _Compact):
+    """Parse FileMetaData.schema (list<SchemaElement>, depth-first) into
+    ``{dotted_path: (physical_type, optional, unsupported)}`` for leaf
+    columns. ``unsupported`` marks nested or repeated paths — the raw
+    readers refuse those explicitly instead of misparsing their
+    rep-levels blocks (parquet-format.md: flat REQUIRED columns carry NO
+    levels, flat OPTIONAL carry def levels only)."""
+    size, etype = c.list_header()
+    if etype != 12:
         return None
+    elems = []
+    for _ in range(size):
+        typ = rep = nch = None
+        name = None
+        last = 0
+        while True:
+            fid, wtype = c.field_header(last)
+            if wtype == 0:
+                break
+            last = fid
+            if fid == 1 and wtype == 5:
+                typ = c.zigzag()
+            elif fid == 3 and wtype == 5:
+                rep = c.zigzag()
+            elif fid == 4 and wtype == 8:
+                ln = c.varint()
+                name = c.data[c.pos : c.pos + ln].decode("utf-8")
+                c.pos += ln
+            elif fid == 5 and wtype == 5:
+                nch = c.zigzag()
+            else:
+                c.skip(wtype, 0)
+        elems.append((typ, rep, name, nch or 0))
+    schema: dict[str, tuple[int, bool, bool]] = {}
+    if not elems:
+        return schema
+    # depth-first walk: the root's num_children frames the tree
+    stack: list[list] = [[elems[0][3], [], False]]
+    i = 1
+    while i < len(elems):
+        while stack and stack[-1][0] == 0:
+            stack.pop()
+        if not stack:
+            break
+        typ, rep, name, nch = elems[i]
+        i += 1
+        stack[-1][0] -= 1
+        path = stack[-1][1] + [name or ""]
+        repeated = stack[-1][2] or rep == 2
+        if nch:
+            stack.append([nch, path, repeated])
+        else:
+            unsupported = repeated or len(path) > 1 or typ is None
+            schema[".".join(path)] = (typ, rep == 1, unsupported)
+    return schema
 
 
-def _read_inner(raw: bytes, column: str):
+def _footer_walk(raw: bytes):
+    """Footer → ``(schema, chunks)`` where chunks are ``(codec,
+    num_values, first_page_offset, dotted_path)`` in file order, or None
+    on malformed input."""
     if not raw or len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
         return None
     (flen,) = struct.unpack("<I", raw[-8:-4])
@@ -173,14 +243,20 @@ def _read_inner(raw: bytes, column: str):
     if flen <= 0 or start < 4:
         return None
     c = _Compact(raw, start)
-    chunks = []  # (codec, num_values, data_page_offset)
+    schema: dict = {}
+    chunks = []
     last_fid = 0
     while True:
         fid, wtype = c.field_header(last_fid)
         if wtype == 0:
             break
         last_fid = fid
-        if fid == 4 and wtype == 9:  # row_groups
+        if fid == 2 and wtype == 9:  # schema: list<SchemaElement>
+            got = _parse_schema(c)
+            if got is None:
+                return None
+            schema = got
+        elif fid == 4 and wtype == 9:  # row_groups
             size, etype = c.list_header()
             if etype != 12:
                 return None
@@ -203,41 +279,7 @@ def _read_inner(raw: bytes, column: str):
                         c.skip(rtype, 0)
         else:
             c.skip(wtype, 0)
-
-    values: list[int] = []
-    for codec, num_values, page_off, path in chunks:
-        if path != column:
-            continue
-        got = 0
-        pos = page_off
-        while got < num_values:
-            page = _parse_page_header(raw, pos)
-            if page is None:
-                return None
-            ptype, comp_size, uncomp_size, n_vals, def_enc, body_start = page
-            body = raw[body_start : body_start + comp_size]
-            if len(body) < comp_size:
-                return None
-            pos = body_start + comp_size
-            if ptype == 2:  # dictionary page: this reader refuses dict chunks
-                return None
-            if ptype != 0:  # only v1 data pages in scope
-                return None
-            data = _codec_decompress(codec, body, uncomp_size)
-            if data is None or len(data) != uncomp_size:
-                return None
-            # optional column ⇒ def levels block: [len i32][hybrid runs]
-            (dlen,) = struct.unpack("<I", data[:4])
-            levels = _rle_bitpacked_bools(data[4 : 4 + dlen], 1, n_vals)
-            if levels is None:
-                return None
-            n_present = sum(levels)
-            vals = data[4 + dlen : 4 + dlen + 8 * n_present]
-            if len(vals) < 8 * n_present:
-                return None
-            values.extend(struct.unpack(f"<{n_present}q", vals))
-            got += n_vals
-    return values
+    return schema, chunks
 
 
 def _parse_column_chunk(c: _Compact):
@@ -284,17 +326,43 @@ def _parse_column_chunk(c: _Compact):
     if codec is None or num_values is None or page_off is None:
         return None
     # a dictionary page sits BEFORE data_page_offset when present; the
-    # reader starts at the dict page to detect (and refuse) it honestly
+    # reader starts at the dict page so it can build (or refuse) it
     start = dict_off if dict_off is not None else page_off
     return codec, num_values, start, path
 
 
+# ---------------------------------------------------------------------------
+# page headers (v1 + v2 + dictionary)
+# ---------------------------------------------------------------------------
+
+
+class _Page:
+    """One parsed PageHeader: type 0 = data v1, 2 = dictionary,
+    3 = data v2. ``enc`` is the VALUES encoding (0 PLAIN,
+    2 PLAIN_DICTIONARY, 8 RLE_DICTIONARY) — the field that decides the
+    payload branch; inferring it from dict-page presence misparses
+    parquet-mr's mid-chunk PLAIN fallback."""
+
+    __slots__ = (
+        "ptype", "comp", "uncomp", "n_vals", "enc", "body",
+        "v2_nulls", "v2_dl", "v2_rl", "v2_comp",
+    )
+
+    def __init__(self) -> None:
+        self.ptype = self.comp = self.uncomp = None
+        self.n_vals = 0
+        self.enc = 0
+        self.body = 0
+        self.v2_nulls = 0
+        self.v2_dl = 0
+        self.v2_rl = 0
+        self.v2_comp = True
+
+
 def _parse_page_header(raw: bytes, pos: int):
-    """PageHeader → (type, compressed_size, uncompressed_size,
-    num_values, def_level_encoding, body_start) or None."""
+    """PageHeader at ``pos`` → :class:`_Page` or None."""
     c = _Compact(raw, pos)
-    ptype = comp = uncomp = None
-    n_vals = def_enc = None
+    p = _Page()
     last = 0
     while True:
         fid, wtype = c.field_header(last)
@@ -302,12 +370,12 @@ def _parse_page_header(raw: bytes, pos: int):
             break
         last = fid
         if fid == 1 and wtype == 5:
-            ptype = c.zigzag()
+            p.ptype = c.zigzag()
         elif fid == 2 and wtype == 5:
-            uncomp = c.zigzag()
+            p.uncomp = c.zigzag()
         elif fid == 3 and wtype == 5:
-            comp = c.zigzag()
-        elif fid == 5 and wtype == 12:  # DataPageHeader
+            p.comp = c.zigzag()
+        elif fid == 5 and wtype == 12:  # DataPageHeader (v1)
             d_last = 0
             while True:
                 dfid, dtype = c.field_header(d_last)
@@ -315,123 +383,200 @@ def _parse_page_header(raw: bytes, pos: int):
                     break
                 d_last = dfid
                 if dfid == 1 and dtype == 5:
-                    n_vals = c.zigzag()
-                elif dfid == 3 and dtype == 5:
-                    def_enc = c.zigzag()
+                    p.n_vals = c.zigzag()
+                elif dfid == 2 and dtype == 5:
+                    p.enc = c.zigzag()
                 else:
                     c.skip(dtype, 0)
         elif fid == 7 and wtype == 12:  # DictionaryPageHeader
-            c.skip_struct(0)
-            n_vals = n_vals or 0
+            d_last = 0
+            while True:
+                dfid, dtype = c.field_header(d_last)
+                if dtype == 0:
+                    break
+                d_last = dfid
+                if dfid == 1 and dtype == 5:
+                    p.n_vals = c.zigzag()
+                else:
+                    c.skip(dtype, 0)
+        elif fid == 8 and wtype == 12:  # DataPageHeaderV2
+            d_last = 0
+            while True:
+                dfid, dtype = c.field_header(d_last)
+                if dtype == 0:
+                    break
+                d_last = dfid
+                if dfid == 1 and dtype == 5:
+                    p.n_vals = c.zigzag()
+                elif dfid == 2 and dtype == 5:
+                    p.v2_nulls = c.zigzag()
+                elif dfid == 4 and dtype == 5:
+                    p.enc = c.zigzag()
+                elif dfid == 5 and dtype == 5:
+                    p.v2_dl = c.zigzag()
+                elif dfid == 6 and dtype == 5:
+                    p.v2_rl = c.zigzag()
+                elif dfid == 7 and dtype in (1, 2):  # bool in wire type
+                    p.v2_comp = dtype == 1
+                else:
+                    c.skip(dtype, 0)
         else:
             c.skip(wtype, 0)
-    if ptype is None or comp is None or uncomp is None:
+    if p.ptype is None or p.comp is None or p.uncomp is None:
         return None
-    return ptype, comp, uncomp, n_vals or 0, def_enc, c.pos
+    p.body = c.pos
+    return p
 
 
-_RAW_COLUMN_ORACLE = """
-SELECT doc_id FROM documents
-"""
+# ---------------------------------------------------------------------------
+# value decoding across the physical type lattice
+# ---------------------------------------------------------------------------
 
 
-@query("scan_parquet_raw_column", _RAW_COLUMN_ORACLE, tag="scan")
-def scan_parquet_raw_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet DATA read with no parquet library: Spark writes the
-    documents table as snappy-compressed parquet (dictionary encoding
-    disabled so the page payload is honest PLAIN int64), the files are
-    re-scanned as binary, and the ``doc_id`` column is recovered byte by
-    byte — Thrift footer walk, page-header walk at real offsets,
-    pure-Python SNAPPY, RLE/bit-packed definition levels, little-endian
-    PLAIN. The identity oracle hash-proves all five layers at once
-    against what parquet-mr actually wrote; pytest repeats the chain
-    against pyarrow-written files (a third writer). Per-file mapInPandas,
-    zero shuffle."""
-    import shutil
-    import tempfile
+def _plain_decode(typ: int, buf: bytes, count: int):
+    """Decode ``count`` PLAIN values of a physical type from the front
+    of ``buf``: BOOLEAN is bit-packed LSB-first; INT32/INT64/FLOAT/
+    DOUBLE are little-endian fixed-width; BYTE_ARRAY is length-prefixed.
+    Returns a list or None."""
+    if typ == _T_BOOLEAN:
+        need = (count + 7) // 8
+        if len(buf) < need:
+            return None
+        bits = int.from_bytes(buf[:need], "little")
+        return [bool((bits >> i) & 1) for i in range(count)]
+    if typ in _FIXED_WIDTH:
+        w = _TYPE_BYTES[typ]
+        if len(buf) < w * count:
+            return None
+        return list(struct.unpack(f"<{count}{_FIXED_WIDTH[typ]}", buf[: w * count]))
+    if typ == _T_BYTE_ARRAY:
+        out = []
+        pos = 0
+        for _ in range(count):
+            if pos + 4 > len(buf):
+                return None
+            (ln,) = struct.unpack("<I", buf[pos : pos + 4])
+            pos += 4
+            if ln > PAGE_CAP or pos + ln > len(buf):
+                return None
+            out.append(buf[pos : pos + ln])
+            pos += ln
+        return out
+    return None  # INT96 / FIXED_LEN_BYTE_ARRAY: out of scope
 
-    import pandas as pd
 
-    out = tempfile.mkdtemp(prefix="dss_rawcol_")
+def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
+                 optional: bool, dictionary):
+    """Decode one DATA page (v1 or v2) → list of non-null values or
+    None. Definition levels are consumed ONLY for optional columns
+    (REQUIRED pages carry no def-levels block — the r10 ADVICE defect);
+    the payload branch follows the page's declared values encoding."""
+    body = raw[pg.body : pg.body + pg.comp]
+    if len(body) < pg.comp:
+        return None
+    if pg.ptype == 0:  # v1: whole page compressed together
+        data = _codec_decompress(codec, body, pg.uncomp)
+        if data is None or len(data) != pg.uncomp:
+            return None
+        if optional:
+            if len(data) < 4:
+                return None
+            (dlen,) = struct.unpack("<I", data[:4])
+            levels = _rle_bitpacked_bools(data[4 : 4 + dlen], 1, pg.n_vals)
+            if levels is None:
+                return None
+            n_present = sum(levels)
+            payload = data[4 + dlen :]
+        else:
+            n_present = pg.n_vals
+            payload = data
+    elif pg.ptype == 3:  # v2: levels stored raw, values compressed alone
+        lv = pg.v2_rl + pg.v2_dl
+        if lv > len(body):
+            return None
+        vals_comp = body[lv:]
+        want = pg.uncomp - lv
+        if want < 0:
+            return None
+        if pg.v2_comp:
+            data = _codec_decompress(codec, vals_comp, want)
+        else:
+            data = vals_comp
+        if data is None or len(data) != want:
+            return None
+        if optional and pg.v2_dl:
+            levels = _rle_bitpacked_bools(
+                body[pg.v2_rl : lv], 1, pg.n_vals
+            )
+            if levels is None:
+                return None
+            n_present = sum(levels)
+            if pg.n_vals - n_present != pg.v2_nulls:
+                return None  # header num_nulls disagrees with levels
+        else:
+            n_present = pg.n_vals - pg.v2_nulls
+        payload = data
+    else:
+        return None
+    if pg.enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+        if dictionary is None or not payload:
+            return None
+        bit_width = payload[0]
+        if bit_width > 32:
+            return None
+        idxs = _rle_bitpacked_bools(payload[1:], bit_width, n_present)
+        if idxs is None:
+            return None
+        try:
+            return [dictionary[i] for i in idxs]
+        except IndexError:
+            return None  # index outside the dictionary: corrupt
+    if pg.enc == 0:  # PLAIN
+        return _plain_decode(typ, payload, n_present)
+    if pg.enc == 3 and typ == _T_BOOLEAN:
+        # RLE boolean VALUES (v2 writers): [u32 len][RLE/bit-packed]
+        if len(payload) < 4:
+            return None
+        (ln,) = struct.unpack("<I", payload[:4])
+        if 4 + ln > len(payload):
+            return None
+        bits = _rle_bitpacked_bools(payload[4 : 4 + ln], 1, n_present)
+        if bits is None:
+            return None
+        return [bool(x) for x in bits]
+    return None  # DELTA_* encodings: out of scope — refuse, don't guess
+
+
+def read_parquet_column(raw: bytes, column: str):
+    """The GENERAL raw reader: every value of a flat column straight
+    from the file bytes across the physical type lattice (BOOLEAN,
+    INT32, INT64, FLOAT, DOUBLE, BYTE_ARRAY), PLAIN and dictionary
+    encodings, v1 AND v2 data pages, REQUIRED and OPTIONAL repetition.
+    Repeated/nested paths and unknown encodings are refused explicitly.
+    Returns non-null values in row order, or None. Never raises."""
     try:
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        (
-            d.write.mode("overwrite")
-            .option("compression", "snappy")
-            .option("parquet.enable.dictionary", "false")
-            .parquet(out)
-        )
-        files = spark.read.format("binaryFile").load(
-            out, pathGlobFilter="*.parquet"
-        ).select("content")
-
-        def read_col(batches):
-            for pdf in batches:
-                vals: list[int] = []
-                for content in pdf["content"]:
-                    got = read_parquet_int64_column(bytes(content), "doc_id")
-                    if got is not None:
-                        vals.extend(got)
-                yield pd.DataFrame({"doc_id": vals})
-
-        res = files.mapInPandas(read_col, "doc_id long")
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-
-
-def read_parquet_int64_column_dict(raw: bytes, column: str):
-    """The DICTIONARY tier of the raw reader — what parquet-mr writes BY
-    DEFAULT: the chunk opens with a PLAIN dictionary page, and each data
-    page encodes indices as [bit-width byte][RLE/bit-packed hybrid].
-    Returns non-null values in row order, falling back to the PLAIN
-    reader per chunk when no dictionary page exists. Never raises."""
-    try:
-        return _read_dict_inner(raw, column)
+        return _read_general_inner(raw, column, allow_dict=True)
     except Exception:
         return None
 
 
-def _read_dict_inner(raw: bytes, column: str):
-    if not raw or len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
+def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
+                        only_type: int | None = None):
+    walked = _footer_walk(raw)
+    if walked is None:
         return None
-    (flen,) = struct.unpack("<I", raw[-8:-4])
-    start = len(raw) - 8 - flen
-    if flen <= 0 or start < 4:
+    schema, chunks = walked
+    info = schema.get(column)
+    if info is None:
         return None
-    c = _Compact(raw, start)
-    chunks = []
-    last_fid = 0
-    while True:
-        fid, wtype = c.field_header(last_fid)
-        if wtype == 0:
-            break
-        last_fid = fid
-        if fid == 4 and wtype == 9:
-            size, etype = c.list_header()
-            if etype != 12:
-                return None
-            for _ in range(size):
-                rg_last = 0
-                while True:
-                    rfid, rtype = c.field_header(rg_last)
-                    if rtype == 0:
-                        break
-                    rg_last = rfid
-                    if rfid == 1 and rtype == 9:
-                        csize, cetype = c.list_header()
-                        if cetype != 12:
-                            return None
-                        for _ in range(csize):
-                            chunk = _parse_column_chunk(c)
-                            if chunk is not None:
-                                chunks.append(chunk)
-                    else:
-                        c.skip(rtype, 0)
-        else:
-            c.skip(wtype, 0)
-
-    values: list[int] = []
+    typ, optional, unsupported = info
+    if unsupported or typ not in (
+        _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY,
+    ):
+        return None
+    if only_type is not None and typ != only_type:
+        return None
+    values: list = []
     for codec, num_values, page_off, path in chunks:
         if path != column:
             continue
@@ -439,74 +584,131 @@ def _read_dict_inner(raw: bytes, column: str):
         got = 0
         pos = page_off
         while got < num_values:
-            page = _parse_page_header(raw, pos)
-            if page is None:
+            pg = _parse_page_header(raw, pos)
+            if pg is None:
                 return None
-            ptype, comp_size, uncomp_size, n_vals, _def_enc, body_start = page
-            body = raw[body_start : body_start + comp_size]
-            if len(body) < comp_size:
-                return None
-            pos = body_start + comp_size
-            data = _codec_decompress(codec, body, uncomp_size)
-            if data is None or len(data) != uncomp_size:
-                return None
-            if ptype == 2:  # dictionary page: PLAIN int64 entries
-                if len(data) % 8:
+            pos = pg.body + pg.comp
+            if pg.ptype == 2:  # dictionary page: PLAIN entries
+                if not allow_dict:
                     return None
-                dictionary = list(
-                    struct.unpack(f"<{len(data) // 8}q", data)
-                )
+                body = raw[pg.body : pg.body + pg.comp]
+                if len(body) < pg.comp:
+                    return None
+                data = _codec_decompress(codec, body, pg.uncomp)
+                if data is None or len(data) != pg.uncomp:
+                    return None
+                dictionary = _plain_decode(typ, data, pg.n_vals)
+                if dictionary is None:
+                    return None
                 continue
-            if ptype != 0:
+            vals = _page_values(pg, raw, codec, typ, optional, dictionary)
+            if vals is None:
                 return None
-            (dlen,) = struct.unpack("<I", data[:4])
-            levels = _rle_bitpacked_bools(data[4 : 4 + dlen], 1, n_vals)
-            if levels is None:
-                return None
-            n_present = sum(levels)
-            payload = data[4 + dlen :]
-            if dictionary is None:
-                # PLAIN data page inside a chunk with no dict page
-                vals_b = payload[: 8 * n_present]
-                if len(vals_b) < 8 * n_present:
-                    return None
-                values.extend(struct.unpack(f"<{n_present}q", vals_b))
-            else:
-                if not payload:
-                    return None
-                bit_width = payload[0]
-                if bit_width > 32:
-                    return None
-                idxs = _rle_bitpacked_bools(payload[1:], bit_width, n_present)
-                if idxs is None:
-                    return None
-                try:
-                    values.extend(dictionary[i] for i in idxs)
-                except IndexError:
-                    return None  # index outside the dictionary: corrupt
-            got += n_vals
+            values.extend(vals)
+            got += pg.n_vals
     return values
+
+
+def read_parquet_int64_column(raw: bytes, column: str):
+    """The PLAIN-only v1 tier: footer → chunk metadata → page walk →
+    snappy → def levels (optional columns only — schema-checked) →
+    PLAIN int64. Dictionary chunks and v2 pages are refused by THIS
+    entry point (the tier keeps its refusal semantics under test);
+    :func:`read_parquet_column` is the general reader. Never raises."""
+    try:
+        walked = _footer_walk(raw)
+        if walked is None:
+            return None
+        schema, chunks = walked
+        info = schema.get(column)
+        if info is None:
+            return None
+        typ, optional, unsupported = info
+        if unsupported or typ != _T_INT64:
+            return None
+        values: list[int] = []
+        for codec, num_values, page_off, path in chunks:
+            if path != column:
+                continue
+            got = 0
+            pos = page_off
+            while got < num_values:
+                pg = _parse_page_header(raw, pos)
+                if pg is None or pg.ptype != 0 or pg.enc != 0:
+                    return None  # dict pages / v2 / non-PLAIN: refused here
+                pos = pg.body + pg.comp
+                vals = _page_values(pg, raw, codec, _T_INT64, optional, None)
+                if vals is None:
+                    return None
+                values.extend(vals)
+                got += pg.n_vals
+        return values
+    except Exception:
+        return None
+
+
+def read_parquet_int64_column_dict(raw: bytes, column: str):
+    """The DICTIONARY tier of the raw reader — what parquet-mr writes BY
+    DEFAULT: the chunk opens with a PLAIN dictionary page, and each data
+    page encodes indices as [bit-width byte][RLE/bit-packed hybrid].
+    PLAIN fallback pages (parquet-mr emits them mid-chunk past the
+    dictionary size threshold) are routed by the page's declared values
+    encoding. Returns non-null int64 values in row order. Never
+    raises."""
+    try:
+        return _read_general_inner(raw, column, allow_dict=True,
+                                   only_type=_T_INT64)
+    except Exception:
+        return None
+
+
+def read_parquet_binary_column(raw: bytes, column: str):
+    """BYTE_ARRAY tier: read every value of a string/binary column from
+    raw bytes — PLAIN pages are ``[u32 little-endian length][bytes]``
+    repeated; dictionary chunks gather from a PLAIN dict page through
+    the same bit-width/RLE index runs as the int64 tier. Returns the
+    list of non-null ``bytes`` values in row order, or None. Never
+    raises."""
+    try:
+        return _read_general_inner(raw, column, allow_dict=True,
+                                   only_type=_T_BYTE_ARRAY)
+    except Exception:
+        return None
 
 
 def read_parquet_footer_minmax(raw: bytes, column: str):
     """Column Statistics straight from the footer: the (min, max) over
     every row group's ``Statistics.min_value``/``max_value`` (fields
-    6/5, int64 PLAIN bytes) for the named column — the metadata a
-    pruning reader trusts, read here independently so it can be AUDITED
-    against the data. Returns (min, max) or None."""
+    6/5, PLAIN bytes decoded per the column's PHYSICAL TYPE from the
+    schema tree — int32/int64/float/double/byte-array) for the named
+    column — the metadata a pruning reader trusts, read here
+    independently so it can be AUDITED against the data. Returns
+    (min, max) or None."""
     try:
         return _minmax_inner(raw, column)
     except Exception:
         return None
 
 
+def _decode_stat(typ: int, vb: bytes):
+    if typ in _FIXED_WIDTH and len(vb) == _TYPE_BYTES[typ]:
+        return struct.unpack(f"<{_FIXED_WIDTH[typ]}", vb)[0]
+    if typ == _T_BYTE_ARRAY:
+        return vb
+    return None
+
+
 def _minmax_inner(raw: bytes, column: str):
-    if not raw or len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
+    walked = _footer_walk(raw)
+    if walked is None:
         return None
+    schema = walked[0]
+    info = schema.get(column)
+    if info is None or info[2]:
+        return None
+    typ = info[0]
     (flen,) = struct.unpack("<I", raw[-8:-4])
     start = len(raw) - 8 - flen
-    if flen <= 0 or start < 4:
-        return None
     c = _Compact(raw, start)
     mn = mx = None
     last_fid = 0
@@ -536,8 +738,12 @@ def _minmax_inner(raw: bytes, column: str):
                     got = _chunk_stats(c)
                     if got is None:
                         continue
-                    path, cmn, cmx = got
-                    if path != column or cmn is None or cmx is None:
+                    path, raw_mn, raw_mx = got
+                    if path != column or raw_mn is None or raw_mx is None:
+                        continue
+                    cmn = _decode_stat(typ, raw_mn)
+                    cmx = _decode_stat(typ, raw_mx)
+                    if cmn is None or cmx is None:
                         continue
                     mn = cmn if mn is None else min(mn, cmn)
                     mx = cmx if mx is None else max(mx, cmx)
@@ -547,8 +753,8 @@ def _minmax_inner(raw: bytes, column: str):
 
 
 def _chunk_stats(c: _Compact):
-    """One ColumnChunk → (path, stats_min, stats_max); values decoded as
-    int64 PLAIN from Statistics.min_value/max_value."""
+    """One ColumnChunk → (path, min_value bytes, max_value bytes); the
+    caller decodes per the schema's physical type."""
     path = None
     mn = mx = None
     last = 0
@@ -585,12 +791,10 @@ def _chunk_stats(c: _Compact):
                             ln = c.varint()
                             vb = c.data[c.pos : c.pos + ln]
                             c.pos += ln
-                            if ln == 8:
-                                (v,) = struct.unpack("<q", vb)
-                                if sfid == 5:
-                                    mx = v
-                                else:
-                                    mn = v
+                            if sfid == 5:
+                                mx = vb
+                            else:
+                                mn = vb
                         else:
                             c.skip(stype, 0)
                 else:
@@ -598,6 +802,60 @@ def _chunk_stats(c: _Compact):
         else:
             c.skip(wtype, 0)
     return path, mn, mx
+
+
+# ---------------------------------------------------------------------------
+# registered keys
+# ---------------------------------------------------------------------------
+
+_RAW_COLUMN_ORACLE = """
+SELECT doc_id FROM documents
+"""
+
+
+@query("scan_parquet_raw_column", _RAW_COLUMN_ORACLE, tag="scan")
+def scan_parquet_raw_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet DATA read with no parquet library: Spark writes the
+    documents table as snappy-compressed parquet (dictionary encoding
+    disabled so the page payload is honest PLAIN int64), the files are
+    re-scanned as binary, and the ``doc_id`` column is recovered byte by
+    byte — Thrift footer walk, schema tree, page-header walk at real
+    offsets, pure-Python SNAPPY, RLE/bit-packed definition levels,
+    little-endian PLAIN. The identity oracle hash-proves all the layers
+    at once against what parquet-mr actually wrote; pytest repeats the
+    chain against pyarrow-written files (a third writer). Per-file
+    mapInPandas, zero shuffle."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    out = tempfile.mkdtemp(prefix="dss_rawcol_")
+    try:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        (
+            d.write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(out)
+        )
+        files = spark.read.format("binaryFile").load(
+            out, pathGlobFilter="*.parquet"
+        ).select("content")
+
+        def read_col(batches):
+            for pdf in batches:
+                vals: list[int] = []
+                for content in pdf["content"]:
+                    got = read_parquet_int64_column(bytes(content), "doc_id")
+                    if got is not None:
+                        vals.extend(got)
+                yield pd.DataFrame({"doc_id": vals})
+
+        res = files.mapInPandas(read_col, "doc_id long")
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 _RAW_DICT_ORACLE = """
@@ -618,9 +876,10 @@ def scan_parquet_raw_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — so the one hash match proves the dictionary decode AND that
     the pruning metadata agrees with the data it describes. Spark may
     legitimately fall back to PLAIN mid-chunk past the dictionary size
-    threshold; the reader handles both page forms, which is the point —
-    a raw reader that only handles the happy path cannot audit real
-    files. Per-file mapInPandas, zero shuffle."""
+    threshold; the reader routes each page by its declared values
+    encoding, which is the point — a raw reader that only handles the
+    happy path cannot audit real files. Per-file mapInPandas, zero
+    shuffle."""
     import shutil
     import tempfile
 
@@ -655,138 +914,6 @@ def scan_parquet_raw_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
-
-
-def read_parquet_binary_column(raw: bytes, column: str):
-    """BYTE_ARRAY tier: read every value of a string/binary column from
-    raw bytes — PLAIN pages are ``[u32 little-endian length][bytes]``
-    repeated; dictionary chunks gather from a PLAIN dict page through
-    the same bit-width/RLE index runs as the int64 tier. Returns the
-    list of non-null ``bytes`` values in row order, or None. Never
-    raises."""
-    try:
-        return _read_binary_inner(raw, column)
-    except Exception:
-        return None
-
-
-def _plain_byte_arrays(buf: bytes, count: int):
-    out = []
-    pos = 0
-    for _ in range(count):
-        if pos + 4 > len(buf):
-            return None
-        (ln,) = struct.unpack("<I", buf[pos : pos + 4])
-        pos += 4
-        if ln > PAGE_CAP or pos + ln > len(buf):
-            return None
-        out.append(buf[pos : pos + ln])
-        pos += ln
-    return out
-
-
-def _read_binary_inner(raw: bytes, column: str):
-    if not raw or len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
-        return None
-    (flen,) = struct.unpack("<I", raw[-8:-4])
-    start = len(raw) - 8 - flen
-    if flen <= 0 or start < 4:
-        return None
-    c = _Compact(raw, start)
-    chunks = []
-    last_fid = 0
-    while True:
-        fid, wtype = c.field_header(last_fid)
-        if wtype == 0:
-            break
-        last_fid = fid
-        if fid == 4 and wtype == 9:
-            size, etype = c.list_header()
-            if etype != 12:
-                return None
-            for _ in range(size):
-                rg_last = 0
-                while True:
-                    rfid, rtype = c.field_header(rg_last)
-                    if rtype == 0:
-                        break
-                    rg_last = rfid
-                    if rfid == 1 and rtype == 9:
-                        csize, cetype = c.list_header()
-                        if cetype != 12:
-                            return None
-                        for _ in range(csize):
-                            chunk = _parse_column_chunk(c)
-                            if chunk is not None:
-                                chunks.append(chunk)
-                    else:
-                        c.skip(rtype, 0)
-        else:
-            c.skip(wtype, 0)
-
-    values: list[bytes] = []
-    for codec, num_values, page_off, path in chunks:
-        if path != column:
-            continue
-        dictionary = None
-        got = 0
-        pos = page_off
-        while got < num_values:
-            page = _parse_page_header(raw, pos)
-            if page is None:
-                return None
-            ptype, comp_size, uncomp_size, n_vals, _def_enc, body_start = page
-            body = raw[body_start : body_start + comp_size]
-            if len(body) < comp_size:
-                return None
-            pos = body_start + comp_size
-            data = _codec_decompress(codec, body, uncomp_size)
-            if data is None or len(data) != uncomp_size:
-                return None
-            if ptype == 2:  # dictionary page: PLAIN byte arrays
-                # count unknown from the page alone: parse until the
-                # buffer is exhausted (every entry length-prefixed)
-                entries = []
-                dpos = 0
-                while dpos < len(data):
-                    if dpos + 4 > len(data):
-                        return None
-                    (ln,) = struct.unpack("<I", data[dpos : dpos + 4])
-                    dpos += 4
-                    if ln > PAGE_CAP or dpos + ln > len(data):
-                        return None
-                    entries.append(data[dpos : dpos + ln])
-                    dpos += ln
-                dictionary = entries
-                continue
-            if ptype != 0:
-                return None
-            (dlen,) = struct.unpack("<I", data[:4])
-            levels = _rle_bitpacked_bools(data[4 : 4 + dlen], 1, n_vals)
-            if levels is None:
-                return None
-            n_present = sum(levels)
-            payload = data[4 + dlen :]
-            if dictionary is None:
-                vals = _plain_byte_arrays(payload, n_present)
-                if vals is None:
-                    return None
-                values.extend(vals)
-            else:
-                if not payload:
-                    return None
-                bit_width = payload[0]
-                if bit_width > 32:
-                    return None
-                idxs = _rle_bitpacked_bools(payload[1:], bit_width, n_present)
-                if idxs is None:
-                    return None
-                try:
-                    values.extend(dictionary[i] for i in idxs)
-                except IndexError:
-                    return None
-            got += n_vals
-    return values
 
 
 _RAW_TABLE_ORACLE = """
@@ -833,6 +960,79 @@ def scan_parquet_raw_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["doc_id", "text"])
 
         res = files.mapInPandas(read_table, "doc_id long, text string")
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_RAW_NUMERIC_ORACLE = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS INTEGER) AS l_linenumber,
+       l_quantity,
+       CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS price_f32,
+       (l_returnflag = 'R') AS is_return
+FROM lineitem
+"""
+
+
+@query("scan_parquet_raw_numeric", _RAW_NUMERIC_ORACLE, tag="scan")
+def scan_parquet_raw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw reader across the NUMERIC type lattice on a real TPC-H
+    table: Spark writes five lineitem columns — INT64 (l_orderkey),
+    INT32 (l_linenumber), DOUBLE (l_quantity), FLOAT (l_extendedprice
+    cast down) and BOOLEAN (l_returnflag = 'R') — with default settings
+    (dictionary on, snappy), and every value of every column is
+    recovered byte-walked with no parquet library: schema tree for
+    physical types, dictionary or PLAIN per the page's declared
+    encoding, bit-packed booleans, little-endian IEEE floats. The float
+    column surfaces as its exact float64 upcast so the DuckDB identity
+    oracle (same CAST chain) hash-proves bit-equality. pytest covers the
+    same lattice on pyarrow-written files including REQUIRED columns and
+    v2 data pages. Per-file mapInPandas, zero shuffle."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    out = tempfile.mkdtemp(prefix="dss_rawnum_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            "l_quantity",
+            F.col("l_extendedprice").cast("float").alias("price_f32"),
+            (F.col("l_returnflag") == "R").alias("is_return"),
+        )
+        li.write.mode("overwrite").option("compression", "snappy").parquet(out)
+        files = spark.read.format("binaryFile").load(
+            out, pathGlobFilter="*.parquet"
+        ).select("content")
+
+        cols = ["l_orderkey", "l_linenumber", "l_quantity", "price_f32",
+                "is_return"]
+
+        def read_cols(batches):
+            for pdf in batches:
+                frames = []
+                for content in pdf["content"]:
+                    raw = bytes(content)
+                    got = [read_parquet_column(raw, c) for c in cols]
+                    if any(g is None for g in got):
+                        continue
+                    n = len(got[0])
+                    if any(len(g) != n for g in got):
+                        continue
+                    frames.append(pd.DataFrame(dict(zip(cols, got))))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+                else:
+                    yield pd.DataFrame({c: [] for c in cols})
+
+        res = files.mapInPandas(
+            read_cols,
+            "l_orderkey long, l_linenumber int, l_quantity double, "
+            "price_f32 double, is_return boolean",
+        )
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -1577,12 +1577,15 @@ def test_parquet_raw_column_matches_pyarrow():
     )
     assert read_parquet_int64_column(buf.getvalue(), "doc_id") is None
 
-    # unknown column name: no values, not a crash
+    # unknown column name: schema-aware refusal (None), not a crash
+    # and not a silently-empty list (r11: the reader now reads the
+    # schema tree, so a missing column is distinguishable from an
+    # empty one)
     buf = io.BytesIO()
     pq.write_table(
         pa.table({"doc_id": [1, 2]}), buf, use_dictionary=False
     )
-    assert read_parquet_int64_column(buf.getvalue(), "nope") == []
+    assert read_parquet_int64_column(buf.getvalue(), "nope") is None
 
 
 def test_snappy_decompress_contract():
@@ -1775,3 +1778,121 @@ def test_parquet_binary_column_matches_pyarrow():
     )
     got = read_parquet_binary_column(buf.getvalue(), "t")
     assert got == [v.encode() for v in nv if v is not None]
+
+
+def test_parquet_raw_type_lattice_matches_pyarrow():
+    """The general reader across the physical type lattice against
+    pyarrow-written files: BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY,
+    dictionary on AND off, snappy AND uncompressed, v1 AND v2 data
+    pages, OPTIONAL (with real nulls) and REQUIRED repetition — the r10
+    ADVICE defect was REQUIRED pages misparsed as if a def-levels block
+    existed; now the schema tree routes them."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+
+    cols = {
+        "b": (pa.bool_(), [True, False, None, True, False] * 10),
+        "i32": (pa.int32(), [1, -2, None, 2**31 - 1, -(2**31)] * 10),
+        "i64": (pa.int64(), [0, None, 2**63 - 1, -(2**63), 7] * 10),
+        "f32": (pa.float32(), [0.5, -1.25, None, 3.5e8, -0.0] * 10),
+        "f64": (pa.float64(), [1e-300, None, -2.5, 6.02e23, 0.125] * 10),
+        "s": (pa.binary(), [b"alpha", None, b"", b"\x00\xff", b"zz"] * 10),
+    }
+    for use_dict in (True, False):
+        for compression in ("snappy", "none"):
+            for version in ("1.0", "2.0"):
+                for required in (False, True):
+                    fields, arrays = [], []
+                    for name, (typ, vals) in cols.items():
+                        v = vals
+                        if required:
+                            v = [x for x in vals if x is not None]
+                        fields.append(pa.field(name, typ, nullable=not required))
+                        arrays.append(pa.array(v, type=typ))
+                    table = pa.table(
+                        dict(zip(cols, arrays)), schema=pa.schema(fields)
+                    )
+                    buf = io.BytesIO()
+                    pq.write_table(
+                        table, buf, use_dictionary=use_dict,
+                        compression=compression,
+                        data_page_version=version,
+                        write_statistics=True,
+                    )
+                    raw = buf.getvalue()
+                    label = (use_dict, compression, version, required)
+                    for name, (typ, vals) in cols.items():
+                        want = [x for x in vals if x is not None]
+                        got = read_parquet_column(raw, name)
+                        assert got is not None, (name, label)
+                        if typ == pa.float32():
+                            import struct as _s
+
+                            want = [
+                                _s.unpack("<f", _s.pack("<f", x))[0]
+                                for x in want
+                            ]
+                        assert got == want, (name, label)
+
+
+def test_parquet_raw_stats_typed():
+    """Footer Statistics decoded per the schema's physical type — the
+    audit extends past int64 to int32/float/double/byte-array."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_footer_minmax,
+    )
+
+    table = pa.table({
+        "i32": pa.array([5, -3, 9, 0], type=pa.int32()),
+        "i64": pa.array([10, -20, 30, 0], type=pa.int64()),
+        "f32": pa.array([1.5, -2.5, 0.5, 3.5], type=pa.float32()),
+        "f64": pa.array([1e10, -1e10, 0.0, 2.0], type=pa.float64()),
+        "s": pa.array([b"mango", b"apple", b"pear", b"fig"]),
+    })
+    buf = io.BytesIO()
+    pq.write_table(table, buf, write_statistics=True)
+    raw = buf.getvalue()
+    assert read_parquet_footer_minmax(raw, "i32") == (-3, 9)
+    assert read_parquet_footer_minmax(raw, "i64") == (-20, 30)
+    assert read_parquet_footer_minmax(raw, "f32") == (-2.5, 3.5)
+    assert read_parquet_footer_minmax(raw, "f64") == (-1e10, 1e10)
+    assert read_parquet_footer_minmax(raw, "s") == (b"apple", b"pear")
+
+
+def test_parquet_raw_nested_and_repeated_refused():
+    """Nested and repeated paths are refused explicitly (None), never
+    misparsed — rep-levels blocks are out of the flat readers' scope."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_column,
+        read_parquet_int64_column,
+    )
+
+    table = pa.table({
+        "lst": pa.array([[1, 2], [3], []], type=pa.list_(pa.int64())),
+        "st": pa.array(
+            [{"a": 1}, {"a": 2}, {"a": None}],
+            type=pa.struct([("a", pa.int64())]),
+        ),
+        "flat": pa.array([7, 8, 9], type=pa.int64()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    raw = buf.getvalue()
+    assert read_parquet_column(raw, "lst.list.element") is None
+    assert read_parquet_column(raw, "st.a") is None
+    assert read_parquet_int64_column(raw, "st.a") is None
+    assert read_parquet_column(raw, "flat") == [7, 8, 9]
