@@ -1,0 +1,442 @@
+"""ORC DATA-path read from raw bytes — no ORC library anywhere.
+
+The raw-parquet twin (:mod:`parquet_raw`): :mod:`protowire` already
+audits ORC's postscript/footer metadata; this module walks the rest of
+the way down and reads actual COLUMN VALUES out of an ORC file:
+
+    postscript → file footer (type tree, stripe directory)
+    → per-stripe StripeFooter (stream directory, column encodings)
+    → stream offsets by in-order accumulation (index region first,
+      then data region — ORC spec §'Stripes')
+    → PRESENT stream (byte-RLE over MSB-first bit-packed booleans)
+    → DATA stream: integer Run-Length Encoding v2, all four
+      sub-encodings — SHORT_REPEAT, DIRECT, PATCHED_BASE, DELTA
+      (ORC spec §'Run-length encoding, version 2').
+
+Scope: uncompressed files (compression NONE — the chunk-framed codecs
+are refused, matching the footer audit), flat integer columns
+(SHORT/INT/LONG with DIRECT_V2 encoding). Every layer is an independent
+re-implementation forced to agree with orc-core (the JVM writer Spark
+uses) through the real bytes; pytest pins the RLEv2 decoder against the
+spec's published example vectors AND against pyarrow-written files
+(a second independent writer, C++ liborc).
+
+Reference basis: /root/reference delegates all I/O to Spark's
+`spark.read.orc`; this tier exists for the audit story — when a
+vectorized ORC read and a parquet copy of the same data disagree at
+100 TB, the bytes-level read is the tie-breaker.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_spark_spark.llmops.protowire import proto_fields
+from dynamic_spark_spark.registry import query
+from dynamic_spark_spark.sources.readers import load_table
+
+#: per-column value cap — the container discipline
+ORC_VALUE_CAP = 1 << 26
+
+# FixedBitSizes: 5-bit width codes → bit widths (ORC spec / orc-core
+# SerializationUtils.decodeBitWidth)
+_WIDTH_TAB = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+
+
+def _closest_fixed_bits(n: int) -> int:
+    for w in _WIDTH_TAB:
+        if n <= w:
+            return w
+    return 64
+
+
+def _uvarint(data: bytes, pos: int):
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data) or shift > 63:
+            raise ValueError("varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _svarint(data: bytes, pos: int):
+    u, pos = _uvarint(data, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _bits_be(data: bytes, pos: int, count: int, width: int):
+    """Unpack ``count`` big-endian bit-packed values of ``width`` bits
+    starting at byte ``pos`` → (values, new_pos). ORC packs MSB-first,
+    byte-aligned at the END of the run."""
+    total = count * width
+    nbytes = (total + 7) // 8
+    chunk = data[pos : pos + nbytes]
+    if len(chunk) < nbytes:
+        raise ValueError("bitpack eof")
+    big = int.from_bytes(chunk, "big") >> (nbytes * 8 - total)
+    mask = (1 << width) - 1
+    return [
+        (big >> ((count - 1 - i) * width)) & mask for i in range(count)
+    ], pos + nbytes
+
+
+def rlev2_decode(data: bytes, count: int, signed: bool = True):
+    """Decode ``count`` integers from an ORC RLEv2 stream — all four
+    sub-encodings. ``signed`` applies zigzag to SHORT_REPEAT/DIRECT
+    values and the DELTA base (PATCHED_BASE carries its own sign bit in
+    the base value, per spec). Returns a list or None; never raises."""
+    try:
+        out: list[int] = []
+        pos = 0
+        while len(out) < count:
+            if pos >= len(data) or len(out) > ORC_VALUE_CAP:
+                return None
+            h = data[pos]
+            enc = h >> 6
+            if enc == 0:  # SHORT_REPEAT
+                width = ((h >> 3) & 7) + 1
+                rep = (h & 7) + 3
+                if pos + 1 + width > len(data):
+                    return None
+                val = int.from_bytes(data[pos + 1 : pos + 1 + width], "big")
+                if signed:
+                    val = (val >> 1) ^ -(val & 1)
+                pos += 1 + width
+                out.extend([val] * rep)
+            elif enc == 1:  # DIRECT
+                w = _WIDTH_TAB[(h >> 1) & 31]
+                if pos + 1 >= len(data):
+                    return None
+                ln = (((h & 1) << 8) | data[pos + 1]) + 1
+                vals, pos = _bits_be(data, pos + 2, ln, w)
+                if signed:
+                    out.extend((v >> 1) ^ -(v & 1) for v in vals)
+                else:
+                    out.extend(vals)
+            elif enc == 3:  # DELTA
+                wc = (h >> 1) & 31
+                w = 0 if wc == 0 else _WIDTH_TAB[wc]
+                if pos + 1 >= len(data):
+                    return None
+                ln = (((h & 1) << 8) | data[pos + 1]) + 1
+                pos += 2
+                if signed:
+                    base, pos = _svarint(data, pos)
+                else:
+                    base, pos = _uvarint(data, pos)
+                if ln == 1:
+                    out.append(base)
+                    continue
+                delta0, pos = _svarint(data, pos)
+                seq = [base, base + delta0]
+                if w:
+                    deltas, pos = _bits_be(data, pos, ln - 2, w)
+                    sign = 1 if delta0 >= 0 else -1
+                    for d in deltas:
+                        seq.append(seq[-1] + sign * d)
+                else:
+                    for _ in range(ln - 2):
+                        seq.append(seq[-1] + delta0)
+                out.extend(seq)
+            else:  # PATCHED_BASE (enc == 2)
+                if pos + 4 > len(data):
+                    return None
+                w = _WIDTH_TAB[(h >> 1) & 31]
+                ln = (((h & 1) << 8) | data[pos + 1]) + 1
+                b3 = data[pos + 2]
+                bw = ((b3 >> 5) & 7) + 1  # base width, bytes
+                pw = _WIDTH_TAB[b3 & 31]  # patch value width, bits
+                b4 = data[pos + 3]
+                pgw = ((b4 >> 5) & 7) + 1  # patch gap width, bits
+                pll = b4 & 31  # patch list length
+                pos += 4
+                if pos + bw > len(data):
+                    return None
+                base = int.from_bytes(data[pos : pos + bw], "big")
+                sign_mask = 1 << (bw * 8 - 1)
+                if base & sign_mask:
+                    base = -(base & ~sign_mask)
+                pos += bw
+                vals, pos = _bits_be(data, pos, ln, w)
+                patches, pos = _bits_be(
+                    data, pos, pll, _closest_fixed_bits(pgw + pw)
+                )
+                pmask = (1 << pw) - 1
+                idx = 0
+                gap = -1
+                cur_patch = 0
+                # resolve the first patch target (gap-255 extension runs)
+                def _next_patch(idx, gap):
+                    while idx < pll:
+                        g = patches[idx] >> pw
+                        p = patches[idx] & pmask
+                        idx += 1
+                        gap += g
+                        if not (g == 255 and p == 0):
+                            return idx, gap, p
+                    return idx, -1, 0
+                if pll:
+                    idx, gap, cur_patch = _next_patch(0, 0)
+                for i in range(ln):
+                    v = vals[i]
+                    if i == gap:
+                        v |= cur_patch << w
+                        idx, gap, cur_patch = _next_patch(idx, gap)
+                    out.append(base + v)
+        return out[:count]
+    except (ValueError, IndexError):
+        return None
+
+
+def byte_rle_bools(data: bytes, count: int):
+    """ORC boolean stream: byte-RLE (header 0..127 → run of header+3
+    copies of the next byte; 128..255 → 256-header literal bytes) over
+    MSB-first bit-packed booleans. Returns ``count`` bools or None."""
+    try:
+        bs = bytearray()
+        pos = 0
+        need = (count + 7) // 8
+        while len(bs) < need:
+            if pos >= len(data):
+                return None
+            h = data[pos]
+            pos += 1
+            if h < 128:  # run
+                run = h + 3
+                if pos >= len(data) or len(bs) + run > need + 8:
+                    return None
+                bs += data[pos : pos + 1] * run
+                pos += 1
+            else:  # literal
+                n = 256 - h
+                if pos + n > len(data) or len(bs) + n > need + 8:
+                    return None
+                bs += data[pos : pos + n]
+                pos += n
+        return [
+            bool((bs[i >> 3] >> (7 - (i & 7))) & 1) for i in range(count)
+        ]
+    except IndexError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# file walk: footer → type tree → stripes → streams
+# ---------------------------------------------------------------------------
+
+_INT_KINDS = {2, 3, 4}  # SHORT, INT, LONG
+
+
+def _orc_footer(raw: bytes):
+    """Postscript + footer → (footer bytes,) or None; compression NONE
+    only (matching :func:`protowire.parse_orc_tail`'s refusal)."""
+    if not raw or len(raw) < 4:
+        return None
+    ps_len = raw[-1]
+    if ps_len == 0 or 1 + ps_len > len(raw):
+        return None
+    ps = raw[-1 - ps_len : -1]
+    footer_len = compression = None
+    magic_ok = False
+    for fid, wt, val in proto_fields(ps):
+        if fid == 1 and wt == 0:
+            footer_len = val
+        elif fid == 2 and wt == 0:
+            compression = val
+        elif fid == 8000 and wt == 2:
+            magic_ok = val == b"ORC"
+    if not magic_ok or footer_len is None:
+        return None
+    if compression not in (None, 0):
+        return None  # chunk-framed codecs: out of scope — refuse
+    start = len(raw) - 1 - ps_len - footer_len
+    if start < 0:
+        return None
+    return raw[start : start + footer_len]
+
+
+def _packed_uvarints(blob: bytes):
+    out = []
+    pos = 0
+    while pos < len(blob):
+        v, pos = _uvarint(blob, pos)
+        out.append(v)
+    return out
+
+
+def read_orc_int_column(raw: bytes, column: str):
+    """Read every value of a flat integer column (SHORT/INT/LONG,
+    DIRECT_V2 encoding) straight from an uncompressed ORC file's bytes:
+    footer type tree → stripe directory → stripe footers → in-order
+    stream offsets → byte-RLE PRESENT (when nulls exist) → RLEv2 DATA.
+    Returns non-null values in row order, or None. Never raises."""
+    try:
+        return _read_orc_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _read_orc_inner(raw: bytes, column: str):
+    footer = _orc_footer(raw)
+    if footer is None:
+        return None
+    stripes = []  # (offset, index_len, data_len, footer_len, rows)
+    types = []  # (kind, subtypes, field_names)
+    for fid, wt, val in proto_fields(footer):
+        if fid == 3 and wt == 2:  # StripeInformation
+            off = ilen = dlen = flen = rows = None
+            for sfid, swt, sval in proto_fields(val):
+                if swt != 0:
+                    continue
+                if sfid == 1:
+                    off = sval
+                elif sfid == 2:
+                    ilen = sval
+                elif sfid == 3:
+                    dlen = sval
+                elif sfid == 4:
+                    flen = sval
+                elif sfid == 5:
+                    rows = sval
+            if None in (off, ilen, dlen, flen, rows):
+                return None
+            stripes.append((off, ilen, dlen, flen, rows))
+        elif fid == 4 and wt == 2:  # Type
+            kind = 0
+            subtypes: list[int] = []
+            names: list[str] = []
+            for tfid, twt, tval in proto_fields(val):
+                if tfid == 1 and twt == 0:
+                    kind = tval
+                elif tfid == 2 and twt == 2:  # packed subtypes
+                    subtypes.extend(_packed_uvarints(tval))
+                elif tfid == 2 and twt == 0:
+                    subtypes.append(tval)
+                elif tfid == 3 and twt == 2:
+                    names.append(tval.decode("utf-8"))
+            types.append((kind, subtypes, names))
+    if not types or types[0][0] != 12:  # root must be STRUCT
+        return None
+    root_kind, root_subs, root_names = types[0]
+    if column not in root_names:
+        return None
+    col_id = root_subs[root_names.index(column)]
+    if col_id >= len(types) or types[col_id][0] not in _INT_KINDS:
+        return None
+
+    values: list[int] = []
+    for off, ilen, dlen, flen, rows in stripes:
+        sf_start = off + ilen + dlen
+        sfooter = raw[sf_start : sf_start + flen]
+        if len(sfooter) < flen:
+            return None
+        streams = []  # (kind, column, length) in file order
+        encodings = []  # ColumnEncoding kinds in column order
+        for fid, wt, val in proto_fields(sfooter):
+            if fid == 1 and wt == 2:  # Stream
+                kind = scol = slen = 0
+                for sfid, swt, sval in proto_fields(val):
+                    if swt != 0:
+                        continue
+                    if sfid == 1:
+                        kind = sval
+                    elif sfid == 2:
+                        scol = sval
+                    elif sfid == 3:
+                        slen = sval
+                streams.append((kind, scol, slen))
+            elif fid == 2 and wt == 2:  # ColumnEncoding
+                ekind = 0
+                for efid, ewt, eval_ in proto_fields(val):
+                    if efid == 1 and ewt == 0:
+                        ekind = eval_
+                streams_done = True  # noqa: F841 — encodings follow streams
+                encodings.append(ekind)
+        if col_id < len(encodings) and encodings[col_id] not in (2, 3):
+            return None  # not DIRECT_V2: RLEv1 columns are out of scope
+        # stream offsets accumulate in listed order from the stripe start
+        pos = off
+        present = data = None
+        for kind, scol, slen in streams:
+            if scol == col_id and kind == 0:  # PRESENT
+                present = raw[pos : pos + slen]
+            elif scol == col_id and kind == 1:  # DATA
+                data = raw[pos : pos + slen]
+            pos += slen
+        if data is None:
+            return None
+        if present is not None:
+            flags = byte_rle_bools(present, rows)
+            if flags is None:
+                return None
+            n_present = sum(flags)
+        else:
+            n_present = rows
+        vals = rlev2_decode(data, n_present, signed=True)
+        if vals is None:
+            return None
+        values.extend(vals)
+    return values
+
+
+# ---------------------------------------------------------------------------
+# registered key
+# ---------------------------------------------------------------------------
+
+_ORC_COLUMN_ORACLE = """
+SELECT doc_id, (doc_id * 37) % 99991 AS val FROM documents
+"""
+
+
+@query("scan_orc_column", _ORC_COLUMN_ORACLE, tag="scan")
+def scan_orc_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC DATA read with no ORC library — the raw-parquet twin
+    completed: Spark (orc-core, the JVM writer) writes the documents
+    table as uncompressed ORC with a monotonic column (``doc_id``,
+    which the writer delta-encodes) and a multiplicative-hash column
+    (``val``, which forces DIRECT/PATCHED_BASE runs), the files are
+    re-scanned as binary, and both columns are recovered byte by byte:
+    protobuf footer walk, type tree, stripe stream directory, RLEv2.
+    The identity oracle hash-proves postscript/footer/stripe walks and
+    all exercised RLEv2 sub-encodings at once; pytest pins the decoder
+    on the ORC spec's published vectors and pyarrow-written files
+    (liborc, a second writer). Per-file mapInPandas, zero shuffle."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    out = tempfile.mkdtemp(prefix="dss_orccol_")
+    try:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", ((F.col("doc_id") * 37) % 99991).alias("val")
+        )
+        d.write.mode("overwrite").option("compression", "none").orc(out)
+        files = spark.read.format("binaryFile").load(
+            out, pathGlobFilter="*.orc"
+        ).select("content")
+
+        def read_cols(batches):
+            for pdf in batches:
+                rows = []
+                for content in pdf["content"]:
+                    raw = bytes(content)
+                    ids = read_orc_int_column(raw, "doc_id")
+                    vals = read_orc_int_column(raw, "val")
+                    if ids is None or vals is None or len(ids) != len(vals):
+                        continue
+                    rows.extend(zip(ids, vals))
+                yield pd.DataFrame(rows, columns=["doc_id", "val"])
+
+        res = files.mapInPandas(read_cols, "doc_id long, val long")
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

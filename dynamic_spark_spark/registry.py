@@ -71,6 +71,7 @@ _QUERY_MODULES = [
     "dynamic_spark_spark.llmops.protowire",
     "dynamic_spark_spark.llmops.lz4_hadoop",
     "dynamic_spark_spark.llmops.parquet_raw",
+    "dynamic_spark_spark.llmops.orc_raw",
     "dynamic_spark_spark.llmops.zstd",
     "dynamic_spark_spark.llmops.prep",
     "dynamic_spark_spark.llmops.multimodal",
@@ -365,7 +366,7 @@ _PRIORITY = [
     "scan_parquet_raw_dict", "sink_txn_log_replay",
     "scan_text_zst", "scan_tzst_members", "scan_orc_footer",
     "fn_xxhash64_pure", "scan_parquet_raw_table",
-    "scan_parquet_raw_numeric",
+    "scan_parquet_raw_numeric", "scan_orc_column",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -261,6 +261,7 @@ def _more_parsers():
     tuple-returning extractors share the never-raise contract)."""
     from dynamic_spark_spark.llmops import containers as C
     from dynamic_spark_spark.llmops import parquet_footer as PF
+    from dynamic_spark_spark.llmops import orc_raw as ORC
     from dynamic_spark_spark.llmops import parquet_raw as PR
     from dynamic_spark_spark.llmops import pdf as PDF
     from dynamic_spark_spark.llmops import protowire as PW
@@ -287,6 +288,8 @@ def _more_parsers():
         "parse_orc_tail": PW.parse_orc_tail,
         "read_parquet_int64": lambda raw: PR.read_parquet_int64_column(raw, "doc_id"),
         "read_parquet_dict": lambda raw: PR.read_parquet_int64_column_dict(raw, "doc_id"),
+        "read_parquet_general": lambda raw: PR.read_parquet_column(raw, "doc_id"),
+        "read_orc_int": lambda raw: ORC.read_orc_int_column(raw, "doc_id"),
     }
 
 
