@@ -98,3 +98,67 @@ def test_artifact_guard_block_fields():
     assert '"basis": "min_total_sec"' in src
     assert '"violations": violations' in src
     assert "violations = guard_verdict(sf, min_total, ext_min_total)" in src
+
+
+def test_per_key_anchors_cover_the_whole_mix():
+    """Every headline and extended key carries a per-key anchor (r10
+    order #4) — a key silently missing from the table would be exempt
+    from the per-key guard forever."""
+    for name in bench.HEADLINE + bench.EXTENDED:
+        assert name in bench.PER_KEY_ANCHOR_MIN_SEC, name
+        assert bench.PER_KEY_ANCHOR_MIN_SEC[name] > 0
+
+
+def test_per_key_guard_trips_on_synthetic_single_key_regression():
+    """A single key at 2x+ its anchor trips the per-key guard even when
+    the TOTAL stays inside the total anchor — exactly the blind spot the
+    r10 verdict called out."""
+    mins = {k: v for k, v in bench.PER_KEY_ANCHOR_MIN_SEC.items()
+            if k in bench.HEADLINE}
+    mins["dedup_exact"] = round(
+        2 * bench.PER_KEY_ANCHOR_MIN_SEC["dedup_exact"] + 0.001, 3
+    )
+    # the regressed total is still far under 2x the total anchor
+    assert sum(mins.values()) < 2 * bench.GUARD_ANCHOR_MIN_SEC
+    assert bench.guard_verdict(0.1, sum(mins.values()), 1.0) == []
+    msgs, table = bench.per_key_verdict(mins)
+    assert len(msgs) == 1 and "dedup_exact" in msgs[0]
+    assert table["dedup_exact"]["violation"] is True
+    assert all(
+        row["violation"] is False
+        for k, row in table.items() if k != "dedup_exact"
+    )
+
+
+def test_per_key_guard_ignores_load_noise():
+    """The r10 drift band (sim_topk_ivf +17%, several keys +10-35% on a
+    loaded box) must NOT trip the per-key guard — only a genuine 2x+
+    per-key regression does."""
+    for drift in (1.0, 1.17, 1.35, 1.6, 1.99):
+        mins = {
+            k: round(v * drift, 3)
+            for k, v in bench.PER_KEY_ANCHOR_MIN_SEC.items()
+        }
+        msgs, table = bench.per_key_verdict(mins)
+        assert msgs == [], drift
+        assert all(not row["violation"] for row in table.values())
+
+
+def test_per_key_guard_handles_unanchored_keys():
+    """A key new to the mix (no recorded anchor yet) reports a null
+    anchor and cannot violate; its first artifact mints the anchor."""
+    msgs, table = bench.per_key_verdict({"brand_new_key": 123.0})
+    assert msgs == []
+    assert table["brand_new_key"] == {
+        "min_sec": 123.0, "anchor_min_sec": None,
+        "ratio": None, "violation": False,
+    }
+
+
+def test_artifact_wires_per_key_table():
+    """main() merges per-key violations into the guard verdict and
+    emits the per-key table in the guard block."""
+    src = open(os.path.join(_ROOT, "bench.py")).read()
+    assert '"per_key": per_key_table' in src
+    assert "pk_msgs, per_key_table = per_key_verdict(" in src
+    assert "violations = violations + pk_msgs" in src
