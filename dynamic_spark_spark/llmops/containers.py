@@ -50,23 +50,33 @@ _EOCD64_SIG = b"PK\x06\x06"
 _EOCD64_LOC_SIG = b"PK\x06\x07"
 
 
-def _zip64_extra(extra: bytes, needed: int):
+def _zip64_extra(extra: bytes, sent: list[bool]):
     """Parse the ZIP64 extended-information extra field (id 0x0001,
-    APPNOTE 4.5.3): the data carries 8-byte values for ONLY the header
-    fields that hit their 0xFFFFFFFF/0xFFFF sentinel, in fixed order
-    (uncomp, comp, local_off, disk). ``needed`` is how many 8-byte values
-    the caller expects. Returns the list of values or None."""
+    APPNOTE 4.5.3). Strict writers store 8-byte values for ONLY the
+    header fields at their 0xFFFFFFFF sentinel, in fixed order (uncomp,
+    comp, local_off, disk); permissive writers in the wild store the
+    FULL record (24 bytes, or 28 with the 4-byte disk number) no matter
+    which fields overflowed — APPNOTE tolerates both, and reading the
+    full form as if it were tight consumes e.g. uncomp_len as comp_len
+    (the r10 ADVICE finding). ``sent`` flags which of (uncomp, comp,
+    local_off) are at sentinel; returns their values in field order, or
+    None when the data genuinely can't satisfy them."""
+    needed = sum(sent)
     pos = 0
     while pos + 4 <= len(extra):
         fid, flen = struct.unpack("<HH", extra[pos : pos + 4])
         data = extra[pos + 4 : pos + 4 + flen]
         if len(data) < flen:
             return None
-        if fid == 0x0001:
-            if flen < 8 * needed:
-                return None
-            return list(struct.unpack(f"<{needed}Q", data[: 8 * needed]))
-        pos += 4 + flen
+        if fid != 0x0001:
+            pos += 4 + flen
+            continue
+        if flen == 8 * needed:  # tight form: sentinel fields only
+            return list(struct.unpack(f"<{needed}Q", data))
+        if flen in (24, 28):  # full record: index positionally
+            vals = struct.unpack("<3Q", data[:24])
+            return [vals[i] for i, s in enumerate(sent) if s]
+        return None  # short or ambiguous layout: refuse, don't guess
     return None
 
 
@@ -133,7 +143,7 @@ def zip_member_walk(raw: bytes, cap: int = ZIP_MEMBER_CAP):
             local_off == 0xFFFFFFFF,
         ]
         if any(sent):
-            vals = _zip64_extra(extra_bytes, sum(sent))
+            vals = _zip64_extra(extra_bytes, sent)
             if vals is None:
                 continue  # sentinel without its extra: refuse the member
             it = iter(vals)

@@ -281,18 +281,27 @@ def sink_text_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def write_shard(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
+        # poor-man's commit protocol (r10 ADVICE): the shard name is
+        # DERIVED from (partition id, batch index), so a retried or
+        # speculatively-executed task overwrites its predecessor's
+        # output instead of duplicating rows, and the write lands via a
+        # task-attempt temp name + atomic rename so a killed attempt
+        # never leaves a half-written shard visible to the reader
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         for i, pdf in enumerate(batches):
             lines = "".join(
                 f"{int(d)}|{t}\n" for d, t in zip(pdf["doc_id"], pdf["text"])
             )
             payload = hadoop_lz4_compress(lines.encode("utf-8"))
-            # one shard per Arrow batch; names must be unique per task
-            import uuid
-
-            path = os.path.join(out, f"part-{uuid.uuid4().hex}.lz4")
-            with open(path, "wb") as f:
+            path = os.path.join(out, f"part-{pid:05d}-{i:05d}.lz4")
+            tmp = f"{path}.{attempt}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(payload)
+            os.replace(tmp, path)
             yield pd.DataFrame({"n": [len(pdf)]})
 
     # local[..] executors share the driver filesystem, so worker-side

@@ -32,6 +32,7 @@ import re
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
 from dynamic_spark_spark.sources.readers import load_table
@@ -511,7 +512,8 @@ _PDF_ORACLE = """
 WITH p AS (
   SELECT doc_id, coalesce(text, '') AS t,
     CAST(floor((length(coalesce(text, '')) + 1) / 2) AS INTEGER) AS h
-  FROM documents),
+  FROM documents
+  WHERE NOT regexp_matches(coalesce(text, ''), '[^\\x00-\\x{00FF}]')),
 q AS (
   SELECT doc_id, t, h,
     CAST(floor((h + 1) / 2) AS INTEGER) AS q1l,
@@ -537,12 +539,17 @@ def scan_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected extraction from ``substr`` arithmetic — it never touches
     PDF — so a hash match proves the ENTIRE chain (writer offsets, xref
     walk, Flate round trip, string/escape/hex decoding, line-advance
-    semantics) lossless on every row. Per-row mapInPandas, no shuffle;
+    semantics) lossless on every row. PDF string bytes are 8-bit, so
+    rows with codepoints above U+00FF are excluded SYMMETRICALLY on both
+    engines (r10 ADVICE: a one-sided latin-1 failure flipped the key red
+    on a non-ASCII corpus). Per-row mapInPandas, no shuffle;
     document-per-task is the natural 100-TB unit for PDF (self-contained
     object graph, like ZIP's index-at-end)."""
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").where(
+        ~F.coalesce(F.col("text"), F.lit("")).rlike("[^\\x00-\\xFF]")
+    )
 
     def synth_and_extract(batches):
         for pdf in batches:

@@ -109,7 +109,7 @@ def tfrecord_walk(raw: bytes, cap: int = TFRECORD_CAP):
 
 _TFRECORD_ORACLE = """
 SELECT doc_id,
-  CAST(length(coalesce(text, '')) AS BIGINT) AS rec_len,
+  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS rec_len,
   TRUE AS crc_ok,
   coalesce(text, '') AS text
 FROM documents
@@ -127,8 +127,9 @@ def scan_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors in pytest. The batching matters: unlike the per-document
     archive keys, ONE stream carries a whole Arrow batch of records, so
     the walk is exercised across record boundaries, not just on
-    singletons. ASCII corpus ⇒ byte length == char length on both
-    engines. Per-row mapInPandas, no shuffle; shard-per-task is exactly
+    singletons. The oracle's ``rec_len`` is byte-based
+    (``octet_length(encode(...))``), so a non-ASCII corpus stays green
+    (r10 ADVICE). Per-row mapInPandas, no shuffle; shard-per-task is exactly
     how a cluster reads `.tfrecord-NNNNN-of-MMMMM` layouts."""
     import pandas as pd
 
@@ -158,8 +159,8 @@ def scan_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFRECORD_STREAM_ORACLE = """
 SELECT doc_id,
-  CAST(length(CAST(doc_id AS VARCHAR) || '|' || coalesce(text, ''))
-       AS BIGINT) AS rec_len,
+  CAST(octet_length(encode(CAST(doc_id AS VARCHAR) || '|'
+                           || coalesce(text, ''))) AS BIGINT) AS rec_len,
   TRUE AS crc_ok,
   coalesce(text, '') AS text
 FROM documents

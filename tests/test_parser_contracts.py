@@ -1899,3 +1899,38 @@ def test_parquet_raw_nested_and_repeated_refused():
     assert read_parquet_column(raw, "st.a") is None
     assert read_parquet_int64_column(raw, "st.a") is None
     assert read_parquet_column(raw, "flat") == [7, 8, 9]
+
+
+def test_zip64_extra_field_layouts():
+    """APPNOTE tolerates two ZIP64 extra layouts: the tight form
+    (values for sentinel fields only) and the permissive full record
+    (all three 8-byte fields, optionally + 4-byte disk) that many
+    writers emit regardless of which fields overflowed. The r10 ADVICE
+    defect: the full form read tight consumed uncomp_len as comp_len."""
+    import struct as _s
+
+    from dynamic_spark_spark.llmops.containers import _zip64_extra
+
+    def extra(payload):
+        return _s.pack("<HH", 0x0001, len(payload)) + payload
+
+    # tight form: only the sentinel field's value stored
+    assert _zip64_extra(extra(_s.pack("<Q", 5_000_000_000)),
+                        [True, False, False]) == [5_000_000_000]
+    assert _zip64_extra(extra(_s.pack("<QQ", 7, 9)),
+                        [True, False, True]) == [7, 9]
+    # full 24-byte record with ONE sentinel: positional indexing must
+    # pick the right slot (local_off = third value)
+    full = _s.pack("<QQQ", 111, 222, 333)
+    assert _zip64_extra(extra(full), [False, False, True]) == [333]
+    assert _zip64_extra(extra(full), [False, True, False]) == [222]
+    # full 28-byte record (with disk number), two sentinels
+    full28 = full + _s.pack("<I", 0)
+    assert _zip64_extra(extra(full28), [True, False, True]) == [111, 333]
+    # genuinely short data: refuse
+    assert _zip64_extra(extra(_s.pack("<Q", 1)), [True, True, False]) is None
+    # ambiguous layout (neither tight nor full): refuse
+    assert _zip64_extra(extra(b"\x00" * 17), [True, False, False]) is None
+    # other extra ids are skipped on the way to 0x0001
+    skip = _s.pack("<HH", 0x7075, 3) + b"abc" + extra(full)
+    assert _zip64_extra(skip, [True, False, False]) == [111]
