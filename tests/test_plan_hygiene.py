@@ -363,3 +363,49 @@ def test_preference_keys_zero_shuffle(spark, sf_dir):
         plan = _plan(qs[key](spark, sf_dir))
         assert "Exchange" not in plan, f"{key}: {plan}"
         assert "BatchEvalPython" not in plan, key
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """join_asof_nearest (r10): the union of both event sides flows
+    through exactly ONE hash exchange (user_id) that serves BOTH
+    direction windows (last-before via asymmetric preceding frame,
+    first-after via following frame) — no pair explosion, no second
+    shuffle, no broadcast. The 100x-safe as-of shape."""
+    q = load_all_queries()
+    plan = _plan(q["join_asof_nearest"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gapfill_interp_exchange_budget(spark, sf_dir):
+    """ts_gapfill_interp (r10): one user_id exchange on the spine
+    branch serves BOTH neighbor windows (previous/next observation);
+    the per-(window,user) aggregate branch has its own exchange and is
+    broadcast into the spine. Budget: exactly 2 hash exchanges + 1
+    broadcast, and only ONE partitioning keyed on user_id alone — a
+    third shuffle means a window stopped riding the spine partitioning."""
+    q = load_all_queries()
+    plan = _plan(q["ts_gapfill_interp"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_raw_bytes_walkers_zero_exchange(spark, sf_dir):
+    """The raw-bytes format tiers (zstd shards, TFRecord streams, raw
+    parquet, raw ORC) are map-only per-file/per-batch walks: their
+    plans must contain NO exchange at all — the shape that scales by
+    adding executors, never by shuffling the corpus."""
+    q = load_all_queries()
+    for key in (
+        "scan_text_zst",
+        "scan_tfrecord",
+        "scan_parquet_raw_numeric",
+        "scan_orc_column",
+    ):
+        plan = _plan(q[key](spark, sf_dir))
+        assert "Exchange" not in plan, f"{key}: {plan}"
+        assert "BatchEvalPython" not in plan, key
