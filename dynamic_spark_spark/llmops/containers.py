@@ -990,12 +990,28 @@ def scan_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tzst_archive_bytes(doc_id: int, text: str) -> bytes:
-    """``.tar.zst``: the tar archive as one zstd frame (the hand-rolled
-    codec in :mod:`llmops.zstd` — real Huffman/FSE compression, not
-    store mode)."""
-    from dynamic_spark_spark.llmops.zstd import zstd_compress
+    """``.tar.zst``: the tar archive as one zstd frame. Written by the
+    REAL ``zstd`` CLI when one exists on the box (r11: the walk then
+    proves this repo's decoder against genuine libzstd output —
+    predefined tables, FSE weights and all — and synthesis stops paying
+    for pure-Python entropy ENCODE, the r10 scale probes'
+    synthesis-bound cost); falls back to the hand-rolled encoder
+    (:mod:`llmops.zstd`, real Huffman/FSE compression, not store mode)
+    when no CLI is installed."""
+    from dynamic_spark_spark.llmops.zstd import _zstd_cli_path, zstd_compress
 
-    return zstd_compress(tar_archive_bytes(doc_id, text))
+    tar = tar_archive_bytes(doc_id, text)
+    cli = _zstd_cli_path()
+    if cli is not None:
+        import subprocess
+
+        try:
+            return subprocess.run(
+                [cli, "-3", "-c"], input=tar, capture_output=True, check=True
+            ).stdout
+        except Exception:
+            pass
+    return zstd_compress(tar)
 
 
 def tzst_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
@@ -1014,11 +1030,13 @@ def tzst_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
 def scan_tzst_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``.tar.zst`` ingest — the fourth compressed-tar codec under the
     one shared oracle, and the one modern mirrors are converging on.
-    Unlike the gzip/bz2/xz twins (stdlib codecs), the compression here
-    is the repo's OWN zstd implementation, so the hash match proves the
-    full Huffman/FSE entropy pipeline composed with the checksum-
-    verified ustar walk. Same split-unit caveat as .tgz: one frame per
-    archive, archive-per-task."""
+    Unlike the gzip/bz2/xz twins (stdlib codecs), the DECODER here is
+    the repo's own zstd implementation, and the frames come from the
+    real ``zstd`` CLI when one is installed (own encoder otherwise), so
+    the hash match proves the full entropy pipeline — against genuine
+    libzstd output where possible — composed with the checksum-verified
+    ustar walk. Same split-unit caveat as .tgz: one frame per archive,
+    archive-per-task."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -855,7 +855,11 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = docs.select("doc_id", sh_arr.alias("sh")).where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(sets)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=7)
+    # 4 tables (r11, was 8): approxSimilarityJoin explodes rows per table,
+    # so tables are the key's dominant cost; at Jaccard <= 0.5 on this
+    # corpus 4 tables already surface the same heavy near-dup mass the
+    # hand-built banded path finds, which is all the parity tier claims.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=7)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
     return (
