@@ -366,7 +366,7 @@ _PRIORITY = [
     "scan_parquet_raw_dict", "sink_txn_log_replay",
     "scan_text_zst", "scan_tzst_members", "scan_orc_footer",
     "fn_xxhash64_pure", "scan_parquet_raw_table",
-    "scan_parquet_raw_numeric", "scan_orc_column",
+    "scan_parquet_raw_numeric", "scan_orc_column", "scan_orc_raw_table",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -100,26 +100,58 @@ def test_orc_column_matches_pyarrow():
 
 
 def test_orc_column_refusals():
-    """Unknown columns, non-integer kinds, and compressed files refuse
-    (None) instead of misreading."""
+    """Unknown columns and kind mismatches refuse (None) instead of
+    misreading."""
     import pyarrow as pa
     from pyarrow import orc
 
     raw = _write_orc(list(range(50)), pa.int64())
     assert read_orc_int_column(raw, "nope") is None
-    # string column: not an integer kind
+    # string column through the INT reader (and vice versa): kind check
     buf = io.BytesIO()
     orc.write_table(
         pa.table({"s": pa.array(["a", "b"])}), buf, compression="uncompressed"
     )
     assert read_orc_int_column(buf.getvalue(), "s") is None
-    # compressed file: chunk-framed streams are out of scope
-    buf = io.BytesIO()
-    orc.write_table(
-        pa.table({"x": pa.array(range(100), type=pa.int64())}), buf,
-        compression="zlib",
-    )
-    assert read_orc_int_column(buf.getvalue(), "x") is None
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_string_column
+
+    assert read_orc_string_column(raw, "x") is None
+
+
+def test_orc_all_codecs_and_strings_match_pyarrow():
+    """The chunk-framed compression layer across every supported codec —
+    zlib (raw DEFLATE), snappy/lz4/zstd through this repo's own
+    pure-Python decoders — for integer, string (DIRECT_V2 and
+    DICTIONARY_V2, as liborc picks), and nullable columns. Spark 4
+    writes ORC with zstd by default, so the zstd leg is what
+    default-written production files look like."""
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_string_column
+
+    ints = list(range(3000)) + [7] * 500 + [10**12, -(10**12)] * 100
+    strs = [f"document body {i} " * (1 + i % 5) for i in range(2700)]
+    strs += ["dup"] * (len(ints) - 2700)  # repetition → dictionary encoding
+    nullable = [v if v % 3 else None for v in range(len(ints))]
+    want_nullable = [v for v in nullable if v is not None]
+    for comp in ("uncompressed", "zlib", "snappy", "zstd", "lz4"):
+        raw = _write_orc(ints, pa.int64())  # wraps uncompressed writer
+        buf = io.BytesIO()
+        orc.write_table(
+            pa.table({
+                "x": pa.array(ints, type=pa.int64()),
+                "s": pa.array(strs),
+                "n": pa.array(nullable, type=pa.int32()),
+            }),
+            buf, compression=comp,
+        )
+        raw = buf.getvalue()
+        assert read_orc_int_column(raw, "x") == ints, comp
+        assert read_orc_string_column(raw, "s") == [
+            s.encode() for s in strs
+        ], comp
+        assert read_orc_int_column(raw, "n") == want_nullable, comp
 
 
 def test_orc_reader_never_raises():
@@ -145,4 +177,28 @@ def test_rlev2_never_raises_on_garbage():
     for _ in range(500):
         blob = rng.randbytes(rng.randint(0, 64))
         out = rlev2_decode(blob, rng.randint(0, 100))
+        assert out is None or isinstance(out, list)
+
+
+def test_orc_string_reader_never_raises():
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_string_column
+
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"s": pa.array([f"t{i}" for i in range(500)])}), buf,
+        compression="zstd",
+    )
+    raw = buf.getvalue()
+    for cut in range(0, len(raw), 41):
+        out = read_orc_string_column(raw[:cut], "s")
+        assert out is None or isinstance(out, list)
+    rng = random.Random(13)
+    for _ in range(300):
+        m = bytearray(raw)
+        for _ in range(rng.randint(1, 5)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        out = read_orc_string_column(bytes(m), "s")
         assert out is None or isinstance(out, list)

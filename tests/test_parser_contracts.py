@@ -290,6 +290,7 @@ def _more_parsers():
         "read_parquet_dict": lambda raw: PR.read_parquet_int64_column_dict(raw, "doc_id"),
         "read_parquet_general": lambda raw: PR.read_parquet_column(raw, "doc_id"),
         "read_orc_int": lambda raw: ORC.read_orc_int_column(raw, "doc_id"),
+        "read_orc_str": lambda raw: ORC.read_orc_string_column(raw, "text"),
     }
 
 

@@ -405,6 +405,7 @@ def test_raw_bytes_walkers_zero_exchange(spark, sf_dir):
         "scan_tfrecord",
         "scan_parquet_raw_numeric",
         "scan_orc_column",
+        "scan_orc_raw_table",
     ):
         plan = _plan(q[key](spark, sf_dir))
         assert "Exchange" not in plan, f"{key}: {plan}"
