@@ -429,6 +429,142 @@ def _parse_page_header(raw: bytes, pos: int):
 
 
 # ---------------------------------------------------------------------------
+# DELTA encodings (parquet encodings.md) — what v2 writers emit for
+# ints (DELTA_BINARY_PACKED) and strings (DELTA_LENGTH_BYTE_ARRAY,
+# DELTA_BYTE_ARRAY)
+# ---------------------------------------------------------------------------
+
+_I64_MASK = (1 << 64) - 1
+
+
+def _uleb(data: bytes, pos: int):
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data) or shift > 63:
+            raise ValueError("uleb")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _zigzag_uleb(data: bytes, pos: int):
+    u, pos = _uleb(data, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _wrap_signed(v: int, bits: int) -> int:
+    v &= (1 << bits) - 1
+    return v - (1 << bits) if v >= 1 << (bits - 1) else v
+
+
+def _delta_binary_packed(buf: bytes, pos: int, bits: int = 64):
+    """DELTA_BINARY_PACKED: ULEB128 header (block size, miniblocks per
+    block, total count, zigzag first value), then per block a zigzag
+    min-delta, one bit-width byte per miniblock, and LSB-first
+    bit-packed delta miniblocks. Arithmetic wraps at the column's
+    physical width (32 bits for INT32, 64 for INT64) per spec.
+    Returns (values, end_pos) or None."""
+    try:
+        block_size, pos = _uleb(buf, pos)
+        n_mini, pos = _uleb(buf, pos)
+        total, pos = _uleb(buf, pos)
+        first, pos = _zigzag_uleb(buf, pos)
+        if n_mini <= 0 or block_size <= 0 or block_size % n_mini:
+            return None
+        per_mini = block_size // n_mini
+        if per_mini % 8 or total > PAGE_CAP:
+            return None
+        # bomb guard: width-0 miniblocks emit values without consuming
+        # input, so a tiny buffer could demand a huge decode. A legit
+        # constant column costs ~5 bytes per 128-value block (~26x);
+        # 64x is comfortable headroom, beyond it the header is lying.
+        if total > 64 * len(buf) + 4096:
+            return None
+        if total == 0:
+            return [], pos
+        out = [first]
+        while len(out) < total:
+            min_delta, pos = _zigzag_uleb(buf, pos)
+            widths = buf[pos : pos + n_mini]
+            if len(widths) < n_mini:
+                return None
+            pos += n_mini
+            for m in range(n_mini):
+                if len(out) >= total:
+                    break  # trailing miniblock data is omitted
+                w = widths[m]
+                if w > 64:
+                    return None
+                if w == 0:
+                    deltas = [0] * per_mini
+                else:
+                    nbytes = per_mini * w // 8
+                    chunk = buf[pos : pos + nbytes]
+                    if len(chunk) < nbytes:
+                        return None
+                    pos += nbytes
+                    acc = int.from_bytes(chunk, "little")
+                    mask = (1 << w) - 1
+                    deltas = [
+                        (acc >> (i * w)) & mask for i in range(per_mini)
+                    ]
+                prev = out[-1]
+                for d in deltas:
+                    if len(out) >= total:
+                        break
+                    prev = _wrap_signed(prev + min_delta + d, bits)
+                    out.append(prev)
+        return out, pos
+    except ValueError:
+        return None
+
+
+def _delta_length_byte_array(buf: bytes, pos: int):
+    """DELTA_LENGTH_BYTE_ARRAY: DELTA_BINARY_PACKED lengths, then the
+    concatenated value bytes. Returns (values, end_pos) or None."""
+    got = _delta_binary_packed(buf, pos)
+    if got is None:
+        return None
+    lens, pos = got
+    if any(ln < 0 for ln in lens) or sum(lens) > len(buf) - pos:
+        return None
+    out = []
+    for ln in lens:
+        out.append(buf[pos : pos + ln])
+        pos += ln
+    return out, pos
+
+
+def _delta_byte_array(buf: bytes, pos: int):
+    """DELTA_BYTE_ARRAY (incremental/front coding): DELTA_BINARY_PACKED
+    prefix lengths, then DELTA_LENGTH_BYTE_ARRAY suffixes;
+    value[i] = value[i-1][:prefix[i]] + suffix[i]. Returns (values,
+    end_pos) or None."""
+    got = _delta_binary_packed(buf, pos)
+    if got is None:
+        return None
+    prefixes, pos = got
+    got = _delta_length_byte_array(buf, pos)
+    if got is None:
+        return None
+    suffixes, pos = got
+    if len(prefixes) != len(suffixes):
+        return None
+    out: list[bytes] = []
+    prev = b""
+    for pfx, sfx in zip(prefixes, suffixes):
+        if pfx < 0 or pfx > len(prev):
+            return None
+        prev = prev[:pfx] + sfx
+        out.append(prev)
+    return out, pos
+
+
+# ---------------------------------------------------------------------------
 # value decoding across the physical type lattice
 # ---------------------------------------------------------------------------
 
@@ -544,7 +680,23 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
         if bits is None:
             return None
         return [bool(x) for x in bits]
-    return None  # DELTA_* encodings: out of scope — refuse, don't guess
+    if pg.enc == 5 and typ in (_T_INT32, _T_INT64):  # DELTA_BINARY_PACKED
+        got = _delta_binary_packed(payload, 0,
+                                   bits=32 if typ == _T_INT32 else 64)
+        if got is None or len(got[0]) < n_present:
+            return None
+        return got[0][:n_present]
+    if pg.enc == 6 and typ == _T_BYTE_ARRAY:  # DELTA_LENGTH_BYTE_ARRAY
+        got = _delta_length_byte_array(payload, 0)
+        if got is None or len(got[0]) < n_present:
+            return None
+        return got[0][:n_present]
+    if pg.enc == 7 and typ == _T_BYTE_ARRAY:  # DELTA_BYTE_ARRAY
+        got = _delta_byte_array(payload, 0)
+        if got is None or len(got[0]) < n_present:
+            return None
+        return got[0][:n_present]
+    return None  # BYTE_STREAM_SPLIT et al: out of scope — refuse, don't guess
 
 
 def read_parquet_column(raw: bytes, column: str):

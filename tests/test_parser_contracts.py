@@ -1935,3 +1935,68 @@ def test_zip64_extra_field_layouts():
     # other extra ids are skipped on the way to 0x0001
     skip = _s.pack("<HH", 0x7075, 3) + b"abc" + extra(full)
     assert _zip64_extra(skip, [True, False, False]) == [111]
+
+
+def test_parquet_delta_encodings_match_pyarrow():
+    """The DELTA family (parquet encodings.md) — what v2 writers emit:
+    DELTA_BINARY_PACKED for ints (arithmetic wraps at the column's
+    physical width: 32 for INT32, 64 for INT64), DELTA_LENGTH_BYTE_ARRAY
+    and DELTA_BYTE_ARRAY (front coding) for strings — on both page
+    versions, with and without nulls."""
+    import io
+    import random as _r
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+
+    rng = _r.Random(9)
+
+    def roundtrip(name, arr, enc, ver):
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({name: arr}), buf, use_dictionary=False,
+            data_page_version=ver, column_encoding={name: enc},
+        )
+        return read_parquet_column(buf.getvalue(), name)
+
+    int_cases = [
+        (pa.int64(), list(range(100000))),                       # monotonic
+        (pa.int64(), [rng.randint(-2**62, 2**62) for _ in range(20000)]),
+        (pa.int32(), [rng.randint(-2**31, 2**31 - 1) for _ in range(20000)]),
+        (pa.int64(), [5]),                                        # single
+        (pa.int64(), [5, -7]),
+        (pa.int64(), [v if v % 5 else None for v in range(10000)]),  # nulls
+    ]
+    for typ, vals in int_cases:
+        want = [v for v in vals if v is not None]
+        for ver in ("1.0", "2.0"):
+            got = roundtrip("x", pa.array(vals, type=typ), "DELTA_BINARY_PACKED", ver)
+            assert got == want, (typ, ver)
+
+    strs = [f"common_prefix_shared/{i // 10}/doc_{i}.txt" for i in range(20000)]
+    strs += ["", "x", "completely different"]
+    want_b = [s.encode() for s in strs]
+    for enc in ("DELTA_LENGTH_BYTE_ARRAY", "DELTA_BYTE_ARRAY"):
+        for ver in ("1.0", "2.0"):
+            got = roundtrip("s", pa.array(strs), enc, ver)
+            assert got == want_b, (enc, ver)
+
+
+def test_parquet_delta_decoders_never_raise():
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        _delta_binary_packed,
+        _delta_byte_array,
+        _delta_length_byte_array,
+    )
+
+    import random as _r
+
+    rng = _r.Random(21)
+    for _ in range(400):
+        blob = rng.randbytes(rng.randint(0, 80))
+        for fn in (_delta_binary_packed, _delta_length_byte_array,
+                   _delta_byte_array):
+            out = fn(blob, 0)
+            assert out is None or isinstance(out, tuple)
