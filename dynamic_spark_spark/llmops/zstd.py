@@ -885,7 +885,8 @@ def zstd_decompress(raw: bytes, cap: int = ZSTD_FRAME_CAP):
         if out is not None:
             return out
     try:
-        return _zstd_inner(raw, cap, _FrameCtx())
+        got = _zstd_inner(raw, cap, _FrameCtx())
+        return None if got is None else got[0]
     except Exception:
         return None
 
@@ -897,16 +898,60 @@ def zstd_frame_stats(raw: bytes, cap: int = ZSTD_FRAME_CAP):
     ``lit:treeless``). Test/diagnostic hook; same never-raise contract."""
     ctx = _FrameCtx()
     try:
-        return _zstd_inner(raw, cap, ctx), ctx.stats
+        got = _zstd_inner(raw, cap, ctx)
+        return (None if got is None else got[0]), ctx.stats
     except Exception:
         return None, ctx.stats
 
 
-def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx):
-    if not raw or len(raw) < 9 or raw[:4] != ZSTD_MAGIC:
+ZSTD_SKIPPABLE_MIN = 0x184D2A50
+ZSTD_SKIPPABLE_MAX = 0x184D2A5F
+
+
+def zstd_decompress_concat(raw: bytes, cap: int = ZSTD_FRAME_CAP):
+    """Decode a CONCATENATION of zstd frames — the multi-frame layout
+    real tools produce: pzstd writes one frame per chunk, ``cat a.zst
+    b.zst`` is a valid stream per RFC 8878 §3, and the seekable format
+    appends a skippable index frame. Data frames decode and append;
+    skippable frames (magic 0x184D2A50..5F + little-endian u32 size)
+    are skipped. The input must be consumed exactly — trailing garbage
+    refuses the whole stream (unlike the single-frame entry point,
+    which by contract reads ONE frame). Returns the joined payload or
+    None; never raises."""
+    try:
+        out = bytearray()
+        pos = 0
+        n = len(raw)
+        if n == 0:
+            return None
+        while pos < n:
+            if pos + 4 > n:
+                return None
+            magic = int.from_bytes(raw[pos : pos + 4], "little")
+            if ZSTD_SKIPPABLE_MIN <= magic <= ZSTD_SKIPPABLE_MAX:
+                if pos + 8 > n:
+                    return None
+                (sz,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                pos += 8 + sz
+                if pos > n:
+                    return None
+                continue
+            got = _zstd_inner(raw, cap - len(out), _FrameCtx(), pos)
+            if got is None:
+                return None
+            payload, pos = got
+            out += payload
+        return bytes(out)
+    except Exception:
         return None
-    fhd = raw[4]
-    pos = 5
+
+
+def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx, start: int = 0):
+    """One frame at byte ``start`` → (payload, end_pos) or None."""
+    if len(raw) < start + 9 or raw[start : start + 4] != ZSTD_MAGIC:
+        return None
+    fhd = raw[start + 4]
+    pos = start + 5
     single_segment = (fhd >> 5) & 1
     fcs_flag = fhd >> 6
     if fhd & 0x08:  # reserved bit must be zero
@@ -971,7 +1016,7 @@ def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx):
         pos += 4
     if content_size is not None and len(out) != content_size:
         return None
-    return bytes(out)
+    return bytes(out), pos
 
 
 def _decode_block(block: bytes, out: bytearray, ctx: _FrameCtx,

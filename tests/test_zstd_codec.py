@@ -1,11 +1,13 @@
-"""zstd codec: per-layer pins + whole-frame properties.
+"""zstd codec: per-layer pins + whole-frame properties + CLI interop.
 
 Layer order mirrors the module: backward bitstream, FSE normalized
-counts, FSE streams, Huffman, then complete frames. No zstd binding
-exists in this container, so the cross-implementation check is
-structural (every table self-described, every layer independently
-round-tripped) plus the two driver keys' closed-form oracles; the
-native-seam pattern is the designated swap point when a binding lands.
+counts, FSE streams, Huffman, then complete frames. The sandbox ships
+a real ``zstd`` CLI (v1.5.7), so since r11 the cross-implementation
+check is DIRECT: CLI-written frames decode here bit-exactly at several
+levels (every entropy mode pinned, multi-frame/skippable lacing
+included), and this encoder's frames decode under the CLI — on top of
+the structural per-layer round trips and the driver keys' closed-form
+oracles.
 """
 
 from __future__ import annotations
@@ -403,3 +405,36 @@ def test_fse_weight_stream_malformed_inputs_never_raise():
             mut[rng.randrange(len(mut))] = rng.randrange(256)
         out = zstd_decompress(bytes(mut))
         assert out is None or isinstance(out, bytes)
+
+
+@needs_cli
+def test_multi_frame_concat_and_skippable_frames():
+    """Real multi-frame streams (RFC 8878 §3): pzstd-style frame
+    concatenation and skippable frames (0x184D2A50..5F + u32 size, the
+    seekable format's index carrier). The CLI and the pure-Python
+    concat decoder must agree on the same laced stream; trailing
+    garbage and truncated skippables refuse."""
+    import struct as _s
+
+    from dynamic_spark_spark.llmops.zstd import zstd_decompress_concat
+
+    a = b"first frame payload " * 500
+    b = b"second, different payload " * 300
+    fa = _cli_compress(a, 3)
+    fb = _cli_compress(b, 19)
+    skip = _s.pack("<I", 0x184D2A53) + _s.pack("<I", 12) + b"seek-index!!"
+    stream = fa + skip + fb
+    assert _cli_decompress(stream) == a + b  # CLI accepts the lacing
+    assert zstd_decompress_concat(stream) == a + b
+    # leading and trailing skippables too
+    assert zstd_decompress_concat(skip + fa + skip) == a
+    # our own encoder's frames concatenate the same way
+    assert zstd_decompress_concat(
+        zstd_compress(a) + zstd_compress(b)
+    ) == a + b
+    # refusals: trailing garbage, truncated skippable, empty input
+    assert zstd_decompress_concat(stream + b"xx") is None
+    assert zstd_decompress_concat(skip[:6]) is None
+    assert zstd_decompress_concat(b"") is None
+    # single-frame entry point keeps its one-frame contract
+    assert zstd_decompress(fa) == a
