@@ -19,10 +19,13 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       sub-encodings — SHORT_REPEAT, DIRECT, PATCHED_BASE, DELTA
       (ORC spec §'Run-length encoding, version 2')
     → string columns: DIRECT_V2 (DATA bytes + LENGTH RLEv2) and
-      DICTIONARY_V2 (DICTIONARY_DATA + LENGTH + RLEv2 indexes).
+      DICTIONARY_V2 (DICTIONARY_DATA + LENGTH + RLEv2 indexes)
+    → the rest of the scalar lattice: BOOLEAN (byte-RLE bits), BYTE
+      (two's-complement byte-RLE), FLOAT/DOUBLE (LE IEEE), DATE
+      (RLEv2 epoch days) via :func:`read_orc_column`.
 
-Scope: flat integer (SHORT/INT/LONG) and string/binary columns with
-the _V2 encodings; LZO and RLEv1 are refused explicitly. Every layer
+Scope: flat scalar columns with the _V2 encodings; LZO, RLEv1, and
+timestamp/decimal/compound types are refused explicitly. Every layer
 is an independent re-implementation forced to agree with orc-core (the
 JVM writer Spark uses) through the real bytes; pytest pins the RLEv2
 decoder against the spec's published example vectors AND against
@@ -482,7 +485,8 @@ def read_orc_int_column(raw: bytes, column: str):
     None. Never raises."""
     try:
         walked = _orc_column_stripes(raw, column)
-        if walked is None or walked[0] not in _INT_KINDS:
+        if walked is None or (walked[0] not in _INT_KINDS
+                              and walked[0] != 15):  # 15 = DATE, epoch days
             return None
         values: list[int] = []
         for st in walked[1]:
@@ -500,6 +504,84 @@ def read_orc_int_column(raw: bytes, column: str):
             values.extend(vals)
         return values
     except Exception:
+        return None
+
+
+def read_orc_column(raw: bytes, column: str):
+    """The GENERAL ORC raw reader: dispatches on the footer type tree —
+    SHORT/INT/LONG and DATE through RLEv2 (dates surface as epoch-day
+    ints), BOOLEAN through the byte-RLE bit stream, BYTE (tinyint) as
+    two's-complement byte-RLE, FLOAT/DOUBLE as little-endian IEEE, and
+    STRING/BINARY/VARCHAR/CHAR through the string tiers. Returns
+    non-null values in row order, or None. Never raises."""
+    try:
+        walked = _orc_column_stripes(raw, column)
+        if walked is None:
+            return None
+        kind = walked[0]
+        if kind in _INT_KINDS or kind == 15:  # SHORT/INT/LONG/DATE
+            return read_orc_int_column(raw, column)
+        if kind in _STR_KINDS:
+            return read_orc_string_column(raw, column)
+        values: list = []
+        for st in walked[1]:
+            pc = _stripe_present_count(st)
+            if pc is None:
+                return None
+            n_present = pc[0]
+            data = st.get("data")
+            if data is None:
+                return None
+            if kind == 0:  # BOOLEAN: byte-RLE over MSB-first bits
+                bits = byte_rle_bools(data, n_present)
+                if bits is None:
+                    return None
+                values.extend(bits)
+            elif kind == 1:  # BYTE: byte-RLE literal/run bytes, signed
+                bs = _byte_rle_bytes(data, n_present)
+                if bs is None:
+                    return None
+                values.extend(b - 256 if b >= 128 else b for b in bs)
+            elif kind in (5, 6):  # FLOAT / DOUBLE: LE IEEE
+                w = 4 if kind == 5 else 8
+                if len(data) < w * n_present:
+                    return None
+                fmt = "f" if kind == 5 else "d"
+                values.extend(
+                    struct.unpack(f"<{n_present}{fmt}", data[: w * n_present])
+                )
+            else:
+                return None  # timestamps/decimals/compound: out of scope
+        return values
+    except Exception:
+        return None
+
+
+def _byte_rle_bytes(data: bytes, count: int):
+    """ORC byte-RLE (the PRESENT/BYTE stream form) → ``count`` raw
+    bytes, or None."""
+    out = bytearray()
+    pos = 0
+    try:
+        while len(out) < count:
+            if pos >= len(data):
+                return None
+            h = data[pos]
+            pos += 1
+            if h < 128:  # run
+                run = h + 3
+                if pos >= len(data) or len(out) + run > count + 130:
+                    return None
+                out += data[pos : pos + 1] * run
+                pos += 1
+            else:  # literal
+                n = 256 - h
+                if pos + n > len(data) or len(out) + n > count + 130:
+                    return None
+                out += data[pos : pos + n]
+                pos += n
+        return bytes(out[:count])
+    except IndexError:
         return None
 
 

@@ -163,11 +163,34 @@ def _rle_bitpacked_bools(data: bytes, bit_width: int, count: int):
 
 
 def _codec_decompress(codec: int, body: bytes, uncompressed: int):
+    """Parquet CompressionCodec enum → page bytes. SNAPPY/ZSTD/LZ4_RAW
+    route through this repo's own pure-Python decoders (a zstd-parquet
+    lakehouse table reads with no native codec anywhere); GZIP is the
+    stdlib's zlib with the gzip wrapper. LZO/BROTLI/legacy-LZ4 (Hadoop
+    4-byte-framed, deprecated by parquet-format) are refused — refuse,
+    don't guess."""
+    cap = max(uncompressed, 1)
     if codec == 0:  # UNCOMPRESSED
         return body
     if codec == 1:  # SNAPPY
-        return snappy_decompress(body, max(uncompressed, 1))
-    return None  # other codecs: out of scope — refuse, don't guess
+        return snappy_decompress(body, cap)
+    if codec == 2:  # GZIP: full member (header + deflate + trailer)
+        import zlib
+
+        try:
+            out = zlib.decompressobj(wbits=31).decompress(body, cap + 1)
+        except zlib.error:
+            return None
+        return out if len(out) <= cap else None
+    if codec == 6:  # ZSTD: one frame per page
+        from dynamic_spark_spark.llmops.zstd import zstd_decompress
+
+        return zstd_decompress(body, cap)
+    if codec == 7:  # LZ4_RAW: one lz4 block per page
+        from dynamic_spark_spark.llmops.lz4_hadoop import lz4_block_decompress
+
+        return lz4_block_decompress(body, cap)
+    return None  # LZO/BROTLI/legacy LZ4: out of scope — refuse, don't guess
 
 
 # ---------------------------------------------------------------------------

@@ -202,3 +202,93 @@ def test_orc_string_reader_never_raises():
             m[rng.randrange(len(m))] = rng.randrange(256)
         out = read_orc_string_column(bytes(m), "s")
         assert out is None or isinstance(out, list)
+
+
+def test_orc_general_reader_scalar_lattice():
+    """read_orc_column across the scalar lattice — BOOLEAN, BYTE,
+    FLOAT, DOUBLE, DATE (epoch days), plus the int/string dispatch —
+    on uncompressed and zstd-framed liborc files."""
+    import datetime
+    import struct as _s
+
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_column
+
+    rng = random.Random(6)
+    n = 4000
+    epoch = datetime.date(1970, 1, 1)
+    cols = {
+        "b": (pa.bool_(), [rng.random() < 0.5 for _ in range(n)]),
+        "i8": (pa.int8(), [rng.randint(-128, 127) for _ in range(n)]),
+        "f32": (pa.float32(), [rng.uniform(-1e6, 1e6) for _ in range(n)]),
+        "f64": (pa.float64(), [rng.uniform(-1e12, 1e12) for _ in range(n)]),
+        "d": (pa.date32(), [
+            datetime.date(2020, 1, 1) + datetime.timedelta(days=rng.randint(0, 3000))
+            for _ in range(n)
+        ]),
+        "i": (pa.int64(), list(range(n))),
+        "s": (pa.string(), [f"v{i % 97}" for i in range(n)]),
+    }
+    for comp in ("uncompressed", "zstd"):
+        buf = io.BytesIO()
+        orc.write_table(
+            pa.table({k: pa.array(v, type=t) for k, (t, v) in cols.items()}),
+            buf, compression=comp,
+        )
+        raw = buf.getvalue()
+        for k, (t, v) in cols.items():
+            got = read_orc_column(raw, k)
+            if k == "d":
+                want = [(x - epoch).days for x in v]
+            elif k == "f32":
+                want = [_s.unpack("<f", _s.pack("<f", x))[0] for x in v]
+            elif k == "s":
+                want = [x.encode() for x in v]
+            else:
+                want = v
+            assert got == want, (k, comp)
+    # nulls flow through the PRESENT stream for non-int kinds too
+    vals = [float(i) if i % 3 else None for i in range(2000)]
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"f": pa.array(vals, type=pa.float64())}), buf,
+        compression="zlib",
+    )
+    assert read_orc_column(buf.getvalue(), "f") == [
+        v for v in vals if v is not None
+    ]
+
+
+def test_parquet_codec_lattice_matches_pyarrow():
+    """Parquet pages compressed with GZIP, ZSTD, and LZ4_RAW — zstd and
+    lz4 through this repo's own decoders — read raw for int and
+    nullable string columns, dictionary on and off."""
+    import io as _io
+    import random as _r
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+
+    rng = _r.Random(4)
+    vals = [rng.randint(-10**9, 10**9) for _ in range(20000)]
+    strs = [f"body text {i} " * (1 + i % 4) for i in range(8000)]
+    padded = strs + [None] * (len(vals) - len(strs))
+    for comp in ("gzip", "zstd", "lz4"):
+        for use_dict in (True, False):
+            buf = _io.BytesIO()
+            pq.write_table(
+                pa.table({
+                    "x": pa.array(vals, type=pa.int64()),
+                    "s": pa.array(padded),
+                }),
+                buf, compression=comp, use_dictionary=use_dict,
+            )
+            raw = buf.getvalue()
+            assert read_parquet_column(raw, "x") == vals, (comp, use_dict)
+            assert read_parquet_column(raw, "s") == [
+                s.encode() for s in strs
+            ], (comp, use_dict)

@@ -291,6 +291,7 @@ def _more_parsers():
         "read_parquet_general": lambda raw: PR.read_parquet_column(raw, "doc_id"),
         "read_orc_int": lambda raw: ORC.read_orc_int_column(raw, "doc_id"),
         "read_orc_str": lambda raw: ORC.read_orc_string_column(raw, "text"),
+        "read_orc_general": lambda raw: ORC.read_orc_column(raw, "doc_id"),
     }
 
 
