@@ -20,12 +20,16 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       (ORC spec §'Run-length encoding, version 2')
     → string columns: DIRECT_V2 (DATA bytes + LENGTH RLEv2) and
       DICTIONARY_V2 (DICTIONARY_DATA + LENGTH + RLEv2 indexes)
-    → the rest of the scalar lattice: BOOLEAN (byte-RLE bits), BYTE
-      (two's-complement byte-RLE), FLOAT/DOUBLE (LE IEEE), DATE
-      (RLEv2 epoch days) via :func:`read_orc_column`.
+    → the rest of the scalar lattice via :func:`read_orc_column`:
+      BOOLEAN (byte-RLE bits), BYTE (two's-complement byte-RLE),
+      FLOAT/DOUBLE (LE IEEE), DATE (RLEv2 epoch days), TIMESTAMP
+      (2015-epoch seconds + packed-nanos SECONDARY, reconciling
+      orc-java's floor/positive-nanos and liborc's
+      truncate/signed-nanos pre-epoch conventions), DECIMAL
+      (unbounded zigzag mantissas + RLEv2 scales).
 
 Scope: flat scalar columns with the _V2 encodings; LZO, RLEv1, and
-timestamp/decimal/compound types are refused explicitly. Every layer
+compound/union types are refused explicitly. Every layer
 is an independent re-implementation forced to agree with orc-core (the
 JVM writer Spark uses) through the real bytes; pytest pins the RLEv2
 decoder against the spec's published example vectors AND against
@@ -451,8 +455,10 @@ def _orc_column_stripes(raw: bytes, column: str):
         pos = off
         enc, dsize = encodings[col_id] if col_id < len(encodings) else (0, 0)
         got = {"rows": rows, "encoding": enc, "dict_size": dsize}
-        # Stream.kind: 0 PRESENT, 1 DATA, 2 LENGTH, 3 DICTIONARY_DATA
-        names_by_kind = {0: "present", 1: "data", 2: "length", 3: "dict_data"}
+        # Stream.kind: 0 PRESENT, 1 DATA, 2 LENGTH, 3 DICTIONARY_DATA,
+        # 5 SECONDARY (timestamp nanos / decimal scales)
+        names_by_kind = {0: "present", 1: "data", 2: "length",
+                         3: "dict_data", 5: "secondary"}
         for kind, scol, slen in streams:
             if scol == col_id and kind in names_by_kind:
                 dec = _orc_stream_bytes(raw[pos : pos + slen], comp)
@@ -550,8 +556,18 @@ def read_orc_column(raw: bytes, column: str):
                 values.extend(
                     struct.unpack(f"<{n_present}{fmt}", data[: w * n_present])
                 )
+            elif kind == 9:  # TIMESTAMP: seconds from 2015 + packed nanos
+                got = _decode_timestamps(st, n_present)
+                if got is None:
+                    return None
+                values.extend(got)
+            elif kind == 14:  # DECIMAL: varint mantissas + RLEv2 scales
+                got = _decode_decimals(st, n_present)
+                if got is None:
+                    return None
+                values.extend(got)
             else:
-                return None  # timestamps/decimals/compound: out of scope
+                return None  # compound/union types: out of scope
         return values
     except Exception:
         return None
@@ -751,3 +767,90 @@ def scan_orc_raw_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+#: ORC's timestamp epoch: 2015-01-01 00:00:00 UTC
+_ORC_TS_EPOCH = 1420070400
+
+
+def _decode_timestamps(st: dict, n_present: int):
+    """TIMESTAMP stripe → microseconds since the Unix epoch (UTC).
+    DATA carries RLEv2 signed seconds relative to 2015-01-01; SECONDARY
+    carries packed nanos (low 3 bits = removed-trailing-zero count − 1
+    when nonzero; nanos = (v >> 3) · 10^(count+1)). The two writers
+    split pre-epoch instants differently — orc-java floors the seconds
+    and keeps nanos positive, liborc truncates toward zero and pushes
+    the two's-complement NEGATIVE packed nanos through the unsigned
+    stream — so the value is reinterpreted as signed 64-bit and the
+    instant reconstructed as ``secs·10⁹ + signed_nanos``, which is
+    exact under both conventions."""
+    data = st.get("data")
+    sec_stream = st.get("secondary")
+    if data is None or sec_stream is None:
+        return None
+    secs = rlev2_decode(data, n_present, signed=True)
+    nanos_raw = rlev2_decode(sec_stream, n_present, signed=False)
+    if secs is None or nanos_raw is None:
+        return None
+    out = []
+    for s, v in zip(secs, nanos_raw):
+        v &= (1 << 64) - 1
+        if v >= 1 << 63:  # liborc's negative packed form
+            v -= 1 << 64
+        zeros = v & 7
+        nanos = v >> 3  # arithmetic shift: sign survives
+        if zeros:
+            nanos *= 10 ** (zeros + 1)
+        if abs(nanos) > 999_999_999:
+            return None
+        unix_secs = s + _ORC_TS_EPOCH
+        if nanos > 0 and unix_secs < 0:
+            # orc-java's pre-epoch form: truncated-toward-zero seconds
+            # with the positive sub-second part — borrow one second
+            # (liborc instead writes signed nanos, handled directly)
+            unix_secs -= 1
+        total_ns = unix_secs * 1_000_000_000 + nanos
+        out.append(total_ns // 1000)
+    return out
+
+
+def _decode_decimals(st: dict, n_present: int):
+    """DECIMAL stripe → ``decimal.Decimal`` values: DATA is a sequence
+    of unbounded zigzag varint mantissas, SECONDARY the RLEv2 signed
+    per-value scales."""
+    import decimal
+
+    data = st.get("data")
+    sec_stream = st.get("secondary")
+    if data is None or sec_stream is None:
+        return None
+    scales = rlev2_decode(sec_stream, n_present, signed=True)
+    if scales is None:
+        return None
+    out = []
+    pos = 0
+    try:
+        for sc in scales:
+            m, pos = _svarint_unbounded(data, pos)
+            if abs(sc) > 76:  # beyond any ORC decimal precision
+                return None
+            out.append(decimal.Decimal(m).scaleb(-sc))
+    except ValueError:
+        return None
+    return out
+
+
+def _svarint_unbounded(data: bytes, pos: int):
+    """Zigzag varint WITHOUT the 64-bit cap — ORC decimal mantissas may
+    span up to 128 bits (decimal128)."""
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data) or shift > 140:
+            raise ValueError("varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (out >> 1) ^ -(out & 1), pos
+        shift += 7

@@ -292,3 +292,67 @@ def test_parquet_codec_lattice_matches_pyarrow():
             assert read_parquet_column(raw, "s") == [
                 s.encode() for s in strs
             ], (comp, use_dict)
+
+
+def test_orc_timestamps_and_decimals():
+    """TIMESTAMP and DECIMAL columns: liborc fixtures including
+    pre-epoch instants (liborc writes truncated seconds with SIGNED
+    packed nanos through the unsigned stream; orc-java floors with
+    positive nanos — the reader reconciles both, proven against Spark
+    in the driver drive), and decimal128 mantissa/scale streams."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_column
+
+    rng = random.Random(8)
+    base = datetime.datetime(2015, 1, 1)
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def us(t):
+        d = t - epoch
+        return d.days * 86400_000_000 + d.seconds * 1_000_000 + d.microseconds
+
+    ts = [
+        base + datetime.timedelta(
+            seconds=rng.randint(-3 * 10**9, 10**9),
+            microseconds=rng.randint(0, 999999),
+        )
+        for _ in range(3000)
+    ] + [
+        datetime.datetime(2023, 5, 1, 12, 0, 0, 123456),
+        datetime.datetime(2015, 1, 1),
+        datetime.datetime(2014, 12, 31, 23, 59, 59, 500000),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
+        datetime.datetime(1900, 1, 1, 0, 0, 1, 250000),
+    ]
+    dec = [
+        decimal.Decimal(rng.randint(-10**17, 10**17)).scaleb(-4)
+        for _ in range(2000)
+    ] + [decimal.Decimal("0"), decimal.Decimal("-0.0001")]
+    for comp in ("uncompressed", "zstd"):
+        buf = io.BytesIO()
+        orc.write_table(
+            pa.table({"t": pa.array(ts, type=pa.timestamp("us"))}), buf,
+            compression=comp,
+        )
+        assert read_orc_column(buf.getvalue(), "t") == [us(t) for t in ts], comp
+        buf = io.BytesIO()
+        orc.write_table(
+            pa.table({"d": pa.array(dec, type=pa.decimal128(22, 4))}), buf,
+            compression=comp,
+        )
+        assert read_orc_column(buf.getvalue(), "d") == dec, comp
+    # nullable timestamps flow through PRESENT
+    tsn = [t if i % 4 else None for i, t in enumerate(ts[:1000])]
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"t": pa.array(tsn, type=pa.timestamp("us"))}), buf,
+        compression="zlib",
+    )
+    assert read_orc_column(buf.getvalue(), "t") == [
+        us(t) for t in tsn if t is not None
+    ]
