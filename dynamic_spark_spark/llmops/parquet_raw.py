@@ -200,8 +200,9 @@ def _codec_decompress(codec: int, body: bytes, uncompressed: int):
 
 def _parse_schema(c: _Compact):
     """Parse FileMetaData.schema (list<SchemaElement>, depth-first) into
-    ``{dotted_path: (physical_type, optional, unsupported)}`` for leaf
-    columns. ``unsupported`` marks nested or repeated paths — the raw
+    ``{dotted_path: (physical_type, optional, unsupported, type_length)}``
+    for leaf columns (``type_length`` is FIXED_LEN_BYTE_ARRAY's width, 0
+    otherwise). ``unsupported`` marks nested or repeated paths — the raw
     readers refuse those explicitly instead of misparsing their
     rep-levels blocks (parquet-format.md: flat REQUIRED columns carry NO
     levels, flat OPTIONAL carry def levels only)."""
@@ -211,6 +212,7 @@ def _parse_schema(c: _Compact):
     elems = []
     for _ in range(size):
         typ = rep = nch = None
+        tlen = 0
         name = None
         last = 0
         while True:
@@ -220,6 +222,8 @@ def _parse_schema(c: _Compact):
             last = fid
             if fid == 1 and wtype == 5:
                 typ = c.zigzag()
+            elif fid == 2 and wtype == 5:
+                tlen = c.zigzag()
             elif fid == 3 and wtype == 5:
                 rep = c.zigzag()
             elif fid == 4 and wtype == 8:
@@ -230,7 +234,7 @@ def _parse_schema(c: _Compact):
                 nch = c.zigzag()
             else:
                 c.skip(wtype, 0)
-        elems.append((typ, rep, name, nch or 0))
+        elems.append((typ, rep, name, nch or 0, tlen))
     schema: dict[str, tuple[int, bool, bool]] = {}
     if not elems:
         return schema
@@ -242,7 +246,7 @@ def _parse_schema(c: _Compact):
             stack.pop()
         if not stack:
             break
-        typ, rep, name, nch = elems[i]
+        typ, rep, name, nch, tlen = elems[i]
         i += 1
         stack[-1][0] -= 1
         path = stack[-1][1] + [name or ""]
@@ -251,7 +255,7 @@ def _parse_schema(c: _Compact):
             stack.append([nch, path, repeated])
         else:
             unsupported = repeated or len(path) > 1 or typ is None
-            schema[".".join(path)] = (typ, rep == 1, unsupported)
+            schema[".".join(path)] = (typ, rep == 1, unsupported, tlen)
     return schema
 
 
@@ -592,11 +596,12 @@ def _delta_byte_array(buf: bytes, pos: int):
 # ---------------------------------------------------------------------------
 
 
-def _plain_decode(typ: int, buf: bytes, count: int):
+def _plain_decode(typ: int, buf: bytes, count: int, tlen: int = 0):
     """Decode ``count`` PLAIN values of a physical type from the front
     of ``buf``: BOOLEAN is bit-packed LSB-first; INT32/INT64/FLOAT/
-    DOUBLE are little-endian fixed-width; BYTE_ARRAY is length-prefixed.
-    Returns a list or None."""
+    DOUBLE are little-endian fixed-width; BYTE_ARRAY is length-prefixed;
+    FIXED_LEN_BYTE_ARRAY slices ``tlen``-byte cells (decimal/UUID
+    physical storage). Returns a list or None."""
     if typ == _T_BOOLEAN:
         need = (count + 7) // 8
         if len(buf) < need:
@@ -621,11 +626,15 @@ def _plain_decode(typ: int, buf: bytes, count: int):
             out.append(buf[pos : pos + ln])
             pos += ln
         return out
-    return None  # INT96 / FIXED_LEN_BYTE_ARRAY: out of scope
+    if typ == _T_FIXED and tlen > 0:
+        if len(buf) < tlen * count:
+            return None
+        return [buf[i * tlen : (i + 1) * tlen] for i in range(count)]
+    return None  # INT96: out of scope
 
 
 def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
-                 optional: bool, dictionary):
+                 optional: bool, dictionary, tlen: int = 0):
     """Decode one DATA page (v1 or v2) → list of non-null values or
     None. Definition levels are consumed ONLY for optional columns
     (REQUIRED pages carry no def-levels block — the r10 ADVICE defect);
@@ -691,7 +700,7 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
         except IndexError:
             return None  # index outside the dictionary: corrupt
     if pg.enc == 0:  # PLAIN
-        return _plain_decode(typ, payload, n_present)
+        return _plain_decode(typ, payload, n_present, tlen)
     if pg.enc == 3 and typ == _T_BOOLEAN:
         # RLE boolean VALUES (v2 writers): [u32 len][RLE/bit-packed]
         if len(payload) < 4:
@@ -744,10 +753,13 @@ def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
     info = schema.get(column)
     if info is None:
         return None
-    typ, optional, unsupported = info
+    typ, optional, unsupported, tlen = info
     if unsupported or typ not in (
         _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY,
+        _T_FIXED,
     ):
+        return None
+    if typ == _T_FIXED and tlen <= 0:
         return None
     if only_type is not None and typ != only_type:
         return None
@@ -772,11 +784,12 @@ def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
                 data = _codec_decompress(codec, body, pg.uncomp)
                 if data is None or len(data) != pg.uncomp:
                     return None
-                dictionary = _plain_decode(typ, data, pg.n_vals)
+                dictionary = _plain_decode(typ, data, pg.n_vals, tlen)
                 if dictionary is None:
                     return None
                 continue
-            vals = _page_values(pg, raw, codec, typ, optional, dictionary)
+            vals = _page_values(pg, raw, codec, typ, optional, dictionary,
+                                tlen)
             if vals is None:
                 return None
             values.extend(vals)
@@ -798,7 +811,7 @@ def read_parquet_int64_column(raw: bytes, column: str):
         info = schema.get(column)
         if info is None:
             return None
-        typ, optional, unsupported = info
+        typ, optional, unsupported, _tlen = info
         if unsupported or typ != _T_INT64:
             return None
         values: list[int] = []

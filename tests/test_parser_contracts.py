@@ -2001,3 +2001,37 @@ def test_parquet_delta_decoders_never_raise():
                    _delta_byte_array):
             out = fn(blob, 0)
             assert out is None or isinstance(out, tuple)
+
+
+def test_parquet_flba_decimal_matches_pyarrow():
+    """FIXED_LEN_BYTE_ARRAY (decimal128 physical storage): the schema's
+    type_length sizes the cells; values surface as the raw big-endian
+    two's-complement unscaled bytes — dictionary on/off, snappy and
+    zstd pages."""
+    import decimal
+    import io as _io
+    import random as _r
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+
+    rng = _r.Random(12)
+    dec = [
+        decimal.Decimal(rng.randint(-10**20, 10**20)).scaleb(-3)
+        for _ in range(5000)
+    ] + [None, decimal.Decimal("0.001")]
+    want = [
+        int(x.scaleb(3)).to_bytes(11, "big", signed=True)
+        for x in dec if x is not None
+    ]
+    for use_dict in (True, False):
+        for comp in ("snappy", "zstd"):
+            buf = _io.BytesIO()
+            pq.write_table(
+                pa.table({"d": pa.array(dec, type=pa.decimal128(25, 3))}),
+                buf, use_dictionary=use_dict, compression=comp,
+            )
+            got = read_parquet_column(buf.getvalue(), "d")
+            assert got == want, (use_dict, comp)
