@@ -1015,12 +1015,14 @@ def tzst_archive_bytes(doc_id: int, text: str) -> bytes:
 
 
 def tzst_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):
-    """Decode the zstd frame (frame-declared size capped at 64× the
+    """Decode the zstd frame sequence (declared sizes capped at 64× the
     member cap, same stream discipline as the gzip/bz2/xz twins) and
-    walk the tar inside. Never raises."""
-    from dynamic_spark_spark.llmops.zstd import zstd_decompress
+    walk the tar inside. Concat-aware: a real ``.tar.zst`` may be
+    multiple frames (pzstd) with skippable frames between them. Never
+    raises."""
+    from dynamic_spark_spark.llmops.zstd import zstd_decompress_concat
 
-    data = zstd_decompress(raw, cap * 64)
+    data = zstd_decompress_concat(raw, cap * 64)
     if data is None:
         return []
     return tar_member_walk(data, cap)

@@ -1331,7 +1331,9 @@ def scan_text_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
                     frame = None
             if frame is None:
                 frame = zstd_compress(lines)
-            back = zstd_decompress(frame)
+            # concat-aware decode: real .jsonl.zst shards are often
+            # MULTI-frame (pzstd splits input across frames)
+            back = zstd_decompress_concat(frame)
             rows = []
             if back is not None:
                 for line in back.decode("utf-8").splitlines():
