@@ -998,20 +998,9 @@ def tzst_archive_bytes(doc_id: int, text: str) -> bytes:
     synthesis-bound cost); falls back to the hand-rolled encoder
     (:mod:`llmops.zstd`, real Huffman/FSE compression, not store mode)
     when no CLI is installed."""
-    from dynamic_spark_spark.llmops.zstd import _zstd_cli_path, zstd_compress
+    from dynamic_spark_spark.llmops.zstd import zstd_compress_real
 
-    tar = tar_archive_bytes(doc_id, text)
-    cli = _zstd_cli_path()
-    if cli is not None:
-        import subprocess
-
-        try:
-            return subprocess.run(
-                [cli, "-3", "-c"], input=tar, capture_output=True, check=True
-            ).stdout
-        except Exception:
-            pass
-    return zstd_compress(tar)
+    return zstd_compress_real(tar_archive_bytes(doc_id, text), level=3)
 
 
 def tzst_member_walk(raw: bytes, cap: int = TAR_MEMBER_CAP):

@@ -494,23 +494,27 @@ def read_orc_int_column(raw: bytes, column: str):
         if walked is None or (walked[0] not in _INT_KINDS
                               and walked[0] != 15):  # 15 = DATE, epoch days
             return None
-        values: list[int] = []
-        for st in walked[1]:
-            if st["encoding"] not in (2, 3):  # DIRECT_V2 family only
-                return None
-            data = st.get("data")
-            if data is None:
-                return None
-            pc = _stripe_present_count(st)
-            if pc is None:
-                return None
-            vals = rlev2_decode(data, pc[0], signed=True)
-            if vals is None:
-                return None
-            values.extend(vals)
-        return values
+        return _int_values_from_stripes(walked[1])
     except Exception:
         return None
+
+
+def _int_values_from_stripes(stripes):
+    values: list[int] = []
+    for st in stripes:
+        if st["encoding"] not in (2, 3):  # DIRECT_V2 family only
+            return None
+        data = st.get("data")
+        if data is None:
+            return None
+        pc = _stripe_present_count(st)
+        if pc is None:
+            return None
+        vals = rlev2_decode(data, pc[0], signed=True)
+        if vals is None:
+            return None
+        values.extend(vals)
+    return values
 
 
 def read_orc_column(raw: bytes, column: str):
@@ -526,9 +530,9 @@ def read_orc_column(raw: bytes, column: str):
             return None
         kind = walked[0]
         if kind in _INT_KINDS or kind == 15:  # SHORT/INT/LONG/DATE
-            return read_orc_int_column(raw, column)
+            return _int_values_from_stripes(walked[1])
         if kind in _STR_KINDS:
-            return read_orc_string_column(raw, column)
+            return _string_values_from_stripes(walked[1])
         values: list = []
         for st in walked[1]:
             pc = _stripe_present_count(st)
@@ -557,11 +561,15 @@ def read_orc_column(raw: bytes, column: str):
                     struct.unpack(f"<{n_present}{fmt}", data[: w * n_present])
                 )
             elif kind == 9:  # TIMESTAMP: seconds from 2015 + packed nanos
+                if st["encoding"] != 2:  # RLEv1 streams: refuse, don't guess
+                    return None
                 got = _decode_timestamps(st, n_present)
                 if got is None:
                     return None
                 values.extend(got)
             elif kind == 14:  # DECIMAL: varint mantissas + RLEv2 scales
+                if st["encoding"] != 2:
+                    return None
                 got = _decode_decimals(st, n_present)
                 if got is None:
                     return None
@@ -613,8 +621,15 @@ def read_orc_string_column(raw: bytes, column: str):
         walked = _orc_column_stripes(raw, column)
         if walked is None or walked[0] not in _STR_KINDS:
             return None
+        return _string_values_from_stripes(walked[1])
+    except Exception:
+        return None
+
+
+def _string_values_from_stripes(stripes):
+    try:
         values: list[bytes] = []
-        for st in walked[1]:
+        for st in stripes:
             pc = _stripe_present_count(st)
             if pc is None:
                 return None
@@ -778,12 +793,16 @@ def _decode_timestamps(st: dict, n_present: int):
     DATA carries RLEv2 signed seconds relative to 2015-01-01; SECONDARY
     carries packed nanos (low 3 bits = removed-trailing-zero count − 1
     when nonzero; nanos = (v >> 3) · 10^(count+1)). The two writers
-    split pre-epoch instants differently — orc-java floors the seconds
-    and keeps nanos positive, liborc truncates toward zero and pushes
-    the two's-complement NEGATIVE packed nanos through the unsigned
-    stream — so the value is reinterpreted as signed 64-bit and the
-    instant reconstructed as ``secs·10⁹ + signed_nanos``, which is
-    exact under both conventions."""
+    split pre-epoch instants differently — orc-java truncates the
+    seconds toward zero and keeps nanos positive (the reader borrows a
+    second when the truncated second is negative), liborc pushes the
+    two's-complement NEGATIVE packed nanos through the unsigned stream
+    — both handled here, proven bit-identical to what Spark and pyarrow
+    read back from either writer's files. Note the ecosystem-wide
+    lossy window: orc-java WRITES instants in (−1, 0) s as (second 0,
+    positive nanos), indistinguishable from (0, +1) s — both reference
+    readers return the positive instant for such files, and so does
+    this decoder (pinned in pytest)."""
     data = st.get("data")
     sec_stream = st.get("secondary")
     if data is None or sec_stream is None:

@@ -488,12 +488,19 @@ def _wrap_signed(v: int, bits: int) -> int:
     return v - (1 << bits) if v >= 1 << (bits - 1) else v
 
 
-def _delta_binary_packed(buf: bytes, pos: int, bits: int = 64):
+def _delta_binary_packed(buf: bytes, pos: int, bits: int = 64,
+                         expect: int | None = None):
     """DELTA_BINARY_PACKED: ULEB128 header (block size, miniblocks per
     block, total count, zigzag first value), then per block a zigzag
     min-delta, one bit-width byte per miniblock, and LSB-first
     bit-packed delta miniblocks. Arithmetic wraps at the column's
     physical width (32 bits for INT32, 64 for INT64) per spec.
+    ``expect`` is the caller's known value count (the page's n_present):
+    a header claiming more is lying and refused BEFORE decoding — the
+    bomb guard for width-0 miniblocks, which emit values without
+    consuming input, and one that never rejects a spec-valid dense
+    stream (a ratio-to-buffer guard would: a constant column legally
+    encodes ~800 values per header byte at block size 4096).
     Returns (values, end_pos) or None."""
     try:
         block_size, pos = _uleb(buf, pos)
@@ -505,12 +512,8 @@ def _delta_binary_packed(buf: bytes, pos: int, bits: int = 64):
         per_mini = block_size // n_mini
         if per_mini % 8 or total > PAGE_CAP:
             return None
-        # bomb guard: width-0 miniblocks emit values without consuming
-        # input, so a tiny buffer could demand a huge decode. A legit
-        # constant column costs ~5 bytes per 128-value block (~26x);
-        # 64x is comfortable headroom, beyond it the header is lying.
-        if total > 64 * len(buf) + 4096:
-            return None
+        if total > (expect if expect is not None else 1 << 22):
+            return None  # lying header / unanchored bomb ceiling
         if total == 0:
             return [], pos
         out = [first]
@@ -550,10 +553,11 @@ def _delta_binary_packed(buf: bytes, pos: int, bits: int = 64):
         return None
 
 
-def _delta_length_byte_array(buf: bytes, pos: int):
+def _delta_length_byte_array(buf: bytes, pos: int,
+                             expect: int | None = None):
     """DELTA_LENGTH_BYTE_ARRAY: DELTA_BINARY_PACKED lengths, then the
     concatenated value bytes. Returns (values, end_pos) or None."""
-    got = _delta_binary_packed(buf, pos)
+    got = _delta_binary_packed(buf, pos, expect=expect)
     if got is None:
         return None
     lens, pos = got
@@ -566,16 +570,16 @@ def _delta_length_byte_array(buf: bytes, pos: int):
     return out, pos
 
 
-def _delta_byte_array(buf: bytes, pos: int):
+def _delta_byte_array(buf: bytes, pos: int, expect: int | None = None):
     """DELTA_BYTE_ARRAY (incremental/front coding): DELTA_BINARY_PACKED
     prefix lengths, then DELTA_LENGTH_BYTE_ARRAY suffixes;
     value[i] = value[i-1][:prefix[i]] + suffix[i]. Returns (values,
     end_pos) or None."""
-    got = _delta_binary_packed(buf, pos)
+    got = _delta_binary_packed(buf, pos, expect=expect)
     if got is None:
         return None
     prefixes, pos = got
-    got = _delta_length_byte_array(buf, pos)
+    got = _delta_length_byte_array(buf, pos, expect=expect)
     if got is None:
         return None
     suffixes, pos = got
@@ -714,17 +718,18 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
         return [bool(x) for x in bits]
     if pg.enc == 5 and typ in (_T_INT32, _T_INT64):  # DELTA_BINARY_PACKED
         got = _delta_binary_packed(payload, 0,
-                                   bits=32 if typ == _T_INT32 else 64)
+                                   bits=32 if typ == _T_INT32 else 64,
+                                   expect=n_present)
         if got is None or len(got[0]) < n_present:
             return None
         return got[0][:n_present]
     if pg.enc == 6 and typ == _T_BYTE_ARRAY:  # DELTA_LENGTH_BYTE_ARRAY
-        got = _delta_length_byte_array(payload, 0)
+        got = _delta_length_byte_array(payload, 0, expect=n_present)
         if got is None or len(got[0]) < n_present:
             return None
         return got[0][:n_present]
     if pg.enc == 7 and typ == _T_BYTE_ARRAY:  # DELTA_BYTE_ARRAY
-        got = _delta_byte_array(payload, 0)
+        got = _delta_byte_array(payload, 0, expect=n_present)
         if got is None or len(got[0]) < n_present:
             return None
         return got[0][:n_present]
@@ -1134,14 +1139,21 @@ def scan_parquet_raw_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("content")
 
         def read_table(batches):
+            from dynamic_spark_spark.llmops.parquet_footer import (
+                parse_parquet_footer,
+            )
+
             for pdf in batches:
                 rows = []
                 for content in pdf["content"]:
                     raw = bytes(content)
                     ids = read_parquet_int64_column_dict(raw, "doc_id")
                     texts = read_parquet_binary_column(raw, "text")
-                    if ids is None or texts is None or len(ids) != len(texts):
-                        continue
+                    footer = parse_parquet_footer(raw)
+                    if (ids is None or texts is None or footer is None
+                            or len(ids) != footer[0]
+                            or len(texts) != footer[0]):
+                        continue  # nulls anywhere would misalign the zip
                     rows.extend(
                         (i, t.decode("utf-8")) for i, t in zip(ids, texts)
                     )
@@ -1200,15 +1212,25 @@ def scan_parquet_raw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_return"]
 
         def read_cols(batches):
+            from dynamic_spark_spark.llmops.parquet_footer import (
+                parse_parquet_footer,
+            )
+
             for pdf in batches:
                 frames = []
                 for content in pdf["content"]:
                     raw = bytes(content)
                     got = [read_parquet_column(raw, c) for c in cols]
-                    if any(g is None for g in got):
+                    footer = parse_parquet_footer(raw)
+                    if any(g is None for g in got) or footer is None:
                         continue
-                    n = len(got[0])
-                    if any(len(g) != n for g in got):
+                    # alignment guard: the readers return NON-NULL values
+                    # only, so zipping columns is row-faithful iff every
+                    # column is null-free — anchor each length to the
+                    # footer's row count, not just to each other (equal
+                    # null COUNTS in different rows would otherwise zip
+                    # values from different source rows)
+                    if any(len(g) != footer[0] for g in got):
                         continue
                     frames.append(pd.DataFrame(dict(zip(cols, got))))
                 if frames:

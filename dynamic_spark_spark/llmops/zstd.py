@@ -1288,6 +1288,25 @@ def _zstd_cli_path():
     return shutil.which("zstd")
 
 
+def zstd_compress_real(data: bytes, level: int = 3) -> bytes:
+    """Compress with the REAL zstd CLI when one is installed, this
+    module's encoder otherwise — the one shared writer path for every
+    key/probe that wants genuine libzstd streams (three call sites
+    previously each carried the subprocess/fallback block)."""
+    cli = _zstd_cli_path()
+    if cli is not None:
+        import subprocess
+
+        try:
+            return subprocess.run(
+                [cli, f"-{level}", "-c"], input=data,
+                capture_output=True, check=True,
+            ).stdout
+        except Exception:
+            pass
+    return zstd_compress(data)
+
+
 @query("scan_text_zst", _ZST_TEXT_ORACLE, tag="scan")
 def scan_text_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``.zst`` text-shard round trip against REAL libzstd output: each
@@ -1313,24 +1332,11 @@ def scan_text_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
 
     def roundtrip(batches):
-        import subprocess
-
-        cli = _zstd_cli_path()
         for pdf in batches:
             lines = "".join(
                 f"{int(i)}|{t}\n" for i, t in zip(pdf["doc_id"], pdf["text"])
             ).encode("utf-8")
-            frame = None
-            if cli is not None:
-                try:
-                    frame = subprocess.run(
-                        [cli, "-9", "-c"], input=lines,
-                        capture_output=True, check=True,
-                    ).stdout
-                except Exception:
-                    frame = None
-            if frame is None:
-                frame = zstd_compress(lines)
+            frame = zstd_compress_real(lines, level=9)
             # concat-aware decode: real .jsonl.zst shards are often
             # MULTI-frame (pzstd splits input across frames)
             back = zstd_decompress_concat(frame)

