@@ -25,9 +25,11 @@ The decoder covers the FULL RFC 8878 surface real libzstd output uses:
 predefined FSE distributions (§3.1.1.3.2.2 normative constants),
 Repeat_Mode table reuse, FSE-compressed Huffman weight tables
 (two interleaved states, §4.2.1), treeless literals reusing the
-previous table, and frame-scoped state — repeat-offset history and the
+previous table, frame-scoped state — repeat-offset history and the
 LZ match window both persist ACROSS blocks within a frame, exactly as
-libzstd emits them.
+libzstd emits them — plus multi-frame concatenation with skippable
+frames (§3) and TRAINED DICTIONARIES (§5: entropy-table seeding,
+repeat-offset replacement, content-prefixed window, id matching).
 
 Correctness chain: every layer round-trips under pytest (including
 hypothesis sweeps over arbitrary bytes), the registered keys hash-prove
@@ -946,8 +948,14 @@ def zstd_decompress_concat(raw: bytes, cap: int = ZSTD_FRAME_CAP):
         return None
 
 
-def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx, start: int = 0):
-    """One frame at byte ``start`` → (payload, end_pos) or None."""
+def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx, start: int = 0,
+                prefix: bytes = b"", dict_id: int = 0):
+    """One frame at byte ``start`` → (payload, end_pos) or None.
+    ``prefix`` seeds the match window (dictionary content — sequence
+    offsets legally reach into it) and is excluded from the payload;
+    ``dict_id`` is the attached dictionary's id — a frame naming a
+    DIFFERENT id (or naming one when no dictionary is attached) is
+    refused rather than misdecoded."""
     if len(raw) < start + 9 or raw[start : start + 4] != ZSTD_MAGIC:
         return None
     fhd = raw[start + 4]
@@ -961,8 +969,9 @@ def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx, start: int = 0):
     did_flag = fhd & 3
     did_len = (0, 1, 2, 4)[did_flag]
     if did_len:
-        if int.from_bytes(raw[pos : pos + did_len], "little"):
-            return None  # dictionary frames are out of scope — refuse
+        frame_did = int.from_bytes(raw[pos : pos + did_len], "little")
+        if frame_did and frame_did != dict_id:
+            return None  # names a dictionary we don't have — refuse
         pos += did_len
     fcs_len = (0, 2, 4, 8)[fcs_flag]
     if fcs_flag == 0 and single_segment:
@@ -977,8 +986,11 @@ def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx, start: int = 0):
             return None  # declared bomb
 
     # the output buffer is FRAME-scoped: sequence offsets legally reach
-    # back into previous blocks' output (libzstd does this routinely)
-    out = bytearray()
+    # back into previous blocks' output (libzstd does this routinely),
+    # and into the dictionary-content prefix when one is attached
+    out = bytearray(prefix)
+    base = len(prefix)
+    cap = cap + base
     while True:
         if pos + 3 > len(raw):
             return None
@@ -1011,12 +1023,12 @@ def _zstd_inner(raw: bytes, cap: int, ctx: _FrameCtx, start: int = 0):
         if pos + 4 > len(raw):
             return None
         (want,) = struct.unpack("<I", raw[pos : pos + 4])
-        if (xxh64(bytes(out)) & 0xFFFFFFFF) != want:
+        if (xxh64(bytes(out[base:])) & 0xFFFFFFFF) != want:
             return None  # corrupt payload the entropy layers missed
         pos += 4
-    if content_size is not None and len(out) != content_size:
+    if content_size is not None and len(out) - base != content_size:
         return None
-    return bytes(out), pos
+    return bytes(out[base:]), pos
 
 
 def _decode_block(block: bytes, out: bytearray, ctx: _FrameCtx,
@@ -1508,3 +1520,74 @@ def fn_xxhash64_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hashes_match"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dictionary frames (RFC 8878 §5) — trained dictionaries, the small-record
+# compression mode (per-document .zst with a corpus-trained dictionary)
+# ---------------------------------------------------------------------------
+
+ZSTD_DICT_MAGIC = b"\x37\xa4\x30\xec"  # 0xEC30A437 little-endian
+
+
+def zstd_parse_dictionary(raw: bytes):
+    """Parse a zstd dictionary → ``(dict_id, ctx_seed, content)`` or
+    None. A magic-framed dictionary carries, in order: 4-byte id, the
+    Huffman literals table (weight-description format), the OF/ML/LL
+    FSE tables (ncount serialization, byte-aligned each), three 4-byte
+    little-endian initial repeat offsets, then the raw content the
+    match window is seeded with. Anything without the magic is a RAW
+    CONTENT dictionary (id 0, no entropy seed) per the spec. Never
+    raises."""
+    try:
+        if len(raw) >= 8 and raw[:4] == ZSTD_DICT_MAGIC:
+            dict_id = int.from_bytes(raw[4:8], "little")
+            pos = 8
+            weights, consumed = huf_read_weights(raw[pos:])
+            huf = _HufTable(weights)
+            pos += consumed
+            tables = []
+            for max_sym, max_log in ((31, 8), (52, 9), (35, 9)):  # OF ML LL
+                norm, log, bits = fse_read_ncount(raw[pos:], 0, max_sym,
+                                                  max_log)
+                pos += (bits + 7) // 8
+                tables.append(_FseDecodeTable(norm, log))
+            if pos + 12 > len(raw):
+                return None
+            reps = [
+                int.from_bytes(raw[pos + 4 * i : pos + 4 * i + 4], "little")
+                for i in range(3)
+            ]
+            if any(r <= 0 for r in reps):
+                return None
+            pos += 12
+            ctx = _FrameCtx()
+            ctx.huf = huf
+            ctx.of, ctx.ml, ctx.ll = tables
+            ctx.reps = reps
+            return dict_id, ctx, raw[pos:]
+        if not raw:
+            return None
+        return 0, _FrameCtx(), raw  # raw content dictionary
+    except Exception:
+        return None
+
+
+def zstd_decompress_dict(frame: bytes, dictionary: bytes,
+                         cap: int = ZSTD_FRAME_CAP):
+    """Decode one frame against a dictionary (CLI ``zstd --train`` /
+    ``zstd -D`` output, or a raw content prefix): the dictionary's
+    entropy tables become the frame's initial Repeat_Mode/treeless
+    state, its repeat offsets replace 1/4/8, and its content seeds the
+    match window. The frame's Dictionary_ID must match (or be absent).
+    Returns payload bytes or None; never raises."""
+    parsed = zstd_parse_dictionary(dictionary)
+    if parsed is None:
+        return None
+    dict_id, ctx, content = parsed
+    try:
+        got = _zstd_inner(frame, cap, ctx, 0, prefix=content,
+                          dict_id=dict_id)
+        return None if got is None else got[0]
+    except Exception:
+        return None

@@ -438,3 +438,69 @@ def test_multi_frame_concat_and_skippable_frames():
     assert zstd_decompress_concat(b"") is None
     # single-frame entry point keeps its one-frame contract
     assert zstd_decompress(fa) == a
+
+
+@needs_cli
+def test_dictionary_frames_decode(tmp_path):
+    """Trained-dictionary frames (RFC 8878 §5): `zstd --train` builds a
+    real dictionary over a corpus of small similar documents, `zstd -D`
+    writes dictionary frames, and the pure-Python decoder reproduces
+    every payload — entropy tables seeded from the dictionary
+    (Repeat_Mode/treeless in the FIRST block), repeat offsets replaced,
+    match window prefixed with the dictionary content. Refusals: a
+    frame naming a dictionary decodes to None without it or with a
+    wrong-id one. Raw-content dictionaries (no magic) work as pure
+    window prefixes."""
+    from dynamic_spark_spark.llmops.zstd import zstd_decompress_dict
+
+    rng = random.Random(1)
+    words = [
+        "the", "service", "request", "handler", "returned", "status",
+        "payload", "document", "spark", "engine", "training",
+    ]
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    docs = []
+    for i in range(200):
+        t = (
+            f"doc {i}: "
+            + " ".join(rng.choice(words) for _ in range(rng.randint(30, 80)))
+        ).encode()
+        docs.append(t)
+        (samples / f"{i}.txt").write_bytes(t)
+    dict_path = tmp_path / "dict.bin"
+    subprocess.run(
+        [_ZSTD_CLI, "--train", *[str(samples / f"{i}.txt") for i in range(200)],
+         "-o", str(dict_path), "--maxdict=4096"],
+        capture_output=True, check=True,
+    )
+    dictionary = dict_path.read_bytes()
+    assert dictionary[:4] == b"\x37\xa4\x30\xec"
+
+    def dict_compress(doc):
+        return subprocess.run(
+            [_ZSTD_CLI, "-D", str(dict_path), "-3", "-c"], input=doc,
+            capture_output=True, check=True,
+        ).stdout
+
+    for doc in docs[:30]:
+        assert zstd_decompress_dict(dict_compress(doc), dictionary) == doc
+    frame = dict_compress(docs[0])
+    # refusals: absent dictionary, wrong dictionary id
+    assert zstd_decompress(frame) is None
+    bad = bytearray(dictionary)
+    bad[4] ^= 0xFF
+    assert zstd_decompress_dict(frame, bytes(bad)) is None
+    # raw-content dictionary: any bytes act as a window prefix
+    raw_frame = subprocess.run(
+        [_ZSTD_CLI, "-D", str(samples / "0.txt"), "-3", "-c"],
+        input=docs[1], capture_output=True, check=True,
+    ).stdout
+    assert zstd_decompress_dict(raw_frame, docs[0]) == docs[1]
+    # and mutation sweeps over a dict frame never raise
+    for _ in range(150):
+        m = bytearray(frame)
+        for _ in range(rng.randint(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        out = zstd_decompress_dict(bytes(m), dictionary)
+        assert out is None or isinstance(out, bytes)
