@@ -283,6 +283,8 @@ def _more_parsers():
         "proto_stream_walk": PW.proto_stream_walk,
         "pdf_text_extract": PDF.pdf_text_extract,
         "zstd_decompress": Z.zstd_decompress,
+        "zstd_decompress_concat": Z.zstd_decompress_concat,
+        "zstd_decompress_dict": lambda raw: Z.zstd_decompress_dict(raw, b"prefix dictionary content"),
         "hadoop_lz4_decompress": hadoop_lz4_decompress,
         "parse_parquet_footer": PF.parse_parquet_footer,
         "parse_orc_tail": PW.parse_orc_tail,
