@@ -162,3 +162,24 @@ def test_artifact_wires_per_key_table():
     assert '"per_key": per_key_table' in src
     assert "pk_msgs, per_key_table = per_key_verdict(" in src
     assert "violations = violations + pk_msgs" in src
+
+
+def test_per_key_anchors_match_recorded_artifacts():
+    """Every per-key anchor must equal the BEST recorded min across the
+    committed BENCH_r*.json artifacts — a drive-by loosening of one
+    anchor (which would widen that key's 2x budget) fails here, the
+    same protection the total anchors have."""
+    import glob
+
+    best = {}
+    for path in sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json"))):
+        parsed = json.load(open(path)).get("parsed") or {}
+        for k, v in {
+            **(parsed.get("queries_min") or {}),
+            **(parsed.get("extended_queries_min") or {}),
+        }.items():
+            if k not in best or v < best[k]:
+                best[k] = v
+    for key, anchor in bench.PER_KEY_ANCHOR_MIN_SEC.items():
+        assert key in best, key
+        assert anchor == best[key], (key, anchor, best[key])
