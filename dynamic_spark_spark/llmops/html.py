@@ -742,3 +742,186 @@ def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --- HTTP payload layer: what's INSIDE a crawl response record -------------
+
+#: decoded-body cap — the container discipline
+HTTP_BODY_CAP = 8 << 20
+
+
+def http_dechunk(body: bytes, cap: int = HTTP_BODY_CAP):
+    """Decode HTTP/1.1 chunked transfer-encoding (RFC 9112 §7.1): hex
+    size line (chunk extensions after ';' ignored), CRLF, chunk bytes,
+    CRLF, ... , 0-size terminator (trailer section ignored). Returns
+    the joined bytes or None; never raises."""
+    try:
+        out = bytearray()
+        pos = 0
+        while True:
+            nl = body.index(b"\r\n", pos)
+            size_tok = body[pos:nl].split(b";", 1)[0].strip()
+            size = int(size_tok, 16)
+            if size < 0 or len(out) + size > cap:
+                return None
+            pos = nl + 2
+            if size == 0:
+                return bytes(out)  # trailers (if any) are ignored
+            chunk = body[pos : pos + size]
+            if len(chunk) < size:
+                return None
+            out += chunk
+            if body[pos + size : pos + size + 2] != b"\r\n":
+                return None
+            pos += size + 2
+    except (ValueError, IndexError):
+        return None
+
+
+def http_payload_decode(raw: bytes, cap: int = HTTP_BODY_CAP):
+    """Decode an HTTP/1.1 response payload the way a crawl pipeline
+    must before it can see the document: status line, case-insensitive
+    headers, then Transfer-Encoding (chunked — undone FIRST, it's the
+    wire layer) and Content-Encoding (identity/gzip/deflate/zstd — the
+    zstd leg through this repo's own decoder). Returns ``(status,
+    content_type_or_None, body_bytes)`` or None; unknown codings (br,
+    compress) refuse rather than guess. Never raises."""
+    try:
+        sep = raw.find(b"\r\n\r\n")
+        if sep < 0:
+            return None
+        head = raw[:sep].decode("latin-1")
+        body = raw[sep + 4 :]
+        lines = head.split("\r\n")
+        parts = lines[0].split(None, 2)
+        if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+            return None
+        status = int(parts[1])
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        if "chunked" in headers.get("transfer-encoding", "").lower():
+            body = http_dechunk(body, cap)
+            if body is None:
+                return None
+        elif "content-length" in headers:
+            try:
+                n = int(headers["content-length"])
+            except ValueError:
+                return None
+            if n < 0 or n > len(body):
+                return None
+            body = body[:n]
+        enc = headers.get("content-encoding", "identity").lower().strip()
+        if enc in ("gzip", "x-gzip"):
+            import zlib
+
+            try:
+                body = zlib.decompressobj(wbits=47).decompress(body, cap + 1)
+            except zlib.error:
+                return None
+        elif enc == "deflate":
+            import zlib
+
+            # RFC says zlib-wrapped; real servers send both forms
+            for wbits in (15, -15):
+                try:
+                    body = zlib.decompressobj(wbits=wbits).decompress(
+                        body, cap + 1
+                    )
+                    break
+                except zlib.error:
+                    continue
+            else:
+                return None
+        elif enc == "zstd":
+            from dynamic_spark_spark.llmops.zstd import zstd_decompress_concat
+
+            body = zstd_decompress_concat(body, cap)
+            if body is None:
+                return None
+        elif enc not in ("identity", ""):
+            return None  # br/compress/...: refuse, don't guess
+        if len(body) > cap:
+            return None
+        return status, headers.get("content-type"), bytes(body)
+    except Exception:
+        return None
+
+
+_HTTP_ENC_CASE = (
+    "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'identity'"
+    " WHEN 1 THEN 'gzip' ELSE 'zstd' END"
+)
+
+_WARC_HTTP_ORACLE = f"""
+SELECT doc_id,
+  CAST(200 AS INT) AS status,
+  {_HTTP_ENC_CASE} AS encoding,
+  coalesce(text, '') AS text
+FROM documents
+"""
+
+
+@query("scan_warc_http_payloads", _WARC_HTTP_ORACLE, tag="llm-crawl")
+def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTTP layer inside crawl records, decoded for real: each
+    document becomes an HTTP/1.1 response whose body is chunked
+    transfer-encoded on the wire AND content-encoded per ``doc_id % 3``
+    (identity / gzip / zstd — the zstd leg round-trips through this
+    repo's own codec), exactly the double-wrapping Common Crawl
+    response payloads carry. The decoder undoes chunking first, then
+    the content coding, and the identity oracle hash-proves status
+    parse, header fold, de-chunking, and both decompressors per row.
+    Per-batch mapInPandas, zero shuffle."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from dynamic_spark_spark.llmops.zstd import zstd_compress_real
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def roundtrip(batches):
+        def chunkify(b: bytes) -> bytes:
+            out = bytearray()
+            step = 700  # several chunks per document
+            for i in range(0, len(b), step):
+                part = b[i : i + step]
+                out += f"{len(part):x}".encode() + b"\r\n" + part + b"\r\n"
+            out += b"0\r\n\r\n"
+            return bytes(out)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = (text if isinstance(text, str) else "").encode("utf-8")
+                mode = int(doc_id) % 3
+                if mode == 1:
+                    wire, enc = _gzip.compress(body, 6), "gzip"
+                elif mode == 2:
+                    wire, enc = zstd_compress_real(body, level=3), "zstd"
+                else:
+                    wire, enc = body, "identity"
+                payload = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/plain\r\n"
+                    + f"Content-Encoding: {enc}\r\n".encode()
+                    + b"Transfer-Encoding: chunked\r\n\r\n"
+                    + chunkify(wire)
+                )
+                got = http_payload_decode(payload)
+                if got is None:
+                    continue
+                status, _ctype, out_body = got
+                rows.append(
+                    (int(doc_id), status, enc, out_body.decode("utf-8"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "encoding", "text"]
+            )
+
+    return d.mapInPandas(
+        roundtrip, "doc_id long, status int, encoding string, text string"
+    )

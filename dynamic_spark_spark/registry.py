@@ -367,6 +367,7 @@ _PRIORITY = [
     "scan_text_zst", "scan_tzst_members", "scan_orc_footer",
     "fn_xxhash64_pure", "scan_parquet_raw_table",
     "scan_parquet_raw_numeric", "scan_orc_column", "scan_orc_raw_table",
+    "scan_warc_http_payloads",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

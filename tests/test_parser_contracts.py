@@ -286,6 +286,9 @@ def _more_parsers():
         "zstd_decompress_concat": Z.zstd_decompress_concat,
         "zstd_decompress_dict": lambda raw: Z.zstd_decompress_dict(raw, b"prefix dictionary content"),
         "hadoop_lz4_decompress": hadoop_lz4_decompress,
+        "http_payload_decode": lambda raw: __import__(
+            "dynamic_spark_spark.llmops.html", fromlist=["html"]
+        ).http_payload_decode(raw),
         "parse_parquet_footer": PF.parse_parquet_footer,
         "parse_orc_tail": PW.parse_orc_tail,
         "read_parquet_int64": lambda raw: PR.read_parquet_int64_column(raw, "doc_id"),

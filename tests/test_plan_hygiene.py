@@ -406,6 +406,7 @@ def test_raw_bytes_walkers_zero_exchange(spark, sf_dir):
         "scan_parquet_raw_numeric",
         "scan_orc_column",
         "scan_orc_raw_table",
+        "scan_warc_http_payloads",
     ):
         plan = _plan(q[key](spark, sf_dir))
         assert "Exchange" not in plan, f"{key}: {plan}"
