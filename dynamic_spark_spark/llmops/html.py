@@ -761,8 +761,15 @@ def http_dechunk(body: bytes, cap: int = HTTP_BODY_CAP):
         while True:
             nl = body.index(b"\r\n", pos)
             size_tok = body[pos:nl].split(b";", 1)[0].strip()
+            # strict RFC 9112 grammar (1*HEXDIG): Python's int(_, 16)
+            # would also accept '0x5'/'+5'/'1_0' and MIS-frame streams a
+            # conforming parser frames differently — refuse those
+            if not size_tok or any(
+                c not in b"0123456789abcdefABCDEF" for c in size_tok
+            ):
+                return None
             size = int(size_tok, 16)
-            if size < 0 or len(out) + size > cap:
+            if len(out) + size > cap:
                 return None
             pos = nl + 2
             if size == 0:
@@ -801,7 +808,14 @@ def http_payload_decode(raw: bytes, cap: int = HTTP_BODY_CAP):
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        if "chunked" in headers.get("transfer-encoding", "").lower():
+        te = [
+            t.strip() for t in headers.get("transfer-encoding", "").lower()
+            .split(",") if t.strip()
+        ]
+        if any(t not in ("chunked", "identity") for t in te):
+            return None  # T-E gzip/compress/...: refuse, don't pass
+            #              still-encoded wire bytes off as the document
+        if "chunked" in te:
             body = http_dechunk(body, cap)
             if body is None:
                 return None
@@ -818,21 +832,29 @@ def http_payload_decode(raw: bytes, cap: int = HTTP_BODY_CAP):
             import zlib
 
             try:
-                body = zlib.decompressobj(wbits=47).decompress(body, cap + 1)
+                d = zlib.decompressobj(wbits=47)
+                out = d.decompress(body, cap + 1)
             except zlib.error:
                 return None
+            # completeness check (same discipline as gzip_member_walk):
+            # a truncated stream or trailing junk is a refusal, not a
+            # silently partial document
+            if not d.eof or d.unused_data:
+                return None
+            body = out
         elif enc == "deflate":
             import zlib
 
             # RFC says zlib-wrapped; real servers send both forms
             for wbits in (15, -15):
                 try:
-                    body = zlib.decompressobj(wbits=wbits).decompress(
-                        body, cap + 1
-                    )
-                    break
+                    d = zlib.decompressobj(wbits=wbits)
+                    out = d.decompress(body, cap + 1)
                 except zlib.error:
                     continue
+                if d.eof and not d.unused_data:
+                    body = out
+                    break
             else:
                 return None
         elif enc == "zstd":
@@ -879,7 +901,7 @@ def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.zstd import zstd_compress_real
+    from dynamic_spark_spark.llmops.zstd import zstd_compress_real_many
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -894,14 +916,25 @@ def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             return bytes(out)
 
         for pdf in batches:
-            rows = []
+            bodies = {}
+            zstd_in = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 body = (text if isinstance(text, str) else "").encode("utf-8")
-                mode = int(doc_id) % 3
+                bodies[int(doc_id)] = body
+                if int(doc_id) % 3 == 2:
+                    zstd_in.append(body)
+            # ONE CLI spawn per Arrow batch for all zstd-coded rows
+            # (per-row spawns made synthesis the 100x probe's dominant
+            # cost — the r11 review finding)
+            zstd_out = iter(zstd_compress_real_many(zstd_in, level=3))
+            rows = []
+            for doc_id in bodies:
+                body = bodies[doc_id]
+                mode = doc_id % 3
                 if mode == 1:
                     wire, enc = _gzip.compress(body, 6), "gzip"
                 elif mode == 2:
-                    wire, enc = zstd_compress_real(body, level=3), "zstd"
+                    wire, enc = next(zstd_out), "zstd"
                 else:
                     wire, enc = body, "identity"
                 payload = (
@@ -916,7 +949,7 @@ def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 status, _ctype, out_body = got
                 rows.append(
-                    (int(doc_id), status, enc, out_body.decode("utf-8"))
+                    (doc_id, status, enc, out_body.decode("utf-8"))
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "status", "encoding", "text"]

@@ -1540,7 +1540,10 @@ def zstd_parse_dictionary(raw: bytes):
     CONTENT dictionary (id 0, no entropy seed) per the spec. Never
     raises."""
     try:
-        if len(raw) >= 8 and raw[:4] == ZSTD_DICT_MAGIC:
+        if raw[:4] == ZSTD_DICT_MAGIC:
+            if len(raw) < 8:
+                return None  # magic with no room for the id: malformed,
+                #              NOT a raw-content dictionary
             dict_id = int.from_bytes(raw[4:8], "little")
             pos = 8
             weights, consumed = huf_read_weights(raw[pos:])
@@ -1591,3 +1594,38 @@ def zstd_decompress_dict(frame: bytes, dictionary: bytes,
         return None if got is None else got[0]
     except Exception:
         return None
+
+
+def zstd_compress_real_many(payloads: list[bytes], level: int = 3) -> list[bytes]:
+    """Batch form of :func:`zstd_compress_real`: compress N payloads
+    with ONE CLI invocation (the CLI compresses N input files to N
+    outputs in a single spawn), falling back per payload to the pure
+    encoder. Per-row subprocess spawns made fixture synthesis the
+    dominant cost of the 100× probes — this is the amortized path."""
+    if not payloads:
+        return []
+    cli = _zstd_cli_path()
+    if cli is not None:
+        import subprocess
+        import tempfile
+
+        try:
+            with tempfile.TemporaryDirectory(prefix="dss_zstdb_") as d:
+                paths = []
+                for i, p in enumerate(payloads):
+                    path = f"{d}/{i:06d}.bin"
+                    with open(path, "wb") as f:
+                        f.write(p)
+                    paths.append(path)
+                subprocess.run(
+                    [cli, f"-{level}", "-q", *paths],
+                    capture_output=True, check=True,
+                )
+                out = []
+                for path in paths:
+                    with open(path + ".zst", "rb") as f:
+                        out.append(f.read())
+                return out
+        except Exception:
+            pass
+    return [zstd_compress(p) for p in payloads]

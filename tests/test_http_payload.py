@@ -89,3 +89,61 @@ def test_payload_decode_never_raises():
             m[rng.randrange(len(m))] = rng.randrange(256)
         out = http_payload_decode(bytes(m))
         assert out is None or isinstance(out, tuple)
+
+
+def test_payload_decode_refusals_from_review():
+    """r11 review findings pinned: truncated/garbage-trailed gzip and
+    deflate bodies refuse (stream completeness, same discipline as
+    gzip_member_walk); non-chunked Transfer-Encoding codings refuse
+    instead of passing still-encoded wire bytes through; non-RFC chunk
+    size grammar ('0x5', '+5', '1_0') refuses instead of mis-framing."""
+    text = b"secret document body " * 30
+    gz = gzip.compress(text)
+    # truncated gzip: no partial documents
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+               + gz[: len(gz) // 2])
+    assert http_payload_decode(payload) is None
+    # trailing junk after a complete member
+    payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz + b"JUNK"
+    assert http_payload_decode(payload) is None
+    # truncated zlib-deflate
+    df = zlib.compress(text)
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+               + df[: len(df) // 2])
+    assert http_payload_decode(payload) is None
+    # Transfer-Encoding gzip (alone or with chunked) refuses
+    for te in (b"gzip", b"gzip, chunked"):
+        payload = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: " + te
+                   + b"\r\n\r\n" + gz)
+        assert http_payload_decode(payload) is None
+    # chunk-size grammar: Python-isms are not HEXDIG
+    for bad in (b"0x5\r\nhello\r\n0\r\n\r\n", b"+5\r\nhello\r\n0\r\n\r\n",
+                b"1_0\r\n" + b"x" * 16 + b"\r\n0\r\n\r\n"):
+        assert http_dechunk(bad) is None
+
+
+def test_zstd_dict_truncated_magic_refused():
+    from dynamic_spark_spark.llmops.zstd import (
+        ZSTD_DICT_MAGIC,
+        zstd_parse_dictionary,
+    )
+
+    assert zstd_parse_dictionary(ZSTD_DICT_MAGIC + b"\x01") is None
+    assert zstd_parse_dictionary(ZSTD_DICT_MAGIC) is None
+    # raw-content dictionaries (no magic) still parse
+    got = zstd_parse_dictionary(b"plain prefix bytes")
+    assert got is not None and got[0] == 0
+
+
+def test_zstd_batch_cli_compress():
+    from dynamic_spark_spark.llmops.zstd import (
+        zstd_compress_real_many,
+        zstd_decompress,
+    )
+
+    payloads = [f"payload number {i} ".encode() * (i + 1) for i in range(20)]
+    frames = zstd_compress_real_many(payloads)
+    assert len(frames) == len(payloads)
+    for f, p in zip(frames, payloads):
+        assert zstd_decompress(f) == p
+    assert zstd_compress_real_many([]) == []
