@@ -733,6 +733,19 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
         if got is None or len(got[0]) < n_present:
             return None
         return got[0][:n_present]
+    if pg.enc == 9 and (typ in _FIXED_WIDTH or (typ == _T_FIXED and tlen)):
+        # BYTE_STREAM_SPLIT (encodings.md): the K-byte values are
+        # transposed — all 1st bytes, then all 2nd bytes, ... — so FP
+        # pages compress better; undo the transpose then decode PLAIN
+        w = _TYPE_BYTES.get(typ, tlen)
+        if len(payload) < w * n_present:
+            return None
+        joined = bytes(
+            payload[j * n_present + i]
+            for i in range(n_present)
+            for j in range(w)
+        )
+        return _plain_decode(typ, joined, n_present, tlen)
     return None  # BYTE_STREAM_SPLIT et al: out of scope — refuse, don't guess
 
 

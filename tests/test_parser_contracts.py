@@ -2075,3 +2075,41 @@ def test_parquet_delta_dense_streams_not_refused():
     assert got is not None and got[0] == [42] * total
     # a lying header (claims more than the caller's page count) refuses
     assert _delta_binary_packed(bytes(stream), 0, expect=total - 1) is None
+
+
+def test_parquet_byte_stream_split_matches_pyarrow():
+    """BYTE_STREAM_SPLIT (encodings.md): byte-transposed fixed-width
+    values — the FP-column encoding some writers enable for better
+    compression — for FLOAT/DOUBLE/INT32 on both page versions and two
+    codecs."""
+    import io as _io
+    import random as _r
+    import struct as _s
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+
+    rng = _r.Random(2)
+    cases = [
+        (pa.float64(), [rng.uniform(-1e12, 1e12) for _ in range(5000)]),
+        (pa.float32(), [rng.uniform(-1e6, 1e6) for _ in range(5000)]),
+        (pa.int32(), [rng.randint(-2**31, 2**31 - 1) for _ in range(5000)]),
+    ]
+    for typ, vals in cases:
+        want = (
+            [_s.unpack("<f", _s.pack("<f", v))[0] for v in vals]
+            if typ == pa.float32() else vals
+        )
+        for ver in ("1.0", "2.0"):
+            for comp in ("snappy", "zstd"):
+                buf = _io.BytesIO()
+                pq.write_table(
+                    pa.table({"x": pa.array(vals, type=typ)}), buf,
+                    use_dictionary=False, data_page_version=ver,
+                    compression=comp,
+                    column_encoding={"x": "BYTE_STREAM_SPLIT"},
+                )
+                got = read_parquet_column(buf.getvalue(), "x")
+                assert got == want, (typ, ver, comp)
