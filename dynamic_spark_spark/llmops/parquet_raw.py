@@ -4,25 +4,37 @@ The footer audit (:mod:`parquet_footer`) proves the metadata layer; this
 module walks the rest of the way down and reads actual COLUMN VALUES out
 of a Spark-written, snappy-compressed parquet file:
 
-    footer (Thrift compact) → schema tree (physical types, repetition)
+    footer (Thrift compact) → schema tree (physical types, repetition,
+      FLBA type_length)
     → row groups → column-chunk metadata
     → page headers (Thrift compact, at their byte offsets)
-    → SNAPPY decompression (pure-Python tag walk — the format parquet
-      compresses with BY DEFAULT)
+    → page decompression: SNAPPY (pure-Python tag walk — parquet's
+      default codec), GZIP (stdlib), ZSTD and LZ4_RAW (this repo's own
+      decoders — a zstd-parquet lakehouse table reads with no native
+      codec anywhere)
     → definition levels (RLE/bit-packed hybrid, OPTIONAL columns only —
       REQUIRED columns carry no def-levels block, parquet-format.md)
-    → PLAIN / dictionary-indexed values across the physical type
-      lattice: BOOLEAN, INT32, INT64, FLOAT, DOUBLE, BYTE_ARRAY —
-      v1 AND v2 data pages.
+    → values across the physical type lattice — BOOLEAN, INT32, INT64,
+      FLOAT, DOUBLE, BYTE_ARRAY, FIXED_LEN_BYTE_ARRAY — in every
+      encoding the mainstream writers emit: PLAIN, dictionary
+      (PLAIN_DICTIONARY/RLE_DICTIONARY, routed by the page's DECLARED
+      encoding so parquet-mr's mid-chunk PLAIN fallback parses), RLE
+      booleans, DELTA_BINARY_PACKED (width-correct 32/64-bit wrap),
+      DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY front coding, and
+      BYTE_STREAM_SPLIT — v1 AND v2 data pages.
+
+Out of scope, refused explicitly: INT96, LZO/BROTLI/legacy-LZ4 codecs,
+nested/repeated paths.
 
 Every layer is an independent re-implementation forced to agree with
 parquet-mr (the JVM writer) through the real bytes, and the keys'
 oracles are identity projections — a hash match means thrift field
-walks, the schema tree, the snappy tag decoder, the RLE hybrid, and
-little-endian PLAIN decoding are all correct simultaneously. pytest
-additionally pins the chain against pyarrow-written files (a THIRD
-independent writer), including REQUIRED columns, v2 data pages, and
-every physical type.
+walks, the schema tree, the codec decoders, the RLE hybrid, and the
+value decoders are all correct simultaneously. pytest additionally
+pins the chain against pyarrow-written files (a THIRD independent
+writer) across a writer-knob matrix AND hypothesis-generated random
+tables, including REQUIRED columns, v2 data pages, every physical
+type, and every encoding above.
 
 This is the 100-TB repair story: when a shard fails in the vectorized
 reader, the bytes-level read is how you find which layer lies.
