@@ -250,6 +250,9 @@ def main() -> None:
     for name in EXTENDED:
         extended[name], extended_min[name], _ = timed(name)
 
+    from dynamic_spark_spark.llmops.zstd import zstd_synthesis_mode
+
+    zstd_synthesis = zstd_synthesis_mode()
     load_after = [round(x, 2) for x in os.getloadavg()]
     try:
         with open("/proc/uptime") as fh:
@@ -290,6 +293,11 @@ def main() -> None:
                 "loadavg_before": load_before,
                 "loadavg_after": load_after,
                 "uptime_sec": uptime_sec,
+                # which encoder wrote the zstd fixtures this run (r11
+                # verdict: a silent CLI→pure fallback let "proves real
+                # libzstd output" wear the wrong label) — "cli" = real
+                # libzstd frames, "pure" = this repo's own encoder
+                "zstd_synthesis": zstd_synthesis,
                 # self-adjudicating guard block: the artifact carries its own
                 # verdict (min-of-5 basis) and noise context, so a reader
                 # never has to re-litigate a loaded-box median (r5–r7 did,

@@ -916,11 +916,14 @@ def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             return bytes(out)
 
         for pdf in batches:
-            bodies = {}
+            # (doc_id, body) TUPLES, not a dict: keying by doc_id would
+            # dedup, desynchronizing the zstd_out iterator below if a
+            # duplicate id ever appeared in a batch (r11 ADVICE)
+            bodies = []
             zstd_in = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 body = (text if isinstance(text, str) else "").encode("utf-8")
-                bodies[int(doc_id)] = body
+                bodies.append((int(doc_id), body))
                 if int(doc_id) % 3 == 2:
                     zstd_in.append(body)
             # ONE CLI spawn per Arrow batch for all zstd-coded rows
@@ -928,8 +931,7 @@ def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cost — the r11 review finding)
             zstd_out = iter(zstd_compress_real_many(zstd_in, level=3))
             rows = []
-            for doc_id in bodies:
-                body = bodies[doc_id]
+            for doc_id, body in bodies:
                 mode = doc_id % 3
                 if mode == 1:
                     wire, enc = _gzip.compress(body, 6), "gzip"

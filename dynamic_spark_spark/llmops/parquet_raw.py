@@ -758,7 +758,8 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
             for j in range(w)
         )
         return _plain_decode(typ, joined, n_present, tlen)
-    return None  # BYTE_STREAM_SPLIT et al: out of scope — refuse, don't guess
+    return None  # unknown/future encodings (and deprecated BIT_PACKED
+    #               levels-only encoding 4): out of scope — refuse, don't guess
 
 
 def read_parquet_column(raw: bytes, column: str):

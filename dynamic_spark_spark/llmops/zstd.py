@@ -878,7 +878,8 @@ def zstd_decompress(raw: bytes, cap: int = ZSTD_FRAME_CAP):
     """Decode one zstd frame. Returns the payload bytes or None for
     anything malformed (bad magic, reserved block types, lying sizes,
     bomb declarations, broken entropy streams, nonzero dictionary IDs
-    — no dictionary support). Never raises. With
+    — frames naming a dictionary ID are refused by THIS entry point;
+    use :func:`zstd_decompress_dict` to decode them). Never raises. With
     SPARK_GRAFT_ZSTD_NATIVE=1 and a binding installed the native tier is
     consulted first (exact-equality contract — zstd is lossless) and
     falls through here when it declines."""
@@ -1314,8 +1315,8 @@ def zstd_compress_real(data: bytes, level: int = 3) -> bytes:
                 [cli, f"-{level}", "-c"], input=data,
                 capture_output=True, check=True,
             ).stdout
-        except Exception:
-            pass
+        except (OSError, subprocess.SubprocessError):
+            pass  # real CLI failure modes only — anything else propagates
     return zstd_compress(data)
 
 
@@ -1596,14 +1597,20 @@ def zstd_decompress_dict(frame: bytes, dictionary: bytes,
         return None
 
 
-def zstd_compress_real_many(payloads: list[bytes], level: int = 3) -> list[bytes]:
-    """Batch form of :func:`zstd_compress_real`: compress N payloads
-    with ONE CLI invocation (the CLI compresses N input files to N
-    outputs in a single spawn), falling back per payload to the pure
-    encoder. Per-row subprocess spawns made fixture synthesis the
-    dominant cost of the 100× probes — this is the amortized path."""
+def zstd_compress_real_many_tagged(
+    payloads: list[bytes], level: int = 3
+) -> tuple[str, list[bytes]]:
+    """Batch form of :func:`zstd_compress_real` that also REPORTS which
+    encoder produced the frames: ``("cli", frames)`` when the real zstd
+    CLI wrote them, ``("pure", frames)`` when this module's own encoder
+    did. The marker exists because the two outcomes prove different
+    claims — "the decoder reads real libzstd output" vs "the decoder
+    round-trips its own encoder" — and a silent fallback (the r11
+    verdict finding) let the weaker claim wear the stronger label.
+    Only the CLI's real failure modes (missing binary, spawn errors,
+    nonzero exit) trigger the fallback; anything else propagates."""
     if not payloads:
-        return []
+        return ("cli" if _zstd_cli_path() else "pure"), []
     cli = _zstd_cli_path()
     if cli is not None:
         import subprocess
@@ -1625,7 +1632,24 @@ def zstd_compress_real_many(payloads: list[bytes], level: int = 3) -> list[bytes
                 for path in paths:
                     with open(path + ".zst", "rb") as f:
                         out.append(f.read())
-                return out
-        except Exception:
-            pass
-    return [zstd_compress(p) for p in payloads]
+                return "cli", out
+        except (OSError, subprocess.SubprocessError):
+            pass  # CLI broke mid-run: fall back, but SAY so via the marker
+    return "pure", [zstd_compress(p) for p in payloads]
+
+
+def zstd_compress_real_many(payloads: list[bytes], level: int = 3) -> list[bytes]:
+    """Frames-only form of :func:`zstd_compress_real_many_tagged` (ONE
+    CLI spawn for N payloads — per-row spawns made fixture synthesis the
+    dominant cost of the 100× probes)."""
+    return zstd_compress_real_many_tagged(payloads, level)[1]
+
+
+def zstd_synthesis_mode(level: int = 3) -> str:
+    """One-shot probe of which encoder fixture synthesis would use RIGHT
+    NOW on this host: ``"cli"`` or ``"pure"``. bench.py records it in
+    the guard artifact so the "proves real libzstd output" claim of
+    `scan_text_zst`/`scan_tzst_members`/`scan_warc_http_payloads` is
+    auditable from the artifact alone (local mode: driver and executors
+    share the host, so the probe's answer is the executors' answer)."""
+    return zstd_compress_real_many_tagged([b"probe"], level)[0]

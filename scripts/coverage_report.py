@@ -153,6 +153,15 @@ def main() -> None:
         "a constant fraction of the table at bench/scale SFs, FLOORED (r5)",
         "at the oracle SQL's static bound for sf <= 0.01 so every",
         "verification fixture (driver sf0.01, pytest sf0.001) matches.",
+        "`dedup_minhash_ml` runs MinHashLSH with numHashTables=4 (round",
+        "11; was 8 in rounds 2-10 — approxSimilarityJoin row-explosion is",
+        "the key's dominant bench cost). Fewer tables lowers candidate",
+        "RECALL, and the justification is empirical ON THIS CORPUS (at",
+        "Jaccard <= 0.5 the same heavy near-dup mass surfaces); a",
+        "different corpus/SF could surface fewer pairs than the",
+        "hand-built banded path, and being rows-only no oracle would",
+        "flag it — parity-tier users should restore 8 tables when recall",
+        "matters more than latency (r11 ADVICE, declared r12).",
         "",
         "Driver-canon hazard scan (r5, scripts/schema_scan.py): all",
         "registered keys' output schemas checked for top-level",

@@ -504,3 +504,65 @@ def test_dictionary_frames_decode(tmp_path):
             m[rng.randrange(len(m))] = rng.randrange(256)
         out = zstd_decompress_dict(bytes(m), dictionary)
         assert out is None or isinstance(out, bytes)
+
+
+# ---------------------------------------------------------------------------
+# synthesis marker (r11 verdict: the CLI→pure fallback was silent, so
+# "proves real libzstd output" could wear the wrong label)
+# ---------------------------------------------------------------------------
+
+
+def test_synthesis_marker_cli_when_cli_present():
+    from dynamic_spark_spark.llmops import zstd as z
+
+    if z._zstd_cli_path() is None:
+        pytest.skip("no zstd CLI on this box")
+    mode, frames = z.zstd_compress_real_many_tagged([b"alpha", b"beta"])
+    assert mode == "cli"
+    assert [z.zstd_decompress_concat(f) for f in frames] == [b"alpha", b"beta"]
+    assert z.zstd_synthesis_mode() == "cli"
+
+
+def test_synthesis_marker_flips_without_cli(monkeypatch):
+    from dynamic_spark_spark.llmops import zstd as z
+
+    monkeypatch.setattr(z, "_zstd_cli_path", lambda: None)
+    mode, frames = z.zstd_compress_real_many_tagged([b"alpha"])
+    assert mode == "pure"
+    assert z.zstd_decompress(frames[0]) == b"alpha"
+    assert z.zstd_synthesis_mode() == "pure"
+
+
+def test_synthesis_marker_flips_on_cli_failure(monkeypatch):
+    """A BROKEN CLI (spawn error / nonzero exit) falls back with the
+    marker flipped; any non-subprocess exception propagates instead of
+    being silently swallowed (the narrowed except)."""
+    from dynamic_spark_spark.llmops import zstd as z
+
+    if z._zstd_cli_path() is None:
+        pytest.skip("no zstd CLI on this box")
+
+    def boom(*a, **k):
+        raise OSError("spawn failed")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    mode, frames = z.zstd_compress_real_many_tagged([b"alpha"])
+    assert mode == "pure"
+    assert z.zstd_decompress(frames[0]) == b"alpha"
+
+    def logic_bug(*a, **k):
+        raise ValueError("not a CLI failure")
+
+    monkeypatch.setattr(subprocess, "run", logic_bug)
+    with pytest.raises(ValueError):
+        z.zstd_compress_real_many_tagged([b"alpha"])
+
+
+def test_bench_artifact_carries_synthesis_marker():
+    import os as _os
+
+    src = open(
+        _os.path.join(_os.path.dirname(__file__), "..", "bench.py")
+    ).read()
+    assert '"zstd_synthesis": zstd_synthesis' in src
+    assert "zstd_synthesis_mode()" in src
