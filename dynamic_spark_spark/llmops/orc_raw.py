@@ -699,38 +699,36 @@ def scan_orc_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     The identity oracle hash-proves postscript/footer/stripe walks and
     all exercised RLEv2 sub-encodings at once; pytest pins the decoder
     on the ORC spec's published vectors and pyarrow-written files
-    (liborc, a second writer). Per-file mapInPandas, zero shuffle."""
-    import shutil
-    import tempfile
-
+    (liborc, a second writer). Per-file mapInPandas, zero shuffle;
+    session-staged fixture (:mod:`fixtures`), lazy returned plan."""
     import pandas as pd
 
-    out = tempfile.mkdtemp(prefix="dss_orccol_")
-    try:
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", ((F.col("doc_id") * 37) % 99991).alias("val")
         )
-        d.write.mode("overwrite").option("compression", "none").orc(out)
-        files = spark.read.format("binaryFile").load(
-            out, pathGlobFilter="*.orc"
-        ).select("content")
+        d.write.mode("overwrite").option("compression", "none").orc(path)
 
-        def read_cols(batches):
-            for pdf in batches:
-                rows = []
-                for content in pdf["content"]:
-                    raw = bytes(content)
-                    ids = read_orc_int_column(raw, "doc_id")
-                    vals = read_orc_int_column(raw, "val")
-                    if ids is None or vals is None or len(ids) != len(vals):
-                        continue
-                    rows.extend(zip(ids, vals))
-                yield pd.DataFrame(rows, columns=["doc_id", "val"])
+    out = staged_fixture_dir(spark, sf_dir, "orccol", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.orc"
+    ).select("content")
 
-        res = files.mapInPandas(read_cols, "doc_id long, val long")
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    def read_cols(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                ids = read_orc_int_column(raw, "doc_id")
+                vals = read_orc_int_column(raw, "val")
+                if ids is None or vals is None or len(ids) != len(vals):
+                    continue
+                rows.extend(zip(ids, vals))
+            yield pd.DataFrame(rows, columns=["doc_id", "val"])
+
+    return files.mapInPandas(read_cols, "doc_id long, val long")
 
 
 _ORC_TABLE_ORACLE = """
@@ -750,38 +748,36 @@ def scan_orc_raw_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     second way, inside another container format, against orc-core's
     writer. doc_id comes through RLEv2, text through the DIRECT_V2 or
     DICTIONARY_V2 string layout (whichever orc-core picks per stripe).
-    Identity oracle; per-file mapInPandas, zero shuffle."""
-    import shutil
-    import tempfile
-
+    Identity oracle; per-file mapInPandas, zero shuffle; session-staged
+    fixture, lazy returned plan."""
     import pandas as pd
 
-    out = tempfile.mkdtemp(prefix="dss_orctable_")
-    try:
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        d.write.mode("overwrite").orc(out)  # DEFAULT codec (zstd in Spark 4)
-        files = spark.read.format("binaryFile").load(
-            out, pathGlobFilter="*.orc"
-        ).select("content")
+        d.write.mode("overwrite").orc(path)  # DEFAULT codec (zstd in Spark 4)
 
-        def read_table(batches):
-            for pdf in batches:
-                rows = []
-                for content in pdf["content"]:
-                    raw = bytes(content)
-                    ids = read_orc_int_column(raw, "doc_id")
-                    texts = read_orc_string_column(raw, "text")
-                    if ids is None or texts is None or len(ids) != len(texts):
-                        continue
-                    rows.extend(
-                        (i, t.decode("utf-8")) for i, t in zip(ids, texts)
-                    )
-                yield pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = staged_fixture_dir(spark, sf_dir, "orctable", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.orc"
+    ).select("content")
 
-        res = files.mapInPandas(read_table, "doc_id long, text string")
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    def read_table(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                ids = read_orc_int_column(raw, "doc_id")
+                texts = read_orc_string_column(raw, "text")
+                if ids is None or texts is None or len(ids) != len(texts):
+                    continue
+                rows.extend(
+                    (i, t.decode("utf-8")) for i, t in zip(ids, texts)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return files.mapInPandas(read_table, "doc_id long, text string")
 
 
 #: ORC's timestamp epoch: 2015-01-01 00:00:00 UTC

@@ -202,48 +202,43 @@ def scan_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100-TB audit tool: when a shard is suspect, the footer
     is what you read first, and the reader that reads it must not be the
     reader under suspicion. Per-file mapInPandas work; the only shuffle
-    carries 8 partition aggregates."""
-    import os
-    import shutil
-    import tempfile
-
+    carries 8 partition aggregates. The fixture is session-staged
+    (:mod:`fixtures`), so the returned plan stays lazy."""
     import pandas as pd
 
-    out = tempfile.mkdtemp(prefix="dss_footer_")
-    try:
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", (F.col("doc_id") % 8).alias("p")
         )
         d.repartition(8, "p").write.mode("overwrite").partitionBy("p").parquet(
-            out
+            path
         )
-        files = spark.read.format("binaryFile").load(
-            out + "/p=*/", pathGlobFilter="*.parquet"
-        ).select("path", "content")
 
-        def parse(batches):
-            for pdf in batches:
-                rows = []
-                for path, content in zip(pdf["path"], pdf["content"]):
-                    parsed = parse_parquet_footer(bytes(content))
-                    if parsed is None:
-                        continue  # degrade: a bad file drops out (hash catches it)
-                    num_rows, rg = parsed
-                    pval = int(path.split("p=")[1].split("/")[0])
-                    rows.append((pval, num_rows, sum(rg)))
-                yield pd.DataFrame(
-                    rows, columns=["p", "footer_rows", "rg_rows"]
-                )
+    out = staged_fixture_dir(spark, sf_dir, "footer", write)
+    files = spark.read.format("binaryFile").load(
+        out + "/p=*/", pathGlobFilter="*.parquet"
+    ).select("path", "content")
 
-        per_file = files.mapInPandas(
-            parse, "p long, footer_rows long, rg_rows long"
-        )
-        agg = per_file.groupBy("p").agg(
-            F.sum("footer_rows").alias("footer_rows"),
-            F.sum("rg_rows").alias("rg_rows"),
-        )
-        # materialize before the temp dir is removed (the scan is lazy)
-        agg = agg.localCheckpoint(eager=True)
-        return agg
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                parsed = parse_parquet_footer(bytes(content))
+                if parsed is None:
+                    continue  # degrade: a bad file drops out (hash catches it)
+                num_rows, rg = parsed
+                pval = int(path.split("p=")[1].split("/")[0])
+                rows.append((pval, num_rows, sum(rg)))
+            yield pd.DataFrame(
+                rows, columns=["p", "footer_rows", "rg_rows"]
+            )
+
+    per_file = files.mapInPandas(
+        parse, "p long, footer_rows long, rg_rows long"
+    )
+    return per_file.groupBy("p").agg(
+        F.sum("footer_rows").alias("footer_rows"),
+        F.sum("rg_rows").alias("rg_rows"),
+    )

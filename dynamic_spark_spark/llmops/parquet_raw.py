@@ -1043,38 +1043,37 @@ def scan_parquet_raw_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     little-endian PLAIN. The identity oracle hash-proves all the layers
     at once against what parquet-mr actually wrote; pytest repeats the
     chain against pyarrow-written files (a third writer). Per-file
-    mapInPandas, zero shuffle."""
-    import shutil
-    import tempfile
-
+    mapInPandas, zero shuffle; the fixture is session-staged
+    (:mod:`fixtures`) so the returned plan is the LAZY binaryFile →
+    mapInPandas pipeline, streamed by the caller's action."""
     import pandas as pd
 
-    out = tempfile.mkdtemp(prefix="dss_rawcol_")
-    try:
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         (
             d.write.mode("overwrite")
             .option("compression", "snappy")
             .option("parquet.enable.dictionary", "false")
-            .parquet(out)
+            .parquet(path)
         )
-        files = spark.read.format("binaryFile").load(
-            out, pathGlobFilter="*.parquet"
-        ).select("content")
 
-        def read_col(batches):
-            for pdf in batches:
-                vals: list[int] = []
-                for content in pdf["content"]:
-                    got = read_parquet_int64_column(bytes(content), "doc_id")
-                    if got is not None:
-                        vals.extend(got)
-                yield pd.DataFrame({"doc_id": vals})
+    out = staged_fixture_dir(spark, sf_dir, "rawcol", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.parquet"
+    ).select("content")
 
-        res = files.mapInPandas(read_col, "doc_id long")
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    def read_col(batches):
+        for pdf in batches:
+            vals: list[int] = []
+            for content in pdf["content"]:
+                got = read_parquet_int64_column(bytes(content), "doc_id")
+                if got is not None:
+                    vals.extend(got)
+            yield pd.DataFrame({"doc_id": vals})
+
+    return files.mapInPandas(read_col, "doc_id long")
 
 
 _RAW_DICT_ORACLE = """
@@ -1098,41 +1097,38 @@ def scan_parquet_raw_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold; the reader routes each page by its declared values
     encoding, which is the point — a raw reader that only handles the
     happy path cannot audit real files. Per-file mapInPandas, zero
-    shuffle."""
-    import shutil
-    import tempfile
-
+    shuffle; session-staged fixture, lazy returned plan."""
     import pandas as pd
 
-    out = tempfile.mkdtemp(prefix="dss_rawdict_")
-    try:
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        d.write.mode("overwrite").option("compression", "snappy").parquet(out)
-        files = spark.read.format("binaryFile").load(
-            out, pathGlobFilter="*.parquet"
-        ).select("content")
+        d.write.mode("overwrite").option("compression", "snappy").parquet(path)
 
-        def read_col(batches):
-            for pdf in batches:
-                rows = []
-                for content in pdf["content"]:
-                    raw = bytes(content)
-                    vals = read_parquet_int64_column_dict(raw, "doc_id")
-                    stats = read_parquet_footer_minmax(raw, "doc_id")
-                    if vals is None or stats is None:
-                        continue
-                    for v in vals:
-                        rows.append((v, stats[0], stats[1]))
-                yield pd.DataFrame(
-                    rows, columns=["doc_id", "stats_min", "stats_max"]
-                )
+    out = staged_fixture_dir(spark, sf_dir, "rawdict", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.parquet"
+    ).select("content")
 
-        res = files.mapInPandas(
-            read_col, "doc_id long, stats_min long, stats_max long"
-        )
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    def read_col(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                vals = read_parquet_int64_column_dict(raw, "doc_id")
+                stats = read_parquet_footer_minmax(raw, "doc_id")
+                if vals is None or stats is None:
+                    continue
+                for v in vals:
+                    rows.append((v, stats[0], stats[1]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "stats_min", "stats_max"]
+            )
+
+    return files.mapInPandas(
+        read_col, "doc_id long, stats_min long, stats_max long"
+    )
 
 
 _RAW_TABLE_ORACLE = """
@@ -1150,45 +1146,42 @@ def scan_parquet_raw_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     final form of the audit story: metadata, statistics, and now every
     byte of data, all independently re-readable. Default Spark write
     settings (dictionary on, snappy), per-file mapInPandas, zero
-    shuffle."""
-    import shutil
-    import tempfile
-
+    shuffle; session-staged fixture, lazy returned plan."""
     import pandas as pd
 
-    out = tempfile.mkdtemp(prefix="dss_rawtable_")
-    try:
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        d.write.mode("overwrite").option("compression", "snappy").parquet(out)
-        files = spark.read.format("binaryFile").load(
-            out, pathGlobFilter="*.parquet"
-        ).select("content")
+        d.write.mode("overwrite").option("compression", "snappy").parquet(path)
 
-        def read_table(batches):
-            from dynamic_spark_spark.llmops.parquet_footer import (
-                parse_parquet_footer,
-            )
+    out = staged_fixture_dir(spark, sf_dir, "rawtable", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.parquet"
+    ).select("content")
 
-            for pdf in batches:
-                rows = []
-                for content in pdf["content"]:
-                    raw = bytes(content)
-                    ids = read_parquet_int64_column_dict(raw, "doc_id")
-                    texts = read_parquet_binary_column(raw, "text")
-                    footer = parse_parquet_footer(raw)
-                    if (ids is None or texts is None or footer is None
-                            or len(ids) != footer[0]
-                            or len(texts) != footer[0]):
-                        continue  # nulls anywhere would misalign the zip
-                    rows.extend(
-                        (i, t.decode("utf-8")) for i, t in zip(ids, texts)
-                    )
-                yield pd.DataFrame(rows, columns=["doc_id", "text"])
+    def read_table(batches):
+        from dynamic_spark_spark.llmops.parquet_footer import (
+            parse_parquet_footer,
+        )
 
-        res = files.mapInPandas(read_table, "doc_id long, text string")
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                ids = read_parquet_int64_column_dict(raw, "doc_id")
+                texts = read_parquet_binary_column(raw, "text")
+                footer = parse_parquet_footer(raw)
+                if (ids is None or texts is None or footer is None
+                        or len(ids) != footer[0]
+                        or len(texts) != footer[0]):
+                    continue  # nulls anywhere would misalign the zip
+                rows.extend(
+                    (i, t.decode("utf-8")) for i, t in zip(ids, texts)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return files.mapInPandas(read_table, "doc_id long, text string")
 
 
 _RAW_NUMERIC_ORACLE = """
@@ -1214,14 +1207,13 @@ def scan_parquet_raw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     column surfaces as its exact float64 upcast so the DuckDB identity
     oracle (same CAST chain) hash-proves bit-equality. pytest covers the
     same lattice on pyarrow-written files including REQUIRED columns and
-    v2 data pages. Per-file mapInPandas, zero shuffle."""
-    import shutil
-    import tempfile
-
+    v2 data pages. Per-file mapInPandas, zero shuffle; session-staged
+    fixture, lazy returned plan."""
     import pandas as pd
 
-    out = tempfile.mkdtemp(prefix="dss_rawnum_")
-    try:
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
             F.col("l_linenumber").cast("int").alias("l_linenumber"),
@@ -1229,46 +1221,45 @@ def scan_parquet_raw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("float").alias("price_f32"),
             (F.col("l_returnflag") == "R").alias("is_return"),
         )
-        li.write.mode("overwrite").option("compression", "snappy").parquet(out)
-        files = spark.read.format("binaryFile").load(
-            out, pathGlobFilter="*.parquet"
-        ).select("content")
+        li.write.mode("overwrite").option("compression", "snappy").parquet(path)
 
-        cols = ["l_orderkey", "l_linenumber", "l_quantity", "price_f32",
-                "is_return"]
+    out = staged_fixture_dir(spark, sf_dir, "rawnum", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.parquet"
+    ).select("content")
 
-        def read_cols(batches):
-            from dynamic_spark_spark.llmops.parquet_footer import (
-                parse_parquet_footer,
-            )
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "price_f32",
+            "is_return"]
 
-            for pdf in batches:
-                frames = []
-                for content in pdf["content"]:
-                    raw = bytes(content)
-                    got = [read_parquet_column(raw, c) for c in cols]
-                    footer = parse_parquet_footer(raw)
-                    if any(g is None for g in got) or footer is None:
-                        continue
-                    # alignment guard: the readers return NON-NULL values
-                    # only, so zipping columns is row-faithful iff every
-                    # column is null-free — anchor each length to the
-                    # footer's row count, not just to each other (equal
-                    # null COUNTS in different rows would otherwise zip
-                    # values from different source rows)
-                    if any(len(g) != footer[0] for g in got):
-                        continue
-                    frames.append(pd.DataFrame(dict(zip(cols, got))))
-                if frames:
-                    yield pd.concat(frames, ignore_index=True)
-                else:
-                    yield pd.DataFrame({c: [] for c in cols})
-
-        res = files.mapInPandas(
-            read_cols,
-            "l_orderkey long, l_linenumber int, l_quantity double, "
-            "price_f32 double, is_return boolean",
+    def read_cols(batches):
+        from dynamic_spark_spark.llmops.parquet_footer import (
+            parse_parquet_footer,
         )
-        return res.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+
+        for pdf in batches:
+            frames = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                got = [read_parquet_column(raw, c) for c in cols]
+                footer = parse_parquet_footer(raw)
+                if any(g is None for g in got) or footer is None:
+                    continue
+                # alignment guard: the readers return NON-NULL values
+                # only, so zipping columns is row-faithful iff every
+                # column is null-free — anchor each length to the
+                # footer's row count, not just to each other (equal
+                # null COUNTS in different rows would otherwise zip
+                # values from different source rows)
+                if any(len(g) != footer[0] for g in got):
+                    continue
+                frames.append(pd.DataFrame(dict(zip(cols, got))))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame({c: [] for c in cols})
+
+    return files.mapInPandas(
+        read_cols,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "price_f32 double, is_return boolean",
+    )

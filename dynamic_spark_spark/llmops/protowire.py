@@ -294,46 +294,44 @@ def scan_orc_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition value against closed-form counts — one hash match
     proves the postscript walk, the magic/compression validation, and
     the nested StripeInformation decode together. Per-file mapInPandas;
-    the only shuffle carries 8 partition aggregates."""
-    import shutil
-    import tempfile
-
+    the only shuffle carries 8 partition aggregates. Session-staged
+    fixture (:mod:`fixtures`), lazy returned plan."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    out = tempfile.mkdtemp(prefix="dss_orcfooter_")
-    try:
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", (F.col("doc_id") % 8).alias("p")
         )
         d.repartition(8, "p").write.mode("overwrite").option(
             "compression", "none"
-        ).partitionBy("p").orc(out)
-        files = spark.read.format("binaryFile").load(
-            out + "/p=*/", pathGlobFilter="*.orc"
-        ).select("path", "content")
+        ).partitionBy("p").orc(path)
 
-        def parse(batches):
-            for pdf in batches:
-                rows = []
-                for path, content in zip(pdf["path"], pdf["content"]):
-                    parsed = parse_orc_tail(bytes(content))
-                    if parsed is None:
-                        continue
-                    nrows, stripes = parsed
-                    pval = int(path.split("p=")[1].split("/")[0])
-                    rows.append((pval, nrows, sum(stripes)))
-                yield pd.DataFrame(
-                    rows, columns=["p", "footer_rows", "stripe_rows"]
-                )
+    out = staged_fixture_dir(spark, sf_dir, "orcfooter", write)
+    files = spark.read.format("binaryFile").load(
+        out + "/p=*/", pathGlobFilter="*.orc"
+    ).select("path", "content")
 
-        per_file = files.mapInPandas(
-            parse, "p long, footer_rows long, stripe_rows long"
-        )
-        agg = per_file.groupBy("p").agg(
-            F.sum("footer_rows").alias("footer_rows"),
-            F.sum("stripe_rows").alias("stripe_rows"),
-        )
-        return agg.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                parsed = parse_orc_tail(bytes(content))
+                if parsed is None:
+                    continue
+                nrows, stripes = parsed
+                pval = int(path.split("p=")[1].split("/")[0])
+                rows.append((pval, nrows, sum(stripes)))
+            yield pd.DataFrame(
+                rows, columns=["p", "footer_rows", "stripe_rows"]
+            )
+
+    per_file = files.mapInPandas(
+        parse, "p long, footer_rows long, stripe_rows long"
+    )
+    return per_file.groupBy("p").agg(
+        F.sum("footer_rows").alias("footer_rows"),
+        F.sum("stripe_rows").alias("stripe_rows"),
+    )
