@@ -14,6 +14,15 @@ of a Spark-written, snappy-compressed parquet file:
       codec anywhere)
     → definition levels (RLE/bit-packed hybrid, OPTIONAL columns only —
       REQUIRED columns carry no def-levels block, parquet-format.md)
+    → REPETITION levels (r12): ``list<scalar>`` columns decode through
+      the full Dremel lattice — rows split at rep==0 across the whole
+      chunk, multi-bit def levels distinguishing null list / empty
+      list / null element / value — via
+      :func:`read_parquet_list_column`, surfaced long-form
+    → TEMPORAL logical types (r12): INT96 timestamps (Spark's default
+      writer convention — Julian day + nanos-of-day), INT64
+      TIMESTAMP_MICROS/MILLIS, INT32 DATE, gated by the converted-type
+      annotations in the schema walk
     → values across the physical type lattice — BOOLEAN, INT32, INT64,
       FLOAT, DOUBLE, BYTE_ARRAY, FIXED_LEN_BYTE_ARRAY — in every
       encoding the mainstream writers emit: PLAIN, dictionary
@@ -23,8 +32,9 @@ of a Spark-written, snappy-compressed parquet file:
       DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY front coding, and
       BYTE_STREAM_SPLIT — v1 AND v2 data pages.
 
-Out of scope, refused explicitly: INT96, LZO/BROTLI/legacy-LZ4 codecs,
-nested/repeated paths.
+Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs,
+multi-level repetition (list<list>, list<struct>) — one repeated
+ancestor with a scalar leaf is the supported nested shape.
 
 Every layer is an independent re-implementation forced to agree with
 parquet-mr (the JVM writer) through the real bytes, and the keys'
@@ -210,14 +220,44 @@ def _codec_decompress(codec: int, body: bytes, uncompressed: int):
 # ---------------------------------------------------------------------------
 
 
+class _Leaf:
+    """One leaf column from the schema tree, with the Dremel level
+    bookkeeping the data pages are encoded against: ``max_def``/
+    ``max_rep`` (every optional-or-repeated ancestor bumps def, every
+    repeated ancestor bumps rep) and ``rep_def`` — the definition level
+    OF the (single) repeated ancestor, the threshold that separates
+    "this slot is an element" (def >= rep_def) from "the list is empty
+    or null" (def < rep_def). ``flat`` marks the columns the scalar
+    readers accept (no repeated ancestor, depth 1); ``listlike`` marks
+    the ONE nested shape the list reader accepts (exactly one repeated
+    ancestor, scalar leaf — the standard 3-level LIST and the legacy
+    2-level form both reduce to it). ``converted`` is the legacy
+    ConvertedType annotation (DATE=6, TIMESTAMP_MILLIS=9,
+    TIMESTAMP_MICROS=10) the temporal tier dispatches on."""
+
+    __slots__ = ("typ", "optional", "tlen", "max_def", "max_rep",
+                 "rep_def", "flat", "listlike", "converted")
+
+    def __init__(self, typ, optional, tlen, max_def, max_rep, rep_def,
+                 flat, listlike, converted) -> None:
+        self.typ = typ
+        self.optional = optional
+        self.tlen = tlen
+        self.max_def = max_def
+        self.max_rep = max_rep
+        self.rep_def = rep_def
+        self.flat = flat
+        self.listlike = listlike
+        self.converted = converted
+
+
 def _parse_schema(c: _Compact):
     """Parse FileMetaData.schema (list<SchemaElement>, depth-first) into
-    ``{dotted_path: (physical_type, optional, unsupported, type_length)}``
-    for leaf columns (``type_length`` is FIXED_LEN_BYTE_ARRAY's width, 0
-    otherwise). ``unsupported`` marks nested or repeated paths — the raw
-    readers refuse those explicitly instead of misparsing their
-    rep-levels blocks (parquet-format.md: flat REQUIRED columns carry NO
-    levels, flat OPTIONAL carry def levels only)."""
+    ``{dotted_path: _Leaf}``. The scalar readers accept ``flat`` leaves
+    only (flat REQUIRED columns carry NO levels, flat OPTIONAL carry def
+    levels only — parquet-format.md); the list reader accepts
+    ``listlike`` leaves; everything else (multiple repetition levels,
+    group leaves) is refused explicitly instead of misparsed."""
     size, etype = c.list_header()
     if etype != 12:
         return None
@@ -225,6 +265,7 @@ def _parse_schema(c: _Compact):
     for _ in range(size):
         typ = rep = nch = None
         tlen = 0
+        conv = None
         name = None
         last = 0
         while True:
@@ -244,30 +285,44 @@ def _parse_schema(c: _Compact):
                 c.pos += ln
             elif fid == 5 and wtype == 5:
                 nch = c.zigzag()
+            elif fid == 6 and wtype == 5:
+                conv = c.zigzag()
             else:
                 c.skip(wtype, 0)
-        elems.append((typ, rep, name, nch or 0, tlen))
-    schema: dict[str, tuple[int, bool, bool]] = {}
+        elems.append((typ, rep, name, nch or 0, tlen, conv))
+    schema: dict[str, _Leaf] = {}
     if not elems:
         return schema
-    # depth-first walk: the root's num_children frames the tree
-    stack: list[list] = [[elems[0][3], [], False]]
+    # depth-first walk: the root's num_children frames the tree; each
+    # stack entry carries [children_left, path, def_level, rep_level,
+    # rep_def] where rep_def is the definition level of the NEAREST
+    # repeated ancestor so far (0 when none)
+    stack: list[list] = [[elems[0][3], [], 0, 0, 0]]
     i = 1
     while i < len(elems):
         while stack and stack[-1][0] == 0:
             stack.pop()
         if not stack:
             break
-        typ, rep, name, nch, tlen = elems[i]
+        typ, rep, name, nch, tlen, conv = elems[i]
         i += 1
         stack[-1][0] -= 1
         path = stack[-1][1] + [name or ""]
-        repeated = stack[-1][2] or rep == 2
+        d, r, rd = stack[-1][2], stack[-1][3], stack[-1][4]
+        if rep == 1:  # OPTIONAL
+            d += 1
+        elif rep == 2:  # REPEATED
+            d += 1
+            r += 1
+            rd = d  # this node IS the repeated ancestor from here down
         if nch:
-            stack.append([nch, path, repeated])
+            stack.append([nch, path, d, r, rd])
         else:
-            unsupported = repeated or len(path) > 1 or typ is None
-            schema[".".join(path)] = (typ, rep == 1, unsupported, tlen)
+            flat = r == 0 and len(path) == 1 and typ is not None
+            listlike = r == 1 and typ is not None
+            schema[".".join(path)] = _Leaf(
+                typ, rep == 1, tlen, d, r, rd, flat, listlike, conv
+            )
     return schema
 
 
@@ -646,7 +701,24 @@ def _plain_decode(typ: int, buf: bytes, count: int, tlen: int = 0):
         if len(buf) < tlen * count:
             return None
         return [buf[i * tlen : (i + 1) * tlen] for i in range(count)]
-    return None  # INT96: out of scope
+    if typ == _T_INT96:
+        # Spark's DEFAULT timestamp physical type (parquet-mr Impala
+        # legacy): 12-byte cells — 8 LE bytes of nanos-within-day, then
+        # 4 LE bytes of Julian Day Number. Decoded to MICROSECONDS since
+        # the Unix epoch (JDN 2440588); the writer builds the JDN from
+        # the UTC instant, so no timezone enters the arithmetic.
+        if len(buf) < 12 * count:
+            return None
+        out = []
+        for i in range(count):
+            cell = buf[i * 12 : i * 12 + 12]
+            nanos = int.from_bytes(cell[:8], "little")
+            jday = int.from_bytes(cell[8:], "little")
+            if nanos >= 86_400_000_000_000:
+                return None  # more nanos than a day holds: corrupt
+            out.append((jday - 2440588) * 86_400_000_000 + nanos // 1000)
+        return out
+    return None
 
 
 def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
@@ -702,7 +774,16 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
         payload = data
     else:
         return None
-    if pg.enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+    return _decode_value_payload(pg.enc, typ, payload, n_present,
+                                 dictionary, tlen)
+
+
+def _decode_value_payload(enc: int, typ: int, payload: bytes,
+                          n_present: int, dictionary, tlen: int = 0):
+    """Decode ``n_present`` values from a page's value payload per the
+    page's declared encoding — shared by the flat and nested page
+    walks. Returns a list or None."""
+    if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
         if dictionary is None or not payload:
             return None
         bit_width = payload[0]
@@ -715,9 +796,9 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
             return [dictionary[i] for i in idxs]
         except IndexError:
             return None  # index outside the dictionary: corrupt
-    if pg.enc == 0:  # PLAIN
+    if enc == 0:  # PLAIN
         return _plain_decode(typ, payload, n_present, tlen)
-    if pg.enc == 3 and typ == _T_BOOLEAN:
+    if enc == 3 and typ == _T_BOOLEAN:
         # RLE boolean VALUES (v2 writers): [u32 len][RLE/bit-packed]
         if len(payload) < 4:
             return None
@@ -728,24 +809,24 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
         if bits is None:
             return None
         return [bool(x) for x in bits]
-    if pg.enc == 5 and typ in (_T_INT32, _T_INT64):  # DELTA_BINARY_PACKED
+    if enc == 5 and typ in (_T_INT32, _T_INT64):  # DELTA_BINARY_PACKED
         got = _delta_binary_packed(payload, 0,
                                    bits=32 if typ == _T_INT32 else 64,
                                    expect=n_present)
         if got is None or len(got[0]) < n_present:
             return None
         return got[0][:n_present]
-    if pg.enc == 6 and typ == _T_BYTE_ARRAY:  # DELTA_LENGTH_BYTE_ARRAY
+    if enc == 6 and typ == _T_BYTE_ARRAY:  # DELTA_LENGTH_BYTE_ARRAY
         got = _delta_length_byte_array(payload, 0, expect=n_present)
         if got is None or len(got[0]) < n_present:
             return None
         return got[0][:n_present]
-    if pg.enc == 7 and typ == _T_BYTE_ARRAY:  # DELTA_BYTE_ARRAY
+    if enc == 7 and typ == _T_BYTE_ARRAY:  # DELTA_BYTE_ARRAY
         got = _delta_byte_array(payload, 0, expect=n_present)
         if got is None or len(got[0]) < n_present:
             return None
         return got[0][:n_present]
-    if pg.enc == 9 and (typ in _FIXED_WIDTH or (typ == _T_FIXED and tlen)):
+    if enc == 9 and (typ in _FIXED_WIDTH or (typ == _T_FIXED and tlen)):
         # BYTE_STREAM_SPLIT (encodings.md): the K-byte values are
         # transposed — all 1st bytes, then all 2nd bytes, ... — so FP
         # pages compress better; undo the transpose then decode PLAIN
@@ -760,6 +841,187 @@ def _page_values(pg: _Page, raw: bytes, codec: int, typ: int,
         return _plain_decode(typ, joined, n_present, tlen)
     return None  # unknown/future encodings (and deprecated BIT_PACKED
     #               levels-only encoding 4): out of scope — refuse, don't guess
+
+
+def _page_levels_values(pg: _Page, raw: bytes, codec: int, leaf: _Leaf,
+                        dictionary):
+    """One DATA page of a REPEATED column → ``(rep_levels, def_levels,
+    values)`` or None. v1 pages carry both level runs length-prefixed
+    inside the compressed body (repetition levels FIRST —
+    parquet-format.md 'Data Pages'); v2 pages store them raw before the
+    (separately compressed) values, sized by the header's
+    repetition/definition_levels_byte_length fields."""
+    body = raw[pg.body : pg.body + pg.comp]
+    if len(body) < pg.comp:
+        return None
+    rep_w = leaf.max_rep.bit_length()
+    def_w = leaf.max_def.bit_length()
+    if pg.ptype == 0:  # v1: whole page compressed together
+        data = _codec_decompress(codec, body, pg.uncomp)
+        if data is None or len(data) != pg.uncomp:
+            return None
+        pos = 0
+        reps = [0] * pg.n_vals
+        if rep_w:
+            if len(data) < 4:
+                return None
+            (ln,) = struct.unpack("<I", data[:4])
+            reps = _rle_bitpacked_bools(data[4 : 4 + ln], rep_w, pg.n_vals)
+            if reps is None:
+                return None
+            pos = 4 + ln
+        defs = [leaf.max_def] * pg.n_vals
+        if def_w:
+            if len(data) < pos + 4:
+                return None
+            (ln,) = struct.unpack("<I", data[pos : pos + 4])
+            defs = _rle_bitpacked_bools(
+                data[pos + 4 : pos + 4 + ln], def_w, pg.n_vals
+            )
+            if defs is None:
+                return None
+            pos += 4 + ln
+        payload = data[pos:]
+    elif pg.ptype == 3:  # v2: raw levels, values compressed alone
+        lv = pg.v2_rl + pg.v2_dl
+        if lv > len(body):
+            return None
+        reps = [0] * pg.n_vals
+        if rep_w:
+            reps = _rle_bitpacked_bools(body[: pg.v2_rl], rep_w, pg.n_vals)
+            if reps is None:
+                return None
+        defs = [leaf.max_def] * pg.n_vals
+        if def_w:
+            defs = _rle_bitpacked_bools(
+                body[pg.v2_rl : lv], def_w, pg.n_vals
+            )
+            if defs is None:
+                return None
+        want = pg.uncomp - lv
+        if want < 0:
+            return None
+        if pg.v2_comp:
+            payload = _codec_decompress(codec, body[lv:], want)
+        else:
+            payload = body[lv:]
+        if payload is None or len(payload) != want:
+            return None
+    else:
+        return None
+    if any(r > leaf.max_rep for r in reps) or any(
+        d > leaf.max_def for d in defs
+    ):
+        return None  # levels outside the schema's lattice: corrupt
+    n_present = sum(1 for d in defs if d == leaf.max_def)
+    vals = _decode_value_payload(pg.enc, leaf.typ, payload, n_present,
+                                 dictionary, leaf.tlen)
+    if vals is None:
+        return None
+    return reps, defs, vals
+
+
+def read_parquet_list_column(raw: bytes, column: str):
+    """Read every ROW of a ``list<scalar>`` column straight from the
+    file bytes — the repetition-level tier (the one parquet concept the
+    r11 reader still refused). ``column`` names the OUTER list field
+    (e.g. ``embedding``); the single leaf under it (the standard
+    3-level ``outer.list.element`` shape Spark/parquet-mr/pyarrow all
+    write, or the legacy 2-level ``outer.element`` repeated-leaf form)
+    is resolved from the schema tree. Returns one entry per row: None
+    for a null list, ``[]`` for an empty list, else the element list
+    with None for null elements — exactly the def-level lattice
+    (parquet-format.md 'Nested Encoding', Dremel): with ``rep_def`` the
+    repeated node's definition level, a slot is an element iff
+    ``def >= rep_def``; its value is non-null iff ``def == max_def``;
+    ``def == rep_def - 1`` is a defined-but-empty list and anything
+    lower a null list. Rows are split at ``rep == 0`` across the whole
+    column chunk, so v1 pages that break mid-record still reassemble.
+    Dictionary/PLAIN/DELTA/BYTE_STREAM_SPLIT payloads all route through
+    the shared value decoder. Returns the per-row list or None; never
+    raises."""
+    try:
+        return _read_list_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _read_list_inner(raw: bytes, column: str):
+    walked = _footer_walk(raw)
+    if walked is None:
+        return None
+    schema, chunks = walked
+    matches = [
+        (p, leaf) for p, leaf in schema.items()
+        if (p == column or p.startswith(column + ".")) and leaf.max_rep > 0
+    ]
+    if len(matches) != 1:
+        return None  # list<struct>/deeper nesting: out of scope — refuse
+    path, leaf = matches[0]
+    if not leaf.listlike or leaf.typ not in (
+        _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY,
+        _T_FIXED,
+    ):
+        return None
+    if leaf.typ == _T_FIXED and leaf.tlen <= 0:
+        return None
+    rows: list = []
+    for codec, num_values, page_off, cpath in chunks:
+        if cpath != path:
+            continue
+        dictionary = None
+        got = 0
+        pos = page_off
+        reps_all: list[int] = []
+        defs_all: list[int] = []
+        vals_all: list = []
+        while got < num_values:
+            pg = _parse_page_header(raw, pos)
+            if pg is None:
+                return None
+            pos = pg.body + pg.comp
+            if pg.ptype == 2:  # dictionary page: PLAIN entries
+                body = raw[pg.body : pg.body + pg.comp]
+                if len(body) < pg.comp:
+                    return None
+                data = _codec_decompress(codec, body, pg.uncomp)
+                if data is None or len(data) != pg.uncomp:
+                    return None
+                dictionary = _plain_decode(leaf.typ, data, pg.n_vals,
+                                           leaf.tlen)
+                if dictionary is None:
+                    return None
+                continue
+            got3 = _page_levels_values(pg, raw, codec, leaf, dictionary)
+            if got3 is None:
+                return None
+            reps_all.extend(got3[0])
+            defs_all.extend(got3[1])
+            vals_all.extend(got3[2])
+            got += pg.n_vals
+        # assemble this chunk's rows (row groups are record-aligned)
+        vi = 0
+        for rlev, dlev in zip(reps_all, defs_all):
+            if rlev == 0:  # new record
+                if dlev < leaf.rep_def - 1:
+                    rows.append(None)  # null list
+                elif dlev == leaf.rep_def - 1:
+                    rows.append([])  # defined but empty
+                else:
+                    rows.append([])
+            elif not rows or rows[-1] is None:
+                return None  # continuation with no open list: corrupt
+            if dlev >= leaf.rep_def:
+                if dlev == leaf.max_def:
+                    if vi >= len(vals_all):
+                        return None
+                    rows[-1].append(vals_all[vi])
+                    vi += 1
+                else:
+                    rows[-1].append(None)  # null element slot
+        if vi != len(vals_all):
+            return None
+    return rows
 
 
 def read_parquet_column(raw: bytes, column: str):
@@ -784,10 +1046,10 @@ def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
     info = schema.get(column)
     if info is None:
         return None
-    typ, optional, unsupported, tlen = info
-    if unsupported or typ not in (
+    typ, optional, tlen = info.typ, info.optional, info.tlen
+    if not info.flat or typ not in (
         _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY,
-        _T_FIXED,
+        _T_FIXED, _T_INT96,
     ):
         return None
     if typ == _T_FIXED and tlen <= 0:
@@ -842,8 +1104,8 @@ def read_parquet_int64_column(raw: bytes, column: str):
         info = schema.get(column)
         if info is None:
             return None
-        typ, optional, unsupported, _tlen = info
-        if unsupported or typ != _T_INT64:
+        typ, optional = info.typ, info.optional
+        if not info.flat or typ != _T_INT64:
             return None
         values: list[int] = []
         for codec, num_values, page_off, path in chunks:
@@ -877,6 +1139,61 @@ def read_parquet_int64_column_dict(raw: bytes, column: str):
     try:
         return _read_general_inner(raw, column, allow_dict=True,
                                    only_type=_T_INT64)
+    except Exception:
+        return None
+
+
+# ConvertedType enum values (parquet.thrift) the temporal tier reads
+_CONV_DATE = 6
+_CONV_TS_MILLIS = 9
+_CONV_TS_MICROS = 10
+
+
+def read_parquet_timestamp_column(raw: bytes, column: str):
+    """Temporal tier, timestamps: every value of a flat timestamp
+    column as MICROSECONDS since the Unix epoch — both writer
+    conventions Spark ships (``spark.sql.parquet.outputTimestampType``):
+    INT96 physical (the DEFAULT — Julian day + nanos-of-day cells,
+    dictionary pages included) and INT64 annotated TIMESTAMP_MICROS
+    (TIMESTAMP_MILLIS upscaled ×1000). Unannotated INT64 and
+    nanosecond logical types are refused — a plain INT64 column is not
+    a timestamp just because the caller hoped so. Returns non-null
+    epoch-micros ints in row order, or None. Never raises."""
+    try:
+        walked = _footer_walk(raw)
+        if walked is None:
+            return None
+        info = walked[0].get(column)
+        if info is None or not info.flat:
+            return None
+        if info.typ == _T_INT96:
+            return _read_general_inner(raw, column, allow_dict=True)
+        if info.typ == _T_INT64 and info.converted == _CONV_TS_MICROS:
+            return _read_general_inner(raw, column, allow_dict=True)
+        if info.typ == _T_INT64 and info.converted == _CONV_TS_MILLIS:
+            got = _read_general_inner(raw, column, allow_dict=True)
+            return None if got is None else [v * 1000 for v in got]
+        return None
+    except Exception:
+        return None
+
+
+def read_parquet_date_column(raw: bytes, column: str):
+    """Temporal tier, dates: every value of a flat DATE column as DAYS
+    since the Unix epoch — INT32 physical with the DATE converted-type
+    annotation (what Spark, parquet-mr, and pyarrow all write).
+    Unannotated INT32 is refused. Returns non-null epoch-day ints in
+    row order, or None. Never raises."""
+    try:
+        walked = _footer_walk(raw)
+        if walked is None:
+            return None
+        info = walked[0].get(column)
+        if info is None or not info.flat:
+            return None
+        if info.typ == _T_INT32 and info.converted == _CONV_DATE:
+            return _read_general_inner(raw, column, allow_dict=True)
+        return None
     except Exception:
         return None
 
@@ -923,9 +1240,9 @@ def _minmax_inner(raw: bytes, column: str):
         return None
     schema = walked[0]
     info = schema.get(column)
-    if info is None or info[2]:
+    if info is None or not info.flat:
         return None
-    typ = info[0]
+    typ = info.typ
     (flen,) = struct.unpack("<I", raw[-8:-4])
     start = len(raw) - 8 - flen
     c = _Compact(raw, start)
@@ -1262,4 +1579,172 @@ def scan_parquet_raw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_cols,
         "l_orderkey long, l_linenumber int, l_quantity double, "
         "price_f32 double, is_return boolean",
+    )
+
+
+_RAW_NESTED_ORACLE = """
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+       CAST(unnest(embedding) AS DOUBLE) AS component
+FROM embeddings
+"""
+
+
+@query("scan_parquet_raw_nested", _RAW_NESTED_ORACLE, tag="scan")
+def scan_parquet_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition-level tier on the corpus' own nested table: Spark
+    writes ``embeddings`` (vec_id + embedding ``list<float>``) with
+    default settings, and every row of the list column is recovered
+    byte-walked with no parquet library — the 3-level LIST schema tree,
+    repetition levels (rows split at rep==0), multi-bit definition
+    levels (the null-list / empty-list / null-element / value lattice),
+    and little-endian IEEE floats, zipped against the flat-decoded
+    ``vec_id`` with both lengths anchored to the footer's row count.
+    The output is LONG FORM ``(vec_id, pos, component)`` — the driver's
+    canonicalizer cannot hash complex-typed columns, and exploding is
+    also what makes the DuckDB ``unnest``/``generate_subscripts``
+    identity oracle express the same bytes. The float components
+    surface as their exact float64 upcast on both engines. This closes
+    the r11 audit-tier gap: the one table the entire ANN/dedup tier
+    runs on is now byte-auditable end to end. Per-file mapInPandas,
+    zero shuffle; session-staged fixture, lazy returned plan."""
+    import pandas as pd
+
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
+        d = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        d.write.mode("overwrite").option("compression", "snappy").parquet(path)
+
+    out = staged_fixture_dir(spark, sf_dir, "rawnested", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.parquet"
+    ).select("content")
+
+    def read_nested(batches):
+        from dynamic_spark_spark.llmops.parquet_footer import (
+            parse_parquet_footer,
+        )
+
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_pos: list[int] = []
+            out_comp: list[float] = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                ids = read_parquet_column(raw, "vec_id")
+                lists = read_parquet_list_column(raw, "embedding")
+                footer = parse_parquet_footer(raw)
+                if ids is None or lists is None or footer is None:
+                    continue
+                # the list reader returns one entry PER ROW (nulls
+                # included), so its length always equals the footer row
+                # count; vec_id is non-null-only and needs the anchor
+                if len(ids) != footer[0] or len(lists) != footer[0]:
+                    continue
+                for i, lst in zip(ids, lists):
+                    if not lst:  # null or empty list: unnest yields none
+                        continue
+                    for p, v in enumerate(lst):
+                        out_ids.append(i)
+                        out_pos.append(p)
+                        out_comp.append(v)
+            yield pd.DataFrame(
+                {"vec_id": out_ids, "pos": out_pos, "component": out_comp}
+            )
+
+    return files.mapInPandas(
+        read_nested, "vec_id long, pos int, component double"
+    )
+
+
+_RAW_TEMPORAL_ORACLE = """
+SELECT l_orderkey, l_shipdate AS ship_ts, CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+"""
+
+
+@query("scan_parquet_raw_temporal", _RAW_TEMPORAL_ORACLE, tag="scan")
+def scan_parquet_raw_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal tier on a real TPC-H column: Spark writes
+    ``l_shipdate`` under its DEFAULT timestamp convention — INT96
+    (Julian day + nanos-of-day, pinned explicitly so the key's claim
+    survives a future default flip) — plus the same instant cast to an
+    INT32 DATE column, and both are recovered byte-walked with no
+    parquet library: the 12-byte INT96 cells (dictionary-encoded, as
+    parquet-mr writes them) decode to epoch micros, the DATE annotation
+    gates the epoch-day read, and the identity oracle hash-proves the
+    Julian-day arithmetic against what DuckDB reads from the ORIGINAL
+    table. pytest covers the other writer convention
+    (TIMESTAMP_MICROS/MILLIS INT64) on both Spark- and pyarrow-written
+    files. With the nested tier this makes a full-lineitem raw audit
+    real — no column type in the corpus is out of scope. Per-file
+    mapInPandas, zero shuffle; session-staged fixture, lazy plan."""
+    import pandas as pd
+
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.col("l_shipdate").alias("ship_ts"),
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+        conf = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(conf)
+        spark.conf.set(conf, "INT96")
+        try:
+            li.write.mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set(conf, prev)
+
+    out = staged_fixture_dir(spark, sf_dir, "rawtemporal", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.parquet"
+    ).select("content")
+
+    def read_temporal(batches):
+        from dynamic_spark_spark.llmops.parquet_footer import (
+            parse_parquet_footer,
+        )
+
+        for pdf in batches:
+            frames = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                ids = read_parquet_column(raw, "l_orderkey")
+                ts_us = read_parquet_timestamp_column(raw, "ship_ts")
+                days = read_parquet_date_column(raw, "ship_date")
+                footer = parse_parquet_footer(raw)
+                if (ids is None or ts_us is None or days is None
+                        or footer is None):
+                    continue
+                # non-null-only readers: anchor every length to the
+                # footer row count so the zip stays row-faithful
+                if any(len(g) != footer[0] for g in (ids, ts_us, days)):
+                    continue
+                frames.append(pd.DataFrame({
+                    "l_orderkey": pd.Series(ids, dtype="int64"),
+                    # session tz is UTC (session.py), so naive
+                    # epoch-anchored timestamps are exact
+                    "ship_ts": pd.to_datetime(
+                        pd.Series(ts_us, dtype="int64"), unit="us"
+                    ),
+                    "ship_date": pd.to_datetime(
+                        pd.Series(days, dtype="int64"), unit="D"
+                    ).dt.date,
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame({
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "ship_ts": pd.Series([], dtype="datetime64[us]"),
+                    "ship_date": pd.Series([], dtype="object"),
+                })
+
+    return files.mapInPandas(
+        read_temporal, "l_orderkey long, ship_ts timestamp, ship_date date"
     )

@@ -368,6 +368,8 @@ _PRIORITY = [
     "fn_xxhash64_pure", "scan_parquet_raw_table",
     "scan_parquet_raw_numeric", "scan_orc_column", "scan_orc_raw_table",
     "scan_warc_http_payloads",
+    # round 12
+    "scan_parquet_raw_nested", "scan_parquet_raw_temporal",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

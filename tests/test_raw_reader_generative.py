@@ -92,3 +92,245 @@ def test_orc_reader_matches_pyarrow_generative(ints, strs, floats, comp):
     assert got_f is not None and len(got_f) == len(want_f)
     for g, w in zip(got_f, want_f):
         assert struct.pack("<d", g) == struct.pack("<d", w)
+
+
+# ---------------------------------------------------------------------------
+# nested (repetition-level) tier — r12
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.parquet_raw import (  # noqa: E402
+    read_parquet_list_column,
+)
+
+#: the def-level lattice in one fixture: null list, empty list, null
+#: element, plain values, a long list (forces real rep-level runs)
+_LATTICE = [
+    [1.5, 2.5], None, [], [3.25, None, 4.0], [None], [5.0] * 300, [], None,
+    [6.125],
+]
+
+
+def test_list_reader_def_level_lattice_all_writer_knobs():
+    """Null lists, empty lists, and null elements across v1/v2 pages,
+    dictionary on/off, all four supported page codecs, and both the
+    compliant (3-level, 'element') and legacy pyarrow ('item') LIST
+    spellings — 64 writer combinations, all byte-identical to the
+    input."""
+    for version in ("1.0", "2.6"):
+        for dpv in ("1.0", "2.0"):
+            for use_dict in (True, False):
+                for comp in ("none", "snappy", "gzip", "zstd"):
+                    for compliant in (True, False):
+                        t = pa.table({
+                            "x": pa.array(
+                                _LATTICE, type=pa.list_(pa.float64())
+                            )
+                        })
+                        buf = io.BytesIO()
+                        pq.write_table(
+                            t, buf, version=version,
+                            data_page_version=dpv,
+                            use_dictionary=use_dict, compression=comp,
+                            use_compliant_nested_type=compliant,
+                        )
+                        got = read_parquet_list_column(buf.getvalue(), "x")
+                        assert got == _LATTICE, (
+                            version, dpv, use_dict, comp, compliant,
+                        )
+
+
+def test_list_reader_multipage_records():
+    """Tiny data pages force many pages per chunk; rows are split at
+    rep==0 across the whole chunk, so records that land against page
+    boundaries still reassemble — v1 and v2 page layouts both."""
+    ints = [list(range(i % 7)) or None for i in range(2000)]
+    for version, dpv in (("1.0", "1.0"), ("2.6", "2.0")):
+        t = pa.table({"x": pa.array(ints, type=pa.list_(pa.int64()))})
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, data_page_size=512, version=version,
+            data_page_version=dpv,
+        )
+        assert read_parquet_list_column(buf.getvalue(), "x") == ints
+
+
+def test_list_reader_required_outer_and_element():
+    """Non-nullable list of non-nullable elements shrinks the def-level
+    lattice (max_def == rep_def); the reader must not look for the
+    missing levels."""
+    fld = pa.field(
+        "x",
+        pa.list_(pa.field("element", pa.float32(), nullable=False)),
+        nullable=False,
+    )
+    dd = [[1.0, 2.0], [], [3.5]]
+    t = pa.table({"x": pa.array(dd, type=fld.type)}).cast(pa.schema([fld]))
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_column(buf.getvalue(), "x") == dd
+
+
+def test_list_reader_string_elements_and_refusals():
+    sd = [["ab", "c"], None, [], ["s%d" % i for i in range(50)]]
+    t = pa.table({"x": pa.array(sd, type=pa.list_(pa.string()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    want = [None if r is None else [s.encode() for s in r] for r in sd]
+    assert read_parquet_list_column(buf.getvalue(), "x") == want
+    # list<struct>: more than one leaf under the repeated node — refused
+    t = pa.table({
+        "x": pa.array(
+            [[{"a": 1, "b": 2}]],
+            type=pa.list_(pa.struct([("a", pa.int64()), ("b", pa.int64())])),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_column(buf.getvalue(), "x") is None
+    # flat column through the list entry point — no repeated leaf: refused
+    t = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_column(buf.getvalue(), "x") is None
+
+
+def test_list_reader_never_reads_flat_entry_points():
+    """The scalar readers keep their refusal semantics: a repeated leaf
+    is not flat, so the general reader returns None for it rather than
+    misparsing the rep-levels block."""
+    t = pa.table({"x": pa.array(_LATTICE, type=pa.list_(pa.float64()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    assert read_parquet_column(raw, "x") is None
+    assert read_parquet_column(raw, "x.list.element") is None
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(), st.integers(-(2**63), 2**63 - 1)
+                ),
+                max_size=20,
+            ),
+        ),
+        min_size=1, max_size=120,
+    ),
+    use_dict=st.booleans(),
+    dpv=st.sampled_from(["1.0", "2.0"]),
+    comp=st.sampled_from(["none", "snappy", "gzip", "zstd"]),
+    page=st.sampled_from([512, 1024 * 1024]),
+)
+def test_list_reader_generative(rows, use_dict, dpv, comp, page):
+    t = pa.table({"x": pa.array(rows, type=pa.list_(pa.int64()))})
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, use_dictionary=use_dict, data_page_version=dpv,
+        compression=comp, data_page_size=page,
+    )
+    assert read_parquet_list_column(buf.getvalue(), "x") == rows
+
+
+# ---------------------------------------------------------------------------
+# temporal tier (INT96 / TIMESTAMP / DATE) — r12
+# ---------------------------------------------------------------------------
+
+import datetime  # noqa: E402
+
+from dynamic_spark_spark.llmops.parquet_raw import (  # noqa: E402
+    read_parquet_date_column,
+    read_parquet_timestamp_column,
+)
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+_TS_DATA = [
+    datetime.datetime(1992, 4, 1, 12, 34, 56, 789012),
+    datetime.datetime(1970, 1, 1, 0, 0, 0),
+    datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),  # pre-epoch
+    datetime.datetime(1998, 11, 30),
+    None,
+    datetime.datetime(2038, 1, 19, 3, 14, 7),
+]
+_TS_US = [
+    None if v is None else (v - _EPOCH) // datetime.timedelta(microseconds=1)
+    for v in _TS_DATA
+]
+
+
+def _nonnull(xs):
+    return [x for x in xs if x is not None]
+
+
+def test_timestamp_reader_pyarrow_conventions():
+    """pyarrow writes TIMESTAMP_MICROS/MILLIS annotated INT64 — both
+    upscale to the same epoch micros, including pre-epoch instants and
+    nulls; plain INT64 without the annotation is refused."""
+    for unit, factor in (("us", 1), ("ms", 1000)):
+        vals = _TS_US if unit == "us" else [
+            None if v is None else (v // 1000) for v in _TS_US
+        ]
+        t = pa.table({
+            "ts": pa.array(vals, type=pa.timestamp(unit)),
+            "plain": pa.array(range(len(vals)), type=pa.int64()),
+        })
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        raw = buf.getvalue()
+        got = read_parquet_timestamp_column(raw, "ts")
+        assert got == [v * factor for v in _nonnull(vals)], unit
+        assert read_parquet_timestamp_column(raw, "plain") is None
+
+
+def test_date_reader_pyarrow_and_refusals():
+    dates = [datetime.date(1992, 4, 1), None, datetime.date(1970, 1, 1),
+             datetime.date(1969, 6, 15), datetime.date(2038, 1, 19)]
+    days = [None if d is None else (d - datetime.date(1970, 1, 1)).days
+            for d in dates]
+    t = pa.table({
+        "d": pa.array(dates, type=pa.date32()),
+        "i": pa.array(range(len(dates)), type=pa.int32()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    assert read_parquet_date_column(raw, "d") == _nonnull(days)
+    assert read_parquet_date_column(raw, "i") is None  # unannotated INT32
+    assert read_parquet_timestamp_column(raw, "d") is None
+
+
+def test_int96_reader_spark_written(spark, sf_dir):
+    """Both Spark writer conventions
+    (spark.sql.parquet.outputTimestampType INT96 — the default — and
+    TIMESTAMP_MICROS) byte-decode to the same epoch micros as the
+    source table."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("ts")
+    ).limit(200)
+    want = [
+        (v["ts"] - _EPOCH) // datetime.timedelta(microseconds=1)
+        for v in li.collect()
+    ]
+    conf = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(conf)
+    try:
+        for conv in ("INT96", "TIMESTAMP_MICROS"):
+            spark.conf.set(conf, conv)
+            out = tempfile.mkdtemp(prefix="dss_int96_")
+            li.coalesce(1).write.mode("overwrite").parquet(out)
+            f = glob.glob(out + "/*.parquet")[0]
+            got = read_parquet_timestamp_column(open(f, "rb").read(), "ts")
+            assert sorted(got) == sorted(want), conv
+    finally:
+        spark.conf.set(conf, prev)
