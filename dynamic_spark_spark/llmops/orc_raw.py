@@ -28,8 +28,14 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       truncate/signed-nanos pre-epoch conventions), DECIMAL
       (unbounded zigzag mantissas + RLEv2 scales).
 
-Scope: flat scalar columns with the _V2 encodings; LZO, RLEv1, and
-compound/union types are refused explicitly. Every layer
+    → LIST columns (r12): LIST-node PRESENT + LENGTH (unsigned RLEv2)
+      streams, child-column PRESENT + DATA sized by the sum of lengths
+      (ORC spec §'List Columns'), via :func:`read_orc_list_column` —
+      null list / empty list / null element all distinguished.
+
+Scope: flat scalar columns and ``list<scalar>`` with the _V2
+encodings; LZO, RLEv1, and struct/map/union (and nested-list) types
+are refused explicitly. Every layer
 is an independent re-implementation forced to agree with orc-core (the
 JVM writer Spark uses) through the real bytes; pytest pins the RLEv2
 decoder against the spec's published example vectors AND against
@@ -363,19 +369,17 @@ def _packed_uvarints(blob: bytes):
     return out
 
 
-def _orc_column_stripes(raw: bytes, column: str):
-    """Shared walk: footer type tree + stripe directory + per-stripe
-    stream gathering for ONE flat column. Returns ``(type_kind,
-    [stripe dict])`` where each stripe dict carries ``rows``,
-    ``encoding``, and the column's DECOMPRESSED streams (``present``,
-    ``data``, ``length``, ``dict_data``), or None. Raises freely — the
-    public entry points catch."""
+def _orc_footer_meta(raw: bytes):
+    """Footer → ``(compression, stripes_meta, types)`` where
+    stripes_meta entries are ``(offset, index_len, data_len, footer_len,
+    rows)`` and types entries ``(kind, subtypes, field_names)``, or
+    None. Raises freely — the public entry points catch."""
     tail = _orc_tail(raw)
     if tail is None:
         return None
     footer, comp = tail
-    stripes = []  # (offset, index_len, data_len, footer_len, rows)
-    types = []  # (kind, subtypes, field_names)
+    stripes = []
+    types = []
     for fid, wt, val in proto_fields(footer):
         if fid == 3 and wt == 2:  # StripeInformation
             off = ilen = dlen = flen = rows = None
@@ -411,6 +415,76 @@ def _orc_column_stripes(raw: bytes, column: str):
             types.append((kind, subtypes, names))
     if not types or types[0][0] != 12:  # root must be STRUCT
         return None
+    return comp, stripes, types
+
+
+def _orc_gather_streams(raw: bytes, comp: int, stripe_meta, col_ids):
+    """One stripe's DECOMPRESSED streams for a SET of column ids:
+    ``{"rows": n, cid: {"encoding": k, "dict_size": n, "present": ...,
+    "data": ..., "length": ..., "dict_data": ..., "secondary": ...}}``
+    or None. Stream offsets accumulate in listed order from the stripe
+    start (index region first, then data — ORC spec §Stripes)."""
+    off, ilen, dlen, flen, rows = stripe_meta
+    sf_start = off + ilen + dlen
+    sf_raw = raw[sf_start : sf_start + flen]
+    if len(sf_raw) < flen:
+        return None
+    sfooter = _orc_stream_bytes(sf_raw, comp)
+    if sfooter is None:
+        return None
+    streams = []  # (kind, column, length) in file order
+    encodings = []  # ColumnEncoding kinds in column order
+    for fid, wt, val in proto_fields(sfooter):
+        if fid == 1 and wt == 2:  # Stream
+            kind = scol = slen = 0
+            for sfid, swt, sval in proto_fields(val):
+                if swt != 0:
+                    continue
+                if sfid == 1:
+                    kind = sval
+                elif sfid == 2:
+                    scol = sval
+                elif sfid == 3:
+                    slen = sval
+            streams.append((kind, scol, slen))
+        elif fid == 2 and wt == 2:  # ColumnEncoding
+            ekind = dict_size = 0
+            for efid, ewt, eval_ in proto_fields(val):
+                if efid == 1 and ewt == 0:
+                    ekind = eval_
+                elif efid == 2 and ewt == 0:
+                    dict_size = eval_
+            encodings.append((ekind, dict_size))
+    got: dict = {"rows": rows}
+    for cid in col_ids:
+        enc, dsize = encodings[cid] if cid < len(encodings) else (0, 0)
+        got[cid] = {"encoding": enc, "dict_size": dsize}
+    # Stream.kind: 0 PRESENT, 1 DATA, 2 LENGTH, 3 DICTIONARY_DATA,
+    # 5 SECONDARY (timestamp nanos / decimal scales)
+    names_by_kind = {0: "present", 1: "data", 2: "length",
+                     3: "dict_data", 5: "secondary"}
+    pos = off
+    for kind, scol, slen in streams:
+        if scol in col_ids and kind in names_by_kind:
+            dec = _orc_stream_bytes(raw[pos : pos + slen], comp)
+            if dec is None:
+                return None
+            got[scol][names_by_kind[kind]] = dec
+        pos += slen
+    return got
+
+
+def _orc_column_stripes(raw: bytes, column: str):
+    """Shared walk: footer type tree + stripe directory + per-stripe
+    stream gathering for ONE flat column. Returns ``(type_kind,
+    [stripe dict])`` where each stripe dict carries ``rows``,
+    ``encoding``, and the column's DECOMPRESSED streams (``present``,
+    ``data``, ``length``, ``dict_data``), or None. Raises freely — the
+    public entry points catch."""
+    meta = _orc_footer_meta(raw)
+    if meta is None:
+        return None
+    comp, stripes, types = meta
     root_kind, root_subs, root_names = types[0]
     if column not in root_names:
         return None
@@ -420,53 +494,17 @@ def _orc_column_stripes(raw: bytes, column: str):
     type_kind = types[col_id][0]
 
     out = []
-    for off, ilen, dlen, flen, rows in stripes:
-        sf_start = off + ilen + dlen
-        sf_raw = raw[sf_start : sf_start + flen]
-        if len(sf_raw) < flen:
+    for sm in stripes:
+        gathered = _orc_gather_streams(raw, comp, sm, {col_id})
+        if gathered is None:
             return None
-        sfooter = _orc_stream_bytes(sf_raw, comp)
-        if sfooter is None:
-            return None
-        streams = []  # (kind, column, length) in file order
-        encodings = []  # ColumnEncoding kinds in column order
-        for fid, wt, val in proto_fields(sfooter):
-            if fid == 1 and wt == 2:  # Stream
-                kind = scol = slen = 0
-                for sfid, swt, sval in proto_fields(val):
-                    if swt != 0:
-                        continue
-                    if sfid == 1:
-                        kind = sval
-                    elif sfid == 2:
-                        scol = sval
-                    elif sfid == 3:
-                        slen = sval
-                streams.append((kind, scol, slen))
-            elif fid == 2 and wt == 2:  # ColumnEncoding
-                ekind = dict_size = 0
-                for efid, ewt, eval_ in proto_fields(val):
-                    if efid == 1 and ewt == 0:
-                        ekind = eval_
-                    elif efid == 2 and ewt == 0:
-                        dict_size = eval_
-                encodings.append((ekind, dict_size))
-        # stream offsets accumulate in listed order from the stripe start
-        pos = off
-        enc, dsize = encodings[col_id] if col_id < len(encodings) else (0, 0)
-        got = {"rows": rows, "encoding": enc, "dict_size": dsize}
-        # Stream.kind: 0 PRESENT, 1 DATA, 2 LENGTH, 3 DICTIONARY_DATA,
-        # 5 SECONDARY (timestamp nanos / decimal scales)
-        names_by_kind = {0: "present", 1: "data", 2: "length",
-                         3: "dict_data", 5: "secondary"}
-        for kind, scol, slen in streams:
-            if scol == col_id and kind in names_by_kind:
-                dec = _orc_stream_bytes(raw[pos : pos + slen], comp)
-                if dec is None:
-                    return None
-                got[names_by_kind[kind]] = dec
-            pos += slen
-        out.append(got)
+        st = {"rows": gathered["rows"],
+              "encoding": gathered[col_id]["encoding"],
+              "dict_size": gathered[col_id]["dict_size"]}
+        for k in ("present", "data", "length", "dict_data", "secondary"):
+            if k in gathered[col_id]:
+                st[k] = gathered[col_id][k]
+        out.append(st)
     return type_kind, out
 
 
@@ -538,47 +576,47 @@ def read_orc_column(raw: bytes, column: str):
             pc = _stripe_present_count(st)
             if pc is None:
                 return None
-            n_present = pc[0]
-            data = st.get("data")
-            if data is None:
+            got = _other_scalar_stripe_values(kind, st, pc[0])
+            if got is None:
                 return None
-            if kind == 0:  # BOOLEAN: byte-RLE over MSB-first bits
-                bits = byte_rle_bools(data, n_present)
-                if bits is None:
-                    return None
-                values.extend(bits)
-            elif kind == 1:  # BYTE: byte-RLE literal/run bytes, signed
-                bs = _byte_rle_bytes(data, n_present)
-                if bs is None:
-                    return None
-                values.extend(b - 256 if b >= 128 else b for b in bs)
-            elif kind in (5, 6):  # FLOAT / DOUBLE: LE IEEE
-                w = 4 if kind == 5 else 8
-                if len(data) < w * n_present:
-                    return None
-                fmt = "f" if kind == 5 else "d"
-                values.extend(
-                    struct.unpack(f"<{n_present}{fmt}", data[: w * n_present])
-                )
-            elif kind == 9:  # TIMESTAMP: seconds from 2015 + packed nanos
-                if st["encoding"] != 2:  # RLEv1 streams: refuse, don't guess
-                    return None
-                got = _decode_timestamps(st, n_present)
-                if got is None:
-                    return None
-                values.extend(got)
-            elif kind == 14:  # DECIMAL: varint mantissas + RLEv2 scales
-                if st["encoding"] != 2:
-                    return None
-                got = _decode_decimals(st, n_present)
-                if got is None:
-                    return None
-                values.extend(got)
-            else:
-                return None  # compound/union types: out of scope
+            values.extend(got)
         return values
     except Exception:
         return None
+
+
+def _other_scalar_stripe_values(kind: int, st: dict, n_present: int):
+    """Non-null values of one stripe for the scalar kinds outside the
+    int/string fast paths: BOOLEAN, BYTE, FLOAT/DOUBLE, TIMESTAMP,
+    DECIMAL. Shared by the flat reader and the list tier's child
+    decode. Returns a list or None."""
+    data = st.get("data")
+    if data is None:
+        return None
+    if kind == 0:  # BOOLEAN: byte-RLE over MSB-first bits
+        return byte_rle_bools(data, n_present)
+    if kind == 1:  # BYTE: byte-RLE literal/run bytes, signed
+        bs = _byte_rle_bytes(data, n_present)
+        if bs is None:
+            return None
+        return [b - 256 if b >= 128 else b for b in bs]
+    if kind in (5, 6):  # FLOAT / DOUBLE: LE IEEE
+        w = 4 if kind == 5 else 8
+        if len(data) < w * n_present:
+            return None
+        fmt = "f" if kind == 5 else "d"
+        return list(
+            struct.unpack(f"<{n_present}{fmt}", data[: w * n_present])
+        )
+    if kind == 9:  # TIMESTAMP: seconds from 2015 + packed nanos
+        if st["encoding"] != 2:  # RLEv1 streams: refuse, don't guess
+            return None
+        return _decode_timestamps(st, n_present)
+    if kind == 14:  # DECIMAL: varint mantissas + RLEv2 scales
+        if st["encoding"] != 2:
+            return None
+        return _decode_decimals(st, n_present)
+    return None  # compound/union types: out of scope
 
 
 def _byte_rle_bytes(data: bytes, count: int):
@@ -676,6 +714,101 @@ def _string_values_from_stripes(stripes):
         return values
     except Exception:
         return None
+
+
+def read_orc_list_column(raw: bytes, column: str):
+    """Read every ROW of a ``list<scalar>`` column straight from an ORC
+    file's bytes — the compound-type tier (r12): the LIST node carries
+    an optional PRESENT stream plus a LENGTH stream (unsigned RLEv2,
+    one entry per PRESENT list — ORC spec §'List Columns'), and the
+    child column carries its own PRESENT + DATA streams sized by the
+    SUM of the lengths. Unlike parquet there is no def-level lattice to
+    disambiguate: a false parent PRESENT bit is a null list, length 0
+    is an empty list, and a false child PRESENT bit is a null element.
+    The child decodes through the same scalar machinery as flat columns
+    (RLEv2 ints/dates, IEEE floats, both string layouts, booleans,
+    timestamps, decimals). Returns one entry per row — None / ``[]`` /
+    the element list with None slots — or None. Never raises."""
+    try:
+        return _orc_list_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _orc_list_inner(raw: bytes, column: str):
+    meta = _orc_footer_meta(raw)
+    if meta is None:
+        return None
+    comp, stripes, types = meta
+    _root_kind, root_subs, root_names = types[0]
+    if column not in root_names:
+        return None
+    list_id = root_subs[root_names.index(column)]
+    if list_id >= len(types) or types[list_id][0] != 10:  # LIST
+        return None
+    subs = types[list_id][1]
+    if len(subs) != 1:
+        return None
+    child_id = subs[0]
+    if child_id >= len(types) or types[child_id][1]:
+        return None  # list<struct>/list<list>: out of scope — refuse
+    child_kind = types[child_id][0]
+    rows_out: list = []
+    for sm in stripes:
+        g = _orc_gather_streams(raw, comp, sm, {list_id, child_id})
+        if g is None:
+            return None
+        rows = g["rows"]
+        parent = dict(g[list_id])
+        parent["rows"] = rows
+        if parent.get("encoding") not in (2, 3):  # DIRECT_V2 family only
+            return None
+        ppc = _stripe_present_count(parent)
+        if ppc is None:
+            return None
+        n_lists, pflags = ppc
+        length = parent.get("length")
+        if length is None:
+            return None
+        lens = rlev2_decode(length, n_lists, signed=False)
+        if lens is None or any(x < 0 for x in lens):
+            return None
+        n_slots = sum(lens)
+        if n_slots > ORC_VALUE_CAP:
+            return None
+        child = dict(g[child_id])
+        child["rows"] = n_slots  # the child's row space IS the slot count
+        cpc = _stripe_present_count(child)
+        if cpc is None:
+            return None
+        n_child, cflags = cpc
+        if child_kind in _INT_KINDS or child_kind == 15:
+            vals = _int_values_from_stripes([child])
+        elif child_kind in _STR_KINDS:
+            vals = _string_values_from_stripes([child])
+        else:
+            vals = _other_scalar_stripe_values(child_kind, child, n_child)
+        if vals is None or len(vals) != n_child:
+            return None
+        vi = si = li = 0
+        for r in range(rows):
+            if pflags is not None and not pflags[r]:
+                rows_out.append(None)
+                continue
+            ln = lens[li]
+            li += 1
+            lst: list = []
+            for _ in range(ln):
+                if cflags is not None and not cflags[si]:
+                    lst.append(None)
+                else:
+                    lst.append(vals[vi])
+                    vi += 1
+                si += 1
+            rows_out.append(lst)
+        if vi != len(vals) or si != n_slots:
+            return None  # stream lengths disagree: corrupt
+    return rows_out
 
 
 # ---------------------------------------------------------------------------
@@ -869,3 +1002,69 @@ def _svarint_unbounded(data: bytes, pos: int):
         if not b & 0x80:
             return (out >> 1) ^ -(out & 1), pos
         shift += 7
+
+
+_ORC_NESTED_ORACLE = """
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+       CAST(unnest(embedding) AS DOUBLE) AS component
+FROM embeddings
+"""
+
+
+@query("scan_orc_raw_nested", _ORC_NESTED_ORACLE, tag="scan")
+def scan_orc_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORC compound-type tier on the corpus' own nested table — the
+    scan_parquet_raw_nested twin, one format over: Spark writes
+    ``embeddings`` (vec_id + embedding ``list<float>``) as DEFAULT ORC
+    (zstd chunk framing — every stream routes through this repo's own
+    RFC 8878 decoder), and every row of the list column is recovered
+    byte-walked with no ORC library: LIST-node PRESENT + LENGTH
+    streams, child-column PRESENT + IEEE-float DATA sized by the sum of
+    lengths, zipped against the RLEv2-decoded ``vec_id`` with both
+    lengths anchored to the stripe row counts. Long-form output
+    ``(vec_id, pos, component)`` under the same DuckDB
+    unnest/generate_subscripts identity oracle as the parquet twin —
+    the audit tier's tie-breaker claim now covers the ANN/dedup
+    corpus in BOTH columnar formats. Per-file mapInPandas, zero
+    shuffle; session-staged fixture, lazy plan."""
+    import pandas as pd
+
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
+        d = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        d.write.mode("overwrite").orc(path)  # DEFAULT codec (zstd, Spark 4)
+
+    out = staged_fixture_dir(spark, sf_dir, "orcnested", write)
+    files = spark.read.format("binaryFile").load(
+        out, pathGlobFilter="*.orc"
+    ).select("content")
+
+    def read_nested(batches):
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_pos: list[int] = []
+            out_comp: list[float] = []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                ids = read_orc_int_column(raw, "vec_id")
+                lists = read_orc_list_column(raw, "embedding")
+                if ids is None or lists is None or len(ids) != len(lists):
+                    continue  # vec_id nulls would misalign the zip
+                for i, lst in zip(ids, lists):
+                    if not lst:  # null or empty list: unnest yields none
+                        continue
+                    for p, v in enumerate(lst):
+                        out_ids.append(i)
+                        out_pos.append(p)
+                        out_comp.append(v)
+            yield pd.DataFrame(
+                {"vec_id": out_ids, "pos": out_pos, "component": out_comp}
+            )
+
+    return files.mapInPandas(
+        read_nested, "vec_id long, pos int, component double"
+    )

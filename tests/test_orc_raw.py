@@ -383,3 +383,123 @@ def test_orc_java_lossy_subsecond_window_matches_reference_readers():
         compression="uncompressed",
     )
     assert read_orc_column(buf.getvalue(), "t") == [500000]
+
+
+# ---------------------------------------------------------------------------
+# LIST columns (compound-type tier) — r12
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.orc_raw import (  # noqa: E402
+    read_orc_list_column,
+)
+
+_LIST_LATTICE = [
+    [1.5, 2.5], None, [], [3.25, None, 4.0], [None], [5.0] * 300, [], None,
+    [6.125],
+]
+
+
+def test_orc_list_reader_lattice_all_codecs():
+    """Null lists, empty lists, null elements, and a long list across
+    every supported codec — byte-identical to what liborc wrote."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    for codec in ("uncompressed", "zlib", "snappy", "lz4", "zstd"):
+        buf = io.BytesIO()
+        t = pa.table({
+            "x": pa.array(_LIST_LATTICE, type=pa.list_(pa.float64()))
+        })
+        po.write_table(t, buf, compression=codec)
+        got = read_orc_list_column(buf.getvalue(), "x")
+        assert got == _LIST_LATTICE, codec
+
+
+def test_orc_list_reader_int_and_string_children():
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    ints = [list(range(i % 7)) or None for i in range(3000)]
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({"x": pa.array(ints, type=pa.list_(pa.int64()))}), buf,
+        compression="zstd",
+    )
+    assert read_orc_list_column(buf.getvalue(), "x") == ints
+
+    sd = [["ab", "c"], None, [], ["s%d" % i for i in range(60)]]
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({"x": pa.array(sd, type=pa.list_(pa.string()))}), buf
+    )
+    want = [None if r is None else [s.encode() for s in r] for r in sd]
+    assert read_orc_list_column(buf.getvalue(), "x") == want
+
+
+def test_orc_list_reader_refusals_and_never_raises():
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    # list<struct>: child has subtypes — refused
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({
+            "x": pa.array(
+                [[{"a": 1}]], type=pa.list_(pa.struct([("a", pa.int64())]))
+            )
+        }),
+        buf,
+    )
+    assert read_orc_list_column(buf.getvalue(), "x") is None
+    # flat column through the list entry point — refused
+    buf = io.BytesIO()
+    po.write_table(pa.table({"x": pa.array([1, 2], type=pa.int64())}), buf)
+    raw = buf.getvalue()
+    assert read_orc_list_column(raw, "x") is None
+    # mutation sweep: never raises, returns list-or-None
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({
+            "x": pa.array(_LIST_LATTICE, type=pa.list_(pa.float64()))
+        }),
+        buf, compression="zstd",
+    )
+    raw = bytearray(buf.getvalue())
+    rng = random.Random(12)
+    for _ in range(300):
+        m = bytearray(raw)
+        for _ in range(rng.randint(1, 6)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        got = read_orc_list_column(bytes(m), "x")
+        assert got is None or isinstance(got, list)
+    for cut in (1, 17, len(raw) // 2, len(raw) - 3):
+        got = read_orc_list_column(bytes(raw[:cut]), "x")
+        assert got is None or isinstance(got, list)
+
+
+def test_orc_list_reader_spark_written(spark, sf_dir):
+    """Default-written Spark ORC (orc-core, zstd) of the embeddings
+    table round-trips the list tier exactly."""
+    import glob
+    import tempfile
+
+    from dynamic_spark_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(50)
+    want = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in d.collect()
+    }
+    out = tempfile.mkdtemp(prefix="dss_orclist_")
+    d.coalesce(1).write.mode("overwrite").orc(out)
+    f = glob.glob(out + "/*.orc")[0]
+    raw = open(f, "rb").read()
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_int_column
+
+    ids = read_orc_int_column(raw, "vec_id")
+    lists = read_orc_list_column(raw, "embedding")
+    assert ids is not None and lists is not None
+    assert len(ids) == len(lists) == len(want)
+    for i, lst in zip(ids, lists):
+        assert [float(x) for x in lst] == want[i]
