@@ -960,3 +960,183 @@ def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         roundtrip, "doc_id long, status int, encoding string, text string"
     )
+
+
+# ---------------------------------------------------------------------------
+# charset tier (r12): Content-Type charset= → BOM → <meta> sniff
+# ---------------------------------------------------------------------------
+
+#: charset labels this tier decodes, normalized to canonical names.
+#: Label-faithful by design: an ``iso-8859-1`` body decodes as true
+#: latin-1, NOT as the WHATWG windows-1252 superset browsers apply —
+#: a data pipeline wants the auditable mapping, and the divergence is
+#: confined to the 0x80–0x9F range (documented here, pinned in tests).
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "us-ascii": "us-ascii", "ascii": "us-ascii",
+    "iso-8859-1": "iso-8859-1", "latin-1": "iso-8859-1",
+    "latin1": "iso-8859-1", "l1": "iso-8859-1", "iso_8859-1": "iso-8859-1",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "utf-16": "utf-16", "utf-16le": "utf-16le", "utf-16be": "utf-16be",
+}
+_CHARSET_CODECS = {
+    "utf-8": "utf-8", "us-ascii": "ascii", "iso-8859-1": "latin-1",
+    "windows-1252": "cp1252", "utf-16": "utf-16", "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+import re as _re  # noqa: E402
+
+_META_CHARSET_RE = _re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([A-Za-z0-9_\-]{1,40})",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
+def _charset_from_content_type(content_type):
+    """The ``charset=`` parameter of a Content-Type value (RFC 9110
+    §8.3: parameters are ``;``-separated ``name=value`` pairs, names
+    case-insensitive, values optionally quoted), or None."""
+    if not content_type:
+        return None
+    for part in content_type.split(";")[1:]:
+        name, _, val = part.partition("=")
+        if name.strip().lower() == "charset":
+            return val.strip().strip("\"'").lower() or None
+    return None
+
+
+def http_charset_decode(body: bytes, content_type):
+    """Decode an HTTP body's bytes to text the way a crawl pipeline
+    must: resolve the charset, then decode STRICTLY. Resolution order —
+    a byte-order mark wins outright (WHATWG encoding sniff: a BOM
+    overrides even the header), then the Content-Type ``charset=``
+    parameter, then an ASCII-superset scan of the first 1024 bytes for
+    an html ``<meta charset=...>`` / ``http-equiv`` declaration, then
+    UTF-8. Returns ``(resolved_charset, text)`` or None — an unknown
+    label or a byte sequence invalid in the resolved charset REFUSES
+    rather than mojibakes (decode errors are data, not noise). Never
+    raises."""
+    try:
+        if body.startswith(b"\xef\xbb\xbf"):
+            return "utf-8", body[3:].decode("utf-8")
+        if body.startswith(b"\xff\xfe"):
+            return "utf-16le", body[2:].decode("utf-16-le")
+        if body.startswith(b"\xfe\xff"):
+            return "utf-16be", body[2:].decode("utf-16-be")
+        label = _charset_from_content_type(content_type)
+        if label is None:
+            m = _META_CHARSET_RE.search(body[:1024])
+            label = m.group(1).decode("ascii").lower() if m else "utf-8"
+        canon = _CHARSET_ALIASES.get(label)
+        if canon is None:
+            return None  # unknown label: refuse, don't guess
+        return canon, body.decode(_CHARSET_CODECS[canon])
+    except (UnicodeDecodeError, ValueError):
+        return None
+
+
+#: per-mode suffixes exercising bytes OUTSIDE ASCII so the charset
+#: tables are actually proven: latin-1 high bytes for mode 1, the
+#: windows-1252-specific 0x80–0x9F mappings (€ “ ” –) for modes 2/4
+_LATIN1_SUFFIX = " café ±"
+_CP1252_SUFFIX = " €“quoted”–"
+
+_CHARSET_CASE = (
+    "CASE CAST(doc_id % 5 AS INTEGER)"
+    " WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'"
+    " WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'utf-16le'"
+    " ELSE 'windows-1252' END"
+)
+
+_WARC_CHARSET_ORACLE = f"""
+SELECT doc_id,
+  {_CHARSET_CASE} AS charset,
+  CASE CAST(doc_id % 5 AS INTEGER)
+    WHEN 0 THEN txt
+    WHEN 1 THEN ascii_txt || ' café ±'
+    WHEN 2 THEN ascii_txt || ' €“quoted”–'
+    WHEN 3 THEN txt
+    ELSE '<meta charset="windows-1252"><p>' || ascii_txt || ' €“quoted”–'
+  END AS text
+FROM (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS ascii_txt
+  FROM documents
+)
+"""
+
+
+@query("scan_warc_http_charsets", _WARC_CHARSET_ORACLE, tag="llm-crawl")
+def scan_warc_http_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The charset layer real crawl payloads carry (r11 verdict: decoded
+    bodies were assumed UTF-8): each document becomes an HTTP/1.1
+    response in one of five charset postures by ``doc_id % 5`` —
+    UTF-8 via ``charset=`` (full unicode text), true latin-1 and
+    windows-1252 via header label (ASCII-stripped text plus suffixes
+    that exercise the non-ASCII rows of EACH table, including the
+    0x80–0x9F range where the two differ), UTF-16LE via byte-order
+    mark (full unicode — the BOM wins over the header per the WHATWG
+    sniff order), and a header-less html body resolved by the
+    ``<meta charset=...>`` scan. Every body round-trips through
+    :func:`http_payload_decode` + :func:`http_charset_decode`, and the
+    identity oracle hash-proves the alias table, BOM precedence, meta
+    sniff, and both single-byte decode tables per row. Per-batch
+    mapInPandas, zero shuffle."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), "[^ -~]", ""
+        ).alias("ascii_text"),
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, ascii_text in zip(
+                pdf["doc_id"], pdf["text"], pdf["ascii_text"]
+            ):
+                doc_id = int(doc_id)
+                mode = doc_id % 5
+                if mode == 0:
+                    wire = text.encode("utf-8")
+                    ctype = "text/plain; charset=UTF-8"
+                elif mode == 1:
+                    wire = (ascii_text + _LATIN1_SUFFIX).encode("latin-1")
+                    ctype = 'text/plain; charset="Latin-1"'  # alias + quotes
+                elif mode == 2:
+                    wire = (ascii_text + _CP1252_SUFFIX).encode("cp1252")
+                    ctype = "text/plain; charset=cp1252"
+                elif mode == 3:
+                    wire = b"\xff\xfe" + text.encode("utf-16-le")
+                    # header says utf-8 — the BOM must win (WHATWG order)
+                    ctype = "text/plain; charset=utf-8"
+                else:
+                    wire = (
+                        '<meta charset="windows-1252"><p>'
+                        + ascii_text + _CP1252_SUFFIX
+                    ).encode("cp1252")
+                    ctype = "text/html"  # no charset param: meta sniff
+                payload = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    + f"Content-Type: {ctype}\r\n".encode()
+                    + f"Content-Length: {len(wire)}\r\n\r\n".encode()
+                    + wire
+                )
+                got = http_payload_decode(payload)
+                if got is None:
+                    continue
+                _status, content_type, body = got
+                decoded = http_charset_decode(body, content_type)
+                if decoded is None:
+                    continue
+                rows.append((doc_id, decoded[0], decoded[1]))
+            yield pd.DataFrame(rows, columns=["doc_id", "charset", "text"])
+
+    return d.mapInPandas(
+        roundtrip, "doc_id long, charset string, text string"
+    )

@@ -370,7 +370,7 @@ _PRIORITY = [
     "scan_warc_http_payloads",
     # round 12
     "scan_parquet_raw_nested", "scan_parquet_raw_temporal",
-    "scan_orc_raw_nested",
+    "scan_orc_raw_nested", "scan_warc_http_charsets",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -147,3 +147,72 @@ def test_zstd_batch_cli_compress():
     for f, p in zip(frames, payloads):
         assert zstd_decompress(f) == p
     assert zstd_compress_real_many([]) == []
+
+
+# ---------------------------------------------------------------------------
+# charset tier — r12
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.html import http_charset_decode  # noqa: E402
+
+
+def test_charset_header_labels_and_aliases():
+    body = "héllo wörld".encode("latin-1")
+    for label in ("iso-8859-1", "Latin-1", "latin1", "L1", "ISO_8859-1"):
+        got = http_charset_decode(body, f"text/plain; charset={label}")
+        assert got == ("iso-8859-1", "héllo wörld"), label
+    # quoted parameter value
+    got = http_charset_decode(body, 'text/plain; charset="latin-1"')
+    assert got == ("iso-8859-1", "héllo wörld")
+    # cp1252-specific rows: 0x80 is € in 1252, U+0080 in true latin-1
+    body = "€ “q” –".encode("cp1252")
+    assert http_charset_decode(body, "text/html; charset=cp1252") == (
+        "windows-1252", "€ “q” –"
+    )
+    assert http_charset_decode(body, "text/html; charset=latin-1")[1] != (
+        "€ “q” –"
+    )  # label-faithful: latin-1 maps 0x80 to U+0080, not €
+
+
+def test_charset_bom_wins_over_header():
+    text = "unicode 日本語 \U0001f680"
+    wire = b"\xff\xfe" + text.encode("utf-16-le")
+    got = http_charset_decode(wire, "text/plain; charset=utf-8")
+    assert got == ("utf-16le", text)
+    wire = b"\xfe\xff" + text.encode("utf-16-be")
+    assert http_charset_decode(wire, None) == ("utf-16be", text)
+    wire = b"\xef\xbb\xbf" + text.encode("utf-8")
+    assert http_charset_decode(wire, "text/plain; charset=latin-1") == (
+        "utf-8", text
+    )
+
+
+def test_charset_meta_sniff_and_default():
+    body = '<meta charset="windows-1252"><p>x €'.encode("cp1252")
+    got = http_charset_decode(body, "text/html")
+    assert got == ("windows-1252", '<meta charset="windows-1252"><p>x €')
+    body = (
+        '<meta http-equiv="Content-Type" '
+        'content="text/html; charset=ISO-8859-1">é'.encode("latin-1")
+    )
+    got = http_charset_decode(body, None)
+    assert got is not None and got[0] == "iso-8859-1"
+    # no header, no meta: UTF-8 strict default
+    assert http_charset_decode("plain ascii".encode(), None) == (
+        "utf-8", "plain ascii"
+    )
+
+
+def test_charset_refusals():
+    # unknown label: refuse, don't guess
+    assert http_charset_decode(b"abc", "text/plain; charset=shift_jis") is None
+    # bytes invalid in the resolved charset: refuse, don't mojibake
+    assert http_charset_decode(b"\xff\xfa bad utf8", None) is None
+    assert http_charset_decode(
+        b"\x81", "text/plain; charset=cp1252"
+    ) is None  # 0x81 is unmapped in windows-1252
+    assert http_charset_decode(
+        "naïve".encode("latin-1"), "text/plain; charset=us-ascii"
+    ) is None
+    # never raises on garbage headers
+    assert http_charset_decode(b"x", "charset") in (("utf-8", "x"), None)

@@ -54,7 +54,7 @@ def unicode_con(unicode_sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["scan_tfrecord", "stream_tfrecord_ingest", "scan_pdf_text",
-     "scan_text_zst"],
+     "scan_text_zst", "scan_warc_http_charsets"],
 )
 def test_key_green_on_unicode_corpus(name, spark, unicode_sf_dir, unicode_con):
     df = QUERIES[name](spark, unicode_sf_dir)
