@@ -45,7 +45,18 @@ GUARD_EXTENDED_ANCHOR_SEC = 5.028
 #: from the SAME r4 artifact's min_total_sec fields, so the 2× criterion
 #: is unchanged in spirit — only its noise floor moved.
 GUARD_ANCHOR_MIN_SEC = 7.739  # BENCH_r04.json parsed.min_total_sec
-GUARD_EXTENDED_ANCHOR_MIN_SEC = 4.610  # BENCH_r04.json parsed.extended_min_total_sec
+#: r12: the EXTENDED anchor is re-derived (r11 judge order #6) for two
+#: reasons at once: (a) the extended set itself grew — the four r11
+#: format-tier keys joined it so they carry per-key anchors — and (b)
+#: the r4-derived 4.610 had drifted to 1.13×→1.46× across three rounds
+#: with the code untouched (box degradation), putting honest keys on a
+#: path to spurious 2× trips. New basis: the BEST extended min-of-5
+#: total across three same-day quiet-box runs, committed verbatim as
+#: artifacts/bench_quiet_r12_run{1,2,3}.json (test-pinned — the anchor
+#: cannot be edited without committing a new artifact). The r4 value is
+#: kept below for cross-round artifact comparisons only.
+GUARD_EXTENDED_ANCHOR_MIN_SEC = 9.682
+GUARD_EXTENDED_ANCHOR_MIN_SEC_R4 = 4.610  # historical (old 9-key set, r4 box)
 ANCHOR_SF = 0.1
 #: 1-min load average above which the recorded totals are known (r5–r7)
 #: to drift up to ~1.2–1.4×; the artifact records the warning so readers
@@ -82,41 +93,48 @@ def guard_verdict(
         )
     return msgs
 
-#: Per-key regression anchors (r10 judge order #4): each headline and
-#: extended key's BEST recorded min-of-5 across the BENCH_r01–r10
-#: artifacts (source round in the comment). The totals-only guard let a
-#: single query regress 2× indefinitely while the total stayed inside
-#: the anchor; this table gives the guard per-key teeth. 2× of a
-#: best-recorded min is deliberately generous: the double-digit
-#: co-tenant drift the min basis was adopted for (sim_topk_ivf +17% in
-#: r10 with its module untouched) stays far below it, so only a real
-#: per-key regression trips.
+#: Per-key regression anchors (r10 judge order #4, re-derived r12 per
+#: r11 judge order #6): each key's BEST min-of-5 across three same-day
+#: QUIET-BOX runs (artifacts/bench_quiet_r12_run{1,2,3}.json, committed
+#: verbatim and test-pinned). The previous r4–r6-sourced bests had
+#: drifted 1.1–1.5× with the code untouched — box degradation, proven
+#: in-round by timing round-11 code side by side with HEAD (identical
+#: numbers) — so keys like sim_topk (old anchor 0.428, today's quiet
+#: best 0.492, one in-bench run at 1.03) were on a path to spurious 2×
+#: trips. Re-basing to today's quiet box restores the headroom the 2×
+#: criterion was designed to give; a real regression still trips
+#: because anchors can only change by committing a new quiet-box
+#: artifact. The four r11 format-tier keys get first anchors here.
 PER_KEY_ANCHOR_MIN_SEC = {
-    "agg_groupby_multi": 0.471,  # r6
-    "join_inner": 0.392,  # r6
-    "join_asof": 0.339,  # r6
-    "win_rank": 0.413,  # r6
-    "topk_per_group": 0.335,  # r5
-    "explode_split": 0.219,  # r6
-    "stream_window_tumbling": 0.267,  # r6
-    "dedup_exact": 0.172,  # r6
-    "dedup_minhash": 0.843,  # r6
-    "sim_topk": 0.428,  # r6
-    "sim_topk_ivf": 1.154,  # r6
-    "text_tokens": 0.241,  # r6
-    "text_pii_scrub": 0.207,  # r6
-    "llm_data_prep": 0.438,  # r6
-    "tpch_q9_product_profit": 0.684,  # r6
-    "text_decontaminate": 0.726,  # r4
-    "dedup_passage_rewrite": 0.915,  # r4
-    "dedup_containment": 0.898,  # r4
-    "join_spatial_radius": 0.44,  # r6
-    "dedup_semantic": 0.718,  # r6
-    "text_url_canonicalize": 0.264,  # r4
-    "agg_bitmap_distinct": 0.23,  # r4
-    "sessionize_capped": 0.439,  # r4
-    "join_interval_overlap": 0.304,  # r4
-    "corpus_shuffle": 0.338,  # r6
+    "agg_groupby_multi": 0.596,
+    "join_inner": 0.405,
+    "join_asof": 0.35,
+    "win_rank": 0.441,
+    "topk_per_group": 0.312,
+    "explode_split": 0.22,
+    "stream_window_tumbling": 0.262,
+    "dedup_exact": 0.175,
+    "dedup_minhash": 0.888,
+    "sim_topk": 0.492,
+    "sim_topk_ivf": 1.074,
+    "text_tokens": 0.233,
+    "text_pii_scrub": 0.203,
+    "llm_data_prep": 0.419,
+    "tpch_q9_product_profit": 0.664,
+    "text_decontaminate": 0.663,
+    "dedup_passage_rewrite": 0.844,
+    "dedup_containment": 1.094,
+    "join_spatial_radius": 0.434,
+    "dedup_semantic": 0.712,
+    "text_url_canonicalize": 0.273,
+    "agg_bitmap_distinct": 0.213,
+    "sessionize_capped": 0.499,
+    "join_interval_overlap": 0.306,
+    "corpus_shuffle": 0.346,
+    "scan_parquet_raw_numeric": 1.953,
+    "scan_orc_column": 0.182,
+    "scan_orc_raw_table": 1.814,
+    "scan_warc_http_payloads": 0.986,
 }
 
 
@@ -169,7 +187,9 @@ HEADLINE = [
     "text_decontaminate",
 ]
 
-#: round-2 marquee ops, timed alongside but excluded from the anchor total
+#: round-2 marquee ops, timed alongside but excluded from the anchor total;
+#: r12 adds the four round-11 format-tier keys so they carry per-key
+#: anchors (r11 judge order #6)
 EXTENDED = [
     "dedup_passage_rewrite",
     "dedup_containment",
@@ -180,6 +200,10 @@ EXTENDED = [
     "sessionize_capped",
     "join_interval_overlap",
     "corpus_shuffle",
+    "scan_parquet_raw_numeric",
+    "scan_orc_column",
+    "scan_orc_raw_table",
+    "scan_warc_http_payloads",
 ]
 
 

@@ -70,14 +70,37 @@ def test_guard_verdict_is_load_invariant():
         assert loaded == base == []
 
 
-def test_guard_anchors_match_r4_artifact():
-    """The min anchors must stay pinned to the r4 artifact they cite —
-    a drive-by edit to the constant without re-deriving it is a guard
-    weakening, not a tune."""
+def _quiet_r12_artifacts():
+    import glob
+
+    paths = sorted(
+        glob.glob(os.path.join(_ROOT, "artifacts", "bench_quiet_r12_run*.json"))
+    )
+    assert paths, "quiet-box anchor artifacts missing"
+    return [json.load(open(p)) for p in paths]
+
+
+def test_guard_anchors_match_recorded_artifacts():
+    """The total anchors must stay pinned to the artifacts they cite —
+    a drive-by edit to a constant without committing a re-derivation
+    artifact is a guard weakening, not a tune. Headline: the r4
+    artifact (unchanged set, no drift trips). Extended: the BEST
+    extended min total across the committed r12 quiet-box runs (r11
+    judge order #6 — the set grew by four keys and the r4 basis had
+    drifted)."""
     path = os.path.join(_ROOT, "BENCH_r04.json")
     parsed = json.load(open(path))["parsed"]
     assert bench.GUARD_ANCHOR_MIN_SEC == parsed["min_total_sec"]
-    assert bench.GUARD_EXTENDED_ANCHOR_MIN_SEC == parsed["extended_min_total_sec"]
+    assert bench.GUARD_EXTENDED_ANCHOR_MIN_SEC_R4 == parsed[
+        "extended_min_total_sec"
+    ]
+    quiet = _quiet_r12_artifacts()
+    assert bench.GUARD_EXTENDED_ANCHOR_MIN_SEC == min(
+        a["extended_min_total_sec"] for a in quiet
+    )
+    # the re-derivation round's extended set must match the artifacts'
+    for a in quiet:
+        assert sorted(a["extended_queries_min"]) == sorted(bench.EXTENDED)
 
 
 def test_artifact_guard_block_fields():
@@ -165,21 +188,24 @@ def test_artifact_wires_per_key_table():
 
 
 def test_per_key_anchors_match_recorded_artifacts():
-    """Every per-key anchor must equal the BEST recorded min across the
-    committed BENCH_r*.json artifacts — a drive-by loosening of one
-    anchor (which would widen that key's 2x budget) fails here, the
-    same protection the total anchors have."""
-    import glob
-
+    """Every per-key anchor must equal the BEST min across the
+    committed r12 quiet-box artifacts (the r12 re-derivation basis,
+    r11 judge order #6) — a drive-by loosening of one anchor (which
+    would widen that key's 2x budget) fails here: anchors can only
+    change by committing a new quiet-box artifact. Through r11 the
+    basis was the best min across driver BENCH_r*.json artifacts;
+    those r4–r6 bests had drifted 1.1–1.5x with code untouched."""
     best = {}
-    for path in sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json"))):
-        parsed = json.load(open(path)).get("parsed") or {}
+    for artifact in _quiet_r12_artifacts():
         for k, v in {
-            **(parsed.get("queries_min") or {}),
-            **(parsed.get("extended_queries_min") or {}),
+            **artifact["queries_min"],
+            **artifact["extended_queries_min"],
         }.items():
             if k not in best or v < best[k]:
                 best[k] = v
     for key, anchor in bench.PER_KEY_ANCHOR_MIN_SEC.items():
         assert key in best, key
         assert anchor == best[key], (key, anchor, best[key])
+    # and the quiet-box runs were actually quiet when the timers started
+    first = _quiet_r12_artifacts()[0]
+    assert first["loadavg_before"][0] < 2.0
