@@ -1661,7 +1661,9 @@ def scan_parquet_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RAW_TEMPORAL_ORACLE = """
-SELECT l_orderkey, l_shipdate AS ship_ts, CAST(l_shipdate AS DATE) AS ship_date
+SELECT l_orderkey, l_shipdate AS ship_ts,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+            AS INTEGER) AS ship_days
 FROM lineitem
 """
 
@@ -1677,7 +1679,12 @@ def scan_parquet_raw_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet-mr writes them) decode to epoch micros, the DATE annotation
     gates the epoch-day read, and the identity oracle hash-proves the
     Julian-day arithmetic against what DuckDB reads from the ORIGINAL
-    table. pytest covers the other writer convention
+    table. The DATE column surfaces as its raw EPOCH-DAY integers
+    (``ship_days``): python ``date`` objects and midnight
+    ``datetime64`` values canonicalize differently across the
+    compare harnesses, while the integer form — literally what the
+    file stores — hashes identically everywhere. pytest covers the
+    other writer convention
     (TIMESTAMP_MICROS/MILLIS INT64) on both Spark- and pyarrow-written
     files. With the nested tier this makes a full-lineitem raw audit
     real — no column type in the corpus is out of scope. Per-file
@@ -1732,9 +1739,7 @@ def scan_parquet_raw_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "ship_ts": pd.to_datetime(
                         pd.Series(ts_us, dtype="int64"), unit="us"
                     ),
-                    "ship_date": pd.to_datetime(
-                        pd.Series(days, dtype="int64"), unit="D"
-                    ).dt.date,
+                    "ship_days": pd.Series(days, dtype="int32"),
                 }))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
@@ -1742,9 +1747,9 @@ def scan_parquet_raw_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame({
                     "l_orderkey": pd.Series([], dtype="int64"),
                     "ship_ts": pd.Series([], dtype="datetime64[us]"),
-                    "ship_date": pd.Series([], dtype="object"),
+                    "ship_days": pd.Series([], dtype="int32"),
                 })
 
     return files.mapInPandas(
-        read_temporal, "l_orderkey long, ship_ts timestamp, ship_date date"
+        read_temporal, "l_orderkey long, ship_ts timestamp, ship_days int"
     )
