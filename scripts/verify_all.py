@@ -35,7 +35,14 @@ import traceback
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 PREFIX = None
-WORKERS = 2
+#: r12: default raised 2 → 4. The box had slowed ~1.6× since r11 (same
+#: drift the bench anchors were re-derived for), pushing the 2-worker
+#: wall to 259 s; measured same-day, 2/3/4 workers gave wall 258.7 /
+#: 202.8 / 140.7 s with summed per-key cost FLAT (469.7 / 533.6 /
+#: 469.3 s) — four local[32] JVMs over-subscribe 32 cores but the
+#: per-key work is dominated by fixed planning overheads, so sharding
+#: wider is pure wall win at this scale.
+WORKERS = 4
 SHARD = None  # (index, count) when running as a child process
 _args = sys.argv[1:]
 if "--prefix" in _args:
