@@ -106,16 +106,16 @@ def guard_verdict(
 #: because anchors can only change by committing a new quiet-box
 #: artifact. The four r11 format-tier keys get first anchors here.
 PER_KEY_ANCHOR_MIN_SEC = {
-    "agg_groupby_multi": 0.596,
-    "join_inner": 0.405,
-    "join_asof": 0.35,
-    "win_rank": 0.441,
-    "topk_per_group": 0.312,
-    "explode_split": 0.22,
-    "stream_window_tumbling": 0.262,
-    "dedup_exact": 0.175,
-    "dedup_minhash": 0.888,
-    "sim_topk": 0.492,
+    "agg_groupby_multi": 0.571,
+    "join_inner": 0.454,
+    "join_asof": 0.345,
+    "win_rank": 0.446,
+    "topk_per_group": 0.359,
+    "explode_split": 0.241,
+    "stream_window_tumbling": 0.306,
+    "dedup_exact": 0.202,
+    "dedup_minhash": 0.905,
+    "sim_topk": 0.507,
     "sim_topk_ivf": 1.074,
     "text_tokens": 0.233,
     "text_pii_scrub": 0.203,
@@ -130,10 +130,10 @@ PER_KEY_ANCHOR_MIN_SEC = {
     "agg_bitmap_distinct": 0.213,
     "sessionize_capped": 0.499,
     "join_interval_overlap": 0.306,
-    "corpus_shuffle": 0.346,
+    "corpus_shuffle": 0.348,
     "scan_parquet_raw_numeric": 1.953,
     "scan_orc_column": 0.182,
-    "scan_orc_raw_table": 1.814,
+    "scan_orc_raw_table": 1.833,
     "scan_warc_http_payloads": 0.986,
 }
 

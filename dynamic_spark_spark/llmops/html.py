@@ -863,8 +863,17 @@ def http_payload_decode(raw: bytes, cap: int = HTTP_BODY_CAP):
             body = zstd_decompress_concat(body, cap)
             if body is None:
                 return None
+        elif enc == "br":
+            # native seam (r12, same pattern as the jpeg/zstd codecs):
+            # brotli has NO pure-Python tier in this repo — RFC 7932 is
+            # a from-scratch project of its own — so `br` decodes ONLY
+            # when a binding is installed and REFUSES otherwise; it
+            # never guesses
+            body = brotli_decode_native(body, cap)
+            if body is None:
+                return None
         elif enc not in ("identity", ""):
-            return None  # br/compress/...: refuse, don't guess
+            return None  # compress/unknown codings: refuse, don't guess
         if len(body) > cap:
             return None
         return status, headers.get("content-type"), bytes(body)
@@ -960,6 +969,55 @@ def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         roundtrip, "doc_id long, status int, encoding string, text string"
     )
+
+
+# ---------------------------------------------------------------------------
+# brotli native seam (r12): same import-gated pattern as jpeg/zstd
+# ---------------------------------------------------------------------------
+
+_BROTLI_UNPROBED = object()
+_brotli_mod: object = _BROTLI_UNPROBED
+
+
+def brotli_backend():
+    """The optional brotli binding (the ``brotli`` or ``brotlicffi``
+    wheels), or None. Probed once per interpreter; absence is a
+    supported state. Unlike gzip/deflate/zstd there is NO pure-Python
+    tier behind this seam — RFC 7932 (context-modeled entropy over a
+    120-symbol-plus dictionary transform lattice) is a from-scratch
+    project of its own — so without a binding the ``br`` content
+    coding refuses rather than guesses."""
+    global _brotli_mod
+    if _brotli_mod is _BROTLI_UNPROBED:
+        mod = None
+        try:
+            import brotli as mod  # type: ignore[no-redef]
+        except Exception:
+            try:
+                import brotlicffi as mod  # type: ignore[no-redef]
+            except Exception:
+                mod = None
+        _brotli_mod = mod
+    return _brotli_mod
+
+
+def brotli_decode_native(body: bytes, cap: int):
+    """Decode one brotli stream via the native seam: bytes, or None
+    when no binding is installed or the stream is malformed/oversized.
+    The cap is enforced post-decode (the bindings expose no
+    incremental output bound), so the seam trusts the binding's own
+    memory discipline during the decode — the same posture as the
+    other native tiers. Never raises."""
+    mod = brotli_backend()
+    if mod is None:
+        return None
+    try:
+        out = mod.decompress(body)
+    except Exception:
+        return None
+    if len(out) > cap:
+        return None
+    return out
 
 
 # ---------------------------------------------------------------------------

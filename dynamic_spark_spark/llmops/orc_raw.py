@@ -1004,15 +1004,13 @@ def _svarint_unbounded(data: bytes, pos: int):
         shift += 7
 
 
-_ORC_NESTED_ORACLE = """
-SELECT vec_id,
-       CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
-       CAST(unnest(embedding) AS DOUBLE) AS component
-FROM embeddings
-"""
+from dynamic_spark_spark.llmops.parquet_raw import (  # noqa: E402
+    NESTED_LONG_ORACLE,
+    explode_list_rows,
+)
 
 
-@query("scan_orc_raw_nested", _ORC_NESTED_ORACLE, tag="scan")
+@query("scan_orc_raw_nested", NESTED_LONG_ORACLE, tag="scan")
 def scan_orc_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ORC compound-type tier on the corpus' own nested table — the
     scan_parquet_raw_nested twin, one format over: Spark writes
@@ -1045,25 +1043,18 @@ def scan_orc_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def read_nested(batches):
         for pdf in batches:
-            out_ids: list[int] = []
-            out_pos: list[int] = []
-            out_comp: list[float] = []
+            frames = []
             for content in pdf["content"]:
                 raw = bytes(content)
                 ids = read_orc_int_column(raw, "vec_id")
                 lists = read_orc_list_column(raw, "embedding")
                 if ids is None or lists is None or len(ids) != len(lists):
                     continue  # vec_id nulls would misalign the zip
-                for i, lst in zip(ids, lists):
-                    if not lst:  # null or empty list: unnest yields none
-                        continue
-                    for p, v in enumerate(lst):
-                        out_ids.append(i)
-                        out_pos.append(p)
-                        out_comp.append(v)
-            yield pd.DataFrame(
-                {"vec_id": out_ids, "pos": out_pos, "component": out_comp}
-            )
+                frames.append(explode_list_rows(ids, lists))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield explode_list_rows([], [])
 
     return files.mapInPandas(
         read_nested, "vec_id long, pos int, component double"

@@ -1002,13 +1002,10 @@ def _read_list_inner(raw: bytes, column: str):
         # assemble this chunk's rows (row groups are record-aligned)
         vi = 0
         for rlev, dlev in zip(reps_all, defs_all):
-            if rlev == 0:  # new record
-                if dlev < leaf.rep_def - 1:
-                    rows.append(None)  # null list
-                elif dlev == leaf.rep_def - 1:
-                    rows.append([])  # defined but empty
-                else:
-                    rows.append([])
+            if rlev == 0:  # new record: null list below rep_def-1, else
+                #             a (possibly empty) open list — elements are
+                #             appended by the def-level check below
+                rows.append(None if dlev < leaf.rep_def - 1 else [])
             elif not rows or rows[-1] is None:
                 return None  # continuation with no open list: corrupt
             if dlev >= leaf.rep_def:
@@ -1038,8 +1035,9 @@ def read_parquet_column(raw: bytes, column: str):
 
 
 def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
-                        only_type: int | None = None):
-    walked = _footer_walk(raw)
+                        only_type: int | None = None, walked=None):
+    if walked is None:  # callers that already walked the footer pass it
+        walked = _footer_walk(raw)
     if walked is None:
         return None
     schema, chunks = walked
@@ -1166,12 +1164,14 @@ def read_parquet_timestamp_column(raw: bytes, column: str):
         info = walked[0].get(column)
         if info is None or not info.flat:
             return None
-        if info.typ == _T_INT96:
-            return _read_general_inner(raw, column, allow_dict=True)
-        if info.typ == _T_INT64 and info.converted == _CONV_TS_MICROS:
-            return _read_general_inner(raw, column, allow_dict=True)
+        if info.typ == _T_INT96 or (
+            info.typ == _T_INT64 and info.converted == _CONV_TS_MICROS
+        ):
+            return _read_general_inner(raw, column, allow_dict=True,
+                                       walked=walked)
         if info.typ == _T_INT64 and info.converted == _CONV_TS_MILLIS:
-            got = _read_general_inner(raw, column, allow_dict=True)
+            got = _read_general_inner(raw, column, allow_dict=True,
+                                      walked=walked)
             return None if got is None else [v * 1000 for v in got]
         return None
     except Exception:
@@ -1192,7 +1192,8 @@ def read_parquet_date_column(raw: bytes, column: str):
         if info is None or not info.flat:
             return None
         if info.typ == _T_INT32 and info.converted == _CONV_DATE:
-            return _read_general_inner(raw, column, allow_dict=True)
+            return _read_general_inner(raw, column, allow_dict=True,
+                                       walked=walked)
         return None
     except Exception:
         return None
@@ -1582,12 +1583,46 @@ def scan_parquet_raw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RAW_NESTED_ORACLE = """
+#: long-form identity oracle shared by the parquet and ORC nested keys
+#: (generate_subscripts and unnest expand in lockstep in DuckDB): null
+#: and empty lists contribute no rows; null ELEMENTS contribute a row
+#: with a NULL component
+NESTED_LONG_ORACLE = """
 SELECT vec_id,
        CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
        CAST(unnest(embedding) AS DOUBLE) AS component
 FROM embeddings
 """
+_RAW_NESTED_ORACLE = NESTED_LONG_ORACLE
+
+
+def explode_list_rows(ids, lists):
+    """Long-form explode shared by the parquet and ORC nested keys:
+    one ``(vec_id, pos, component)`` row per element, matching DuckDB's
+    ``unnest`` semantics — null and empty lists contribute no rows, and
+    null ELEMENTS contribute a row whose component is a true SQL NULL.
+    The component series is built with ``object`` dtype deliberately: a
+    plain float list coerces ``None`` to NaN in pandas, and Arrow then
+    hands Spark a NaN where the oracle has NULL (the r12 review
+    finding) — object dtype preserves ``None`` so Arrow emits a null
+    slot instead."""
+    import pandas as pd
+
+    out_ids: list = []
+    out_pos: list = []
+    out_comp: list = []
+    for i, lst in zip(ids, lists):
+        if not lst:  # null or empty list: unnest yields no rows
+            continue
+        for p, v in enumerate(lst):
+            out_ids.append(i)
+            out_pos.append(p)
+            out_comp.append(None if v is None else float(v))
+    return pd.DataFrame({
+        "vec_id": pd.Series(out_ids, dtype="int64"),
+        "pos": pd.Series(out_pos, dtype="int32"),
+        "component": pd.Series(out_comp, dtype="object"),
+    })
 
 
 @query("scan_parquet_raw_nested", _RAW_NESTED_ORACLE, tag="scan")
@@ -1629,9 +1664,7 @@ def scan_parquet_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         for pdf in batches:
-            out_ids: list[int] = []
-            out_pos: list[int] = []
-            out_comp: list[float] = []
+            frames = []
             for content in pdf["content"]:
                 raw = bytes(content)
                 ids = read_parquet_column(raw, "vec_id")
@@ -1644,16 +1677,11 @@ def scan_parquet_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # count; vec_id is non-null-only and needs the anchor
                 if len(ids) != footer[0] or len(lists) != footer[0]:
                     continue
-                for i, lst in zip(ids, lists):
-                    if not lst:  # null or empty list: unnest yields none
-                        continue
-                    for p, v in enumerate(lst):
-                        out_ids.append(i)
-                        out_pos.append(p)
-                        out_comp.append(v)
-            yield pd.DataFrame(
-                {"vec_id": out_ids, "pos": out_pos, "component": out_comp}
-            )
+                frames.append(explode_list_rows(ids, lists))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield explode_list_rows([], [])
 
     return files.mapInPandas(
         read_nested, "vec_id long, pos int, component double"

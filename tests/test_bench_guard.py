@@ -206,6 +206,9 @@ def test_per_key_anchors_match_recorded_artifacts():
     for key, anchor in bench.PER_KEY_ANCHOR_MIN_SEC.items():
         assert key in best, key
         assert anchor == best[key], (key, anchor, best[key])
-    # and the quiet-box runs were actually quiet when the timers started
-    first = _quiet_r12_artifacts()[0]
-    assert first["loadavg_before"][0] < 2.0
+    # and EVERY anchor artifact was actually quiet when its timers
+    # started — anchors are the min ACROSS the artifacts, so one loaded
+    # run slipped into the set could inflate an anchor unchallenged
+    # (r12 review finding: the first cut asserted run1 only)
+    for artifact in _quiet_r12_artifacts():
+        assert artifact["loadavg_before"][0] < 2.0, artifact["loadavg_before"]

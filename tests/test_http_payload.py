@@ -216,3 +216,65 @@ def test_charset_refusals():
     ) is None
     # never raises on garbage headers
     assert http_charset_decode(b"x", "charset") in (("utf-8", "x"), None)
+
+
+def test_br_coding_native_seam(monkeypatch):
+    """`br` decodes ONLY through the import-gated native seam: with no
+    binding it refuses (never guesses), and with a (stubbed) binding
+    the dispatch, error handling, and cap all work."""
+    import zlib
+
+    from dynamic_spark_spark.llmops import html
+
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: br\r\n\r\nxxxx"
+    )
+    monkeypatch.setattr(html, "_brotli_mod", None)  # binding absent
+    assert html.http_payload_decode(payload) is None
+
+    class _StubBrotli:
+        """Stands in for the brotli wheel: decompress = zlib inverse."""
+
+        @staticmethod
+        def decompress(b):
+            return zlib.decompress(b)
+
+    monkeypatch.setattr(html, "_brotli_mod", _StubBrotli)
+    wire = zlib.compress(b"hello brotli seam")
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: br\r\n\r\n" + wire
+    )
+    got = html.http_payload_decode(payload)
+    assert got is not None and got[2] == b"hello brotli seam"
+    # malformed stream: the binding raises, the seam refuses
+    bad = payload[:-4] + b"\x00\x00\x00\x00"
+    assert html.http_payload_decode(bad) is None
+    # cap: a decode larger than the cap refuses
+    big = zlib.compress(b"A" * 4096)
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: br\r\n\r\n" + big
+    )
+    assert html.http_payload_decode(payload, cap=100) is None
+
+
+def test_br_seam_real_binding_roundtrip():
+    """When a real brotli wheel IS installed, a genuine round trip must
+    work (named skip otherwise — the seam's contract in this sandbox)."""
+    import pytest
+
+    from dynamic_spark_spark.llmops import html
+
+    html._brotli_mod = html._BROTLI_UNPROBED  # re-probe honestly
+    mod = html.brotli_backend()
+    if mod is None:
+        pytest.skip("no brotli binding in this environment")
+    wire = mod.compress(b"real brotli payload")
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: br\r\n\r\n" + wire
+    )
+    got = html.http_payload_decode(payload)
+    assert got is not None and got[2] == b"real brotli payload"

@@ -334,3 +334,33 @@ def test_int96_reader_spark_written(spark, sf_dir):
             assert sorted(got) == sorted(want), conv
     finally:
         spark.conf.set(conf, prev)
+
+
+def test_nested_keys_null_elements_vs_oracle(spark, tmp_path):
+    """The def-level lattice END TO END through both registered nested
+    keys on a corpus WITH null elements, null lists, and empty lists:
+    a null element must surface as a true SQL NULL (the r12 review
+    finding: a plain float list coerces None to NaN in pandas, and the
+    oracle's unnest yields NULL for the same slot — hash mismatch)."""
+    import duckdb
+
+    from dynamic_spark_spark.registry import ORACLE, load_all_queries
+    from tests.oracle_harness import compare
+
+    rows = [[0.5, None, 1.5], None, [], [2.5], [None], [3.5, 4.5]]
+    t = pa.table({
+        "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+        "embedding": pa.array(rows, type=pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), type=pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    q = load_all_queries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    oracle_pdf = con.execute(ORACLE["scan_parquet_raw_nested"]).df()
+    assert oracle_pdf["component"].isna().sum() == 2  # the null elements
+    for name in ("scan_parquet_raw_nested", "scan_orc_raw_nested"):
+        compare(name, q[name](spark, str(tmp_path)), oracle_pdf)
