@@ -33,9 +33,16 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       (ORC spec §'List Columns'), via :func:`read_orc_list_column` —
       null list / empty list / null element all distinguished.
 
-Scope: flat scalar columns and ``list<scalar>`` with the _V2
-encodings; LZO, RLEv1, and struct/map/union (and nested-list) types
-are refused explicitly. Every layer
+    → RLEv1 (r12): Hive-0.11-era files — runs stepped by a signed
+      delta byte, literal varints — for integer/date/length streams
+      plus the v1 DIRECT/DICTIONARY string layouts, routed by each
+      column's ColumnEncoding exactly as orc-java's readers dispatch;
+      liborc's ``file_version="0.11"`` output is the second-writer pin.
+
+Scope: flat scalar columns and ``list<scalar>``; LZO,
+RLEv1-SECONDARY types (0.11 timestamps/decimals), and
+struct/map/union (and nested-list) types are refused explicitly.
+Every layer
 is an independent re-implementation forced to agree with orc-core (the
 JVM writer Spark uses) through the real bytes; pytest pins the RLEv2
 decoder against the spec's published example vectors AND against
@@ -215,6 +222,58 @@ def rlev2_decode(data: bytes, count: int, signed: bool = True):
         return out[:count]
     except (ValueError, IndexError):
         return None
+
+
+def rlev1_decode(data: bytes, count: int, signed: bool = True):
+    """Decode ``count`` integers from an ORC RLEv1 stream (ORC spec
+    §'Run-length encoding, version 1' — what Hive-0.11-era files and
+    liborc's ``file_version="0.11"`` mode write): header byte < 128 is
+    a run of ``header + 3`` values stepped by the following SIGNED
+    delta byte from a varint base; header >= 128 is ``256 - header``
+    literal varints. ``signed`` picks zigzag vs plain varints, same as
+    the v2 decoder. Returns a list or None; never raises."""
+    try:
+        out: list[int] = []
+        pos = 0
+        while len(out) < count:
+            if pos >= len(data) or len(out) > ORC_VALUE_CAP:
+                return None
+            h = data[pos]
+            pos += 1
+            if h < 128:  # run
+                run = h + 3
+                if pos >= len(data):
+                    return None
+                delta = data[pos]
+                pos += 1
+                if delta >= 128:
+                    delta -= 256
+                if signed:
+                    base, pos = _svarint(data, pos)
+                else:
+                    base, pos = _uvarint(data, pos)
+                out.extend(base + i * delta for i in range(run))
+            else:  # literals
+                for _ in range(256 - h):
+                    if signed:
+                        v, pos = _svarint(data, pos)
+                    else:
+                        v, pos = _uvarint(data, pos)
+                    out.append(v)
+        return out[:count]
+    except (ValueError, IndexError):
+        return None
+
+
+def _rle_ints(data: bytes, count: int, enc: int, signed: bool):
+    """Integer stream decode routed by the column's ColumnEncoding:
+    DIRECT/DICTIONARY (0/1) are RLEv1 streams, DIRECT_V2/DICTIONARY_V2
+    (2/3) are RLEv2 — the same dispatch orc-java's readers apply."""
+    if enc in (0, 1):
+        return rlev1_decode(data, count, signed)
+    if enc in (2, 3):
+        return rlev2_decode(data, count, signed)
+    return None
 
 
 def byte_rle_bools(data: bytes, count: int):
@@ -540,15 +599,13 @@ def read_orc_int_column(raw: bytes, column: str):
 def _int_values_from_stripes(stripes):
     values: list[int] = []
     for st in stripes:
-        if st["encoding"] not in (2, 3):  # DIRECT_V2 family only
-            return None
         data = st.get("data")
         if data is None:
             return None
         pc = _stripe_present_count(st)
         if pc is None:
             return None
-        vals = rlev2_decode(data, pc[0], signed=True)
+        vals = _rle_ints(data, pc[0], st["encoding"], signed=True)
         if vals is None:
             return None
         values.extend(vals)
@@ -677,8 +734,8 @@ def _string_values_from_stripes(stripes):
             data = st.get("data")
             if data is None or length is None:
                 return None
-            if enc == 2:  # DIRECT_V2
-                lens = rlev2_decode(length, n_present, signed=False)
+            if enc in (0, 2):  # DIRECT (v1 RLE) / DIRECT_V2
+                lens = _rle_ints(length, n_present, enc, signed=False)
                 if lens is None or any(x < 0 for x in lens):
                     return None
                 if sum(lens) > len(data):
@@ -687,12 +744,12 @@ def _string_values_from_stripes(stripes):
                 for ln in lens:
                     values.append(data[pos : pos + ln])
                     pos += ln
-            elif enc == 3:  # DICTIONARY_V2
+            elif enc in (1, 3):  # DICTIONARY (v1 RLE) / DICTIONARY_V2
                 dict_data = st.get("dict_data")
                 dsize = st.get("dict_size", 0)
                 if dict_data is None or dsize <= 0:
                     return None
-                lens = rlev2_decode(length, dsize, signed=False)
+                lens = _rle_ints(length, dsize, enc, signed=False)
                 if lens is None or any(x < 0 for x in lens):
                     return None
                 if sum(lens) > len(dict_data):
@@ -702,7 +759,7 @@ def _string_values_from_stripes(stripes):
                 for ln in lens:
                     entries.append(dict_data[pos : pos + ln])
                     pos += ln
-                idxs = rlev2_decode(data, n_present, signed=False)
+                idxs = _rle_ints(data, n_present, enc, signed=False)
                 if idxs is None:
                     return None
                 try:
@@ -761,7 +818,7 @@ def _orc_list_inner(raw: bytes, column: str):
         rows = g["rows"]
         parent = dict(g[list_id])
         parent["rows"] = rows
-        if parent.get("encoding") not in (2, 3):  # DIRECT_V2 family only
+        if parent.get("encoding") not in (0, 2):  # DIRECT / DIRECT_V2
             return None
         ppc = _stripe_present_count(parent)
         if ppc is None:
@@ -770,7 +827,7 @@ def _orc_list_inner(raw: bytes, column: str):
         length = parent.get("length")
         if length is None:
             return None
-        lens = rlev2_decode(length, n_lists, signed=False)
+        lens = _rle_ints(length, n_lists, parent["encoding"], signed=False)
         if lens is None or any(x < 0 for x in lens):
             return None
         n_slots = sum(lens)

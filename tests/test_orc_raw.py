@@ -503,3 +503,91 @@ def test_orc_list_reader_spark_written(spark, sf_dir):
     assert len(ids) == len(lists) == len(want)
     for i, lst in zip(ids, lists):
         assert [float(x) for x in lst] == want[i]
+
+
+# ---------------------------------------------------------------------------
+# RLEv1 / 0.11-era files — r12
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.orc_raw import rlev1_decode  # noqa: E402
+
+
+def test_rlev1_spec_forms():
+    """The two RLEv1 forms from the ORC spec: runs (header < 128 →
+    header+3 copies stepped by a SIGNED delta byte from a varint base)
+    and literals (256 - header varints)."""
+    # run: 5 values starting at 7 stepping +1 → header 2, delta 1, base 7
+    assert rlev1_decode(bytes([2, 1, 14]), 5, signed=True) == [7, 8, 9, 10, 11]
+    # negative delta byte (0xFF = -1)
+    assert rlev1_decode(bytes([2, 0xFF, 20]), 5, signed=True) == [
+        10, 9, 8, 7, 6
+    ]
+    # literals: 3 unsigned varints
+    assert rlev1_decode(bytes([0xFD, 1, 2, 3]), 3, signed=False) == [1, 2, 3]
+    # truncated stream refuses
+    assert rlev1_decode(bytes([2, 1]), 5, signed=True) is None
+
+
+def test_orc_011_files_match_liborc():
+    """Hive-0.11-era encodings (RLEv1 ints/dates/lengths, v1
+    DIRECT/DICTIONARY strings) written by liborc's file_version='0.11'
+    mode decode byte-identically across codecs — the files a decade of
+    Hive warehouses still hold."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from dynamic_spark_spark.llmops.orc_raw import (
+        read_orc_column,
+        read_orc_list_column,
+    )
+
+    n = 2000
+    ints = [i * 3 - 50 for i in range(n - 5)] + [None] * 5
+    strs = (
+        [f"v{i % 7}" for i in range(n - 51)]
+        + [f"unique-{i}" for i in range(50)]
+        + [None]
+    )
+    for codec in ("uncompressed", "zlib", "snappy", "zstd"):
+        t = pa.table({
+            "i": pa.array(ints, type=pa.int64()),
+            "s": pa.array(strs, type=pa.string()),
+        })
+        buf = io.BytesIO()
+        po.write_table(t, buf, file_version="0.11", compression=codec)
+        raw = buf.getvalue()
+        assert read_orc_column(raw, "i") == [
+            v for v in ints if v is not None
+        ], codec
+        assert read_orc_column(raw, "s") == [
+            v.encode() for v in strs if v is not None
+        ], codec
+
+    floats = [i * 0.25 for i in range(500)]
+    dates = [
+        datetime.date(1992, 1, 1) + datetime.timedelta(days=i % 900)
+        for i in range(500)
+    ]
+    lists_ = [list(range(i % 6)) or None for i in range(500)]
+    t2 = pa.table({
+        "f": pa.array(floats, type=pa.float64()),
+        "d": pa.array(dates, type=pa.date32()),
+        "lst": pa.array(lists_, type=pa.list_(pa.int64())),
+    })
+    buf = io.BytesIO()
+    po.write_table(t2, buf, file_version="0.11", compression="zlib")
+    raw = buf.getvalue()
+    assert read_orc_column(raw, "f") == floats
+    epoch = datetime.date(1970, 1, 1)
+    assert read_orc_column(raw, "d") == [(x - epoch).days for x in dates]
+    assert read_orc_list_column(raw, "lst") == lists_
+
+
+def test_rlev1_never_raises_on_garbage():
+    rng = random.Random(21)
+    for _ in range(400):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randint(0, 40)))
+        got = rlev1_decode(blob, rng.randint(0, 50), signed=bool(rng.randint(0, 1)))
+        assert got is None or isinstance(got, list)
