@@ -34,13 +34,13 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       null list / empty list / null element all distinguished.
 
     → RLEv1 (r12): Hive-0.11-era files — runs stepped by a signed
-      delta byte, literal varints — for integer/date/length streams
-      plus the v1 DIRECT/DICTIONARY string layouts, routed by each
-      column's ColumnEncoding exactly as orc-java's readers dispatch;
-      liborc's ``file_version="0.11"`` output is the second-writer pin.
+      delta byte, literal varints — for integer/date/length streams,
+      the v1 DIRECT/DICTIONARY string layouts, and the
+      timestamp/decimal SECONDARY streams, routed by each column's
+      ColumnEncoding exactly as orc-java's readers dispatch; liborc's
+      ``file_version="0.11"`` output is the second-writer pin.
 
-Scope: flat scalar columns and ``list<scalar>``; LZO,
-RLEv1-SECONDARY types (0.11 timestamps/decimals), and
+Scope: flat scalar columns and ``list<scalar>``; LZO and
 struct/map/union (and nested-list) types are refused explicitly.
 Every layer
 is an independent re-implementation forced to agree with orc-core (the
@@ -666,11 +666,11 @@ def _other_scalar_stripe_values(kind: int, st: dict, n_present: int):
             struct.unpack(f"<{n_present}{fmt}", data[: w * n_present])
         )
     if kind == 9:  # TIMESTAMP: seconds from 2015 + packed nanos
-        if st["encoding"] != 2:  # RLEv1 streams: refuse, don't guess
+        if st["encoding"] not in (0, 2):  # DIRECT (RLEv1) / DIRECT_V2
             return None
         return _decode_timestamps(st, n_present)
-    if kind == 14:  # DECIMAL: varint mantissas + RLEv2 scales
-        if st["encoding"] != 2:
+    if kind == 14:  # DECIMAL: varint mantissas + RLE scales
+        if st["encoding"] not in (0, 2):
             return None
         return _decode_decimals(st, n_present)
     return None  # compound/union types: out of scope
@@ -993,8 +993,9 @@ def _decode_timestamps(st: dict, n_present: int):
     sec_stream = st.get("secondary")
     if data is None or sec_stream is None:
         return None
-    secs = rlev2_decode(data, n_present, signed=True)
-    nanos_raw = rlev2_decode(sec_stream, n_present, signed=False)
+    enc = st["encoding"]
+    secs = _rle_ints(data, n_present, enc, signed=True)
+    nanos_raw = _rle_ints(sec_stream, n_present, enc, signed=False)
     if secs is None or nanos_raw is None:
         return None
     out = []
@@ -1029,7 +1030,7 @@ def _decode_decimals(st: dict, n_present: int):
     sec_stream = st.get("secondary")
     if data is None or sec_stream is None:
         return None
-    scales = rlev2_decode(sec_stream, n_present, signed=True)
+    scales = _rle_ints(sec_stream, n_present, st["encoding"], signed=True)
     if scales is None:
         return None
     out = []

@@ -591,3 +591,36 @@ def test_rlev1_never_raises_on_garbage():
         blob = bytes(rng.randrange(256) for _ in range(rng.randint(0, 40)))
         got = rlev1_decode(blob, rng.randint(0, 50), signed=bool(rng.randint(0, 1)))
         assert got is None or isinstance(got, list)
+
+
+def test_orc_011_timestamps_and_decimals():
+    """The 0.11 SECONDARY streams: timestamp packed-nanos and decimal
+    scales are RLEv1 in 0.11 files; both round-trip against liborc's
+    own reader conventions just like the 0.12 forms."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_column
+
+    n = 400
+    ts = [
+        datetime.datetime(1992, 1, 1)
+        + datetime.timedelta(seconds=i * 7919, microseconds=i * 13 % 1000000)
+        for i in range(n)
+    ]
+    decs = [decimal.Decimal(i * 7 - 100).scaleb(-2) for i in range(n)]
+    t = pa.table({
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "dec": pa.array(decs, type=pa.decimal128(12, 2)),
+    })
+    epoch = datetime.datetime(1970, 1, 1)
+    want = [(v - epoch) // datetime.timedelta(microseconds=1) for v in ts]
+    for fv in ("0.11", "0.12"):
+        buf = io.BytesIO()
+        po.write_table(t, buf, file_version=fv, compression="zlib")
+        raw = buf.getvalue()
+        assert read_orc_column(raw, "ts") == want, fv
+        assert read_orc_column(raw, "dec") == decs, fv
