@@ -32,9 +32,16 @@ of a Spark-written, snappy-compressed parquet file:
       DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY front coding, and
       BYTE_STREAM_SPLIT — v1 AND v2 data pages.
 
-Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs,
-multi-level repetition (list<list>, list<struct>) — one repeated
-ancestor with a scalar leaf is the supported nested shape.
+    → multi-leaf nested assembly (r12): ``list<struct<scalar...>>``
+      via :func:`read_parquet_list_struct_column` — every leaf shares
+      the repeated node's rep stream, the shared element-node def
+      level separates null elements from null fields, and per-leaf
+      defs place each field's values.
+
+Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs and
+multi-level repetition (list<list>, maps) — one repeated ancestor is
+the supported nesting depth, with scalar or struct-of-scalar
+elements.
 
 Every layer is an independent re-implementation forced to agree with
 parquet-mr (the JVM writer) through the real bytes, and the keys'
@@ -233,13 +240,18 @@ class _Leaf:
     ancestor, scalar leaf — the standard 3-level LIST and the legacy
     2-level form both reduce to it). ``converted`` is the legacy
     ConvertedType annotation (DATE=6, TIMESTAMP_MILLIS=9,
-    TIMESTAMP_MICROS=10) the temporal tier dispatches on."""
+    TIMESTAMP_MICROS=10) the temporal tier dispatches on. ``elem_def``
+    is the definition level OF the element node (the child of the
+    repeated ancestor on this leaf's path — the leaf itself for
+    ``list<scalar>``, the struct group for ``list<struct>``): a slot
+    whose def is below it is a NULL ELEMENT, at-or-above it the element
+    exists and per-leaf defs distinguish field-null from value."""
 
     __slots__ = ("typ", "optional", "tlen", "max_def", "max_rep",
-                 "rep_def", "flat", "listlike", "converted")
+                 "rep_def", "flat", "listlike", "converted", "elem_def")
 
     def __init__(self, typ, optional, tlen, max_def, max_rep, rep_def,
-                 flat, listlike, converted) -> None:
+                 flat, listlike, converted, elem_def) -> None:
         self.typ = typ
         self.optional = optional
         self.tlen = tlen
@@ -249,6 +261,7 @@ class _Leaf:
         self.flat = flat
         self.listlike = listlike
         self.converted = converted
+        self.elem_def = elem_def
 
 
 def _parse_schema(c: _Compact):
@@ -295,9 +308,11 @@ def _parse_schema(c: _Compact):
         return schema
     # depth-first walk: the root's num_children frames the tree; each
     # stack entry carries [children_left, path, def_level, rep_level,
-    # rep_def] where rep_def is the definition level of the NEAREST
-    # repeated ancestor so far (0 when none)
-    stack: list[list] = [[elems[0][3], [], 0, 0, 0]]
+    # rep_def, elem_def, is_repeated_node] where rep_def is the
+    # definition level of the NEAREST repeated ancestor so far (0 when
+    # none) and elem_def the def level of that ancestor's direct child
+    # on this path (the element node)
+    stack: list[list] = [[elems[0][3], [], 0, 0, 0, 0, False]]
     i = 1
     while i < len(elems):
         while stack and stack[-1][0] == 0:
@@ -308,20 +323,25 @@ def _parse_schema(c: _Compact):
         i += 1
         stack[-1][0] -= 1
         path = stack[-1][1] + [name or ""]
-        d, r, rd = stack[-1][2], stack[-1][3], stack[-1][4]
+        d, r, rd, ed = (stack[-1][2], stack[-1][3], stack[-1][4],
+                        stack[-1][5])
         if rep == 1:  # OPTIONAL
             d += 1
         elif rep == 2:  # REPEATED
             d += 1
             r += 1
             rd = d  # this node IS the repeated ancestor from here down
+        if rep == 2:
+            ed = d  # provisional: a repeated LEAF is its own element
+        elif stack[-1][6]:  # direct child of the repeated node
+            ed = d
         if nch:
-            stack.append([nch, path, d, r, rd])
+            stack.append([nch, path, d, r, rd, ed, rep == 2])
         else:
             flat = r == 0 and len(path) == 1 and typ is not None
             listlike = r == 1 and typ is not None
             schema[".".join(path)] = _Leaf(
-                typ, rep == 1, tlen, d, r, rd, flat, listlike, conv
+                typ, rep == 1, tlen, d, r, rd, flat, listlike, conv, ed
             )
     return schema
 
@@ -965,16 +985,46 @@ def _read_list_inner(raw: bytes, column: str):
         return None
     if leaf.typ == _T_FIXED and leaf.tlen <= 0:
         return None
+    collected = _collect_column_levels(raw, chunks, path, leaf)
+    if collected is None:
+        return None
+    reps_all, defs_all, vals_all = collected
     rows: list = []
+    vi = 0
+    for rlev, dlev in zip(reps_all, defs_all):
+        if rlev == 0:  # new record: null list below rep_def-1, else
+            #             a (possibly empty) open list — elements are
+            #             appended by the def-level check below
+            rows.append(None if dlev < leaf.rep_def - 1 else [])
+        elif not rows or rows[-1] is None:
+            return None  # continuation with no open list: corrupt
+        if dlev >= leaf.rep_def:
+            if dlev == leaf.max_def:
+                if vi >= len(vals_all):
+                    return None
+                rows[-1].append(vals_all[vi])
+                vi += 1
+            else:
+                rows[-1].append(None)  # null element slot
+    if vi != len(vals_all):
+        return None
+    return rows
+
+
+def _collect_column_levels(raw: bytes, chunks, path: str, leaf: _Leaf):
+    """All (rep, def, value) streams of one repeated column,
+    concatenated across its row-group chunks (row groups are
+    record-aligned, so rep==0 re-synchronizes at each boundary).
+    Returns (reps, defs, values) or None."""
+    reps_all: list[int] = []
+    defs_all: list[int] = []
+    vals_all: list = []
     for codec, num_values, page_off, cpath in chunks:
         if cpath != path:
             continue
         dictionary = None
         got = 0
         pos = page_off
-        reps_all: list[int] = []
-        defs_all: list[int] = []
-        vals_all: list = []
         while got < num_values:
             pg = _parse_page_header(raw, pos)
             if pg is None:
@@ -999,25 +1049,98 @@ def _read_list_inner(raw: bytes, column: str):
             defs_all.extend(got3[1])
             vals_all.extend(got3[2])
             got += pg.n_vals
-        # assemble this chunk's rows (row groups are record-aligned)
-        vi = 0
-        for rlev, dlev in zip(reps_all, defs_all):
-            if rlev == 0:  # new record: null list below rep_def-1, else
-                #             a (possibly empty) open list — elements are
-                #             appended by the def-level check below
-                rows.append(None if dlev < leaf.rep_def - 1 else [])
-            elif not rows or rows[-1] is None:
-                return None  # continuation with no open list: corrupt
-            if dlev >= leaf.rep_def:
-                if dlev == leaf.max_def:
-                    if vi >= len(vals_all):
-                        return None
-                    rows[-1].append(vals_all[vi])
-                    vi += 1
-                else:
-                    rows[-1].append(None)  # null element slot
-        if vi != len(vals_all):
+    return reps_all, defs_all, vals_all
+
+
+_SCALAR_TYPES = (
+    _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY,
+    _T_FIXED,
+)
+
+
+def read_parquet_list_struct_column(raw: bytes, column: str):
+    """Read every ROW of a ``list<struct<scalar...>>`` column straight
+    from the file bytes — the multi-leaf Dremel assembly. Every leaf
+    under the list shares the repeated node (identical rep streams, one
+    level entry per slot), so the FIRST leaf's levels give the row/slot
+    structure and each leaf's defs place its own field: a slot whose
+    def is below the shared ``elem_def`` (the struct node's level) is a
+    NULL ELEMENT across all leaves at once; at-or-above it the element
+    exists, and ``def == max_def`` marks a present field value (field
+    null otherwise). Returns one entry per row — None / ``[]`` / a list
+    of ``None | {field: value | None}`` — or None. Refused: nested
+    lists (max_rep > 1), non-scalar fields, leaves disagreeing on the
+    repeated node. Never raises."""
+    try:
+        return _read_list_struct_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _read_list_struct_inner(raw: bytes, column: str):
+    walked = _footer_walk(raw)
+    if walked is None:
+        return None
+    schema, chunks = walked
+    leaves = [
+        (p, leaf) for p, leaf in schema.items()
+        if p.startswith(column + ".") and leaf.max_rep > 0
+    ]
+    if len(leaves) < 2:
+        return None  # a single leaf is list<scalar>: use the list reader
+    if any(
+        not leaf.listlike or leaf.typ not in _SCALAR_TYPES
+        or (leaf.typ == _T_FIXED and leaf.tlen <= 0)
+        for _, leaf in leaves
+    ):
+        return None
+    if len({leaf.rep_def for _, leaf in leaves}) != 1 or len(
+        {leaf.elem_def for _, leaf in leaves}
+    ) != 1:
+        return None  # leaves under different repeated/element nodes
+    rep_def = leaves[0][1].rep_def
+    elem_def = leaves[0][1].elem_def
+    fields = [p[len(column) + 1 :].split(".")[-1] for p, _ in leaves]
+    per_leaf = []
+    for p, leaf in leaves:
+        got = _collect_column_levels(raw, chunks, p, leaf)
+        if got is None:
             return None
+        per_leaf.append(got)
+    n = len(per_leaf[0][0])
+    if any(len(reps) != n or len(defs) != n for reps, defs, _ in per_leaf):
+        return None  # leaves disagree on slot count: corrupt
+    if any(per_leaf[j][0] != per_leaf[0][0] for j in range(1, len(per_leaf))):
+        return None  # rep streams must be identical across leaves
+    rows: list = []
+    vis = [0] * len(per_leaf)
+    defs0 = per_leaf[0][1]
+    reps0 = per_leaf[0][0]
+    for i in range(n):
+        rlev, dlev = reps0[i], defs0[i]
+        if rlev == 0:
+            rows.append(None if dlev < rep_def - 1 else [])
+        elif not rows or rows[-1] is None:
+            return None
+        if dlev >= rep_def:
+            if dlev < elem_def:
+                rows[-1].append(None)  # null element (all leaves agree)
+                continue
+            elem = {}
+            for j, (reps, defs, vals) in enumerate(per_leaf):
+                if defs[i] < elem_def:
+                    return None  # leaves disagree on element presence
+                maxd = leaves[j][1].max_def
+                if defs[i] == maxd:
+                    if vis[j] >= len(vals):
+                        return None
+                    elem[fields[j]] = vals[vis[j]]
+                    vis[j] += 1
+                else:
+                    elem[fields[j]] = None  # field null
+            rows[-1].append(elem)
+    if any(vis[j] != len(per_leaf[j][2]) for j in range(len(per_leaf))):
+        return None
     return rows
 
 

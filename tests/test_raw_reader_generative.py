@@ -364,3 +364,94 @@ def test_nested_keys_null_elements_vs_oracle(spark, tmp_path):
     assert oracle_pdf["component"].isna().sum() == 2  # the null elements
     for name in ("scan_parquet_raw_nested", "scan_orc_raw_nested"):
         compare(name, q[name](spark, str(tmp_path)), oracle_pdf)
+
+
+def test_list_struct_reader_lattice_and_writers(spark, sf_dir):
+    """list<struct<scalar...>> multi-leaf Dremel assembly: null lists,
+    empty lists, null ELEMENTS (all leaves agree at once), null FIELDS
+    (per-leaf defs), across v1/v2 pages × dict on/off × codecs — and a
+    Spark-written (parquet-mr) file as the second writer."""
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_list_struct_column,
+    )
+
+    struct_t = pa.struct(
+        [("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())]
+    )
+    rows = [
+        [{"a": 1, "b": "x", "c": 1.5}, {"a": None, "b": "y", "c": None}],
+        None,
+        [],
+        [None],
+        [{"a": 7, "b": None, "c": 2.25}],
+        [{"a": i, "b": f"s{i}", "c": i * 0.5} for i in range(50)],
+    ]
+    want = [
+        None if r is None else [
+            None if e is None else {
+                "a": e["a"],
+                "b": e["b"].encode() if e["b"] is not None else None,
+                "c": e["c"],
+            }
+            for e in r
+        ]
+        for r in rows
+    ]
+    for dpv in ("1.0", "2.0"):
+        for use_dict in (True, False):
+            for comp in ("snappy", "zstd"):
+                t = pa.table({"x": pa.array(rows, type=pa.list_(struct_t))})
+                buf = io.BytesIO()
+                pq.write_table(t, buf, data_page_version=dpv,
+                               use_dictionary=use_dict, compression=comp)
+                got = read_parquet_list_struct_column(buf.getvalue(), "x")
+                assert got == want, (dpv, use_dict, comp)
+    # refusals: a single-leaf list is the list reader's job, and deeper
+    # nesting stays out of scope
+    t = pa.table({"x": pa.array([[1.0]], type=pa.list_(pa.float64()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_struct_column(buf.getvalue(), "x") is None
+    t = pa.table({
+        "x": pa.array([[[1]]], type=pa.list_(pa.list_(pa.int64())))
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_struct_column(buf.getvalue(), "x") is None
+    assert read_parquet_list_column(buf.getvalue(), "x") is None
+
+    # Spark (parquet-mr) as the second writer
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+    from dynamic_spark_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.struct(F.col("doc_id").alias("a"), F.lit("x").alias("b")),
+            F.struct(
+                (F.col("doc_id") * 2).alias("a"),
+                F.lit(None).cast("string").alias("b"),
+            ),
+        ).alias("pairs"),
+    ).limit(100)
+    want_by_id = {
+        r["doc_id"]: [
+            {"a": e["a"],
+             "b": e["b"].encode() if e["b"] is not None else None}
+            for e in r["pairs"]
+        ]
+        for r in d.collect()
+    }
+    out = tempfile.mkdtemp(prefix="dss_lstruct_")
+    d.coalesce(1).write.mode("overwrite").parquet(out)
+    raw = open(glob.glob(out + "/*.parquet")[0], "rb").read()
+    ids = read_parquet_column(raw, "doc_id")
+    got = read_parquet_list_struct_column(raw, "pairs")
+    assert got is not None and len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[i] == want_by_id[vid]
