@@ -39,9 +39,10 @@ of a Spark-written, snappy-compressed parquet file:
       defs place each field's values.
 
 Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs and
-multi-level repetition (list<list>, maps) — one repeated ancestor is
-the supported nesting depth, with scalar or struct-of-scalar
-elements.
+multi-level repetition (list<list>) — one repeated ancestor is the
+supported nesting depth, with scalar, struct-of-scalar, or MAP
+key_value elements (a multi-child repeated group is its own element,
+so maps surface as lists of {key, value} structs).
 
 Every layer is an independent re-implementation forced to agree with
 parquet-mr (the JVM writer) through the real bytes, and the keys'
@@ -332,11 +333,17 @@ def _parse_schema(c: _Compact):
             r += 1
             rd = d  # this node IS the repeated ancestor from here down
         if rep == 2:
-            ed = d  # provisional: a repeated LEAF is its own element
-        elif stack[-1][6]:  # direct child of the repeated node
-            ed = d
+            ed = d  # a repeated LEAF is its own element; a repeated
+            #         GROUP's children refine this below
+        elif stack[-1][6]:  # direct child of a single-child repeated
+            ed = d  # group: the LIST element node
         if nch:
-            stack.append([nch, path, d, r, rd, ed, rep == 2])
+            # a repeated group with ONE child is the 3-level LIST shape
+            # (the child is the element node and sets elem_def); with
+            # MANY children it is itself the element (the MAP/key_value
+            # shape — element-null is impossible, elem_def stays at the
+            # repeated node's level)
+            stack.append([nch, path, d, r, rd, ed, rep == 2 and nch == 1])
         else:
             flat = r == 0 and len(path) == 1 and typ is not None
             listlike = r == 1 and typ is not None

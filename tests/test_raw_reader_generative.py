@@ -455,3 +455,59 @@ def test_list_struct_reader_lattice_and_writers(spark, sf_dir):
     assert got is not None and len(got) == len(ids)
     for i, vid in enumerate(ids):
         assert got[i] == want_by_id[vid]
+
+
+def test_map_columns_decode_as_key_value_structs(spark, sf_dir):
+    """Parquet MAPs are `repeated group key_value {key, value}` — a
+    multi-child repeated group IS its own element (element-null
+    impossible, elem_def at the repeated node), so the struct assembly
+    reads maps as lists of {key, value} dicts. pyarrow and Spark
+    writers both."""
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_list_struct_column,
+    )
+
+    maps = [
+        [("k1", 1), ("k2", None), ("k3", 3)],
+        None,
+        [],
+        [("only", 42)],
+    ]
+    want = [
+        None if r is None else [
+            {"key": k.encode(), "value": v} for k, v in r
+        ]
+        for r in maps
+    ]
+    t = pa.table({"m": pa.array(maps, type=pa.map_(pa.string(), pa.int64()))})
+    for dpv in ("1.0", "2.0"):
+        buf = io.BytesIO()
+        pq.write_table(t, buf, data_page_version=dpv)
+        assert read_parquet_list_struct_column(buf.getvalue(), "m") == want
+
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+    from dynamic_spark_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.create_map(
+            F.lit("id"), F.col("doc_id"),
+            F.lit("double"), F.col("doc_id") * 2,
+        ).alias("m"),
+    ).limit(50)
+    out = tempfile.mkdtemp(prefix="dss_map_")
+    d.coalesce(1).write.mode("overwrite").parquet(out)
+    raw = open(glob.glob(out + "/*.parquet")[0], "rb").read()
+    ids = read_parquet_column(raw, "doc_id")
+    got = read_parquet_list_struct_column(raw, "m")
+    assert got is not None and len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[i] == [
+            {"key": b"id", "value": vid},
+            {"key": b"double", "value": vid * 2},
+        ]
