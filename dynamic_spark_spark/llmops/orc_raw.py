@@ -40,9 +40,15 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       ColumnEncoding exactly as orc-java's readers dispatch; liborc's
       ``file_version="0.11"`` output is the second-writer pin.
 
-Scope: flat scalar columns and ``list<scalar>``; LZO and
-struct/map/union (and nested-list) types are refused explicitly.
-Every layer
+    → STRUCT and MAP columns (r12): struct nodes carry PRESENT only
+      with children sized to the present count; MAP nodes carry
+      PRESENT + LENGTH with key/value children sized to the sum of
+      lengths — :func:`read_orc_struct_column` /
+      :func:`read_orc_map_column`.
+
+Scope: flat scalar columns, ``list<scalar>``, ``struct<scalar...>``,
+and ``map<scalar, scalar>``; LZO, UNION, and deeper compound nesting
+are refused explicitly. Every layer
 is an independent re-implementation forced to agree with orc-core (the
 JVM writer Spark uses) through the real bytes; pytest pins the RLEv2
 decoder against the spec's published example vectors AND against
@@ -769,6 +775,174 @@ def _string_values_from_stripes(stripes):
             else:
                 return None
         return values
+    except Exception:
+        return None
+
+
+def _child_scalar_values(g: dict, child_id: int, child_kind: int,
+                         n_slots: int):
+    """One stripe's child-column decode for the compound tiers: the
+    child's row space is ``n_slots`` (present parent slots for structs,
+    sum of lengths for lists/maps); returns (values_with_None_slots)
+    or None — null children are placed inline so callers zip
+    positionally."""
+    child = dict(g[child_id])
+    child["rows"] = n_slots
+    cpc = _stripe_present_count(child)
+    if cpc is None:
+        return None
+    n_child, cflags = cpc
+    if child_kind in _INT_KINDS or child_kind == 15:
+        vals = _int_values_from_stripes([child])
+    elif child_kind in _STR_KINDS:
+        vals = _string_values_from_stripes([child])
+    else:
+        vals = _other_scalar_stripe_values(child_kind, child, n_child)
+    if vals is None or len(vals) != n_child:
+        return None
+    if cflags is None:
+        return list(vals)
+    out = []
+    vi = 0
+    for f in cflags:
+        if f:
+            out.append(vals[vi])
+            vi += 1
+        else:
+            out.append(None)
+    return out
+
+
+def read_orc_struct_column(raw: bytes, column: str):
+    """Read every ROW of a flat ``struct<scalar...>`` column from an
+    ORC file's bytes: the struct node carries only a PRESENT stream,
+    and each child column's streams are sized to the count of PRESENT
+    structs (ORC spec §'Struct Columns'). Returns one entry per row —
+    None for a null struct, else ``{field: value | None}`` — or None.
+    Nested compound children refuse. Never raises."""
+    try:
+        meta = _orc_footer_meta(raw)
+        if meta is None:
+            return None
+        comp, stripes, types = meta
+        _rk, root_subs, root_names = types[0]
+        if column not in root_names:
+            return None
+        sid = root_subs[root_names.index(column)]
+        if sid >= len(types) or types[sid][0] != 12:  # STRUCT
+            return None
+        child_ids = types[sid][1]
+        names = types[sid][2]
+        if len(child_ids) != len(names) or not child_ids:
+            return None
+        kinds = []
+        for cid in child_ids:
+            if cid >= len(types) or types[cid][1]:
+                return None  # nested compound children: refuse
+            kinds.append(types[cid][0])
+        rows_out: list = []
+        for sm in stripes:
+            g = _orc_gather_streams(raw, comp, sm, {sid, *child_ids})
+            if g is None:
+                return None
+            rows = g["rows"]
+            parent = dict(g[sid])
+            parent["rows"] = rows
+            ppc = _stripe_present_count(parent)
+            if ppc is None:
+                return None
+            n_present, pflags = ppc
+            cols = []
+            for cid, kind in zip(child_ids, kinds):
+                vals = _child_scalar_values(g, cid, kind, n_present)
+                if vals is None:
+                    return None
+                cols.append(vals)
+            si = 0
+            for r in range(rows):
+                if pflags is not None and not pflags[r]:
+                    rows_out.append(None)
+                    continue
+                rows_out.append(
+                    {nm: col[si] for nm, col in zip(names, cols)}
+                )
+                si += 1
+            if si != n_present:
+                return None
+        return rows_out
+    except Exception:
+        return None
+
+
+def read_orc_map_column(raw: bytes, column: str):
+    """Read every ROW of a flat ``map<scalar, scalar>`` column from an
+    ORC file's bytes: the MAP node carries PRESENT + LENGTH (unsigned
+    RLE, one entry per present map) and its two children — keys and
+    values — are each sized to the SUM of the lengths (ORC spec §'Map
+    Columns'). Returns one entry per row — None / ``[]`` / a list of
+    ``{"key": k, "value": v}`` preserving entry order — or None. Never
+    raises."""
+    try:
+        meta = _orc_footer_meta(raw)
+        if meta is None:
+            return None
+        comp, stripes, types = meta
+        _rk, root_subs, root_names = types[0]
+        if column not in root_names:
+            return None
+        mid = root_subs[root_names.index(column)]
+        if mid >= len(types) or types[mid][0] != 11:  # MAP (13 is UNION)
+            return None
+        subs = types[mid][1]
+        if len(subs) != 2:
+            return None
+        kid, vid = subs
+        if (kid >= len(types) or vid >= len(types)
+                or types[kid][1] or types[vid][1]):
+            return None  # compound keys/values: refuse
+        rows_out: list = []
+        for sm in stripes:
+            g = _orc_gather_streams(raw, comp, sm, {mid, kid, vid})
+            if g is None:
+                return None
+            rows = g["rows"]
+            parent = dict(g[mid])
+            parent["rows"] = rows
+            if parent.get("encoding") not in (0, 2):
+                return None
+            ppc = _stripe_present_count(parent)
+            if ppc is None:
+                return None
+            n_maps, pflags = ppc
+            length = parent.get("length")
+            if length is None:
+                return None
+            lens = _rle_ints(length, n_maps, parent["encoding"],
+                             signed=False)
+            if lens is None or any(x < 0 for x in lens):
+                return None
+            n_slots = sum(lens)
+            if n_slots > ORC_VALUE_CAP:
+                return None
+            keys = _child_scalar_values(g, kid, types[kid][0], n_slots)
+            vals = _child_scalar_values(g, vid, types[vid][0], n_slots)
+            if keys is None or vals is None:
+                return None
+            si = li = 0
+            for r in range(rows):
+                if pflags is not None and not pflags[r]:
+                    rows_out.append(None)
+                    continue
+                ln = lens[li]
+                li += 1
+                rows_out.append([
+                    {"key": keys[si + j], "value": vals[si + j]}
+                    for j in range(ln)
+                ])
+                si += ln
+            if si != n_slots:
+                return None
+        return rows_out
     except Exception:
         return None
 

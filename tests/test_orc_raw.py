@@ -624,3 +624,110 @@ def test_orc_011_timestamps_and_decimals():
         raw = buf.getvalue()
         assert read_orc_column(raw, "ts") == want, fv
         assert read_orc_column(raw, "dec") == decs, fv
+
+
+# ---------------------------------------------------------------------------
+# STRUCT / MAP columns — r12
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.orc_raw import (  # noqa: E402
+    read_orc_map_column,
+    read_orc_struct_column,
+)
+
+
+def test_orc_struct_column_matches_liborc():
+    """Flat struct<scalar...>: the struct node carries PRESENT only and
+    each child's streams are sized to the count of present structs —
+    null structs, null fields, all codecs."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    structs = [
+        {"a": 1, "b": "x", "c": 1.5},
+        None,
+        {"a": None, "b": "y", "c": None},
+        {"a": 7, "b": None, "c": 2.25},
+    ] * 50
+    want = [
+        None if r is None else {
+            "a": r["a"],
+            "b": r["b"].encode() if r["b"] is not None else None,
+            "c": r["c"],
+        }
+        for r in structs
+    ]
+    t = pa.table({
+        "s": pa.array(structs, type=pa.struct(
+            [("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())]
+        ))
+    })
+    for codec in ("uncompressed", "zlib", "zstd"):
+        buf = io.BytesIO()
+        po.write_table(t, buf, compression=codec)
+        assert read_orc_struct_column(buf.getvalue(), "s") == want, codec
+
+
+def test_orc_map_column_matches_liborc():
+    """map<string, int64>: MAP node PRESENT + LENGTH, key/value
+    children sized to the sum of lengths — entry order preserved, null
+    values kept, 0.11 and 0.12 files both."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    maps = [[("k1", 1), ("k2", None)], None, [], [("only", 42)]] * 40
+    want = [
+        None if r is None else [
+            {"key": k.encode(), "value": v} for k, v in r
+        ]
+        for r in maps
+    ]
+    t = pa.table({"m": pa.array(maps, type=pa.map_(pa.string(), pa.int64()))})
+    for kwargs in ({"compression": "uncompressed"}, {"compression": "zstd"},
+                   {"compression": "zlib", "file_version": "0.11"}):
+        buf = io.BytesIO()
+        po.write_table(t, buf, **kwargs)
+        assert read_orc_map_column(buf.getvalue(), "m") == want, kwargs
+
+
+def test_orc_struct_map_refusals_and_spark_written(spark, sf_dir):
+    import glob
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_int_column
+    from dynamic_spark_spark.sources.readers import load_table
+
+    # compound children refuse on both entry points
+    t = pa.table({
+        "s": pa.array([{"inner": [1]}], type=pa.struct(
+            [("inner", pa.list_(pa.int64()))]
+        ))
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf)
+    assert read_orc_struct_column(buf.getvalue(), "s") is None
+    assert read_orc_map_column(buf.getvalue(), "s") is None
+
+    # Spark (orc-core) as the second writer, default (zstd) codec
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("doc_id").alias("a"),
+            F.lit("x").alias("b"),
+        ).alias("s"),
+        F.create_map(F.lit("id"), F.col("doc_id")).alias("m"),
+    ).limit(50)
+    out = tempfile.mkdtemp(prefix="dss_orcsm_")
+    d.coalesce(1).write.mode("overwrite").orc(out)
+    raw = open(glob.glob(out + "/*.orc")[0], "rb").read()
+    ids = read_orc_int_column(raw, "doc_id")
+    ss = read_orc_struct_column(raw, "s")
+    ms = read_orc_map_column(raw, "m")
+    assert ids is not None and ss is not None and ms is not None
+    for i, vid in enumerate(ids):
+        assert ss[i] == {"a": vid, "b": b"x"}
+        assert ms[i] == [{"key": b"id", "value": vid}]
