@@ -36,7 +36,10 @@ of a Spark-written, snappy-compressed parquet file:
       via :func:`read_parquet_list_struct_column` — every leaf shares
       the repeated node's rep stream, the shared element-node def
       level separates null elements from null fields, and per-leaf
-      defs place each field's values.
+      defs place each field's values; flat ``struct<scalar...>`` via
+      :func:`read_parquet_struct_column` (multi-bit def levels, the
+      struct node's level separating struct-null from field-null);
+      MAP columns surface as {key, value} lists.
 
 Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs and
 multi-level repetition (list<list>) — one repeated ancestor is the
@@ -1063,6 +1066,84 @@ _SCALAR_TYPES = (
     _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY,
     _T_FIXED,
 )
+
+
+def read_parquet_struct_column(raw: bytes, column: str):
+    """Read every ROW of a flat ``struct<scalar...>`` column (no
+    repetition) straight from the file bytes: each leaf carries
+    multi-bit definition levels only — one entry per row — and the
+    struct node's own def level (each leaf's ``max_def`` minus its own
+    optional contribution... tracked as ``elem_def`` would be for
+    lists, here simply the leaf's parent-group level) separates
+    struct-null rows from field-null values. Concretely: for leaf L,
+    ``def == L.max_def`` is a value, ``def >= struct_def`` a present
+    struct with a null field, below it a null struct. Returns one
+    entry per row — None or ``{field: value | None}`` — or None.
+    Nested groups below the struct refuse. Never raises."""
+    try:
+        return _read_struct_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _read_struct_inner(raw: bytes, column: str):
+    walked = _footer_walk(raw)
+    if walked is None:
+        return None
+    schema, chunks = walked
+    leaves = [
+        (p, leaf) for p, leaf in schema.items()
+        if p.startswith(column + ".") and leaf.max_rep == 0
+    ]
+    if not leaves or any(
+        leaf.typ not in _SCALAR_TYPES
+        or (leaf.typ == _T_FIXED and leaf.tlen <= 0)
+        or p[len(column) + 1 :].count(".")  # deeper groups: refuse
+        for p, leaf in leaves
+    ):
+        return None
+    # the struct node's def level: every leaf's max_def minus the
+    # leaf's own optional contribution must agree
+    struct_defs = {
+        leaf.max_def - (1 if leaf.optional else 0) for _, leaf in leaves
+    }
+    if len(struct_defs) != 1:
+        return None
+    struct_def = struct_defs.pop()
+    fields = [p[len(column) + 1 :] for p, _ in leaves]
+    per_leaf = []
+    for p, leaf in leaves:
+        got = _collect_column_levels(raw, chunks, p, leaf)
+        if got is None:
+            return None
+        per_leaf.append(got)
+    n = len(per_leaf[0][1])
+    if any(len(defs) != n for _, defs, _ in per_leaf):
+        return None
+    rows: list = []
+    vis = [0] * len(per_leaf)
+    for i in range(n):
+        if per_leaf[0][1][i] < struct_def:
+            # null struct: every leaf must agree
+            if any(defs[i] >= struct_def for _, defs, _ in per_leaf):
+                return None
+            rows.append(None)
+            continue
+        elem = {}
+        for j, (_reps, defs, vals) in enumerate(per_leaf):
+            if defs[i] < struct_def:
+                return None  # leaves disagree on struct presence
+            if defs[i] == leaves[j][1].max_def:
+                if vis[j] >= len(vals):
+                    return None
+                elem[fields[j]] = vals[vis[j]]
+                vis[j] += 1
+            else:
+                elem[fields[j]] = None
+        rows.append(elem)
+    if any(vis[j] != len(per_leaf[j][2]) for j in range(len(per_leaf))):
+        return None
+    return rows
 
 
 def read_parquet_list_struct_column(raw: bytes, column: str):

@@ -511,3 +511,88 @@ def test_map_columns_decode_as_key_value_structs(spark, sf_dir):
             {"key": b"id", "value": vid},
             {"key": b"double", "value": vid * 2},
         ]
+
+
+def test_parquet_flat_struct_column(spark, sf_dir):
+    """Flat struct<scalar...> (no repetition): multi-bit def levels
+    only, the struct node's level separating struct-null rows from
+    field-null values — pyarrow writer knobs plus a Spark-written
+    (parquet-mr) struct column."""
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_struct_column,
+    )
+
+    structs = [
+        {"a": 1, "b": "x", "c": 1.5},
+        None,
+        {"a": None, "b": "y", "c": None},
+        {"a": 7, "b": None, "c": 2.25},
+    ] * 50
+    want = [
+        None if r is None else {
+            "a": r["a"],
+            "b": r["b"].encode() if r["b"] is not None else None,
+            "c": r["c"],
+        }
+        for r in structs
+    ]
+    st = pa.struct(
+        [("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())]
+    )
+    for dpv in ("1.0", "2.0"):
+        for comp in ("snappy", "zstd"):
+            t = pa.table({"s": pa.array(structs, type=st)})
+            buf = io.BytesIO()
+            pq.write_table(t, buf, data_page_version=dpv, compression=comp)
+            got = read_parquet_struct_column(buf.getvalue(), "s")
+            assert got == want, (dpv, comp)
+    # REQUIRED struct of REQUIRED fields: no def levels at all
+    fld = pa.field(
+        "s", pa.struct([pa.field("a", pa.int64(), nullable=False)]),
+        nullable=False,
+    )
+    t = pa.table(
+        {"s": pa.array([{"a": 1}, {"a": 2}], type=fld.type)}
+    ).cast(pa.schema([fld]))
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_struct_column(buf.getvalue(), "s") == [
+        {"a": 1}, {"a": 2},
+    ]
+    # refusals: deeper groups and flat columns
+    t = pa.table({
+        "s": pa.array(
+            [{"inner": {"x": 1}}],
+            type=pa.struct([("inner", pa.struct([("x", pa.int64())]))]),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_struct_column(buf.getvalue(), "s") is None
+
+    # Spark (parquet-mr) second writer
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+    from dynamic_spark_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("doc_id").alias("a"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("even")).alias("b"),
+        ).alias("s"),
+    ).limit(80)
+    out = tempfile.mkdtemp(prefix="dss_pstruct_")
+    d.coalesce(1).write.mode("overwrite").parquet(out)
+    raw = open(glob.glob(out + "/*.parquet")[0], "rb").read()
+    ids = read_parquet_column(raw, "doc_id")
+    got = read_parquet_struct_column(raw, "s")
+    assert got is not None and len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[i] == {
+            "a": vid, "b": b"even" if vid % 2 == 0 else None,
+        }
