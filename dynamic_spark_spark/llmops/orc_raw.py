@@ -605,6 +605,12 @@ def read_orc_int_column(raw: bytes, column: str):
 def _int_values_from_stripes(stripes):
     values: list[int] = []
     for st in stripes:
+        if st["encoding"] not in (0, 2):  # DIRECT / DIRECT_V2 only:
+            #  DICTIONARY encodings are string-column layouts, and an
+            #  int column declaring one is corrupt — decoding its DATA
+            #  stream as RLE integers would return plausible-looking
+            #  wrong values (r12 review finding)
+            return None
         data = st.get("data")
         if data is None:
             return None
@@ -792,6 +798,11 @@ def _child_scalar_values(g: dict, child_id: int, child_kind: int,
     if cpc is None:
         return None
     n_child, cflags = cpc
+    # the value decoders call _stripe_present_count themselves; hand
+    # them a present-free dict sized to the non-null count so the
+    # byte-RLE PRESENT stream is decoded ONCE (r12 review finding)
+    child.pop("present", None)
+    child["rows"] = n_child
     if child_kind in _INT_KINDS or child_kind == 15:
         vals = _int_values_from_stripes([child])
     elif child_kind in _STR_KINDS:
@@ -1007,37 +1018,21 @@ def _orc_list_inner(raw: bytes, column: str):
         n_slots = sum(lens)
         if n_slots > ORC_VALUE_CAP:
             return None
-        child = dict(g[child_id])
-        child["rows"] = n_slots  # the child's row space IS the slot count
-        cpc = _stripe_present_count(child)
-        if cpc is None:
+        # slot-aligned child values, nulls inline — shared with the
+        # struct/map tiers (was a duplicated dispatch, r12 review)
+        slot_vals = _child_scalar_values(g, child_id, child_kind, n_slots)
+        if slot_vals is None:
             return None
-        n_child, cflags = cpc
-        if child_kind in _INT_KINDS or child_kind == 15:
-            vals = _int_values_from_stripes([child])
-        elif child_kind in _STR_KINDS:
-            vals = _string_values_from_stripes([child])
-        else:
-            vals = _other_scalar_stripe_values(child_kind, child, n_child)
-        if vals is None or len(vals) != n_child:
-            return None
-        vi = si = li = 0
+        si = li = 0
         for r in range(rows):
             if pflags is not None and not pflags[r]:
                 rows_out.append(None)
                 continue
             ln = lens[li]
             li += 1
-            lst: list = []
-            for _ in range(ln):
-                if cflags is not None and not cflags[si]:
-                    lst.append(None)
-                else:
-                    lst.append(vals[vi])
-                    vi += 1
-                si += 1
-            rows_out.append(lst)
-        if vi != len(vals) or si != n_slots:
+            rows_out.append(slot_vals[si : si + ln])
+            si += ln
+        if si != n_slots:
             return None  # stream lengths disagree: corrupt
     return rows_out
 

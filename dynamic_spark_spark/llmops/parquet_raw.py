@@ -988,10 +988,7 @@ def _read_list_inner(raw: bytes, column: str):
     if len(matches) != 1:
         return None  # list<struct>/deeper nesting: out of scope — refuse
     path, leaf = matches[0]
-    if not leaf.listlike or leaf.typ not in (
-        _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY,
-        _T_FIXED,
-    ):
+    if not leaf.listlike or leaf.typ not in _SCALAR_TYPES:
         return None
     if leaf.typ == _T_FIXED and leaf.tlen <= 0:
         return None
@@ -1093,10 +1090,14 @@ def _read_struct_inner(raw: bytes, column: str):
     schema, chunks = walked
     leaves = [
         (p, leaf) for p, leaf in schema.items()
-        if p.startswith(column + ".") and leaf.max_rep == 0
+        if p.startswith(column + ".")
     ]
+    # refuse list/map-typed or nested-group FIELDS outright — filtering
+    # repeated leaves out first would silently DROP such a field from
+    # the output dict instead (r12 review finding)
     if not leaves or any(
-        leaf.typ not in _SCALAR_TYPES
+        leaf.max_rep != 0
+        or leaf.typ not in _SCALAR_TYPES
         or (leaf.typ == _T_FIXED and leaf.tlen <= 0)
         or p[len(column) + 1 :].count(".")  # deeper groups: refuse
         for p, leaf in leaves
@@ -1188,7 +1189,19 @@ def _read_list_struct_inner(raw: bytes, column: str):
         return None  # leaves under different repeated/element nodes
     rep_def = leaves[0][1].rep_def
     elem_def = leaves[0][1].elem_def
-    fields = [p[len(column) + 1 :].split(".")[-1] for p, _ in leaves]
+    # shape guard (r12 review): every field must be a DIRECT child of
+    # ONE shared element node — same path depth, same parent segments,
+    # unique last segments. Without this, struct<a, inner:struct<a>>
+    # silently collided both leaves onto the key 'a' (inner winning)
+    # and non-colliding nested structs flattened into the element dict.
+    rels = [p[len(column) + 1 :].split(".") for p, _ in leaves]
+    depth = len(rels[0])
+    parent = rels[0][:-1]
+    if any(len(r) != depth or r[:-1] != parent for r in rels):
+        return None  # nested structs below the element: refuse
+    fields = [r[-1] for r in rels]
+    if len(set(fields)) != len(fields):
+        return None
     per_leaf = []
     for p, leaf in leaves:
         got = _collect_column_levels(raw, chunks, p, leaf)

@@ -731,3 +731,31 @@ def test_orc_struct_map_refusals_and_spark_written(spark, sf_dir):
     for i, vid in enumerate(ids):
         assert ss[i] == {"a": vid, "b": b"x"}
         assert ms[i] == [{"key": b"id", "value": vid}]
+
+
+def test_orc_int_column_refuses_dictionary_encoding():
+    """An int column declaring a DICTIONARY encoding is corrupt (the
+    layouts are string-only); decoding its DATA stream as RLE integers
+    would return plausible wrong values — the reader must refuse (r12
+    review finding: the RLEv1 generalization briefly lost this)."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from dynamic_spark_spark.llmops.orc_raw import (
+        _orc_column_stripes,
+        read_orc_int_column,
+    )
+
+    t = pa.table({"i": pa.array(range(100), type=pa.int64())})
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="uncompressed")
+    raw = bytearray(buf.getvalue())
+    # sanity: reads fine as written
+    assert read_orc_int_column(bytes(raw), "i") == list(range(100))
+    # a stripe dict reporting DICTIONARY encoding must refuse
+    kind, stripes = _orc_column_stripes(bytes(raw), "i")
+    for st in stripes:
+        st["encoding"] = 1  # DICTIONARY
+    from dynamic_spark_spark.llmops.orc_raw import _int_values_from_stripes
+
+    assert _int_values_from_stripes(stripes) is None

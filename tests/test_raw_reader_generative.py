@@ -596,3 +596,64 @@ def test_parquet_flat_struct_column(spark, sf_dir):
         assert got[i] == {
             "a": vid, "b": b"even" if vid % 2 == 0 else None,
         }
+
+
+def test_struct_readers_refuse_nested_and_colliding_shapes():
+    """r12 review findings: the struct assemblers must REFUSE shapes
+    they cannot represent instead of silently flattening, colliding, or
+    dropping fields."""
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_list_struct_column,
+        read_parquet_struct_column,
+    )
+
+    # list<struct<a, inner:struct<a>>>: both leaves end in 'a' — the
+    # old code keyed both onto 'a' (inner silently winning)
+    t = pa.table({
+        "x": pa.array(
+            [[{"a": 1, "inner": {"a": 99}}]],
+            type=pa.list_(pa.struct([
+                ("a", pa.int64()),
+                ("inner", pa.struct([("a", pa.int64())])),
+            ])),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_struct_column(buf.getvalue(), "x") is None
+    # non-colliding nested struct: silently flattened before — refuse
+    t = pa.table({
+        "x": pa.array(
+            [[{"a": 1, "inner": {"b": 2}}]],
+            type=pa.list_(pa.struct([
+                ("a", pa.int64()),
+                ("inner", pa.struct([("b", pa.int64())])),
+            ])),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_struct_column(buf.getvalue(), "x") is None
+    # map<string, struct<x>>: struct-valued map entries — refuse
+    t = pa.table({
+        "x": pa.array(
+            [[("k", {"v": 5})]],
+            type=pa.map_(pa.string(), pa.struct([("v", pa.int64())])),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_struct_column(buf.getvalue(), "x") is None
+    # struct with a list-typed field: the flat struct reader used to
+    # silently DROP the field — refuse
+    t = pa.table({
+        "s": pa.array(
+            [{"a": 1, "lst": [1, 2]}],
+            type=pa.struct([
+                ("a", pa.int64()), ("lst", pa.list_(pa.int64())),
+            ]),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_struct_column(buf.getvalue(), "s") is None
