@@ -41,11 +41,15 @@ of a Spark-written, snappy-compressed parquet file:
       struct node's level separating struct-null from field-null);
       MAP columns surface as {key, value} lists.
 
+    → multi-LEVEL repetition (r12): arbitrary-depth
+      ``list<list<...<scalar>>>`` via :func:`read_parquet_nested_column`
+      — the general single-leaf Dremel assembly, nesting by each
+      repeated ancestor's def-level threshold.
+
 Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs and
-multi-level repetition (list<list>) — one repeated ancestor is the
-supported nesting depth, with scalar, struct-of-scalar, or MAP
-key_value elements (a multi-child repeated group is its own element,
-so maps surface as lists of {key, value} structs).
+multi-level repetition COMBINED with multi-leaf elements
+(list<list<struct>>) — struct elements are supported at one repeated
+level (including MAP key_value shapes), scalar elements at any depth.
 
 Every layer is an independent re-implementation forced to agree with
 parquet-mr (the JVM writer) through the real bytes, and the keys'
@@ -252,10 +256,11 @@ class _Leaf:
     exists and per-leaf defs distinguish field-null from value."""
 
     __slots__ = ("typ", "optional", "tlen", "max_def", "max_rep",
-                 "rep_def", "flat", "listlike", "converted", "elem_def")
+                 "rep_def", "flat", "listlike", "converted", "elem_def",
+                 "rep_defs")
 
     def __init__(self, typ, optional, tlen, max_def, max_rep, rep_def,
-                 flat, listlike, converted, elem_def) -> None:
+                 flat, listlike, converted, elem_def, rep_defs) -> None:
         self.typ = typ
         self.optional = optional
         self.tlen = tlen
@@ -266,6 +271,10 @@ class _Leaf:
         self.listlike = listlike
         self.converted = converted
         self.elem_def = elem_def
+        #: def level of EVERY repeated ancestor, outermost first — the
+        #: per-level thresholds the multi-level (list<list<...>>)
+        #: assembly nests by; rep_def == rep_defs[-1] when any
+        self.rep_defs = rep_defs
 
 
 def _parse_schema(c: _Compact):
@@ -316,7 +325,7 @@ def _parse_schema(c: _Compact):
     # definition level of the NEAREST repeated ancestor so far (0 when
     # none) and elem_def the def level of that ancestor's direct child
     # on this path (the element node)
-    stack: list[list] = [[elems[0][3], [], 0, 0, 0, 0, False]]
+    stack: list[list] = [[elems[0][3], [], 0, 0, 0, 0, False, ()]]
     i = 1
     while i < len(elems):
         while stack and stack[-1][0] == 0:
@@ -327,14 +336,15 @@ def _parse_schema(c: _Compact):
         i += 1
         stack[-1][0] -= 1
         path = stack[-1][1] + [name or ""]
-        d, r, rd, ed = (stack[-1][2], stack[-1][3], stack[-1][4],
-                        stack[-1][5])
+        d, r, rd, ed, rds = (stack[-1][2], stack[-1][3], stack[-1][4],
+                             stack[-1][5], stack[-1][7])
         if rep == 1:  # OPTIONAL
             d += 1
         elif rep == 2:  # REPEATED
             d += 1
             r += 1
             rd = d  # this node IS the repeated ancestor from here down
+            rds = rds + (d,)
         if rep == 2:
             ed = d  # a repeated LEAF is its own element; a repeated
             #         GROUP's children refine this below
@@ -346,12 +356,15 @@ def _parse_schema(c: _Compact):
             # MANY children it is itself the element (the MAP/key_value
             # shape — element-null is impossible, elem_def stays at the
             # repeated node's level)
-            stack.append([nch, path, d, r, rd, ed, rep == 2 and nch == 1])
+            stack.append(
+                [nch, path, d, r, rd, ed, rep == 2 and nch == 1, rds]
+            )
         else:
             flat = r == 0 and len(path) == 1 and typ is not None
             listlike = r == 1 and typ is not None
             schema[".".join(path)] = _Leaf(
-                typ, rep == 1, tlen, d, r, rd, flat, listlike, conv, ed
+                typ, rep == 1, tlen, d, r, rd, flat, listlike, conv, ed,
+                rds,
             )
     return schema
 
@@ -1063,6 +1076,101 @@ _SCALAR_TYPES = (
     _T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY,
     _T_FIXED,
 )
+
+
+def read_parquet_nested_column(raw: bytes, column: str):
+    """The GENERAL single-leaf Dremel assembly: arbitrary-depth
+    ``list<list<...<scalar>>>`` columns straight from the file bytes. A
+    slot's repetition level says which list level CONTINUES (0 = new
+    row); its definition level says how deep the path is defined, read
+    against the per-level thresholds ``rep_defs`` (each repeated
+    ancestor's def level): at level k, ``def < rep_defs[k]-1`` is a
+    null list, ``== rep_defs[k]-1`` an empty one, ``>= rep_defs[k]`` a
+    slot — and at the deepest level ``def == max_def`` is a value,
+    anything at-or-above the last threshold a null element. Returns one
+    entry per row (nested ``None | list``), or None. One leaf only
+    (lists of structs go through the struct assembly). Never raises."""
+    try:
+        return _read_nested_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _read_nested_inner(raw: bytes, column: str):
+    walked = _footer_walk(raw)
+    if walked is None:
+        return None
+    schema, chunks = walked
+    matches = [
+        (p, leaf) for p, leaf in schema.items()
+        if (p == column or p.startswith(column + ".")) and leaf.max_rep > 0
+    ]
+    if len(matches) != 1:
+        return None
+    path, leaf = matches[0]
+    if leaf.typ not in _SCALAR_TYPES or (
+        leaf.typ == _T_FIXED and leaf.tlen <= 0
+    ):
+        return None
+    rds = leaf.rep_defs
+    if len(rds) != leaf.max_rep:
+        return None
+    collected = _collect_column_levels(raw, chunks, path, leaf)
+    if collected is None:
+        return None
+    reps, defs, vals = collected
+    rows: list = []
+    depth = leaf.max_rep
+    ptr: list = [None] * (depth + 1)  # ptr[k] = open list at level k
+    vi = 0
+    for rlev, dlev in zip(reps, defs):
+        if rlev == 0:  # new row
+            ptr = [None] * (depth + 1)  # no stale deeper lists survive
+            if dlev < rds[0] - 1:
+                rows.append(None)  # null outer list
+                continue
+            lst: list = []
+            rows.append(lst)
+            ptr[1] = lst
+            start = 2
+            if dlev == rds[0] - 1:
+                continue  # empty outer list
+        else:
+            if rlev > depth or ptr[rlev] is None:
+                return None  # continuation with no open list: corrupt
+            start = rlev + 1
+        # create deeper lists down to where the def level says to stop;
+        # anything deeper than where we stop is invalidated so a corrupt
+        # continuation cannot append into a previous branch's list
+        reached = True
+        for k in range(start, depth + 1):
+            if dlev < rds[k - 1] - 1:
+                ptr[k - 1].append(None)  # null list element at k-1
+                ptr[k:] = [None] * (depth + 1 - k)
+                reached = False
+                break
+            newl: list = []
+            ptr[k - 1].append(newl)
+            ptr[k] = newl
+            if dlev == rds[k - 1] - 1:
+                ptr[k + 1 :] = [None] * (depth - k)
+                reached = False  # defined-but-empty at level k
+                break
+        if not reached:
+            continue
+        if dlev == leaf.max_def:
+            if vi >= len(vals):
+                return None
+            ptr[depth].append(vals[vi])
+            vi += 1
+        elif dlev >= rds[-1]:
+            ptr[depth].append(None)  # null scalar element
+        else:
+            return None  # def below the deepest threshold after the
+            #              structural walk consumed it: corrupt levels
+    if vi != len(vals):
+        return None
+    return rows
 
 
 def read_parquet_struct_column(raw: bytes, column: str):

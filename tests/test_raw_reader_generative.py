@@ -657,3 +657,133 @@ def test_struct_readers_refuse_nested_and_colliding_shapes():
     buf = io.BytesIO()
     pq.write_table(t, buf)
     assert read_parquet_struct_column(buf.getvalue(), "s") is None
+
+
+# ---------------------------------------------------------------------------
+# multi-level repetition (list<list<...>>) — r12
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.parquet_raw import (  # noqa: E402
+    read_parquet_nested_column,
+)
+
+_LL_LATTICE = [
+    [[1, 2], [], None, [3, None]],
+    None,
+    [],
+    [None],
+    [[None]],
+    [[5] * 100, [6]],
+]
+
+
+def test_multi_level_nested_lattice(spark, sf_dir):
+    """list<list<int>> through the general single-leaf assembly: null
+    outer, empty outer, null inner, empty inner, null elements — the
+    full two-threshold def lattice across page versions and codecs —
+    plus depth 3, depth 1 (must agree with the dedicated list reader),
+    and a Spark-written file."""
+    t = pa.table({
+        "x": pa.array(_LL_LATTICE, type=pa.list_(pa.list_(pa.int64())))
+    })
+    for dpv in ("1.0", "2.0"):
+        for comp in ("snappy", "zstd"):
+            buf = io.BytesIO()
+            pq.write_table(t, buf, data_page_version=dpv, compression=comp)
+            got = read_parquet_nested_column(buf.getvalue(), "x")
+            assert got == _LL_LATTICE, (dpv, comp)
+    # depth 3
+    lll = [[[[1], [2, None]], None, []], None, [[]], [[[3]]]]
+    t = pa.table({
+        "x": pa.array(lll, type=pa.list_(pa.list_(pa.list_(pa.int64()))))
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_nested_column(buf.getvalue(), "x") == lll
+    # depth 1: general path agrees with the dedicated reader
+    data = [[1.5, 2.5], None, [], [3.25, None]]
+    t = pa.table({"x": pa.array(data, type=pa.list_(pa.float64()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    assert read_parquet_nested_column(raw, "x") == data
+    assert read_parquet_nested_column(raw, "x") == read_parquet_list_column(
+        raw, "x"
+    )
+
+    # Spark (parquet-mr) second writer
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+    from dynamic_spark_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.array(F.col("doc_id"), F.col("doc_id") * 2),
+            F.array(F.col("doc_id") + 1),
+        ).alias("nested"),
+    ).limit(60)
+    out = tempfile.mkdtemp(prefix="dss_ll_")
+    d.coalesce(1).write.mode("overwrite").parquet(out)
+    raw = open(glob.glob(out + "/*.parquet")[0], "rb").read()
+    ids = read_parquet_column(raw, "doc_id")
+    got = read_parquet_nested_column(raw, "nested")
+    assert got is not None and len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[i] == [[vid, vid * 2], [vid + 1]]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.one_of(
+                            st.none(), st.integers(-(2**40), 2**40)
+                        ),
+                        max_size=6,
+                    ),
+                ),
+                max_size=5,
+            ),
+        ),
+        min_size=1, max_size=80,
+    ),
+    dpv=st.sampled_from(["1.0", "2.0"]),
+    page=st.sampled_from([512, 1024 * 1024]),
+)
+def test_multi_level_nested_generative(rows, dpv, page):
+    t = pa.table({"x": pa.array(rows, type=pa.list_(pa.list_(pa.int64())))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, data_page_version=dpv, data_page_size=page)
+    assert read_parquet_nested_column(buf.getvalue(), "x") == rows
+
+
+def test_multi_level_nested_never_raises():
+    import random as _random
+
+    t = pa.table({
+        "x": pa.array(_LL_LATTICE, type=pa.list_(pa.list_(pa.int64())))
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = bytearray(buf.getvalue())
+    rng = _random.Random(31)
+    for _ in range(300):
+        m = bytearray(raw)
+        for _ in range(rng.randint(1, 6)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        got = read_parquet_nested_column(bytes(m), "x")
+        assert got is None or isinstance(got, list)
+    for cut in (1, 9, len(raw) // 2, len(raw) - 2):
+        got = read_parquet_nested_column(bytes(raw[:cut]), "x")
+        assert got is None or isinstance(got, list)
