@@ -46,9 +46,16 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       lengths — :func:`read_orc_struct_column` /
       :func:`read_orc_map_column`.
 
-Scope: flat scalar columns, ``list<scalar>``, ``struct<scalar...>``,
-and ``map<scalar, scalar>``; LZO, UNION, and deeper compound nesting
-are refused explicitly. Every layer
+    → ARBITRARY compositions (r12): :func:`read_orc_nested_column`
+      walks the type tree recursively (list<list<double>>,
+      struct<a:list<int>>, map<string, list<int>>, ...) — ORC needs no
+      Dremel levels because every compound node carries its own
+      PRESENT/LENGTH streams, so the tree walk IS the assembly;
+      preorder child-id validation bounds the recursion against
+      corrupt/cyclic trees.
+
+Scope: the full scalar lattice under any LIST/STRUCT/MAP composition;
+LZO and UNION are refused explicitly. Every layer
 is an independent re-implementation forced to agree with orc-core (the
 JVM writer Spark uses) through the real bytes; pytest pins the RLEv2
 decoder against the spec's published example vectors AND against
@@ -953,6 +960,179 @@ def read_orc_map_column(raw: bytes, column: str):
                 si += ln
             if si != n_slots:
                 return None
+        return rows_out
+    except Exception:
+        return None
+
+
+def _orc_subtree_ids(types, col_id, depth=0):
+    """All column ids in the subtree rooted at ``col_id`` (preorder).
+    Valid ORC files number children AFTER their parent, so a child id
+    <= the parent id marks a corrupt/cyclic tree — refused (also the
+    recursion bound)."""
+    if depth > 32:
+        return None
+    out = [col_id]
+    for cid in types[col_id][1]:
+        if cid <= col_id or cid >= len(types):
+            return None
+        sub = _orc_subtree_ids(types, cid, depth + 1)
+        if sub is None:
+            return None
+        out.extend(sub)
+    return out
+
+
+def _orc_node_values(g, types, col_id, n_slots, depth=0):
+    """Recursively decode ONE stripe's column ``col_id`` into
+    ``n_slots`` slot values — the ORC compound walk: LIST nests by its
+    LENGTH stream, STRUCT zips its children over the present count, MAP
+    pairs its two children, scalars bottom out in the shared child
+    decode. Returns a slot-aligned list (None for null slots) or
+    None."""
+    if depth > 32:
+        return None
+    kind, subs, names = types[col_id]
+    if kind == 10:  # LIST
+        if len(subs) != 1:
+            return None
+        st = dict(g[col_id])
+        st["rows"] = n_slots
+        if st.get("encoding") not in (0, 2):
+            return None
+        pc = _stripe_present_count(st)
+        if pc is None:
+            return None
+        n_present, flags = pc
+        length = st.get("length")
+        if length is None:
+            return None
+        lens = _rle_ints(length, n_present, st["encoding"], signed=False)
+        if lens is None or any(x < 0 for x in lens):
+            return None
+        total = sum(lens)
+        if total > ORC_VALUE_CAP:
+            return None
+        child_vals = _orc_node_values(g, types, subs[0], total, depth + 1)
+        if child_vals is None:
+            return None
+        out: list = []
+        si = li = 0
+        for i in range(n_slots):
+            if flags is not None and not flags[i]:
+                out.append(None)
+                continue
+            ln = lens[li]
+            li += 1
+            out.append(child_vals[si : si + ln])
+            si += ln
+        if si != total:
+            return None
+        return out
+    if kind == 11:  # MAP: like LIST with paired key/value children
+        if len(subs) != 2:
+            return None
+        st = dict(g[col_id])
+        st["rows"] = n_slots
+        if st.get("encoding") not in (0, 2):
+            return None
+        pc = _stripe_present_count(st)
+        if pc is None:
+            return None
+        n_present, flags = pc
+        length = st.get("length")
+        if length is None:
+            return None
+        lens = _rle_ints(length, n_present, st["encoding"], signed=False)
+        if lens is None or any(x < 0 for x in lens):
+            return None
+        total = sum(lens)
+        if total > ORC_VALUE_CAP:
+            return None
+        keys = _orc_node_values(g, types, subs[0], total, depth + 1)
+        vals = _orc_node_values(g, types, subs[1], total, depth + 1)
+        if keys is None or vals is None:
+            return None
+        out = []
+        si = li = 0
+        for i in range(n_slots):
+            if flags is not None and not flags[i]:
+                out.append(None)
+                continue
+            ln = lens[li]
+            li += 1
+            out.append([
+                {"key": keys[si + j], "value": vals[si + j]}
+                for j in range(ln)
+            ])
+            si += ln
+        if si != total:
+            return None
+        return out
+    if kind == 12:  # STRUCT
+        if not subs or len(subs) != len(names):
+            return None
+        st = dict(g[col_id])
+        st["rows"] = n_slots
+        pc = _stripe_present_count(st)
+        if pc is None:
+            return None
+        n_present, flags = pc
+        cols = []
+        for cid in subs:
+            got = _orc_node_values(g, types, cid, n_present, depth + 1)
+            if got is None:
+                return None
+            cols.append(got)
+        out = []
+        si = 0
+        for i in range(n_slots):
+            if flags is not None and not flags[i]:
+                out.append(None)
+                continue
+            out.append({nm: col[si] for nm, col in zip(names, cols)})
+            si += 1
+        if si != n_present:
+            return None
+        return out
+    if kind == 13:  # UNION: out of scope — refuse, don't guess
+        return None
+    return _child_scalar_values(g, col_id, kind, n_slots)
+
+
+def read_orc_nested_column(raw: bytes, column: str):
+    """The GENERAL ORC compound reader: arbitrary compositions of
+    LIST / STRUCT / MAP over the scalar lattice (``list<list<double>>``,
+    ``struct<a:list<int>>``, ``map<string, list<int>>``, ...), decoded
+    recursively — ORC needs no Dremel levels because every compound
+    node carries its own PRESENT (and LENGTH) streams, so the tree walk
+    IS the assembly. Lists surface as lists, structs as field dicts,
+    maps as ``{"key", "value"}`` entry lists, null slots as None at
+    every level. UNION refuses. Returns one entry per row or None;
+    never raises."""
+    try:
+        meta = _orc_footer_meta(raw)
+        if meta is None:
+            return None
+        comp, stripes, types = meta
+        _rk, root_subs, root_names = types[0]
+        if column not in root_names:
+            return None
+        col_id = root_subs[root_names.index(column)]
+        if col_id >= len(types):
+            return None
+        ids = _orc_subtree_ids(types, col_id)
+        if ids is None:
+            return None
+        rows_out: list = []
+        for sm in stripes:
+            g = _orc_gather_streams(raw, comp, sm, set(ids))
+            if g is None:
+                return None
+            got = _orc_node_values(g, types, col_id, g["rows"])
+            if got is None:
+                return None
+            rows_out.extend(got)
         return rows_out
     except Exception:
         return None

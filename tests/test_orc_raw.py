@@ -759,3 +759,134 @@ def test_orc_int_column_refuses_dictionary_encoding():
     from dynamic_spark_spark.llmops.orc_raw import _int_values_from_stripes
 
     assert _int_values_from_stripes(stripes) is None
+
+
+# ---------------------------------------------------------------------------
+# recursive compound reader — r12
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.orc_raw import (  # noqa: E402
+    read_orc_nested_column,
+)
+
+_LL = [[[1, 2], [], None, [3, None]], None, [], [None], [[None]],
+       [[5] * 100, [6]]]
+
+
+def test_orc_recursive_compound_compositions():
+    """Arbitrary LIST/STRUCT/MAP compositions decode recursively — ORC
+    needs no Dremel levels, so the type-tree walk IS the assembly."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    t = pa.table({"x": pa.array(_LL, type=pa.list_(pa.list_(pa.int64())))})
+    for kwargs in ({"compression": "uncompressed"}, {"compression": "zstd"},
+                   {"compression": "zlib", "file_version": "0.11"}):
+        buf = io.BytesIO()
+        po.write_table(t, buf, **kwargs)
+        assert read_orc_nested_column(buf.getvalue(), "x") == _LL, kwargs
+
+    rows = [{"a": 1, "lst": ["x", "y"]}, None, {"a": None, "lst": None},
+            {"a": 3, "lst": []}]
+    want = [
+        None if r is None else {
+            "a": r["a"],
+            "lst": None if r["lst"] is None else [
+                s.encode() for s in r["lst"]
+            ],
+        }
+        for r in rows
+    ]
+    t = pa.table({
+        "s": pa.array(rows, type=pa.struct(
+            [("a", pa.int64()), ("lst", pa.list_(pa.string()))]
+        ))
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="zstd")
+    assert read_orc_nested_column(buf.getvalue(), "s") == want
+
+    maps = [[("k", [1, 2]), ("e", [])], None, [], [("n", None)]]
+    want = [
+        None if r is None else [
+            {"key": k.encode(), "value": v} for k, v in r
+        ]
+        for r in maps
+    ]
+    t = pa.table({
+        "m": pa.array(maps, type=pa.map_(pa.string(), pa.list_(pa.int64())))
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf)
+    assert read_orc_nested_column(buf.getvalue(), "m") == want
+
+    ls = [[{"a": 1, "b": "x"}, None], None, [], [{"a": None, "b": None}]]
+    want = [
+        None if r is None else [
+            None if e is None else {
+                "a": e["a"],
+                "b": e["b"].encode() if e["b"] is not None else None,
+            }
+            for e in r
+        ]
+        for r in ls
+    ]
+    t = pa.table({
+        "x": pa.array(ls, type=pa.list_(pa.struct(
+            [("a", pa.int64()), ("b", pa.string())]
+        )))
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf)
+    assert read_orc_nested_column(buf.getvalue(), "x") == want
+
+    # scalars through the general entry: null slots INLINE (unlike the
+    # non-null-only flat readers)
+    t = pa.table({"x": pa.array([1, None, 3], type=pa.int64())})
+    buf = io.BytesIO()
+    po.write_table(t, buf)
+    assert read_orc_nested_column(buf.getvalue(), "x") == [1, None, 3]
+
+
+def test_orc_recursive_compound_spark_written_and_never_raises(spark, sf_dir):
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.array(F.col("doc_id")), F.array(F.col("doc_id") * 2),
+        ).alias("nested"),
+        F.struct(
+            F.col("doc_id").alias("a"),
+            F.array(F.lit("u"), F.lit("v")).alias("tags"),
+        ).alias("s"),
+    ).limit(60)
+    out = tempfile.mkdtemp(prefix="dss_orcdeep_")
+    d.coalesce(1).write.mode("overwrite").orc(out)  # default zstd
+    raw = open(glob.glob(out + "/*.orc")[0], "rb").read()
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_int_column
+
+    ids = read_orc_int_column(raw, "doc_id")
+    nested = read_orc_nested_column(raw, "nested")
+    structs = read_orc_nested_column(raw, "s")
+    assert ids is not None and nested is not None and structs is not None
+    for i, vid in enumerate(ids):
+        assert nested[i] == [[vid], [vid * 2]]
+        assert structs[i] == {"a": vid, "tags": [b"u", b"v"]}
+
+    rng = random.Random(41)
+    base = bytearray(raw)
+    for _ in range(200):
+        m = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        got = read_orc_nested_column(bytes(m), "nested")
+        assert got is None or isinstance(got, list)
+    for cut in (1, 17, len(base) // 2, len(base) - 3):
+        got = read_orc_nested_column(bytes(base[:cut]), "nested")
+        assert got is None or isinstance(got, list)
