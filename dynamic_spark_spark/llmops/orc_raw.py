@@ -831,63 +831,42 @@ def _child_scalar_values(g: dict, child_id: int, child_kind: int,
     return out
 
 
+def _shape_checked_delegate(raw: bytes, column: str, want_kind: int,
+                            n_children=None):
+    """The dedicated compound entry points are SHAPE CONTRACTS over the
+    general recursive reader (r12 review: they began as parallel
+    implementations the tests proved identical): verify the column is
+    the promised kind with scalar-only children, then delegate."""
+    meta = _orc_footer_meta(raw)
+    if meta is None:
+        return None
+    _comp, _stripes, types = meta
+    _rk, root_subs, root_names = types[0]
+    if column not in root_names:
+        return None
+    cid = root_subs[root_names.index(column)]
+    if cid >= len(types) or types[cid][0] != want_kind:
+        return None
+    subs = types[cid][1]
+    if n_children is not None and len(subs) != n_children:
+        return None
+    if not subs or any(
+        c >= len(types) or types[c][1] for c in subs
+    ):
+        return None  # compound children: refused by THIS entry point
+    return read_orc_nested_column(raw, column)
+
+
 def read_orc_struct_column(raw: bytes, column: str):
     """Read every ROW of a flat ``struct<scalar...>`` column from an
     ORC file's bytes: the struct node carries only a PRESENT stream,
     and each child column's streams are sized to the count of PRESENT
     structs (ORC spec §'Struct Columns'). Returns one entry per row —
     None for a null struct, else ``{field: value | None}`` — or None.
-    Nested compound children refuse. Never raises."""
+    Nested compound children refuse (use :func:`read_orc_nested_column`
+    for those). Never raises."""
     try:
-        meta = _orc_footer_meta(raw)
-        if meta is None:
-            return None
-        comp, stripes, types = meta
-        _rk, root_subs, root_names = types[0]
-        if column not in root_names:
-            return None
-        sid = root_subs[root_names.index(column)]
-        if sid >= len(types) or types[sid][0] != 12:  # STRUCT
-            return None
-        child_ids = types[sid][1]
-        names = types[sid][2]
-        if len(child_ids) != len(names) or not child_ids:
-            return None
-        kinds = []
-        for cid in child_ids:
-            if cid >= len(types) or types[cid][1]:
-                return None  # nested compound children: refuse
-            kinds.append(types[cid][0])
-        rows_out: list = []
-        for sm in stripes:
-            g = _orc_gather_streams(raw, comp, sm, {sid, *child_ids})
-            if g is None:
-                return None
-            rows = g["rows"]
-            parent = dict(g[sid])
-            parent["rows"] = rows
-            ppc = _stripe_present_count(parent)
-            if ppc is None:
-                return None
-            n_present, pflags = ppc
-            cols = []
-            for cid, kind in zip(child_ids, kinds):
-                vals = _child_scalar_values(g, cid, kind, n_present)
-                if vals is None:
-                    return None
-                cols.append(vals)
-            si = 0
-            for r in range(rows):
-                if pflags is not None and not pflags[r]:
-                    rows_out.append(None)
-                    continue
-                rows_out.append(
-                    {nm: col[si] for nm, col in zip(names, cols)}
-                )
-                si += 1
-            if si != n_present:
-                return None
-        return rows_out
+        return _shape_checked_delegate(raw, column, 12)
     except Exception:
         return None
 
@@ -898,69 +877,11 @@ def read_orc_map_column(raw: bytes, column: str):
     RLE, one entry per present map) and its two children — keys and
     values — are each sized to the SUM of the lengths (ORC spec §'Map
     Columns'). Returns one entry per row — None / ``[]`` / a list of
-    ``{"key": k, "value": v}`` preserving entry order — or None. Never
-    raises."""
+    ``{"key": k, "value": v}`` preserving entry order — or None.
+    Compound keys/values refuse (use :func:`read_orc_nested_column`).
+    Never raises."""
     try:
-        meta = _orc_footer_meta(raw)
-        if meta is None:
-            return None
-        comp, stripes, types = meta
-        _rk, root_subs, root_names = types[0]
-        if column not in root_names:
-            return None
-        mid = root_subs[root_names.index(column)]
-        if mid >= len(types) or types[mid][0] != 11:  # MAP (13 is UNION)
-            return None
-        subs = types[mid][1]
-        if len(subs) != 2:
-            return None
-        kid, vid = subs
-        if (kid >= len(types) or vid >= len(types)
-                or types[kid][1] or types[vid][1]):
-            return None  # compound keys/values: refuse
-        rows_out: list = []
-        for sm in stripes:
-            g = _orc_gather_streams(raw, comp, sm, {mid, kid, vid})
-            if g is None:
-                return None
-            rows = g["rows"]
-            parent = dict(g[mid])
-            parent["rows"] = rows
-            if parent.get("encoding") not in (0, 2):
-                return None
-            ppc = _stripe_present_count(parent)
-            if ppc is None:
-                return None
-            n_maps, pflags = ppc
-            length = parent.get("length")
-            if length is None:
-                return None
-            lens = _rle_ints(length, n_maps, parent["encoding"],
-                             signed=False)
-            if lens is None or any(x < 0 for x in lens):
-                return None
-            n_slots = sum(lens)
-            if n_slots > ORC_VALUE_CAP:
-                return None
-            keys = _child_scalar_values(g, kid, types[kid][0], n_slots)
-            vals = _child_scalar_values(g, vid, types[vid][0], n_slots)
-            if keys is None or vals is None:
-                return None
-            si = li = 0
-            for r in range(rows):
-                if pflags is not None and not pflags[r]:
-                    rows_out.append(None)
-                    continue
-                ln = lens[li]
-                li += 1
-                rows_out.append([
-                    {"key": keys[si + j], "value": vals[si + j]}
-                    for j in range(ln)
-                ])
-                si += ln
-            if si != n_slots:
-                return None
-        return rows_out
+        return _shape_checked_delegate(raw, column, 11, n_children=2)
     except Exception:
         return None
 
@@ -983,6 +904,30 @@ def _orc_subtree_ids(types, col_id, depth=0):
     return out
 
 
+def _compound_lengths(g, col_id, n_slots):
+    """Shared LIST/MAP front half: one compound node's PRESENT flags
+    and LENGTH run for a stripe → ``(flags_or_None, lens, total)`` or
+    None. (Was duplicated across four call sites — r12 review.)"""
+    st = dict(g[col_id])
+    st["rows"] = n_slots
+    if st.get("encoding") not in (0, 2):
+        return None
+    pc = _stripe_present_count(st)
+    if pc is None:
+        return None
+    n_present, flags = pc
+    length = st.get("length")
+    if length is None:
+        return None
+    lens = _rle_ints(length, n_present, st["encoding"], signed=False)
+    if lens is None or any(x < 0 for x in lens):
+        return None
+    total = sum(lens)
+    if total > ORC_VALUE_CAP:
+        return None
+    return flags, lens, total
+
+
 def _orc_node_values(g, types, col_id, n_slots, depth=0):
     """Recursively decode ONE stripe's column ``col_id`` into
     ``n_slots`` slot values — the ORC compound walk: LIST nests by its
@@ -996,23 +941,10 @@ def _orc_node_values(g, types, col_id, n_slots, depth=0):
     if kind == 10:  # LIST
         if len(subs) != 1:
             return None
-        st = dict(g[col_id])
-        st["rows"] = n_slots
-        if st.get("encoding") not in (0, 2):
+        got = _compound_lengths(g, col_id, n_slots)
+        if got is None:
             return None
-        pc = _stripe_present_count(st)
-        if pc is None:
-            return None
-        n_present, flags = pc
-        length = st.get("length")
-        if length is None:
-            return None
-        lens = _rle_ints(length, n_present, st["encoding"], signed=False)
-        if lens is None or any(x < 0 for x in lens):
-            return None
-        total = sum(lens)
-        if total > ORC_VALUE_CAP:
-            return None
+        flags, lens, total = got
         child_vals = _orc_node_values(g, types, subs[0], total, depth + 1)
         if child_vals is None:
             return None
@@ -1032,23 +964,10 @@ def _orc_node_values(g, types, col_id, n_slots, depth=0):
     if kind == 11:  # MAP: like LIST with paired key/value children
         if len(subs) != 2:
             return None
-        st = dict(g[col_id])
-        st["rows"] = n_slots
-        if st.get("encoding") not in (0, 2):
+        got = _compound_lengths(g, col_id, n_slots)
+        if got is None:
             return None
-        pc = _stripe_present_count(st)
-        if pc is None:
-            return None
-        n_present, flags = pc
-        length = st.get("length")
-        if length is None:
-            return None
-        lens = _rle_ints(length, n_present, st["encoding"], signed=False)
-        if lens is None or any(x < 0 for x in lens):
-            return None
-        total = sum(lens)
-        if total > ORC_VALUE_CAP:
-            return None
+        flags, lens, total = got
         keys = _orc_node_values(g, types, subs[0], total, depth + 1)
         vals = _orc_node_values(g, types, subs[1], total, depth + 1)
         if keys is None or vals is None:
@@ -1147,74 +1066,13 @@ def read_orc_list_column(raw: bytes, column: str):
     SUM of the lengths. Unlike parquet there is no def-level lattice to
     disambiguate: a false parent PRESENT bit is a null list, length 0
     is an empty list, and a false child PRESENT bit is a null element.
-    The child decodes through the same scalar machinery as flat columns
-    (RLEv2 ints/dates, IEEE floats, both string layouts, booleans,
-    timestamps, decimals). Returns one entry per row — None / ``[]`` /
-    the element list with None slots — or None. Never raises."""
+    Returns one entry per row — None / ``[]`` / the element list with
+    None slots — or None. Compound children refuse by contract (use
+    :func:`read_orc_nested_column`). Never raises."""
     try:
-        return _orc_list_inner(raw, column)
+        return _shape_checked_delegate(raw, column, 10, n_children=1)
     except Exception:
         return None
-
-
-def _orc_list_inner(raw: bytes, column: str):
-    meta = _orc_footer_meta(raw)
-    if meta is None:
-        return None
-    comp, stripes, types = meta
-    _root_kind, root_subs, root_names = types[0]
-    if column not in root_names:
-        return None
-    list_id = root_subs[root_names.index(column)]
-    if list_id >= len(types) or types[list_id][0] != 10:  # LIST
-        return None
-    subs = types[list_id][1]
-    if len(subs) != 1:
-        return None
-    child_id = subs[0]
-    if child_id >= len(types) or types[child_id][1]:
-        return None  # list<struct>/list<list>: out of scope — refuse
-    child_kind = types[child_id][0]
-    rows_out: list = []
-    for sm in stripes:
-        g = _orc_gather_streams(raw, comp, sm, {list_id, child_id})
-        if g is None:
-            return None
-        rows = g["rows"]
-        parent = dict(g[list_id])
-        parent["rows"] = rows
-        if parent.get("encoding") not in (0, 2):  # DIRECT / DIRECT_V2
-            return None
-        ppc = _stripe_present_count(parent)
-        if ppc is None:
-            return None
-        n_lists, pflags = ppc
-        length = parent.get("length")
-        if length is None:
-            return None
-        lens = _rle_ints(length, n_lists, parent["encoding"], signed=False)
-        if lens is None or any(x < 0 for x in lens):
-            return None
-        n_slots = sum(lens)
-        if n_slots > ORC_VALUE_CAP:
-            return None
-        # slot-aligned child values, nulls inline — shared with the
-        # struct/map tiers (was a duplicated dispatch, r12 review)
-        slot_vals = _child_scalar_values(g, child_id, child_kind, n_slots)
-        if slot_vals is None:
-            return None
-        si = li = 0
-        for r in range(rows):
-            if pflags is not None and not pflags[r]:
-                rows_out.append(None)
-                continue
-            ln = lens[li]
-            li += 1
-            rows_out.append(slot_vals[si : si + ln])
-            si += ln
-        if si != n_slots:
-            return None  # stream lengths disagree: corrupt
-    return rows_out
 
 
 # ---------------------------------------------------------------------------

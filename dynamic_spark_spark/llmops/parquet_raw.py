@@ -1115,6 +1115,26 @@ def _read_nested_inner(raw: bytes, column: str):
     rds = leaf.rep_defs
     if len(rds) != leaf.max_rep:
         return None
+    # Lattice-shape validation (r12 review): a single-leaf column is
+    # NOT automatically a pure list chain — a single-FIELD struct
+    # wrapper also yields one leaf, and decoding it here would erase
+    # the struct layer and conflate struct-null with field-null. A
+    # compliant list level contributes exactly 2 path segments
+    # (list-group + repeated 'list'); the legacy 2-level form puts the
+    # value on the repeated leaf itself (elem_def == last threshold),
+    # saving one. Optional wrappers also show up as def-ladder gaps:
+    # > 2 between thresholds (or above the first / below the last).
+    segs = path[len(column) + 1 :].count(".") + 1 if path != column else 0
+    if segs == 2 * leaf.max_rep:
+        pass
+    elif segs == 2 * leaf.max_rep - 1 and leaf.elem_def == rds[-1]:
+        pass  # legacy repeated-leaf deepest level
+    else:
+        return None
+    if rds[0] > 2 or leaf.max_def - rds[-1] > 1 or any(
+        rds[k] - rds[k - 1] > 2 for k in range(1, len(rds))
+    ):
+        return None  # an intervening optional group: not a list chain
     collected = _collect_column_levels(raw, chunks, path, leaf)
     if collected is None:
         return None

@@ -787,3 +787,27 @@ def test_multi_level_nested_never_raises():
     for cut in (1, 9, len(raw) // 2, len(raw) - 2):
         got = read_parquet_nested_column(bytes(raw[:cut]), "x")
         assert got is None or isinstance(got, list)
+
+
+def test_nested_reader_refuses_struct_wrappers():
+    """r12 third-review finding: a single-FIELD struct also yields one
+    leaf, and decoding it as a list chain would erase the struct layer
+    and conflate struct-null with field-null — the lattice-shape
+    validation must refuse all three repro shapes."""
+    def wt(rows, typ):
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"x": pa.array(rows, type=typ)}), buf)
+        return buf.getvalue()
+
+    assert read_parquet_nested_column(
+        wt([[{"a": 1}, None, {"a": None}]],
+           pa.list_(pa.struct([("a", pa.int64())]))), "x"
+    ) is None
+    assert read_parquet_nested_column(
+        wt([[[{"a": 1}], None]],
+           pa.list_(pa.list_(pa.struct([("a", pa.int64())])))), "x"
+    ) is None
+    assert read_parquet_nested_column(
+        wt([[{"b": [1, 2]}, {"b": None}, None]],
+           pa.list_(pa.struct([("b", pa.list_(pa.int64()))]))), "x"
+    ) is None
