@@ -46,10 +46,15 @@ of a Spark-written, snappy-compressed parquet file:
       — the general single-leaf Dremel assembly, nesting by each
       repeated ancestor's def-level threshold.
 
-Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs and
-multi-level repetition COMBINED with multi-leaf elements
-(list<list<struct>>) — struct elements are supported at one repeated
-level (including MAP key_value shapes), scalar elements at any depth.
+    → the FULL Dremel record assembly (r12):
+      :func:`read_parquet_record_column` decodes ARBITRARY
+      compositions of LIST / STRUCT / MAP over the scalar lattice
+      (lists of structs of lists, maps of structs, ...) — each leaf's
+      (rep, def, value) stream drives a cursor down its physical path,
+      sharing list/dict instances across leaves positionally; the
+      dedicated list/struct tiers above remain as shape contracts.
+
+Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs.
 
 Every layer is an independent re-implementation forced to agree with
 parquet-mr (the JVM writer) through the real bytes, and the keys'
@@ -277,13 +282,36 @@ class _Leaf:
         self.rep_defs = rep_defs
 
 
+class _Tree:
+    """One PHYSICAL schema-tree node — what the full record assembly
+    (:func:`read_parquet_record_column`) walks: groups keep their
+    children in declaration order, and every node carries the def/rep
+    levels accumulated on its path so boundary decisions (null vs
+    empty vs value) read directly off the node."""
+
+    __slots__ = ("name", "typ", "rep", "d", "r", "children", "tlen",
+                 "conv", "path")
+
+    def __init__(self, name, typ, rep, d, r, tlen, conv, path) -> None:
+        self.name = name
+        self.typ = typ
+        self.rep = rep or 0
+        self.d = d
+        self.r = r
+        self.children: list = []
+        self.tlen = tlen
+        self.conv = conv
+        self.path = path
+
+
 def _parse_schema(c: _Compact):
     """Parse FileMetaData.schema (list<SchemaElement>, depth-first) into
-    ``{dotted_path: _Leaf}``. The scalar readers accept ``flat`` leaves
-    only (flat REQUIRED columns carry NO levels, flat OPTIONAL carry def
-    levels only — parquet-format.md); the list reader accepts
-    ``listlike`` leaves; everything else (multiple repetition levels,
-    group leaves) is refused explicitly instead of misparsed."""
+    ``({dotted_path: _Leaf}, [root-child _Tree nodes])``. The scalar
+    readers accept ``flat`` leaves only (flat REQUIRED columns carry NO
+    levels, flat OPTIONAL carry def levels only — parquet-format.md);
+    the list reader accepts ``listlike`` leaves; the record assembly
+    walks the tree; everything else is refused explicitly instead of
+    misparsed."""
     size, etype = c.list_header()
     if etype != 12:
         return None
@@ -317,15 +345,18 @@ def _parse_schema(c: _Compact):
                 c.skip(wtype, 0)
         elems.append((typ, rep, name, nch or 0, tlen, conv))
     schema: dict[str, _Leaf] = {}
+    roots: list[_Tree] = []
     if not elems:
-        return schema
+        return schema, roots
     # depth-first walk: the root's num_children frames the tree; each
     # stack entry carries [children_left, path, def_level, rep_level,
     # rep_def, elem_def, is_repeated_node] where rep_def is the
     # definition level of the NEAREST repeated ancestor so far (0 when
     # none) and elem_def the def level of that ancestor's direct child
     # on this path (the element node)
-    stack: list[list] = [[elems[0][3], [], 0, 0, 0, 0, False, ()]]
+    # stack frames additionally carry [8] the parent _Tree node (None
+    # for root children) so the physical tree builds alongside the walk
+    stack: list[list] = [[elems[0][3], [], 0, 0, 0, 0, False, (), None]]
     i = 1
     while i < len(elems):
         while stack and stack[-1][0] == 0:
@@ -350,6 +381,13 @@ def _parse_schema(c: _Compact):
             #         GROUP's children refine this below
         elif stack[-1][6]:  # direct child of a single-child repeated
             ed = d  # group: the LIST element node
+        tnode = _Tree(name or "", typ, rep, d, r, tlen, conv,
+                      ".".join(path))
+        parent = stack[-1][8]
+        if parent is None:
+            roots.append(tnode)
+        else:
+            parent.children.append(tnode)
         if nch:
             # a repeated group with ONE child is the 3-level LIST shape
             # (the child is the element node and sets elem_def); with
@@ -357,7 +395,8 @@ def _parse_schema(c: _Compact):
             # shape — element-null is impossible, elem_def stays at the
             # repeated node's level)
             stack.append(
-                [nch, path, d, r, rd, ed, rep == 2 and nch == 1, rds]
+                [nch, path, d, r, rd, ed, rep == 2 and nch == 1, rds,
+                 tnode]
             )
         else:
             flat = r == 0 and len(path) == 1 and typ is not None
@@ -366,13 +405,14 @@ def _parse_schema(c: _Compact):
                 typ, rep == 1, tlen, d, r, rd, flat, listlike, conv, ed,
                 rds,
             )
-    return schema
+    return schema, roots
 
 
 def _footer_walk(raw: bytes):
-    """Footer → ``(schema, chunks)`` where chunks are ``(codec,
-    num_values, first_page_offset, dotted_path)`` in file order, or None
-    on malformed input."""
+    """Footer → ``(schema, chunks, tree)`` where chunks are ``(codec,
+    num_values, first_page_offset, dotted_path)`` in file order and
+    ``tree`` the root-child :class:`_Tree` nodes, or None on malformed
+    input."""
     if not raw or len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
         return None
     (flen,) = struct.unpack("<I", raw[-8:-4])
@@ -381,6 +421,7 @@ def _footer_walk(raw: bytes):
         return None
     c = _Compact(raw, start)
     schema: dict = {}
+    tree: list = []
     chunks = []
     last_fid = 0
     while True:
@@ -392,7 +433,7 @@ def _footer_walk(raw: bytes):
             got = _parse_schema(c)
             if got is None:
                 return None
-            schema = got
+            schema, tree = got
         elif fid == 4 and wtype == 9:  # row_groups
             size, etype = c.list_header()
             if etype != 12:
@@ -416,7 +457,7 @@ def _footer_walk(raw: bytes):
                         c.skip(rtype, 0)
         else:
             c.skip(wtype, 0)
-    return schema, chunks
+    return schema, chunks, tree
 
 
 def _parse_column_chunk(c: _Compact):
@@ -993,7 +1034,7 @@ def _read_list_inner(raw: bytes, column: str):
     walked = _footer_walk(raw)
     if walked is None:
         return None
-    schema, chunks = walked
+    schema, chunks = walked[0], walked[1]
     matches = [
         (p, leaf) for p, leaf in schema.items()
         if (p == column or p.startswith(column + ".")) and leaf.max_rep > 0
@@ -1100,7 +1141,7 @@ def _read_nested_inner(raw: bytes, column: str):
     walked = _footer_walk(raw)
     if walked is None:
         return None
-    schema, chunks = walked
+    schema, chunks = walked[0], walked[1]
     matches = [
         (p, leaf) for p, leaf in schema.items()
         if (p == column or p.startswith(column + ".")) and leaf.max_rep > 0
@@ -1193,6 +1234,241 @@ def _read_nested_inner(raw: bytes, column: str):
     return rows
 
 
+_UNSET = object()
+
+
+def _cget(cont, key):
+    """Uniform container read: dict field or list slot (a key equal to
+    the list length is the not-yet-appended next slot)."""
+    if isinstance(cont, dict):
+        return cont.get(key, _UNSET)
+    return cont[key] if key < len(cont) else _UNSET
+
+
+def _cset(cont, key, val):
+    if isinstance(cont, dict):
+        cont[key] = val
+    elif key == len(cont):
+        cont.append(val)
+    else:
+        cont[key] = val
+
+
+def _bset(cont, key, val):
+    """Boundary set (None / empty markers): first writer wins, later
+    leaves must AGREE — a disagreement is a corrupt file. Returns True
+    or None."""
+    cur = _cget(cont, key)
+    if cur is _UNSET:
+        _cset(cont, key, val)
+        return True
+    return True if cur == val else None
+
+
+def _record_steps(chain):
+    """One leaf's physical node chain (column node → leaf) → logical
+    cursor steps for the record assembly, applying the standard LIST
+    interpretation: a non-repeated group with a SINGLE repeated child
+    is a list wrapper (3-level form; a repeated child with one child is
+    element glue, with many children the repeated struct element — the
+    MAP key_value shape); a repeated leaf is the legacy 2-level form; a
+    bare repeated group is an inline list of struct; everything else is
+    a plain struct. Steps: ("LIST", wrapper_def, repeated_def),
+    ("STRUCT", def), ("FIELD", name), ("VALUE", leaf_node)."""
+    steps: list = []
+    i = 0
+    n = len(chain)
+    while i < n:
+        node = chain[i]
+        if node.typ is not None:  # leaf
+            if node.rep == 2:  # legacy repeated scalar leaf
+                steps.append(("LIST", node.d, node.d))
+            steps.append(("VALUE", node))
+            i += 1
+            continue
+        if (node.rep != 2 and len(node.children) == 1
+                and node.children[0].rep == 2):
+            rnode = node.children[0]
+            steps.append(("LIST", node.d, rnode.d))
+            if rnode.typ is not None:  # wrapper over repeated leaf
+                steps.append(("VALUE", rnode))
+                i += 2
+                continue
+            if len(rnode.children) == 1:  # element glue: slot IS child
+                i += 2
+                continue
+            steps.append(("STRUCT", rnode.d))  # repeated struct element
+            i += 2
+            if i >= n:
+                return None
+            steps.append(("FIELD", chain[i].name))
+            continue
+        if node.rep == 2:  # bare repeated group: inline list of struct
+            steps.append(("LIST", node.d, node.d))
+            steps.append(("STRUCT", node.d))
+            i += 1
+            if i >= n:
+                return None
+            steps.append(("FIELD", chain[i].name))
+            continue
+        steps.append(("STRUCT", node.d))  # plain struct
+        i += 1
+        if i >= n:
+            return None
+        steps.append(("FIELD", chain[i].name))
+    return steps
+
+
+def _apply_entry(records, rec, steps, d, idx):
+    """Drive the cursor through one leaf's steps for one (rep, def)
+    entry: materializing shared lists/dicts get-or-create (later leaves
+    REUSE instances earlier leaves built), attributing the def boundary
+    to the first node whose level exceeds it (optional → None, repeated
+    → empty list). Returns ("VAL", container, key) when the leaf's
+    value position was reached, True when the entry was fully handled
+    by a boundary, None on any cross-leaf conflict (corrupt file)."""
+    cont, key = records, rec
+    k = 0
+    for st in steps:
+        op = st[0]
+        if op == "LIST":
+            if d < st[1]:  # wrapper undefined: null list
+                return _bset(cont, key, None)
+            cur = _cget(cont, key)
+            if cur is _UNSET:
+                cur = []
+                _cset(cont, key, cur)
+            elif not isinstance(cur, list):
+                return None
+            if d < st[2]:  # repeated node absent: empty list
+                return True
+            k += 1
+            i_k = idx[k - 1]
+            if i_k > len(cur):
+                return None
+            cont, key = cur, i_k
+        elif op == "STRUCT":
+            if d < st[1]:
+                return _bset(cont, key, None)
+            cur = _cget(cont, key)
+            if cur is _UNSET:
+                cur = {}
+                _cset(cont, key, cur)
+            elif not isinstance(cur, dict):
+                return None
+            cont, key = cur, None
+        elif op == "FIELD":
+            key = st[1]
+        else:  # VALUE
+            if d < st[1].d:
+                return _bset(cont, key, None)
+            return ("VAL", cont, key)
+    return True
+
+
+def read_parquet_record_column(raw: bytes, column: str):
+    """The FULL Dremel record assembly — the general multi-leaf,
+    multi-level form the dedicated list/struct tiers special-case:
+    ARBITRARY compositions of LIST / STRUCT / MAP over the scalar
+    lattice (lists of structs of lists, maps of structs, ...) decode
+    straight from the file bytes. Each leaf's (rep, def, value) stream
+    drives a cursor down its physical path: repetition level r keeps
+    the first r repeated ancestors' current slots (per-leaf slot
+    indices into lists SHARED across leaves — later leaves reuse the
+    instances earlier leaves built, so structs knit together
+    positionally), and the definition level attributes null-vs-empty to
+    the first node it fails to reach. Structs surface as field dicts,
+    lists as lists, maps as {key, value} entry lists — the same
+    conventions as the ORC recursive reader, which makes the two
+    formats' outputs directly comparable for the same data. Returns one
+    entry per row or None; never raises."""
+    try:
+        return _read_record_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _read_record_inner(raw: bytes, column: str):
+    walked = _footer_walk(raw)
+    if walked is None:
+        return None
+    schema, chunks, tree = walked
+    node = next((t for t in tree if t.name == column), None)
+    if node is None:
+        return None
+    leaf_chains: list = []
+
+    def walk(n, chain, depth=0):
+        if depth > 32:
+            return False
+        chain = chain + [n]
+        if n.typ is not None:
+            leaf_chains.append(chain)
+            return True
+        if not n.children:
+            return False
+        return all(walk(ch, chain, depth + 1) for ch in n.children)
+
+    if not walk(node, []) or not leaf_chains:
+        return None
+    per = []
+    nrec = None
+    for chain in leaf_chains:
+        path = chain[-1].path
+        leaf = schema.get(path)
+        if leaf is None or leaf.typ not in _SCALAR_TYPES or (
+            leaf.typ == _T_FIXED and leaf.tlen <= 0
+        ):
+            return None
+        steps = _record_steps(chain)
+        if steps is None:
+            return None
+        if sum(1 for s in steps if s[0] == "LIST") != leaf.max_rep:
+            return None  # interpretation/level disagreement: refuse
+        got = _collect_column_levels(raw, chunks, path, leaf)
+        if got is None:
+            return None
+        reps, defs, vals = got
+        cnt = sum(1 for r in reps if r == 0)
+        if nrec is None:
+            nrec = cnt
+        elif cnt != nrec:
+            return None  # leaves disagree on the record count
+        per.append((steps, leaf, reps, defs, vals))
+    records: list = [_UNSET] * nrec
+    for steps, leaf, reps, defs, vals in per:
+        depth = leaf.max_rep
+        idx = [0] * depth
+        rec = -1
+        vi = 0
+        for r, d in zip(reps, defs):
+            if r == 0:
+                rec += 1
+                if rec >= nrec:
+                    return None
+                idx = [0] * depth
+            else:
+                if r > depth or rec < 0:
+                    return None
+                idx[r - 1] += 1
+                for j in range(r, depth):
+                    idx[j] = 0
+            res = _apply_entry(records, rec, steps, d, idx)
+            if res is None:
+                return None
+            if isinstance(res, tuple):
+                _tag, cont, key = res
+                if _cget(cont, key) is not _UNSET or vi >= len(vals):
+                    return None
+                _cset(cont, key, vals[vi])
+                vi += 1
+        if vi != len(vals):
+            return None
+    if any(v is _UNSET for v in records):
+        return None
+    return records
+
+
 def read_parquet_struct_column(raw: bytes, column: str):
     """Read every ROW of a flat ``struct<scalar...>`` column (no
     repetition) straight from the file bytes: each leaf carries
@@ -1215,7 +1491,7 @@ def _read_struct_inner(raw: bytes, column: str):
     walked = _footer_walk(raw)
     if walked is None:
         return None
-    schema, chunks = walked
+    schema, chunks = walked[0], walked[1]
     leaves = [
         (p, leaf) for p, leaf in schema.items()
         if p.startswith(column + ".")
@@ -1298,7 +1574,7 @@ def _read_list_struct_inner(raw: bytes, column: str):
     walked = _footer_walk(raw)
     if walked is None:
         return None
-    schema, chunks = walked
+    schema, chunks = walked[0], walked[1]
     leaves = [
         (p, leaf) for p, leaf in schema.items()
         if p.startswith(column + ".") and leaf.max_rep > 0
@@ -1392,7 +1668,7 @@ def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
         walked = _footer_walk(raw)
     if walked is None:
         return None
-    schema, chunks = walked
+    schema, chunks = walked[0], walked[1]
     info = schema.get(column)
     if info is None:
         return None
@@ -1450,7 +1726,7 @@ def read_parquet_int64_column(raw: bytes, column: str):
         walked = _footer_walk(raw)
         if walked is None:
             return None
-        schema, chunks = walked
+        schema, chunks = walked[0], walked[1]
         info = schema.get(column)
         if info is None:
             return None

@@ -811,3 +811,202 @@ def test_nested_reader_refuses_struct_wrappers():
         wt([[{"b": [1, 2]}, {"b": None}, None]],
            pa.list_(pa.struct([("b", pa.list_(pa.int64()))]))), "x"
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# full Dremel record assembly — r12
+# ---------------------------------------------------------------------------
+
+from dynamic_spark_spark.llmops.parquet_raw import (  # noqa: E402
+    read_parquet_record_column,
+)
+
+
+def _norm_pylist(v):
+    """pyarrow to_pylist → the raw readers' conventions (str → bytes,
+    map entry tuples → {key, value} dicts)."""
+    if isinstance(v, str):
+        return v.encode()
+    if isinstance(v, list):
+        return [_norm_pylist(x) for x in v]
+    if isinstance(v, tuple) and len(v) == 2:
+        return {"key": _norm_pylist(v[0]), "value": _norm_pylist(v[1])}
+    if isinstance(v, dict):
+        return {
+            k: _norm_pylist(x) if x is not None else None
+            for k, x in v.items()
+        }
+    return v
+
+
+_RECORD_SHAPES = [
+    ("scalar", [1, None, 3], pa.int64()),
+    ("list", [[1.5, None], None, [], [2.5]], pa.list_(pa.float64())),
+    ("list_list",
+     [[[1, 2], [], None, [3, None]], None, [], [None], [[None]]],
+     pa.list_(pa.list_(pa.int64()))),
+    ("struct", [{"a": 1, "b": "x"}, None, {"a": None, "b": None}],
+     pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    ("list_struct",
+     [[{"a": 1, "b": "x"}, None], None, [], [{"a": None, "b": None}]],
+     pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())]))),
+    ("map", [[("k1", 1), ("k2", None)], None, [], [("o", 9)]],
+     pa.map_(pa.string(), pa.int64())),
+    ("list_struct_list",
+     [[{"a": 1, "b": [1, 2]}, {"a": 2, "b": None}, None], None, [],
+      [{"a": None, "b": []}]],
+     pa.list_(pa.struct([("a", pa.int64()), ("b", pa.list_(pa.int64()))]))),
+    ("list_list_struct", [[[{"a": 1}], None, []], None, [[{"a": None}]]],
+     pa.list_(pa.list_(pa.struct([("a", pa.int64())])))),
+    ("struct_mixed",
+     [{"lst": [1, 2], "inner": {"x": "s"}}, None,
+      {"lst": None, "inner": None}],
+     pa.struct([("lst", pa.list_(pa.int64())),
+                ("inner", pa.struct([("x", pa.string())]))])),
+    ("map_struct", [[("k", {"v": 5, "w": [1]})], None, [("e", None)]],
+     pa.map_(pa.string(), pa.struct(
+         [("v", pa.int64()), ("w", pa.list_(pa.int64()))]))),
+]
+
+
+def test_record_assembly_all_shapes_and_formats():
+    """Every composition through ONE engine — and the cross-FORMAT
+    triangle: the same rows written as parquet and as ORC must decode
+    identically through read_parquet_record_column and
+    read_orc_nested_column (two independent container walks agreeing
+    with each other and with pyarrow)."""
+    import pyarrow.orc as po
+
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_nested_column
+
+    for name, rows, typ in _RECORD_SHAPES:
+        t = pa.table({"x": pa.array(rows, type=typ)})
+        want = [
+            _norm_pylist(v) if v is not None else None
+            for v in t.column("x").to_pylist()
+        ]
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        got_pq = read_parquet_record_column(buf.getvalue(), "x")
+        assert got_pq == want, name
+        obuf = io.BytesIO()
+        po.write_table(t, obuf, compression="zstd")
+        got_orc = read_orc_nested_column(obuf.getvalue(), "x")
+        assert got_orc == want, name
+        assert got_pq == got_orc, name
+
+
+def test_record_assembly_writer_knobs_and_spark(spark, sf_dir):
+    deep = [
+        [{"a": i, "b": [i, None, i * 2]} for i in range(j % 4)] or None
+        for j in range(500)
+    ]
+    typ = pa.list_(pa.struct(
+        [("a", pa.int64()), ("b", pa.list_(pa.int64()))]
+    ))
+    t = pa.table({"x": pa.array(deep, type=typ)})
+    want = [
+        _norm_pylist(v) if v is not None else None
+        for v in t.column("x").to_pylist()
+    ]
+    for dpv in ("1.0", "2.0"):
+        for comp in ("snappy", "zstd"):
+            buf = io.BytesIO()
+            pq.write_table(t, buf, data_page_version=dpv, compression=comp,
+                           data_page_size=512)
+            got = read_parquet_record_column(buf.getvalue(), "x")
+            assert got == want, (dpv, comp)
+
+    # Spark (parquet-mr) second writer on a lists-of-structs-of-lists
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.llmops.parquet_raw import read_parquet_column
+    from dynamic_spark_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.col("doc_id").alias("a"),
+                F.array(F.col("doc_id"), F.col("doc_id") * 3).alias("b"),
+            ),
+        ).alias("deep"),
+    ).limit(50)
+    out = tempfile.mkdtemp(prefix="dss_record_")
+    d.coalesce(1).write.mode("overwrite").parquet(out)
+    raw = open(glob.glob(out + "/*.parquet")[0], "rb").read()
+    ids = read_parquet_column(raw, "doc_id")
+    got = read_parquet_record_column(raw, "deep")
+    assert got is not None and len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[i] == [{"a": vid, "b": [vid, vid * 3]}]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.fixed_dictionaries({
+                        "a": st.one_of(st.none(),
+                                       st.integers(-(2**40), 2**40)),
+                        "b": st.one_of(
+                            st.none(),
+                            st.lists(st.one_of(st.none(),
+                                               st.integers(0, 9)),
+                                     max_size=4),
+                        ),
+                    }),
+                ),
+                max_size=4,
+            ),
+        ),
+        min_size=1, max_size=60,
+    ),
+    dpv=st.sampled_from(["1.0", "2.0"]),
+)
+def test_record_assembly_generative(rows, dpv):
+    typ = pa.list_(pa.struct(
+        [("a", pa.int64()), ("b", pa.list_(pa.int64()))]
+    ))
+    t = pa.table({"x": pa.array(rows, type=typ)})
+    want = [
+        _norm_pylist(v) if v is not None else None
+        for v in t.column("x").to_pylist()
+    ]
+    buf = io.BytesIO()
+    pq.write_table(t, buf, data_page_version=dpv)
+    assert read_parquet_record_column(buf.getvalue(), "x") == want
+
+
+def test_record_assembly_never_raises():
+    import random as _random
+
+    t = pa.table({
+        "x": pa.array(
+            [[{"a": 1, "b": [1]}], None],
+            type=pa.list_(pa.struct(
+                [("a", pa.int64()), ("b", pa.list_(pa.int64()))]
+            )),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = bytearray(buf.getvalue())
+    rng = _random.Random(51)
+    for _ in range(300):
+        m = bytearray(raw)
+        for _ in range(rng.randint(1, 6)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        got = read_parquet_record_column(bytes(m), "x")
+        assert got is None or isinstance(got, list)
+    for cut in (1, 9, len(raw) // 2, len(raw) - 2):
+        got = read_parquet_record_column(bytes(raw[:cut]), "x")
+        assert got is None or isinstance(got, list)
