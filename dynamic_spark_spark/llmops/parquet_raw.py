@@ -290,9 +290,10 @@ class _Tree:
     empty vs value) read directly off the node."""
 
     __slots__ = ("name", "typ", "rep", "d", "r", "children", "tlen",
-                 "conv", "path")
+                 "conv", "scale", "path")
 
-    def __init__(self, name, typ, rep, d, r, tlen, conv, path) -> None:
+    def __init__(self, name, typ, rep, d, r, tlen, conv, scale,
+                 path) -> None:
         self.name = name
         self.typ = typ
         self.rep = rep or 0
@@ -301,6 +302,7 @@ class _Tree:
         self.children: list = []
         self.tlen = tlen
         self.conv = conv
+        self.scale = scale
         self.path = path
 
 
@@ -320,6 +322,7 @@ def _parse_schema(c: _Compact):
         typ = rep = nch = None
         tlen = 0
         conv = None
+        scale = 0
         name = None
         last = 0
         while True:
@@ -341,9 +344,11 @@ def _parse_schema(c: _Compact):
                 nch = c.zigzag()
             elif fid == 6 and wtype == 5:
                 conv = c.zigzag()
+            elif fid == 7 and wtype == 5:
+                scale = c.zigzag()
             else:
                 c.skip(wtype, 0)
-        elems.append((typ, rep, name, nch or 0, tlen, conv))
+        elems.append((typ, rep, name, nch or 0, tlen, conv, scale))
     schema: dict[str, _Leaf] = {}
     roots: list[_Tree] = []
     if not elems:
@@ -363,7 +368,7 @@ def _parse_schema(c: _Compact):
             stack.pop()
         if not stack:
             break
-        typ, rep, name, nch, tlen, conv = elems[i]
+        typ, rep, name, nch, tlen, conv, scale = elems[i]
         i += 1
         stack[-1][0] -= 1
         path = stack[-1][1] + [name or ""]
@@ -381,7 +386,7 @@ def _parse_schema(c: _Compact):
             #         GROUP's children refine this below
         elif stack[-1][6]:  # direct child of a single-child repeated
             ed = d  # group: the LIST element node
-        tnode = _Tree(name or "", typ, rep, d, r, tlen, conv,
+        tnode = _Tree(name or "", typ, rep, d, r, tlen, conv, scale,
                       ".".join(path))
         parent = stack[-1][8]
         if parent is None:
@@ -1267,43 +1272,32 @@ def _bset(cont, key, val):
 
 def _record_steps(chain):
     """One leaf's physical node chain (column node → leaf) → logical
-    cursor steps for the record assembly, applying the standard LIST
-    interpretation: a non-repeated group with a SINGLE repeated child
-    is a list wrapper (3-level form; a repeated child with one child is
-    element glue, with many children the repeated struct element — the
-    MAP key_value shape); a repeated leaf is the legacy 2-level form; a
-    bare repeated group is an inline list of struct; everything else is
-    a plain struct. Steps: ("LIST", wrapper_def, repeated_def),
-    ("STRUCT", def), ("FIELD", name), ("VALUE", leaf_node)."""
+    cursor steps for the record assembly, applying parquet-format.md's
+    LIST/MAP interpretation INCLUDING the backward-compat naming rules
+    (r12 fourth-review finding — shape alone misreads legacy files): a
+    group is a list/map wrapper only when it carries the LIST (3) /
+    MAP (1) / MAP_KEY_VALUE (2, legacy) annotation AND has a single
+    repeated child; inside one, a single-child repeated group is
+    element glue UNLESS it is named ``array`` or ``<x>_tuple`` (then it
+    IS the element struct, per the compat rules); an UNANNOTATED group
+    with a repeated child is a plain struct whose repeated field is an
+    inline list (the protobuf-origin form); a repeated leaf/group met
+    directly is an inline list of scalar/struct. Steps:
+    ("LIST", wrapper_def, repeated_def), ("STRUCT", def),
+    ("FIELD", name), ("VALUE", leaf_node)."""
     steps: list = []
     i = 0
     n = len(chain)
     while i < n:
         node = chain[i]
         if node.typ is not None:  # leaf
-            if node.rep == 2:  # legacy repeated scalar leaf
+            if node.rep == 2:  # inline repeated scalar leaf
                 steps.append(("LIST", node.d, node.d))
             steps.append(("VALUE", node))
             i += 1
             continue
-        if (node.rep != 2 and len(node.children) == 1
-                and node.children[0].rep == 2):
-            rnode = node.children[0]
-            steps.append(("LIST", node.d, rnode.d))
-            if rnode.typ is not None:  # wrapper over repeated leaf
-                steps.append(("VALUE", rnode))
-                i += 2
-                continue
-            if len(rnode.children) == 1:  # element glue: slot IS child
-                i += 2
-                continue
-            steps.append(("STRUCT", rnode.d))  # repeated struct element
-            i += 2
-            if i >= n:
-                return None
-            steps.append(("FIELD", chain[i].name))
-            continue
-        if node.rep == 2:  # bare repeated group: inline list of struct
+        if node.rep == 2:  # repeated GROUP met directly: inline
+            #                list-of-struct (unannotated repeated message)
             steps.append(("LIST", node.d, node.d))
             steps.append(("STRUCT", node.d))
             i += 1
@@ -1311,12 +1305,57 @@ def _record_steps(chain):
                 return None
             steps.append(("FIELD", chain[i].name))
             continue
-        steps.append(("STRUCT", node.d))  # plain struct
+        if node.conv in (1, 2, 3):  # MAP / MAP_KEY_VALUE / LIST wrapper
+            if len(node.children) != 1 or node.children[0].rep != 2:
+                return None  # annotation violated: refuse, don't guess
+            rnode = node.children[0]
+            steps.append(("LIST", node.d, rnode.d))
+            if rnode.typ is not None:  # 2-level list: repeated leaf
+                steps.append(("VALUE", rnode))
+                i += 2
+                continue
+            legacy_elem = (rnode.name == "array"
+                           or rnode.name.endswith("_tuple"))
+            if len(rnode.children) == 1 and not legacy_elem:
+                i += 2  # element glue: the slot IS the child
+                continue
+            steps.append(("STRUCT", rnode.d))  # repeated struct element
+            i += 2
+            if i >= n:
+                return None
+            steps.append(("FIELD", chain[i].name))
+            continue
+        steps.append(("STRUCT", node.d))  # plain struct (annotated or
+        #               not — an unannotated repeated child is handled
+        #               by the inline branches when the walk reaches it)
         i += 1
         if i >= n:
             return None
         steps.append(("FIELD", chain[i].name))
     return steps
+
+
+_CONV_DECIMAL = 5
+
+
+def _convert_record_value(node, v):
+    """Align a leaf value with the ORC reader's conventions so the
+    cross-format triangle compares like with like (r12 fourth-review
+    finding): TIMESTAMP_MILLIS upscales to epoch micros (INT96 already
+    decodes to micros in _plain_decode), and DECIMAL-annotated leaves —
+    FLBA/BYTE_ARRAY big-endian two's-complement or int32/int64 unscaled
+    — become ``decimal.Decimal`` via the schema's scale."""
+    c = node.conv
+    if c == _CONV_TS_MILLIS:
+        return v * 1000
+    if c == _CONV_DECIMAL:
+        import decimal
+
+        u = int.from_bytes(v, "big", signed=True) if isinstance(
+            v, bytes
+        ) else v
+        return decimal.Decimal(u).scaleb(-(node.scale or 0))
+    return v
 
 
 def _apply_entry(records, rec, steps, d, idx):
@@ -1416,9 +1455,9 @@ def _read_record_inner(raw: bytes, column: str):
     for chain in leaf_chains:
         path = chain[-1].path
         leaf = schema.get(path)
-        if leaf is None or leaf.typ not in _SCALAR_TYPES or (
-            leaf.typ == _T_FIXED and leaf.tlen <= 0
-        ):
+        if leaf is None or (
+            leaf.typ not in _SCALAR_TYPES and leaf.typ != _T_INT96
+        ) or (leaf.typ == _T_FIXED and leaf.tlen <= 0):
             return None
         steps = _record_steps(chain)
         if steps is None:
@@ -1434,9 +1473,9 @@ def _read_record_inner(raw: bytes, column: str):
             nrec = cnt
         elif cnt != nrec:
             return None  # leaves disagree on the record count
-        per.append((steps, leaf, reps, defs, vals))
+        per.append((steps, leaf, chain[-1], reps, defs, vals))
     records: list = [_UNSET] * nrec
-    for steps, leaf, reps, defs, vals in per:
+    for steps, leaf, leaf_node, reps, defs, vals in per:
         depth = leaf.max_rep
         idx = [0] * depth
         rec = -1
@@ -1460,7 +1499,7 @@ def _read_record_inner(raw: bytes, column: str):
                 _tag, cont, key = res
                 if _cget(cont, key) is not _UNSET or vi >= len(vals):
                     return None
-                _cset(cont, key, vals[vi])
+                _cset(cont, key, _convert_record_value(leaf_node, vals[vi]))
                 vi += 1
         if vi != len(vals):
             return None

@@ -491,7 +491,8 @@ def test_orc_list_reader_spark_written(spark, sf_dir):
     want = {
         r["vec_id"]: [float(x) for x in r["embedding"]] for r in d.collect()
     }
-    out = tempfile.mkdtemp(prefix="dss_orclist_")
+    from tests.conftest import dss_mkdtemp
+    out = dss_mkdtemp("dss_orclist_")
     d.coalesce(1).write.mode("overwrite").orc(out)
     f = glob.glob(out + "/*.orc")[0]
     raw = open(f, "rb").read()
@@ -721,7 +722,8 @@ def test_orc_struct_map_refusals_and_spark_written(spark, sf_dir):
         ).alias("s"),
         F.create_map(F.lit("id"), F.col("doc_id")).alias("m"),
     ).limit(50)
-    out = tempfile.mkdtemp(prefix="dss_orcsm_")
+    from tests.conftest import dss_mkdtemp
+    out = dss_mkdtemp("dss_orcsm_")
     d.coalesce(1).write.mode("overwrite").orc(out)
     raw = open(glob.glob(out + "/*.orc")[0], "rb").read()
     ids = read_orc_int_column(raw, "doc_id")
@@ -866,7 +868,8 @@ def test_orc_recursive_compound_spark_written_and_never_raises(spark, sf_dir):
             F.array(F.lit("u"), F.lit("v")).alias("tags"),
         ).alias("s"),
     ).limit(60)
-    out = tempfile.mkdtemp(prefix="dss_orcdeep_")
+    from tests.conftest import dss_mkdtemp
+    out = dss_mkdtemp("dss_orcdeep_")
     d.coalesce(1).write.mode("overwrite").orc(out)  # default zstd
     raw = open(glob.glob(out + "/*.orc")[0], "rb").read()
     from dynamic_spark_spark.llmops.orc_raw import read_orc_int_column
