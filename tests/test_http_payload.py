@@ -260,6 +260,54 @@ def test_br_coding_native_seam(monkeypatch):
     assert html.http_payload_decode(payload, cap=100) is None
 
 
+def test_br_seam_streaming_cap(monkeypatch):
+    """r12 advisor (html.py:1018): the body cap must abort DURING the
+    decode, not after a full one-shot expansion — a small `br` bomb
+    stops within one slice of crossing the cap. Pinned with a stub
+    streaming decompressor (1 MiB out per 64 KiB slice) for both
+    wheels' method spellings (`process` = brotli, `decompress` =
+    brotlicffi) plus the truncated-stream refusal."""
+    from dynamic_spark_spark.llmops import html
+
+    calls = []
+
+    def _mk(method_name, finished=True):
+        class _Dec:
+            def is_finished(self):
+                return finished
+
+        def _step(self, piece):
+            calls.append(len(piece))
+            return b"A" * (1 << 20)
+
+        setattr(_Dec, method_name, _step)
+
+        class _Stub:
+            Decompressor = _Dec
+
+            @staticmethod
+            def decompress(b):
+                raise AssertionError("one-shot path must not be used")
+
+        return _Stub
+
+    for method in ("process", "decompress"):
+        calls.clear()
+        monkeypatch.setattr(html, "_brotli_mod", _mk(method))
+        # 32 slices → 32 MiB if fully drained; cap 3 MiB must abort
+        body = b"x" * (32 * 65536)
+        assert html.brotli_decode_native(body, cap=3 * (1 << 20)) is None
+        assert len(calls) <= 4, calls  # stopped just past the cap
+        # under the cap: streaming output joins
+        assert html.brotli_decode_native(
+            b"x" * 65536, cap=2 << 20
+        ) == b"A" * (1 << 20)
+
+    # truncated stream (is_finished stays False): refuse
+    monkeypatch.setattr(html, "_brotli_mod", _mk("process", finished=False))
+    assert html.brotli_decode_native(b"x" * 65536, cap=2 << 20) is None
+
+
 def test_br_seam_real_binding_roundtrip():
     """When a real brotli wheel IS installed, a genuine round trip must
     work (named skip otherwise — the seam's contract in this sandbox)."""

@@ -194,6 +194,111 @@ def test_list_reader_string_elements_and_refusals():
     assert read_parquet_list_column(buf.getvalue(), "x") is None
 
 
+def test_list_reader_refuses_single_field_struct_elements():
+    """r12 advisor (parquet_raw.py:1047): a single-FIELD struct element
+    yields exactly ONE listlike scalar leaf, so the r12 resolver decoded
+    it as list<scalar> — silently dropping the struct layer and
+    misreading field-null as element-null. The unified reader resolves
+    the chain through _record_steps (steps LIST→STRUCT→FIELD→VALUE, not
+    LIST→VALUE) and refuses; the record assembly reads it correctly."""
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_record_column,
+    )
+
+    rows = [[{"a": 1}, None], None, [], [{"a": None}], [{"a": 7}, {"a": 8}]]
+    t = pa.table({
+        "x": pa.array(rows, type=pa.list_(pa.struct([("a", pa.int64())])))
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_column(buf.getvalue(), "x") is None
+    assert read_parquet_record_column(buf.getvalue(), "x") == rows
+
+
+def test_inline_repeated_zero_occurrence_is_empty_list():
+    """r12 advisor (parquet_raw.py:1294): parquet-format's compat rules
+    treat an unannotated (protobuf-origin) repeated field as a REQUIRED
+    list of required elements — zero occurrences is an EMPTY list, never
+    a null one. The inline-repeated step's wrapper threshold now sits
+    one below the repeated def level, so def == rep_def - 1 takes the
+    empty branch. Pinned at step level (no current writer emits the
+    legacy spelling) for both the repeated leaf and the repeated
+    group."""
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        _apply_entry,
+        _record_steps,
+        _Tree,
+        _UNSET,
+    )
+
+    # top-level repeated scalar leaf: d=1, zero occurrences → def=0
+    leaf = _Tree("x", 1, 2, 1, 1, 0, None, 0, "x")
+    steps = _record_steps([leaf])
+    assert steps == [("LIST", 0, 1), ("VALUE", leaf)]
+    records = [_UNSET]
+    vi = _apply_entry(records, 0, steps, 0, [0], [], 0)
+    assert vi == 0 and records[0] == []
+    # ... and one occurrence consumes a value into the list
+    records = [_UNSET]
+    vi = _apply_entry(records, 0, steps, 1, [0], [41], 0)
+    assert vi == 1 and records[0] == [41]
+
+    # repeated GROUP under an optional struct: def==1 means "struct
+    # defined, no occurrence" → {"msgs": []} (never None)
+    v = _Tree("v", 1, 0, 2, 1, 0, None, 0, "s.msgs.v")
+    msgs = _Tree("msgs", None, 2, 2, 1, 0, None, 0, "s.msgs")
+    sroot = _Tree("s", None, 1, 1, 0, 0, None, 0, "s")
+    sroot.children = [msgs]
+    msgs.children = [v]
+    steps = _record_steps([sroot, msgs, v])
+    records = [_UNSET]
+    vi = _apply_entry(records, 0, steps, 1, [0], [], 0)
+    assert vi == 0 and records[0] == {"msgs": []}
+    # def==0: the OPTIONAL struct itself is null — attributed there
+    records = [_UNSET]
+    vi = _apply_entry(records, 0, steps, 0, [0], [], 0)
+    assert vi == 0 and records[0] is None
+
+
+def test_list_struct_null_element_cross_leaf_disagreement_refused(
+    monkeypatch,
+):
+    """r12 advisor (parquet_raw.py:1671): at a slot the FIRST leaf marks
+    as a null element (def < elem_def), a disagreeing second leaf
+    carrying def == elem_def (field-null, consumes no value) keeps the
+    value counts balanced — the r12 reader silently accepted the
+    inconsistent streams. Now every leaf must agree on element
+    nullness."""
+    import dynamic_spark_spark.llmops.parquet_raw as praw
+
+    rows = [[None], [{"a": 1, "b": 2}]]
+    t = pa.table({
+        "x": pa.array(
+            rows,
+            type=pa.list_(pa.struct([("a", pa.int64()), ("b", pa.int64())])),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    assert praw.read_parquet_list_struct_column(raw, "x") == rows
+
+    # lie about leaf b: upgrade its null-element def (2) to elem_def (3)
+    # — "element present, field null" — balanced counts, corrupt levels
+    real = praw._collect_column_levels
+
+    def fake(raw_, chunks, path, leaf):
+        got = real(raw_, chunks, path, leaf)
+        if got is not None and path.endswith(".b"):
+            reps, defs, vals = got
+            defs = [3 if d == 2 else d for d in defs]
+            return reps, defs, vals
+        return got
+
+    monkeypatch.setattr(praw, "_collect_column_levels", fake)
+    assert praw.read_parquet_list_struct_column(raw, "x") is None
+
+
 def test_list_reader_never_reads_flat_entry_points():
     """The scalar readers keep their refusal semantics: a repeated leaf
     is not flat, so the general reader returns None for it rather than
@@ -1101,7 +1206,12 @@ def test_record_assembly_conversions_and_compat_rules(spark, sf_dir):
     sroot.children = [msgs]
     msgs.children = [leaf]
     steps = _record_steps([sroot, msgs, leaf])
-    assert steps[:4] == [("STRUCT", 1), ("FIELD", "msgs"), ("LIST", 2, 2),
+    # the inline repeated group's wrapper threshold sits BELOW its own
+    # def level (r13, r12 advisor): an unannotated repeated field is a
+    # REQUIRED list per the compat rules — zero occurrences is [], so
+    # def == 1 (struct defined, no occurrence) takes the empty branch,
+    # never the null one
+    assert steps[:4] == [("STRUCT", 1), ("FIELD", "msgs"), ("LIST", 1, 2),
                          ("STRUCT", 2)]
     a = _Tree("a", 1, 0, 2, 1, 0, None, 0, "x.array.a")
     arr = _Tree("array", None, 2, 2, 1, 0, None, 0, "x.array")
