@@ -198,17 +198,24 @@ def guard_verdict(
 #: criterion was designed to give; a real regression still trips
 #: because anchors can only change by committing a new quiet-box
 #: artifact. The four r11 format-tier keys get first anchors here.
+#: r13: the basis is the UNION of the r12 and r13 quiet trios
+#: (artifacts/bench_quiet_r1{2,3}_run*.json) — best-recorded-wins, so
+#: new artifacts can only TIGHTEN anchors (two did: sim_topk,
+#: topk_per_group). The r13 trio additionally carries the
+#: calibration_sec box-phase fingerprint and passes the stronger
+#: quietness gate (loadavg<1, calibration + per-key cross-run spread
+#: bands — tests/test_bench_guard.py).
 PER_KEY_ANCHOR_MIN_SEC = {
     "agg_groupby_multi": 0.571,
     "join_inner": 0.454,
     "join_asof": 0.345,
     "win_rank": 0.446,
-    "topk_per_group": 0.359,
+    "topk_per_group": 0.349,  # tightened by the r13 quiet trio
     "explode_split": 0.241,
     "stream_window_tumbling": 0.264,
     "dedup_exact": 0.19,
     "dedup_minhash": 0.905,
-    "sim_topk": 0.507,
+    "sim_topk": 0.489,  # tightened by the r13 quiet trio
     "sim_topk_ivf": 1.232,
     "text_tokens": 0.26,
     "text_pii_scrub": 0.228,

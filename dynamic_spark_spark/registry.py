@@ -371,6 +371,8 @@ _PRIORITY = [
     # round 12
     "scan_parquet_raw_nested", "scan_parquet_raw_temporal",
     "scan_orc_raw_nested", "scan_warc_http_charsets",
+    # round 13
+    "scan_orc_raw_struct",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

@@ -70,14 +70,18 @@ def test_guard_verdict_is_load_invariant():
         assert loaded == base == []
 
 
-def _quiet_r12_artifacts():
+def _quiet_artifacts(pattern="bench_quiet_r1[23]_run*.json"):
     import glob
 
     paths = sorted(
-        glob.glob(os.path.join(_ROOT, "artifacts", "bench_quiet_r12_run*.json"))
+        glob.glob(os.path.join(_ROOT, "artifacts", pattern))
     )
-    assert paths, "quiet-box anchor artifacts missing"
+    assert paths, f"quiet-box anchor artifacts missing: {pattern}"
     return [json.load(open(p)) for p in paths]
+
+
+def _quiet_r12_artifacts():
+    return _quiet_artifacts("bench_quiet_r12_run*.json")
 
 
 def test_guard_anchors_match_recorded_artifacts():
@@ -94,11 +98,11 @@ def test_guard_anchors_match_recorded_artifacts():
     assert bench.GUARD_EXTENDED_ANCHOR_MIN_SEC_R4 == parsed[
         "extended_min_total_sec"
     ]
-    quiet = _quiet_r12_artifacts()
+    quiet = _quiet_artifacts()  # r12 + r13 trios: best recorded wins
     assert bench.GUARD_EXTENDED_ANCHOR_MIN_SEC == min(
         a["extended_min_total_sec"] for a in quiet
     )
-    # the re-derivation round's extended set must match the artifacts'
+    # the re-derivation rounds' extended set must match the artifacts'
     for a in quiet:
         assert sorted(a["extended_queries_min"]) == sorted(bench.EXTENDED)
 
@@ -291,6 +295,39 @@ def test_calibration_workload_is_deterministic_input():
         assert banned not in fn, banned
 
 
+def test_anchor_artifacts_quietness_and_calibration_band():
+    """r12 advisor (bench.py:115): 'quiet box' rested only on
+    loadavg < 2.0, which a moderately loaded run could satisfy — so a
+    loaded run could become an anchor basis unchallenged. From r13 on,
+    every artifact eligible to mint anchors must carry the STRONGER
+    signal: 1-min loadavg well under 1, the pure-CPU calibration
+    fingerprint (so the run pins which box speed phase it was recorded
+    in), cross-run calibration spread within 12% (all runs from ONE
+    phase — the r12 lesson: minning anchors across different phases
+    plants spurious 2x trips), and cross-run per-key spread under 1.6x
+    (a loaded or phase-split trio cannot average itself into the
+    basis). The r12 trio predates the calibration field and stays
+    grandfathered under its own committed loadavg<2.0 + phase
+    re-timing evidence (bench.py r12 notes)."""
+    r13 = _quiet_artifacts("bench_quiet_r13_run*.json")
+    assert len(r13) >= 3, "r13 anchor basis needs >= 3 quiet runs"
+    cals = []
+    for a in r13:
+        assert a["loadavg_before"][0] < 1.0, a["loadavg_before"]
+        assert a["guard"]["loaded_box"] is False
+        assert isinstance(a.get("calibration_sec"), float)
+        cals.append(a["calibration_sec"])
+    assert max(cals) / min(cals) <= 1.12, cals
+    per_key: dict[str, list[float]] = {}
+    for a in r13:
+        for k, v in {**a["queries_min"],
+                     **a["extended_queries_min"]}.items():
+            per_key.setdefault(k, []).append(v)
+    for k, vs in per_key.items():
+        assert len(vs) == len(r13), k
+        assert max(vs) / min(vs) <= 1.6, (k, vs)
+
+
 def test_per_key_anchors_match_recorded_artifacts():
     """Every per-key anchor must equal the BEST min across the
     committed r12 quiet-box artifacts (the r12 re-derivation basis,
@@ -298,9 +335,12 @@ def test_per_key_anchors_match_recorded_artifacts():
     would widen that key's 2x budget) fails here: anchors can only
     change by committing a new quiet-box artifact. Through r11 the
     basis was the best min across driver BENCH_r*.json artifacts;
-    those r4–r6 bests had drifted 1.1–1.5x with code untouched."""
+    those r4–r6 bests had drifted 1.1–1.5x with code untouched. r13
+    widened the basis to the union of the committed r12 AND r13 quiet
+    trios — still best-recorded-wins, so adding artifacts can only
+    TIGHTEN anchors, never loosen them."""
     best = {}
-    for artifact in _quiet_r12_artifacts():
+    for artifact in _quiet_artifacts():
         for k, v in {
             **artifact["queries_min"],
             **artifact["extended_queries_min"],
@@ -314,5 +354,5 @@ def test_per_key_anchors_match_recorded_artifacts():
     # started — anchors are the min ACROSS the artifacts, so one loaded
     # run slipped into the set could inflate an anchor unchallenged
     # (r12 review finding: the first cut asserted run1 only)
-    for artifact in _quiet_r12_artifacts():
+    for artifact in _quiet_artifacts():
         assert artifact["loadavg_before"][0] < 2.0, artifact["loadavg_before"]

@@ -203,9 +203,52 @@ def test_charset_meta_sniff_and_default():
     )
 
 
+def test_charset_east_asian_labels():
+    """r13 (r12 verdict "What's missing #2"): the East-Asian labels
+    Common Crawl carries in volume, one CJK body per label — each
+    phrase exercises the codec's multi-byte lead/trail structure, and
+    the label-faithful split (shift_jis vs windows-31j, gb2312 vs gbk)
+    mirrors the latin-1 vs cp1252 posture."""
+    cases = [
+        ("Shift_JIS", "shift_jis", "shift_jis", "日本語テスト"),
+        ("sjis", "shift_jis", "shift_jis", "カタカナ"),
+        ("CP932", "windows-31j", "cp932", "①㈱ハシゴ高"),  # NEC/IBM ext
+        ("EUC-JP", "euc-jp", "euc_jp", "ひらがな漢字"),
+        ("euc-kr", "euc-kr", "euc_kr", "한국어 시험"),
+        ("cp949", "windows-949", "cp949", "뷁"),  # UHC-only syllable
+        ("GB2312", "gb2312", "gb2312", "中文测试"),
+        ("gbk", "gbk", "gbk", "中文鎔测试"),  # 鎔 is GBK, not GB2312
+        ("windows-936", "gbk", "gbk", "中文测试"),
+        ("gb18030", "gb18030", "gb18030", "中文𠀀四字节"),
+        ("Big5", "big5", "big5", "中文測試"),
+        ("big5-hkscs", "big5-hkscs", "big5hkscs", "香港增補字符集"),
+    ]
+    for label, canon, codec, phrase in cases:
+        got = http_charset_decode(
+            phrase.encode(codec), f"text/html; charset={label}"
+        )
+        assert got == (canon, phrase), (label, got)
+    # label-faithfulness: the cp932/gbk/uhc vendor extensions are NOT
+    # silently granted to the base labels (WHATWG would upgrade; a data
+    # pipeline refuses so the label stays auditable)
+    assert http_charset_decode(
+        "①".encode("cp932"), "text/plain; charset=shift_jis"
+    ) is None
+    assert http_charset_decode(
+        "鎔".encode("gbk"), "text/plain; charset=gb2312"
+    ) is None
+    assert http_charset_decode(
+        "뷁".encode("cp949"), "text/plain; charset=euc-kr"
+    ) is None
+    # invalid multi-byte sequences refuse: a lone lead byte
+    assert http_charset_decode(b"\x88", "text/plain; charset=shift_jis") is None
+    assert http_charset_decode(b"\xa4", "text/plain; charset=euc-jp") is None
+
+
 def test_charset_refusals():
-    # unknown label: refuse, don't guess
-    assert http_charset_decode(b"abc", "text/plain; charset=shift_jis") is None
+    # unknown label: refuse, don't guess (shift_jis joined the table in
+    # r13, so the pin moved to a label that stays out: koi8-r)
+    assert http_charset_decode(b"abc", "text/plain; charset=koi8-r") is None
     # bytes invalid in the resolved charset: refuse, don't mojibake
     assert http_charset_decode(b"\xff\xfa bad utf8", None) is None
     assert http_charset_decode(
