@@ -77,8 +77,11 @@ def lz4_block_decompress(src: bytes, max_out: int):
             if len(out) + mlen > max_out:
                 return None
             start = len(out) - offset
-            for i in range(mlen):  # byte-wise: overlap copies are the point
-                out.append(out[start + i])
+            if offset >= mlen:  # disjoint: one bulk slice (r13)
+                out += out[start : start + mlen]
+            else:  # overlap: the match repeats every `offset` bytes
+                pattern = bytes(out[start:])
+                out += (pattern * ((mlen + offset - 1) // offset))[:mlen]
         return bytes(out)
     except IndexError:
         return None

@@ -83,26 +83,67 @@ class _BackwardWriter:
 class _BackwardReader:
     """Reads the writer's stream back: start from the LAST byte, skip
     the sentinel, then consume bits high-to-low exactly as they were
-    written low-to-high."""
+    written low-to-high.
+
+    Windowed (r13): the original kept the WHOLE stream as one
+    arbitrary-precision int and every read shifted it — O(stream) per
+    read, so O(stream²) per block; profiling a default-written Spark
+    ORC file showed 98% of the decode inside these shifts (~2 s for a
+    0.5 MB literal stream). The reader now slides an 8-byte window
+    over the bytes covering the current bit cursor, refilling as the
+    cursor walks down. Reads ≤ 56 bits always fit one window — the
+    format's widest single read is a 31-bit offset — and anything
+    wider takes the exact big-int path (never emitted by conforming
+    streams). Read/peek semantics, including the zero-padded overshoot
+    (BIT_DStream_overflow), are bit-identical to the original."""
+
+    __slots__ = ("data", "nbits", "overflowed", "_win", "_lo")
 
     def __init__(self, data: bytes) -> None:
         if not data or data[-1] == 0:
             raise ValueError("no sentinel")
-        self.acc = int.from_bytes(data, "little")
+        self.data = data
         self.nbits = len(data) * 8 - 8 + data[-1].bit_length() - 1
         self.overflowed = False  # a read overdrew the stream (BIT_DStream_overflow)
+        self._win = 0
+        self._lo = self.nbits + 1  # sentinel: forces the first refill
+
+    def _refill(self) -> None:
+        """Window the 8 bytes whose bits cover [byte_lo*8, byte_hi*8)
+        ⊇ [nbits-57, nbits) — one refill serves every read ≤ 56 bits
+        until the cursor leaves the window."""
+        byte_hi = (self.nbits + 7) // 8
+        byte_lo = byte_hi - 8 if byte_hi > 8 else 0
+        self._win = int.from_bytes(self.data[byte_lo:byte_hi], "little")
+        self._lo = byte_lo * 8
+
+    def peek(self, nbits: int) -> int:
+        nb = self.nbits
+        if nbits > 56:  # exact path for non-conforming widths
+            acc = int.from_bytes(self.data, "little")
+            if nbits > nb:
+                return (acc << (nbits - nb)) & ((1 << nbits) - 1)
+            return (acc >> (nb - nbits)) & ((1 << nbits) - 1)
+        if nbits > nb:
+            # per spec, reads may overshoot at stream end (zero-filled)
+            if self._lo > 0:
+                self._refill()
+            return (self._win << (nbits - nb)) & ((1 << nbits) - 1)
+        lo_needed = nb - nbits
+        if lo_needed < self._lo:
+            self._refill()
+        return (self._win >> (lo_needed - self._lo)) & ((1 << nbits) - 1)
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
             return 0
+        val = self.peek(nbits)
         if nbits > self.nbits:
-            # per spec, reads may overshoot at stream end (zero-filled)
-            val = (self.acc << (nbits - self.nbits)) & ((1 << nbits) - 1)
             self.nbits = 0
             self.overflowed = True
-            return val
-        self.nbits -= nbits
-        return (self.acc >> self.nbits) & ((1 << nbits) - 1)
+        else:
+            self.nbits -= nbits
+        return val
 
 
 # ---------------------------------------------------------------------------
@@ -357,9 +398,7 @@ def fse_read_ncount(data: bytes, pos_bits: int, max_symbol: int,
 
 
 def _peek(br: _BackwardReader, nbits: int) -> int:
-    if nbits <= br.nbits:
-        return (br.acc >> (br.nbits - nbits)) & ((1 << nbits) - 1)
-    return (br.acc << (nbits - br.nbits)) & ((1 << nbits) - 1)
+    return br.peek(nbits)
 
 
 def _consume(br: _BackwardReader, nbits: int) -> None:
@@ -540,17 +579,24 @@ def huf_encode_1stream(data: bytes, table: _HufTable) -> bytes:
 
 
 def huf_decode_1stream(stream: bytes, table: _HufTable, n_out: int):
-    """Decode ``n_out`` symbols from one backward stream, or None."""
+    """Decode ``n_out`` symbols from one backward stream, or None.
+    This is the literal path's per-symbol loop — locals bound outside
+    the loop, consume inlined (r13)."""
     try:
         br = _BackwardReader(stream)
     except ValueError:
         return None
     out = bytearray()
     mb = table.max_bits
+    dec_sym = table.dec_sym
+    dec_bits = table.dec_bits
+    peek = br.peek
+    append = out.append
     for _ in range(n_out):
-        idx = _peek(br, mb)
-        out.append(table.dec_sym[idx])
-        _consume(br, table.dec_bits[idx])
+        idx = peek(mb)
+        append(dec_sym[idx])
+        nb = br.nbits - dec_bits[idx]
+        br.nbits = nb if nb > 0 else 0
     return bytes(out)
 
 
@@ -1260,9 +1306,9 @@ def _decode_sequences(data: bytes, lits: bytes, out: bytearray,
         start = len(out) - offset
         if offset >= ml:
             out += out[start : start + ml]
-        else:
-            for k in range(ml):  # overlap copy
-                out.append(out[start + k])
+        else:  # overlap: the match repeats every `offset` bytes (r13)
+            pattern = bytes(out[start:])
+            out += (pattern * ((ml + offset - 1) // offset))[:ml]
         if i != n - 1:
             ll_d.update(br)
             ml_d.update(br)

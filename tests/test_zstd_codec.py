@@ -49,6 +49,57 @@ def test_backward_bitstream_roundtrip():
         assert br.read(nb) == v
 
 
+def test_backward_reader_windowed_matches_bigint_reference():
+    """r13: _BackwardReader moved from one whole-stream big int (every
+    read shifted it — O(stream²) per block, 98% of a real ORC decode's
+    profile) to a sliding 8-byte window. The read/peek semantics must
+    stay BIT-IDENTICAL, including the zero-padded overshoot — pinned
+    here against a naive big-int reference over randomized streams and
+    randomized read/peek widths (1..56 plus the >56 exact path)."""
+    rng = random.Random(99)
+
+    class _Ref:
+        def __init__(self, data):
+            self.acc = int.from_bytes(data, "little")
+            self.nbits = len(data) * 8 - 8 + data[-1].bit_length() - 1
+            self.overflowed = False
+
+        def peek(self, nbits):
+            if nbits <= self.nbits:
+                return (self.acc >> (self.nbits - nbits)) & (
+                    (1 << nbits) - 1
+                )
+            return (self.acc << (nbits - self.nbits)) & ((1 << nbits) - 1)
+
+        def read(self, nbits):
+            if nbits == 0:
+                return 0
+            val = self.peek(nbits)
+            if nbits > self.nbits:
+                self.nbits = 0
+                self.overflowed = True
+            else:
+                self.nbits -= nbits
+            return val
+
+    for _ in range(200):
+        n = rng.randint(1, 400)
+        data = bytes(rng.randrange(256) for _ in range(n - 1)) + bytes(
+            [rng.randrange(1, 256)]
+        )
+        br = _BackwardReader(data)
+        ref = _Ref(data)
+        while not ref.overflowed and ref.nbits > 0:
+            w = rng.choice((1, 2, 3, 5, 8, 11, 16, 31, 56, 60))
+            if rng.random() < 0.3:
+                assert br.peek(w) == ref.peek(w), (w, data.hex())
+            assert br.read(w) == ref.read(w), (w, data.hex())
+            assert br.nbits == ref.nbits
+            assert br.overflowed == ref.overflowed
+        # post-overflow reads stay zero-padded and equal too
+        assert br.read(7) == ref.read(7)
+
+
 def test_ncount_roundtrip_randomized():
     rng = random.Random(1)
     checked = 0
