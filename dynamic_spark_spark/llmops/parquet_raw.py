@@ -976,11 +976,17 @@ def _decode_value_payload(enc: int, typ: int, payload: bytes,
         if got is None or len(got[0]) < n_present:
             return None
         return got[0][:n_present]
-    if enc == 7 and typ == _T_BYTE_ARRAY:  # DELTA_BYTE_ARRAY
+    if enc == 7 and (
+        typ == _T_BYTE_ARRAY or (typ == _T_FIXED and tlen > 0)
+    ):  # DELTA_BYTE_ARRAY — encodings.md supports FLBA too (r13); the
+        #   front-coded cells must then all be exactly tlen bytes
         got = _delta_byte_array(payload, 0, expect=n_present)
         if got is None or len(got[0]) < n_present:
             return None
-        return got[0][:n_present]
+        vals = got[0][:n_present]
+        if typ == _T_FIXED and any(len(v) != tlen for v in vals):
+            return None  # ragged cells under a fixed-length type: corrupt
+        return vals
     if enc == 9 and (typ in _FIXED_WIDTH or (typ == _T_FIXED and tlen)):
         # BYTE_STREAM_SPLIT (encodings.md): the K-byte values are
         # transposed — all 1st bytes, then all 2nd bytes, ... — so FP
@@ -988,11 +994,14 @@ def _decode_value_payload(enc: int, typ: int, payload: bytes,
         w = _TYPE_BYTES.get(typ, tlen)
         if len(payload) < w * n_present:
             return None
-        joined = bytes(
-            payload[j * n_present + i]
-            for i in range(n_present)
-            for j in range(w)
-        )
+        import numpy as np
+
+        # vectorized un-transpose (r13): byte j of value i lives at
+        # payload[j*n + i] — a (w × n) reshape transposed back is the
+        # PLAIN byte order
+        joined = np.frombuffer(
+            payload[: w * n_present], dtype=np.uint8
+        ).reshape(w, n_present).T.tobytes()
         return _plain_decode(typ, joined, n_present, tlen)
     return None  # unknown/future encodings (and deprecated BIT_PACKED
     #               levels-only encoding 4): out of scope — refuse, don't guess

@@ -1989,6 +1989,28 @@ def test_parquet_delta_encodings_match_pyarrow():
             got = roundtrip("s", pa.array(strs), enc, ver)
             assert got == want_b, (enc, ver)
 
+    # DELTA_BYTE_ARRAY over FIXED_LEN_BYTE_ARRAY (r13 — encodings.md
+    # supports FLBA too; decimal128 cells are the common carrier): the
+    # front-coded cells come back as fixed-width big-endian
+    # two's-complement buffers (tlen = 5 for precision 10), same as
+    # the PLAIN path yields
+    import decimal
+
+    decs = [decimal.Decimal("12.34") + i for i in range(5000)]
+    decs += [decimal.Decimal("-99999999.99"), decimal.Decimal("0.01")]
+    for ver in ("1.0", "2.0"):
+        got = roundtrip(
+            "d", pa.array(decs, type=pa.decimal128(10, 2)),
+            "DELTA_BYTE_ARRAY", ver,
+        )
+        assert got is not None and len(got) == len(decs), ver
+        widths = {len(v) for v in got}
+        assert len(widths) == 1 and isinstance(got[0], bytes), widths
+        want_dec = [
+            int.from_bytes(v, "big", signed=True) for v in got
+        ]
+        assert want_dec == [int(d * 100) for d in decs], ver
+
 
 def test_parquet_delta_decoders_never_raise():
     from dynamic_spark_spark.llmops.parquet_raw import (
