@@ -1086,6 +1086,29 @@ _CHARSET_ALIASES = {
     "gb18030": "gb18030",
     "big5": "big5", "big-5": "big5", "csbig5": "big5", "cn-big5": "big5",
     "big5-hkscs": "big5-hkscs",
+    # Cyrillic / Central-European / Greek / Turkish / Arabic / Hebrew /
+    # Thai / Baltic / Vietnamese single-byte labels plus the stateful
+    # ISO-2022-JP (r13): the rest of real crawl charset volume. All
+    # stdlib codecs; same label-faithful strict-decode posture.
+    "windows-1250": "windows-1250", "cp1250": "windows-1250",
+    "windows-1251": "windows-1251", "cp1251": "windows-1251",
+    "windows-1253": "windows-1253", "cp1253": "windows-1253",
+    "windows-1254": "windows-1254", "cp1254": "windows-1254",
+    "windows-1255": "windows-1255", "cp1255": "windows-1255",
+    "windows-1256": "windows-1256", "cp1256": "windows-1256",
+    "windows-1257": "windows-1257", "cp1257": "windows-1257",
+    "windows-1258": "windows-1258", "cp1258": "windows-1258",
+    "koi8-r": "koi8-r", "koi8_r": "koi8-r", "cskoi8r": "koi8-r",
+    "koi8-u": "koi8-u",
+    "iso-8859-2": "iso-8859-2", "latin2": "iso-8859-2",
+    "iso_8859-2": "iso-8859-2",
+    "iso-8859-5": "iso-8859-5", "iso_8859-5": "iso-8859-5",
+    "iso-8859-7": "iso-8859-7", "greek": "iso-8859-7",
+    "iso-8859-9": "iso-8859-9", "latin5": "iso-8859-9",
+    "iso-8859-15": "iso-8859-15", "latin9": "iso-8859-15",
+    "tis-620": "tis-620", "windows-874": "windows-874",
+    "cp874": "windows-874",
+    "iso-2022-jp": "iso-2022-jp", "csiso2022jp": "iso-2022-jp",
 }
 _CHARSET_CODECS = {
     "utf-8": "utf-8", "us-ascii": "ascii", "iso-8859-1": "latin-1",
@@ -1097,6 +1120,16 @@ _CHARSET_CODECS = {
     "euc-jp": "euc_jp", "euc-kr": "euc_kr", "windows-949": "cp949",
     "gb2312": "gb2312", "gbk": "gbk", "gb18030": "gb18030",
     "big5": "big5", "big5-hkscs": "big5hkscs",
+    "windows-1250": "cp1250", "windows-1251": "cp1251",
+    "windows-1253": "cp1253", "windows-1254": "cp1254",
+    "windows-1255": "cp1255", "windows-1256": "cp1256",
+    "windows-1257": "cp1257", "windows-1258": "cp1258",
+    "koi8-r": "koi8_r", "koi8-u": "koi8_u",
+    "iso-8859-2": "iso8859_2", "iso-8859-5": "iso8859_5",
+    "iso-8859-7": "iso8859_7", "iso-8859-9": "iso8859_9",
+    "iso-8859-15": "iso8859_15",
+    "tis-620": "tis_620", "windows-874": "cp874",
+    "iso-2022-jp": "iso2022_jp",
 }
 
 import re as _re  # noqa: E402

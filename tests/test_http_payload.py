@@ -245,10 +245,54 @@ def test_charset_east_asian_labels():
     assert http_charset_decode(b"\xa4", "text/plain; charset=euc-jp") is None
 
 
+def test_charset_world_scripts():
+    """r13 second batch: the single-byte Cyrillic/Central-European/
+    Greek/Turkish/Arabic/Hebrew/Thai/Baltic/Vietnamese labels plus the
+    stateful ISO-2022-JP — one native phrase per label exercising the
+    non-ASCII rows of each table."""
+    cases = [
+        ("windows-1251", "windows-1251", "cp1251", "русский текст"),
+        ("KOI8-R", "koi8-r", "koi8_r", "русский текст"),
+        ("koi8-u", "koi8-u", "koi8_u", "українська ґанок"),
+        ("windows-1250", "windows-1250", "cp1250", "čeština školní"),
+        ("ISO-8859-2", "iso-8859-2", "iso8859_2", "polski łódź"),
+        ("iso-8859-5", "iso-8859-5", "iso8859_5", "кириллица"),
+        ("windows-1253", "windows-1253", "cp1253", "ελληνικά"),
+        ("iso-8859-7", "iso-8859-7", "iso8859_7", "ελληνικά"),
+        ("windows-1254", "windows-1254", "cp1254", "türkçe ğüşıİ"),
+        ("iso-8859-9", "iso-8859-9", "iso8859_9", "türkçe ğüşı"),
+        ("windows-1255", "windows-1255", "cp1255", "עברית"),
+        ("windows-1256", "windows-1256", "cp1256", "العربية"),
+        ("windows-1257", "windows-1257", "cp1257", "lietuvių ąžuolas"),
+        # cp1258 carries Vietnamese as base vowel + COMBINING tone mark
+        # (precomposed U+1EBF etc. have no slot) — spell it explicitly
+        ("windows-1258", "windows-1258", "cp1258",
+         "tiếng Việt đồng"),
+        ("tis-620", "tis-620", "tis_620", "ภาษาไทย"),
+        ("windows-874", "windows-874", "cp874", "ภาษาไทย"),
+        ("iso-8859-15", "iso-8859-15", "iso8859_15", "€ café œu"),
+        ("ISO-2022-JP", "iso-2022-jp", "iso2022_jp", "日本語テスト"),
+    ]
+    for label, canon, codec, phrase in cases:
+        got = http_charset_decode(
+            phrase.encode(codec), f"text/html; charset={label}"
+        )
+        assert got == (canon, phrase), (label, got)
+    # koi8-r and windows-1251 place the same letters at DIFFERENT bytes —
+    # label-faithfulness is observable, not cosmetic
+    assert "русский".encode("koi8_r") != "русский".encode("cp1251")
+    # invalid bytes still refuse per label (0x98 unmapped in cp1251)
+    assert http_charset_decode(
+        b"\x98", "text/plain; charset=windows-1251"
+    ) is None
+
+
 def test_charset_refusals():
-    # unknown label: refuse, don't guess (shift_jis joined the table in
-    # r13, so the pin moved to a label that stays out: koi8-r)
-    assert http_charset_decode(b"abc", "text/plain; charset=koi8-r") is None
+    # unknown label: refuse, don't guess (the r13 batches moved the old
+    # pins into the table, so the pin uses labels that STAY out: SCSU
+    # and HZ are not worth a decode path)
+    assert http_charset_decode(b"abc", "text/plain; charset=scsu") is None
+    assert http_charset_decode(b"abc", "text/plain; charset=hz-gb-2312") is None
     # bytes invalid in the resolved charset: refuse, don't mojibake
     assert http_charset_decode(b"\xff\xfa bad utf8", None) is None
     assert http_charset_decode(
