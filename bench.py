@@ -67,7 +67,12 @@ GUARD_ANCHOR_MIN_SEC = 7.739  # BENCH_r04.json parsed.min_total_sec
 #: vectorized level/bit unpack, bulk LZ copies) made the old basis
 #: slack (extended ran 0.77× of it on a loaded box). Tightening after
 #: a real speedup keeps the 2× guard meaningful for the faster code.
-GUARD_EXTENDED_ANCHOR_MIN_SEC = 8.876
+#: r13b: the extended set grew by the five r12/r13 format-tier keys
+#: (they now carry per-key anchors), so the TOTAL anchor re-bases to
+#: the best of the committed 18-key r13b quiet trio; the 13-key 8.876
+#: basis is kept below for cross-era artifact comparisons.
+GUARD_EXTENDED_ANCHOR_MIN_SEC = 10.192
+GUARD_EXTENDED_ANCHOR_MIN_SEC_R13_13KEY = 8.876  # historical (13-key set)
 GUARD_EXTENDED_ANCHOR_MIN_SEC_R12 = 11.656  # historical (r12 trio basis)
 GUARD_EXTENDED_ANCHOR_MIN_SEC_R4 = 4.610  # historical (old 9-key set, r4 box)
 ANCHOR_SF = 0.1
@@ -212,39 +217,45 @@ def guard_verdict(
 #: quietness gate (loadavg<1, calibration + per-key cross-run spread
 #: bands — tests/test_bench_guard.py).
 PER_KEY_ANCHOR_MIN_SEC = {
-    "agg_groupby_multi": 0.554,
-    "join_inner": 0.394,
-    "join_asof": 0.325,
-    "win_rank": 0.434,
-    "topk_per_group": 0.325,
-    "explode_split": 0.233,
-    "stream_window_tumbling": 0.25,
-    "dedup_exact": 0.186,
-    "dedup_minhash": 0.843,
-    "sim_topk": 0.477,
-    "sim_topk_ivf": 1.099,
-    "text_tokens": 0.247,
-    "text_pii_scrub": 0.2,
-    "llm_data_prep": 0.437,
-    "tpch_q9_product_profit": 0.688,
-    "text_decontaminate": 0.747,
-    "dedup_passage_rewrite": 0.97,
-    "dedup_containment": 1.045,
-    "join_spatial_radius": 0.481,
-    "dedup_semantic": 0.738,
-    "text_url_canonicalize": 0.245,
-    "agg_bitmap_distinct": 0.232,
-    "sessionize_capped": 0.513,
-    "join_interval_overlap": 0.331,
-    "corpus_shuffle": 0.348,
+    "agg_groupby_multi": 0.486,
+    "join_inner": 0.358,
+    "join_asof": 0.29,
+    "win_rank": 0.397,
+    "topk_per_group": 0.293,
+    "explode_split": 0.196,
+    "stream_window_tumbling": 0.24,
+    "dedup_exact": 0.174,
+    "dedup_minhash": 0.72,
+    "sim_topk": 0.4,
+    "sim_topk_ivf": 0.955,
+    "text_tokens": 0.235,
+    "text_pii_scrub": 0.191,
+    "llm_data_prep": 0.4,
+    "tpch_q9_product_profit": 0.608,
+    "text_decontaminate": 0.661,
+    "dedup_passage_rewrite": 0.841,
+    "dedup_containment": 0.941,
+    "join_spatial_radius": 0.414,
+    "dedup_semantic": 0.686,
+    "text_url_canonicalize": 0.221,
+    "agg_bitmap_distinct": 0.186,
+    "sessionize_capped": 0.437,
+    "join_interval_overlap": 0.275,
+    "corpus_shuffle": 0.269,
     # the format-tier keys carry the round's decode-path speedups:
-    # scan_orc_raw_table 1.9 → 0.563 (windowed zstd bit reader),
-    # scan_parquet_raw_numeric 2.102 → 1.276 (bulk LZ copies +
+    # scan_orc_raw_table 1.9 -> 0.53 (windowed zstd bit reader),
+    # scan_parquet_raw_numeric 2.102 -> 1.191 (bulk LZ copies +
     # vectorized level unpack)
-    "scan_parquet_raw_numeric": 1.276,
-    "scan_orc_column": 0.204,
-    "scan_orc_raw_table": 0.563,
+    "scan_parquet_raw_numeric": 1.191,
+    "scan_orc_column": 0.193,
+    "scan_orc_raw_table": 0.53,
     "scan_warc_http_payloads": 1.771,
+    # first anchors for the five keys the r13b trio added to EXTENDED
+    "scan_parquet_raw_nested": 0.312,
+    "scan_parquet_raw_temporal": 0.963,
+    "scan_orc_raw_nested": 0.385,
+    "scan_warc_http_charsets": 0.273,
+    "scan_orc_raw_struct": 0.228,
 }
 
 
@@ -314,6 +325,14 @@ EXTENDED = [
     "scan_orc_column",
     "scan_orc_raw_table",
     "scan_warc_http_payloads",
+    # r13: the r12/r13 format-tier keys join the mix (same move r11
+    # judge order #6 made for the r11 keys) so they carry per-key
+    # regression anchors — first anchors minted by the r13b quiet trio
+    "scan_parquet_raw_nested",
+    "scan_parquet_raw_temporal",
+    "scan_orc_raw_nested",
+    "scan_warc_http_charsets",
+    "scan_orc_raw_struct",
 ]
 
 

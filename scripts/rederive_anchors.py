@@ -34,7 +34,11 @@ def main() -> None:
         for k, v in {**a["queries_min"], **a["extended_queries_min"]}.items():
             if k not in best or v < best[k]:
                 best[k] = v
-    ext_best = min(a["extended_min_total_sec"] for a in arts)
+    current = [
+        a for a in arts
+        if sorted(a["extended_queries_min"]) == sorted(bench.EXTENDED)
+    ]
+    ext_best = min(a["extended_min_total_sec"] for a in current)
     print(f"artifacts: {[os.path.basename(p) for p in paths]}")
     print(f"extended_min_total best: {ext_best} "
           f"(bench.py has {bench.GUARD_EXTENDED_ANCHOR_MIN_SEC})")

@@ -70,18 +70,18 @@ def test_guard_verdict_is_load_invariant():
         assert loaded == base == []
 
 
-def _quiet_artifacts(pattern="bench_quiet_r1[23]_run*.json"):
+def _quiet_artifacts(pattern="bench_quiet_r1*_run*.json"):
     import glob
 
     paths = sorted(
         glob.glob(os.path.join(_ROOT, "artifacts", pattern))
     )
     assert paths, f"quiet-box anchor artifacts missing: {pattern}"
-    return [json.load(open(p)) for p in paths]
+    return [(os.path.basename(p), json.load(open(p))) for p in paths]
 
 
 def _quiet_r12_artifacts():
-    return _quiet_artifacts("bench_quiet_r12_run*.json")
+    return [a for _, a in _quiet_artifacts("bench_quiet_r12_run*.json")]
 
 
 def test_guard_anchors_match_recorded_artifacts():
@@ -98,13 +98,21 @@ def test_guard_anchors_match_recorded_artifacts():
     assert bench.GUARD_EXTENDED_ANCHOR_MIN_SEC_R4 == parsed[
         "extended_min_total_sec"
     ]
-    quiet = _quiet_artifacts()  # r12 + r13 trios: best recorded wins
+    quiet = [a for _, a in _quiet_artifacts()]
+    # the extended TOTAL anchor is only comparable between runs of the
+    # SAME extended set — r13 grew the set by five format-tier keys, so
+    # the basis is the artifacts matching the current set; earlier-era
+    # artifacts must hold a strict subset (sets only grow)
+    current = [
+        a for a in quiet
+        if sorted(a["extended_queries_min"]) == sorted(bench.EXTENDED)
+    ]
+    assert len(current) >= 3, "need a committed trio for the current set"
     assert bench.GUARD_EXTENDED_ANCHOR_MIN_SEC == min(
-        a["extended_min_total_sec"] for a in quiet
+        a["extended_min_total_sec"] for a in current
     )
-    # the re-derivation rounds' extended set must match the artifacts'
     for a in quiet:
-        assert sorted(a["extended_queries_min"]) == sorted(bench.EXTENDED)
+        assert set(a["extended_queries_min"]) <= set(bench.EXTENDED)
 
 
 def test_artifact_guard_block_fields():
@@ -309,23 +317,31 @@ def test_anchor_artifacts_quietness_and_calibration_band():
     basis). The r12 trio predates the calibration field and stays
     grandfathered under its own committed loadavg<2.0 + phase
     re-timing evidence (bench.py r12 notes)."""
-    r13 = _quiet_artifacts("bench_quiet_r13_run*.json")
-    assert len(r13) >= 3, "r13 anchor basis needs >= 3 quiet runs"
-    cals = []
-    for a in r13:
-        assert a["loadavg_before"][0] < 1.0, a["loadavg_before"]
-        assert a["guard"]["loaded_box"] is False
-        assert isinstance(a.get("calibration_sec"), float)
-        cals.append(a["calibration_sec"])
-    assert max(cals) / min(cals) <= 1.12, cals
-    per_key: dict[str, list[float]] = {}
-    for a in r13:
-        for k, v in {**a["queries_min"],
-                     **a["extended_queries_min"]}.items():
-            per_key.setdefault(k, []).append(v)
-    for k, vs in per_key.items():
-        assert len(vs) == len(r13), k
-        assert max(vs) / min(vs) <= 1.6, (k, vs)
+    named = _quiet_artifacts("bench_quiet_r13*_run*.json")
+    assert len(named) >= 3, "r13 anchor basis needs >= 3 quiet runs"
+    # group by trio (bench_quiet_<era>_runN.json): spread bands apply
+    # WITHIN a trio — each trio must come from one box phase; ACROSS
+    # trios the calibration fingerprint is the adjudicator, not a band
+    trios: dict[str, list[dict]] = {}
+    for name, a in named:
+        trios.setdefault(name.rsplit("_run", 1)[0], []).append(a)
+    for era, runs in trios.items():
+        assert len(runs) >= 3, era
+        cals = []
+        for a in runs:
+            assert a["loadavg_before"][0] < 1.0, a["loadavg_before"]
+            assert a["guard"]["loaded_box"] is False
+            assert isinstance(a.get("calibration_sec"), float)
+            cals.append(a["calibration_sec"])
+        assert max(cals) / min(cals) <= 1.12, (era, cals)
+        per_key: dict[str, list[float]] = {}
+        for a in runs:
+            for k, v in {**a["queries_min"],
+                         **a["extended_queries_min"]}.items():
+                per_key.setdefault(k, []).append(v)
+        for k, vs in per_key.items():
+            assert len(vs) == len(runs), (era, k)
+            assert max(vs) / min(vs) <= 1.6, (era, k, vs)
 
 
 def test_per_key_anchors_match_recorded_artifacts():
@@ -340,7 +356,7 @@ def test_per_key_anchors_match_recorded_artifacts():
     trios — still best-recorded-wins, so adding artifacts can only
     TIGHTEN anchors, never loosen them."""
     best = {}
-    for artifact in _quiet_artifacts():
+    for _, artifact in _quiet_artifacts():
         for k, v in {
             **artifact["queries_min"],
             **artifact["extended_queries_min"],
@@ -354,5 +370,5 @@ def test_per_key_anchors_match_recorded_artifacts():
     # started — anchors are the min ACROSS the artifacts, so one loaded
     # run slipped into the set could inflate an anchor unchallenged
     # (r12 review finding: the first cut asserted run1 only)
-    for artifact in _quiet_artifacts():
+    for _, artifact in _quiet_artifacts():
         assert artifact["loadavg_before"][0] < 2.0, artifact["loadavg_before"]
