@@ -713,7 +713,12 @@ def _other_scalar_stripe_values(kind: int, st: dict, n_present: int):
         return list(
             struct.unpack(f"<{n_present}{fmt}", data[: w * n_present])
         )
-    if kind == 9:  # TIMESTAMP: seconds from 2015 + packed nanos
+    if kind in (9, 18):  # TIMESTAMP / TIMESTAMP_INSTANT (r13): both
+        #   carry seconds-from-2015 + packed nanos in identical streams;
+        #   18 declares the values are UTC instants (what tz-aware
+        #   writers emit), 9 leaves them writer-local — byte-identical
+        #   decode either way, surfaced as epoch micros of the stored
+        #   wall clock
         if st["encoding"] not in (0, 2):  # DIRECT (RLEv1) / DIRECT_V2
             return None
         return _decode_timestamps(st, n_present)

@@ -313,10 +313,11 @@ class _Leaf:
 
     __slots__ = ("typ", "optional", "tlen", "max_def", "max_rep",
                  "rep_def", "flat", "listlike", "converted", "elem_def",
-                 "rep_defs")
+                 "rep_defs", "logical")
 
     def __init__(self, typ, optional, tlen, max_def, max_rep, rep_def,
-                 flat, listlike, converted, elem_def, rep_defs) -> None:
+                 flat, listlike, converted, elem_def, rep_defs,
+                 logical=None) -> None:
         self.typ = typ
         self.optional = optional
         self.tlen = tlen
@@ -331,6 +332,11 @@ class _Leaf:
         #: per-level thresholds the multi-level (list<list<...>>)
         #: assembly nests by; rep_def == rep_defs[-1] when any
         self.rep_defs = rep_defs
+        #: which LogicalType union member is set (SchemaElement field
+        #: 10; r13) — the tag only, no parameters: FLOAT16=15 is what
+        #: the value decode dispatches on (fp16 has NO legacy
+        #: ConvertedType, so ``converted`` can't carry it)
+        self.logical = logical
 
 
 class _Tree:
@@ -341,10 +347,10 @@ class _Tree:
     empty vs value) read directly off the node."""
 
     __slots__ = ("name", "typ", "rep", "d", "r", "children", "tlen",
-                 "conv", "scale", "path")
+                 "conv", "scale", "path", "logical")
 
     def __init__(self, name, typ, rep, d, r, tlen, conv, scale,
-                 path) -> None:
+                 path, logical=None) -> None:
         self.name = name
         self.typ = typ
         self.rep = rep or 0
@@ -355,6 +361,7 @@ class _Tree:
         self.conv = conv
         self.scale = scale
         self.path = path
+        self.logical = logical  # LogicalType union tag (FLOAT16=15)
 
 
 def _parse_schema(c: _Compact):
@@ -375,6 +382,7 @@ def _parse_schema(c: _Compact):
         conv = None
         scale = 0
         name = None
+        logical = None
         last = 0
         while True:
             fid, wtype = c.field_header(last)
@@ -397,9 +405,24 @@ def _parse_schema(c: _Compact):
                 conv = c.zigzag()
             elif fid == 7 and wtype == 5:
                 scale = c.zigzag()
+            elif fid == 10 and wtype == 12:
+                # LogicalType (r13): a thrift union — exactly one member
+                # struct is set; its FIELD ID is the tag (FLOAT16=15,
+                # the one type with no legacy ConvertedType twin).
+                # Record the tag, skip the member's parameters.
+                lt_last = 0
+                while True:
+                    lfid, lwtype = c.field_header(lt_last)
+                    if lwtype == 0:
+                        break
+                    lt_last = lfid
+                    if logical is None:
+                        logical = lfid
+                    c.skip(lwtype, 0)
             else:
                 c.skip(wtype, 0)
-        elems.append((typ, rep, name, nch or 0, tlen, conv, scale))
+        elems.append((typ, rep, name, nch or 0, tlen, conv, scale,
+                      logical))
     schema: dict[str, _Leaf] = {}
     roots: list[_Tree] = []
     if not elems:
@@ -419,7 +442,7 @@ def _parse_schema(c: _Compact):
             stack.pop()
         if not stack:
             break
-        typ, rep, name, nch, tlen, conv, scale = elems[i]
+        typ, rep, name, nch, tlen, conv, scale, logical = elems[i]
         i += 1
         stack[-1][0] -= 1
         path = stack[-1][1] + [name or ""]
@@ -438,7 +461,7 @@ def _parse_schema(c: _Compact):
         elif stack[-1][6]:  # direct child of a single-child repeated
             ed = d  # group: the LIST element node
         tnode = _Tree(name or "", typ, rep, d, r, tlen, conv, scale,
-                      ".".join(path))
+                      ".".join(path), logical)
         parent = stack[-1][8]
         if parent is None:
             roots.append(tnode)
@@ -459,7 +482,7 @@ def _parse_schema(c: _Compact):
             listlike = r == 1 and typ is not None
             schema[".".join(path)] = _Leaf(
                 typ, rep == 1, tlen, d, r, rd, flat, listlike, conv, ed,
-                rds,
+                rds, logical,
             )
     return schema, roots
 
@@ -1347,15 +1370,22 @@ def _record_steps(chain):
 
 
 _CONV_DECIMAL = 5
+_LOGICAL_FLOAT16 = 15  # LogicalType union field id (no ConvertedType twin)
 
 
 def _convert_record_value(node, v):
     """Align a leaf value with the ORC reader's conventions so the
     cross-format triangle compares like with like (r12 fourth-review
     finding): TIMESTAMP_MILLIS upscales to epoch micros (INT96 already
-    decodes to micros in _plain_decode), and DECIMAL-annotated leaves —
+    decodes to micros in _plain_decode), DECIMAL-annotated leaves —
     FLBA/BYTE_ARRAY big-endian two's-complement or int32/int64 unscaled
-    — become ``decimal.Decimal`` via the schema's scale."""
+    — become ``decimal.Decimal`` via the schema's scale, and FLOAT16
+    (LogicalType tag 15 over FLBA(2), r13 — fp16 embedding dumps) cells
+    decode as IEEE half floats via struct's ``<e``."""
+    if node.logical == _LOGICAL_FLOAT16 and isinstance(v, bytes) and len(
+        v
+    ) == 2:
+        return struct.unpack("<e", v)[0]
     c = node.conv
     if c == _CONV_TS_MILLIS:
         return v * 1000
@@ -1544,9 +1574,11 @@ def _assemble_records(raw: bytes, schema, chunks, leaf_chains):
     records: list = [_UNSET] * nrec
     for steps, leaf, leaf_node, reps, defs, vals in per:
         # values are consumed strictly in order, so convention
-        # alignment (DECIMAL, TIMESTAMP_MILLIS) converts ONCE up front
-        # instead of per-slot inside the hot loop
-        if leaf_node.conv in (_CONV_TS_MILLIS, _CONV_DECIMAL):
+        # alignment (DECIMAL, TIMESTAMP_MILLIS, FLOAT16) converts ONCE
+        # up front instead of per-slot inside the hot loop
+        if leaf_node.conv in (_CONV_TS_MILLIS, _CONV_DECIMAL) or (
+            leaf_node.logical == _LOGICAL_FLOAT16
+        ):
             vals = [_convert_record_value(leaf_node, v) for v in vals]
         depth = leaf.max_rep
         idx = [0] * depth
@@ -1740,6 +1772,10 @@ def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
                 return None
             values.extend(vals)
             got += pg.n_vals
+    if info.logical == _LOGICAL_FLOAT16 and typ == _T_FIXED and tlen == 2:
+        # FLOAT16 (r13): FLBA(2) cells are IEEE half floats — surface
+        # floats here like FLOAT/DOUBLE do, not raw 2-byte cells
+        return [struct.unpack("<e", v)[0] for v in values]
     return values
 
 

@@ -356,6 +356,34 @@ def test_orc_timestamps_and_decimals():
     assert read_orc_column(buf.getvalue(), "t") == [
         us(t) for t in tsn if t is not None
     ]
+    # TIMESTAMP_INSTANT (kind 18, r13): tz-aware writers emit it; the
+    # streams are byte-identical to kind 9, only the declared semantics
+    # (UTC instant vs writer-local) differ — decodes to the same epoch
+    # micros, incl. pre-epoch, flat and nested
+    from dynamic_spark_spark.llmops.orc_raw import read_orc_nested_column
+
+    tz = datetime.timezone.utc
+    inst = [t.replace(tzinfo=tz) for t in ts[:500]] + [None]
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"t": pa.array(inst, type=pa.timestamp("us", tz="UTC"))}),
+        buf, compression="zstd",
+    )
+    want = [None if t is None else us(t.replace(tzinfo=None)) for t in inst]
+    assert read_orc_nested_column(buf.getvalue(), "t") == want
+    assert read_orc_column(buf.getvalue(), "t") == [
+        v for v in want if v is not None
+    ]
+    buf = io.BytesIO()
+    orc.write_table(
+        pa.table({"s": pa.array(
+            [{"t": inst[0]}, None],
+            pa.struct([("t", pa.timestamp("us", tz="UTC"))]),
+        )}), buf,
+    )
+    assert read_orc_nested_column(buf.getvalue(), "s") == [
+        {"t": want[0]}, None,
+    ]
 
 
 def test_orc_java_lossy_subsecond_window_matches_reference_readers():

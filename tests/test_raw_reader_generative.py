@@ -299,6 +299,49 @@ def test_list_struct_null_element_cross_leaf_disagreement_refused(
     assert praw.read_parquet_list_struct_column(raw, "x") is None
 
 
+def test_float16_logical_type_decodes_as_half_floats():
+    """FLOAT16 (r13): the one LogicalType with no legacy ConvertedType
+    twin — FLBA(2) cells holding IEEE halves, what fp16 embedding dumps
+    carry. The schema walk records the LogicalType union tag (field 10)
+    and every tier (flat, record assembly, list, dictionary pages)
+    surfaces floats, exactly float(np.float16) — not raw 2-byte cells."""
+    import numpy as np
+
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_column,
+        read_parquet_record_column,
+    )
+
+    vals = np.array(
+        [1.5, -2.25, 0.0, 65504.0, 6.1e-5, float("inf")], np.float16
+    )
+    want = [float(v) for v in vals]
+    for use_dict in (True, False):
+        t = pa.table({"x": pa.array(vals)})
+        buf = io.BytesIO()
+        pq.write_table(t, buf, use_dictionary=use_dict)
+        assert read_parquet_column(buf.getvalue(), "x") == want, use_dict
+        assert read_parquet_record_column(buf.getvalue(), "x") == want
+    # list<float16> — the fp16 embeddings shape
+    rows = [[np.float16(0.5), np.float16(1.25)], None, [],
+            [np.float16(-7.0)]]
+    t = pa.table({"e": pa.array(rows, pa.list_(pa.float16()))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_column(buf.getvalue(), "e") == [
+        [0.5, 1.25], None, [], [-7.0],
+    ]
+    # nullable flat halves flow through def levels
+    t = pa.table({"x": pa.array(
+        [np.float16(3.5), None, np.float16(-0.5)], pa.float16()
+    )})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_record_column(buf.getvalue(), "x") == [
+        3.5, None, -0.5,
+    ]
+
+
 def test_list_reader_never_reads_flat_entry_points():
     """The scalar readers keep their refusal semantics: a repeated leaf
     is not flat, so the general reader returns None for it rather than
