@@ -1370,6 +1370,13 @@ def _record_steps(chain):
 
 
 _CONV_DECIMAL = 5
+#: ConvertedType UINT_32/UINT_64 (parquet.thrift): the physical int
+#: carries the UNSIGNED reinterpretation — decoding the raw
+#: two's-complement int32/int64 returns -1 where the writer stored
+#: 2^32-1 / 2^64-1 (r13 probe). UINT_8/16 ride in int32 with the sign
+#: bit never set, so only these two need the mask.
+_CONV_UINT_32 = 13
+_CONV_UINT_64 = 14
 _LOGICAL_FLOAT16 = 15  # LogicalType union field id (no ConvertedType twin)
 
 
@@ -1387,6 +1394,10 @@ def _convert_record_value(node, v):
     ) == 2:
         return struct.unpack("<e", v)[0]
     c = node.conv
+    if c == _CONV_UINT_32:
+        return v & 0xFFFFFFFF
+    if c == _CONV_UINT_64:
+        return v & 0xFFFFFFFFFFFFFFFF
     if c == _CONV_TS_MILLIS:
         return v * 1000
     if c == _CONV_DECIMAL:
@@ -1576,9 +1587,9 @@ def _assemble_records(raw: bytes, schema, chunks, leaf_chains):
         # values are consumed strictly in order, so convention
         # alignment (DECIMAL, TIMESTAMP_MILLIS, FLOAT16) converts ONCE
         # up front instead of per-slot inside the hot loop
-        if leaf_node.conv in (_CONV_TS_MILLIS, _CONV_DECIMAL) or (
-            leaf_node.logical == _LOGICAL_FLOAT16
-        ):
+        if leaf_node.conv in (
+            _CONV_TS_MILLIS, _CONV_DECIMAL, _CONV_UINT_32, _CONV_UINT_64,
+        ) or leaf_node.logical == _LOGICAL_FLOAT16:
             vals = [_convert_record_value(leaf_node, v) for v in vals]
         depth = leaf.max_rep
         idx = [0] * depth
@@ -1776,6 +1787,10 @@ def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
         # FLOAT16 (r13): FLBA(2) cells are IEEE half floats — surface
         # floats here like FLOAT/DOUBLE do, not raw 2-byte cells
         return [struct.unpack("<e", v)[0] for v in values]
+    if info.converted == _CONV_UINT_32 and typ == _T_INT32:
+        return [v & 0xFFFFFFFF for v in values]
+    if info.converted == _CONV_UINT_64 and typ == _T_INT64:
+        return [v & 0xFFFFFFFFFFFFFFFF for v in values]
     return values
 
 

@@ -342,6 +342,41 @@ def test_float16_logical_type_decodes_as_half_floats():
     ]
 
 
+def test_unsigned_int_annotations_reinterpret_the_sign_bit():
+    """UINT_32/UINT_64 (ConvertedType 13/14, r13 probe): the physical
+    int32/int64 carries an UNSIGNED reinterpretation — the raw
+    two's-complement decode returned -1 where the writer stored
+    2^32-1 / 2^64-1. Flat, record, list, and dictionary paths all
+    mask; UINT_8/16 never set the carrier's sign bit and were already
+    exact."""
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_column,
+        read_parquet_record_column,
+    )
+
+    cases = [
+        (pa.uint32(), [0, 2**32 - 1, 7, 2**31]),
+        (pa.uint64(), [1, 2**64 - 1, 2**63, 0]),
+        (pa.uint8(), [0, 255, 128]),
+        (pa.uint16(), [0, 65535]),
+    ]
+    for typ, want in cases:
+        for use_dict in (True, False):
+            t = pa.table({"x": pa.array(want, typ)})
+            buf = io.BytesIO()
+            pq.write_table(t, buf, use_dictionary=use_dict)
+            assert read_parquet_column(buf.getvalue(), "x") == want
+            assert read_parquet_record_column(buf.getvalue(), "x") == want
+    t = pa.table({"e": pa.array(
+        [[2**64 - 1, 1], None, []], pa.list_(pa.uint64())
+    )})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_list_column(buf.getvalue(), "e") == [
+        [2**64 - 1, 1], None, [],
+    ]
+
+
 def test_list_reader_never_reads_flat_entry_points():
     """The scalar readers keep their refusal semantics: a repeated leaf
     is not flat, so the general reader returns None for it rather than
