@@ -114,8 +114,8 @@ def calibration_workload() -> float:
     import hashlib
     import zlib
 
-    # deterministic ~6 MiB buffer, moderately compressible so DEFLATE
-    # does real match-finding work (all-random data short-circuits it)
+    # deterministic ~24 MiB buffer, moderately compressible so DEFLATE
+    # does real match-finding work (all-noise data short-circuits it)
     chunk = bytes(range(256)) * 64  # 16 KiB
     buf = b"".join(
         hashlib.sha256(chunk + i.to_bytes(4, "little")).digest() + chunk

@@ -1522,8 +1522,17 @@ def _leaf_chains(tree, column: str):
     onto one dict key — and since the schema→chunk mapping is by dotted
     path, their level streams could not be told apart anyway — so the
     malformed tree refuses here for every delegate at once (r13, was
-    the list-struct tier's unique-fields check)."""
-    node = next((t for t in tree if t.name == column), None)
+    the list-struct tier's unique-fields check). A dotted ``column``
+    resolves through the group tree segment by segment — the pre-r13
+    tiers accepted nested paths via schema-path prefix matching, and
+    delegation must not narrow that contract (r13 review finding
+    #2)."""
+    segs = column.split(".")
+    node = next((t for t in tree if t.name == segs[0]), None)
+    for seg in segs[1:]:
+        if node is None or node.typ is not None:
+            return None
+        node = next((ch for ch in node.children if ch.name == seg), None)
     if node is None:
         return None
     leaf_chains: list = []
@@ -1560,6 +1569,15 @@ def _read_record_inner(raw: bytes, column: str):
 def _assemble_records(raw: bytes, schema, chunks, leaf_chains):
     per = []
     nrec = None
+    # leaves sharing the SAME repeated-ancestor chain occupy the same
+    # slots, so their rep streams (and hence entry counts) must be
+    # IDENTICAL — the cross-leaf refusal the dedicated list<struct>
+    # tier ran before it became a delegate (r13 review finding #1: a
+    # truncated leaf stream with agreeing record counts otherwise
+    # assembled ragged element dicts with missing field keys instead
+    # of refusing). Keyed by the repeated nodes' identities, so
+    # unrelated lists in separate struct branches are not compared.
+    rep_streams: dict[tuple, list] = {}
     for chain in leaf_chains:
         path = chain[-1].path
         leaf = schema.get(path)
@@ -1567,6 +1585,10 @@ def _assemble_records(raw: bytes, schema, chunks, leaf_chains):
             leaf.typ not in _SCALAR_TYPES and leaf.typ != _T_INT96
         ) or (leaf.typ == _T_FIXED and leaf.tlen <= 0):
             return None
+        if leaf.logical == _LOGICAL_FLOAT16 and (
+            leaf.typ != _T_FIXED or leaf.tlen != 2
+        ):
+            return None  # FLOAT16 is FLBA(2) by definition: refuse
         steps = _record_steps(chain)
         if steps is None:
             return None
@@ -1576,11 +1598,17 @@ def _assemble_records(raw: bytes, schema, chunks, leaf_chains):
         if got is None:
             return None
         reps, defs, vals = got
+        if len(reps) != len(defs):
+            return None
         cnt = sum(1 for r in reps if r == 0)
         if nrec is None:
             nrec = cnt
         elif cnt != nrec:
             return None  # leaves disagree on the record count
+        rkey = tuple(id(n) for n in chain if n.rep == 2)
+        seen = rep_streams.setdefault(rkey, reps)
+        if seen is not reps and seen != reps:
+            return None  # same repeated chain, different slot streams
         per.append((steps, leaf, chain[-1], reps, defs, vals))
     records: list = [_UNSET] * nrec
     for steps, leaf, leaf_node, reps, defs, vals in per:
@@ -1783,9 +1811,14 @@ def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
                 return None
             values.extend(vals)
             got += pg.n_vals
-    if info.logical == _LOGICAL_FLOAT16 and typ == _T_FIXED and tlen == 2:
+    if info.logical == _LOGICAL_FLOAT16:
         # FLOAT16 (r13): FLBA(2) cells are IEEE half floats — surface
-        # floats here like FLOAT/DOUBLE do, not raw 2-byte cells
+        # floats here like FLOAT/DOUBLE do, not raw 2-byte cells. The
+        # annotation is FLBA(2) BY DEFINITION: any other carrier is a
+        # nonconforming file — refuse, don't hand mislabeled bytes on
+        # (r13 review finding #4)
+        if typ != _T_FIXED or tlen != 2:
+            return None
         return [struct.unpack("<e", v)[0] for v in values]
     if info.converted == _CONV_UINT_32 and typ == _T_INT32:
         return [v & 0xFFFFFFFF for v in values]

@@ -38,16 +38,31 @@ def main() -> None:
         a for a in arts
         if sorted(a["extended_queries_min"]) == sorted(bench.EXTENDED)
     ]
-    ext_best = min(a["extended_min_total_sec"] for a in current)
     print(f"artifacts: {[os.path.basename(p) for p in paths]}")
-    print(f"extended_min_total best: {ext_best} "
-          f"(bench.py has {bench.GUARD_EXTENDED_ANCHOR_MIN_SEC})")
+    if current:
+        ext_best = min(a["extended_min_total_sec"] for a in current)
+        print(f"extended_min_total best: {ext_best} "
+              f"(bench.py has {bench.GUARD_EXTENDED_ANCHOR_MIN_SEC})")
+    else:
+        # the normal state right after the EXTENDED set changes — the
+        # whole point of running this script (r13 review finding #3:
+        # min() over the empty list crashed here)
+        print("NO committed artifact matches the current EXTENDED set — "
+              "record a new quiet trio before re-deriving the total anchor")
     stale = {
         k: (bench.PER_KEY_ANCHOR_MIN_SEC.get(k), v)
         for k, v in sorted(best.items())
         if bench.PER_KEY_ANCHOR_MIN_SEC.get(k) != v
     }
-    if not stale and ext_best == bench.GUARD_EXTENDED_ANCHOR_MIN_SEC:
+    unanchored = [
+        k for k in bench.HEADLINE + bench.EXTENDED if k not in best
+    ]
+    if unanchored:
+        print(f"UNANCHORED (no recorded artifact value yet — a quiet "
+              f"trio must mint these): {unanchored}")
+    if not stale and not unanchored and current and bench.\
+            GUARD_EXTENDED_ANCHOR_MIN_SEC == min(
+                a["extended_min_total_sec"] for a in current):
         print("anchors already match the artifacts")
         return
     for k, (cur, new) in stale.items():
@@ -55,7 +70,10 @@ def main() -> None:
     print("--- paste-ready dict ---")
     print("PER_KEY_ANCHOR_MIN_SEC = {")
     for k in bench.HEADLINE + bench.EXTENDED:
-        print(f'    "{k}": {best[k]},')
+        if k in best:
+            print(f'    "{k}": {best[k]},')
+        else:
+            print(f'    # "{k}": UNANCHORED — record a quiet trio')
     print("}")
 
 

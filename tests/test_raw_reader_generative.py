@@ -377,6 +377,119 @@ def test_unsigned_int_annotations_reinterpret_the_sign_bit():
     ]
 
 
+def test_list_struct_truncated_leaf_stream_refused(monkeypatch):
+    """r13 review finding #1: a truncated leaf-b level stream whose
+    record count still agrees (a dropped CONTINUATION slot) must refuse
+    — without the shared-repeated-chain rep-stream identity check it
+    assembled ragged element dicts with leaf b's key missing
+    entirely."""
+    import dynamic_spark_spark.llmops.parquet_raw as praw
+
+    rows = [[{"a": 1, "b": 2.5}, {"a": 3, "b": 4.5}], [{"a": 9, "b": 0.5}]]
+    t = pa.table({
+        "x": pa.array(
+            rows,
+            type=pa.list_(pa.struct([("a", pa.int64()),
+                                     ("b", pa.float64())])),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    assert praw.read_parquet_list_struct_column(raw, "x") == rows
+    assert praw.read_parquet_record_column(raw, "x") == rows
+
+    real = praw._collect_column_levels
+
+    def fake(raw_, chunks, path, leaf):
+        got = real(raw_, chunks, path, leaf)
+        if got is not None and path.endswith(".b"):
+            reps, defs, vals = got
+            # drop row 0's second slot (a rep!=0 continuation) and its
+            # value: record count (rep==0 entries) is unchanged
+            assert reps[1] != 0
+            return reps[:1] + reps[2:], defs[:1] + defs[2:], vals[:1] + vals[2:]
+        return got
+
+    monkeypatch.setattr(praw, "_collect_column_levels", fake)
+    assert praw.read_parquet_list_struct_column(raw, "x") is None
+    assert praw.read_parquet_record_column(raw, "x") is None
+
+
+def test_nested_column_paths_resolve_through_the_tree():
+    """r13 review finding #2: the pre-delegate tiers accepted dotted
+    nested paths via schema-prefix matching; the tree resolver must
+    keep that contract. struct-null rows surface as None through the
+    leaf's absolute def levels."""
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        read_parquet_record_column,
+        read_parquet_struct_column,
+    )
+
+    rows = [{"inner": [1.5, None]}, None, {"inner": None}, {"inner": []}]
+    t = pa.table({
+        "s": pa.array(
+            rows, type=pa.struct([("inner", pa.list_(pa.float64()))])
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    # the nested list column addressed by its dotted path: outer-null
+    # and inner-null both read as None (the pre-r13 tier's semantics)
+    assert read_parquet_list_column(raw, "s.inner") == [
+        [1.5, None], None, None, [],
+    ]
+    # dotted paths to record subtrees work too
+    assert read_parquet_record_column(raw, "s.inner") == [
+        [1.5, None], None, None, [],
+    ]
+    # flat struct fields under a dotted group
+    t = pa.table({
+        "g": pa.array(
+            [{"st": {"a": 1}}, {"st": None}],
+            type=pa.struct([("st", pa.struct([("a", pa.int64())]))]),
+        )
+    })
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    assert read_parquet_struct_column(buf.getvalue(), "g.st") == [
+        {"a": 1}, None,
+    ]
+
+
+def test_float16_nonconforming_carrier_refuses(monkeypatch):
+    """r13 review finding #4: a FLOAT16 annotation on anything but
+    FLBA(2) is a nonconforming file — refuse instead of handing
+    mislabeled bytes on."""
+    import numpy as np
+
+    import dynamic_spark_spark.llmops.parquet_raw as praw
+
+    t = pa.table({"x": pa.array(np.array([1.5, 2.5], np.float16))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    real = praw._footer_walk
+
+    def fake(raw_):
+        got = real(raw_)
+        if got is None:
+            return None
+        schema, chunks, tree = got
+        for leaf in schema.values():
+            if leaf.logical == praw._LOGICAL_FLOAT16:
+                leaf.tlen = 4  # lie: FLBA(4) under a FLOAT16 tag
+        for node in tree:
+            if node.logical == praw._LOGICAL_FLOAT16:
+                node.tlen = 4
+        return schema, chunks, tree
+
+    monkeypatch.setattr(praw, "_footer_walk", fake)
+    assert praw.read_parquet_column(raw, "x") is None
+    assert praw.read_parquet_record_column(raw, "x") is None
+
+
 def test_list_reader_never_reads_flat_entry_points():
     """The scalar readers keep their refusal semantics: a repeated leaf
     is not flat, so the general reader returns None for it rather than
