@@ -54,6 +54,14 @@ of a Spark-written, snappy-compressed parquet file:
       sharing list/dict instances across leaves positionally; the
       dedicated list/struct tiers above remain as shape contracts.
 
+    → the PAGE INDEX (r13): OffsetIndex + ColumnIndex (PARQUET-922 —
+      the page-skipping metadata) parsed from the ColumnChunk's
+      fields 4–7 and AUDITED against the pages they describe via
+      :func:`read_parquet_page_index`; and the per-page CRC-32
+      (PARQUET-1539), verified on every page whose header carries one
+      — parquet-mr writes both by default, so every Spark-written
+      fixture is checksummed end to end on every read.
+
 Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs.
 
 Every layer is an independent re-implementation forced to agree with
@@ -73,6 +81,7 @@ reader, the bytes-level read is how you find which layer lies.
 from __future__ import annotations
 
 import struct
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -602,7 +611,7 @@ class _Page:
 
     __slots__ = (
         "ptype", "comp", "uncomp", "n_vals", "enc", "body",
-        "v2_nulls", "v2_dl", "v2_rl", "v2_comp",
+        "v2_nulls", "v2_dl", "v2_rl", "v2_comp", "crc",
     )
 
     def __init__(self) -> None:
@@ -614,6 +623,7 @@ class _Page:
         self.v2_dl = 0
         self.v2_rl = 0
         self.v2_comp = True
+        self.crc = None
 
 
 def _parse_page_header(raw: bytes, pos: int):
@@ -632,6 +642,8 @@ def _parse_page_header(raw: bytes, pos: int):
             p.uncomp = c.zigzag()
         elif fid == 3 and wtype == 5:
             p.comp = c.zigzag()
+        elif fid == 4 and wtype == 5:
+            p.crc = c.zigzag()
         elif fid == 5 and wtype == 12:  # DataPageHeader (v1)
             d_last = 0
             while True:
@@ -682,6 +694,21 @@ def _parse_page_header(raw: bytes, pos: int):
     if p.ptype is None or p.comp is None or p.uncomp is None:
         return None
     p.body = c.pos
+    if p.crc is not None:
+        # PageHeader.crc (PARQUET-1539, format 2.7+): CRC-32 over the
+        # page bytes AS WRITTEN after the header — for v1 pages the
+        # compressed levels+values block, for v2 the raw level runs plus
+        # the (possibly compressed) values, for dictionary pages the
+        # compressed entries. parquet-mr writes it by default
+        # (parquet.page.write-checksum.enabled), so every Spark-written
+        # fixture verifies on every read; a mismatch is refused like any
+        # other corruption. Verified byte-for-byte against parquet-mr
+        # and pyarrow output (both zlib CRC-32 of raw[body:body+comp]).
+        body = raw[p.body : p.body + p.comp]
+        if len(body) < p.comp:
+            return None
+        if zlib.crc32(body) & 0xFFFFFFFF != p.crc & 0xFFFFFFFF:
+            return None
     return p
 
 
@@ -2081,6 +2108,352 @@ def _chunk_stats(c: _Compact):
 
 
 # ---------------------------------------------------------------------------
+# page index (OffsetIndex / ColumnIndex — PARQUET-922, parquet.thrift)
+# ---------------------------------------------------------------------------
+
+
+def _index_walk(raw: bytes):
+    """Footer → one dict per ColumnChunk with the fields the page-index
+    audit needs: the dotted column path, codec, ``num_values``, the
+    dictionary/data page offsets, and the ColumnChunk's
+    ``offset_index_offset/length`` + ``column_index_offset/length``
+    (fields 4–7 — the pointers parquet-mr writes beside the footer so a
+    reader can prune pages without touching them). File order. None on
+    malformed input."""
+    if not raw or len(raw) < 12 or raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack("<I", raw[-8:-4])
+    start = len(raw) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    c = _Compact(raw, start)
+    out = []
+    last_fid = 0
+    while True:
+        fid, wtype = c.field_header(last_fid)
+        if wtype == 0:
+            break
+        last_fid = fid
+        if fid != 4 or wtype != 9:
+            c.skip(wtype, 0)
+            continue
+        size, etype = c.list_header()
+        if etype != 12:
+            return None
+        for _ in range(size):
+            rg_last = 0
+            while True:
+                rfid, rtype = c.field_header(rg_last)
+                if rtype == 0:
+                    break
+                rg_last = rfid
+                if rfid != 1 or rtype != 9:
+                    c.skip(rtype, 0)
+                    continue
+                csize, cetype = c.list_header()
+                if cetype != 12:
+                    return None
+                for _ in range(csize):
+                    got = _chunk_index_info(c)
+                    if got is None:
+                        return None
+                    out.append(got)
+    return out
+
+
+def _chunk_index_info(c: _Compact):
+    """One ColumnChunk → the index-audit dict (see :func:`_index_walk`)."""
+    info = {
+        "path": None, "codec": None, "num_values": None,
+        "data_off": None, "dict_off": None,
+        "oi_off": None, "oi_len": None, "ci_off": None, "ci_len": None,
+    }
+    last = 0
+    while True:
+        fid, wtype = c.field_header(last)
+        if wtype == 0:
+            break
+        last = fid
+        if fid == 4 and wtype == 6:
+            info["oi_off"] = c.zigzag()
+        elif fid == 5 and wtype == 5:
+            info["oi_len"] = c.zigzag()
+        elif fid == 6 and wtype == 6:
+            info["ci_off"] = c.zigzag()
+        elif fid == 7 and wtype == 5:
+            info["ci_len"] = c.zigzag()
+        elif fid == 3 and wtype == 12:  # meta_data: ColumnMetaData
+            m_last = 0
+            while True:
+                mfid, mtype = c.field_header(m_last)
+                if mtype == 0:
+                    break
+                m_last = mfid
+                if mfid == 3 and mtype == 9:  # path_in_schema
+                    size, _etype = c.list_header()
+                    parts = []
+                    for _ in range(size):
+                        ln = c.varint()
+                        parts.append(
+                            c.data[c.pos : c.pos + ln].decode("utf-8")
+                        )
+                        c.pos += ln
+                    info["path"] = ".".join(parts)
+                elif mfid == 4 and mtype == 5:
+                    info["codec"] = c.zigzag()
+                elif mfid == 5 and mtype == 6:
+                    info["num_values"] = c.zigzag()
+                elif mfid == 9 and mtype == 6:
+                    info["data_off"] = c.zigzag()
+                elif mfid == 11 and mtype == 6:
+                    info["dict_off"] = c.zigzag()
+                else:
+                    c.skip(mtype, 0)
+        else:
+            c.skip(wtype, 0)
+    return info
+
+
+def _parse_offset_index(buf: bytes):
+    """OffsetIndex bytes → list of ``(offset, compressed_page_size,
+    first_row_index)`` PageLocation tuples, or None. ``compressed_page_
+    size`` INCLUDES the page header (parquet.thrift PageLocation)."""
+    c = _Compact(buf, 0)
+    locs = None
+    last = 0
+    while True:
+        fid, wtype = c.field_header(last)
+        if wtype == 0:
+            break
+        last = fid
+        if fid == 1 and wtype == 9:  # page_locations: list<PageLocation>
+            size, etype = c.list_header()
+            if etype != 12:
+                return None
+            locs = []
+            for _ in range(size):
+                off = csz = fri = None
+                pl_last = 0
+                while True:
+                    pfid, ptype = c.field_header(pl_last)
+                    if ptype == 0:
+                        break
+                    pl_last = pfid
+                    if pfid == 1 and ptype == 6:
+                        off = c.zigzag()
+                    elif pfid == 2 and ptype == 5:
+                        csz = c.zigzag()
+                    elif pfid == 3 and ptype == 6:
+                        fri = c.zigzag()
+                    else:
+                        c.skip(ptype, 0)
+                if off is None or csz is None or fri is None:
+                    return None
+                locs.append((off, csz, fri))
+        else:
+            c.skip(wtype, 0)
+    return locs
+
+
+def _parse_column_index(buf: bytes):
+    """ColumnIndex bytes → ``(null_pages, min_values, max_values,
+    boundary_order, null_counts)`` or None; ``null_counts`` is optional
+    in the spec and None when absent. Thrift compact encodes a
+    list<bool> element as one byte — 1 true, 2 false (the field-header
+    BOOLEAN_TRUE/BOOLEAN_FALSE types; some writers emit 0 for false) —
+    anything else is refused as corrupt."""
+    c = _Compact(buf, 0)
+    null_pages = mins = maxs = None
+    boundary = None
+    null_counts = None
+    last = 0
+    while True:
+        fid, wtype = c.field_header(last)
+        if wtype == 0:
+            break
+        last = fid
+        if fid == 1 and wtype == 9:  # null_pages: list<bool>
+            size, etype = c.list_header()
+            if etype not in (1, 2):
+                return None
+            null_pages = []
+            for _ in range(size):
+                if c.pos >= len(c.data):
+                    return None
+                b = c.data[c.pos]
+                c.pos += 1
+                if b == 1:
+                    null_pages.append(True)
+                elif b in (0, 2):
+                    null_pages.append(False)
+                else:
+                    return None
+        elif fid in (2, 3) and wtype == 9:  # min_values / max_values
+            size, etype = c.list_header()
+            if etype != 8:
+                return None
+            vals = []
+            for _ in range(size):
+                ln = c.varint()
+                if c.pos + ln > len(c.data):
+                    return None
+                vals.append(c.data[c.pos : c.pos + ln])
+                c.pos += ln
+            if fid == 2:
+                mins = vals
+            else:
+                maxs = vals
+        elif fid == 4 and wtype == 5:  # boundary_order: enum
+            boundary = c.zigzag()
+        elif fid == 5 and wtype == 9:  # null_counts: list<i64>
+            size, etype = c.list_header()
+            if etype != 6:
+                return None
+            null_counts = [c.zigzag() for _ in range(size)]
+        else:
+            c.skip(wtype, 0)
+    if null_pages is None or mins is None or maxs is None:
+        return None
+    if boundary not in (0, 1, 2):  # UNORDERED/ASCENDING/DESCENDING
+        return None
+    return null_pages, mins, maxs, boundary, null_counts
+
+
+def read_parquet_page_index(raw: bytes, column: str):
+    """Read AND audit the page index of a flat scalar column with no
+    parquet library: parse the ColumnChunk's OffsetIndex + ColumnIndex
+    (PARQUET-922 — the structures a pruning reader trusts to skip
+    pages), then hold them to account against the pages themselves —
+    every PageLocation offset must parse as a real data-page header
+    whose total size matches, ``first_row_index`` must start at 0 and
+    advance by exactly the prior page's row count, per-page
+    ``null_counts`` must equal the definition levels' nulls, and every
+    non-null page's min/max must equal the decoded page values' min/max
+    (binary stats may be writer-truncated, so they are held to the
+    bound contract instead: ``min <= data, max >= data``). Returns one
+    ``{"pages", "rows", "min", "max"}`` dict per chunk of ``column``,
+    or None on any missing index or inconsistency. Never raises.
+
+    Scope: flat INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY columns (the types
+    whose index order the audit can reproduce); FLOAT16/UINT and
+    non-flat columns are refused, NaN values are excluded from the
+    float comparison exactly as writers exclude them."""
+    try:
+        return _page_index_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _page_index_inner(raw: bytes, column: str):
+    walked = _footer_walk(raw)
+    if walked is None:
+        return None
+    schema = walked[0]
+    info = schema.get(column)
+    if info is None or not info.flat:
+        return None
+    typ, optional, tlen = info.typ, info.optional, info.tlen
+    if typ not in (_T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY):
+        return None  # bool/INT96/FLBA index order is out of audit scope
+    if info.logical == _LOGICAL_FLOAT16 or info.converted in (
+        _CONV_UINT_32, _CONV_UINT_64,
+    ):
+        return None  # logical order != carrier order: refuse, don't guess
+    chunks = _index_walk(raw)
+    if chunks is None:
+        return None
+    out = []
+    for ch in chunks:
+        if ch["path"] != column:
+            continue
+        if (ch["oi_off"] is None or ch["oi_len"] is None
+                or ch["ci_off"] is None or ch["ci_len"] is None
+                or ch["codec"] is None or ch["num_values"] is None):
+            return None
+        oi = _parse_offset_index(
+            raw[ch["oi_off"] : ch["oi_off"] + ch["oi_len"]]
+        )
+        ci = _parse_column_index(
+            raw[ch["ci_off"] : ch["ci_off"] + ch["ci_len"]]
+        )
+        if oi is None or ci is None or not oi:
+            return None
+        null_pages, mins, maxs, _boundary, null_counts = ci
+        n_pages = len(oi)
+        if (len(null_pages) != n_pages or len(mins) != n_pages
+                or len(maxs) != n_pages):
+            return None
+        if null_counts is not None and len(null_counts) != n_pages:
+            return None
+        dictionary = None
+        if ch["dict_off"] is not None:
+            pg = _parse_page_header(raw, ch["dict_off"])
+            if pg is None or pg.ptype != 2:
+                return None
+            body = raw[pg.body : pg.body + pg.comp]
+            if len(body) < pg.comp:
+                return None
+            data = _codec_decompress(ch["codec"], body, pg.uncomp)
+            if data is None or len(data) != pg.uncomp:
+                return None
+            dictionary = _plain_decode(typ, data, pg.n_vals, tlen)
+            if dictionary is None:
+                return None
+        rows = 0
+        mn_all = mx_all = None
+        prev_fri = prev_nvals = None
+        for i, (off, csz, fri) in enumerate(oi):
+            if prev_fri is None:
+                if fri != 0:
+                    return None
+            elif fri - prev_fri != prev_nvals:
+                return None  # flat column: rows per page == num_values
+            pg = _parse_page_header(raw, off)
+            if pg is None or pg.ptype not in (0, 3):
+                return None
+            if (pg.body - off) + pg.comp != csz:
+                return None
+            prev_fri, prev_nvals = fri, pg.n_vals
+            vals = _page_values(pg, raw, ch["codec"], typ, optional,
+                                dictionary, tlen)
+            if vals is None:
+                return None
+            nulls = pg.n_vals - len(vals)
+            if null_counts is not None and null_counts[i] != nulls:
+                return None
+            if null_pages[i]:
+                # a null page carries no values and empty stat bytes
+                if vals or mins[i] or maxs[i]:
+                    return None
+            else:
+                if not vals:
+                    return None
+                lo = _decode_stat(typ, mins[i])
+                hi = _decode_stat(typ, maxs[i])
+                if lo is None or hi is None:
+                    return None
+                cmp_vals = vals
+                if typ in (_T_FLOAT, _T_DOUBLE):
+                    cmp_vals = [v for v in vals if v == v]  # drop NaN
+                if cmp_vals:
+                    amn, amx = min(cmp_vals), max(cmp_vals)
+                    if typ == _T_BYTE_ARRAY:
+                        if not (lo <= amn and hi >= amx):
+                            return None
+                    elif lo != amn or hi != amx:
+                        return None
+                mn_all = lo if mn_all is None else min(mn_all, lo)
+                mx_all = hi if mx_all is None else max(mx_all, hi)
+            rows += pg.n_vals
+        if rows != ch["num_values"]:
+            return None
+        out.append(
+            {"pages": n_pages, "rows": rows, "min": mn_all, "max": mx_all}
+        )
+    return out or None
+
+
+# ---------------------------------------------------------------------------
 # registered keys
 # ---------------------------------------------------------------------------
 
@@ -2519,4 +2892,74 @@ def scan_parquet_raw_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return files.mapInPandas(
         read_temporal, "l_orderkey long, ship_ts timestamp, ship_days int"
+    )
+
+
+_RAW_PAGEINDEX_ORACLE = """
+SELECT doc_id % 8 AS p,
+  MIN(doc_id) AS idx_min,
+  MAX(doc_id) AS idx_max,
+  CAST(COUNT(*) AS BIGINT) AS idx_rows
+FROM documents GROUP BY doc_id % 8
+"""
+
+
+@query("scan_parquet_raw_pageindex", _RAW_PAGEINDEX_ORACLE, tag="scan")
+def scan_parquet_raw_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAGE INDEX, read raw and held to account (r13): Spark writes
+    the documents table partitioned by ``doc_id % 8`` (same session-
+    staged fixture as ``scan_parquet_footer``), and each file's
+    OffsetIndex + ColumnIndex for ``doc_id`` — the PARQUET-922
+    structures a pruning reader trusts to SKIP pages without reading
+    them — are parsed from the bytes with no parquet library and
+    audited against the pages themselves (:func:`read_parquet_page_
+    index`): every PageLocation must point at a real page header of the
+    stated size, ``first_row_index`` must advance by the pages' actual
+    row counts, and per-page min/max must equal the decoded values'
+    min/max. The key then answers MIN/MAX/COUNT per partition FROM THE
+    INDEX ALONE — matching the oracle's full-scan answer proves the
+    pruning metadata tells the truth, which is exactly what a 100-TB
+    operator needs to know before trusting page skipping on a suspect
+    shard. parquet-mr also writes a CRC-32 per page; the reader
+    verifies it on every page it touches (PARQUET-1539). Per-file
+    mapInPandas, zero shuffle; the only exchange carries 8 partition
+    aggregates; lazy returned plan."""
+    import pandas as pd
+
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", (F.col("doc_id") % 8).alias("p")
+        )
+        d.repartition(8, "p").write.mode("overwrite").partitionBy("p").parquet(
+            path
+        )
+
+    out = staged_fixture_dir(spark, sf_dir, "footer", write)
+    files = spark.read.format("binaryFile").load(
+        out + "/p=*/", pathGlobFilter="*.parquet"
+    ).select("path", "content")
+
+    def audit(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                chunks = read_parquet_page_index(bytes(content), "doc_id")
+                if chunks is None:
+                    continue  # degrade: a dropped file fails the hash
+                pval = int(path.split("p=")[1].split("/")[0])
+                for ch in chunks:
+                    rows.append((pval, ch["min"], ch["max"], ch["rows"]))
+            yield pd.DataFrame(
+                rows, columns=["p", "idx_min", "idx_max", "idx_rows"]
+            )
+
+    per_chunk = files.mapInPandas(
+        audit, "p long, idx_min long, idx_max long, idx_rows long"
+    )
+    return per_chunk.groupBy("p").agg(
+        F.min("idx_min").alias("idx_min"),
+        F.max("idx_max").alias("idx_max"),
+        F.sum("idx_rows").alias("idx_rows"),
     )

@@ -372,7 +372,7 @@ _PRIORITY = [
     "scan_parquet_raw_nested", "scan_parquet_raw_temporal",
     "scan_orc_raw_nested", "scan_warc_http_charsets",
     # round 13
-    "scan_orc_raw_struct",
+    "scan_orc_raw_struct", "scan_parquet_raw_pageindex",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

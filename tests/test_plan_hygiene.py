@@ -424,3 +424,15 @@ def test_raw_bytes_walkers_zero_exchange(spark, sf_dir):
         if key.startswith(("scan_parquet_raw", "scan_orc")):
             assert "MapInPandas" in plan, f"{key}: {plan}"
             assert "Scan binaryFile" in plan, f"{key}: {plan}"
+
+
+def test_pageindex_audit_single_aggregate_exchange(spark, sf_dir):
+    """The page-index audit (r13) is the footer-key shape: per-file
+    MapInPandas decode, then ONE exchange carrying eight partition
+    aggregates — the per-file work is all map-side and the shuffle is
+    constant-size no matter how many files the corpus has."""
+    q = load_all_queries()
+    plan = _plan(q["scan_parquet_raw_pageindex"](spark, sf_dir))
+    assert "MapInPandas" in plan and "binaryFile" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial agg + final agg
+    assert "BatchEvalPython" not in plan, plan
