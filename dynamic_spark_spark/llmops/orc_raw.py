@@ -54,6 +54,16 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       preorder child-id validation bounds the recursion against
       corrupt/cyclic trees.
 
+    → the INDEX region (r13): per-stripe ROW_INDEX streams (kind 6)
+      parsed and AUDITED against the decoded rows via
+      :func:`read_orc_row_index` — per-row-group
+      numberOfValues/hasNull/min/max must equal what the rows contain,
+      and the file footer's column statistics get the same audit;
+      BLOOM_FILTER_UTF8 streams (kind 8) held to the
+      zero-false-negative property under orc-java's exact hash scheme
+      (Murmur3 hash64 for strings, the Hive arithmetic-shift long mix)
+      via :func:`read_orc_bloom_filter`.
+
 Scope: the full scalar lattice under any LIST/STRUCT/MAP composition;
 LZO and UNION are refused explicitly. Every layer
 is an independent re-implementation forced to agree with orc-core (the
@@ -561,9 +571,11 @@ def _orc_gather_streams(raw: bytes, comp: int, stripe_meta, col_ids):
         enc, dsize = encodings[cid] if cid < len(encodings) else (0, 0)
         got[cid] = {"encoding": enc, "dict_size": dsize}
     # Stream.kind: 0 PRESENT, 1 DATA, 2 LENGTH, 3 DICTIONARY_DATA,
-    # 5 SECONDARY (timestamp nanos / decimal scales)
+    # 5 SECONDARY (timestamp nanos / decimal scales), 6 ROW_INDEX,
+    # 8 BLOOM_FILTER_UTF8 (the index-region streams, listed first)
     names_by_kind = {0: "present", 1: "data", 2: "length",
-                     3: "dict_data", 5: "secondary"}
+                     3: "dict_data", 5: "secondary",
+                     6: "row_index", 8: "bloom_utf8"}
     pos = off
     for kind, scol, slen in streams:
         if scol in col_ids and kind in names_by_kind:
@@ -602,7 +614,8 @@ def _orc_column_stripes(raw: bytes, column: str):
         st = {"rows": gathered["rows"],
               "encoding": gathered[col_id]["encoding"],
               "dict_size": gathered[col_id]["dict_size"]}
-        for k in ("present", "data", "length", "dict_data", "secondary"):
+        for k in ("present", "data", "length", "dict_data", "secondary",
+                  "row_index", "bloom_utf8"):
             if k in gathered[col_id]:
                 st[k] = gathered[col_id][k]
         out.append(st)
@@ -1110,6 +1123,457 @@ def read_orc_list_column(raw: bytes, column: str):
 
 
 # ---------------------------------------------------------------------------
+# row-group index (ROW_INDEX streams — ORC spec §Row Group Index)
+# ---------------------------------------------------------------------------
+
+
+def _zz(u: int) -> int:
+    """protobuf sint zigzag → signed (stats min/max are sint64)."""
+    return (u >> 1) ^ -(u & 1)
+
+
+def _orc_footer_extras(raw: bytes):
+    """Footer → ``(row_index_stride, file_stats)`` where ``file_stats``
+    is the list of per-column ColumnStatistics blobs in column-id order
+    (Footer fields 8 and 7 — orc_proto.proto), or None."""
+    tail = _orc_tail(raw)
+    if tail is None:
+        return None
+    footer, _comp = tail
+    stride = None
+    stats = []
+    for fid, wt, val in proto_fields(footer):
+        if fid == 8 and wt == 0:
+            stride = val
+        elif fid == 7 and wt == 2:
+            stats.append(val)
+    return stride, stats
+
+
+def _parse_orc_statistics(blob: bytes, kind: int):
+    """One ColumnStatistics message → ``(n_values, has_null, mn, mx)``
+    with min/max decoded per the column's TYPE KIND: IntegerStatistics
+    (sint64) for SHORT/INT/LONG, DoubleStatistics (IEEE doubles) for
+    FLOAT/DOUBLE, StringStatistics for STRING/VARCHAR/CHAR (falling
+    back to the lowerBound/upperBound fields when a >1024-char value
+    was truncated — the caller gets ``(bound, True)`` markers),
+    DateStatistics (sint32 days) for DATE. min/max stay None for
+    all-null groups and out-of-scope kinds."""
+    n = None
+    has_null = None
+    mn = mx = None
+    mn_bound = mx_bound = False
+    for fid, wt, val in proto_fields(blob):
+        if fid == 1 and wt == 0:
+            n = val
+        elif fid == 10 and wt == 0:
+            has_null = bool(val)
+        elif fid == 2 and wt == 2 and kind in _INT_KINDS:
+            for sfid, swt, sval in proto_fields(val):
+                if swt != 0:
+                    continue
+                if sfid == 1:
+                    mn = _zz(sval)
+                elif sfid == 2:
+                    mx = _zz(sval)
+        elif fid == 3 and wt == 2 and kind in (5, 6):
+            for sfid, swt, sval in proto_fields(val):
+                if swt != 1:
+                    continue
+                if sfid == 1:
+                    mn = struct.unpack("<d", sval.to_bytes(8, "little"))[0]
+                elif sfid == 2:
+                    mx = struct.unpack("<d", sval.to_bytes(8, "little"))[0]
+        elif fid == 4 and wt == 2 and kind in (7, 16, 17):
+            lower = upper = None
+            for sfid, swt, sval in proto_fields(val):
+                if swt != 2:
+                    continue
+                if sfid == 1:
+                    mn = sval
+                elif sfid == 2:
+                    mx = sval
+                elif sfid == 4:
+                    lower = sval
+                elif sfid == 5:
+                    upper = sval
+            if mn is None and lower is not None:
+                mn, mn_bound = lower, True
+            if mx is None and upper is not None:
+                mx, mx_bound = upper, True
+        elif fid == 7 and wt == 2 and kind == 15:
+            for sfid, swt, sval in proto_fields(val):
+                if swt != 0:
+                    continue
+                if sfid == 1:
+                    mn = _zz(sval)
+                elif sfid == 2:
+                    mx = _zz(sval)
+    return n, has_null, (mn, mn_bound), (mx, mx_bound)
+
+
+def _parse_row_index(blob: bytes):
+    """ROW_INDEX stream bytes → list of ``(positions, stats_blob)`` per
+    RowIndexEntry, or None. positions come packed (wt 2) or unpacked
+    (wt 0) — both legal protobuf for ``repeated uint64``."""
+    entries = []
+    for fid, wt, val in proto_fields(blob):
+        if fid != 1 or wt != 2:
+            continue
+        positions: list[int] = []
+        stats = None
+        for efid, ewt, eval_ in proto_fields(val):
+            if efid == 1 and ewt == 2:
+                positions.extend(_packed_uvarints(eval_))
+            elif efid == 1 and ewt == 0:
+                positions.append(eval_)
+            elif efid == 2 and ewt == 2:
+                stats = eval_
+        if stats is None:
+            return None
+        entries.append((positions, stats))
+    return entries or None
+
+
+def _stripe_row_stream(kind: int, st: dict):
+    """One stripe's values in ROW space (None where the PRESENT stream
+    says null), or None — the alignment the row-group audit slices."""
+    pc = _stripe_present_count(st)
+    if pc is None:
+        return None
+    n_present, flags = pc
+    if kind in _INT_KINDS or kind == 15:
+        sub = dict(st)
+        sub.pop("present", None)
+        sub["rows"] = n_present
+        vals = _int_values_from_stripes([sub])
+    elif kind in (7, 16, 17):
+        sub = dict(st)
+        sub.pop("present", None)
+        sub["rows"] = n_present
+        vals = _string_values_from_stripes([sub])
+    elif kind in (5, 6):
+        vals = _other_scalar_stripe_values(kind, st, n_present)
+    else:
+        return None
+    if vals is None or len(vals) != n_present:
+        return None
+    if flags is None:
+        return list(vals)
+    out = []
+    vi = 0
+    for f in flags:
+        if f:
+            out.append(vals[vi])
+            vi += 1
+        else:
+            out.append(None)
+    return out
+
+
+def read_orc_row_index(raw: bytes, column: str):
+    """Read AND audit the row-group index of a flat ORC column with no
+    ORC library: the per-stripe ROW_INDEX stream (kind 6 — the
+    structure predicate pushdown trusts to skip 10k-row groups) is
+    parsed from protobuf and held to account against the decoded
+    column — the entry count must equal ``ceil(rows / stride)``, the
+    position lists must share one arity, and each entry's
+    ``numberOfValues`` / ``hasNull`` /
+    min / max must equal what the rows of its group actually contain
+    (string bounds fall back to the >1024-char truncation contract;
+    NaNs are excluded from the float comparison exactly as writers
+    exclude them). The file footer's per-column statistics (field 7)
+    get the same treatment against the whole column. Returns one
+    ``{"entries", "rows", "min", "max"}`` dict per stripe or None on
+    any inconsistency. Never raises.
+
+    Scope: SHORT/INT/LONG, FLOAT/DOUBLE, STRING/VARCHAR/CHAR, DATE —
+    the kinds whose index order the audit can reproduce."""
+    try:
+        return _row_index_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _bounded_minmax_check(lo, hi, amn, amx, kind):
+    """stats (min,bound) markers vs actual group min/max → bool."""
+    (mn, mn_bound), (mx, mx_bound) = lo, hi
+    if mn is None or mx is None:
+        return False
+    if kind in (5, 6):
+        # IEEE equality; 0.0 == -0.0 matches writer normalization
+        return mn == amn and mx == amx
+    if mn_bound:
+        if not mn <= amn:
+            return False
+    elif mn != amn:
+        return False
+    if mx_bound:
+        return mx >= amx
+    return mx == amx
+
+
+def _row_index_inner(raw: bytes, column: str):
+    walked = _orc_column_stripes(raw, column)
+    if walked is None:
+        return None
+    kind, stripes = walked
+    if kind not in _INT_KINDS | {5, 6, 7, 15, 16, 17}:
+        return None
+    extras = _orc_footer_extras(raw)
+    if extras is None or extras[0] is None or not extras[0]:
+        return None
+    stride, file_stats = extras
+    out = []
+    all_rows: list = []
+    for st in stripes:
+        ri = st.get("row_index")
+        if ri is None:
+            return None
+        entries = _parse_row_index(ri)
+        if entries is None:
+            return None
+        rows = st["rows"]
+        if len(entries) != -(-rows // stride):
+            return None
+        # positions are seek offsets into this column's streams; their
+        # arity is fixed per (type, encoding, compression) within a
+        # stripe. Slot VALUES are not monotone (in-chunk offsets reset
+        # whenever the compressed-chunk slot advances), so only the
+        # shape is checked here — the statistics get the deep audit.
+        arity = len(entries[0][0])
+        if any(len(positions) != arity for positions, _ in entries):
+            return None
+        stream = _stripe_row_stream(kind, st)
+        if stream is None or len(stream) != rows:
+            return None
+        all_rows.extend(stream)
+        s_min = s_max = None
+        for i, (_, blob) in enumerate(entries):
+            group = stream[i * stride : (i + 1) * stride]
+            ok = _audit_group_stats(blob, kind, group)
+            if ok is None:
+                return None
+            gmn, gmx = ok
+            if gmn is not None:
+                s_min = gmn if s_min is None else min(s_min, gmn)
+                s_max = gmx if s_max is None else max(s_max, gmx)
+        out.append({"entries": len(entries), "rows": rows,
+                    "min": s_min, "max": s_max})
+    # the file-level statistics make the same claims about the whole
+    # column — hold them to the same standard
+    meta = _orc_footer_meta(raw)
+    if meta is None:
+        return None
+    _comp, _stripes, types = meta
+    root_subs, root_names = types[0][1], types[0][2]
+    col_id = root_subs[root_names.index(column)]
+    if col_id < len(file_stats):
+        if _audit_group_stats(file_stats[col_id], kind, all_rows) is None:
+            return None
+    return out or None
+
+
+def _audit_group_stats(blob: bytes, kind: int, group: list):
+    """One ColumnStatistics blob vs the rows it claims to describe →
+    ``(group_min, group_max)`` (None for all-null) or None on any
+    disagreement."""
+    n, has_null, lo, hi = _parse_orc_statistics(blob, kind)
+    non_null = [v for v in group if v is not None]
+    if n is None or n != len(non_null):
+        return None
+    if has_null is not None and has_null != (len(non_null) != len(group)):
+        return None
+    if not non_null:
+        if lo[0] is not None or hi[0] is not None:
+            return None
+        return (None, None)
+    nn = non_null
+    if kind in (5, 6):
+        nn = [v for v in nn if v == v]  # NaN never becomes min/max
+        if not nn:
+            return (None, None)  # all-NaN group: writer min/max undefined
+    amn, amx = min(nn), max(nn)
+    if not _bounded_minmax_check(lo, hi, amn, amx, kind):
+        return None
+    return (amn, amx)
+
+
+# ---------------------------------------------------------------------------
+# bloom filters (BLOOM_FILTER_UTF8 streams — ORC spec §Bloom Filters)
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_BLOOM_SEED = 104729  # orc-java Murmur3.DEFAULT_SEED (a prime)
+
+
+def orc_murmur3_hash64(data: bytes, seed: int = _BLOOM_SEED) -> int:
+    """The 64-bit Murmur3 variant orc-java's BloomFilter hashes string
+    bytes with (org.apache.orc.util.Murmur3.hash64 — single 64-bit
+    lane, NOT the x64_128 pair; liborc implements the same for
+    cross-writer compat, ORC-101). Pure Python, masked to uint64."""
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    h = seed
+    nblocks = len(data) >> 3
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 8 : i * 8 + 8], "little")
+        k = (k * c1) & _M64
+        k = ((k << 31) | (k >> 33)) & _M64
+        k = (k * c2) & _M64
+        h ^= k
+        h = ((h << 27) | (h >> 37)) & _M64
+        h = (h * 5 + 0x52DCE729) & _M64
+    tail = data[nblocks * 8 :]
+    if tail:
+        k1 = 0
+        for i in range(len(tail) - 1, -1, -1):
+            k1 ^= tail[i] << (8 * i)
+        k1 = (k1 * c1) & _M64
+        k1 = ((k1 << 31) | (k1 >> 33)) & _M64
+        k1 = (k1 * c2) & _M64
+        h ^= k1
+    h ^= len(data)
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _M64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _M64
+    h ^= h >> 33
+    return h
+
+
+def _s64(v: int) -> int:
+    """Wrap to SIGNED int64 (Java long semantics)."""
+    v &= _M64
+    return v - (1 << 64) if v & (1 << 63) else v
+
+
+def orc_bloom_long_hash(key: int) -> int:
+    """The Hive/ORC variant of Thomas Wang's 64-bit mix — what
+    orc-java's BloomFilter.addLong hashes integer values with
+    (getLongHash), NOT Murmur3. Crucially the right-shifts are
+    Java's ARITHMETIC ``>>`` (the Hive copy diverged from Wang's
+    original ``>>>`` here): for inputs whose first step goes negative
+    — e.g. key 0, whose ``(~key) + (key << 21)`` is -1 — the sign
+    bits propagate into every later step, so a logical-shift
+    implementation disagrees on exactly those values. Found the
+    empirical way: a logical-shift version false-negatived ONLY
+    doc_id 0 against a Spark-written filter. Returns uint64."""
+    key = _s64(key)
+    key = _s64((~key) + (key << 21))
+    key = _s64(key ^ (key >> 24))  # python >> on signed is arithmetic
+    key = _s64(key + (key << 3) + (key << 8))
+    key = _s64(key ^ (key >> 14))
+    key = _s64(key + (key << 2) + (key << 4))
+    key = _s64(key ^ (key >> 28))
+    key = _s64(key + (key << 31))
+    return key & _M64
+
+
+def _bloom_test(bitset: bytes, num_funcs: int, h64: int) -> bool:
+    """Java BloomFilter.testHash: split the 64-bit hash into two int32
+    halves, probe ``hash1 + i*hash2`` (int32 wraparound, negative →
+    bitwise complement) mod numBits for i in 1..k. The serialized
+    utf8bitset is the long[] little-endian, so bit ``pos`` lives at
+    byte ``pos >> 3``, bit ``pos & 7``."""
+    num_bits = len(bitset) * 8
+    if num_bits == 0 or num_funcs <= 0:
+        return False
+    h1 = h64 & 0xFFFFFFFF
+    h2 = (h64 >> 32) & 0xFFFFFFFF
+    for i in range(1, num_funcs + 1):
+        c = (h1 + i * h2) & 0xFFFFFFFF
+        if c & 0x80000000:  # Java int went negative: ~ it
+            c = (~c) & 0xFFFFFFFF
+        pos = c % num_bits
+        if not (bitset[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _parse_bloom_index(blob: bytes):
+    """BLOOM_FILTER_UTF8 stream → list of ``(numHashFunctions,
+    utf8bitset)`` per row group, or None. The legacy pre-UTF8 bitset
+    field (2) is ignored — kind-8 streams carry field 3."""
+    filters = []
+    for fid, wt, val in proto_fields(blob):
+        if fid != 1 or wt != 2:
+            continue
+        k = None
+        bitset = None
+        for bfid, bwt, bval in proto_fields(val):
+            if bfid == 1 and bwt == 0:
+                k = bval
+            elif bfid == 3 and bwt == 2:
+                bitset = bval
+        if k is None or bitset is None:
+            return None
+        filters.append((k, bitset))
+    return filters or None
+
+
+def read_orc_bloom_filter(raw: bytes, column: str):
+    """Read AND audit the bloom-filter index of a flat LONG/INT/SHORT
+    or STRING/VARCHAR/CHAR column: parse every stripe's
+    BLOOM_FILTER_UTF8 stream (the structure equality predicates trust
+    to skip row groups) and hold it to the one property a bloom filter
+    must never violate — ZERO FALSE NEGATIVES: every non-null value
+    actually present in row group i must test positive in filter i,
+    under orc-java's exact hash scheme (Murmur3 hash64 over UTF-8
+    bytes for strings, Thomas Wang's mix for longs, two-half int32
+    probing). Returns per-stripe ``{"filters": n, "checked": m}`` or
+    None on a missing stream, count mismatch, or any false negative.
+    Never raises."""
+    try:
+        return _bloom_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _bloom_inner(raw: bytes, column: str):
+    walked = _orc_column_stripes(raw, column)
+    if walked is None:
+        return None
+    kind, stripes = walked
+    if kind not in _INT_KINDS | {7, 16, 17}:
+        return None
+    extras = _orc_footer_extras(raw)
+    if extras is None or extras[0] is None or not extras[0]:
+        return None
+    stride = extras[0]
+    out = []
+    for st in stripes:
+        bf = st.get("bloom_utf8")
+        if bf is None:
+            return None
+        filters = _parse_bloom_index(bf)
+        if filters is None:
+            return None
+        rows = st["rows"]
+        if len(filters) != -(-rows // stride):
+            return None
+        stream = _stripe_row_stream(kind, st)
+        if stream is None or len(stream) != rows:
+            return None
+        checked = 0
+        for i, (k, bitset) in enumerate(filters):
+            for v in stream[i * stride : (i + 1) * stride]:
+                if v is None:
+                    continue
+                if kind in _INT_KINDS:
+                    h = orc_bloom_long_hash(v)
+                else:
+                    h = orc_murmur3_hash64(
+                        v if isinstance(v, bytes) else v.encode("utf-8")
+                    )
+                if not _bloom_test(bitset, k, h):
+                    return None  # a false negative: the filter lies
+                checked += 1
+        out.append({"filters": len(filters), "checked": checked})
+    return out or None
+
+
+# ---------------------------------------------------------------------------
 # registered key
 # ---------------------------------------------------------------------------
 
@@ -1508,4 +1972,85 @@ def scan_orc_raw_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_struct_map,
         "doc_id long, s_state string, lang string, nchars long, "
         "mkey string, mval double",
+    )
+
+
+_ORC_ROWINDEX_ORACLE = """
+SELECT doc_id % 8 AS p,
+  MIN(doc_id) AS idx_min,
+  MAX(doc_id) AS idx_max,
+  CAST(COUNT(*) AS BIGINT) AS idx_rows
+FROM documents GROUP BY doc_id % 8
+"""
+
+
+@query("scan_orc_raw_rowindex", _ORC_ROWINDEX_ORACLE, tag="scan")
+def scan_orc_raw_rowindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORC ROW-GROUP INDEX and BLOOM FILTERS, read raw and held to
+    account (r13 — the ORC twin of ``scan_parquet_raw_pageindex``):
+    Spark writes the documents table partitioned by ``doc_id % 8`` as
+    ORC with ``orc.bloom.filter.columns=doc_id`` and a 2,000-row index
+    stride, and each file's per-stripe ROW_INDEX stream — the
+    structure predicate pushdown trusts to SKIP 10k-row groups without
+    reading them — is parsed from the protobuf bytes with no ORC
+    library and audited against the decoded rows
+    (:func:`read_orc_row_index`): entry counts vs ``ceil(rows /
+    stride)``, and every entry's numberOfValues/hasNull/min/max vs
+    what its rows actually contain (the file footer's column
+    statistics get the same audit). The BLOOM_FILTER_UTF8 stream is
+    then held to the zero-false-negative property under orc-java's
+    exact hash scheme — the arithmetic-shift Hive variant of Thomas
+    Wang's mix (:func:`read_orc_bloom_filter`); a single lying filter
+    drops the file and fails the hash. The key answers MIN/MAX/COUNT
+    per partition FROM THE INDEX ALONE; matching the oracle's
+    full-scan answer proves the pruning metadata tells the truth.
+    Per-file mapInPandas; the only exchange carries 8 partition
+    aggregates; lazy returned plan."""
+    import pandas as pd
+
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", (F.col("doc_id") % 8).alias("p")
+        )
+        (
+            d.repartition(8, "p").write.mode("overwrite")
+            .option("orc.bloom.filter.columns", "doc_id")
+            .option("orc.row.index.stride", "2000")
+            .partitionBy("p").orc(path)
+        )
+
+    out = staged_fixture_dir(spark, sf_dir, "orcrowidx", write)
+    files = spark.read.format("binaryFile").load(
+        out + "/p=*/", pathGlobFilter="*.orc"
+    ).select("path", "content")
+
+    def audit(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                idx = read_orc_row_index(raw, "doc_id")
+                bloom = read_orc_bloom_filter(raw, "doc_id")
+                if idx is None or bloom is None:
+                    continue  # degrade: a dropped file fails the hash
+                if len(bloom) != len(idx) or any(
+                    b["filters"] != d["entries"] for b, d in zip(bloom, idx)
+                ):
+                    continue
+                pval = int(path.split("p=")[1].split("/")[0])
+                for d in idx:
+                    rows.append((pval, d["min"], d["max"], d["rows"]))
+            yield pd.DataFrame(
+                rows, columns=["p", "idx_min", "idx_max", "idx_rows"]
+            )
+
+    per_stripe = files.mapInPandas(
+        audit, "p long, idx_min long, idx_max long, idx_rows long"
+    )
+    return per_stripe.groupBy("p").agg(
+        F.min("idx_min").alias("idx_min"),
+        F.max("idx_max").alias("idx_max"),
+        F.sum("idx_rows").alias("idx_rows"),
     )

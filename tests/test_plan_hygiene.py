@@ -427,12 +427,13 @@ def test_raw_bytes_walkers_zero_exchange(spark, sf_dir):
 
 
 def test_pageindex_audit_single_aggregate_exchange(spark, sf_dir):
-    """The page-index audit (r13) is the footer-key shape: per-file
+    """The index-audit keys (r13) are the footer-key shape: per-file
     MapInPandas decode, then ONE exchange carrying eight partition
     aggregates — the per-file work is all map-side and the shuffle is
     constant-size no matter how many files the corpus has."""
     q = load_all_queries()
-    plan = _plan(q["scan_parquet_raw_pageindex"](spark, sf_dir))
-    assert "MapInPandas" in plan and "binaryFile" in plan, plan
-    assert plan.count("Exchange") <= 2, plan  # partial agg + final agg
-    assert "BatchEvalPython" not in plan, plan
+    for key in ("scan_parquet_raw_pageindex", "scan_orc_raw_rowindex"):
+        plan = _plan(q[key](spark, sf_dir))
+        assert "MapInPandas" in plan and "binaryFile" in plan, (key, plan)
+        assert plan.count("Exchange") <= 2, (key, plan)  # partial+final agg
+        assert "BatchEvalPython" not in plan, key
