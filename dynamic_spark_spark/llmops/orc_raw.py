@@ -58,7 +58,9 @@ the way down and reads actual COLUMN VALUES out of an ORC file:
       parsed and AUDITED against the decoded rows via
       :func:`read_orc_row_index` — per-row-group
       numberOfValues/hasNull/min/max must equal what the rows contain,
-      and the file footer's column statistics get the same audit;
+      and the stripe tier (the Metadata section's StripeStatistics)
+      and file tier (the footer's column statistics) get the same
+      audit — all three statistics levels a planner prunes by;
       BLOOM_FILTER_UTF8 streams (kind 8) held to the
       zero-false-negative property under orc-java's exact hash scheme
       (Murmur3 hash64 for strings, the Hive arithmetic-shift long mix)
@@ -529,12 +531,17 @@ def _orc_footer_meta(raw: bytes):
     return comp, stripes, types
 
 
-def _orc_gather_streams(raw: bytes, comp: int, stripe_meta, col_ids):
+def _orc_gather_streams(raw: bytes, comp: int, stripe_meta, col_ids,
+                        want_index: bool = False):
     """One stripe's DECOMPRESSED streams for a SET of column ids:
     ``{"rows": n, cid: {"encoding": k, "dict_size": n, "present": ...,
     "data": ..., "length": ..., "dict_data": ..., "secondary": ...}}``
     or None. Stream offsets accumulate in listed order from the stripe
-    start (index region first, then data — ORC spec §Stripes)."""
+    start (index region first, then data — ORC spec §Stripes). The
+    index-region streams (ROW_INDEX / BLOOM_FILTER_UTF8) exist in
+    every default-written file but only the audit tiers read them, so
+    they are decompressed only when ``want_index`` opts in — the value
+    readers skip that work."""
     off, ilen, dlen, flen, rows = stripe_meta
     sf_start = off + ilen + dlen
     sf_raw = raw[sf_start : sf_start + flen]
@@ -574,8 +581,9 @@ def _orc_gather_streams(raw: bytes, comp: int, stripe_meta, col_ids):
     # 5 SECONDARY (timestamp nanos / decimal scales), 6 ROW_INDEX,
     # 8 BLOOM_FILTER_UTF8 (the index-region streams, listed first)
     names_by_kind = {0: "present", 1: "data", 2: "length",
-                     3: "dict_data", 5: "secondary",
-                     6: "row_index", 8: "bloom_utf8"}
+                     3: "dict_data", 5: "secondary"}
+    if want_index:
+        names_by_kind = {**names_by_kind, 6: "row_index", 8: "bloom_utf8"}
     pos = off
     for kind, scol, slen in streams:
         if scol in col_ids and kind in names_by_kind:
@@ -587,12 +595,14 @@ def _orc_gather_streams(raw: bytes, comp: int, stripe_meta, col_ids):
     return got
 
 
-def _orc_column_stripes(raw: bytes, column: str):
+def _orc_column_stripes(raw: bytes, column: str,
+                        want_index: bool = False):
     """Shared walk: footer type tree + stripe directory + per-stripe
     stream gathering for ONE flat column. Returns ``(type_kind,
     [stripe dict])`` where each stripe dict carries ``rows``,
     ``encoding``, and the column's DECOMPRESSED streams (``present``,
-    ``data``, ``length``, ``dict_data``), or None. Raises freely — the
+    ``data``, ``length``, ``dict_data``; plus ``row_index`` /
+    ``bloom_utf8`` when ``want_index``), or None. Raises freely — the
     public entry points catch."""
     meta = _orc_footer_meta(raw)
     if meta is None:
@@ -608,7 +618,8 @@ def _orc_column_stripes(raw: bytes, column: str):
 
     out = []
     for sm in stripes:
-        gathered = _orc_gather_streams(raw, comp, sm, {col_id})
+        gathered = _orc_gather_streams(raw, comp, sm, {col_id},
+                                       want_index=want_index)
         if gathered is None:
             return None
         st = {"rows": gathered["rows"],
@@ -1212,6 +1223,47 @@ def _parse_orc_statistics(blob: bytes, kind: int):
     return n, has_null, (mn, mn_bound), (mx, mx_bound)
 
 
+def _orc_stripe_stats(raw: bytes):
+    """The Metadata section (PostScript.metadataLength, field 5 —
+    sandwiched between the stripes and the footer) → one list of
+    per-column ColumnStatistics blobs PER STRIPE, or None when the
+    writer wrote no metadata section. This is the middle level of
+    ORC's three-tier statistics story (row group → stripe → file);
+    planners use it to skip whole stripes without touching them."""
+    if not raw or len(raw) < 4:
+        return None
+    ps_len = raw[-1]
+    if ps_len == 0 or 1 + ps_len > len(raw):
+        return None
+    ps = raw[-1 - ps_len : -1]
+    flen = mlen = None
+    comp = 0
+    for fid, wt, val in proto_fields(ps):
+        if fid == 1 and wt == 0:
+            flen = val
+        elif fid == 2 and wt == 0:
+            comp = val
+        elif fid == 5 and wt == 0:
+            mlen = val
+    if flen is None or not mlen:
+        return None
+    end = len(raw) - 1 - ps_len - flen
+    start = end - mlen
+    if start < 0:
+        return None
+    meta = _orc_stream_bytes(raw[start:end], comp)
+    if meta is None:
+        return None
+    stripes = []
+    for fid, wt, val in proto_fields(meta):
+        if fid == 1 and wt == 2:  # StripeStatistics
+            cols = [
+                v for f2, w2, v in proto_fields(val) if f2 == 1 and w2 == 2
+            ]
+            stripes.append(cols)
+    return stripes or None
+
+
 def _parse_row_index(blob: bytes):
     """ROW_INDEX stream bytes → list of ``(positions, stats_blob)`` per
     RowIndexEntry, or None. positions come packed (wt 2) or unpacked
@@ -1282,8 +1334,11 @@ def read_orc_row_index(raw: bytes, column: str):
     min / max must equal what the rows of its group actually contain
     (string bounds fall back to the >1024-char truncation contract;
     NaNs are excluded from the float comparison exactly as writers
-    exclude them). The file footer's per-column statistics (field 7)
-    get the same treatment against the whole column. Returns one
+    exclude them). The OTHER two statistics tiers a planner prunes by
+    get the same treatment: the Metadata section's per-stripe
+    StripeStatistics against each stripe's rows, and the file footer's
+    per-column statistics (field 7) against the whole column. Returns
+    one
     ``{"entries", "rows", "min", "max"}`` dict per stripe or None on
     any inconsistency. Never raises.
 
@@ -1313,8 +1368,23 @@ def _bounded_minmax_check(lo, hi, amn, amx, kind):
     return mx == amx
 
 
-def _row_index_inner(raw: bytes, column: str):
-    walked = _orc_column_stripes(raw, column)
+def _stripe_row_streams(kind: int, stripes):
+    """Every stripe's row-space value stream, decoded ONCE — shared by
+    the row-index and bloom audits so the combined key does not pay
+    the dominant decode cost twice. Returns a list (one stream per
+    stripe) or None."""
+    out = []
+    for st in stripes:
+        stream = _stripe_row_stream(kind, st)
+        if stream is None or len(stream) != st["rows"]:
+            return None
+        out.append(stream)
+    return out
+
+
+def _row_index_inner(raw: bytes, column: str, walked=None, streams=None):
+    if walked is None:
+        walked = _orc_column_stripes(raw, column, want_index=True)
     if walked is None:
         return None
     kind, stripes = walked
@@ -1324,9 +1394,12 @@ def _row_index_inner(raw: bytes, column: str):
     if extras is None or extras[0] is None or not extras[0]:
         return None
     stride, file_stats = extras
+    if streams is None:
+        streams = _stripe_row_streams(kind, stripes)
+    if streams is None or len(streams) != len(stripes):
+        return None
     out = []
-    all_rows: list = []
-    for st in stripes:
+    for st, stream in zip(stripes, streams):
         ri = st.get("row_index")
         if ri is None:
             return None
@@ -1344,10 +1417,6 @@ def _row_index_inner(raw: bytes, column: str):
         arity = len(entries[0][0])
         if any(len(positions) != arity for positions, _ in entries):
             return None
-        stream = _stripe_row_stream(kind, st)
-        if stream is None or len(stream) != rows:
-            return None
-        all_rows.extend(stream)
         s_min = s_max = None
         for i, (_, blob) in enumerate(entries):
             group = stream[i * stride : (i + 1) * stride]
@@ -1369,8 +1438,20 @@ def _row_index_inner(raw: bytes, column: str):
     root_subs, root_names = types[0][1], types[0][2]
     col_id = root_subs[root_names.index(column)]
     if col_id < len(file_stats):
-        if _audit_group_stats(file_stats[col_id], kind, all_rows) is None:
+        whole = [v for s in streams for v in s]  # transient, not retained
+        if _audit_group_stats(file_stats[col_id], kind, whole) is None:
             return None
+    # ... and the Metadata section's per-STRIPE statistics (the middle
+    # tier planners use to skip whole stripes) — audited per stripe
+    # when the writer emitted a metadata section
+    sstats = _orc_stripe_stats(raw)
+    if sstats is not None:
+        if len(sstats) != len(streams):
+            return None
+        for cols, stream in zip(sstats, streams):
+            if col_id < len(cols):
+                if _audit_group_stats(cols[col_id], kind, stream) is None:
+                    return None
     return out or None
 
 
@@ -1508,6 +1589,12 @@ def _parse_bloom_index(blob: bytes):
                 bitset = bval
         if k is None or bitset is None:
             return None
+        if not 0 < k <= 64:
+            # orc-java derives k from the fpp (always single digits;
+            # hard-capped well under 64) — a huge varint here is a
+            # hostile file trying to turn the probe loop into a hang.
+            # Degrade-don't-die: refuse, don't spin.
+            return None
         filters.append((k, bitset))
     return filters or None
 
@@ -1530,8 +1617,9 @@ def read_orc_bloom_filter(raw: bytes, column: str):
         return None
 
 
-def _bloom_inner(raw: bytes, column: str):
-    walked = _orc_column_stripes(raw, column)
+def _bloom_inner(raw: bytes, column: str, walked=None, streams=None):
+    if walked is None:
+        walked = _orc_column_stripes(raw, column, want_index=True)
     if walked is None:
         return None
     kind, stripes = walked
@@ -1541,8 +1629,12 @@ def _bloom_inner(raw: bytes, column: str):
     if extras is None or extras[0] is None or not extras[0]:
         return None
     stride = extras[0]
+    if streams is None:
+        streams = _stripe_row_streams(kind, stripes)
+    if streams is None or len(streams) != len(stripes):
+        return None
     out = []
-    for st in stripes:
+    for st, stream in zip(stripes, streams):
         bf = st.get("bloom_utf8")
         if bf is None:
             return None
@@ -1551,9 +1643,6 @@ def _bloom_inner(raw: bytes, column: str):
             return None
         rows = st["rows"]
         if len(filters) != -(-rows // stride):
-            return None
-        stream = _stripe_row_stream(kind, st)
-        if stream is None or len(stream) != rows:
             return None
         checked = 0
         for i, (k, bitset) in enumerate(filters):
@@ -1571,6 +1660,30 @@ def _bloom_inner(raw: bytes, column: str):
                 checked += 1
         out.append({"filters": len(filters), "checked": checked})
     return out or None
+
+
+def read_orc_index_and_bloom(raw: bytes, column: str):
+    """Both index-region audits over ONE decode: walk the footer and
+    decompress/decode the column's streams once, then run the
+    row-index audit (:func:`read_orc_row_index`) and the bloom audit
+    (:func:`read_orc_bloom_filter`) on the shared state — the decode
+    dominates the cost, so the combined key pays it once, not twice.
+    Returns ``(row_index_audit, bloom_audit)`` or None if EITHER
+    refuses. Never raises."""
+    try:
+        walked = _orc_column_stripes(raw, column, want_index=True)
+        if walked is None:
+            return None
+        streams = _stripe_row_streams(walked[0], walked[1])
+        if streams is None:
+            return None
+        idx = _row_index_inner(raw, column, walked=walked, streams=streams)
+        bloom = _bloom_inner(raw, column, walked=walked, streams=streams)
+        if idx is None or bloom is None:
+            return None
+        return idx, bloom
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -2030,11 +2143,10 @@ def scan_orc_raw_rowindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                idx = read_orc_row_index(raw, "doc_id")
-                bloom = read_orc_bloom_filter(raw, "doc_id")
-                if idx is None or bloom is None:
+                both = read_orc_index_and_bloom(bytes(content), "doc_id")
+                if both is None:
                     continue  # degrade: a dropped file fails the hash
+                idx, bloom = both
                 if len(bloom) != len(idx) or any(
                     b["filters"] != d["entries"] for b, d in zip(bloom, idx)
                 ):

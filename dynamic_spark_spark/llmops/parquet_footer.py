@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
-from dynamic_spark_spark.sources.readers import load_table
 
 _MAX_DEPTH = 24
 
@@ -206,17 +205,15 @@ def scan_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:mod:`fixtures`), so the returned plan stays lazy."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        staged_fixture_dir,
+        write_documents_by_p8_parquet,
+    )
 
-    def write(path: str) -> None:
-        d = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text", (F.col("doc_id") % 8).alias("p")
-        )
-        d.repartition(8, "p").write.mode("overwrite").partitionBy("p").parquet(
-            path
-        )
-
-    out = staged_fixture_dir(spark, sf_dir, "footer", write)
+    out = staged_fixture_dir(
+        spark, sf_dir, "footer",
+        lambda path: write_documents_by_p8_parquet(spark, sf_dir, path),
+    )
     files = spark.read.format("binaryFile").load(
         out + "/p=*/", pathGlobFilter="*.parquet"
     ).select("path", "content")

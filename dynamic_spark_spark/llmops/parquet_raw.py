@@ -2359,6 +2359,11 @@ def _page_index_inner(raw: bytes, column: str):
         _CONV_UINT_32, _CONV_UINT_64,
     ):
         return None  # logical order != carrier order: refuse, don't guess
+    if typ == _T_BYTE_ARRAY and info.converted == _CONV_DECIMAL:
+        # DECIMAL-over-binary stats order by SIGNED decimal value (a
+        # negative mantissa's two's-complement bytes start 0xFF…),
+        # not the unsigned-byte order this audit checks — refuse
+        return None
     chunks = _index_walk(raw)
     if chunks is None:
         return None
@@ -2926,17 +2931,15 @@ def scan_parquet_raw_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        staged_fixture_dir,
+        write_documents_by_p8_parquet,
+    )
 
-    def write(path: str) -> None:
-        d = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text", (F.col("doc_id") % 8).alias("p")
-        )
-        d.repartition(8, "p").write.mode("overwrite").partitionBy("p").parquet(
-            path
-        )
-
-    out = staged_fixture_dir(spark, sf_dir, "footer", write)
+    out = staged_fixture_dir(
+        spark, sf_dir, "footer",
+        lambda path: write_documents_by_p8_parquet(spark, sf_dir, path),
+    )
     files = spark.read.format("binaryFile").load(
         out + "/p=*/", pathGlobFilter="*.parquet"
     ).select("path", "content")

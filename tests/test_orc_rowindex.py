@@ -95,7 +95,7 @@ def test_rowindex_tamper_stats_refused():
     t = pa.table({"x": pa.array(range(20000), pa.int64())})
     raw = _write(t, compression="uncompressed")
     assert read_orc_row_index(raw, "x") is not None
-    stripes = _orc_column_stripes(raw, "x")[1]
+    stripes = _orc_column_stripes(raw, "x", want_index=True)[1]
     # the uncompressed ROW_INDEX stream sits verbatim in the file: find
     # it and flip bytes — each flip must either refuse or leave the
     # audited answer intact (a flip may land in unparsed padding)
@@ -115,6 +115,32 @@ def test_rowindex_tamper_stats_refused():
     assert intact < len(range(0, len(ri), 7)) // 2
 
 
+def test_stripe_stats_audited_and_tamper_refused():
+    # the Metadata section (per-STRIPE statistics) is part of the same
+    # audit: corrupting it must refuse even when the row index is clean
+    from dynamic_spark_spark.llmops.orc_raw import _orc_stripe_stats
+
+    t = pa.table({"x": pa.array(range(20000), pa.int64())})
+    raw = _write(t, compression="uncompressed")
+    sstats = _orc_stripe_stats(raw)
+    assert sstats is not None and len(sstats) >= 1
+    assert read_orc_row_index(raw, "x") is not None
+    blob = sstats[0][1]  # column id 1 = x
+    off = raw.find(blob)
+    assert off > 0
+    caught = 0
+    for delta in range(len(blob)):
+        b = bytearray(raw)
+        b[off + delta] ^= 0x10
+        got = read_orc_row_index(bytes(b), "x")
+        if got is None:
+            caught += 1
+        else:
+            rows, gmin, gmax = _global(got)
+            assert (rows, gmin, gmax) == (20000, 0, 19999)
+    assert caught > 0
+
+
 def test_bloom_zero_false_negatives_and_fp_sanity():
     xs = [i - 15000 for i in range(30000)]  # negatives, zero, positives
     ss = [f"w-{i % 313}" for i in range(30000)]
@@ -126,7 +152,7 @@ def test_bloom_zero_false_negatives_and_fp_sanity():
         assert sum(d["checked"] for d in audit) == 30000
     # absent values mostly test negative (fpp 0.05): the filter is not
     # just all-ones
-    stripes = _orc_column_stripes(raw, "x")[1]
+    stripes = _orc_column_stripes(raw, "x", want_index=True)[1]
     k, bits = _parse_bloom_index(stripes[0]["bloom_utf8"])[0]
     fp = sum(
         1 for v in range(10**9, 10**9 + 200)
@@ -139,7 +165,7 @@ def test_bloom_tamper_cleared_bit_refused():
     t = pa.table({"x": pa.array(range(20000), pa.int64())})
     raw = _write(t, compression="uncompressed", bloom_filter_columns=[1])
     assert read_orc_bloom_filter(raw, "x") is not None
-    stripes = _orc_column_stripes(raw, "x")[1]
+    stripes = _orc_column_stripes(raw, "x", want_index=True)[1]
     bf = stripes[0]["bloom_utf8"]
     off = raw.find(bf)
     assert off > 0
