@@ -71,7 +71,13 @@ GUARD_ANCHOR_MIN_SEC = 7.739  # BENCH_r04.json parsed.min_total_sec
 #: (they now carry per-key anchors), so the TOTAL anchor re-bases to
 #: the best of the committed 18-key r13b quiet trio; the 13-key 8.876
 #: basis is kept below for cross-era artifact comparisons.
-GUARD_EXTENDED_ANCHOR_MIN_SEC = 10.192
+#: r13d: the two index-audit keys (scan_parquet_raw_pageindex /
+#: scan_orc_raw_rowindex) joined the set — re-based to the best of the
+#: committed 20-key r13d quiet trio (same rule: the total anchor only
+#: compares runs of the same set; per-key anchors stay
+#: best-recorded-wins across ALL quiet artifacts).
+GUARD_EXTENDED_ANCHOR_MIN_SEC = 12.21
+GUARD_EXTENDED_ANCHOR_MIN_SEC_R13B_18KEY = 10.192  # historical (18-key set)
 GUARD_EXTENDED_ANCHOR_MIN_SEC_R13_13KEY = 8.876  # historical (13-key set)
 GUARD_EXTENDED_ANCHOR_MIN_SEC_R12 = 11.656  # historical (r12 trio basis)
 GUARD_EXTENDED_ANCHOR_MIN_SEC_R4 = 4.610  # historical (old 9-key set, r4 box)
@@ -217,7 +223,7 @@ def guard_verdict(
 #: quietness gate (loadavg<1, calibration + per-key cross-run spread
 #: bands — tests/test_bench_guard.py).
 PER_KEY_ANCHOR_MIN_SEC = {
-    "agg_groupby_multi": 0.486,
+    "agg_groupby_multi": 0.439,
     "join_inner": 0.358,
     "join_asof": 0.29,
     "win_rank": 0.397,
@@ -256,6 +262,9 @@ PER_KEY_ANCHOR_MIN_SEC = {
     "scan_orc_raw_nested": 0.385,
     "scan_warc_http_charsets": 0.273,
     "scan_orc_raw_struct": 0.228,
+    # first anchors for the two r13d index-audit keys
+    "scan_parquet_raw_pageindex": 0.269,
+    "scan_orc_raw_rowindex": 0.243,
 }
 
 
@@ -333,6 +342,11 @@ EXTENDED = [
     "scan_orc_raw_nested",
     "scan_warc_http_charsets",
     "scan_orc_raw_struct",
+    # r13 continuation: the index-audit twins join the mix so they
+    # carry per-key regression anchors — first anchors minted by the
+    # r13d quiet trio
+    "scan_parquet_raw_pageindex",
+    "scan_orc_raw_rowindex",
 ]
 
 
