@@ -1227,9 +1227,14 @@ def _orc_stripe_stats(raw: bytes):
     """The Metadata section (PostScript.metadataLength, field 5 —
     sandwiched between the stripes and the footer) → one list of
     per-column ColumnStatistics blobs PER STRIPE, or None when the
-    writer wrote no metadata section. This is the middle level of
-    ORC's three-tier statistics story (row group → stripe → file);
-    planners use it to skip whole stripes without touching them."""
+    writer wrote NO metadata section (mlen absent/0). A section the
+    PostScript ADVERTISES but that fails to decompress/parse — or
+    parses to zero StripeStatistics — raises instead: 'absent' and
+    'erased by tampering' must not look the same to the audit (a
+    one-byte flip of the outer protobuf tag would otherwise skip the
+    whole stripe tier silently). This is the middle level of ORC's
+    three-tier statistics story (row group → stripe → file); planners
+    use it to skip whole stripes without touching them."""
     if not raw or len(raw) < 4:
         return None
     ps_len = raw[-1]
@@ -1246,14 +1251,14 @@ def _orc_stripe_stats(raw: bytes):
         elif fid == 5 and wt == 0:
             mlen = val
     if flen is None or not mlen:
-        return None
+        return None  # genuinely absent: the writer wrote no section
     end = len(raw) - 1 - ps_len - flen
     start = end - mlen
     if start < 0:
-        return None
+        raise ValueError("metadata section overruns the file")
     meta = _orc_stream_bytes(raw[start:end], comp)
     if meta is None:
-        return None
+        raise ValueError("metadata section fails to decompress")
     stripes = []
     for fid, wt, val in proto_fields(meta):
         if fid == 1 and wt == 2:  # StripeStatistics
@@ -1261,7 +1266,9 @@ def _orc_stripe_stats(raw: bytes):
                 v for f2, w2, v in proto_fields(val) if f2 == 1 and w2 == 2
             ]
             stripes.append(cols)
-    return stripes or None
+    if not stripes:
+        raise ValueError("advertised metadata carries no StripeStatistics")
+    return stripes
 
 
 def _parse_row_index(blob: bytes):
@@ -1437,47 +1444,83 @@ def _row_index_inner(raw: bytes, column: str, walked=None, streams=None):
     _comp, _stripes, types = meta
     root_subs, root_names = types[0][1], types[0][2]
     col_id = root_subs[root_names.index(column)]
+    # per-stripe actuals computed ONCE feed both the stripe tier and
+    # the file tier — no flattened whole-column copy (the streams are
+    # already retained for the shared bloom pass)
+    stripe_actuals = [_group_actuals(kind, s) for s in streams]
     if col_id < len(file_stats):
-        whole = [v for s in streams for v in s]  # transient, not retained
-        if _audit_group_stats(file_stats[col_id], kind, whole) is None:
+        mins = [a[2] for a in stripe_actuals if a[2] is not None]
+        total = (
+            sum(a[0] for a in stripe_actuals),
+            any(a[1] for a in stripe_actuals),
+            min(mins) if mins else None,
+            max(a[3] for a in stripe_actuals if a[3] is not None)
+            if mins else None,
+        )
+        if _check_stats(file_stats[col_id], kind, total) is None:
             return None
     # ... and the Metadata section's per-STRIPE statistics (the middle
     # tier planners use to skip whole stripes) — audited per stripe
-    # when the writer emitted a metadata section
+    # when the writer emitted a metadata section (an ADVERTISED but
+    # unparseable section raises inside _orc_stripe_stats → refusal)
     sstats = _orc_stripe_stats(raw)
     if sstats is not None:
         if len(sstats) != len(streams):
             return None
-        for cols, stream in zip(sstats, streams):
+        for cols, actuals in zip(sstats, stripe_actuals):
             if col_id < len(cols):
-                if _audit_group_stats(cols[col_id], kind, stream) is None:
+                if _check_stats(cols[col_id], kind, actuals) is None:
                     return None
     return out or None
+
+
+def _group_actuals(kind: int, group: list):
+    """What a group of rows ACTUALLY contains, in ColumnStatistics
+    terms: ``(n_non_null, had_null, mn, mx)`` — min/max exclude NaN
+    (writers do), None when no comparable value exists."""
+    n_non_null = 0
+    had_null = False
+    mn = mx = None
+    for v in group:
+        if v is None:
+            had_null = True
+            continue
+        n_non_null += 1
+        if kind in (5, 6) and v != v:
+            continue  # NaN never becomes min/max
+        if mn is None or v < mn:
+            mn = v
+        if mx is None or v > mx:
+            mx = v
+    return n_non_null, had_null, mn, mx
+
+
+def _check_stats(blob: bytes, kind: int, actuals):
+    """One ColumnStatistics blob vs the actuals of the rows it claims
+    to describe → ``(min, max)`` (None for all-null/all-NaN) or None
+    on any disagreement."""
+    n_non_null, had_null, amn, amx = actuals
+    n, has_null, lo, hi = _parse_orc_statistics(blob, kind)
+    if n is None or n != n_non_null:
+        return None
+    if has_null is not None and has_null != had_null:
+        return None
+    if n_non_null == 0:
+        if lo[0] is not None or hi[0] is not None:
+            return None
+        return (None, None)
+    if amn is None:
+        return (None, None)  # all-NaN group: writer min/max undefined
+    if not _bounded_minmax_check(lo, hi, amn, amx, kind):
+        return None
+    return (amn, amx)
 
 
 def _audit_group_stats(blob: bytes, kind: int, group: list):
     """One ColumnStatistics blob vs the rows it claims to describe →
     ``(group_min, group_max)`` (None for all-null) or None on any
     disagreement."""
-    n, has_null, lo, hi = _parse_orc_statistics(blob, kind)
-    non_null = [v for v in group if v is not None]
-    if n is None or n != len(non_null):
-        return None
-    if has_null is not None and has_null != (len(non_null) != len(group)):
-        return None
-    if not non_null:
-        if lo[0] is not None or hi[0] is not None:
-            return None
-        return (None, None)
-    nn = non_null
-    if kind in (5, 6):
-        nn = [v for v in nn if v == v]  # NaN never becomes min/max
-        if not nn:
-            return (None, None)  # all-NaN group: writer min/max undefined
-    amn, amx = min(nn), max(nn)
-    if not _bounded_minmax_check(lo, hi, amn, amx, kind):
-        return None
-    return (amn, amx)
+    return _check_stats(blob, kind, _group_actuals(kind, group))
 
 
 # ---------------------------------------------------------------------------
@@ -1589,11 +1632,13 @@ def _parse_bloom_index(blob: bytes):
                 bitset = bval
         if k is None or bitset is None:
             return None
-        if not 0 < k <= 64:
-            # orc-java derives k from the fpp (always single digits;
-            # hard-capped well under 64) — a huge varint here is a
-            # hostile file trying to turn the probe loop into a hang.
-            # Degrade-don't-die: refuse, don't spin.
+        if not 0 < k <= 256:
+            # orc-java derives k ≈ log2(1/fpp) with no hard cap of its
+            # own, but every practically-configurable fpp lands in
+            # single digits (even fpp=1e-20 → k≈66). 256 keeps the
+            # anti-hang guard — a huge varint here is a hostile file
+            # trying to turn the probe loop into a spin — without
+            # refusing any file a real writer config can produce.
             return None
         filters.append((k, bitset))
     return filters or None

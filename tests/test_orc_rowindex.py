@@ -141,6 +141,29 @@ def test_stripe_stats_audited_and_tamper_refused():
     assert caught > 0
 
 
+def test_stripe_stats_framing_tamper_refused():
+    # an ADVERTISED metadata section whose protobuf framing is erased
+    # (outer tag flip) must refuse, not silently skip the stripe tier:
+    # 'absent' and 'erased by tampering' are different things
+    from dynamic_spark_spark.llmops.orc_raw import proto_fields
+
+    t = pa.table({"x": pa.array(range(20000), pa.int64())})
+    raw = _write(t, compression="uncompressed")
+    ps_len = raw[-1]
+    flen = mlen = None
+    for fid, wt, val in proto_fields(raw[-1 - ps_len : -1]):
+        if fid == 1 and wt == 0:
+            flen = val
+        elif fid == 5 and wt == 0:
+            mlen = val
+    assert mlen
+    end = len(raw) - 1 - ps_len - flen
+    start = end - mlen
+    b = bytearray(raw)
+    b[start] = 0x12  # outer StripeStatistics tag 0x0A -> unknown field
+    assert read_orc_row_index(bytes(b), "x") is None
+
+
 def test_bloom_zero_false_negatives_and_fp_sanity():
     xs = [i - 15000 for i in range(30000)]  # negatives, zero, positives
     ss = [f"w-{i % 313}" for i in range(30000)]
