@@ -62,6 +62,12 @@ of a Spark-written, snappy-compressed parquet file:
       — parquet-mr writes both by default, so every Spark-written
       fixture is checksummed end to end on every read.
 
+    → SPLIT-BLOCK BLOOM FILTERS (r13): each chunk's BloomFilterHeader
+      + bitset (BloomFilter.md) held to zero false negatives under
+      the spec's exact scheme — xxhash64 seed 0 over the value's
+      PLAIN encoding, multiply-shift block pick, eight salted word
+      probes — via :func:`read_parquet_bloom_filter`.
+
 Out of scope, refused explicitly: LZO/BROTLI/legacy-LZ4 codecs.
 
 Every layer is an independent re-implementation forced to agree with
@@ -87,6 +93,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.llmops.parquet_footer import _Compact
+from dynamic_spark_spark.llmops.zstd import xxh64
 from dynamic_spark_spark.registry import query
 from dynamic_spark_spark.sources.readers import load_table
 
@@ -1787,6 +1794,43 @@ def read_parquet_column(raw: bytes, column: str):
         return None
 
 
+def _decode_chunk_values(raw: bytes, codec: int, num_values: int,
+                         page_off: int, typ: int, optional: bool,
+                         tlen: int, allow_dict: bool):
+    """One column chunk's non-null values in row order — the page walk
+    (dictionary page → data pages, routed by each page's declared
+    encoding) shared by the general flat reader and the bloom-filter
+    audit (which needs PER-CHUNK values: one filter per chunk)."""
+    dictionary = None
+    got = 0
+    pos = page_off
+    values: list = []
+    while got < num_values:
+        pg = _parse_page_header(raw, pos)
+        if pg is None:
+            return None
+        pos = pg.body + pg.comp
+        if pg.ptype == 2:  # dictionary page: PLAIN entries
+            if not allow_dict:
+                return None
+            body = raw[pg.body : pg.body + pg.comp]
+            if len(body) < pg.comp:
+                return None
+            data = _codec_decompress(codec, body, pg.uncomp)
+            if data is None or len(data) != pg.uncomp:
+                return None
+            dictionary = _plain_decode(typ, data, pg.n_vals, tlen)
+            if dictionary is None:
+                return None
+            continue
+        vals = _page_values(pg, raw, codec, typ, optional, dictionary, tlen)
+        if vals is None:
+            return None
+        values.extend(vals)
+        got += pg.n_vals
+    return values
+
+
 def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
                         only_type: int | None = None, walked=None):
     if walked is None:  # callers that already walked the footer pass it
@@ -1811,33 +1855,11 @@ def _read_general_inner(raw: bytes, column: str, allow_dict: bool,
     for codec, num_values, page_off, path in chunks:
         if path != column:
             continue
-        dictionary = None
-        got = 0
-        pos = page_off
-        while got < num_values:
-            pg = _parse_page_header(raw, pos)
-            if pg is None:
-                return None
-            pos = pg.body + pg.comp
-            if pg.ptype == 2:  # dictionary page: PLAIN entries
-                if not allow_dict:
-                    return None
-                body = raw[pg.body : pg.body + pg.comp]
-                if len(body) < pg.comp:
-                    return None
-                data = _codec_decompress(codec, body, pg.uncomp)
-                if data is None or len(data) != pg.uncomp:
-                    return None
-                dictionary = _plain_decode(typ, data, pg.n_vals, tlen)
-                if dictionary is None:
-                    return None
-                continue
-            vals = _page_values(pg, raw, codec, typ, optional, dictionary,
-                                tlen)
-            if vals is None:
-                return None
-            values.extend(vals)
-            got += pg.n_vals
+        got = _decode_chunk_values(raw, codec, num_values, page_off, typ,
+                                   optional, tlen, allow_dict)
+        if got is None:
+            return None
+        values.extend(got)
     if info.logical == _LOGICAL_FLOAT16:
         # FLOAT16 (r13): FLBA(2) cells are IEEE half floats — surface
         # floats here like FLOAT/DOUBLE do, not raw 2-byte cells. The
@@ -2167,6 +2189,7 @@ def _chunk_index_info(c: _Compact):
         "path": None, "codec": None, "num_values": None,
         "data_off": None, "dict_off": None,
         "oi_off": None, "oi_len": None, "ci_off": None, "ci_len": None,
+        "bloom_off": None, "bloom_len": None,
     }
     last = 0
     while True:
@@ -2207,6 +2230,10 @@ def _chunk_index_info(c: _Compact):
                     info["data_off"] = c.zigzag()
                 elif mfid == 11 and mtype == 6:
                     info["dict_off"] = c.zigzag()
+                elif mfid == 14 and mtype == 6:
+                    info["bloom_off"] = c.zigzag()
+                elif mfid == 15 and mtype == 5:
+                    info["bloom_len"] = c.zigzag()
                 else:
                     c.skip(mtype, 0)
         else:
@@ -2455,6 +2482,166 @@ def _page_index_inner(raw: bytes, column: str):
         out.append(
             {"pages": n_pages, "rows": rows, "min": mn_all, "max": mx_all}
         )
+    return out or None
+
+
+# ---------------------------------------------------------------------------
+# bloom filters (split-block bloom — parquet-format BloomFilter.md)
+# ---------------------------------------------------------------------------
+
+#: the eight odd SBBF salt constants (BloomFilter.md §Algorithm) — one
+#: per 32-bit word of a 256-bit block
+_SBBF_SALT = (
+    0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+    0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+)
+
+
+def _parse_bloom_header(raw: bytes, off: int):
+    """BloomFilterHeader at ``off`` → ``(num_bytes, bitset_start)`` or
+    None. The three union fields must be the only defined variants —
+    BLOCK / XXHASH / UNCOMPRESSED (field id 1 in each union) — and
+    ``numBytes`` must be a sane multiple of the 32-byte block size
+    (hostile sizes refuse rather than allocate)."""
+    c = _Compact(raw, off)
+    num_bytes = None
+    alg = hashk = compk = None
+    last = 0
+    while True:
+        fid, wt = c.field_header(last)
+        if wt == 0:
+            break
+        last = fid
+        if fid == 1 and wt == 5:
+            num_bytes = c.zigzag()
+        elif fid in (2, 3, 4) and wt == 12:  # the three unions
+            inner_last = 0
+            variant = None
+            while True:
+                ifid, iwt = c.field_header(inner_last)
+                if iwt == 0:
+                    break
+                inner_last = ifid
+                variant = ifid
+                c.skip(iwt, 0)
+            if fid == 2:
+                alg = variant
+            elif fid == 3:
+                hashk = variant
+            else:
+                compk = variant
+        else:
+            c.skip(wt, 0)
+    if num_bytes is None or (alg, hashk, compk) != (1, 1, 1):
+        return None
+    if num_bytes < 32 or num_bytes % 32 or num_bytes > PAGE_CAP:
+        return None
+    if c.pos + num_bytes > len(raw):
+        return None
+    return num_bytes, c.pos
+
+
+def _sbbf_test(bitset: bytes, num_bytes: int, h: int) -> bool:
+    """Split-block membership: the top 32 hash bits pick the block
+    (multiply-shift — no modulo bias), the low 32 bits drive all eight
+    word probes through the salt multipliers; bit ``(x*salt_i)>>27``
+    of little-endian word i must be set."""
+    bi = ((h >> 32) * (num_bytes // 32)) >> 32
+    block = bitset[bi * 32 : bi * 32 + 32]
+    x = h & 0xFFFFFFFF
+    for i in range(8):
+        bit = ((x * _SBBF_SALT[i]) & 0xFFFFFFFF) >> 27
+        w = int.from_bytes(block[i * 4 : i * 4 + 4], "little")
+        if not (w >> bit) & 1:
+            return False
+    return True
+
+
+def _bloom_plain_bytes(typ: int, v, tlen: int):
+    """A value's PLAIN encoding — what parquet-mr feeds xxhash64
+    (BloomFilter.md: 'the plain encoding of the value'). None refuses
+    the type (BOOLEAN/INT96 carry no bloom filters)."""
+    if typ == _T_INT32:
+        return struct.pack("<i", v)
+    if typ == _T_INT64:
+        return struct.pack("<q", v)
+    if typ == _T_FLOAT:
+        return struct.pack("<f", v)
+    if typ == _T_DOUBLE:
+        return struct.pack("<d", v)
+    if typ == _T_BYTE_ARRAY:
+        return v  # raw bytes, no length prefix
+    if typ == _T_FIXED and tlen and isinstance(v, bytes) and len(v) == tlen:
+        return v
+    return None
+
+
+def read_parquet_bloom_filter(raw: bytes, column: str):
+    """Read AND audit a flat column's split-block bloom filters with no
+    parquet library: parse each chunk's BloomFilterHeader (thrift
+    unions pinned to BLOCK/XXHASH/UNCOMPRESSED) at
+    ``ColumnMetaData.bloom_filter_offset`` and hold the bitset to the
+    one property a bloom filter must never violate — ZERO FALSE
+    NEGATIVES: every non-null value actually in the chunk must test
+    positive under the spec's exact scheme (xxhash64 seed 0 over the
+    value's plain encoding, multiply-shift block pick, eight salted
+    word probes). Returns per-chunk ``{"bytes": n, "checked": m}`` or
+    None on a missing filter, unsupported variant, or any false
+    negative. Never raises. parquet-mr only writes filters for chunks
+    that are not fully dictionary-encoded (the dictionary already
+    answers membership exactly) — absent filters refuse, so callers
+    pick fixtures accordingly."""
+    try:
+        return _pq_bloom_inner(raw, column)
+    except Exception:
+        return None
+
+
+def _pq_bloom_inner(raw: bytes, column: str):
+    walked = _footer_walk(raw)
+    if walked is None:
+        return None
+    schema = walked[0]
+    info = schema.get(column)
+    if info is None or not info.flat:
+        return None
+    typ, optional, tlen = info.typ, info.optional, info.tlen
+    chunks = _index_walk(raw)
+    if chunks is None:
+        return None
+    out = []
+    for ch in chunks:
+        if ch["path"] != column:
+            continue
+        if ch["bloom_off"] is None or ch["codec"] is None \
+                or ch["num_values"] is None:
+            return None
+        hdr = _parse_bloom_header(raw, ch["bloom_off"])
+        if hdr is None:
+            return None
+        num_bytes, start = hdr
+        if ch["bloom_len"] is not None and (
+            start - ch["bloom_off"]
+        ) + num_bytes != ch["bloom_len"]:
+            return None  # the footer's length claim must match the header
+        bitset = raw[start : start + num_bytes]
+        page_off = (ch["dict_off"] if ch["dict_off"] is not None
+                    else ch["data_off"])
+        if page_off is None:
+            return None
+        vals = _decode_chunk_values(raw, ch["codec"], ch["num_values"],
+                                    page_off, typ, optional, tlen, True)
+        if vals is None:
+            return None
+        checked = 0
+        for v in vals:
+            pb = _bloom_plain_bytes(typ, v, tlen)
+            if pb is None:
+                return None
+            if not _sbbf_test(bitset, num_bytes, xxh64(pb)):
+                return None  # a false negative: the filter lies
+            checked += 1
+        out.append({"bytes": num_bytes, "checked": checked})
     return out or None
 
 
@@ -2965,4 +3152,69 @@ def scan_parquet_raw_pageindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("idx_min").alias("idx_min"),
         F.max("idx_max").alias("idx_max"),
         F.sum("idx_rows").alias("idx_rows"),
+    )
+
+
+_RAW_BLOOM_ORACLE = """
+SELECT doc_id % 8 AS p,
+  CAST(COUNT(*) AS BIGINT) AS bloom_rows
+FROM documents GROUP BY doc_id % 8
+"""
+
+
+@query("scan_parquet_raw_bloom", _RAW_BLOOM_ORACLE, tag="scan")
+def scan_parquet_raw_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SPLIT-BLOCK BLOOM FILTERS, read raw and held to account
+    (r13 — completing the pruning-metadata audit triad alongside
+    ``scan_parquet_raw_pageindex`` and ``scan_orc_raw_rowindex``):
+    Spark writes the documents table partitioned by ``doc_id % 8``
+    with ``parquet.bloom.filter.enabled#doc_id`` (dictionary encoding
+    off, so parquet-mr actually emits the filters — a fully
+    dict-encoded chunk answers membership exactly and legitimately
+    skips them), and each chunk's BloomFilterHeader + bitset is parsed
+    from the bytes with no parquet library and held to the
+    zero-false-negative property under the spec's exact scheme:
+    xxhash64 (seed 0, this repo's own pure implementation — the same
+    one the zstd tier validates checksums with) over each value's
+    PLAIN encoding, multiply-shift block pick, eight salted 32-bit
+    word probes (:func:`read_parquet_bloom_filter`). The key answers
+    COUNT per partition by counting the values the filter admits — a
+    single lying bitset drops the file and fails the hash. Per-file
+    mapInPandas; the only exchange carries 8 partition aggregates;
+    lazy returned plan."""
+    import pandas as pd
+
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+
+    def write(path: str) -> None:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", (F.col("doc_id") % 8).alias("p")
+        )
+        (
+            d.repartition(8, "p").write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.bloom.filter.enabled#doc_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#doc_id", "50000")
+            .partitionBy("p").parquet(path)
+        )
+
+    out = staged_fixture_dir(spark, sf_dir, "pqbloom", write)
+    files = spark.read.format("binaryFile").load(
+        out + "/p=*/", pathGlobFilter="*.parquet"
+    ).select("path", "content")
+
+    def audit(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                chunks = read_parquet_bloom_filter(bytes(content), "doc_id")
+                if chunks is None:
+                    continue  # degrade: a dropped file fails the hash
+                pval = int(path.split("p=")[1].split("/")[0])
+                rows.append((pval, sum(ch["checked"] for ch in chunks)))
+            yield pd.DataFrame(rows, columns=["p", "bloom_rows"])
+
+    per_file = files.mapInPandas(audit, "p long, bloom_rows long")
+    return per_file.groupBy("p").agg(
+        F.sum("bloom_rows").alias("bloom_rows"),
     )

@@ -373,7 +373,7 @@ _PRIORITY = [
     "scan_orc_raw_nested", "scan_warc_http_charsets",
     # round 13
     "scan_orc_raw_struct", "scan_parquet_raw_pageindex",
-    "scan_orc_raw_rowindex",
+    "scan_orc_raw_rowindex", "scan_parquet_raw_bloom",
 ]
 
 # Final priority: the explicit round-3 window first, then everything else in

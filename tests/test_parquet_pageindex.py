@@ -207,6 +207,61 @@ def test_pageindex_generative(ints, use_dict, version, comp, page):
         assert gmin is None and gmax is None
 
 
+def test_parquet_bloom_sparkwritten(spark, tmp_path):
+    # parquet-mr is the only in-sandbox writer of split-block bloom
+    # filters; the audit must hold on its layout: zero false negatives
+    # over every value, honest refusal where no filter exists, and
+    # refusal when a bitset byte is cleared
+    from dynamic_spark_spark.llmops.parquet_raw import (
+        _parse_bloom_header,
+        _sbbf_test,
+        read_parquet_bloom_filter,
+    )
+    from dynamic_spark_spark.llmops.zstd import xxh64
+    import struct
+
+    out = str(tmp_path / "bloom")
+    (
+        spark.range(0, 20000)
+        .selectExpr("id AS doc_id", "concat('t-', id % 911) AS s")
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "20000")
+        .parquet(out)
+    )
+    import glob
+
+    f = glob.glob(out + "/*.parquet")[0]
+    raw = open(f, "rb").read()
+    audit = read_parquet_bloom_filter(raw, "doc_id")
+    assert audit is not None
+    assert sum(ch["checked"] for ch in audit) == 20000
+    # no filter was requested for s: honest refusal
+    assert read_parquet_bloom_filter(raw, "s") is None
+    # fp sanity: absent values mostly test negative (ndv-sized filter)
+    ch = next(c for c in _index_walk(raw) if c["path"] == "doc_id")
+    nb, start = _parse_bloom_header(raw, ch["bloom_off"])
+    bits = raw[start : start + nb]
+    fp = sum(
+        1 for v in range(10**9, 10**9 + 300)
+        if _sbbf_test(bits, nb, xxh64(struct.pack("<q", v)))
+    )
+    assert fp < 90
+    # tamper: clearing a set bitset byte must surface a false negative
+    refused = 0
+    probes = 0
+    for delta in range(0, nb, max(nb // 64, 1)):
+        if raw[start + delta] == 0:
+            continue
+        probes += 1
+        b = bytearray(raw)
+        b[start + delta] = 0
+        if read_parquet_bloom_filter(bytes(b), "doc_id") is None:
+            refused += 1
+    assert probes > 0 and refused > probes // 2
+
+
 def test_pageindex_sparkwritten(spark, tmp_path):
     # parquet-mr writes both the page index and per-page CRCs by
     # default; the same audit chain must hold on its layout

@@ -432,7 +432,8 @@ def test_pageindex_audit_single_aggregate_exchange(spark, sf_dir):
     aggregates — the per-file work is all map-side and the shuffle is
     constant-size no matter how many files the corpus has."""
     q = load_all_queries()
-    for key in ("scan_parquet_raw_pageindex", "scan_orc_raw_rowindex"):
+    for key in ("scan_parquet_raw_pageindex", "scan_orc_raw_rowindex",
+                "scan_parquet_raw_bloom"):
         plan = _plan(q[key](spark, sf_dir))
         assert "MapInPandas" in plan and "binaryFile" in plan, (key, plan)
         assert plan.count("Exchange") <= 2, (key, plan)  # partial+final agg
