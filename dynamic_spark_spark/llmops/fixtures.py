@@ -39,14 +39,16 @@ def _cleanup_all() -> None:
     _STAGED.clear()
 
 
-def write_documents_by_p8_parquet(spark, sf_dir: str, path: str) -> None:
-    """THE ``"footer"`` fixture writer — documents partitioned by
-    ``doc_id % 8`` as default-settings parquet. Shared by
-    ``scan_parquet_footer`` and ``scan_parquet_raw_pageindex``: the
+def write_documents_by_p8_parquet(spark, sf_dir: str, path: str,
+                                  options: dict | None = None) -> None:
+    """THE documents-by-``doc_id % 8`` parquet fixture writer. Shared
+    by ``scan_parquet_footer`` and ``scan_parquet_raw_pageindex``
+    (fixture ``"footer"``, no options) and ``scan_parquet_raw_bloom``
+    (fixture ``"pqbloom"``, writer options for the bloom filters): the
     staging cache keys by NAME only and first-writer-wins, so every
-    key that stages under ``"footer"`` must write through this ONE
-    function (two drifting copies would make the staged layout depend
-    on key execution order)."""
+    key staging a given name must write through this ONE function —
+    drifting copies would make the staged layout depend on key
+    execution order."""
     from pyspark.sql import functions as F
 
     from dynamic_spark_spark.sources.readers import load_table
@@ -54,9 +56,10 @@ def write_documents_by_p8_parquet(spark, sf_dir: str, path: str) -> None:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 8).alias("p")
     )
-    d.repartition(8, "p").write.mode("overwrite").partitionBy("p").parquet(
-        path
-    )
+    w = d.repartition(8, "p").write.mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.partitionBy("p").parquet(path)
 
 
 def staged_fixture_dir(spark, sf_dir: str, name: str, write) -> str:

@@ -2633,6 +2633,13 @@ def _pq_bloom_inner(raw: bytes, column: str):
                                     page_off, typ, optional, tlen, True)
         if vals is None:
             return None
+        if typ in (_T_FLOAT, _T_DOUBLE) and any(v != v for v in vals):
+            # the writer hashed the value's ORIGINAL plain bytes; a
+            # non-canonical NaN does not bit-round-trip through a
+            # Python float, so its repacked hash could miss the filter
+            # on a truthful file — refuse NaN-carrying float chunks
+            # rather than mis-report them
+            return None
         checked = 0
         for v in vals:
             pb = _bloom_plain_bytes(typ, v, tlen)
@@ -3184,21 +3191,19 @@ def scan_parquet_raw_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        staged_fixture_dir,
+        write_documents_by_p8_parquet,
+    )
 
-    def write(path: str) -> None:
-        d = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text", (F.col("doc_id") % 8).alias("p")
-        )
-        (
-            d.repartition(8, "p").write.mode("overwrite")
-            .option("parquet.enable.dictionary", "false")
-            .option("parquet.bloom.filter.enabled#doc_id", "true")
-            .option("parquet.bloom.filter.expected.ndv#doc_id", "50000")
-            .partitionBy("p").parquet(path)
-        )
-
-    out = staged_fixture_dir(spark, sf_dir, "pqbloom", write)
+    out = staged_fixture_dir(
+        spark, sf_dir, "pqbloom",
+        lambda path: write_documents_by_p8_parquet(spark, sf_dir, path, {
+            "parquet.enable.dictionary": "false",
+            "parquet.bloom.filter.enabled#doc_id": "true",
+            "parquet.bloom.filter.expected.ndv#doc_id": "50000",
+        }),
+    )
     files = spark.read.format("binaryFile").load(
         out + "/p=*/", pathGlobFilter="*.parquet"
     ).select("path", "content")

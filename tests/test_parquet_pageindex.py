@@ -248,18 +248,27 @@ def test_parquet_bloom_sparkwritten(spark, tmp_path):
         if _sbbf_test(bits, nb, xxh64(struct.pack("<q", v)))
     )
     assert fp < 90
-    # tamper: clearing a set bitset byte must surface a false negative
+    # tamper: clearing a set bitset byte must surface a false negative.
+    # The decoded values and their hashes are tamper-invariant, so hash
+    # once and probe the tampered bitset directly — same property,
+    # without re-running the full audit per flip
+    hashes = [xxh64(struct.pack("<q", v)) for v in range(20000)]
+    assert all(_sbbf_test(bits, nb, h) for h in hashes)
     refused = 0
     probes = 0
     for delta in range(0, nb, max(nb // 64, 1)):
-        if raw[start + delta] == 0:
+        if bits[delta] == 0:
             continue
         probes += 1
-        b = bytearray(raw)
-        b[start + delta] = 0
-        if read_parquet_bloom_filter(bytes(b), "doc_id") is None:
+        tampered = bits[:delta] + b"\x00" + bits[delta + 1 :]
+        if not all(_sbbf_test(tampered, nb, h) for h in hashes):
             refused += 1
     assert probes > 0 and refused > probes // 2
+    # and the full audit path refuses one representative tamper
+    first_set = next(d for d in range(nb) if bits[d])
+    b = bytearray(raw)
+    b[start + first_set] = 0
+    assert read_parquet_bloom_filter(bytes(b), "doc_id") is None
 
 
 def test_pageindex_sparkwritten(spark, tmp_path):
