@@ -76,7 +76,10 @@ GUARD_ANCHOR_MIN_SEC = 7.739  # BENCH_r04.json parsed.min_total_sec
 #: committed 20-key r13d quiet trio (same rule: the total anchor only
 #: compares runs of the same set; per-key anchors stay
 #: best-recorded-wins across ALL quiet artifacts).
-GUARD_EXTENDED_ANCHOR_MIN_SEC = 12.21
+#: r13e: the parquet bloom audit completed the pruning-metadata triad
+#: — re-based to the best of the committed 21-key r13e quiet trio.
+GUARD_EXTENDED_ANCHOR_MIN_SEC = 13.954
+GUARD_EXTENDED_ANCHOR_MIN_SEC_R13D_20KEY = 12.21  # historical (20-key set)
 GUARD_EXTENDED_ANCHOR_MIN_SEC_R13B_18KEY = 10.192  # historical (18-key set)
 GUARD_EXTENDED_ANCHOR_MIN_SEC_R13_13KEY = 8.876  # historical (13-key set)
 GUARD_EXTENDED_ANCHOR_MIN_SEC_R12 = 11.656  # historical (r12 trio basis)
@@ -265,6 +268,8 @@ PER_KEY_ANCHOR_MIN_SEC = {
     # first anchors for the two r13d index-audit keys
     "scan_parquet_raw_pageindex": 0.269,
     "scan_orc_raw_rowindex": 0.243,
+    # ... and the r13e bloom-audit key
+    "scan_parquet_raw_bloom": 0.332,
 }
 
 
@@ -347,6 +352,9 @@ EXTENDED = [
     # r13d quiet trio
     "scan_parquet_raw_pageindex",
     "scan_orc_raw_rowindex",
+    # ... and the parquet bloom audit completes the pruning-metadata
+    # triad (first anchor: the r13e quiet trio)
+    "scan_parquet_raw_bloom",
 ]
 
 
