@@ -62,6 +62,25 @@ def write_documents_by_p8_parquet(spark, sf_dir: str, path: str,
     w.partitionBy("p").parquet(path)
 
 
+def fixture_parallelism(spark) -> int:
+    """Output-file count for staged fixtures: the session's scheduling
+    width (``local[N]`` → N). Fixture synthesis previously inherited
+    the INPUT table's layout — the sf parquet inputs are single-file,
+    single-row-group at every bench scale — so the per-file
+    mapInPandas decode stage (the entire timed cost of the raw-audit
+    keys) ran on one or two of the box's cores. Writing the fixture at
+    the session's own parallelism gives the binary scan one file per
+    scheduler slot: Spark's split packing caps the split size near
+    ``totalBytes / defaultParallelism`` (each file also charged
+    ``openCostInBytes``), which lands at about one small file per
+    task. The decode then scales with however many cores the driver
+    actually granted — adaptive, not a local[32] constant. At genuine
+    audit scale the staging step does not exist at all (input corpora
+    are already many-file), so this only changes the synthesized
+    layout toward the realistic one."""
+    return max(1, spark.sparkContext.defaultParallelism)
+
+
 def staged_fixture_dir(spark, sf_dir: str, name: str, write) -> str:
     """Return a directory holding the fixture ``name`` for ``sf_dir``,
     writing it via ``write(path)`` on first use in this Spark

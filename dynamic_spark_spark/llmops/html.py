@@ -895,6 +895,34 @@ FROM documents
 """
 
 
+
+def _staged_docs(spark: SparkSession, sf_dir: str):
+    """``(doc_id, text)`` staged as a MULTI-FILE parquet copy (one file
+    per scheduler slot, :func:`fixtures.fixture_parallelism`) and
+    re-scanned. The sf inputs are single-file, single-row-group
+    parquet, so a scan feeding a heavy mapInPandas ran its entire
+    Python synthesis+decode on ONE core; re-staging the same rows at
+    the session's width gives the map stage one task per core with
+    ZERO exchange in the returned plan (the round-trip work itself is
+    untouched and still runs per invocation — only the input layout
+    changes, once per session). At crawl scale the input is already
+    many WARC shards, so the bench layout now matches the real one."""
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
+
+    def write(path: str) -> None:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        d.repartition(fixture_parallelism(spark)).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    return spark.read.parquet(
+        staged_fixture_dir(spark, sf_dir, "warcdocs", write)
+    )
+
+
 @query("scan_warc_http_payloads", _WARC_HTTP_ORACLE, tag="llm-crawl")
 def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTTP layer inside crawl records, decoded for real: each
@@ -912,7 +940,7 @@ def scan_warc_http_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dynamic_spark_spark.llmops.zstd import zstd_compress_real_many
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _staged_docs(spark, sf_dir)
 
     def roundtrip(batches):
         def chunkify(b: bytes) -> bytes:
@@ -1255,7 +1283,7 @@ def scan_warc_http_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas, zero shuffle."""
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _staged_docs(spark, sf_dir).select(
         "doc_id",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
         F.regexp_replace(

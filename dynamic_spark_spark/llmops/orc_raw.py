@@ -1756,13 +1756,21 @@ def scan_orc_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-staged fixture (:mod:`fixtures`), lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", ((F.col("doc_id") * 37) % 99991).alias("val")
         )
-        d.write.mode("overwrite").option("compression", "none").orc(path)
+        (
+            d.repartition(fixture_parallelism(spark))
+            .write.mode("overwrite")
+            .option("compression", "none")
+            .orc(path)
+        )
 
     out = staged_fixture_dir(spark, sf_dir, "orccol", write)
     files = spark.read.format("binaryFile").load(
@@ -1805,11 +1813,16 @@ def scan_orc_raw_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture, lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        d.write.mode("overwrite").orc(path)  # DEFAULT codec (zstd in Spark 4)
+        d.repartition(fixture_parallelism(spark)).write.mode(
+            "overwrite"
+        ).orc(path)  # DEFAULT codec (zstd in Spark 4)
 
     out = staged_fixture_dir(spark, sf_dir, "orctable", write)
     files = spark.read.format("binaryFile").load(
@@ -1949,13 +1962,18 @@ def scan_orc_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; session-staged fixture, lazy plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
-        d.write.mode("overwrite").orc(path)  # DEFAULT codec (zstd, Spark 4)
+        d.repartition(fixture_parallelism(spark)).write.mode(
+            "overwrite"
+        ).orc(path)  # DEFAULT codec (zstd, Spark 4)
 
     out = staged_fixture_dir(spark, sf_dir, "orcnested", write)
     files = spark.read.format("binaryFile").load(
@@ -2042,7 +2060,10 @@ def scan_orc_raw_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     over binaryFile, zero shuffle; session-staged fixture, lazy plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         doc_id = F.col("doc_id")
@@ -2063,7 +2084,9 @@ def scan_orc_raw_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("b"), F.col("n_chars").cast("double"),
             )).alias("m"),
         )
-        d.write.mode("overwrite").orc(path)  # writer 1: Spark (orc-java)
+        d.repartition(fixture_parallelism(spark)).write.mode(
+            "overwrite"
+        ).orc(path)  # writer 1: Spark (orc-java)
         # writer 2: liborc's 0.11-era layouts (RLEv1 ints, v1 string
         # dictionaries) for a deterministic subset — model-sized, and
         # the only toPandas in this tier (the subset is 1/17th of
@@ -2166,7 +2189,10 @@ def scan_orc_raw_rowindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select(

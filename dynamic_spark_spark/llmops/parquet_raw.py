@@ -2677,12 +2677,16 @@ def scan_parquet_raw_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas pipeline, streamed by the caller's action."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         (
-            d.write.mode("overwrite")
+            d.repartition(fixture_parallelism(spark))
+            .write.mode("overwrite")
             .option("compression", "snappy")
             .option("parquet.enable.dictionary", "false")
             .parquet(path)
@@ -2729,7 +2733,10 @@ def scan_parquet_raw_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; session-staged fixture, lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2778,11 +2785,19 @@ def scan_parquet_raw_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; session-staged fixture, lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        d.write.mode("overwrite").option("compression", "snappy").parquet(path)
+        (
+            d.repartition(fixture_parallelism(spark))
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(path)
+        )
 
     out = staged_fixture_dir(spark, sf_dir, "rawtable", write)
     files = spark.read.format("binaryFile").load(
@@ -2840,7 +2855,10 @@ def scan_parquet_raw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture, lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         li = load_table(spark, sf_dir, "lineitem").select(
@@ -2850,7 +2868,12 @@ def scan_parquet_raw_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("float").alias("price_f32"),
             (F.col("l_returnflag") == "R").alias("is_return"),
         )
-        li.write.mode("overwrite").option("compression", "snappy").parquet(path)
+        (
+            li.repartition(fixture_parallelism(spark))
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(path)
+        )
 
     out = staged_fixture_dir(spark, sf_dir, "rawnum", write)
     files = spark.read.format("binaryFile").load(
@@ -2956,13 +2979,21 @@ def scan_parquet_raw_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle; session-staged fixture, lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
-        d.write.mode("overwrite").option("compression", "snappy").parquet(path)
+        (
+            d.repartition(fixture_parallelism(spark))
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(path)
+        )
 
     out = staged_fixture_dir(spark, sf_dir, "rawnested", write)
     files = spark.read.format("binaryFile").load(
@@ -3030,7 +3061,10 @@ def scan_parquet_raw_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas, zero shuffle; session-staged fixture, lazy plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
+    from dynamic_spark_spark.llmops.fixtures import (
+        fixture_parallelism,
+        staged_fixture_dir,
+    )
 
     def write(path: str) -> None:
         li = load_table(spark, sf_dir, "lineitem").select(
@@ -3042,7 +3076,9 @@ def scan_parquet_raw_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = spark.conf.get(conf)
         spark.conf.set(conf, "INT96")
         try:
-            li.write.mode("overwrite").parquet(path)
+            li.repartition(fixture_parallelism(spark)).write.mode(
+                "overwrite"
+            ).parquet(path)
         finally:
             spark.conf.set(conf, prev)
 
