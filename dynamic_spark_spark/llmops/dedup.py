@@ -277,25 +277,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency cap on shingles (stopword-shingle hot buckets), and the pair
     count accumulates via one groupBy — never an all-pairs cross join.
 
-    The shingle set feeds three consumers (sizes, df-cap, self-join), so it
-    is persisted once instead of re-exploding the corpus three times; at
-    cluster scale this would be a checkpoint to durable storage."""
+    The df-capped inverted index feeds two consumers (sizes, pair
+    expansion), so it is persisted once instead of re-exploding the corpus;
+    at cluster scale this would be a checkpoint to durable storage."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).persist()
-    rare = sh.join(
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= MAX_SHINGLE_DF),
-        "sh",
-    ).persist()
+    # ONE pass builds the df-capped inverted index (same move as
+    # dedup_containment): collect_set(doc_id) per shingle IS the distinct
+    # posting list, its size IS the df, and the cap is a filter on it —
+    # replacing the previous persist-the-whole-shingle-stream +
+    # sh ⋈ sh.groupBy(sh) + rare ⋈ rare chain (three exchanges and a
+    # corpus-sized cache) with one groupBy(sh) exchange and an ARRAY-side
+    # pair expansion bounded by MAX_SHINGLE_DF². Identical pair multiset:
+    # joining on sh with a.doc_id < b.doc_id emits exactly the in-list
+    # ordered pairs per shingle. _shingles(distinct=False) because
+    # collect_set dedups (doc, sh) itself.
+    inv = (
+        _shingles(docs, distinct=False)
+        .groupBy("sh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") <= MAX_SHINGLE_DF)
+        .persist()
+    )
     # Doc sizes come from the SAME df-capped universe as the intersection —
     # numerator and denominator must agree or Jaccard is systematically
     # underestimated for documents rich in common (capped-out) shingles and
     # true near-dups silently miss the >=0.5 cutoff. This is "capped
     # Jaccard": similarity over rare shingles only, consistent on both sides.
-    doc_sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = rare.alias("a"), rare.alias("b")
+    doc_sizes = (
+        inv.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        inv.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = doc_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -925,23 +949,43 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("w") - (CONTAIN_N - 1)),
         lambda i: F.array_join(F.slice("w", i, CONTAIN_N), " "),
     )
-    grams = (
+    # ONE pass builds the df-capped inverted index: collect_set(doc_id) per
+    # gram IS the distinct-doc posting list, its size IS the df, and the cap
+    # is a filter on it — so the exploded gram stream needs no distinct
+    # exchange, no groupBy-df side, and no grams ⋈ df join (the previous
+    # form evaluated the whole gram-construction subtree TWICE — the two
+    # heaviest stages in the stage profile — and exchanged the stream three
+    # times). Candidate pairs then expand ARRAY-side from each capped
+    # posting list (bounded by CONTAIN_MAX_DF² — same argument as
+    # lsh_candidate_pairs), replacing the rare ⋈ rare self-join: identical
+    # pair multiset, since joining on g with a.doc_id < b.doc_id emits
+    # exactly the in-list ordered pairs per gram.
+    inv = (
         d.select("doc_id", w.alias("w"))
         .where(F.size("w") >= CONTAIN_N)
         .select("doc_id", F.explode(grams_arr).alias("g"))
-        .distinct()
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") <= CONTAIN_MAX_DF)
+        .persist()
     )
-    rare = grams.join(
-        grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= CONTAIN_MAX_DF)
-        .select("g"),
-        "g",
-    ).persist()
-    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    a, b = rare.alias("a"), rare.alias("b")
+    sizes = (
+        inv.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        inv.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("n_a"))
