@@ -83,7 +83,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         grams(toks.where(F.col("doc_id") < BENCH_DOCS)).select("gram").distinct()
     )
-    corp = grams(toks.where(F.col("doc_id") >= BENCH_DOCS))
+    # rebalance BEFORE the gram fan-out (the dedup._normalized move): the
+    # corpus arrives in however few splits the input file has — a compact
+    # single-row-group file means the whole gram build + broadcast probe,
+    # the dominant stage, runs on one core. One small shuffle of the token
+    # arrays spreads it across the session's width.
+    corp = grams(
+        toks.where(F.col("doc_id") >= BENCH_DOCS).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     return (
         corp.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
