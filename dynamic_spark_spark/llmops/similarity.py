@@ -143,9 +143,17 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
+    # rebalance the corpus side before the scoring fan-out: the |q|×|corpus|
+    # HOF dot-product folds are the whole cost of this key, and they ran on
+    # the input file's split count (one task for a compact single-row-group
+    # file). One small shuffle of the vectors spreads the scoring across the
+    # session's width; values are untouched.
     scored = (
         F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("q_id"))
+        .join(
+            e.repartition(spark.sparkContext.defaultParallelism),
+            F.col("vec_id") != F.col("q_id"),
+        )
         .select(
             "q_id",
             "vec_id",
