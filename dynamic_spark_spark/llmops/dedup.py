@@ -22,7 +22,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dynamic_spark_spark.registry import QUERIES, query
+from dynamic_spark_spark.registry import query
 from dynamic_spark_spark.sources.readers import load_table
 
 #: minhash permutations and LSH banding (b bands × r rows = k hashes).
@@ -373,22 +373,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       O(log diameter) rounds instead of O(diameter), which is what makes
       band-linked star chains tractable.
 
-    The driver loop only ever reads a per-round *changed count* (a scalar),
-    never data; each round is two equi-joins + a min-agg keyed by node,
+    The driver loop only ever reads a per-round *total* (a scalar), never
+    data; each round is two equi-joins + a min-agg keyed by node,
     proportional to the candidate-edge set, not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    return _cc_labels(spark, docs).select(
+        F.col("node").alias("doc_id"),
+        "comp",
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+def _cc_labels(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Converged min-label connected components over the MinHash-LSH
+    candidate-pair graph of ``docs`` (the ``dedup_clusters`` docstring
+    documents the algorithm and its scale posture). Returns the unsorted
+    (node, comp) label table, localCheckpoint-backed."""
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # Fused round 0: starting from identity labels, the first neighbor-min
+    # round computes exactly min({node} ∪ neighbors) per node — so
+    # initialize there directly (one agg over edges, replacing the
+    # distinct) and save a full two-join round.
     labels = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("comp"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("node"), F.least("src", "m").alias("comp"))
         .localCheckpoint()
     )
-    changed = 0
+
+    def _label_total(lbl: DataFrame):
+        # Min-label propagation is monotone: comp only ever decreases, so
+        # Σ comp is unchanged between rounds iff NO label changed — an
+        # exact convergence test that costs one agg over checkpointed data
+        # instead of the old new⋈old join + count. decimal(38,0) keeps the
+        # sum exact at any node count (long would wrap).
+        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    total = _label_total(labels)
+    converged = False
+    prev_labels = labels
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -413,19 +440,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()  # eager: materializes AND truncates lineage
         )
+        new_total = _label_total(new_labels)
+        prev_labels = labels
+        labels = new_labels
+        if new_total == total:
+            converged = True
+            break
+        total = new_total
+    if not converged:
+        # Even with pointer jumping, a pathological graph could exceed the
+        # bound; a silent exit would return split components — one true
+        # duplicate group labeled as several. Surface it. (The changing-label
+        # count is only computed here, on the pathological path — the hot
+        # loop never pays for the join.)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            labels.alias("n")
+            .join(prev_labels.alias("o"), "node")
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # Even with pointer jumping, a pathological graph could exceed the
-        # bound; a silent exit would return split components — one true
-        # duplicate group labeled as several. Surface it.
         warnings.warn(
             f"dedup_clusters: label propagation did not converge within "
             f"{CC_MAX_ITERS} rounds ({changed} labels still changing); "
@@ -433,11 +466,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        "comp",
-        (F.col("node") == F.col("comp")).alias("is_canonical"),
-    ).orderBy("doc_id")
+    return labels
 
 
 _INCREMENTAL_ORACLE = r"""
@@ -578,8 +607,14 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor per cluster, and it is a max-length member."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    clusters = QUERIES["dedup_clusters"](spark, sf_dir).select("doc_id", "comp")
+    docs_full = load_table(spark, sf_dir, "documents")
+    docs = docs_full.select("doc_id", "n_chars")
+    # consume the label table directly: the doc_id ordering dedup_clusters
+    # guarantees its own consumers is useless under the joins below and
+    # would cost a range exchange (twice — clusters is referenced twice).
+    clusters = _cc_labels(spark, docs_full).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
     scored = clusters.join(docs, "doc_id")
     w = Window.partitionBy("comp").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
