@@ -519,9 +519,22 @@ def mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("source", n_tok.alias("t")).groupBy("source").agg(
         F.sum("t").cast("bigint").alias("n_tokens")
     )
-    targets = d.sparkSession.createDataFrame(
-        [(s, w) for s, w in EPOCH_TARGETS.items()], "source string, target_w double"
-    )
+    # JVM-literal target table (explode of a literal struct array):
+    # createDataFrame over a Python list is a pickled-row RDD whose every
+    # scan spawns defaultParallelism Python workers for 4 rows
+    targets = d.sparkSession.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("source"),
+                        F.lit(float(w)).alias("target_w"),
+                    )
+                    for s, w in EPOCH_TARGETS.items()
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.source", "kv.target_w")
     epochs = F.least(
         F.lit(float(MAX_EPOCHS)),
         F.round(F.col("target_w") * F.col("total") / F.col("n_tokens"), 6),

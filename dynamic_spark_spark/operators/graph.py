@@ -334,7 +334,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .persist()
     )
-    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, hops int")
+    # JVM-literal seed: createDataFrame over a Python list builds a
+    # pickled-row RDD sliced defaultParallelism ways, and every scan of it
+    # (three in the first round) spawned a full width of Python workers
+    # just to unpickle one row — measured as 32-task stages of ~0.3-2.5 s
+    # pure wait. A SQL literal is a driver-local Project, no Python at all.
+    dist = spark.sql(
+        f"SELECT '{BFS_SOURCE}' AS node, CAST(0 AS INT) AS hops"
+    )
     frontier = dist
     # domain²-bounded frontier: size the per-hop shuffle to the graph
     with scoped_conf(spark, spark_sql_shuffle_partitions="8"):

@@ -21,12 +21,6 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from dynamic_spark_spark.registry import query
 from dynamic_spark_spark.sources.readers import (
@@ -83,14 +77,14 @@ def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def values_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal in-memory rows (analog of ``sc.parallelize``,
-    ``ScalaSparkTest.java:190,233``)."""
-    schema = StructType(
-        [
-            StructField("id", IntegerType(), True),
-            StructField("name", StringType(), True),
-        ]
+    ``ScalaSparkTest.java:190,233``). A SQL VALUES literal, not
+    ``createDataFrame`` over a Python list: the latter builds a pickled-row
+    RDD sliced defaultParallelism ways, so every evaluation spawned a full
+    width of Python workers to unpickle three rows."""
+    return spark.sql(
+        "SELECT CAST(id AS INT) AS id, name FROM"
+        " (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)"
     )
-    return spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "gamma")], schema)
 
 
 _SQL_VIEW_QUERY = """

@@ -89,8 +89,13 @@ def agg_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("depth", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    probes = spark.createDataFrame(
-        [(k,) for k in _CMS_PROBES], "probe_key bigint"
+    # JVM-literal probe set (explode of a literal array): createDataFrame
+    # over a Python list is a pickled-row RDD whose every scan spawns
+    # defaultParallelism Python workers for a handful of rows
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(k)).cast("long") for k in _CMS_PROBES])
+        ).alias("probe_key")
     )
     pkey = F.col("probe_key")
     probe_buckets = F.array(*[_cms_bucket_col(pkey, a, b) for a, b in _CMS_ROWS])
@@ -182,8 +187,11 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    probes = spark.createDataFrame(
-        [(k,) for k in _BLOOM_PROBES], "probe_key bigint"
+    # JVM-literal probe set — same rationale as the count-min probes above
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(int(k)).cast("long") for k in _BLOOM_PROBES])
+        ).alias("probe_key")
     )
     pkey = F.col("probe_key")
     probe_bits = probes.select(

@@ -536,8 +536,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # the target dir is removed in finally, so materialize the (tiny,
-        # |event_type|-bounded) aggregate before returning
-        return spark.createDataFrame(final.collect(), final.schema)
+        # |event_type|-bounded) aggregate before returning; rebuild through
+        # pandas/Arrow (LocalTableScan) rather than a Python-list RDD whose
+        # scan would spawn defaultParallelism Python workers
+        import pandas as pd
+
+        rows = final.collect()
+        pdf = pd.DataFrame(rows, columns=final.schema.names)
+        return spark.createDataFrame(pdf, schema=final.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
