@@ -60,9 +60,20 @@ def llm_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias("n_tokens"),
     )
     gated = scored.where(F.col("n_tokens").between(MIN_WORDS, MAX_WORDS))
-    deduped = gated.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    # keep-min dedup as ONE aggregation: the survivor of a digest group is
+    # its min-doc_id row, so min_by fetches that row's payload in the same
+    # pass — the groupBy+self-join form evaluated the whole scan+md5+
+    # tokenize subtree twice (the two consumers shuffle on different keys,
+    # so no exchange reuse), and at 100 TB that is two corpus passes.
+    # doc_id is unique, so min_by's tie behavior is unreachable and the
+    # surviving (lang, n_tokens) pair is exactly the joined row's.
     kept = (
-        gated.join(deduped, ["digest", "doc_id"])
+        gated.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(F.struct("lang", "n_tokens"), "doc_id").alias("s"),
+        )
+        .select("digest", "doc_id", "s.lang", "s.n_tokens")
         .where(F.col("lang").isin("en", "de", "fr"))
         .where(F.substring("digest", 32, 1).isin(*SAMPLE_CHARS))
     )
