@@ -1756,21 +1756,21 @@ def scan_orc_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-staged fixture (:mod:`fixtures`), lazy returned plan."""
     import pandas as pd
 
-    from dynamic_spark_spark.llmops.fixtures import (
-        fixture_parallelism,
-        staged_fixture_dir,
-    )
+    from dynamic_spark_spark.llmops.fixtures import staged_fixture_dir
 
     def write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", ((F.col("doc_id") * 37) % 99991).alias("val")
         )
-        (
-            d.repartition(fixture_parallelism(spark))
-            .write.mode("overwrite")
-            .option("compression", "none")
-            .orc(path)
-        )
+        # SINGLE file on purpose, unlike the other staged audit fixtures
+        # (fixtures.fixture_parallelism): this two-int-column projection
+        # is ~6 KB at sf0.1, so a 32-way split buys 32 tasks of pure
+        # scheduling/python-batch overhead and 4-8x footer bloat.
+        # Measured interleaved min-of-5 at sf0.1: 1 file 0.218 s,
+        # 32 round-robin files 0.382 s, 32 range-sorted files 0.394 s —
+        # the multi-file layouts also break the monotonic doc_id runs
+        # this key exists to audit (the writer delta-encodes them).
+        d.write.mode("overwrite").option("compression", "none").orc(path)
 
     out = staged_fixture_dir(spark, sf_dir, "orccol", write)
     files = spark.read.format("binaryFile").load(
