@@ -1347,11 +1347,102 @@ def _zstd_cli_path():
     return shutil.which("zstd")
 
 
+_LIBZSTD_UNPROBED = object()
+_libzstd_handle_obj: object = _LIBZSTD_UNPROBED
+#: ZSTD_cParameter enum values (zstd.h, stable public API since v1.4.0)
+_ZSTD_C_COMPRESSION_LEVEL = 100
+_ZSTD_C_CHECKSUM_FLAG = 201
+
+
+def libzstd_handle():
+    """ctypes handle to the real libzstd shared library, prototyped for
+    the one-shot compression entry points, or None. Probed once per
+    interpreter (same import-gated posture as the native decode seam and
+    the jpeg/brotli backends); absence is a supported state — synthesis
+    falls back to the CLI, then to this module's own encoder.
+
+    Only the stable public API is bound (ZSTD_createCCtx /
+    ZSTD_CCtx_setParameter / ZSTD_compress2 / ZSTD_compressBound /
+    ZSTD_isError, all v1.4.0+); a library missing any symbol probes as
+    absent rather than half-working."""
+    global _libzstd_handle_obj
+    if _libzstd_handle_obj is _LIBZSTD_UNPROBED:
+        import ctypes
+
+        lib = None
+        for name in ("libzstd.so.1", "libzstd.so", "libzstd.1.dylib",
+                     "libzstd.dylib"):
+            try:
+                lib = ctypes.CDLL(name)
+                break
+            except OSError:
+                lib = None
+        if lib is not None:
+            try:
+                lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+                lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+                lib.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+                lib.ZSTD_CCtx_setParameter.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ]
+                lib.ZSTD_compress2.restype = ctypes.c_size_t
+                lib.ZSTD_compress2.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_char_p, ctypes.c_size_t,
+                ]
+                lib.ZSTD_compressBound.restype = ctypes.c_size_t
+                lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+                lib.ZSTD_isError.restype = ctypes.c_uint
+                lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+            except AttributeError:
+                lib = None
+        _libzstd_handle_obj = lib
+    return _libzstd_handle_obj
+
+
+def _libzstd_compress_many(payloads: list[bytes], level: int):
+    """Compress each payload into its own frame via the in-process
+    libzstd, or None when the library is absent or errors. Frames carry
+    the content checksum (the CLI's default), so the decode side does
+    the same verification work regardless of which real-libzstd writer
+    produced the fixture. One CCtx serves the whole batch — created and
+    freed per call, so concurrent callers never share mutable state."""
+    lib = libzstd_handle()
+    if lib is None:
+        return None
+    import ctypes
+
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:
+        return None
+    try:
+        if lib.ZSTD_isError(
+            lib.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_COMPRESSION_LEVEL, level)
+        ) or lib.ZSTD_isError(
+            lib.ZSTD_CCtx_setParameter(cctx, _ZSTD_C_CHECKSUM_FLAG, 1)
+        ):
+            return None
+        out = []
+        for p in payloads:
+            bound = lib.ZSTD_compressBound(len(p))
+            buf = ctypes.create_string_buffer(bound)
+            n = lib.ZSTD_compress2(cctx, buf, bound, p, len(p))
+            if lib.ZSTD_isError(n):
+                return None
+            out.append(buf.raw[:n])
+        return out
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+
+
 def zstd_compress_real(data: bytes, level: int = 3) -> bytes:
-    """Compress with the REAL zstd CLI when one is installed, this
-    module's encoder otherwise — the one shared writer path for every
-    key/probe that wants genuine libzstd streams (three call sites
-    previously each carried the subprocess/fallback block)."""
+    """Compress with REAL libzstd when available — in-process via the
+    ctypes seam first (zero spawn/file overhead), the CLI second — and
+    this module's own encoder otherwise: the one shared writer path for
+    every key/probe that wants genuine libzstd streams."""
+    got = _libzstd_compress_many([data], level)
+    if got is not None:
+        return got[0]
     cli = _zstd_cli_path()
     if cli is not None:
         import subprocess
@@ -1647,16 +1738,28 @@ def zstd_compress_real_many_tagged(
     payloads: list[bytes], level: int = 3
 ) -> tuple[str, list[bytes]]:
     """Batch form of :func:`zstd_compress_real` that also REPORTS which
-    encoder produced the frames: ``("cli", frames)`` when the real zstd
-    CLI wrote them, ``("pure", frames)`` when this module's own encoder
-    did. The marker exists because the two outcomes prove different
-    claims — "the decoder reads real libzstd output" vs "the decoder
-    round-trips its own encoder" — and a silent fallback (the r11
-    verdict finding) let the weaker claim wear the stronger label.
-    Only the CLI's real failure modes (missing binary, spawn errors,
-    nonzero exit) trigger the fallback; anything else propagates."""
+    encoder produced the frames: ``("lib", frames)`` when the in-process
+    libzstd (ctypes seam) wrote them, ``("cli", frames)`` when the real
+    zstd CLI did, ``("pure", frames)`` when this module's own encoder
+    did. ``lib`` and ``cli`` both mean genuine libzstd output — the lib
+    tier exists because one CLI spawn per batch still paid ~1.5 ms of
+    per-FILE process/VFS overhead (measured: 1,664 small payloads =
+    2.6 s CLI vs 0.02 s in-process, identical decode both ways), which
+    was the dominant cost of `scan_warc_http_payloads` (guide §4.2: do
+    the heavy lifting in native code, no per-call spawns). The marker
+    exists because lib/cli vs pure prove different claims — "the decoder
+    reads real libzstd output" vs "the decoder round-trips its own
+    encoder" — and a silent fallback (the r11 verdict finding) let the
+    weaker claim wear the stronger label. Only real failure modes
+    (library/binary absent, ZSTD error codes, spawn errors, nonzero
+    exit) trigger fallback; anything else propagates."""
     if not payloads:
+        if libzstd_handle() is not None:
+            return "lib", []
         return ("cli" if _zstd_cli_path() else "pure"), []
+    got = _libzstd_compress_many(payloads, level)
+    if got is not None:
+        return "lib", got
     cli = _zstd_cli_path()
     if cli is not None:
         import subprocess
@@ -1685,16 +1788,18 @@ def zstd_compress_real_many_tagged(
 
 
 def zstd_compress_real_many(payloads: list[bytes], level: int = 3) -> list[bytes]:
-    """Frames-only form of :func:`zstd_compress_real_many_tagged` (ONE
-    CLI spawn for N payloads — per-row spawns made fixture synthesis the
-    dominant cost of the 100× probes)."""
+    """Frames-only form of :func:`zstd_compress_real_many_tagged` (one
+    in-process libzstd call per payload, or ONE CLI spawn for N payloads
+    when the library is absent — per-row spawns made fixture synthesis
+    the dominant cost of the 100× probes)."""
     return zstd_compress_real_many_tagged(payloads, level)[1]
 
 
 def zstd_synthesis_mode(level: int = 3) -> str:
     """One-shot probe of which encoder fixture synthesis would use RIGHT
-    NOW on this host: ``"cli"`` or ``"pure"``. bench.py records it in
-    the guard artifact so the "proves real libzstd output" claim of
+    NOW on this host: ``"lib"``, ``"cli"`` (both genuine libzstd) or
+    ``"pure"``. bench.py records it in the guard artifact so the
+    "proves real libzstd output" claim of
     `scan_text_zst`/`scan_tzst_members`/`scan_warc_http_payloads` is
     auditable from the artifact alone (local mode: driver and executors
     share the host, so the probe's answer is the executors' answer)."""

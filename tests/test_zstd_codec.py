@@ -563,11 +563,33 @@ def test_dictionary_frames_decode(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_synthesis_marker_cli_when_cli_present():
+def test_synthesis_marker_lib_when_library_present():
+    """The in-process libzstd tier wins when the shared library loads;
+    its frames are genuine libzstd output — the CLI itself must decode
+    them, and they carry the content checksum like CLI-written frames."""
+    from dynamic_spark_spark.llmops import zstd as z
+
+    if z.libzstd_handle() is None:
+        pytest.skip("no libzstd shared library on this box")
+    mode, frames = z.zstd_compress_real_many_tagged([b"alpha", b"beta"])
+    assert mode == "lib"
+    assert [z.zstd_decompress_concat(f) for f in frames] == [b"alpha", b"beta"]
+    assert frames[0][4] & 0x4  # frame-header descriptor: checksum bit
+    assert z.zstd_synthesis_mode() == "lib"
+    if z._zstd_cli_path() is not None:
+        got = subprocess.run(
+            [z._zstd_cli_path(), "-d", "-c"], input=frames[0],
+            capture_output=True, check=True,
+        ).stdout
+        assert got == b"alpha"
+
+
+def test_synthesis_marker_cli_when_library_absent(monkeypatch):
     from dynamic_spark_spark.llmops import zstd as z
 
     if z._zstd_cli_path() is None:
         pytest.skip("no zstd CLI on this box")
+    monkeypatch.setattr(z, "libzstd_handle", lambda: None)
     mode, frames = z.zstd_compress_real_many_tagged([b"alpha", b"beta"])
     assert mode == "cli"
     assert [z.zstd_decompress_concat(f) for f in frames] == [b"alpha", b"beta"]
@@ -577,6 +599,7 @@ def test_synthesis_marker_cli_when_cli_present():
 def test_synthesis_marker_flips_without_cli(monkeypatch):
     from dynamic_spark_spark.llmops import zstd as z
 
+    monkeypatch.setattr(z, "libzstd_handle", lambda: None)
     monkeypatch.setattr(z, "_zstd_cli_path", lambda: None)
     mode, frames = z.zstd_compress_real_many_tagged([b"alpha"])
     assert mode == "pure"
@@ -593,6 +616,8 @@ def test_synthesis_marker_flips_on_cli_failure(monkeypatch):
     if z._zstd_cli_path() is None:
         pytest.skip("no zstd CLI on this box")
 
+    monkeypatch.setattr(z, "libzstd_handle", lambda: None)
+
     def boom(*a, **k):
         raise OSError("spawn failed")
 
@@ -607,6 +632,34 @@ def test_synthesis_marker_flips_on_cli_failure(monkeypatch):
     monkeypatch.setattr(subprocess, "run", logic_bug)
     with pytest.raises(ValueError):
         z.zstd_compress_real_many_tagged([b"alpha"])
+
+
+def test_lib_tier_agrees_with_cli_and_pure_decoder():
+    """Lib-tier frames at several levels decode bit-exactly under BOTH
+    the pure-Python walker and the CLI — the same cross-implementation
+    triangle the CLI fixtures pin, now for the in-process writer."""
+    from dynamic_spark_spark.llmops import zstd as z
+
+    if z.libzstd_handle() is None:
+        pytest.skip("no libzstd shared library on this box")
+    rng = random.Random(13)
+    payloads = [
+        b"",
+        b"a" * 100_000,
+        bytes(rng.randrange(256) for _ in range(5_000)),
+        ("unicode éü text, repeated. " * 500).encode(),
+    ]
+    for level in (1, 3, 9, 19):
+        got = z._libzstd_compress_many(payloads, level)
+        assert got is not None
+        for raw, frame in zip(payloads, got):
+            assert z.zstd_decompress_concat(frame, 1 << 22) == raw
+            if z._zstd_cli_path() is not None:
+                back = subprocess.run(
+                    [z._zstd_cli_path(), "-d", "-c"], input=frame,
+                    capture_output=True, check=True,
+                ).stdout
+                assert back == raw
 
 
 def test_bench_artifact_carries_synthesis_marker():
