@@ -226,6 +226,21 @@ def _synthetic_full(violating: bool = False) -> dict:
         "loadavg_after": [12.34, 12.34, 12.34],
         "uptime_sec": 12345678.9,
         "calibration_sec": 0.249,
+        "mc_probe": {
+            "width": 8,
+            "tail_minmax": [0.033, 12.345],
+            "per_key_tail_sec": {
+                k: 12.345 for k in bench.HEADLINE + bench.EXTENDED
+            },
+        },
+        "retry": {
+            "policy": "x" * 120,
+            # worst case for line width: every key retried
+            "retried_keys": sorted(bench.HEADLINE + bench.EXTENDED),
+            "first_pass_min_sec": {
+                k: 12.345 for k in bench.HEADLINE + bench.EXTENDED
+            },
+        },
         "zstd_synthesis": "cli",
         "artifact_path": bench.ARTIFACT_PATH,
         "guard": {
@@ -289,6 +304,53 @@ def test_main_writes_full_artifact_and_prints_compact_line():
     assert "print(line)" in src
     # the old failure mode — json.dumps of the full dict on stdout — is gone
     assert "print(\n        json.dumps(" not in src
+
+
+def test_compact_line_carries_mc_probe_and_retry_summary():
+    """The r13-opt additions: the one-line record must carry the
+    multi-core probe band (mid-run collapse adjudication) and the
+    second-chance retry count, so the driver record is self-adjudicating
+    against the box's minute-scale multi-core collapse."""
+    compact = bench.compact_from_full(_synthetic_full())
+    assert compact["mc_probe_tail_minmax"] == [0.033, 12.345]
+    assert compact["retried"] == len(bench.HEADLINE + bench.EXTENDED)
+
+
+def test_mc_probe_task_is_deterministic_input_and_bounded():
+    """The probe must time the SAME work every call (comparability), and
+    one slot must be cheap enough that a per-key probe adds negligible
+    bench wall (≲0.5 s per slot even on a degraded box)."""
+    src = open(os.path.join(_ROOT, "bench.py")).read()
+    fn = src.split("def _mc_probe_task")[1].split("\ndef ")[0]
+    for banned in ("import random", "default_rng", "getloadavg", "urandom"):
+        assert banned not in fn, banned
+    sec = bench._mc_probe_task(0)
+    assert 0.001 < sec < 2.0, sec
+    assert 1 <= bench.MC_PROBE_WIDTH <= 8
+
+
+def test_retry_pass_merges_mins_and_reruns_verdict():
+    """Source pin for the second-chance pass: first-pass per-key
+    violators are re-timed once, the min merges via min() semantics
+    (a retry can only LOWER a min — a real regression re-times slow and
+    stays violated), first-pass mins are preserved in the artifact, and
+    the final verdict is computed AFTER the merge."""
+    src = open(os.path.join(_ROOT, "bench.py")).read()
+    body = src.split("def main")[1]
+    # the retry loop runs off the FIRST verdict...
+    assert "first_msgs, first_table = per_key_verdict(" in body
+    assert "first_pass_min[name] = side[name]" in body
+    assert "_, retry_min, _ = timed(name)" in body
+    # ...merges only downward...
+    assert "if retry_min < side[name]:" in body
+    assert "side[name] = retry_min" in body
+    # ...and the ENFORCED verdict is computed after the merge
+    assert body.index("first_table = per_key_verdict") < body.index(
+        "pk_msgs, per_key_table = per_key_verdict"
+    )
+    # the artifact keeps the audit trail
+    assert '"retried_keys": retried' in body
+    assert '"first_pass_min_sec": first_pass_min' in body
 
 
 def test_calibration_workload_is_deterministic_input():
