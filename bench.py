@@ -143,11 +143,15 @@ def calibration_workload() -> float:
     return round(best, 3)
 
 
-#: Width of the multi-core box probe (see _mc_probe_task). Fixed at 8
+#: Width of the multi-core box probe (see _mc_probe_task). Fixed at 24
 #: (clamped to the box) so probe tails are comparable across runs and
 #: across the driver's different SPARK_GRAFT_CPUS settings — the probe
-#: fingerprints the BOX, not the Spark session.
-MC_PROBE_WIDTH = min(8, os.cpu_count() or 8)
+#: fingerprints the BOX, not the Spark session. 24 because the collapse
+#: mode it exists to catch only manifests at wide concurrency: the r13
+#: diagnostics' 24-way probe saw the oscillation (tail 0.107→0.256 s)
+#: while a first-cut 8-way probe stayed flat through a window in which
+#: Spark's 32-way stages were 5–6× degraded.
+MC_PROBE_WIDTH = min(24, os.cpu_count() or 8)
 
 
 def _mc_probe_task(_):
@@ -166,6 +170,33 @@ def _mc_probe_task(_):
     h.update(buf)
     h.digest()
     return time.perf_counter() - t0
+
+
+#: Fixed input size of the JVM probe job (see jvm_probe).
+JVM_PROBE_ROWS = 128_000_000
+#: Fixed stage width of the JVM probe job — 32 regardless of
+#: SPARK_GRAFT_CPUS, because it fingerprints WIDE-stage health (the
+#: collapse mode hits wide stages); within one run it is a constant,
+#: which is all per-key adjudication needs.
+JVM_PROBE_PARTITIONS = 32
+
+
+def jvm_probe(spark) -> float:
+    """Spark-stage box-phase probe: one fixed codegen job (range → sum,
+    32 tasks, one scalar collect), timed. Exists because the collapse
+    mode is JVM-specific: in the window where this box degrades Spark
+    stages 5–6×, the pure-CPU multiprocess probe (mc_probe) stays flat
+    at BOTH 8 and 24 wide — so a healthy mc series plus a degraded jvm
+    series pins the collapse to the JVM/stage-execution path, while
+    both degrading pins host CPU contention, and both healthy makes a
+    per-key violation attributable to the code. The job is ~85% task
+    scheduling + stage latency at this size — exactly the floor that
+    collapses — and costs ~0.2 s per probe on a healthy box."""
+    t0 = time.perf_counter()
+    spark.range(0, JVM_PROBE_ROWS, 1, JVM_PROBE_PARTITIONS).selectExpr(
+        "sum(id * 2 + 1)"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def mc_probe(pool) -> float:
@@ -209,6 +240,10 @@ def compact_from_full(full: dict) -> dict:
         # driver record adjudicate a mid-run multi-core collapse that a
         # single start-of-run calibration cannot see
         "mc_probe_tail_minmax": full["mc_probe"]["tail_minmax"],
+        # Spark-stage probe band: a degraded jvm band with a healthy mc
+        # band pins a mid-run collapse to the JVM path (full series in
+        # the artifact)
+        "jvm_probe_minmax": full["jvm_probe"]["minmax"],
         "loadavg_before": full["loadavg_before"],
         "loaded_box": guard["loaded_box"],
         "zstd_synthesis": full["zstd_synthesis"],
@@ -414,6 +449,18 @@ def main() -> None:
     from dynamic_spark_spark.registry import load_all_queries
     from dynamic_spark_spark.session import get_spark
 
+    # Box-state capture: two rounds running, a recorded total drifted ~1.1×
+    # purely from co-tenant load and had to be re-adjudicated by rerunning.
+    # Record load averages before warmup and after the last timed run so the
+    # JSON artifact carries its own noise context, and warn loudly when the
+    # box is already busy before the timed section starts. Read FIRST thing
+    # — before the probe pool, the JVM and the module imports — so the
+    # signal is co-tenant load, not the bench's own startup spike (reading
+    # it after session+registry startup recorded 1.07 on a box that was at
+    # 0.10 seconds earlier, spuriously disqualifying a quiet run from the
+    # anchor basis).
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     # probe pool forked BEFORE the JVM exists, so the workers are lean
     # pure-python children (no inherited py4j/JVM state)
     probe_pool = mp.Pool(MC_PROBE_WIDTH)
@@ -421,13 +468,6 @@ def main() -> None:
     spark = get_spark("dss-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = load_all_queries()
-
-    # Box-state capture: two rounds running, a recorded total drifted ~1.1×
-    # purely from co-tenant load and had to be re-adjudicated by rerunning.
-    # Record load averages before warmup and after the last timed run so the
-    # JSON artifact carries its own noise context, and warn loudly when the
-    # box is already busy before the timed section starts.
-    load_before = [round(x, 2) for x in os.getloadavg()]
     # box-speed fingerprint, timed BEFORE the timed section (r12 judge,
     # "What's wrong #3"): lets a reader separate box phase drift from code
     # regression without rerunning anything
@@ -447,6 +487,7 @@ def main() -> None:
     # once, so timed runs measure steady-state throughput, not codegen/JIT)
     warm = spark.read.parquet(f"{SF_DIR.rstrip('/')}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
+    jvm_probe(spark)  # untimed: absorb the probe job's own codegen/JIT
 
     # Methodology: per query, one untimed warmup execution (absorbs Catalyst
     # planning + whole-stage-codegen JIT, which are one-time costs amortized
@@ -476,9 +517,11 @@ def main() -> None:
     mins: dict[str, float] = {}
     cold: dict[str, float] = {}
     probe_tail: dict[str, float] = {}
+    jvm_tail: dict[str, float] = {}
     for name in HEADLINE:
         timings[name], mins[name], cold[name] = timed(name)
         probe_tail[name] = mc_probe(probe_pool)
+        jvm_tail[name] = jvm_probe(spark)
 
     # round-2 marquee additions, timed identically but reported OUTSIDE the
     # headline total so the anchor comparison stays apples-to-apples with r1
@@ -487,6 +530,7 @@ def main() -> None:
     for name in EXTENDED:
         extended[name], extended_min[name], _ = timed(name)
         probe_tail[name] = mc_probe(probe_pool)
+        jvm_tail[name] = jvm_probe(spark)
 
     from dynamic_spark_spark.llmops.zstd import zstd_synthesis_mode
 
@@ -524,6 +568,7 @@ def main() -> None:
             first_pass_min[name] = side[name]
             _, retry_min, _ = timed(name)
             probe_tail[f"{name}#retry"] = mc_probe(probe_pool)
+            jvm_tail[f"{name}#retry"] = jvm_probe(spark)
             if retry_min < side[name]:
                 side[name] = retry_min
             retried.append(name)
@@ -570,6 +615,17 @@ def main() -> None:
                 if probe_tail else None
             ),
             "per_key_tail_sec": probe_tail,
+        },
+        # Spark-stage probe series (see jvm_probe): the collapse mode is
+        # JVM-specific, invisible to the pure-CPU probe at any width
+        "jvm_probe": {
+            "rows": JVM_PROBE_ROWS,
+            "partitions": JVM_PROBE_PARTITIONS,
+            "minmax": (
+                [min(jvm_tail.values()), max(jvm_tail.values())]
+                if jvm_tail else None
+            ),
+            "per_key_sec": jvm_tail,
         },
         # second-chance retry record: which keys were re-timed after a
         # first-pass per-key violation, and their first-pass mins (the

@@ -233,6 +233,14 @@ def _synthetic_full(violating: bool = False) -> dict:
                 k: 12.345 for k in bench.HEADLINE + bench.EXTENDED
             },
         },
+        "jvm_probe": {
+            "rows": 128_000_000,
+            "partitions": 32,
+            "minmax": [0.163, 12.345],
+            "per_key_sec": {
+                k: 12.345 for k in bench.HEADLINE + bench.EXTENDED
+            },
+        },
         "retry": {
             "policy": "x" * 120,
             # worst case for line width: every key retried
@@ -313,7 +321,25 @@ def test_compact_line_carries_mc_probe_and_retry_summary():
     against the box's minute-scale multi-core collapse."""
     compact = bench.compact_from_full(_synthetic_full())
     assert compact["mc_probe_tail_minmax"] == [0.033, 12.345]
+    assert compact["jvm_probe_minmax"] == [0.163, 12.345]
     assert compact["retried"] == len(bench.HEADLINE + bench.EXTENDED)
+
+
+def test_jvm_probe_is_wired_per_key_and_on_retry():
+    """The Spark-stage probe must run beside the pure-CPU probe after
+    every key and every retry (the collapse mode is JVM-specific: the
+    mc probe stayed flat at 8 AND 24 wide through a window in which
+    Spark stages were 5-6x degraded, so only a JVM-side probe can
+    adjudicate those violations), with one untimed call after warmup to
+    absorb its own codegen."""
+    src = open(os.path.join(_ROOT, "bench.py")).read()
+    body = src.split("def main")[1]
+    assert body.count("jvm_tail[name] = jvm_probe(spark)") == 2
+    assert 'jvm_tail[f"{name}#retry"] = jvm_probe(spark)' in body
+    assert body.index("jvm_probe(spark)  # untimed") < body.index(
+        "for name in HEADLINE:"
+    )
+    assert '"per_key_sec": jvm_tail' in body
 
 
 def test_mc_probe_task_is_deterministic_input_and_bounded():
@@ -326,7 +352,22 @@ def test_mc_probe_task_is_deterministic_input_and_bounded():
         assert banned not in fn, banned
     sec = bench._mc_probe_task(0)
     assert 0.001 < sec < 2.0, sec
-    assert 1 <= bench.MC_PROBE_WIDTH <= 8
+    # wide enough to provoke the collapse mode it detects (the r13 diag
+    # evidence needed 24-way; an 8-way first cut stayed flat through a
+    # 5-6x Spark-stage collapse), clamped to the box
+    assert 8 <= bench.MC_PROBE_WIDTH <= 32
+
+
+def test_loadavg_read_precedes_bench_startup():
+    """loadavg_before is the anchor-eligibility quietness signal; it must
+    be read before the probe pool, the JVM and the registry imports, or
+    the bench's own startup spike pollutes it (a box at 0.10 recorded
+    1.07 when the read came after session startup)."""
+    src = open(os.path.join(_ROOT, "bench.py")).read()
+    body = src.split("def main")[1]
+    read_at = body.index("load_before = [round(x, 2) for x in os.getloadavg()]")
+    assert read_at < body.index("mp.Pool(MC_PROBE_WIDTH)")
+    assert read_at < body.index('get_spark("dss-bench")')
 
 
 def test_retry_pass_merges_mins_and_reruns_verdict():
