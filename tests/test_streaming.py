@@ -23,6 +23,23 @@ from dynamic_spark_spark.streaming.core import (
 )
 
 
+def _await_drained(q, timeout: int = 120, total: int = 900) -> None:
+    """Wait for an ``availableNow`` drain to actually terminate before the
+    test reads the sink. ``awaitTermination(timeout)`` returns False on
+    timeout without raising; the old unchecked form silently read a partial
+    memory table on a degraded box (the r13 driver gate failure). Keep
+    waiting up to ``total`` seconds and fail loudly otherwise."""
+    import time
+
+    deadline = time.monotonic() + total
+    while not q.awaitTermination(timeout):
+        if time.monotonic() >= deadline:
+            q.stop()
+            raise AssertionError(
+                f"stream query {q.name!r} did not terminate within {total}s"
+            )
+
+
 def _events_stream(spark, sf_dir):
     batch = load_table(spark, sf_dir, "events")
     staged = dss_mkdtemp("dss_stream_src_")
@@ -45,7 +62,7 @@ def test_micro_batch_transform_contract(spark, sf_dir):
             seen[r["event_type"]] = seen.get(r["event_type"], 0) + r["n"]
 
     q = micro_batch_transform(stream, transform, sink=sink)
-    q.awaitTermination(120)
+    _await_drained(q, 120)
     expected = {r["event_type"]: r["n"] for r in transform(batch).collect()}
     assert seen == expected
 
@@ -60,7 +77,7 @@ def test_windowed_counts_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_drained(q, 120)
     got = spark.table("win_counts")
     # watermark finalizes all but the trailing windows; compare totals loosely
     batch_windows = (
@@ -79,7 +96,7 @@ def test_stateful_dedup_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_drained(q, 120)
     got = spark.table("dedup_out")
     n_users = batch.select("user_id").distinct().count()
     assert got.count() == n_users
@@ -95,7 +112,7 @@ def test_sessionized_stream_runs(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_drained(q, 120)
     assert spark.table("sessions_out").columns == ["user_id", "session_start", "n_events"]
 
 
@@ -120,7 +137,7 @@ def test_stateful_running_totals_stream(spark, sf_dir, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    _await_drained(q, 120)
 
     batch = {
         r["event_type"]: r["n"]
@@ -227,7 +244,7 @@ def test_stateful_sessions_event_time_timer(spark, sf_dir, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, 300)
     q.stop()
     got = {
         (r["key"], r["session_start"], r["session_end"], r["n_events"], r["value_sum"])
@@ -299,7 +316,7 @@ def test_transform_with_state_totals(spark, sf_dir):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q, 300)
         q.stop()
         got = {
             r["key"]: r["n"]
@@ -350,7 +367,7 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q, 300)
         q.stop()
 
     run_round()
@@ -418,7 +435,7 @@ def test_session_window_merges_across_batches(spark, tmp_path):
         .option("checkpointLocation", str(ckpt))
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, 300)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     q.stop()
     got = {
