@@ -34,6 +34,68 @@ SHINGLE_N = 5  # character shingles
 #: quadratic hot buckets at scale (the cap keeps candidate counts linear).
 MAX_SHINGLE_DF = 100
 
+#: salt fan-out for the skew-bounded posting-list cascade (env-tunable for
+#: cluster deployments; the per-buffer bound below scales as 1/salts).
+POSTING_SALTS = int(__import__("os").environ.get("DSS_POSTING_SALTS", "64"))
+
+
+def _posting_partials(exploded: DataFrame, key: str, cap: int) -> DataFrame:
+    """Level 1 of the skew-bounded posting-list cascade (see
+    :func:`_bounded_posting_lists`): per ``(key, salt(doc_id))`` bucket, the
+    exact distinct doc count and a ``cap + 1``-truncated id list. Split out
+    so the bounded-state invariant (no row wider than ``cap + 1`` ids, at
+    most ``POSTING_SALTS`` rows per key — whatever the key's df) is
+    independently testable."""
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(POSTING_SALTS))
+    return (
+        exploded.groupBy(key, salt.alias("_salt"))
+        .agg(F.collect_set("doc_id").alias("_pids"))
+        .select(
+            key,
+            F.size("_pids").alias("_cnt"),
+            F.slice("_pids", 1, cap + 1).alias("_pids"),
+        )
+    )
+
+
+def _bounded_posting_lists(exploded: DataFrame, key: str, cap: int) -> DataFrame:
+    """One-pass, skew-bounded, df-capped inverted index:
+    ``(doc_id, key)`` stream → ``(key, ids)`` with ``ids`` the sorted distinct
+    doc_id posting list, emitted only for keys with df <= ``cap``.
+
+    A single ``groupBy(key).agg(collect_set(doc_id))`` builds the FULL posting
+    list for every key before the df filter drops hot keys — a stopword
+    gram with df in the millions accumulates an unbounded array in one
+    aggregation buffer (executor OOM on exactly the hottest keys at corpus
+    scale). This cascade keeps the single corpus pass but bounds the state:
+
+    - **Level 1** groups by ``(key, salt(doc_id))``: no merge buffer ever
+      holds more than ~df/POSTING_SALTS ids, whatever df is. Duplicate
+      ``(doc_id, key)`` rows share the salt (it hashes doc_id), so the
+      partial ``collect_set`` still dedups exactly and the partial sizes sum
+      to the true distinct df. Each partial emits that exact count plus its
+      id list truncated to ``cap + 1`` entries.
+    - **Level 2** merges per key: ``df = sum(partial counts)`` (exact), and
+      the posting list is the flattened partials — at most
+      ``POSTING_SALTS * (cap + 1)`` entries per buffer REGARDLESS of df.
+      Truncation is lossless for survivors: df <= cap implies every partial
+      held <= cap ids, so nothing was cut; hot keys arrive truncated but are
+      dropped by the df filter anyway.
+
+    Cost vs the unbounded one-pass form: one extra Exchange carrying the
+    level-1 partials (≈ the gram stream's bytes, map-side combined).
+    """
+    return (
+        _posting_partials(exploded, key, cap)
+        .groupBy(key)
+        .agg(
+            F.sum("_cnt").alias("_df"),
+            F.flatten(F.collect_list("_pids")).alias("_ids"),
+        )
+        .where(F.col("_df") <= cap)
+        .select(key, F.array_sort("_ids").alias("ids"))
+    )
+
 
 def _normalized(df: DataFrame) -> DataFrame:
     """Normalize + rebalance. The repartition matters: a compact source file
@@ -156,27 +218,38 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # Gather each bucket's members and emit the pairs array-side: one shuffle
-    # keyed by (band, bucket) and the signature pipeline evaluates ONCE — a
-    # bucket self-join would re-run it for each side and shuffle twice.
-    # Bucket width is inherently bounded (full-band agreement ⇒ genuine
-    # near-dups), so the within-array pair expansion stays small; grouped as
-    # a set, a hot-bucket cap is one `slice` away at 100 TB.
+    # One shuffle keyed by (band, bucket) and the signature pipeline
+    # evaluates ONCE — a bucket self-join would re-run it for each side and
+    # shuffle twice.
     if pairs == "star":
-        pair_expr = F.transform(
-            F.slice("ids", 2, F.size("ids") - 1),
-            lambda b: F.struct(F.element_at("ids", 1).alias("doc_a"), b.alias("doc_b")),
+        # Star pairs via a bucket-min WINDOW, not collect_set arrays: the
+        # pair set is identical ((bucket-min, member) for every other
+        # member), but WindowExec's sort-based row buffer SPILLS — a mega
+        # bucket (near-empty/boilerplate docs collide on every band at
+        # corpus scale) streams through disk instead of growing one
+        # in-memory array in a single aggregation buffer.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        return (
+            buckets.withColumn("m", F.min("doc_id").over(w))
+            .where(F.col("doc_id") != F.col("m"))
+            .select(F.col("m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+            .distinct()
         )
-    else:
-        pair_expr = F.flatten(
-            F.transform(
-                "ids",
-                lambda a: F.transform(
-                    F.filter("ids", lambda b: b > a),
-                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                ),
-            )
+    # 'all' mode keeps the grouped-array expansion: emitting every in-bucket
+    # pair is inherently quadratic in bucket width, so callers of this mode
+    # cap buckets themselves (cf. SIM_JOIN_MAX_BUCKET); the array is the
+    # cheapest carrier at capped widths.
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
+    )
     return (
         buckets.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
@@ -282,22 +355,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cluster scale this would be a checkpoint to durable storage."""
     docs = load_table(spark, sf_dir, "documents")
     # ONE pass builds the df-capped inverted index (same move as
-    # dedup_containment): collect_set(doc_id) per shingle IS the distinct
-    # posting list, its size IS the df, and the cap is a filter on it —
-    # replacing the previous persist-the-whole-shingle-stream +
-    # sh ⋈ sh.groupBy(sh) + rare ⋈ rare chain (three exchanges and a
-    # corpus-sized cache) with one groupBy(sh) exchange and an ARRAY-side
-    # pair expansion bounded by MAX_SHINGLE_DF². Identical pair multiset:
-    # joining on sh with a.doc_id < b.doc_id emits exactly the in-list
-    # ordered pairs per shingle. _shingles(distinct=False) because
-    # collect_set dedups (doc, sh) itself.
-    inv = (
-        _shingles(docs, distinct=False)
-        .groupBy("sh")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") <= MAX_SHINGLE_DF)
-        .persist()
-    )
+    # dedup_containment): the posting list per shingle is built by the
+    # skew-bounded salted cascade (_bounded_posting_lists — no aggregation
+    # buffer ever holds an uncapped hot-shingle list), its summed partial
+    # count IS the df, and the cap is a filter on it — replacing the
+    # previous persist-the-whole-shingle-stream + sh ⋈ sh.groupBy(sh) +
+    # rare ⋈ rare chain (three corpus exchanges and a corpus-sized cache)
+    # with the two cascade exchanges and an ARRAY-side pair expansion
+    # bounded by MAX_SHINGLE_DF². Identical pair multiset: joining on sh
+    # with a.doc_id < b.doc_id emits exactly the in-list ordered pairs per
+    # shingle. _shingles(distinct=False) because the cascade's collect_set
+    # dedups (doc, sh) itself.
+    inv = _bounded_posting_lists(
+        _shingles(docs, distinct=False), "sh", MAX_SHINGLE_DF
+    ).persist()
     # Doc sizes come from the SAME df-capped universe as the intersection —
     # numerator and denominator must agree or Jaccard is systematically
     # underestimated for documents rich in common (capped-out) shingles and
@@ -984,26 +1055,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("w") - (CONTAIN_N - 1)),
         lambda i: F.array_join(F.slice("w", i, CONTAIN_N), " "),
     )
-    # ONE pass builds the df-capped inverted index: collect_set(doc_id) per
-    # gram IS the distinct-doc posting list, its size IS the df, and the cap
-    # is a filter on it — so the exploded gram stream needs no distinct
-    # exchange, no groupBy-df side, and no grams ⋈ df join (the previous
-    # form evaluated the whole gram-construction subtree TWICE — the two
-    # heaviest stages in the stage profile — and exchanged the stream three
-    # times). Candidate pairs then expand ARRAY-side from each capped
-    # posting list (bounded by CONTAIN_MAX_DF² — same argument as
-    # lsh_candidate_pairs), replacing the rare ⋈ rare self-join: identical
-    # pair multiset, since joining on g with a.doc_id < b.doc_id emits
-    # exactly the in-list ordered pairs per gram.
-    inv = (
+    # ONE pass builds the df-capped inverted index: the skew-bounded salted
+    # cascade (_bounded_posting_lists) builds the distinct-doc posting list
+    # per gram without any uncapped hot-gram aggregation buffer, the summed
+    # partial count IS the df, and the cap is a filter on it — so the
+    # exploded gram stream needs no distinct exchange, no groupBy-df side,
+    # and no grams ⋈ df join (the pre-r13 form evaluated the whole
+    # gram-construction subtree TWICE — the two heaviest stages in the
+    # stage profile — and exchanged the stream three times). Candidate
+    # pairs then expand ARRAY-side from each capped posting list (bounded
+    # by CONTAIN_MAX_DF² — same argument as lsh_candidate_pairs), replacing
+    # the rare ⋈ rare self-join: identical pair multiset, since joining on
+    # g with a.doc_id < b.doc_id emits exactly the in-list ordered pairs
+    # per gram.
+    inv = _bounded_posting_lists(
         d.select("doc_id", w.alias("w"))
         .where(F.size("w") >= CONTAIN_N)
-        .select("doc_id", F.explode(grams_arr).alias("g"))
-        .groupBy("g")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") <= CONTAIN_MAX_DF)
-        .persist()
-    )
+        .select("doc_id", F.explode(grams_arr).alias("g")),
+        "g",
+        CONTAIN_MAX_DF,
+    ).persist()
     sizes = (
         inv.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")

@@ -293,6 +293,59 @@ def test_dedup_minhash_ml_cap_engages(spark, tmp_path):
         dedup_minhash_ml(spark, str(tmp_path))
 
 
+def test_posting_list_cascade_bounded_on_hot_keys(spark):
+    """_bounded_posting_lists must (a) return exactly the df-capped inverted
+    index and (b) never build an uncapped hot-key aggregation buffer: the
+    level-1 partials are truncated to cap+1 ids and a key reaches the level-2
+    merge as at most POSTING_SALTS rows, whatever its df — the r13-verdict
+    skew flag (a stopword gram with df in the millions must not accumulate an
+    unbounded array in a single collect_set buffer)."""
+    from dynamic_spark_spark.llmops.dedup import (
+        POSTING_SALTS,
+        _bounded_posting_lists,
+        _posting_partials,
+    )
+
+    cap = 10
+    # one stopword-like hot gram (df = 3000 >> cap) plus 40 rare grams
+    hot = spark.range(3000).select(
+        F.col("id").alias("doc_id"), F.lit("hot").alias("g")
+    )
+    rare = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), F.col("id") % 40).alias("g"),
+    )
+    # duplicated (doc, g) rows must still dedup exactly (jaccard feeds the
+    # cascade a non-distinct shingle stream)
+    exploded = hot.unionAll(rare).unionAll(rare)
+    out = {
+        r["g"]: r["ids"] for r in _bounded_posting_lists(exploded, "g", cap).collect()
+    }
+    # reference: the unbounded distinct+groupBy form — results must match
+    ref_rows = (
+        exploded.distinct()
+        .groupBy("g")
+        .agg(
+            F.array_sort(F.collect_set("doc_id")).alias("ids"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .collect()
+    )
+    ref = {r["g"]: r["ids"] for r in ref_rows if r["df"] <= cap}
+    assert len(out) == 40 and "hot" not in out
+    assert out == ref
+    # the bounded-state invariant, on the level-1 partials themselves
+    stats = (
+        _posting_partials(exploded, "g", cap)
+        .groupBy("g")
+        .agg(F.max(F.size("_pids")).alias("widest"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    for r in stats:
+        assert r["widest"] <= cap + 1, (r["g"], r["widest"])
+        assert r["n_rows"] <= POSTING_SALTS, (r["g"], r["n_rows"])
+
+
 def test_dedup_clusters_transitive(spark, sf_dir):
     """Connected components must agree with the candidate-pair graph: both
     endpoints of every LSH pair share a component, and each component id is
