@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
-from dynamic_spark_spark.sources.readers import load_table
+from dynamic_spark_spark.sources.readers import load_table, rebalance_for_fanout
 
 #: word n-gram width for overlap detection (real pipelines: 8-13).
 NGRAM = 4
@@ -86,13 +86,10 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance BEFORE the gram fan-out (the dedup._normalized move): the
     # corpus arrives in however few splits the input file has — a compact
     # single-row-group file means the whole gram build + broadcast probe,
-    # the dominant stage, runs on one core. One small shuffle of the token
-    # arrays spreads it across the session's width.
-    corp = grams(
-        toks.where(F.col("doc_id") >= BENCH_DOCS).repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    )
+    # the dominant stage, runs on one core. Conditional: when the scan
+    # already has session-width splits (any real corpus) no round-robin
+    # exchange of the token arrays enters the plan at all.
+    corp = grams(rebalance_for_fanout(toks.where(F.col("doc_id") >= BENCH_DOCS)))
     return (
         corp.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")

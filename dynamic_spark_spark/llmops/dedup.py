@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
-from dynamic_spark_spark.sources.readers import load_table
+from dynamic_spark_spark.sources.readers import load_table, rebalance_for_fanout
 
 #: minhash permutations and LSH banding (b bands × r rows = k hashes).
 MINHASH_K = 16
@@ -98,11 +98,12 @@ def _bounded_posting_lists(exploded: DataFrame, key: str, cap: int) -> DataFrame
 
 
 def _normalized(df: DataFrame) -> DataFrame:
-    """Normalize + rebalance. The repartition matters: a compact source file
+    """Normalize + rebalance. The rebalance matters: a compact source file
     arrives in few input splits, but shingle explode fans each row out ~300×,
     so the pre-explode row count must be spread across the cluster first —
-    otherwise one task owns the whole fan-out."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    otherwise one task owns the whole fan-out. Conditional: a scan that
+    already has session-width splits (any real corpus) skips the shuffle."""
+    df = rebalance_for_fanout(df)
     return df.withColumn("norm_text", F.lower(F.trim(F.col("text"))))
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
-from dynamic_spark_spark.sources.readers import load_table
+from dynamic_spark_spark.sources.readers import load_table, rebalance_for_fanout
 
 N_QUERIES = 10
 TOP_K = 5
@@ -146,12 +146,12 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance the corpus side before the scoring fan-out: the |q|×|corpus|
     # HOF dot-product folds are the whole cost of this key, and they ran on
     # the input file's split count (one task for a compact single-row-group
-    # file). One small shuffle of the vectors spreads the scoring across the
-    # session's width; values are untouched.
+    # file). Conditional: a scan that already has session-width splits (any
+    # real corpus) skips the round-robin exchange of the vectors entirely.
     scored = (
         F.broadcast(q)
         .join(
-            e.repartition(spark.sparkContext.defaultParallelism),
+            rebalance_for_fanout(e),
             F.col("vec_id") != F.col("q_id"),
         )
         .select(
@@ -533,8 +533,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array fold per candidate instead of three (sim_topk's device)
     # spread the CPU-heavy pair generation: the single-file scan would
     # otherwise drive the broadcast join with ONE task (small-file
-    # artifact; at real scale the scan has many splits)
-    a = e.repartition(32).select(
+    # artifact; at real scale the scan has many splits — which is exactly
+    # when the conditional rebalance skips the shuffle)
+    a = rebalance_for_fanout(e).select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
@@ -774,11 +775,12 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", _norm(F.col("embedding"))
     )
     # per-side norms (one fold per pair, not three — see dedup_embedding);
-    # repartition the probe side like dedup_embedding does, or the
+    # rebalance the probe side like dedup_embedding does, or the
     # single-file scan drives the broadcast join — and ALL the per-pair
     # fold work — with one or two tasks (r5 probe: 135 s vs 7 s at 10×
-    # for the identical pair set, purely stream-side parallelism)
-    a = e.repartition(32).select(
+    # for the identical pair set, purely stream-side parallelism); the
+    # conditional form skips the shuffle once the scan has real splits
+    a = rebalance_for_fanout(e).select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),

@@ -78,6 +78,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance_for_fanout(df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` across the session's scheduler slots ONLY when it
+    arrives in fewer partitions than that — the compact-fixture /
+    single-row-group case where a following fan-out (shingle explode,
+    broadcast-join scoring) would otherwise run on one core.
+
+    When the scan already has at least session-width splits (any real table
+    at cluster scale), this is a plan-level no-op: no REPARTITION_BY_NUM
+    exchange is inserted at all, where the previous unconditional
+    ``repartition(defaultParallelism)`` forced a full, AQE-unelidable
+    round-robin shuffle of every row (token arrays, embeddings) just to
+    rediscover the parallelism the scan already had."""
+    sc = df.sparkSession.sparkContext
+    width = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Create temp views for all tables (analog of the reference's
     ``registerTempTable`` SQL entry point, ``ScalaSparkTest.java:279``)."""

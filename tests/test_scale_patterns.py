@@ -301,3 +301,28 @@ def test_threshold_curve_lsh_production_form(spark, sf_dir):
     assert all(rows[t]["n_docs_dropped"] <= rows[t]["n_pairs"] for t in rows)
     again = {r["threshold"]: r["n_pairs"] for r in dedup_threshold_curve_lsh(spark, sf_dir).collect()}
     assert again == {t: r["n_pairs"] for t, r in rows.items()}
+
+
+def test_rebalance_for_fanout_is_scale_conditional(spark):
+    """The pre-fan-out rebalance must be a plan-level no-op once the input
+    already has session-width splits (r13 verdict: an unconditional
+    repartition(defaultParallelism) forces an AQE-unelidable round-robin
+    exchange of every row at any scale), and must still widen a
+    narrow-split input to the session's width."""
+    from pyspark.sql import functions as F
+
+    from dynamic_spark_spark.sources.readers import rebalance_for_fanout
+
+    width = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000, numPartitions=width + 4).select(
+        F.col("id").alias("doc_id")
+    )
+    out = rebalance_for_fanout(wide)
+    assert out is wide  # no new plan node at all
+    assert "RoundRobinPartitioning" not in out._jdf.queryExecution().executedPlan().toString()
+
+    narrow = spark.range(10_000, numPartitions=1).select(F.col("id").alias("doc_id"))
+    out = rebalance_for_fanout(narrow)
+    assert out.rdd.getNumPartitions() == width
+    # values untouched, only placement changes
+    assert out.count() == 10_000
