@@ -347,67 +347,29 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        ``posexplode`` → ``groupBy(cid, pos)`` (map-side combined) →
        re-assembled with ``array_sort(collect_list)``.
     3. **Probe**: each query scores the refined centroids and keeps its
-       ``IVF_NPROBE`` best cells; candidates come from an equi-join on the
-       cell id — the all-pairs comparison never happens, and at 100 TB the
-       corpus side stays partitioned by cell while queries broadcast.
+       ``IVF_NPROBE`` best cells — model-sized driver math, like any ANN
+       index lookup; candidates come from an equi-join on the cell id — the
+       all-pairs comparison never happens, and at 100 TB the corpus side
+       stays partitioned by cell while the probe table broadcasts.
 
-    The centroid set is carried everywhere as ONE broadcast row holding an
-    array of (c_nrm, c_emb, cid) structs, so cell assignment and query
-    probing are pure map-side passes (higher-order ``transform`` +
-    ``array_max``/``slice`` — no fan-out, no shuffle, no window). The only
-    corpus shuffles left are the 16×64-group centroid mean and the final
-    per-query top-k.
+    The centroid model is DRIVER state (|cells|×dim ≈ 4 KB, |cells| ≤ √n by
+    construction), broadcast to the assignment UDF as numpy arrays; cell
+    assignment is a pure map-side pass. The only corpus shuffles left are
+    the 16×64-group centroid mean and the final per-query top-k.
     """
     e = load_table(spark, sf_dir, "embeddings")
 
-    seeds = (
-        e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
-        .orderBy("h")
-        .limit(IVF_CELLS)
-        .select(
-            F.row_number().over(Window.orderBy("h")).alias("cid"),
-            F.col("embedding").alias("c_emb"),
-        )
-    )
-
-    def to_model(centroids: DataFrame) -> DataFrame:
-        """Collapse a (cid, c_emb) table to one broadcastable model row."""
-        return centroids.agg(
-            F.collect_list(
-                F.struct(
-                    _norm(F.col("c_emb")).alias("c_nrm"),
-                    F.col("c_emb").alias("c_emb"),
-                    F.col("cid").alias("cid"),
-                )
-            ).alias("cents")
-        )
-
-    def cell_scores(emb: Column, nrm: Column) -> Column:
-        """(cos, cid) struct per centroid, against the broadcast model row.
-        ``nrm`` is the vector's precomputed norm — computed once per row,
-        not once per centroid inside the lambda."""
-        return F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (_dot(emb, c["c_emb"]) / (nrm * c["c_nrm"])).alias("cos"),
-                c["cid"].alias("cid"),
-            ),
-        )
-
-    def assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-        """vec_id → best cell: the centroid table collects to the driver
-        like any ML model (|cells|×dim ≈ 4 KB here, |cells| ≤ √n by
-        construction), broadcasts, and each Arrow batch scores ALL cells in
-        one BLAS matmul + argmax — the dense n×c GEMM tier measured on
+    def assign(corpus: DataFrame, cids: np.ndarray, cmat: np.ndarray) -> DataFrame:
+        """vec_id → best cell against a driver-held centroid model
+        (|cells|×dim ≈ 4 KB here, |cells| ≤ √n by construction): broadcast
+        the arrays, and each Arrow batch scores ALL cells in one BLAS
+        matmul + argmax — the dense n×c GEMM tier measured on
         ``dedup_semantic`` (the earlier higher-order-fold form was the same
         linear-big-constant the 100× probe flagged on the LSH keys: 48 s,
         ~2×10⁸ interpreted lambda evals). Map-side only; the corpus never
         fans out |cells|× and never re-shuffles."""
         from pyspark.sql.functions import pandas_udf
 
-        rows = centroids.select("cid", "c_emb").collect()
-        cids = np.array([r["cid"] for r in rows], dtype=np.int32)
-        cmat = np.array([r["c_emb"] for r in rows], dtype=np.float64)
         cnrm = np.linalg.norm(cmat, axis=1)
         cnrm[cnrm == 0.0] = 1.0
         bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat, cnrm))
@@ -425,46 +387,84 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", best_cell("embedding").alias("cid")
         )
 
+    # Seed centroids collect straight to the driver (cid = 1..IVF_CELLS in
+    # hash order) — they are model state either way; enumerating them here
+    # instead of a row_number window drops the single-partition sort+window
+    # job the window form paid per invocation.
+    seed_rows = (
+        e.select("embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(IVF_CELLS)
+        .collect()
+    )
+    seed_cids = np.arange(1, len(seed_rows) + 1, dtype=np.int32)
+    seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+
     # Train the quantizer on a deterministic ~25% sample (standard IVF
     # practice: centroid quality needs a sample, not the corpus; saves a full
     # corpus×cells scoring pass at any scale). Full corpus still assigns.
+    # The refined centroids COLLECT to the driver (one job) — the previous
+    # localCheckpoint + per-consumer re-collect paid one extra driver job
+    # per invocation to materialize the same 16×64-float model.
     train = e.where(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
-    refined = (
-        assign(train, seeds)
+    refined_rows = (
+        assign(train, seed_cids, seed_mat)
         .select("cid", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cid", "pos")
         .agg(F.avg("v").alias("m"))
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: s["m"].cast("float")).alias("c_emb"))
-        # two consumers (full-corpus assignment, query probing) — pin the
-        # k-means lineage so it runs once
-        .localCheckpoint()
+        .collect()
     )
-    model = to_model(refined)
+    ref_cids = np.array([r["cid"] for r in refined_rows], dtype=np.int32)
+    ref_mat = np.array([r["c_emb"] for r in refined_rows], dtype=np.float64)
     vec_norm = _batched_vec_norm()
     pair_cos = _batched_pair_cos()
-    cells = assign(e, refined).withColumn("nrm", vec_norm(F.col("embedding")))
+    cells = assign(e, ref_cids, ref_mat).withColumn("nrm", vec_norm(F.col("embedding")))
 
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    # Probe selection runs on the DRIVER: the centroid model is already
+    # driver-held, the query set is N_QUERIES rows, and the previous form
+    # paid a corpus scan + crossJoin(broadcast(model)) + per-row HOF
+    # sort/slice — a whole broadcast-build job tree — to shortlist 4 cells
+    # per query. The folds below replicate the JVM expression semantics
+    # EXACTLY (sequential float64 accumulation in element order, sort
+    # descending on the (cos, cid) struct), so the selected cells — and
+    # therefore the output rows — are bit-identical; probe cos values are
+    # selection-only and never emitted. Probes ship back as one Arrow
+    # LocalTableScan (no pickled-row RDD — the r13 literal-source rule).
+    def _seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    import math
+
+    c_nrms = [math.sqrt(_seq_dot(r["c_emb"], r["c_emb"])) for r in refined_rows]
+    q_rows = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .collect()
     )
-    probes = (
-        q.withColumn("q_nrm", _norm(F.col("q_emb")))
-        .crossJoin(F.broadcast(model))
-        .select(
-            "q_id",
-            "q_emb",
-            "q_nrm",
-            F.explode(
-                F.slice(
-                    F.sort_array(cell_scores(F.col("q_emb"), F.col("q_nrm")), asc=False),
-                    1,
-                    IVF_NPROBE,
-                )
-            ).alias("probe"),
-        )
-        .select("q_id", "q_emb", "q_nrm", F.col("probe")["cid"].alias("cid"))
+    probe_recs = []
+    for qr in q_rows:
+        q_nrm = math.sqrt(_seq_dot(qr["q_emb"], qr["q_emb"]))
+        scores = [
+            (
+                _seq_dot(qr["q_emb"], r["c_emb"]) / (q_nrm * c_nrm),
+                int(r["cid"]),
+            )
+            for r, c_nrm in zip(refined_rows, c_nrms)
+        ]
+        scores.sort(key=lambda s: (-s[0], -s[1]))  # sort_array(asc=False) order
+        for _, cid in scores[:IVF_NPROBE]:
+            probe_recs.append(
+                (int(qr["q_id"]), list(map(float, qr["q_emb"])), q_nrm, cid)
+            )
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_recs, columns=["q_id", "q_emb", "q_nrm", "cid"]),
+        schema="q_id long, q_emb array<float>, q_nrm double, cid int",
     )
     # in-cell candidate scoring on the Arrow-batched numpy tier (rows-only
     # key; per-vector norms once, one einsum per candidate batch)
