@@ -446,9 +446,6 @@ EXTENDED = [
 def main() -> None:
     import multiprocessing as mp
 
-    from dynamic_spark_spark.registry import load_all_queries
-    from dynamic_spark_spark.session import get_spark
-
     # Box-state capture: two rounds running, a recorded total drifted ~1.1×
     # purely from co-tenant load and had to be re-adjudicated by rerunning.
     # Record load averages before warmup and after the last timed run so the
@@ -462,8 +459,19 @@ def main() -> None:
     load_before = [round(x, 2) for x in os.getloadavg()]
 
     # probe pool forked BEFORE the JVM exists, so the workers are lean
-    # pure-python children (no inherited py4j/JVM state)
+    # pure-python children (no inherited py4j/JVM state); closed in the
+    # finally below so an exception mid-run doesn't strand the workers
     probe_pool = mp.Pool(MC_PROBE_WIDTH)
+    try:
+        _run_bench(probe_pool, load_before)
+    finally:
+        probe_pool.close()
+        probe_pool.join()
+
+
+def _run_bench(probe_pool, load_before) -> None:
+    from dynamic_spark_spark.registry import load_all_queries
+    from dynamic_spark_spark.session import get_spark
 
     spark = get_spark("dss-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -535,12 +543,6 @@ def main() -> None:
     from dynamic_spark_spark.llmops.zstd import zstd_synthesis_mode
 
     zstd_synthesis = zstd_synthesis_mode()
-    load_after = [round(x, 2) for x in os.getloadavg()]
-    try:
-        with open("/proc/uptime") as fh:
-            uptime_sec = round(float(fh.read().split()[0]), 1)
-    except OSError:
-        uptime_sec = None
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -560,7 +562,7 @@ def main() -> None:
     first_pass_min: dict[str, float] = {}
     retried: list[str] = []
     if sf == ANCHOR_SF:
-        first_msgs, first_table = per_key_verdict({**mins, **extended_min})
+        _, first_table = per_key_verdict({**mins, **extended_min})
         for name in sorted(
             k for k, row in first_table.items() if row["violation"]
         ):
@@ -573,6 +575,15 @@ def main() -> None:
                 side[name] = retry_min
             retried.append(name)
 
+    # read AFTER the retry pass so the recorded load context covers ALL
+    # timed work, including the retried runs that decide the verdict
+    load_after = [round(x, 2) for x in os.getloadavg()]
+    try:
+        with open("/proc/uptime") as fh:
+            uptime_sec = round(float(fh.read().split()[0]), 1)
+    except OSError:
+        uptime_sec = None
+
     min_total = round(sum(mins.values()), 3)
     ext_min_total = round(sum(extended_min.values()), 3)
     violations = guard_verdict(sf, min_total, ext_min_total)
@@ -580,6 +591,15 @@ def main() -> None:
     if sf == ANCHOR_SF:  # anchors are sf0.1 numbers, like the totals
         pk_msgs, per_key_table = per_key_verdict({**mins, **extended_min})
         violations = violations + pk_msgs
+        # flag rows whose pass depended on the retry merge (first-pass min
+        # violated, merged min does not): min-of-10 carries a one-sided
+        # downward sampling bias vs the min-of-5 anchors, so readers must
+        # be able to weigh those rows separately (r13 advice)
+        for name in retried:
+            row = per_key_table.get(name)
+            if row is not None:
+                row["retried"] = True
+                row["passed_via_retry"] = not row["violation"]
     full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -679,8 +699,6 @@ def main() -> None:
         slim["queries"] = {"omitted_see_artifact": len(full["queries"])}
         line = json.dumps(slim)
     print(line)
-    probe_pool.close()
-    probe_pool.join()
     spark.stop()
 
     for msg in violations:

@@ -1754,7 +1754,11 @@ def zstd_compress_real_many_tagged(
     (library/binary absent, ZSTD error codes, spawn errors, nonzero
     exit) trigger fallback; anything else propagates."""
     if not payloads:
-        if libzstd_handle() is not None:
+        # prove the tier end-to-end even for an empty batch: a 1-byte
+        # compress through the lib seam, not just a successful dlopen —
+        # a loadable-but-broken library must fall through to cli/pure
+        # here exactly like it would with frames to write (r13 advice)
+        if _libzstd_compress_many([b"\x00"], 3) is not None:
             return "lib", []
         return ("cli" if _zstd_cli_path() else "pure"), []
     got = _libzstd_compress_many(payloads, level)

@@ -351,11 +351,14 @@ def test_mc_probe_task_is_deterministic_input_and_bounded():
     for banned in ("import random", "default_rng", "getloadavg", "urandom"):
         assert banned not in fn, banned
     sec = bench._mc_probe_task(0)
-    assert 0.001 < sec < 2.0, sec
+    # loose upper bound: the probe is ~30 ms on this box but the test must
+    # not fail on a degraded/slow host where bench.py itself still works
+    assert 0.001 < sec < 10.0, sec
     # wide enough to provoke the collapse mode it detects (the r13 diag
     # evidence needed 24-way; an 8-way first cut stayed flat through a
-    # 5-6x Spark-stage collapse), clamped to the box
-    assert 8 <= bench.MC_PROBE_WIDTH <= 32
+    # 5-6x Spark-stage collapse), clamped to the box — and to hosts with
+    # fewer than 8 CPUs, where MC_PROBE_WIDTH legitimately shrinks
+    assert min(8, os.cpu_count() or 8) <= bench.MC_PROBE_WIDTH <= 32
 
 
 def test_loadavg_read_precedes_bench_startup():
@@ -378,8 +381,9 @@ def test_retry_pass_merges_mins_and_reruns_verdict():
     the final verdict is computed AFTER the merge."""
     src = open(os.path.join(_ROOT, "bench.py")).read()
     body = src.split("def main")[1]
-    # the retry loop runs off the FIRST verdict...
-    assert "first_msgs, first_table = per_key_verdict(" in body
+    # the retry loop runs off the FIRST verdict (messages unused — only
+    # the post-merge verdict is enforced)...
+    assert "_, first_table = per_key_verdict(" in body
     assert "first_pass_min[name] = side[name]" in body
     assert "_, retry_min, _ = timed(name)" in body
     # ...merges only downward...
