@@ -360,6 +360,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if not nxt.take(1):
                 break
-            dist = dist.unionByName(nxt).localCheckpoint()
+            # NO checkpoint on the union: dist is a UnionByName over the seed
+            # literal and per-hop frames that are each ALREADY checkpointed,
+            # so its lineage is flat by construction (≤ BFS_MAX_HOPS scans) —
+            # re-materializing it per hop only paid one extra job per round
+            dist = dist.unionByName(nxt)
             frontier = nxt
     return dist
