@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamic_spark_spark.registry import query
-from dynamic_spark_spark.sources.readers import load_table
+from dynamic_spark_spark.sources.readers import load_table, rebalance_for_fanout
 
 #: Arrow batch size for mapInPandas media decode — bounds worker memory at
 #: (batch_size × max_payload) regardless of total corpus size.
@@ -605,7 +605,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     return docs.mapInPandas(
         synth_and_parse, schema="doc_id long, mime string, width int, height int"
     )
@@ -1063,7 +1063,7 @@ def decode_features(mdf: DataFrame) -> DataFrame:
                 }
             )
 
-    mdf = mdf.repartition(max(mdf.sparkSession.sparkContext.defaultParallelism, 4))
+    mdf = rebalance_for_fanout(mdf, floor=4)
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     mdf.sparkSession.conf.set(conf_key, str(DECODE_BATCH_ROWS))
     return mdf.mapInPandas(decode, schema="doc_id long, features array<double>")
@@ -1198,7 +1198,7 @@ def decode_features_mixed(docs: DataFrame) -> DataFrame:
     # synthesizers are keyed on it, so shipping any other column (the full
     # text corpus, at one point) is dead I/O in the key's dominant path
     docs = docs.select("doc_id")
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     docs.sparkSession.conf.set(conf_key, str(DECODE_BATCH_ROWS))
 
@@ -1332,7 +1332,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "thumb": thumbs, "n_bytes": sizes, "resizer": kinds}
             )
 
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     return docs.mapInPandas(
         resize, schema="doc_id long, thumb binary, n_bytes long, resizer string"
     )
@@ -1730,7 +1730,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     return docs.mapInPandas(
         synth_and_parse,
         schema="doc_id long, mime string, sample_rate int, channels int,"
@@ -1886,7 +1886,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     return docs.mapInPandas(
         synth_and_decode,
         schema="doc_id long, sample_rate int, channels int, n_samples long,"
@@ -1947,7 +1947,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     return docs.mapInPandas(
         synth_and_decode,
         schema="doc_id long, sample_rate int, channels int, n_samples long,"
@@ -2003,7 +2003,7 @@ def _raster_key(docs: DataFrame, synth_decode) -> DataFrame:
             )
 
     docs = docs.select("doc_id")
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     return docs.mapInPandas(run, schema=_RASTER_SCHEMA)
 
 
@@ -2512,7 +2512,7 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     return docs.mapInPandas(
         synth_and_parse,
         schema="doc_id long, mime string, brand string, timescale int,"
@@ -2651,7 +2651,7 @@ def multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(max(docs.sparkSession.sparkContext.defaultParallelism, 4))
+    docs = rebalance_for_fanout(docs, floor=4)
     return docs.mapInPandas(
         synth_and_compand,
         schema="doc_id long, law string, n_samples long, sum_dec long,"

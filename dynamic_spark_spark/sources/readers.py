@@ -78,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def rebalance_for_fanout(df: DataFrame) -> DataFrame:
+def rebalance_for_fanout(df: DataFrame, floor: int = 0) -> DataFrame:
     """Round-robin ``df`` across the session's scheduler slots ONLY when it
     arrives in fewer partitions than that — the compact-fixture /
     single-row-group case where a following fan-out (shingle explode,
@@ -89,9 +89,12 @@ def rebalance_for_fanout(df: DataFrame) -> DataFrame:
     exchange is inserted at all, where the previous unconditional
     ``repartition(defaultParallelism)`` forced a full, AQE-unelidable
     round-robin shuffle of every row (token arrays, embeddings) just to
-    rediscover the parallelism the scan already had."""
+    rediscover the parallelism the scan already had.
+
+    ``floor`` keeps a minimum spread on tiny sessions (the multimodal
+    decode sites historically used ``max(defaultParallelism, 4)``)."""
     sc = df.sparkSession.sparkContext
-    width = sc.defaultParallelism
+    width = max(sc.defaultParallelism, floor)
     if df.rdd.getNumPartitions() >= width:
         return df
     return df.repartition(width)
